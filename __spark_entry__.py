@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Assembles the engine's query registry from adcirctime2cogs_spark
+operator modules. Each ``queries()`` entry is a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` holds the DuckDB-equivalent SQL
+(omitted for ops whose values are engine-specific, e.g. HLL sketches —
+those get the driver's rows-only check).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H-Q1-shaped pricing summary: scan -> filter -> partial+final
+    hash aggregate — the spine of SURVEY.md §2A's dataflow.
+    """
+    from adcirctime2cogs_spark.operators.relational import q1_pricing_summary
+
+    return q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from adcirctime2cogs_spark import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.all_queries())
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query key (subset: rows-only
+    checks for sketch/stream ops are intentionally omitted)."""
+    from adcirctime2cogs_spark import registry
+
+    return dict(registry.all_oracles())

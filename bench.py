@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default all cores). Each query is forced end-to-end
+with the noop sink (full compute, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from adcirctime2cogs_spark import registry
+from adcirctime2cogs_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# plans that dominate at 100 TB (agg, star join, window, dedup, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "join_left_outer",
+    "join_asof",
+    "agg_rollup",
+    "win_running",
+    "topk_per_group",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "events_tumbling_window",
+    "regrid_micromesh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="adcirctime2cogs_spark_bench")
+    queries = registry.all_queries()
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plan, not session startup
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

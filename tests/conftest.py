@@ -1,0 +1,22 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from adcirctime2cogs_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="adcirctime2cogs_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL

@@ -1,0 +1,29 @@
+"""Every registered query with an oracle must hash-match DuckDB locally
+(sf0.001 for speed; the driver re-checks at sf0.01)."""
+
+import pytest
+
+from adcirctime2cogs_spark import registry
+from tests.oracle_util import compare
+
+ALL_QUERIES = registry.all_queries()
+ALL_ORACLES = registry.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    n = compare(spark, sf_dir, ALL_QUERIES[name], ALL_ORACLES[name])
+    assert n >= 0
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
+def test_rows_only(spark, sf_dir, name):
+    df = ALL_QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
