@@ -1,0 +1,63 @@
+"""Per-timestep linear regrid: weights x timeseries -> raster values
+(SURVEY O16-O17).
+
+The reference loops timesteps sequentially, rebuilding a scipy
+interpolator each iteration (run/adcircTime2cogs.py:190-209). Here ALL
+timesteps regrid in one set-oriented plan:
+
+    weights (static, cached)     timeseries (long: ts, node_id, value)
+        |  explode to (cell, node, w)     |
+        +-------- shuffle join on node_id +
+                       |
+        groupBy(ts, cell) -> sum(w * value)   [partial+final agg]
+
+One shuffle keyed on node_id, one on (ts, cell_id); Spark parallelizes
+across the full ts x cell space where the reference is sequential per
+timestep (SURVEY P9). Dry-node semantics: a null node value nulls the
+whole cell (the reference's masked-array NaN propagation,
+run/utilities/adcirc_utilities.py:30) — enforced by counting non-null
+contributions per cell against the expected 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_weights(weights: DataFrame) -> DataFrame:
+    """(cell, n0..n2, w0..w2) -> 3 rows (cell_id, grid_row, grid_col,
+    node_id, w). inline stack: no shuffle, stays in codegen."""
+    return weights.selectExpr(
+        "cell_id",
+        "grid_row",
+        "grid_col",
+        "stack(3, n0, w0, n1, w1, n2, w2) AS (node_id, w)",
+    )
+
+
+def regrid(weights: DataFrame, timeseries: DataFrame) -> DataFrame:
+    """All-timestep regrid -> long raster table
+    (ts, cell_id, grid_row, grid_col, value).
+
+    value is null when any of the cell's 3 nodes is null at that ts
+    (dry element). Out-of-domain cells simply don't appear (mask ==
+    anti-join semantics; pivot to dense 2-D only inside the COG sink).
+    """
+    flat = explode_weights(weights)
+    joined = flat.join(timeseries, "node_id")
+    return (
+        joined.groupBy("ts", "cell_id", "grid_row", "grid_col")
+        .agg(
+            F.sum(F.col("w") * F.col("value")).alias("_sum"),
+            F.count("value").alias("_nvals"),
+            F.count("*").alias("_nw"),
+        )
+        .select(
+            "ts",
+            "cell_id",
+            "grid_row",
+            "grid_col",
+            F.when(F.col("_nvals") == F.col("_nw"), F.col("_sum")).alias("value"),
+        )
+    )

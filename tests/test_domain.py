@@ -1,0 +1,127 @@
+"""Golden + property tests for the mesh->raster domain core
+(SURVEY §5 items 2 and 4)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.plans import micromesh as mm
+from adcirctime2cogs_spark.plans.grid import GridSpec, raster_cells
+from adcirctime2cogs_spark.plans.regrid import regrid
+from adcirctime2cogs_spark.plans.weights import build_weights, domain_mask
+
+
+@pytest.fixture(scope="module")
+def weights(spark):
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    w.cache().count()
+    return w
+
+
+def _in_domain(cx: float, cy: float) -> bool:
+    """Ground truth for the L-shape: unit square + triangle
+    {(0,1),(1,1),(0,2)} (boundary inclusive)."""
+    eps = 1e-9
+    if cy <= 1 + eps and cx <= 1 + eps:
+        return True
+    if 1 - eps <= cy <= 2 + eps and cx <= (2 - cy) + eps:
+        return True
+    return False
+
+
+def test_weights_cover_exactly_the_mesh_domain(spark, weights):
+    cells = {(r.grid_row, r.grid_col): (r.cx, r.cy) for r in mm.cells_df(spark).collect()}
+    got = {(r.grid_row, r.grid_col) for r in weights.collect()}
+    expected = {k for k, (cx, cy) in cells.items() if _in_domain(cx, cy)}
+    assert got == expected
+    assert len(got) == 12  # hand-counted for the 5x5 grid
+
+
+def test_weights_are_convex_combinations(weights):
+    for r in weights.collect():
+        assert r.w0 >= -1e-12 and r.w1 >= -1e-12 and r.w2 >= -1e-12
+        assert abs(r.w0 + r.w1 + r.w2 - 1.0) < 1e-12
+
+
+def test_domain_mask_is_the_complement(spark, weights):
+    masked = domain_mask(mm.cells_df(spark), weights)
+    assert masked.count() == 25 - 12
+    # hull-interior hole near unreferenced node 2 (FIXTURES B5): the
+    # cell at (1.4, 0.2) is inside the convex hull but must be masked
+    hole = masked.filter((F.col("grid_row") == 4) & (F.col("grid_col") == 3))
+    assert hole.count() == 1
+
+
+def test_linear_field_reproduced_exactly(spark, weights):
+    out = regrid(weights, mm.timeseries_df(spark)).filter(F.col("ts") == mm.T1)
+    rows = out.join(mm.cells_df(spark), "cell_id").select("cx", "cy", "value").collect()
+    assert len(rows) == 12
+    for r in rows:
+        expected = 2.0 * r.cx + 3.0 * r.cy + 1.0
+        assert math.isclose(r.value, expected, rel_tol=0, abs_tol=1e-12), (
+            r.cx, r.cy, r.value, expected)
+
+
+def test_dry_node_nulls_only_touching_triangles(spark, weights):
+    out = regrid(weights, mm.timeseries_df(spark)).filter(F.col("ts") == mm.T2)
+    by_elem = {r.cell_id: r.elem_id for r in weights.collect()}
+    for r in out.collect():
+        if by_elem[r.cell_id] == 0:  # triangle (0,1,4): no dry vertex
+            assert r.value is not None
+        else:  # triangles 1/2 reference dry node 3
+            assert r.value is None
+
+
+def test_ones_interpolate_to_ones(spark, weights):
+    """The reference's own mask identity (run/adcircTime2cogs.py:178-183):
+    interpolating a field of ones yields exactly 1 at every in-domain cell."""
+    ones = mm.nodes_df(spark).select(
+        F.lit("t").alias("ts"), "node_id", F.lit(1.0).alias("value")
+    )
+    out = regrid(weights, ones)
+    vals = [r.value for r in out.collect()]
+    assert len(vals) == 12
+    assert all(abs(v - 1.0) < 1e-12 for v in vals)
+
+
+def _structured_mesh(spark, n: int):
+    """n x n node grid on [0,1]^2, each square split into 2 triangles."""
+    nodes = [
+        (i * n + j, j / (n - 1), i / (n - 1))
+        for i in range(n)
+        for j in range(n)
+    ]
+    elements = []
+    eid = 0
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b = i * n + j, i * n + j + 1
+            c, d = (i + 1) * n + j, (i + 1) * n + j + 1
+            elements.append((eid, a, b, d)); eid += 1
+            elements.append((eid, a, d, c)); eid += 1
+    ndf = spark.createDataFrame(nodes, "node_id long, lon double, lat double")
+    edf = spark.createDataFrame(elements, "elem_id long, n0 long, n1 long, n2 long")
+    return ndf, edf
+
+
+def test_structured_mesh_linear_property(spark):
+    """Property check at a mesh/grid resolution mismatch: a 20x20-node
+    mesh regridded to a 16x16-edge raster reproduces a linear field at
+    every centroid (bin size unrelated to either spacing)."""
+    ndf, edf = _structured_mesh(spark, 20)
+    spec = GridSpec(ul_lon=0.0, ul_lat=1.0, res=1.0 / 15, nx=16, ny=16)
+    cells = raster_cells(spark, spec)
+    w = build_weights(cells, ndf, edf, bin_size=0.13)
+    assert w.count() == 15 * 15  # every centroid is inside [0,1]^2
+    tsv = ndf.select(
+        F.lit("t").alias("ts"), "node_id",
+        (4.0 * F.col("lon") - 7.0 * F.col("lat") + 2.0).alias("value"),
+    )
+    out = regrid(w, tsv).join(cells, "cell_id")
+    bad = out.filter(
+        F.abs(F.col("value") - (4.0 * F.col("cx") - 7.0 * F.col("cy") + 2.0)) > 1e-9
+    ).count()
+    assert bad == 0
