@@ -1,0 +1,70 @@
+"""Engine-exact rounding for oracle comparison.
+
+DuckDB's round() on DOUBLE mis-rounds near decimal half-boundaries
+(observed: round(0.49124999999999996, 4) -> 0.4913), while Spark's
+round() is exact-decimal HALF_UP — so identical doubles can hash
+differently after "the same" round(x, 4). Both engines compute
+floor(x * 10000 + 0.5) / 10000 bit-identically on identical doubles,
+so that is the engine's rounding convention:
+
+- Spark side: r4() below;
+- oracle side: registry.expand_round_sql() rewrites every
+  round(X, 4) in oracle SQL into the floor form, so queries stay
+  readable as plain round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r4(col: Column | str) -> Column:
+    """round-half-up to 4 decimals, bit-stable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+
+def expand_round_sql(sql: str) -> str:
+    """Rewrite every round(X, 4) call in a SQL string to
+    floor((X) * 10000.0 + 0.5) / 10000.0 (balanced-paren aware)."""
+    out = []
+    i = 0
+    lower = sql.lower()
+    while True:
+        j = lower.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # find the matching close paren
+        depth = 0
+        k = j + len("round(")
+        start = k
+        while k < len(sql):
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            k += 1
+        inner = sql[start:k]
+        # split at the last top-level comma
+        depth = 0
+        split = -1
+        for idx, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = idx
+        if split >= 0 and inner[split + 1 :].strip() == "4":
+            expr = expand_round_sql(inner[:split])
+            out.append(sql[i:j])
+            out.append(f"floor(({expr}) * 10000.0 + 0.5) / 10000.0")
+            i = k + 1
+        else:
+            out.append(sql[i : k + 1])
+            i = k + 1

@@ -1,0 +1,287 @@
+"""Deduplication operators over the documents table (north-star scope;
+BASELINE.json): exact, n-gram Jaccard, MinHash signatures + LSH
+candidate pairs, SimHash, and the pyspark.ml MinHashLSH scale path.
+
+Shapes chosen for 100 TB:
+- exact dedup: one hash-groupBy on a 32-byte digest, never on raw text;
+- pairwise Jaccard is quadratic -> only ever run on LSH candidates or
+  within blocks; the oracle-checked pair queries here keep the
+  all-pairs shingle join small via the shingle equi-join (pairs only
+  materialize when they share a shingle);
+- minhash signatures are 8 ints/doc (constant state per doc), bands of
+  2 give candidate buckets; a band bucket join replaces the quadratic
+  scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+
+from adcirctime2cogs_spark.functions.text import (
+    MH_COEFS,
+    MH_PRIME,
+    SHINGLES_SQL,
+    SIMHASH_BITS,
+    normalized_text,
+    shingles,
+)
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*)    AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text digest; keeper =
+    min doc_id per group. At scale the digest (32B) shuffles, the text
+    (KBs) never does."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size"))
+    )
+
+
+_JACCARD_PAIRS_SQL = (
+    "WITH "
+    + SHINGLES_SQL
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+)
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8.
+
+    Pairs materialize only through the shared-shingle equi-join (an
+    inverted-index join), not a cross join; the >= 0.8 filter is exact,
+    so this is the verify stage LSH candidates would feed at scale.
+    """
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+def _mh_sql_exprs() -> str:
+    return ", ".join(
+        f"min(({a} * h + {b}) % {MH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(MH_COEFS)
+    )
+
+
+@_register(
+    "dedup_minhash_signature",
+    "WITH " + SHINGLES_SQL + f"""
+SELECT doc_id, {_mh_sql_exprs()}
+FROM shh GROUP BY doc_id
+""",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=8 affine permutations min-folded per doc.
+
+    One groupBy over the shingle explode; per-doc state is 8 ints
+    regardless of document size — the property that makes fuzzy dedup
+    feasible at 100 TB.
+    """
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_LSH_PAIRS_SQL = (
+    "WITH "
+    + SHINGLES_SQL
+    + f""",
+sig AS (SELECT doc_id, {_mh_sql_exprs()} FROM shh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, band, CAST(h1 AS VARCHAR) || ':' || CAST(h2 AS VARCHAR) AS bkey
+  FROM (
+    SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+           unnest([mh0, mh2, mh4, mh6]) AS h1,
+           unnest([mh1, mh3, mh5, mh7]) AS h2
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+"""
+)
+
+
+@_register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: band-bucket join -> candidate
+    pairs -> exact-Jaccard verify >= 0.5.
+
+    The band self-join touches only bucket collisions (sub-quadratic);
+    exact Jaccard runs on candidates alone. 4 bands x 2 rows catches
+    j >= 0.8 pairs with ~98% probability per band structure — the
+    sf0.01 planted dups (j ~ 0.99) are all caught.
+    """
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
+        " AS (band, h1, h2)",
+    ).select(
+        "doc_id", "band", F.concat_ws(":", "h1", "h2").alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+def _simhash_fp_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"SELECT doc_id, {terms} AS simhash FROM shh GROUP BY doc_id"
+
+
+@_register("dedup_simhash", "WITH " + SHINGLES_SQL + _simhash_fp_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit): per-bit majority vote over shingle
+    hashes, folded back into one integer. Near-dups then reduce to
+    small-Hamming-distance fingerprint pairs (constant per-doc state,
+    like minhash)."""
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    bit_votes = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = sh.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@_register("dedup_minhash_ml")  # rows-only: pyspark.ml hash family is engine-specific
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant on pyspark.ml MinHashLSH (seeded): shingle
+    sets -> sparse vectors -> approxSimilarityJoin at Jaccard distance
+    <= 0.3. Values are engine-specific (Spark's hash family), so the
+    driver records the rows-only check; tests/test_dedup.py asserts it
+    finds the same planted pairs as the exact-Jaccard query."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    docs = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
+    cv = CountVectorizer(
+        inputCol="shset", outputCol="features", binary=True, minDF=1.0
+    ).fit(docs)
+    feats = cv.transform(docs)  # every doc has >= 1 shingle (len filter upstream)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            r4(1 - F.col("dist")).alias("jaccard_approx"),
+        )
+    )

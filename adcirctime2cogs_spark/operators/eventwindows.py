@@ -1,0 +1,167 @@
+"""Time-window operators over the events table — batch twins of the
+Structured Streaming jobs in streaming/windows.py (SURVEY §2B streaming
+row). The streaming versions run the SAME aggregations through
+readStream + memory sink; these batch twins give the driver an
+oracle-checkable surface (window starts reduce to epoch arithmetic that
+DuckDB reproduces exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+SESSION_GAP_S = 30 * 60
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _fmt(col):
+    return F.date_format(col, FMT)
+
+
+@_register(
+    "events_tumbling_window",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregate (F.window — the exact groupBy
+    Structured Streaming runs incrementally with a watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+        .select(
+            _fmt("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@_register(
+    "events_sliding_window",
+    """
+    WITH wins AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+                     CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws
+      FROM events
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM wins
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding by 5 minutes: each event lands in two
+    overlapping windows (Spark expands via Expand, not a self-join)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+        .select(
+            _fmt("w.start").alias("win_start"), "event_type", "n", "avg_value"
+        )
+    )
+
+
+@_register(
+    "events_session_window",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                  > {SESSION_GAP_S} THEN 1
+                  WHEN lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_S} SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS sess_end,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via F.session_window — the
+    stateful-streaming operator's batch form. Session end = last event
+    + gap, matching streaming semantics; oracle derives the same
+    sessions with the lag/cumsum idiom."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+        .select(
+            "user_id",
+            _fmt("w.start").alias("sess_start"),
+            _fmt("w.end").alias("sess_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "events_dedup_first",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user, type) — the batch
+    twin of dropDuplicatesWithinWatermark (which keeps an arbitrary row;
+    we pin the earliest for reproducibility)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", _fmt("ts").alias("ts_s"))
+    )

@@ -42,8 +42,7 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-def _r4(col):
-    return F.round(col, 4)
+from adcirctime2cogs_spark.functions.numeric import r4 as _r4  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

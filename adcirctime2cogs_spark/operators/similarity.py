@@ -1,0 +1,237 @@
+"""Similarity search over the embeddings table (north-star scope):
+brute-force cosine top-k as the exactness baseline, a sign-LSH bucketed
+variant as the sub-quadratic scale path, a threshold self-join, and the
+pyspark.ml random-projection LSH integration.
+
+Vector math stays in built-in higher-order functions (zip_with +
+aggregate => JVM codegen, no Python in the hot path). Cosine is
+computed in double precision with the identical fold order in the
+DuckDB oracles (list_inner_product over double-cast lists), rounded to
+4dp on both sides before ranking so rank ties break identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+N_QUERY_VECS = 5  # vec_id < 5 are the probe vectors
+TOP_K = 5
+SIGN_BITS = 6  # sign-LSH bucket = sign pattern of the first 6 dims
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, double precision, index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# DuckDB twin of cosine(): identical structure over double-cast lists.
+_COS_SQL = (
+    "list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE))))"
+    " * sqrt(list_inner_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+def _probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query vec) x (candidate vec) pairs via a broadcast of the tiny
+    probe side — the scalable shape: candidates stream, probes ship."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    return F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+
+
+@_register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({_COS_SQL.format(a="q.embedding", b="c.embedding")}, 4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    )
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each probe vector: broadcast probes x
+    streamed candidates, rank per probe. The exactness baseline every
+    ANN variant is measured against."""
+    pairs = _probe_pairs(spark, sf_dir).select(
+        "q_id",
+        "c_id",
+        r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
+    )
+
+
+def _sign_bucket(emb: Column) -> Column:
+    """Sign-pattern bucket of the first SIGN_BITS dims (a fixed
+    axis-aligned random-hyperplane LSH — deterministic and
+    engine-neutral)."""
+    bits = [
+        F.when(F.element_at(emb, i + 1).cast("double") >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(SIGN_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+_SIGN_SQL_TMPL = " + ".join(
+    f"(CASE WHEN CAST({{e}}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(SIGN_BITS)
+)
+
+
+@_register(
+    "sim_topk_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SIGN_SQL_TMPL.format(e="embedding")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({_COS_SQL.format(a="q.embedding", b="c.embedding")}, 4) AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    )
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style ANN: candidates restricted to the probe's sign
+    bucket (equi-join on bucket key), exact cosine re-rank inside the
+    bucket. Sub-quadratic: comparisons scale with bucket occupancy, not
+    n^2 — the 100TB shape, trading recall for the dropped cross join."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
+    )
+
+
+@_register(
+    "sim_threshold_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.4 (embedding near-dup detection). Kept
+    exact/quadratic here as the verify stage; production path blocks by
+    sign bucket first (sim_topk_bucketed's join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
+    )
+
+
+@_register("sim_ml_brp_lsh")  # rows-only: Spark's hyperplanes are seed-specific
+def sim_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml BucketedRandomProjectionLSH integration (euclidean
+    ANN): the library scale path next to the hand-rolled sign-LSH.
+    Values depend on Spark's seeded hyperplanes -> rows-only check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=42,
+    )
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    pairs = model.approxSimilarityJoin(q, emb, 8.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("c_id"),
+            r4("dist").alias("euclidean_dist"),
+        )
+    )

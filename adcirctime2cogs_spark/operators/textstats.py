@@ -1,0 +1,199 @@
+"""Text analysis over the documents table (north-star scope):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All built-in column functions (codegen, no UDF); each
+has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+
+from adcirctime2cogs_spark.functions.text import normalized_text, tokens_col
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+# stopword marker sets for the n-gram/lexicon language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "et", "les"),
+}
+LANG_ORDER = ("en", "es", "de", "fr")  # argmax tie-break priority
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))      AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+'))       AS n_words,
+           len(regexp_extract_all(text, '[0-9]+'))          AS n_numbers,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))          AS n_bpeish
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (alpha runs / digit runs / single symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), 0)).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("n_bpeish"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a', 'and', 'of'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(n_chars * 1.0 / len(toks), 4)            AS avg_token_len,
+           round(n_punct * 1.0 / n_chars, 4)              AS punct_ratio,
+           round(n_stop * 1.0 / len(toks), 4)             AS stopword_ratio,
+           round(least(len(toks) / 100.0, 1.0) * 0.5
+                 + (1.0 - n_punct * 1.0 / n_chars) * 0.3
+                 + least(n_stop * 5.0 / len(toks), 1.0) * 0.2, 4) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features
+    folded into a [0,1] score (the standard pretraining-data heuristic
+    family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    quality = (
+        F.least(n_toks / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - n_punct * 1.0 / F.col("n_chars")) * 0.3
+        + F.least(n_stop * 5.0 / n_toks, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        r4(F.col("n_chars") * 1.0 / n_toks).alias("avg_token_len"),
+        r4(n_punct * 1.0 / F.col("n_chars")).alias("punct_ratio"),
+        r4(n_stop * 1.0 / n_toks).alias("stopword_ratio"),
+        r4(quality).alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+@_register(
+    "text_langid",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("fr")} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+           CASE
+             WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: lexicon-marker hit counts per language,
+    argmax with a fixed tie-break order, 'und' when no marker hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    def marker_count(words):
+        # single-arg lambda: a second (defaulted) param would make Spark
+        # treat it as the (element, index) arity and pass the index in
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: marker_count(words) for lang, words in LANG_MARKERS.items()}
+    s = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    en, es, de, fr = (F.col(f"s_{lang}") for lang in LANG_ORDER)
+    pred = (
+        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), "und")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return s.withColumn("predicted_lang", pred)
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp_bagofwords
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (normalized text digest) and
+    order-insensitive (sorted distinct token set digest) — the
+    canonical keys for exact and reordered-dup detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(tokens_col(F.lower(F.col("text"))))), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("fp_exact"),
+        F.md5(bag).alias("fp_bagofwords"),
+    )

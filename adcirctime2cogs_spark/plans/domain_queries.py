@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from adcirctime2cogs_spark.functions.numeric import r4
+
 from adcirctime2cogs_spark.plans import micromesh as mm
 from adcirctime2cogs_spark.plans.regrid import regrid
 from adcirctime2cogs_spark.plans.weights import build_weights, domain_mask
@@ -75,9 +77,9 @@ def micromesh_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _weights_df(spark)
     return w.select(
         "cell_id", "grid_row", "grid_col", "elem_id", "n0", "n1", "n2",
-        F.round("w0", 4).alias("w0"),
-        F.round("w1", 4).alias("w1"),
-        F.round("w2", 4).alias("w2"),
+        r4("w0").alias("w0"),
+        r4("w1").alias("w1"),
+        r4("w2").alias("w2"),
     )
 
 
@@ -97,7 +99,7 @@ def micromesh_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dry elements, out-of-domain cells absent."""
     out = regrid(_weights_df(spark), mm.timeseries_df(spark))
     return out.select(
-        "ts", "grid_row", "grid_col", F.round("value", 4).alias("value")
+        "ts", "grid_row", "grid_col", r4("value").alias("value")
     )
 
 
@@ -138,11 +140,11 @@ def micromesh_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-sizing bbox aggregate (reference run/adcircTime2cogs.py:155-158)."""
     nodes = mm.nodes_df(spark)
     return nodes.agg(
-        F.round(F.min("lon"), 4).alias("lon_min"),
-        F.round(F.max("lon"), 4).alias("lon_max"),
-        F.round(F.min("lat"), 4).alias("lat_min"),
-        F.round(F.max("lat"), 4).alias("lat_max"),
-        F.round(F.avg("lat"), 4).alias("lat_mean"),
+        r4(F.min("lon")).alias("lon_min"),
+        r4(F.max("lon")).alias("lon_max"),
+        r4(F.min("lat")).alias("lat_min"),
+        r4(F.max("lat")).alias("lat_max"),
+        r4(F.avg("lat")).alias("lat_mean"),
     )
 
 
@@ -163,8 +165,8 @@ def raster_grid_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = mm.cells_df(spark)
     return cells.select(
         "cell_id", "grid_row", "grid_col",
-        F.round("cx", 4).alias("cx"),
-        F.round("cy", 4).alias("cy"),
+        r4("cx").alias("cx"),
+        r4("cy").alias("cy"),
     )
 
 

@@ -53,20 +53,32 @@ GRID = GridSpec(ul_lon=0.0, ul_lat=2.0, res=0.4, nx=6, ny=6)  # 5x5 centroids
 BIN_SIZE = 0.5
 
 
+# Fixture frames are built with SQL VALUES (JVM LocalRelation), NOT
+# createDataFrame(python_list): the latter plans a pickled-RDD scan
+# whose Python-worker stages cost seconds per query — LocalRelations
+# constant-fold and broadcast for free.
+
+
 def nodes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(NODES, "node_id long, lon double, lat double")
+    rows = ", ".join(f"({i}L, {x}D, {y}D)" for i, x, y in NODES)
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(node_id, lon, lat)")
 
 
 def elements_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ELEMENTS, "elem_id long, n0 long, n1 long, n2 long")
+    rows = ", ".join(f"({e}L, {a}L, {b}L, {c}L)" for e, a, b, c in ELEMENTS)
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(elem_id, n0, n1, n2)")
 
 
 def timeseries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TIMESERIES, "ts string, node_id long, value double")
+    rows = ", ".join(
+        f"('{ts}', {nid}L, {'CAST(NULL AS DOUBLE)' if v is None else format(v, '.6f') + 'D'})"
+        for ts, nid, v in TIMESERIES
+    )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(ts, node_id, value)")
 
 
 def cells_df(spark: SparkSession) -> DataFrame:
-    return raster_cells(spark, GRID)
+    return raster_cells(spark, GRID).coalesce(1)
 
 
 def sql_values() -> dict[str, str]:

@@ -45,7 +45,12 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracles() -> dict[str, str]:
+    from adcirctime2cogs_spark.functions.numeric import expand_round_sql
+
     out: dict[str, str] = {}
     for mod in _modules():
-        out.update(mod.ORACLES)
+        # round(X, 4) in oracle SQL is expanded to the engine-exact
+        # floor form (see functions/numeric.py) — DuckDB's double
+        # round() mis-rounds at half-boundaries.
+        out.update({k: expand_round_sql(v) for k, v in mod.ORACLES.items()})
     return out

@@ -1,0 +1,120 @@
+"""COG sink (SURVEY O20): long raster table -> one Cloud-Optimized
+GeoTIFF per timestep.
+
+The reference writes COGs sequentially inside its timestep loop
+(run/adcircTime2cogs.py:190-209, write_cog at :205-206 via
+datacube+GDAL). Here the sink is `groupBy('ts').applyInPandas`: Spark
+fans out ONE TASK PER TIMESTEP, each task pivots its long rows to a
+dense 2-D array and writes its own file — embarrassingly parallel, and
+GDAL never sees a shared file (SURVEY §7 "what's hard").
+
+rasterio is not in this container, so the writer falls back to a
+deterministic .npz + JSON-sidecar format carrying the identical raster
+payload and geotransform; `write_cogs(..., writer=...)` swaps in
+rasterio's COG driver unchanged on a codec-equipped cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from adcirctime2cogs_spark.plans.grid import GridSpec
+
+# the reference's filename timestamp format (run/adcircTime2cogs.py:192)
+TS_FMT = "%Y%m%dT%H%M%SZ"
+
+
+def _geotransform(spec: GridSpec) -> list[float]:
+    """GDAL-style affine: (ulx, xres, 0, uly, 0, -yres) — pixel edges,
+    y descending like the reference grid (run/adcircTime2cogs.py:74-75)."""
+    return [spec.ul_lon, spec.res, 0.0, spec.ul_lat, 0.0, -spec.res]
+
+
+def _fallback_writer(
+    fname: str, arr: np.ndarray, transform: list[float], crs: str
+) -> None:
+    """No-GDAL writer: raster as .npz + JSON sidecar with the same
+    georeferencing a COG would carry."""
+    np.savez_compressed(fname + ".npz", raster=arr)
+    with open(fname + ".json", "w") as f:
+        json.dump(
+            {"transform": transform, "crs": crs, "shape": list(arr.shape),
+             "nodata": "nan"},
+            f,
+        )
+
+
+def _rasterio_writer(
+    fname: str, arr: np.ndarray, transform: list[float], crs: str
+) -> None:
+    import rasterio
+    from rasterio.transform import Affine
+
+    t = Affine(transform[1], transform[2], transform[0],
+               transform[4], transform[5], transform[3])
+    with rasterio.open(
+        fname + ".tif", "w", driver="COG", height=arr.shape[0],
+        width=arr.shape[1], count=1, dtype="float64", crs=crs,
+        transform=t, nodata=float("nan"), compress="deflate",
+    ) as dst:
+        dst.write(arr, 1)
+
+
+def default_writer() -> Callable:
+    try:
+        import rasterio  # noqa: F401
+
+        return _rasterio_writer
+    except ImportError:
+        return _fallback_writer
+
+
+def write_cogs(
+    raster_long: DataFrame,
+    spec: GridSpec,
+    out_dir: str,
+    prefix: str = "raster",
+    crs: str = "EPSG:4326",
+    writer: Callable | None = None,
+) -> DataFrame:
+    """Write one COG per distinct ts from the long regrid output
+    (ts, grid_row, grid_col, value). Returns a manifest DataFrame
+    (ts, path, n_cells) — an action the caller triggers.
+
+    The groupBy ships each timestep's cells to one task; the pivot to a
+    dense (nrows x ncols) array with NaN for masked cells happens
+    task-side (the ONLY place the engine materializes a 2-D raster,
+    exactly like the reference's create_xarray boundary,
+    run/adcircTime2cogs.py:94-109).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    nrows, ncols = spec.ny - 1, spec.nx - 1
+    transform = _geotransform(spec)
+    w = writer or default_writer()
+
+    def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].iloc[0]
+        arr = np.full((nrows, ncols), np.nan, dtype="float64")
+        arr[pdf["grid_row"].to_numpy(), pdf["grid_col"].to_numpy()] = (
+            pdf["value"].to_numpy(dtype="float64")
+        )
+        label = (
+            ts.strftime(TS_FMT)
+            if hasattr(ts, "strftime")
+            else str(ts).replace(" ", "T").replace(":", "") + "Z"
+        )
+        fname = os.path.join(out_dir, f"{prefix}.{label}")
+        w(fname, arr, transform, crs)
+        return pd.DataFrame(
+            {"ts": [str(ts)], "path": [fname], "n_cells": [len(pdf)]}
+        )
+
+    return raster_long.groupBy("ts").applyInPandas(
+        write_one, schema="ts string, path string, n_cells long"
+    )

@@ -1,0 +1,124 @@
+"""Structured Streaming jobs over the events table (SURVEY §2B
+streaming row): watermarked tumbling/sliding/session windows, streaming
+dedup-within-watermark, and a stateful custom operator via
+applyInPandasWithState.
+
+Each job is the streaming form of a batch twin in
+operators/eventwindows.py; tests/test_streaming.py replays the events
+parquet through readStream (file source, maxFilesPerTrigger) into a
+memory sink and asserts the final state equals the batch result — the
+standard way to pin incremental == batch semantics.
+
+At scale the file source swaps for Kafka and the memory sink for a
+parquet/foreachBatch sink; watermarks bound the state store exactly the
+same way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+from adcirctime2cogs_spark.tables import TABLE_SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns timestamps read as
+    long, converted like tables.load_table)."""
+    raw = (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """5-min tumbling count/sum with a 10-min watermark: state for a
+    window is dropped once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame) -> DataFrame:
+    """Session windows (30-min gap) — merging-window state per user."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) bounded by the
+    watermark (state expires instead of growing forever)."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def running_value_by_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    event-count and value-sum per user, emitted on every trigger —
+    the arbitrary-state shape session/feature stores run on."""
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the materialized table. Default mode: complete for windowed
+    aggregations, append otherwise; stateful update-mode operators pass
+    mode='update' explicitly."""
+    if mode is None:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        mode = "complete" if "Aggregate" in plan else "append"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
