@@ -1,0 +1,270 @@
+"""Relational operator suite, part 2: outer joins, the remaining
+window-function family, map/struct construction, subquery forms,
+date_trunc, sampling, and approximate quantiles. Same conventions as
+relational.py (aliases match oracles, doubles via r4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "join_full_outer",
+    """
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nk,
+           count(DISTINCT c.c_custkey)  AS n_cust,
+           count(DISTINCT s.s_suppkey)  AS n_supp
+    FROM customer c
+    FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving nation keys present on either side."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nk")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+    )
+
+
+@_register(
+    "win_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist()    OVER w, 4) AS cume,
+           first_value(c_custkey) OVER w AS richest,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile / percent_rank / cume_dist /
+    first_value / nth_value."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
+
+
+@_register(
+    "map_struct_ops",
+    """
+    SELECT o_orderkey,
+           to_json({'status': o_orderstatus, 'priority': o_orderpriority})
+             AS props_json,
+           round(map_extract(MAP {'total': o_totalprice,
+                                  'half': o_totalprice / 2}, 'half')[1], 4)
+             AS half_price,
+           len(map_keys(MAP {'total': o_totalprice, 'half': o_totalprice / 2}))
+             AS n_keys
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+)
+def map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct + map construction and access (the nested-type surface;
+    hash-compared via the struct's string form and extracted values)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    m = F.create_map(
+        F.lit("total"), F.col("o_totalprice"),
+        F.lit("half"), F.col("o_totalprice") / 2,
+    )
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        ).alias("props_json"),
+        r4(F.element_at(m, F.lit("half"))).alias("half_price"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@_register(
+    "subquery_correlated",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS total
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT 2 * avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to an
+    aggregate + join — SURVEY P8's free-lunch row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS total
+        FROM _sq_orders o
+        WHERE o_totalprice > (
+          SELECT 2 * avg(o2.o_totalprice) FROM _sq_orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@_register(
+    "subquery_in",
+    """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_quantity > 45)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                            WHERE l_discount > 0.09)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries (semi + null-aware anti join)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    hi_qty = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    hi_disc = li.filter(F.col("l_discount") > 0.09).select("l_partkey")
+    return (
+        part.join(hi_qty, part.p_partkey == hi_qty.l_partkey, "left_semi")
+        .join(hi_disc, part.p_partkey == hi_disc.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand")
+    )
+
+
+@_register(
+    "date_trunc_agg",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing via date_trunc (the monthly-rollup idiom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month"
+            )
+        )
+        .agg(F.count("*").alias("n"), r4(F.sum("o_totalprice")).alias("revenue"))
+    )
+
+
+@_register("sample_reservoir")  # rows-only: RNG is engine-specific
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (TABLESAMPLE) — statistically meaningful
+    but engine-specific values, so rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@_register("agg_approx_quantiles")  # rows-only: sketch is engine-specific
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the constant-memory
+    quantile path for 100TB; exact twin is agg_stats.median_price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("quartiles")
+    )
+
+
+@_register(
+    "string_funcs2",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0')  AS padded,
+           reverse(p_brand)                           AS rev_brand,
+           translate(p_type, 'AEIOU', 'aeiou')        AS type_tr,
+           repeat('-', p_size % 5)                    AS dashes,
+           split_part(p_type, ' ', 1)                 AS type_head,
+           strpos(p_name, 'a')                        AS first_a
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: lpad/reverse/translate/repeat/split_part/
+    instr."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+@_register(
+    "array_funcs2",
+    """
+    SELECT vec_id,
+           list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4)))
+             AS head_sorted,
+           round(CAST(list_max(embedding[1:8]) AS DOUBLE), 4)  AS head_max,
+           len(list_filter(embedding, x -> x > 0))             AS n_pos,
+           list_contains(list_transform(embedding, x -> x > 1.0), true) AS any_gt1
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: slice/sort/filter/exists over vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    head4 = F.slice("embedding", 1, 4)
+    return emb.select(
+        "vec_id",
+        F.array_sort(
+            F.transform(head4, lambda x: r4(x.cast("double")))
+        ).alias("head_sorted"),
+        r4(F.array_max(F.slice("embedding", 1, 8)).cast("double")).alias("head_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 1.0).alias("any_gt1"),
+    )

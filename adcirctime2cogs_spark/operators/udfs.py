@@ -1,0 +1,169 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2B): Arrow-vectorized pandas
+UDFs in all three shapes, plus the CRS-reprojection map (reference O10,
+run/adcircTime2cogs.py:44-46) as a vectorized kernel.
+
+Deterministic arithmetic only (add/mul/sqrt are correctly-rounded IEEE
+ops identical across numpy / JVM / DuckDB), so even the Python-kernel
+queries carry exact DuckDB oracles — the oracle checks the UDF
+machinery end to end, not just the formula.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+EARTH_R = 6371000.0
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@F.pandas_udf(T.DoubleType())
+def _score_udf(price: pd.Series, disc: pd.Series) -> pd.Series:
+    """Scalar pandas UDF (Arrow-batched): sqrt/mul/add only."""
+    return price.pow(0.5) * 3.0 + disc * 100.0
+
+
+@_register(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice) * 3.0 + l_discount * 100.0, 4) AS score
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF over the fact table. pandas .pow(0.5) and
+    SQL sqrt() are both correctly-rounded IEEE — bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(_score_udf("l_extendedprice", "l_discount")).alias("score"),
+    )
+
+
+@_register(
+    "udaf_grouped_pandas",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF shape): quantity-weighted
+    mean price per flag via applyInPandas, one output row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sequential sums (python floats) to match DuckDB's fold order;
+        # numpy .sum() would pairwise-sum and drift the low bits
+        num = 0.0
+        den = 0.0
+        for p, q in zip(pdf["l_extendedprice"], pdf["l_quantity"]):
+            num += p * q
+            den += q
+        v = num / den
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "weighted_avg_price": [math.floor(v * 10000.0 + 0.5) / 10000.0],
+            }
+        )
+
+    return li.select("l_returnflag", "l_extendedprice", "l_quantity").groupBy(
+        "l_returnflag"
+    ).applyInPandas(wavg, schema="l_returnflag string, weighted_avg_price double")
+
+
+@_register(
+    "udtf_expand_rows",
+    """
+    SELECT o_orderkey, g.i AS copy_idx, o_orderstatus
+    FROM orders, generate_series(0, 2) g(i)
+    WHERE o_orderkey < 100 AND g.i <= o_orderkey % 3
+    """,
+)
+def udtf_expand_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF shape (one row -> N rows) via mapInPandas: each order emits
+    (o_orderkey % 3) + 1 copies."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, stats = [], [], []
+            for k, s in zip(pdf["o_orderkey"], pdf["o_orderstatus"]):
+                n = int(k % 3) + 1
+                keys.extend([k] * n)
+                idxs.extend(range(n))
+                stats.extend([s] * n)
+            yield pd.DataFrame(
+                {"o_orderkey": keys, "copy_idx": idxs, "o_orderstatus": stats}
+            )
+
+    return orders.select("o_orderkey", "o_orderstatus").mapInPandas(
+        expand, schema="o_orderkey long, copy_idx int, o_orderstatus string"
+    )
+
+
+@F.pandas_udf(T.StructType(
+    [T.StructField("x_m", T.DoubleType()), T.StructField("y_m", T.DoubleType())]
+))
+def _equirect_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Vectorized CRS transform kernel: EPSG:4326 -> local equirect
+    meters (the reference's to_crs is 4326->4326, a structural no-op;
+    this kernel shows the real vectorized-reprojection shape —
+    swap the body for pyproj.Transformer on an equipped host)."""
+    rad = math.pi / 180.0
+    return pd.DataFrame(
+        {"x_m": lon * rad * EARTH_R, "y_m": lat * rad * EARTH_R}
+    )
+
+
+@_register(
+    "crs_reproject",
+    f"""
+    SELECT vec_id,
+           round(CAST(vec_id % 360 - 180 AS DOUBLE) * pi() / 180.0 * {EARTH_R!r}, 4)
+             AS x_m,
+           round(CAST(vec_id % 180 - 90  AS DOUBLE) * pi() / 180.0 * {EARTH_R!r}, 4)
+             AS y_m
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection as a vectorized pandas UDF (SURVEY O10):
+    synthetic lon/lat derived from vec_id, projected to meters.
+    Pure mul (pi constant identical) -> exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pts = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("vec_id") % 180 - 90).cast("double").alias("lat"),
+    )
+    out = pts.withColumn("p", _equirect_udf("lon", "lat"))
+    return out.select(
+        "vec_id", r4(F.col("p.x_m")).alias("x_m"), r4(F.col("p.y_m")).alias("y_m")
+    )

@@ -17,12 +17,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _OPERATOR_MODULES = [
     "adcirctime2cogs_spark.operators.relational",
+    "adcirctime2cogs_spark.operators.relational2",
+    "adcirctime2cogs_spark.operators.udfs",
     "adcirctime2cogs_spark.operators.dedup",
     "adcirctime2cogs_spark.operators.similarity",
     "adcirctime2cogs_spark.operators.textstats",
     "adcirctime2cogs_spark.operators.multimodal",
     "adcirctime2cogs_spark.operators.eventwindows",
     "adcirctime2cogs_spark.plans.domain_queries",
+    "adcirctime2cogs_spark.plans.synthetic_queries",
 ]
 
 

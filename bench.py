@@ -37,6 +37,7 @@ HEADLINE = [
     "events_session_window",
     "dedup_minhash_lsh_pairs",
     "micromesh_regrid",
+    "regrid_synthetic_bench",
 ]
 
 

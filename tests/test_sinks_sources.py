@@ -114,3 +114,21 @@ def test_maxvar_dispatch(spark, tmp_path):
     df = load_timeseries(spark, base, "zeta_max")
     assert df.columns == ["node_id", "value"]
     assert df.count() == 2
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """§2B scans: CSV and JSON sources/sinks with explicit schemas
+    (reference O24 JSON IO, run/utilities/utilities.py:171-203)."""
+    from adcirctime2cogs_spark.tables import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_p)
+    nation.write.mode("overwrite").json(json_p)
+    from adcirctime2cogs_spark.tables import TABLE_SCHEMAS
+
+    back_csv = spark.read.schema(TABLE_SCHEMAS["nation"]).option("header", True).csv(csv_p)
+    back_json = spark.read.schema(TABLE_SCHEMAS["nation"]).json(json_p)
+    orig = sorted(tuple(r) for r in nation.collect())
+    assert sorted(tuple(r) for r in back_csv.collect()) == orig
+    assert sorted(tuple(r) for r in back_json.collect()) == orig
