@@ -94,7 +94,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join), not a cross join; the >= 0.8 filter is exact,
     so this is the verify stage LSH candidates would feed at scale.
     """
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    # persist the shingle explode: the plan reads it 3x (sizes + both
+    # join sides); at 100TB this is a written-once shingle table
+    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -191,8 +193,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j >= 0.8 pairs with ~98% probability per band structure — the
     sf0.01 planted dups (j ~ 0.99) are all caught.
     """
-    sh = shingles(load_table(spark, sf_dir, "documents"))
-    sig = dedup_minhash_signature(spark, sf_dir)
+    # persisted: read by the signature agg, sizes, and both verify sides
+    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEFS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"

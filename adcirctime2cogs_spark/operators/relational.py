@@ -304,10 +304,12 @@ def join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order at-or-before each event's timestamp.
 
-    Expressed as join + per-probe row_number window (deterministic
-    tie-break on o_orderkey). operators/asof.py has the applyInPandas
-    merge_asof variant for the sorted-partition fast path; this one is
-    the pure-DataFrame form Catalyst can optimize.
+    Implemented as equi-join on the customer key (the range predicate
+    evaluates post-join) + max(struct(o_orderdate, o_orderkey)) per
+    probe: the lexicographic struct max IS the as-of pick with the
+    o_orderkey tie-break, and unlike a row_number window it partial-
+    aggregates map-side — the shuffle carries one row per event, not
+    the whole joined set.
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
@@ -315,17 +317,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
     )
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id")
+        .agg(best)
         .select(
             "event_id",
             "user_id",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_orderdate"),
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "asof_orderdate"
+            ),
         )
     )
 

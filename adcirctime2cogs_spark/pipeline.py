@@ -1,0 +1,130 @@
+"""End-to-end pipeline: the Spark-first equivalent of the reference CLI
+(run/adcircTime2cogs.py:242-279 argparse -> main() :121-240).
+
+    mesh+timeseries tables -> bbox agg -> grid spec -> weights (once)
+      -> all-ts regrid -> COG per ts -> mosaic sidecars -> zip
+
+Differences from the reference, by design (SURVEY §3.1 mapping):
+- one lazy DataFrame DAG instead of a sequential per-timestep loop;
+  the COG sink fans out one task per timestep (SURVEY P9);
+- weights computed once and reused across every timestep/variable
+  (the reference rebuilds its interpolator per step, P6);
+- input is the engine-native parquet layout (sources/mesh.py); NetCDF
+  enters through sources/netcdf.netcdf_to_parquet.
+
+CLI (mirrors the reference's 5 args):
+    python -m adcirctime2cogs_spark.pipeline \
+        --input-dir DIR --output-dir DIR --final-dir DIR \
+        --input-file NAME --input-variable VAR [--res DEG]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from adcirctime2cogs_spark.plans.grid import (
+    bounding_box,
+    grid_spec_from_bbox,
+    raster_cells,
+)
+from adcirctime2cogs_spark.plans.regrid import regrid
+from adcirctime2cogs_spark.plans.weights import build_weights
+from adcirctime2cogs_spark.sinks.cog import write_cogs
+from adcirctime2cogs_spark.sinks.sidecar import archive_output, write_mosaic_sidecars
+from adcirctime2cogs_spark.sources.mesh import load_mesh, load_timeseries
+
+
+@dataclass
+class PipelineResult:
+    n_timesteps: int
+    n_cells: int
+    cog_dir: str
+    archive: str
+    sidecars: list[str]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    final_dir: str,
+    variable: str,
+    res: float,
+    bin_size_cells: float = 4.0,
+) -> PipelineResult:
+    """The whole dataflow; returns a small result summary (files are
+    the real output, like the reference)."""
+    nodes, elements = load_mesh(spark, input_dir)
+    tsv = load_timeseries(spark, input_dir, variable)
+
+    bbox = bounding_box(nodes)  # O7
+    spec = grid_spec_from_bbox(bbox, res)  # D4
+    cells = raster_cells(spark, spec)  # O11
+
+    # bin size ~ a few cell widths (SURVEY §7 "what's hard")
+    weights = build_weights(cells, nodes, elements, bin_size=res * bin_size_cells)
+    weights = weights.cache()  # O13-O15, hoisted once (P6)
+
+    raster_long = regrid(weights, tsv)  # O16-O17, all ts at once
+
+    cog_dir = os.path.join(output_dir, variable)
+    manifest = write_cogs(raster_long, spec, cog_dir, prefix=variable).collect()
+
+    sidecars = write_mosaic_sidecars(cog_dir, f"{variable}_mosaic")  # O21
+    archive = archive_output(cog_dir, final_dir)  # O22
+    weights.unpersist()
+
+    return PipelineResult(
+        n_timesteps=len(manifest),
+        n_cells=sum(r.n_cells for r in manifest),
+        cog_dir=cog_dir,
+        archive=archive,
+        sidecars=sidecars,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--final-dir", required=True)
+    p.add_argument("--input-file", default="timeseries")
+    p.add_argument("--input-variable", default="timeseries")
+    p.add_argument("--res", type=float, default=0.005)
+    args = p.parse_args(argv)
+
+    probe = os.path.join(args.input_dir, f"{args.input_variable}.parquet")
+    if not os.path.exists(probe):
+        # the reference's conditional dispatch (O28,
+        # run/adcircTime2cogs.py:270-279): missing swan inputs soft-exit
+        if args.input_file.startswith("swan"):
+            print(f"swan input {probe} absent; nothing to do", file=sys.stderr)
+            return 0
+        print(f"input not found: {probe}", file=sys.stderr)
+        return 1
+
+    from adcirctime2cogs_spark.session import get_spark
+
+    spark = get_spark(app_name="adcirctime2cogs_pipeline")
+    result = run_pipeline(
+        spark,
+        args.input_dir,
+        args.output_dir,
+        args.final_dir,
+        args.input_variable,
+        args.res,
+    )
+    print(
+        f"wrote {result.n_timesteps} COGs ({result.n_cells} cells) to "
+        f"{result.cog_dir}; archive {result.archive}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""End-to-end pipeline test: parquet mesh in -> COGs + sidecars + zip
+out, values checked against the analytic field."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.pipeline import run_pipeline
+from adcirctime2cogs_spark.plans.synthetic import (
+    synth_elements,
+    synth_nodes,
+    synth_timeseries,
+)
+
+
+def _write_input(spark, base: str, n=12, n_ts=3):
+    synth_nodes(spark, n).withColumn("depth", F.lit(5.0)).write.parquet(
+        base + "/mesh_nodes.parquet"
+    )
+    synth_elements(spark, n).write.parquet(base + "/mesh_elements.parquet")
+    # pipeline expects ts-typed timeseries; synthetic uses string labels
+    tsv = synth_timeseries(spark, n, n_ts).withColumn(
+        "ts",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.substring("ts", 2, 2).cast("int"))),
+    )
+    tsv.write.parquet(base + "/zeta.parquet")
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    base = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    final = str(tmp_path / "final")
+    _write_input(spark, base)
+
+    result = run_pipeline(
+        spark, base, out, final, variable="zeta", res=0.1, bin_size_cells=3.0
+    )
+    assert result.n_timesteps == 3
+    assert result.archive.endswith(".zip")
+    assert len(result.sidecars) == 3
+
+    # check one raster numerically: field at k=0 is 4*lon - 7*lat + 2
+    meta_files = sorted(
+        p for p in __import__("os").listdir(result.cog_dir) if p.endswith(".json")
+    )
+    first = json.load(open(f"{result.cog_dir}/{meta_files[0]}"))
+    ulx, xres, _, uly, _, yres = first["transform"]
+    arr = np.load(f"{result.cog_dir}/{meta_files[0].replace('.json', '.npz')}")[
+        "raster"
+    ]
+    nrows, ncols = arr.shape
+    for r, c in [(0, 0), (nrows // 2, ncols // 2), (nrows - 1, ncols - 1)]:
+        cx = ulx + (c + 0.5) * xres
+        cy = uly + (r + 0.5) * yres  # yres negative
+        assert abs(arr[r, c] - (4 * cx - 7 * cy + 2)) < 1e-9
+
+
+def test_pipeline_cli_swan_soft_exit(tmp_path):
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "adcirctime2cogs_spark.pipeline",
+            "--input-dir", str(tmp_path), "--output-dir", str(tmp_path / "o"),
+            "--final-dir", str(tmp_path / "f"), "--input-file", "swan_HS.63.nc",
+            "--input-variable", "swan_HS",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0  # swan missing input soft-exits 0
+
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "adcirctime2cogs_spark.pipeline",
+            "--input-dir", str(tmp_path), "--output-dir", str(tmp_path / "o"),
+            "--final-dir", str(tmp_path / "f"), "--input-variable", "zeta",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 1  # non-swan missing input hard-exits 1

@@ -1,0 +1,65 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the plans we
+designed for — pushdown at the scan, broadcast for dims, partial
+aggregation, TakeOrderedAndProject for global top-k — so a future edit
+that silently degrades a plan fails the suite, not just the bench."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.operators import relational
+from adcirctime2cogs_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1995-01-01"
+    ).select("l_orderkey", "l_quantity")
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explained
+    # column pruning: scan schema carries only the 3 referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate" in explained
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(relational.join_star_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region ship
+
+
+def test_q1_partial_aggregates(spark, sf_dir):
+    plan = _plan(relational.q1_pricing_summary(spark, sf_dir))
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_sort_limit_is_top_k_not_full_sort(spark, sf_dir):
+    plan = _plan(relational.sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in _plan(relational.join_semi(spark, sf_dir))
+    assert "LeftAnti" in _plan(relational.join_anti(spark, sf_dir))
+
+
+def test_regrid_weights_join_is_equi_not_cross(spark):
+    """The O14 bin join must plan as an equi-join on (bx, by) — a
+    cross join here would be the quadratic failure mode."""
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.plans.weights import build_weights
+
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    plan = _plan(w)
+    # the cell-triangle candidate join hashes on the bin keys
+    assert "HashJoin [bx" in plan or "SortMergeJoin [bx" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the row x col grid GENERATOR
+    # (spark.range cross spark.range); the spatial join must not be one
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
