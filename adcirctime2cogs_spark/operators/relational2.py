@@ -268,3 +268,26 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.exists("embedding", lambda x: x > 1.0).alias("any_gt1"),
     )
+
+
+@_register(
+    "join_sort_merge",
+    """
+    SELECT l_orderkey, o_orderdate, count(*) AS n_lines,
+           round(sum(l_extendedprice), 4) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sort-merge join (merge hint): the shuffle-and-sort
+    strategy both sides stream through at 100TB when neither fits in
+    memory — same semantics as the hash path, different physical plan
+    (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").hint("merge")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.count("*").alias("n_lines"), r4(F.sum("l_extendedprice")).alias("total"))
+    )

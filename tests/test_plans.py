@@ -63,3 +63,41 @@ def test_regrid_weights_join_is_equi_not_cross(spark):
     # the only nested-loop join allowed is the row x col grid GENERATOR
     # (spark.range cross spark.range); the spatial join must not be one
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_sort_merge_hint_respected(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.relational2 import join_sort_merge
+
+    assert "SortMergeJoin" in _plan(join_sort_merge(spark, sf_dir))
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing co-locates join keys at write time: a join between two
+    tables bucketed on the same key plans with NO exchange on either
+    side — the 100TB repeated-join pattern."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # the metastore is per-session: DROP TABLE alone won't clear a
+    # previous session's managed location
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_li", "b_orders"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_li")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    # hint merge: at fixture size the planner would broadcast (and skip
+    # bucket reading entirely); the SMJ path is what buckets exist for
+    j = spark.table("b_li").hint("merge").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # buckets align, no shuffle

@@ -66,3 +66,75 @@ def test_stateful_running_totals(spark, sf_dir, events_stream):
     got = {r.user_id: r.n_events for r in out.collect()}
     want = {r.user_id: r.n_events for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: with a 10-min watermark, an event arriving
+    in a later batch but timestamped before the watermark is dropped —
+    its window never appears in the append-mode output."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def _write(name, rows):
+        # one REAL file per batch (Spark's .write.parquet makes a
+        # directory, which scrambles per-file trigger ordering)
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "event_type", "value", "ts"]
+        ).astype({"ts": "datetime64[us]"})
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name)
+        )
+
+    _write(
+        "batch_a.parquet",
+        [(i, "click", 1.0, f"2024-01-01 10:{m:02d}:00")
+         for i, m in enumerate(range(0, 60, 5))],
+    )
+    _time.sleep(1.1)  # file source orders batches by modification time
+    _write(
+        "batch_b.parquet",
+        # 09:00 is late vs batch_a's data, but the watermark only takes
+        # effect one batch after it is computed -> still accepted here
+        [(100, "click", 1.0, "2024-01-01 09:00:00"),
+         (101, "click", 1.0, "2024-01-01 11:05:00")],
+    )
+    _time.sleep(1.1)
+    _write(
+        "batch_c.parquet",
+        # by now the watermark (10:45+) is in force: this row is dropped
+        [(102, "click", 1.0, "2024-01-01 08:00:00")],
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(
+        "t_late"
+    ).start()
+    q.processAllAvailable()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    q.stop()
+    out = {r.ws for r in spark.table("t_late").collect()}
+    assert "08:00" not in out       # late row dropped by the watermark
+    assert dropped == 1             # and the state op counted the drop
+    assert "10:00" in out           # on-time windows closed and emitted
