@@ -53,6 +53,10 @@ def test_regrid_weights_join_is_equi_not_cross(spark):
     from adcirctime2cogs_spark.plans import micromesh as mm
     from adcirctime2cogs_spark.plans.weights import build_weights
 
+    # a cache hit (test_domain's module fixture caches the identical DF)
+    # would print the InMemoryRelation's stored plan twice and double
+    # every join count — inspect a fresh plan instead
+    spark.catalog.clearCache()
     w = build_weights(
         mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
     )
