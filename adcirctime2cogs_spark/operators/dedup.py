@@ -266,6 +266,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
+def _emb_cos_sql() -> tuple[str, str]:
+    """(sign-bucket expr template, cosine expr template) — imported from
+    the similarity module so dedup and ANN share one vector convention."""
+    from adcirctime2cogs_spark.operators.similarity import _COS_SQL, _SIGN_SQL_TMPL
+
+    return _SIGN_SQL_TMPL, _COS_SQL
+
+
+_EMB_TAU = 0.4  # near-dup cosine threshold
+
+_SIGN_SQL, _COS = _emb_cos_sql()
+
+_EMB_DEDUP_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SIGN_SQL.format(e="embedding")} AS bucket
+      FROM embeddings
+    ),
+    dup AS (
+      SELECT DISTINCT y.vec_id AS dup_id
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE round({_COS.format(a="x.embedding", b="y.embedding")}, 4) >= {_EMB_TAU}
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.dup_id = d.doc_id)
+    """
+
+
+@_register("dedup_embedding_cosine", _EMB_DEDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup with keep-lowest-id semantics:
+    documents whose embedding has cosine >= 0.4 with a lower-id
+    embedding (within the same sign-LSH block) are dropped.
+
+    The 100 TB shape: candidate pairs come from a sign-bucket equi-join
+    (sub-quadratic, like sim_topk_bucketed), the verify is exact cosine
+    on candidates only, and the survivors fall out of a left-anti join
+    against the (tiny, high-duplication) dropped-id set — the documents
+    table itself never self-joins. The reference has no dedup at all
+    (north-star scope, BASELINE.json)."""
+    from adcirctime2cogs_spark.operators.similarity import _sign_bucket, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    x = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    y = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    dup_ids = (
+        x.join(y, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(
+        F.broadcast(dup_ids), docs.doc_id == dup_ids.dup_id, "left_anti"
+    ).select("doc_id", "lang", "n_chars")
+
+
 @_register("dedup_minhash_ml")  # rows-only: pyspark.ml hash family is engine-specific
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path variant on pyspark.ml MinHashLSH (seeded): shingle

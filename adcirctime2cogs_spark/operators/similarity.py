@@ -206,6 +206,101 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CENT_MOD = 67  # centroid rule: vec_id % 67 == 1 → nlist ≈ n/67 cells
+N_PROBE = 3  # each query scans its 3 nearest cells
+
+_IVF_SQL = f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % {CENT_MOD} = 1
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             round({_COS_SQL.format(a="e.embedding", b="c.cent_emb")}, 4) AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM scored WHERE vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    pairs AS (
+      SELECT p.q_id, a.c_id,
+             round({_COS_SQL.format(a="p.q_emb", b="a.c_emb")}, 4) AS cos_sim
+      FROM probe p JOIN assign a ON p.cell = a.cell
+      WHERE p.q_id != a.c_id
+    )
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@_register("sim_topk_ivf", _IVF_SQL)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: an inverted-file index with data-derived coarse
+    centroids (deterministic rule vec_id % 67 == 1, so nlist grows with
+    n), nprobe=3, exact cosine re-rank inside the probed cells.
+
+    The scale shape: centroids broadcast (nlist rows), so assignment is
+    a map-side score + per-vector top-1 — each vector is compared to
+    nlist centroids instead of n-1 vectors, and the candidate join is an
+    equi-join on cell id. Complements sim_topk_bucketed: distance-based
+    cells adapt to the data distribution where sign-LSH cells are fixed
+    axis-aligned half-spaces."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("cent_id").alias("cell"),
+    )
+    probe = (
+        scored.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    pairs = (
+        F.broadcast(probe)
+        .join(assign, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+        )
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
+    )
+
+
 @_register("sim_ml_brp_lsh")  # rows-only: Spark's hyperplanes are seed-specific
 def sim_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH integration (euclidean
