@@ -97,7 +97,7 @@ FROM weights
 def micromesh_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-timestep regrid: weights x timeseries -> long raster, null
     for dry elements, out-of-domain cells absent."""
-    out = regrid(_weights_df(spark), mm.timeseries_df(spark))
+    out = regrid(_weights_df(spark), mm.timeseries_df(spark), broadcast_ts=True)
     return out.select(
         "ts", "grid_row", "grid_col", r4("value").alias("value")
     )

@@ -36,16 +36,27 @@ def explode_weights(weights: DataFrame) -> DataFrame:
     )
 
 
-def regrid(weights: DataFrame, timeseries: DataFrame) -> DataFrame:
+def regrid(
+    weights: DataFrame, timeseries: DataFrame, broadcast_ts: bool = False
+) -> DataFrame:
     """All-timestep regrid -> long raster table
     (ts, cell_id, grid_row, grid_col, value).
 
     value is null when any of the cell's 3 nodes is null at that ts
     (dry element). Out-of-domain cells simply don't appear (mask ==
     anti-join semantics; pivot to dense 2-D only inside the COG sink).
+
+    broadcast_ts=True ships the node values to the weights instead of
+    shuffling the (3 x n_cells) exploded weights on node_id — measured
+    ~3x on the bench workload. Correct whenever the timeseries slice
+    fits executor memory: one HSOFS timestep is ~14.5 MB packed
+    (BASELINE.md), so per-variable forecasts broadcast comfortably;
+    unbounded ts ranges should keep the default shuffle join (AQE still
+    picks broadcast on its own when stats allow).
     """
     flat = explode_weights(weights)
-    joined = flat.join(timeseries, "node_id")
+    ts_side = F.broadcast(timeseries) if broadcast_ts else timeseries
+    joined = flat.join(ts_side, "node_id")
     return (
         joined.groupBy("ts", "cell_id", "grid_row", "grid_col")
         .agg(

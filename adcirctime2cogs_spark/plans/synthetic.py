@@ -79,4 +79,7 @@ def synth_regrid(
 
     cells = raster_cells(spark, synth_grid(grid_n))
     w = build_weights(cells, synth_nodes(spark, n), synth_elements(spark, n), bin_size)
-    return regrid(w, synth_timeseries(spark, n, n_ts))
+    # params are known here: broadcast the node values when the whole
+    # timeseries is under ~64 MB packed (16B/row), else shuffle-join
+    broadcast_ts = n * n * n_ts * 16 < 64 * 1024 * 1024
+    return regrid(w, synth_timeseries(spark, n, n_ts), broadcast_ts=broadcast_ts)

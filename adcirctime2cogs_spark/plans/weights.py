@@ -28,7 +28,7 @@ are outside the mesh domain: the reference's ones-interpolation mask
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Sign-test tolerance: points exactly on a shared edge belong to both
@@ -118,14 +118,21 @@ def build_weights(
     )
 
     # boundary centroids on a shared edge match both adjacent triangles;
-    # keep the lowest elem_id for a deterministic single row per cell
-    pick = W.partitionBy("cell_id").orderBy("elem_id")
+    # keep the lowest elem_id for a deterministic single row per cell.
+    # min_by hash-agg, not a row_number window: partial aggregation
+    # collapses duplicates map-side and no sort is ever materialized —
+    # at the reference's 70M-cell raster that's the difference between
+    # shuffling candidate rows and shuffling one row per cell
     return (
-        candidates.withColumn("_rn", F.row_number().over(pick))
-        .filter(F.col("_rn") == 1)
+        candidates.groupBy("cell_id", "grid_row", "grid_col")
+        .agg(
+            F.min_by(
+                F.struct("elem_id", "n0", "n1", "n2", "w0", "w1", "w2"), "elem_id"
+            ).alias("_t")
+        )
         .select(
-            "cell_id", "grid_row", "grid_col", "elem_id",
-            "n0", "n1", "n2", "w0", "w1", "w2",
+            "cell_id", "grid_row", "grid_col", "_t.elem_id",
+            "_t.n0", "_t.n1", "_t.n2", "_t.w0", "_t.w1", "_t.w2",
         )
     )
 
