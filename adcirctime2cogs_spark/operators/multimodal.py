@@ -130,6 +130,37 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("mm_resize")  # mapInPandas kernel: rows-only check
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' each image to fit a 224x224 box, aspect preserved:
+    decode dims from the payload, compute the integer target box, and
+    emit a proportionally downsampled payload (byte striding as the
+    stand-in for pixel resampling). Same binary-in/binary-out
+    mapInPandas contract a PIL/cv2 resize kernel would use."""
+    b = binary_docs(spark, sf_dir)
+    box = 224
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ows, ohs, payloads = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = _fake_decode(payload)
+                scale = min(box / w, box / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                stride = max(1, (w * h) // max(1, ow * oh))
+                ids.append(doc_id)
+                ows.append(ow)
+                ohs.append(oh)
+                payloads.append(payload[::stride])
+            yield pd.DataFrame(
+                {"doc_id": ids, "out_w": ows, "out_h": ohs, "resized": payloads}
+            )
+
+    return b.mapInPandas(
+        resize, schema="doc_id long, out_w int, out_h int, resized binary"
+    )
+
+
 @_register("mm_feature_extract")  # mapInPandas kernel: rows-only check
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction stub: payload -> fixed 8-dim float vector
