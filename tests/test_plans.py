@@ -69,6 +69,45 @@ def test_regrid_weights_join_is_equi_not_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_ivf_ann_broadcasts_centroids_and_probes(spark, sf_dir):
+    """sim_topk_ivf: the centroid scoring is a broadcast (nlist rows
+    ship, vectors stream) and the candidate join hashes on the cell id —
+    never a vector x vector cartesian."""
+    from adcirctime2cogs_spark.operators.similarity import sim_topk_ivf
+
+    plan = _plan(sim_topk_ivf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the centroid cross join is the intentional broadcast NLJ; the
+    # scored subtree appears under both assign and probe branches -> 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin [cell" in plan  # probe-cell equi-join
+
+def test_embedding_dedup_blocks_and_anti_joins(spark, sf_dir):
+    """dedup_embedding_cosine: candidates come from the sign-bucket
+    equi-join (sub-quadratic) and survivors from a broadcast anti-join —
+    the documents table itself never self-joins."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = _plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+def test_weights_dedupe_is_hash_agg_not_sort(spark):
+    """build_weights boundary dedupe must stay a min_by hash aggregate
+    (partial map-side combine), not a row_number sort window."""
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.plans.weights import build_weights
+
+    spark.catalog.clearCache()
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    plan = _plan(w)
+    assert "min_by" in plan
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+
 def test_sort_merge_hint_respected(spark, sf_dir):
     from adcirctime2cogs_spark.operators.relational2 import join_sort_merge
 
