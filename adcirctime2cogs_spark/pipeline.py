@@ -70,7 +70,12 @@ def run_pipeline(
     weights = build_weights(cells, nodes, elements, bin_size=res * bin_size_cells)
     weights = weights.cache()  # O13-O15, hoisted once (P6)
 
-    raster_long = regrid(weights, tsv)  # O16-O17, all ts at once
+    # parquet-metadata count: broadcast the node values (skipping the
+    # node_id shuffle of the exploded weights) when the whole slice
+    # fits executor memory; an HSOFS 85-step forecast is ~1.2 GB, so
+    # long runs fall back to the shuffle join automatically
+    broadcast_ts = tsv.count() * 16 < 64 * 1024 * 1024
+    raster_long = regrid(weights, tsv, broadcast_ts=broadcast_ts)  # O16-O17
 
     cog_dir = os.path.join(output_dir, variable)
     manifest = write_cogs(raster_long, spec, cog_dir, prefix=variable).collect()
@@ -88,15 +93,43 @@ def run_pipeline(
     )
 
 
+def load_config_yaml(path: str) -> dict:
+    """Driver-side YAML job config (reference O26,
+    run/utilities/utilities.py:74-89 load_config / readConfigYml — job
+    params, never data). Gated: PyYAML may be absent in this image."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError("--config requires PyYAML") from exc
+    with open(path) as fh:
+        out = yaml.safe_load(fh)
+    if not isinstance(out, dict):
+        raise ValueError(f"config {path} must be a YAML mapping")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input-dir", required=True)
-    p.add_argument("--output-dir", required=True)
-    p.add_argument("--final-dir", required=True)
+    p.add_argument("--config", help="YAML file holding any of the flags below")
+    p.add_argument("--input-dir")
+    p.add_argument("--output-dir")
+    p.add_argument("--final-dir")
     p.add_argument("--input-file", default="timeseries")
     p.add_argument("--input-variable", default="timeseries")
     p.add_argument("--res", type=float, default=0.005)
     args = p.parse_args(argv)
+
+    if args.config:
+        # CLI flags win over YAML values (YAML fills unset flags only)
+        conf = load_config_yaml(args.config)
+        for key, val in conf.items():
+            attr = key.replace("-", "_")
+            if hasattr(args, attr) and getattr(args, attr) in (None, p.get_default(attr)):
+                setattr(args, attr, val)
+    missing = [k for k in ("input_dir", "output_dir", "final_dir")
+               if getattr(args, k) is None]
+    if missing:
+        p.error(f"missing required: {', '.join(m.replace('_', '-') for m in missing)}")
 
     probe = os.path.join(args.input_dir, f"{args.input_variable}.parquet")
     if not os.path.exists(probe):

@@ -59,6 +59,33 @@ def test_pipeline_end_to_end(spark, tmp_path):
         assert abs(arr[r, c] - (4 * cx - 7 * cy + 2)) < 1e-9
 
 
+def test_pipeline_yaml_config(tmp_path):
+    """O26: YAML job config fills unset CLI flags; explicit flags win."""
+    import pytest
+
+    yaml = pytest.importorskip("yaml")
+    from adcirctime2cogs_spark.pipeline import load_config_yaml, main
+
+    cfg = tmp_path / "job.yml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "input-dir": str(tmp_path / "missing_in"),
+                "output-dir": str(tmp_path / "o"),
+                "final-dir": str(tmp_path / "f"),
+                "input-file": "swan_HS.63.nc",
+                "input-variable": "swan_HS",
+            }
+        )
+    )
+    assert load_config_yaml(str(cfg))["input-file"] == "swan_HS.63.nc"
+    # config-driven run reaches the swan dispatch (soft exit 0): every
+    # required arg came from YAML, none from the CLI
+    assert main(["--config", str(cfg)]) == 0
+    # CLI flag overrides the YAML value -> non-swan file hard-exits 1
+    assert main(["--config", str(cfg), "--input-file", "fort.63.nc"]) == 1
+
+
 def test_pipeline_cli_swan_soft_exit(tmp_path):
     r = subprocess.run(
         [
