@@ -332,6 +332,75 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_asof_union_window",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, sort-based strategy (the SURVEY §2B union+window
+    form): union both inputs on one timeline keyed by customer, sort
+    within each key, and carry the latest order forward with
+    last(ignorenulls) over an unbounded-preceding frame.
+
+    Same result as join_asof's join+aggregate form, different cost
+    shape: ONE shuffle on the key and no joined intermediate at all —
+    wins when probe rows pair with many earlier build rows (the
+    expansion the join form materializes and then aggregates away).
+    Equal timestamps sort orders before events (is_event ascending) so
+    an order dated exactly at the event time qualifies; same-date
+    orders sort by o_orderkey so `last` picks the largest — both
+    matching the oracle's DESC, DESC rank."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    timeline = events.unionByName(orders)
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    best = F.last(
+        F.when(F.col("is_event") == 0, F.struct("o_orderdate", "o_orderkey")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        timeline.withColumn("best", best)
+        .filter((F.col("is_event") == 1) & F.col("best").isNotNull())
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "asof_orderdate"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ HEADLINE = [
     "join_star_revenue",
     "join_left_outer",
     "join_asof",
+    "join_asof_union_window",
     "agg_rollup",
     "win_running",
     "topk_per_group",
