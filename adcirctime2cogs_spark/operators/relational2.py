@@ -270,6 +270,53 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SALT = 8
+
+
+@_register(
+    "join_skew_salted",
+    """
+    SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted skew join: the manual pattern for a hot key that
+    overwhelms one reducer when AQE skew splitting isn't available
+    (e.g. the build side of a shuffled hash join, or pre-3.0 clusters).
+
+    The fact side gets a deterministic salt (hash of a second column,
+    mod 8); the dim side explodes to all 8 salt values; the join key
+    becomes (key, salt), spreading one hot key over 8 reducers. The
+    salt provably never changes the result — the oracle is the plain
+    unsalted join. The merge hint forces the shuffle path so the
+    pattern is actually exercised (a broadcast would bypass it)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(_N_SALT))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+        )
+        .hint("merge")
+    )
+    return (
+        orders.join(
+            cust,
+            (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
 @_register(
     "join_sort_merge",
     """
