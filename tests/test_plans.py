@@ -108,6 +108,37 @@ def test_weights_dedupe_is_hash_agg_not_sort(spark):
     assert "Window" not in plan
     assert "partial_min_by" in plan
 
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Suite-wide hygiene: NO registered query may plan a
+    CartesianProduct, and broadcast nested-loop joins are allowed only
+    where they are the intentional tiny-side generator/probe broadcast
+    (grid row x col ranges, ANN probe/centroid ships). The quadratic
+    failure mode at 100 TB is exactly an unintended cross join."""
+    from adcirctime2cogs_spark import registry
+
+    # queries whose plan legitimately contains broadcast NLJ generators
+    bnlj_allowance = {
+        "micromesh_domain_mask": 2,   # grid gen under both join branches
+        "micromesh_regrid": 1,        # grid row x col generator
+        "micromesh_weights": 1,
+        "raster_grid_gen": 1,
+        "regrid_synthetic": 2,        # grid gen + ts x node generator
+        "regrid_synthetic_bench": 2,
+        "sim_threshold_pairs": 1,     # intentional quadratic verify stage
+        "sim_topk_bruteforce": 1,     # broadcast probe ship
+        "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
+    }
+    spark.catalog.clearCache()
+    bad = []
+    for name, fn in sorted(registry.all_queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if plan.count("BroadcastNestedLoopJoin") > bnlj_allowance.get(name, 0):
+            bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not bad, bad
+
+
 def test_sort_merge_hint_respected(spark, sf_dir):
     from adcirctime2cogs_spark.operators.relational2 import join_sort_merge
 
