@@ -143,6 +143,53 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_multires_rollup",
+    """
+    SELECT CASE WHEN GROUPING(date_trunc('day', ts)) = 1 THEN 'total'
+                WHEN GROUPING(date_trunc('hour', ts)) = 1 THEN 'day'
+                ELSE 'hour' END AS grain,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day_s,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and total
+    aggregates of the event stream in ONE pass (rollup over nested time
+    buckets — Spark's Expand, one shuffle), the continuous-aggregate
+    shape time-series stores maintain incrementally. At scale this is
+    the backfill query; the streaming twin is the tumbling window."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.date_trunc("day", "ts").alias("_day"),
+        F.date_trunc("hour", "ts").alias("_hour"),
+    )
+    grain = (
+        F.when(F.grouping("_day") == 1, "total")
+        .when(F.grouping("_hour") == 1, "day")
+        .otherwise("hour")
+    )
+    return (
+        events.rollup("_day", "_hour")
+        .agg(
+            grain.alias("grain"),
+            F.count("*").alias("n"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "grain",
+            _fmt("_day").alias("day_s"),
+            _fmt("_hour").alias("hour_s"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_register(
     "events_dedup_first",
     """
     SELECT event_id, user_id, event_type,
