@@ -193,13 +193,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     j >= 0.8 pairs with ~98% probability per band structure — the
     sf0.01 planted dups (j ~ 0.99) are all caught.
     """
-    # persisted: read by the signature agg, sizes, and both verify sides
+    # persisted: read by the signature agg and both verify sides
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
         for j, (a, b) in enumerate(MH_COEFS)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    # one groupBy produces signatures AND set sizes (the Jaccard
+    # denominators) — at 100TB that's one pass over the shingle table
+    # instead of two
+    sig_sizes = sh.groupBy("doc_id").agg(
+        *aggs, F.count("*").alias("n")
+    ).persist()
+    sig = sig_sizes
     bands = sig.selectExpr(
         "doc_id",
         "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
@@ -216,7 +222,6 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
@@ -225,8 +230,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = sig_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sig_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         inter.join(sa, "doc_a")

@@ -270,6 +270,38 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+           round(sum(o_totalprice) OVER w, 4) AS sum_30d,
+           count(*) OVER w AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (RANGE, not ROWS): per customer, the
+    trailing-30-day order total — the frame is bounded by the ORDER BY
+    *value* (epoch seconds), so same-instant peer rows always share one
+    frame regardless of physical order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("od"),
+        r4(F.sum("o_totalprice").over(w)).alias("sum_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
 _N_SALT = 8
 
 
