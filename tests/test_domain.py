@@ -107,6 +107,63 @@ def _structured_mesh(spark, n: int):
     return ndf, edf
 
 
+def test_random_triangles_match_numpy_bruteforce(spark):
+    """Randomized equivalence: build_weights against a dense numpy
+    brute force applying the IDENTICAL rules (same barycentric
+    formulas, same -EPS slack, same min-elem_id dedupe) over a random
+    triangle soup — catches any drift in the bin-join candidate
+    generation (a triangle missed by binning shows up as a set
+    mismatch)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.plans.weights import EPS, build_weights
+
+    rng = np.random.default_rng(20240813)
+    n_nodes, n_tris = 80, 150
+    nx = rng.uniform(0, 1, n_nodes)
+    ny_ = rng.uniform(0, 1, n_nodes)
+    tris = np.array(
+        [rng.choice(n_nodes, 3, replace=False) for _ in range(n_tris)]
+    )
+    nodes = spark.createDataFrame(
+        [(int(i), float(nx[i]), float(ny_[i])) for i in range(n_nodes)],
+        "node_id long, lon double, lat double",
+    )
+    elements = spark.createDataFrame(
+        [(int(e), int(a), int(b), int(c)) for e, (a, b, c) in enumerate(tris)],
+        "elem_id long, n0 long, n1 long, n2 long",
+    )
+    spec = GridSpec(ul_lon=0.0, ul_lat=1.0, res=1.0 / 14, nx=15, ny=15)
+    cells = raster_cells(spark, spec)
+    got = {
+        r.cell_id: (r.elem_id, r.w0, r.w1, r.w2)
+        for r in build_weights(cells, nodes, elements, bin_size=0.2).collect()
+    }
+
+    # dense numpy replication of the same pick rules
+    cell_rows = cells.collect()
+    x0, y0 = nx[tris[:, 0]], ny_[tris[:, 0]]
+    x1, y1 = nx[tris[:, 1]], ny_[tris[:, 1]]
+    x2, y2 = nx[tris[:, 2]], ny_[tris[:, 2]]
+    det = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+    want = {}
+    for r in cell_rows:
+        w0 = ((y1 - y2) * (r.cx - x2) + (x2 - x1) * (r.cy - y2)) / det
+        w1 = ((y2 - y0) * (r.cx - x2) + (x0 - x2) * (r.cy - y2)) / det
+        w2 = 1 - w0 - w1
+        ok = (w0 >= -EPS) & (w1 >= -EPS) & (w2 >= -EPS)
+        hits = np.flatnonzero(ok)
+        if hits.size:
+            e = int(hits.min())  # min elem_id dedupe, same as the engine
+            want[r.cell_id] = (e, w0[e], w1[e], w2[e])
+
+    assert set(got) == set(want)
+    for cid, (e, w0, w1, w2) in want.items():
+        ge, g0, g1, g2 = got[cid]
+        assert ge == e, (cid, ge, e)
+        assert abs(g0 - w0) < 1e-12 and abs(g1 - w1) < 1e-12 and abs(g2 - w2) < 1e-12
+
+
 def test_structured_mesh_linear_property(spark):
     """Property check at a mesh/grid resolution mismatch: a 20x20-node
     mesh regridded to a 16x16-edge raster reproduces a linear field at
