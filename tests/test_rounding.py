@@ -1,0 +1,58 @@
+"""The r4 / expand_round_sql rounding convention is load-bearing for
+every oracle comparison: Spark, DuckDB, and Python must produce
+bit-identical doubles for floor(x * 1e4 + 0.5) / 1e4. Checked on
+seeded-random values plus the adversarial half-boundary family that
+originally motivated the convention (functions/numeric.py docstring).
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from adcirctime2cogs_spark.functions.numeric import expand_round_sql, r4
+
+
+def _values():
+    rng = np.random.default_rng(42)
+    vals = list(rng.uniform(-1000, 1000, 200))
+    vals += list(rng.uniform(-0.001, 0.001, 50))
+    # half-boundary adversaries: k/2e4 +/- 1 ulp, incl. the documented
+    # DuckDB round() mis-round 0.49124999999999996
+    for k in (1, 3, 9825, 12345, -7):
+        base = k / 20000.0
+        vals += [base, math.nextafter(base, -math.inf), math.nextafter(base, math.inf)]
+    vals.append(0.49124999999999996)
+    return [float(v) for v in vals]
+
+
+def test_r4_bit_identical_across_engines(spark):
+    vals = _values()
+    py = [math.floor(v * 10000.0 + 0.5) / 10000.0 for v in vals]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r.y for r in sdf.select(r4("x").alias("y")).collect()]
+
+    con = duckdb.connect()
+    sql = expand_round_sql("SELECT round(x, 4) AS y FROM vals ORDER BY rowid")
+    # literals enter as strings: DuckDB parses bare numeric literals
+    # through DECIMAL (losing the last ulp on decimal->double), while
+    # the oracle tables are parquet DOUBLEs — string->double strtod is
+    # the faithful equivalent
+    con.execute(
+        "CREATE TABLE vals AS SELECT CAST(x AS DOUBLE) AS x FROM (VALUES "
+        + ", ".join(f"('{v!r}')" for v in vals)
+        + ") t(x)"
+    )
+    got_duck = [r[0] for r in con.execute(sql).fetchall()]
+    con.close()
+
+    assert got_spark == pytest.approx(py, abs=0)  # bit-identical
+    assert got_duck == pytest.approx(py, abs=0)
+
+
+def test_expand_round_sql_rewrites_only_4dp():
+    out = expand_round_sql("SELECT round(a + round(b, 4), 4), round(c, 2) FROM t")
+    assert out.count("floor(") == 2  # both 4dp calls, nested included
+    assert "round(c, 2)" in out  # other precisions untouched
