@@ -108,6 +108,32 @@ def test_weights_dedupe_is_hash_agg_not_sort(spark):
     assert "Window" not in plan
     assert "partial_min_by" in plan
 
+def test_ts_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """SURVEY P2: a timestep filter over ts-partitioned parquet must
+    prune at the scan (the engine twin of the reference's
+    chunks={'time':1} + per-ts slice, adcirc_dask_utilities.py:42) —
+    one timestep's query never touches another timestep's files."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.plans.synthetic import synth_timeseries
+
+    path = str(tmp_path / "ts_part")
+    tsv = synth_timeseries(spark, 10, 4)  # ts labels t0..t3
+    tsv.write.partitionBy("ts").parquet(path)
+
+    one = spark.read.parquet(path).filter(F.col("ts") == "t2")
+    explained = one._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(ts" in explained
+    assert "(ts" in explained and "= t2)" in explained
+    # only the t2 directory is read: row count == one timestep, and
+    # every file actually touched lives under the t2 partition dir
+    assert one.count() == 100
+    files = {
+        r.f for r in one.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("ts=t2" in f for f in files)
+
+
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     """Suite-wide hygiene: NO registered query may plan a
     CartesianProduct, and broadcast nested-loop joins are allowed only
