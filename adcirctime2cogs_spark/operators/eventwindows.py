@@ -142,6 +142,92 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVL_BUCKET_S = 3600  # 1-hour candidate bins for the interval join
+
+@_register(
+    "join_interval_overlap",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                  > {SESSION_GAP_S} THEN 1
+                  WHEN lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS s,
+             max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS e
+      FROM tagged GROUP BY user_id, sid
+    )
+    SELECT a.user_id,
+           strftime(a.s, '%Y-%m-%d %H:%M:%S') AS sess_start,
+           count(*) AS n_concurrent
+    FROM sess a JOIN sess b
+      ON a.user_id != b.user_id AND a.s < b.e AND b.s < a.e
+    GROUP BY a.user_id, a.s
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (the third of SURVEY §2B's range/as-of/
+    interval family): for every user session, how many other users'
+    sessions were concurrent.
+
+    The quadratic interval theta-join is avoided exactly the way the
+    mesh weights builder avoids cells x triangles (plans/weights.py):
+    each interval explodes to the 1-hour bins it spans, candidates meet
+    through a bin equi-join, the true a.s < b.e AND b.s < a.e overlap
+    filters candidates, and a distinct collapses intervals that share
+    several bins. Comparisons scale with bin occupancy, not sessions^2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e")
+        )
+    )
+    bins = F.sequence(
+        F.floor(F.unix_timestamp("s") / _OVL_BUCKET_S),
+        F.floor(F.unix_timestamp("e") / _OVL_BUCKET_S),
+    )
+    binned = sess.withColumn("bk", F.explode(bins))
+    a = binned.select(
+        F.col("user_id").alias("a_user"), F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"), "bk",
+    )
+    b = binned.select(
+        F.col("user_id").alias("b_user"), F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"), "bk",
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("a_user") != F.col("b_user"))
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("a_user", "a_s", "b_user", "b_s")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("a_user", "a_s")
+        .agg(F.count("*").alias("n_concurrent"))
+        .select(
+            F.col("a_user").alias("user_id"),
+            _fmt("a_s").alias("sess_start"),
+            "n_concurrent",
+        )
+    )
+
+
 @_register(
     "events_multires_rollup",
     """
