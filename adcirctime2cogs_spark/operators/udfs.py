@@ -62,6 +62,37 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _infer_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-of-series pandas UDF: the ML-inference shape — the
+    'model' loads ONCE per executor task, then every Arrow batch reuses
+    it. Swap the closure for a real model handle (tokenizer, ONNX
+    session) and nothing else changes."""
+    model = {"w": 0.001, "b": -2.0}  # stands in for an expensive load
+    for s in batches:
+        yield s * model["w"] + model["b"]
+
+
+@_register(
+    "udf_pandas_iter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.001 - 2.0, 4) AS pred
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference UDF over the fact table: per-task amortized
+    init + per-batch Arrow transfer (the 100TB embedding/scoring
+    pipeline shape; contrast with udf_pandas_scalar's per-call form)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(_infer_udf("l_extendedprice")).alias("pred"),
+    )
+
+
 @_register(
     "udaf_grouped_pandas",
     """
