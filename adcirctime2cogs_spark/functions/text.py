@@ -44,10 +44,11 @@ def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct word-3-gram shingles per document:
     (doc_id, sh string, h bigint).
 
-    Shingling is a flat explode (no shuffle); the distinct is one
-    shuffle keyed (doc_id, sh) — at 100TB this is the dominated cost of
-    every fuzzy-dedup pass, which is why minhash signatures (fixed 8
-    values per doc) are the scale path.
+    Entirely shuffle-free: duplicate shingles can only occur within one
+    document, so the dedup is a row-local `array_distinct` on the
+    shingle array before the explode — never a cluster-wide distinct.
+    At 100 TB this keeps every fuzzy-dedup pass at one narrow map stage
+    until its own groupBy.
     """
     toks = docs.select("doc_id", tokens_col(F.col(text_col)).alias("t")).filter(
         F.size("t") >= 3
@@ -55,14 +56,16 @@ def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("t")[i], F.col("t")[i + 1], F.col("t")[i + 2]
+                    ),
+                )
             )
         ).alias("sh"),
-    ).distinct()
+    )
     return sh.withColumn("h", hash32(F.col("sh")) % MH_PRIME)
 
 

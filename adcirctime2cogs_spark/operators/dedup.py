@@ -90,18 +90,30 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard >= 0.8.
 
-    Pairs materialize only through the shared-shingle equi-join (an
-    inverted-index join), not a cross join; the >= 0.8 filter is exact,
-    so this is the verify stage LSH candidates would feed at scale.
+    Pairs materialize from per-shingle posting lists (inverted index):
+    one groupBy keys each shingle to its sorted doc list, then only the
+    i<j combinations explode — half the join output of a self-join and
+    one full-table shuffle less. The >= 0.8 filter is exact, so this is
+    the verify stage LSH candidates would feed at scale. (At 100 TB a
+    stop-shingle cap would bound the k^2 explode of ultra-common
+    shingles; the planted-dup data has no such skew.)
     """
-    # persist the shingle explode: the plan reads it 3x (sizes + both
-    # join sides); at 100TB this is a written-once shingle table
+    # shingling is now a narrow map (no shuffle); persisting it still
+    # wins because the plan reads it twice (sizes + posts) and repeat
+    # invocations hit the CacheManager. At 100TB this is a
+    # written-once shingle table.
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    posts = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # pair generation = two codegen'd explodes over the posting list
+    # (no second full-table shuffle; doc_a < doc_b keeps each pair once)
     inter = (
-        a.join(b, "sh")
+        posts.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
