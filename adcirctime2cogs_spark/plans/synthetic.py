@@ -78,7 +78,11 @@ def synth_regrid(
     from adcirctime2cogs_spark.plans.weights import build_weights
 
     cells = raster_cells(spark, synth_grid(grid_n))
-    w = build_weights(cells, synth_nodes(spark, n), synth_elements(spark, n), bin_size)
+    # weights are the compute-once static table (SURVEY P6): persist so
+    # every timestep batch / repeat invocation reuses one build
+    w = build_weights(
+        cells, synth_nodes(spark, n), synth_elements(spark, n), bin_size
+    ).persist()
     # params are known here: broadcast the node values when the whole
     # timeseries is under ~64 MB packed (16B/row), else shuffle-join
     broadcast_ts = n * n * n_ts * 16 < 64 * 1024 * 1024
