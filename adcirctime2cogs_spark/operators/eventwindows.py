@@ -298,3 +298,50 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", _fmt("ts").alias("ts_s"))
     )
+
+
+@_register(
+    "events_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (nxt - us)) / (max(us) - min(us)), 4) AS twa
+    FROM seq
+    GROUP BY user_id
+    HAVING max(us) > min(us)
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the hypertable/timescale-style
+    irregular-sampling aggregate): each observation is held until the
+    next one, so its weight is the duration to the successor; the last
+    point carries no interval and drops out of the numerator.
+
+    One window pass (lead over the per-user timeline) + one hash agg —
+    both shuffles keyed on user_id, so at 100 TB it's a single
+    repartition of the events stream; ties at equal ts break on
+    event_id in both engines for determinism."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("nxt")
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            r4(
+                F.sum(F.col("value") * (F.col("nxt") - F.col("us")))
+                / (F.max("us") - F.min("us"))
+            ).alias("twa"),
+            F.max("us").alias("_mx"),
+            F.min("us").alias("_mn"),
+        )
+        .filter(F.col("_mx") > F.col("_mn"))
+        .select("user_id", "twa")
+    )

@@ -966,3 +966,44 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos")
         .agg(_r4(F.avg("v")).alias("avg_v"), _r4(F.sum("v")).alias("sum_v"))
     )
+
+
+@_register(
+    "join_asof_forward",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST order at-or-after each event
+    (join_asof's mirror — lookahead instead of lookback). Same
+    aggregate-based strategy: equi-join on the customer key +
+    min(struct) per probe, partial-aggregated map-side."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = events.join(
+        orders,
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate >= events.ts),
+    )
+    best = F.min(F.struct("o_orderdate", "o_orderkey")).alias("best")
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(best)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "next_orderdate"
+            ),
+        )
+    )

@@ -370,3 +370,51 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.count("*").alias("n_lines"), r4(F.sum("l_extendedprice")).alias("total"))
     )
+
+
+@_register(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(covar_pop(l_quantity, l_discount), 4) AS covp_qd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (corr / covar_samp / covar_pop): one-pass
+    co-moment accumulators that partial-aggregate map-side like any
+    hash agg — no second scan, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covs_qp"),
+        r4(F.covar_pop("l_quantity", "l_discount")).alias("covp_qd"),
+    )
+
+
+@_register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolating) percentiles per group — the sort-based
+    exact twin of agg_approx_quantiles' sketch path: right where a full
+    sort per group is affordable, wrong tool at 100 TB (use the
+    approx_percentile sketch there; both are registered so the tradeoff
+    is explicit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.median("l_quantity")).alias("med_qty"),
+        r4(F.percentile("l_extendedprice", F.lit(0.25))).alias("p25_price"),
+        r4(F.percentile("l_extendedprice", F.lit(0.75))).alias("p75_price"),
+    )

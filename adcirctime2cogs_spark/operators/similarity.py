@@ -330,3 +330,33 @@ def sim_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4("dist").alias("euclidean_dist"),
         )
     )
+
+
+@_register(
+    "vec_centroid_per_label",
+    """
+    WITH d AS (
+      SELECT label,
+             unnest(embedding) AS e,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(e), 4) AS c
+    FROM d GROUP BY 1, 2
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the vector AVG that trains IVF
+    coarse quantizers and powers cluster-based dedup.
+
+    posexplode flattens (label, dim, component) so the mean is a plain
+    hash agg partitioned on (label, dim): no vector UDAF, no driver
+    collect, and at 100 TB the shuffle carries one double per
+    (label, dim) partial, not the embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "e")
+    )
+    return flat.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        r4(F.avg("e")).alias("c")
+    )

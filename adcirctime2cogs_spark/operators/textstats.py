@@ -7,6 +7,7 @@ has an exact DuckDB oracle twin.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.functions.numeric import r4
@@ -196,4 +197,71 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(normalized_text(F.col("text"))).alias("fp_exact"),
         F.md5(bag).alias("fp_bagofwords"),
+    )
+
+
+@_register(
+    "text_tfidf_top",
+    """
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS s
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, round(s, 4) AS tfidf, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, sklearn's convention).
+
+    The corpus statistics are two hash aggs over the token explode; the
+    document count joins in as a broadcast single-row literal (never a
+    driver-side collect), and the per-doc top-k is a row_number window
+    — the shape that scales to a 100 TB corpus where both tf and df
+    tables stay partitioned by their group keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", r4("s").alias("tfidf"), "rn")
     )
