@@ -110,6 +110,19 @@ def running_value_by_user(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_users(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each incoming event picks up its customer's
+    market segment from a static dimension table. The static side is
+    broadcast per micro-batch (no stream state at all — unlike a
+    stream-stream join there is no watermark bookkeeping), which is the
+    standard enrichment shape for a Kafka event feed against a
+    slowly-changing dimension at any scale."""
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return events.join(
+        dim, events.user_id == dim.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+
+
 def run_to_parquet_batches(
     df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "update"
 ) -> int:

@@ -161,3 +161,18 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "08:00" not in out       # late row dropped by the watermark
     assert dropped == 1             # and the state op counted the drop
     assert "10:00" in out           # on-time windows closed and emitted
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_stream):
+    """Stream-static broadcast join == the same join run in batch."""
+    from adcirctime2cogs_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    got = sw.run_to_memory(
+        sw.enrich_with_users(events_stream, cust), "enriched_events"
+    )
+    want = sw.enrich_with_users(load_table(spark, sf_dir, "events"), cust)
+    cols = ["event_id", "user_id", "event_type", "value", "c_mktsegment"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # every event must survive the left join exactly once
+    assert got.count() == load_table(spark, sf_dir, "events").count()
