@@ -67,9 +67,11 @@ weights AS (
 
 
 def _weights_df(spark: SparkSession) -> DataFrame:
+    # persisted: the static compute-once table (SURVEY P6); repeat
+    # invocations of the micromesh queries reuse one weights build
     return build_weights(
         mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
-    )
+    ).persist()
 
 
 def micromesh_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
