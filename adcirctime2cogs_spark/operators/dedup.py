@@ -86,9 +86,9 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 )
 
 
-@_register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8.
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.8 pairs:
+    (doc_a, doc_b, jaccard double, unrounded).
 
     Pairs materialize from per-shingle posting lists (inverted index):
     one groupBy keys each shingle to its sorted doc list, then only the
@@ -98,8 +98,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle cap would bound the k^2 explode of ultra-common
     shingles; the planted-dup data has no such skew.)
     """
-    # shingling is now a narrow map (no shuffle); persisting it still
-    # wins because the plan reads it twice (sizes + posts) and repeat
+    # shingling is a narrow map (no shuffle); persisting it still wins
+    # because the plan reads it twice (sizes + posts) and repeat
     # invocations hit the CacheManager. At 100TB this is a
     # written-once shingle table.
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
@@ -125,8 +125,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+@_register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8 (see
+    _jaccard_pairs for the posting-list plan shape)."""
+    p = _jaccard_pairs(spark, sf_dir)
+    return p.select("doc_a", "doc_b", r4("jaccard").alias("jaccard"))
 
 
 def _mh_sql_exprs() -> str:
@@ -374,3 +382,79 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(1 - F.col("dist")).alias("jaccard_approx"),
         )
     )
+
+
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE "
+    + SHINGLES_SQL
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS component
+FROM walk GROUP BY node
+"""
+)
+
+
+@_register("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the cluster
+    assignment step that turns pairwise matches into dedup groups
+    (component id = min doc_id in the cluster = the keeper).
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds (dup clusters are shallow — a handful here, and the classic
+    large-star/small-star contraction bounds it at O(log n) for
+    adversarial graphs). Each round is one equi-join + one hash agg,
+    both keyed on node — at 100 TB this is the standard distributed CC
+    loop (GraphX/GraphFrames run the same plan). localCheckpoint cuts
+    the growing lineage each round; the label sum is monotonically
+    decreasing, so it doubles as the convergence test (one scalar
+    action per round, no full-frame comparison).
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(20):  # diameter bound; planted clusters are shallow
+        prop = edges.join(labels, edges.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
