@@ -418,3 +418,86 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile("l_extendedprice", F.lit(0.25))).alias("p25_price"),
         r4(F.percentile("l_extendedprice", F.lit(0.75))).alias("p75_price"),
     )
+
+
+@_register(
+    "join_lateral_topk",
+    """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey < 200
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer, expressed
+    as a per-row dependent subtree instead of topk_per_group's window.
+    Catalyst decorrelates it into a ranked join (DecorrelateInnerQuery),
+    so the physical plan is the same shuffle-on-key shape — the point is
+    API surface parity with engines that expose LATERAL."""
+    from adcirctime2cogs_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@_register(
+    "udtf_python_native",
+    """
+    SELECT o_orderkey, i AS installment,
+           round(CASE WHEN i < 3 THEN o_totalprice / 3
+                      ELSE o_totalprice - 2 * (o_totalprice / 3) END,
+                 4) AS amount
+    FROM orders, generate_series(1, 3) g(i)
+    WHERE o_orderkey < 100
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (@udtf, Spark 3.5+) applied per input row via
+    LATERAL: each order expands to 3 installment rows, the last
+    absorbing the fp remainder. Complements udtf_expand_rows'
+    mapInPandas form: this is the registered-table-function shape SQL
+    users call directly. Row-at-a-time eval — fine for control-plane
+    expansion, the wrong tool for bulk numeric columns (use the Arrow
+    paths in udfs.py for those)."""
+    from pyspark.sql.functions import udtf
+
+    from adcirctime2cogs_spark.tables import register_views
+
+    @udtf(returnType="o_orderkey bigint, installment int, amount double")
+    class Installments:
+        def eval(self, okey, price):
+            base = price / 3
+            yield okey, 1, base
+            yield okey, 2, base
+            yield okey, 3, price - 2 * base
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("installments", Installments)
+    out = spark.sql(
+        """
+        SELECT i.o_orderkey, i.installment, i.amount
+        FROM orders o, LATERAL installments(o.o_orderkey, o.o_totalprice) i
+        WHERE o.o_orderkey < 100
+        """
+    )
+    return out.select("o_orderkey", "installment", r4("amount").alias("amount"))
