@@ -501,3 +501,34 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out.select("o_orderkey", "installment", r4("amount").alias("amount"))
+
+
+@_register(
+    "json_variant_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction feeding a plain hash agg. Unlike
+    get_json_object (which re-parses the string per access), variant
+    parses once and shreds cheaply — the right shape when a 100 TB
+    events feed carries deep JSON payloads read by many extractions."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

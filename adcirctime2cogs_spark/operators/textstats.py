@@ -265,3 +265,38 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", r4("s").alias("tfidf"), "rn")
     )
+
+
+@_register(
+    "text_profile",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(length(text)), 4) AS avg_len_actual,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling per language: row counts, empty-text counts,
+    declared-vs-actual length drift, id range, source cardinality — the
+    one-pass data-quality scan a training pipeline runs before and
+    after every transform stage. All partial-aggregating built-ins, so
+    the 100 TB cost is one scan + one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("text").isNull() | (F.col("text") == "")).cast("bigint")
+        ).alias("n_empty"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.avg(F.length("text"))).alias("avg_len_actual"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )
