@@ -121,11 +121,16 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    # the pairs table is a shared artifact (dedup_ngram_jaccard AND
+    # dedup_components consume it): persist so both read one build —
+    # at 100 TB this is the written-once candidate-pairs table between
+    # the verify and clustering stages
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .persist()
     )
 
 
