@@ -72,3 +72,38 @@ def regrid(
             F.when(F.col("_nvals") == F.col("_nw"), F.col("_sum")).alias("value"),
         )
     )
+
+
+def regrid_multi(
+    weights: DataFrame,
+    timeseries: DataFrame,
+    value_cols: list[str],
+    broadcast_ts: bool = False,
+) -> DataFrame:
+    """Regrid N variables in ONE join + ONE aggregation pass.
+
+    The reference runs its whole pipeline once per variable (the CLI
+    takes a single inputVariable, run/adcircTime2cogs.py:266); here
+    extra variables are extra sum(w*v) aggregates on the same shuffle —
+    the join and groupBy cost is paid once however many variables ride
+    along. Per-variable null semantics match regrid(): a variable nulls
+    a cell only where ITS node values are null at that ts.
+    """
+    flat = explode_weights(weights)
+    ts_side = F.broadcast(timeseries) if broadcast_ts else timeseries
+    joined = flat.join(ts_side, "node_id")
+    aggs = [F.count("*").alias("_nw")]
+    for c in value_cols:
+        aggs.append(F.sum(F.col("w") * F.col(c)).alias(f"_sum_{c}"))
+        aggs.append(F.count(c).alias(f"_nv_{c}"))
+    out = joined.groupBy("ts", "cell_id", "grid_row", "grid_col").agg(*aggs)
+    return out.select(
+        "ts",
+        "cell_id",
+        "grid_row",
+        "grid_col",
+        *[
+            F.when(F.col(f"_nv_{c}") == F.col("_nw"), F.col(f"_sum_{c}")).alias(c)
+            for c in value_cols
+        ],
+    )

@@ -87,3 +87,29 @@ def synth_regrid(
     # timeseries is under ~64 MB packed (16B/row), else shuffle-join
     broadcast_ts = n * n * n_ts * 16 < 64 * 1024 * 1024
     return regrid(w, synth_timeseries(spark, n, n_ts), broadcast_ts=broadcast_ts)
+
+
+def synth_regrid_multi(
+    spark: SparkSession, n: int, grid_n: int, n_ts: int, bin_size: float
+) -> DataFrame:
+    """Two linear fields regridded in one pass (regrid_multi): value as
+    in synth_timeseries, value2 = -3*lon + 5*lat + 11 + 2*k — both
+    analytically checkable at every centroid."""
+    from adcirctime2cogs_spark.plans.regrid import regrid_multi
+    from adcirctime2cogs_spark.plans.weights import build_weights
+
+    cells = raster_cells(spark, synth_grid(grid_n))
+    w = build_weights(
+        cells, synth_nodes(spark, n), synth_elements(spark, n), bin_size
+    ).persist()
+    ts = spark.range(n_ts).select(F.col("id").alias("k"))
+    tsv = ts.crossJoin(synth_nodes(spark, n)).select(
+        F.concat(F.lit("t"), F.col("k")).alias("ts"),
+        "node_id",
+        (4.0 * F.col("lon") - 7.0 * F.col("lat") + 2.0 + F.col("k")).alias("value"),
+        (-3.0 * F.col("lon") + 5.0 * F.col("lat") + 11.0 + 2.0 * F.col("k")).alias(
+            "value2"
+        ),
+    )
+    broadcast_ts = n * n * n_ts * 24 < 64 * 1024 * 1024
+    return regrid_multi(w, tsv, ["value", "value2"], broadcast_ts=broadcast_ts)

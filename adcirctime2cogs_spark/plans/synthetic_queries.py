@@ -69,3 +69,49 @@ QUERIES["regrid_synthetic_bench"].__doc__ = (
     "(run/adcircTime2cogs.py:166-168) scaled to test-box size."
 )
 ORACLES["regrid_synthetic_bench"] = _analytic_oracle(*BENCH[:3])
+
+
+def _multivar_oracle(n: int, grid_n: int, n_ts: int) -> str:
+    spec = synth_grid(grid_n)
+    res = format(spec.res, ".17g")
+    m = grid_n - 1
+    return f"""
+    SELECT concat('t', k) AS ts, gr AS grid_row, gc AS grid_col,
+           round(4.0 * (0.0 + (gc + 0.5) * {res})
+                 - 7.0 * (1.0 - (gr + 0.5) * {res})
+                 + 2.0 + k, 4) AS value,
+           round(-3.0 * (0.0 + (gc + 0.5) * {res})
+                 + 5.0 * (1.0 - (gr + 0.5) * {res})
+                 + 11.0 + 2.0 * k, 4) AS value2
+    FROM generate_series(0, {m - 1}) a(gr)
+    CROSS JOIN generate_series(0, {m - 1}) b(gc)
+    CROSS JOIN generate_series(0, {n_ts - 1}) c(k)
+    """
+
+
+def _multivar_query(params):
+    n, grid_n, n_ts, bin_size = params
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from adcirctime2cogs_spark.plans.synthetic import synth_regrid_multi
+
+        out = synth_regrid_multi(spark, n, grid_n, n_ts, bin_size)
+        return out.select(
+            "ts",
+            "grid_row",
+            "grid_col",
+            r4("value").alias("value"),
+            r4("value2").alias("value2"),
+        )
+
+    return q
+
+
+QUERIES["regrid_multivar"] = _multivar_query(SMALL)
+QUERIES["regrid_multivar"].__doc__ = (
+    "Two variables regridded in ONE join+agg pass (regrid_multi) — the "
+    "reference reruns its whole pipeline per variable; here variable N+1 "
+    "costs only an extra pair of aggregates on the same shuffle. Both "
+    "fields verified against their analytic linear forms."
+)
+ORACLES["regrid_multivar"] = _multivar_oracle(*SMALL[:3])

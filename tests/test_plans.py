@@ -150,6 +150,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "raster_grid_gen": 1,
         "regrid_synthetic": 2,        # grid gen + ts x node generator
         "regrid_synthetic_bench": 2,
+        "regrid_multivar": 2,         # same generators as regrid_synthetic
         "sim_threshold_pairs": 1,     # intentional quadratic verify stage
         "sim_topk_bruteforce": 1,     # broadcast probe ship
         "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
