@@ -86,51 +86,51 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.8 pairs:
-    (doc_a, doc_b, jaccard double, unrounded).
+def _shingle_artifacts(spark: SparkSession, sf_dir: str):
+    """The fuzzy-dedup family's shared intermediates: the shingle
+    explode `sh` and the shared-shingle pair-count table `inter`
+    (doc_a < doc_b, c = |shingles in common|).
 
-    Pairs materialize from per-shingle posting lists (inverted index):
-    one groupBy keys each shingle to its sorted doc list, then only the
-    i<j combinations explode — half the join output of a self-join and
-    one full-table shuffle less. The >= 0.8 filter is exact, so this is
-    the verify stage LSH candidates would feed at scale. (At 100 TB a
-    stop-shingle cap would bound the k^2 explode of ultra-common
-    shingles; the planted-dup data has no such skew.)
+    `inter` materializes from per-shingle posting lists (inverted
+    index): one groupBy keys each shingle to its doc list, then only
+    the i<j combinations explode via two codegen'd explodes — half the
+    join output of a shingle self-join and one full-table shuffle less.
+    Both are persisted: exact-Jaccard pairs, LSH verify, and the
+    clustering query all read them, and at 100 TB they are the
+    written-once tables between pipeline stages. (A stop-shingle cap
+    would bound the k^2 explode of ultra-common shingles at scale; the
+    planted-dup data has no such skew.)
     """
-    # shingling is a narrow map (no shuffle); persisting it still wins
-    # because the plan reads it twice (sizes + posts) and repeat
-    # invocations hit the CacheManager. At 100TB this is a
-    # written-once shingle table.
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     posts = (
         sh.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    # pair generation = two codegen'd explodes over the posting list
-    # (no second full-table shuffle; doc_a < doc_b keeps each pair once)
     inter = (
         posts.select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
+    return sh, inter
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.8 pairs:
+    (doc_a, doc_b, jaccard double, unrounded)."""
+    sh, inter = _shingle_artifacts(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    # the pairs table is a shared artifact (dedup_ngram_jaccard AND
-    # dedup_components consume it): persist so both read one build —
-    # at 100 TB this is the written-once candidate-pairs table between
-    # the verify and clustering stages
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .persist()
     )
 
 
@@ -214,12 +214,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> exact-Jaccard verify >= 0.5.
 
     The band self-join touches only bucket collisions (sub-quadratic);
-    exact Jaccard runs on candidates alone. 4 bands x 2 rows catches
-    j >= 0.8 pairs with ~98% probability per band structure — the
-    sf0.01 planted dups (j ~ 0.99) are all caught.
+    exact Jaccard runs on candidates alone, as an equi-join against the
+    shared pair-count artifact (_shingle_artifacts) — a candidate pair
+    with no shared shingle has Jaccard 0 and drops out of the inner
+    join exactly as it would out of the >= 0.5 filter. 4 bands x 2
+    rows catches j >= 0.8 pairs with ~98% probability per band
+    structure — the sf0.01 planted dups (j ~ 0.99) are all caught.
     """
-    # persisted: read by the signature agg and both verify sides
-    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
+    sh, inter = _shingle_artifacts(spark, sf_dir)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
         for j, (a, b) in enumerate(MH_COEFS)
@@ -247,19 +249,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sa_sh, "doc_a")
-        .join(sb_sh, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    verified = cand.join(inter, ["doc_a", "doc_b"])
     sa = sig_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sig_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sa, "doc_a")
+        verified.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
