@@ -176,3 +176,49 @@ def test_stream_static_enrichment(spark, sf_dir, events_stream):
     assert _rows(got, cols) == _rows(want, cols)
     # every event must survive the left join exactly once
     assert got.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: stop a stream, add new source files, restart
+    with the SAME checkpoint — already-processed batches must not be
+    re-emitted (the resumability contract a production ingest relies
+    on)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "cp_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cp_state")
+    out = str(tmp_path / "cp_out")
+
+    def _write(name, ids):
+        pdf = pd.DataFrame({"event_id": ids, "value": [float(i) for i in ids]})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(src / name))
+
+    def _run_once():
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write("a.parquet", [1, 2, 3])
+    _run_once()
+    first = spark.read.parquet(out)
+    assert sorted(r.event_id for r in first.collect()) == [1, 2, 3]
+
+    _write("b.parquet", [4, 5])
+    _run_once()  # restart from the same checkpoint
+    final = spark.read.parquet(out)
+    # exactly once: old rows not re-emitted, new rows appended once
+    assert sorted(r.event_id for r in final.collect()) == [1, 2, 3, 4, 5]
