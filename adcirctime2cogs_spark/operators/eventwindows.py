@@ -345,3 +345,119 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_mx") > F.col("_mn"))
         .select("user_id", "twa")
     )
+
+
+@_register(
+    "events_gap_fill_locf",
+    """
+    WITH b AS (
+      SELECT user_id,
+             to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS bucket,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
+    allb AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 5 MINUTE)) AS bucket
+      FROM rng
+    ),
+    f AS (
+      SELECT a.user_id, a.bucket, b.v
+      FROM allb a LEFT JOIN b ON b.user_id = a.user_id AND b.bucket = a.bucket
+    )
+    SELECT user_id,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+           v AS raw_v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+           CAST(v IS NULL AS INT) AS gap_filled
+    FROM f
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward
+    (the hypertable time_bucket_gapfill + locf pair): missing 5-minute
+    buckets between each user's first and last observation are
+    generated (sequence + explode — no driver loop, no cross join
+    against a global calendar) and filled from the last seen value by
+    an ignorenulls window. Dense-output shape for downstream models
+    that need regular sampling over irregular event feeds."""
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.groupBy("user_id", F.window("ts", "5 minutes").alias("w"))
+        .agg(r4(F.sum("value")).alias("v"))
+        .select("user_id", F.col("w.start").alias("bucket"), "v")
+    )
+    rng = b.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    allb = rng.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 5 minutes"))
+        ).alias("bucket"),
+    )
+    f = allb.join(b, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return f.select(
+        "user_id",
+        _fmt("bucket").alias("bucket_s"),
+        F.col("v").alias("raw_v"),
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        F.col("v").isNull().cast("int").alias("gap_filled"),
+    )
+
+
+@_register(
+    "events_sessionize_gap",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by cumulative gap counting — the portable window
+    idiom (lag -> gap>30min flag -> running sum = session number), the
+    strategy twin of events_session_window's F.session_window: same
+    sessions, different machinery (two window passes over one user_id
+    shuffle vs the merging-window state operator)."""
+    events = load_table(spark, sf_dir, "events")
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(ow)
+    is_start = (
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > SESSION_GAP_S)
+    ).cast("bigint")
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = events.select(
+        "user_id", "event_id", "ts", F.sum(is_start).over(run).alias("session_no")
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        _fmt(F.min("ts")).alias("sess_start"),
+        _fmt(F.max("ts")).alias("sess_end"),
+    )
