@@ -300,3 +300,42 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@_register(
+    "text_blocked_editdist",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def text_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (the entity-resolution shape): candidate
+    pairs only form inside (brand, size) blocks — an equi-join, never a
+    global cross product — and the quadratic edit-distance verify runs
+    per block. Swap the blocking key for an LSH bucket and this is the
+    record-linkage pipeline at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_size",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 8)
+        .select("key_a", "key_b", dist.alias("dist"))
+    )
