@@ -99,6 +99,10 @@ def build_weights(
     det = (F.col("y1") - F.col("y2")) * (F.col("x0") - F.col("x2")) + (
         F.col("x2") - F.col("x1")
     ) * (F.col("y0") - F.col("y2"))
+    # degenerate (zero-area / sliver) triangles: det == 0 makes every
+    # weight inf/NaN — drop them before the division so a broken mesh
+    # element can never claim a cell (real meshes do contain slivers)
+    j = j.filter(det != 0)
     w0 = (
         (F.col("y1") - F.col("y2")) * (F.col("cx") - F.col("x2"))
         + (F.col("x2") - F.col("x1")) * (F.col("cy") - F.col("y2"))

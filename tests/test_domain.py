@@ -182,3 +182,38 @@ def test_structured_mesh_linear_property(spark):
         F.abs(F.col("value") - (4.0 * F.col("cx") - 7.0 * F.col("cy") + 2.0)) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_degenerate_triangle_claims_no_cells(spark):
+    """A zero-area (collinear) triangle must never match any cell: its
+    barycentric system is singular, so the det guard drops it before
+    the weight division can produce inf/NaN."""
+    from pyspark.sql import Row
+
+    from adcirctime2cogs_spark.plans.grid import GridSpec, raster_cells
+    from adcirctime2cogs_spark.plans.weights import build_weights
+
+    nodes = spark.createDataFrame(
+        [
+            Row(node_id=0, lon=0.0, lat=0.0),
+            Row(node_id=1, lon=1.0, lat=0.0),
+            Row(node_id=2, lon=2.0, lat=0.0),  # collinear with 0 and 1
+            Row(node_id=3, lon=0.5, lat=1.0),
+        ]
+    )
+    elements = spark.createDataFrame(
+        [
+            Row(elem_id=0, n0=0, n1=1, n2=2),  # degenerate: zero area
+            Row(elem_id=1, n0=0, n1=1, n2=3),  # proper triangle
+        ]
+    )
+    cells = raster_cells(
+        spark, GridSpec(ul_lon=0.0, ul_lat=1.0, res=0.25, nx=9, ny=5)
+    )
+    w = build_weights(cells, nodes, elements, bin_size=1.0)
+    got = w.collect()
+    assert all(r.elem_id == 1 for r in got), "degenerate triangle claimed cells"
+    assert len(got) > 0  # the proper triangle still matches its cells
+    for r in got:
+        for v in (r.w0, r.w1, r.w2):
+            assert math.isfinite(v)
