@@ -339,3 +339,77 @@ def text_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 8)
         .select("key_a", "key_b", dist.alias("dist"))
     )
+
+
+@_register(
+    "text_train_test_split",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-stable
+    hash bucket (the portable md5-prefix hash32, same convention as the
+    shingle hashes): reproducible across engines and runs, no RNG
+    state, stable under re-partitioning — the split assignment every
+    dataset card should be able to recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    from adcirctime2cogs_spark.functions.text import hash32
+
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@_register(
+    "text_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: docs in deterministic
+    doc_id order are packed greedily into 2048-token bins via a running
+    token sum — pack_id = floor(preceding_cum / budget), the window
+    form of the packing loop. One global-order window is the honest
+    cost here; at 100 TB you'd run it per shard (partitionBy on a
+    shard key) to keep the sort distributed, which changes nothing
+    semantically within a shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    from adcirctime2cogs_spark.functions.text import tokens_col
+
+    t = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+    )
