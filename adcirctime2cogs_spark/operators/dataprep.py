@@ -1,0 +1,268 @@
+"""Training-dataset preparation operators over the documents table.
+
+The north-star pipeline (BASELINE.json) needs more than dedup before a
+corpus is trainable: benchmark decontamination, denylist scrubbing,
+intra-document repetition filtering, mixture re-sampling, and the
+dataset-card summary that documents what shipped. Each one here is a
+DataFrame-in/DataFrame-out query with a DuckDB oracle.
+
+Shapes chosen for 100 TB:
+- every per-doc score (repetition, scrub counts, split/mixture
+  assignment) is row-local column math — a narrow map stage, no
+  shuffle until the caller aggregates;
+- decontamination joins train shingles against the *benchmark's*
+  distinct shingles; with a real eval set that side is tiny and
+  broadcastable, and the join key is the shingle STRING (the 32-bit
+  int hash would collide at corpus scale);
+- split/mixture assignment is a content-stable md5-bucket hash, not
+  RNG: reproducible across engines/runs and stable under
+  repartitioning, so downstream stages can recompute membership
+  instead of joining against a stored assignment table.
+
+Reference parity: the reference has no LLM-pipeline stage (SURVEY §2B
+"absent" rows); these extend the engine per the task's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.functions.text import (
+    SHINGLES_SQL,
+    hash32,
+    shingles,
+    tokens_col,
+)
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Content-stable bucket in [0, m): int(md5(prefix || doc_id)[:8], 16) % m.
+# The prefix domain-separates independent uses (split vs mixture) so the
+# same doc doesn't land in correlated buckets across decisions.
+def _bucket(prefix: str, m: int):
+    return hash32(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))) % m
+
+
+def _bucket_sql(prefix: str, m: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+@_register(
+    "prep_decontaminate",
+    "WITH "
+    + SHINGLES_SQL
+    + f""",
+    b AS (SELECT doc_id, {_bucket_sql('', 100)} AS bucket FROM documents),
+    tr AS (SELECT s.doc_id, s.sh FROM sh s JOIN b ON s.doc_id = b.doc_id
+           WHERE b.bucket < 80),
+    te AS (SELECT DISTINCT s.sh FROM sh s JOIN b ON s.doc_id = b.doc_id
+           WHERE b.bucket >= 90)
+    SELECT tr.doc_id, count(*) AS n_contaminated
+    FROM tr JOIN te ON tr.sh = te.sh
+    GROUP BY tr.doc_id
+    """,
+)
+def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing >=1 word-3-gram
+    shingle with any test-split doc, with the count of distinct shared
+    shingles. The test side reduces to its distinct shingle set before
+    the join — with a real eval benchmark that set is tiny (broadcast);
+    the join key is the shingle string, never the lossy int hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).select("doc_id", "sh")
+    split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
+    train_sh = sh.join(split.filter(F.col("bucket") < 80), "doc_id").select(
+        "doc_id", "sh"
+    )
+    test_sh = (
+        sh.join(split.filter(F.col("bucket") >= 90), "doc_id")
+        .select("sh")
+        .distinct()
+    )
+    return (
+        train_sh.join(test_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+_DENYLIST_PAT = r"\b(key|hash|window)\b"
+
+
+@_register(
+    "prep_denylist_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_DENYLIST_PAT}')) AS n_hits,
+           md5(trim(regexp_replace(
+             regexp_replace(text, '{_DENYLIST_PAT}', '', 'g'),
+             '\\s+', ' ', 'g'))) AS clean_fp
+    FROM documents
+    """,
+)
+def prep_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing (the C4-style bad-term pass; same machinery as
+    PII redaction with an email/phone pattern): per-doc hit count plus a
+    digest of the scrubbed, whitespace-collapsed text so the oracle
+    checks full content parity, not just counts. Row-local — one narrow
+    map stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _DENYLIST_PAT, ""), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_DENYLIST_PAT), 0)).alias(
+            "n_hits"
+        ),
+        F.md5(cleaned).alias("clean_fp"),
+    )
+
+
+@_register(
+    "prep_repetition_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS n_distinct,
+           round(1.0 - count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 / count(*), 4) AS rep_ratio
+    FROM idx
+    GROUP BY doc_id
+    """,
+)
+def prep_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: 1 - distinct/total word-3-grams.
+    Boilerplate- and loop-heavy docs score high and get filtered before
+    training. Entirely row-local (array arithmetic on the token array —
+    no explode, no shuffle), unlike the corpus-wide dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_col(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(" ", t[i], t[i + 1], t[i + 2]),
+    )
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return (
+        docs.filter(F.size(t) >= 3)
+        .select(
+            "doc_id",
+            n_total.cast("bigint").alias("n_shingles"),
+            n_distinct.cast("bigint").alias("n_distinct"),
+            r4(1.0 - n_distinct / n_total).alias("rep_ratio"),
+        )
+    )
+
+
+# Target per-language sampling rates in permille: downsample the
+# dominant language, keep the rest whole (the mixture-rebalancing move).
+_MIX_RATES = {"en": 500, "de": 1000, "es": 1000, "fr": 1000, "zh": 1000}
+
+
+@_register(
+    "prep_mixture_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 500 ELSE 1000 END AS rate,
+             {_bucket_sql('mix:', 1000)} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, round(1000.0 / rate, 4) AS weight
+    FROM r WHERE bucket < rate
+    """,
+)
+def prep_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-sampling: keep each doc iff its
+    domain-separated hash bucket falls under the language's target rate,
+    and emit the inverse-rate weight so downstream stats stay unbiased.
+    Hash-threshold sampling (not RNG) means membership is recomputable
+    by any engine and stable under repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+        ),
+        F.col("lang"),
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", rate.alias("rate"), _bucket("mix:", 1000).alias("b")
+        )
+        .filter(F.col("b") < F.col("rate"))
+        .select("doc_id", "lang", r4(1000.0 / F.col("rate")).alias("weight"))
+    )
+
+
+@_register(
+    "prep_dataset_card",
+    f"""
+    WITH b AS (
+      SELECT *, {_bucket_sql('', 100)} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens,
+           count(DISTINCT source) AS n_sources,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def prep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: per split x language doc/token/source
+    counts. The split is recomputed inline from the same stable hash as
+    text_train_test_split — no assignment-table join — so the card is
+    one scan + one partial+final aggregate at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket("", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            "source",
+            "n_chars",
+            F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )

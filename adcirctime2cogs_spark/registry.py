@@ -22,6 +22,7 @@ _OPERATOR_MODULES = [
     "adcirctime2cogs_spark.operators.dedup",
     "adcirctime2cogs_spark.operators.similarity",
     "adcirctime2cogs_spark.operators.textstats",
+    "adcirctime2cogs_spark.operators.dataprep",
     "adcirctime2cogs_spark.operators.multimodal",
     "adcirctime2cogs_spark.operators.eventwindows",
     "adcirctime2cogs_spark.plans.domain_queries",

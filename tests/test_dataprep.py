@@ -1,0 +1,75 @@
+"""Behavior pins for the dataset-prep family beyond the oracle gate:
+determinism, proportions, and a local Python recomputation of the
+denylist scrub for one document."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.operators.dataprep import (
+    _DENYLIST_PAT,
+    prep_dataset_card,
+    prep_denylist_scrub,
+    prep_mixture_sample,
+    prep_repetition_filter,
+)
+from adcirctime2cogs_spark.operators.textstats import text_train_test_split
+from adcirctime2cogs_spark.tables import load_table
+
+
+def test_split_is_deterministic_and_exhaustive(spark, sf_dir):
+    a = {r.doc_id: r.split for r in text_train_test_split(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in text_train_test_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    assert n == load_table(spark, sf_dir, "documents").count()
+    # hash buckets approximate 80/10/10; generous bounds at small n
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.65 <= frac_train <= 0.95
+    assert set(a.values()) <= {"train", "valid", "test"}
+
+
+def test_mixture_sample_downsamples_dominant_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = prep_mixture_sample(spark, sf_dir)
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # non-en languages are kept whole (rate 1000/1000)
+    for lang, n in before.items():
+        if lang != "en":
+            assert after.get(lang) == n
+    # en is hash-thresholded at 50% — allow wide small-n variance
+    assert 0.25 * before["en"] <= after.get("en", 0) <= 0.75 * before["en"]
+    # weights are the inverse rate
+    ws = {r.lang: r.weight for r in kept.select("lang", "weight").distinct().collect()}
+    assert ws["en"] == 2.0
+    assert all(w == 1.0 for lang, w in ws.items() if lang != "en")
+
+
+def test_denylist_scrub_matches_local_recompute(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.orderBy("doc_id").limit(1).collect()[0]
+    got = (
+        prep_denylist_scrub(spark, sf_dir)
+        .filter(F.col("doc_id") == row.doc_id)
+        .collect()[0]
+    )
+    hits = re.findall(_DENYLIST_PAT, row.text)
+    cleaned = re.sub(r"\s+", " ", re.sub(_DENYLIST_PAT, "", row.text)).strip()
+    assert got.n_hits == len(hits)
+    assert got.clean_fp == hashlib.md5(cleaned.encode()).hexdigest()
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    rows = prep_repetition_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rep_ratio <= 1.0
+        assert r.n_distinct <= r.n_shingles
+
+
+def test_dataset_card_totals(spark, sf_dir):
+    card = prep_dataset_card(spark, sf_dir)
+    total = card.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "documents").count()
