@@ -87,7 +87,11 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join — with a real eval benchmark that set is tiny (broadcast);
     the join key is the shingle string, never the lossy int hash."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs).select("doc_id", "sh")
+    # Same analyzed plan as dedup._shingle_artifacts' persisted build, so
+    # the CacheManager shares one cached shingle table across the whole
+    # fuzzy-dedup family; within this query the train and test branches
+    # both read it instead of re-scanning documents.
+    sh = shingles(docs).persist().select("doc_id", "sh")
     split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
     train_sh = sh.join(split.filter(F.col("bucket") < 80), "doc_id").select(
         "doc_id", "sh"
@@ -179,6 +183,97 @@ def prep_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_distinct.cast("bigint").alias("n_distinct"),
             r4(1.0 - n_distinct / n_total).alias("rep_ratio"),
         )
+    )
+
+
+@_register(
+    "prep_quality_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+               AS n_punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a', 'and', 'of'))) AS n_stop
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ),
+    r AS (
+      SELECT doc_id,
+             1.0 - count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   * 1.0 / count(*) AS rep
+      FROM g GROUP BY doc_id
+    ),
+    s AS (
+      SELECT t.doc_id, t.n_tokens,
+             coalesce(r.rep, 0.0) AS rep,
+             least(t.n_tokens / 100.0, 1.0) * 0.5
+               + (1.0 - t.n_punct * 1.0 / t.n_chars) * 0.3
+               + least(t.n_stop * 5.0 / t.n_tokens, 1.0) * 0.2 AS q
+      FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+    )
+    SELECT doc_id, n_tokens, round(rep, 4) AS rep_ratio, round(q, 4) AS quality,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN rep > 0.05 THEN 'repetitive'
+                WHEN q < 0.45 THEN 'low_quality'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN rep > 0.05 THEN 'repetitive'
+                WHEN q < 0.45 THEN 'low_quality'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM s
+    """,
+)
+def prep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite keep/drop decision (C4-style): length bounds,
+    intra-doc 3-gram repetition, and the heuristic quality score folded
+    into one verdict with the first failing rule as the reason. All
+    signals are row-local column math over the token array, so the
+    whole filter is one narrow map stage — the oracle's join between
+    its CTEs is a DuckDB artifact, not a plan requirement."""
+    from adcirctime2cogs_spark.operators.textstats import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+    )
+    rep = F.when(
+        n >= 3, 1.0 - F.size(F.array_distinct(grams)) * 1.0 / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    q = (
+        F.least(n / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - n_punct * 1.0 / F.col("n_chars")) * 0.3
+        + F.least(n_stop * 5.0 / n, F.lit(1.0)) * 0.2
+    )
+    reason = (
+        F.when(n < 20, "too_short")
+        .when(n > 5000, "too_long")
+        .when(rep > 0.05, "repetitive")
+        .when(q < 0.45, "low_quality")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        r4(rep).alias("rep_ratio"),
+        r4(q).alias("quality"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
     )
 
 

@@ -69,6 +69,20 @@ def test_repetition_ratio_bounds(spark, sf_dir):
         assert r.n_distinct <= r.n_shingles
 
 
+def test_quality_filter_verdict_consistency(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.dataprep import prep_quality_filter
+
+    rows = prep_quality_filter(spark, sf_dir).collect()
+    assert rows
+    valid = {"ok", "too_short", "too_long", "repetitive", "low_quality"}
+    for r in rows:
+        assert r.reason in valid
+        assert r.keep == (r.reason == "ok")
+        assert 0.0 <= r.rep_ratio <= 1.0
+        if r.reason == "too_short":
+            assert r.n_tokens < 20
+
+
 def test_dataset_card_totals(spark, sf_dir):
     card = prep_dataset_card(spark, sf_dir)
     total = card.agg(F.sum("n_docs")).collect()[0][0]
