@@ -384,7 +384,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_SQL = (
+_COMPONENTS_CTES = (
     "WITH RECURSIVE "
     + SHINGLES_SQL
     + """,
@@ -410,6 +410,12 @@ walk(node, label) AS (
   UNION
   SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
 )
+"""
+)
+
+_COMPONENTS_SQL = (
+    _COMPONENTS_CTES
+    + """
 SELECT node AS doc_id, min(label) AS component
 FROM walk GROUP BY node
 """
@@ -458,3 +464,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+_SURVIVORS_SQL = (
+    _COMPONENTS_CTES
+    + """,
+comp AS (
+  SELECT node AS doc_id, min(label) AS component
+  FROM walk GROUP BY node
+),
+alldocs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT component,
+       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS keeper,
+       count(*) AS cluster_size,
+       sum(n_chars) AS total_chars
+FROM alldocs GROUP BY component
+"""
+)
+
+
+@_register("dedup_survivors", _SURVIVORS_SQL)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step after clustering that
+    actually emits the deduplicated corpus: one row per cluster
+    (singletons included), keeper = the longest document with ties
+    broken toward the smaller doc_id.
+
+    The keeper pick is a single max_by on the packed ordering key
+    `n_chars * 2^32 - doc_id` (no per-cluster window sort, no second
+    shuffle: the pick rides the same hash agg as the cluster stats).
+    The left join against the CC labels is key-pruned — the label
+    table only holds docs that appear in the near-dup pair graph, a
+    small fraction of the corpus, so at 100 TB it broadcasts while the
+    document scan stays map-side."""
+    labels = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    full = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    return full.groupBy("component").agg(
+        F.expr("max_by(doc_id, n_chars * 4294967296 - doc_id)").alias("keeper"),
+        F.count("*").alias("cluster_size"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -87,3 +87,22 @@ def test_dataset_card_totals(spark, sf_dir):
     card = prep_dataset_card(spark, sf_dir)
     total = card.agg(F.sum("n_docs")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_survivors_partition_the_corpus(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.dedup import dedup_components, dedup_survivors
+
+    surv = dedup_survivors(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    # clusters (singletons included) partition the corpus exactly
+    assert sum(r.cluster_size for r in surv) == n_docs
+    comp = {r.doc_id: r.component for r in dedup_components(spark, sf_dir).collect()}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    for r in surv:
+        # keeper belongs to its own cluster and is the longest member
+        assert comp.get(r.keeper, r.keeper) == r.component
+        members = [d for d, c in comp.items() if c == r.component] or [r.component]
+        assert chars[r.keeper] == max(chars[d] for d in members)
