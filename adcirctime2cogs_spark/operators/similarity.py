@@ -360,3 +360,85 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         r4(F.avg("e")).alias("c")
     )
+
+
+_QUANT_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  v -> abs(CAST(v AS DOUBLE)))) / 127.0, 1e-12) AS scale,
+         embedding
+  FROM embeddings
+),
+t AS (
+  SELECT vec_id, scale, embedding,
+         list_transform(embedding,
+           v -> greatest(least(CAST(floor(CAST(v AS DOUBLE) / scale + 0.5)
+                               AS BIGINT), 127), -127)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 4) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, q -> abs(q))) AS BIGINT) AS q_l1,
+       round(sqrt(
+         list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> pow(CAST(embedding[i] AS DOUBLE) - qv[i] * scale, 2)))
+         / nullif(list_sum(list_transform(embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 0)
+       ), 4) AS rel_err
+FROM t
+"""
+
+
+@_register("vec_quantize_int8", _QUANT_SQL)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x-compression step
+    a 100 TB embedding store applies before ANN serving: scale =
+    absmax/127, q = clamp(floor(x/scale + 0.5)), plus the relative L2
+    reconstruction error as the quality audit.
+
+    floor(x+0.5) instead of round() pins the half-way convention to the
+    same result in every engine. The whole computation is array folds
+    inside one narrow projection: zero shuffles, zero explode blowup —
+    at 64 dims an explode-and-regroup shape would shuffle 64x the rows
+    just to re-sum what the fold computes in place."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda v: v.cast("double")
+    absmax = F.array_max(F.transform("embedding", lambda v: F.abs(xd(v))))
+    # the raw scale is named s_raw: the output column `scale` below is
+    # the ROUNDED display value, and Spark's lateral-column-alias
+    # resolution would silently rebind a same-named reference in the
+    # rel_err lambda to the rounded alias, inflating the error
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.greatest(absmax / 127.0, F.lit(1e-12)).alias("s_raw"),
+    )
+    qv = F.transform(
+        "embedding",
+        lambda v: F.greatest(
+            F.least(
+                F.floor(xd(v) / F.col("s_raw") + 0.5), F.lit(127).cast("bigint")
+            ),
+            F.lit(-127).cast("bigint"),
+        ),
+    )
+    t = s.select("vec_id", "s_raw", "embedding", qv.alias("qv"))
+    err_terms = F.zip_with(
+        "embedding", "qv", lambda v, q: F.pow(xd(v) - q * F.col("s_raw"), 2)
+    )
+    err = F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)
+    nrm = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, v: a + xd(v) * xd(v)
+    )
+    return t.select(
+        "vec_id",
+        r4("s_raw").alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, q: a + q).alias(
+            "q_sum"
+        ),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, q: a + F.abs(q)
+        ).alias("q_l1"),
+        r4(F.when(nrm > 0, F.sqrt(err / nrm))).alias("rel_err"),
+    )

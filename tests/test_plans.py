@@ -203,3 +203,12 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     plan = _plan(j)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # buckets align, no shuffle
+
+
+def test_int8_quantize_is_shuffle_free(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.similarity import vec_quantize_int8
+
+    spark.catalog.clearCache()
+    plan = _plan(vec_quantize_int8(spark, sf_dir))
+    # everything is array folds in one narrow projection: no Exchange
+    assert "Exchange" not in plan
