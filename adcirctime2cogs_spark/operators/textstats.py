@@ -413,3 +413,51 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
     )
+
+
+_UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / (SELECT t FROM tot))), 4) AS avg_logprob,
+       round(exp(-avg(ln(c / (SELECT t FROM tot)))), 4) AS ppl_proxy
+FROM tok JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+@_register("text_unigram_logprob", _UNIGRAM_SQL)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit quality score: per-doc mean unigram log-probability
+    under the corpus's own unigram LM, plus exp(-avg) as a perplexity
+    proxy — the classic cheap fluency/outlier signal a training-data
+    pipeline runs before the expensive model-based filters.
+
+    Two hash aggs and one equi-join, all keyed on the token: the vocab
+    count, the token->logprob join, and the per-doc re-agg. The corpus
+    total is a one-row aggregate broadcast into the vocab projection
+    (scalar-subquery shape) — no driver-side scalar collect, no
+    single-partition window over the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = vocab.join(F.broadcast(total)).select(
+        "tok", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
+    per_doc = toks.join(logp, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("lp").alias("alp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        r4("alp").alias("avg_logprob"),
+        r4(F.exp(-F.col("alp"))).alias("ppl_proxy"),
+    )
