@@ -461,3 +461,118 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt(F.min("ts")).alias("sess_start"),
         _fmt(F.max("ts")).alias("sess_end"),
     )
+
+
+_M4_SQL = """
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+         AS vfirst,
+       arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id)
+         AS vlast
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("events_m4_downsample", _M4_SQL)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (min/max/first/last per series per
+    15-min bucket) — the error-free line-visualization reduction from
+    Jugel et al., VLDB 2014, and the shape a 100 TB telemetry store
+    serves dashboards from.
+
+    One hash aggregate with map-side partials: first/last ride min_by/
+    max_by on a (ts, event_id) key packed into decimal(38,0), so ties
+    on ts stay deterministic without a per-bucket window sort."""
+    events = load_table(spark, sf_dir, "events")
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * 10000000000
+        + F.col("event_id")
+    )
+    return (
+        events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("value", key).alias("vfirst"),
+            F.max_by("value", key).alias("vlast"),
+        )
+        .select(
+            _fmt("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "vmin",
+            "vmax",
+            "vfirst",
+            "vlast",
+        )
+    )
+
+
+_ZSCORE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(*) OVER win AS n_prior
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(value, 4) AS value,
+       round((value - mu) / sd, 4) AS z
+FROM w
+WHERE n_prior >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0
+"""
+
+
+@_register("events_anomaly_zscore", _ZSCORE_SQL)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user stream: each event is
+    scored against the mean/stddev of its 20 predecessors (the event
+    itself excluded — no self-dampening), flagged at |z| > 3 with at
+    least 5 priors.
+
+    A single rows-frame window partitioned by user_id: state per
+    series is O(frame), the partition key spreads across executors,
+    and no shuffle beyond the one window exchange."""
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(win)
+    sd = F.stddev_samp("value").over(win)
+    n_prior = F.count("*").over(win)
+    z = (F.col("value") - mu) / sd
+    scored = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        mu.alias("mu"),
+        sd.alias("sd"),
+        n_prior.alias("n_prior"),
+    )
+    zc = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(zc) > 3.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            r4("value").alias("value"),
+            r4(zc).alias("z"),
+        )
+    )
