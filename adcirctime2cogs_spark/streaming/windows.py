@@ -123,6 +123,47 @@ def enrich_with_users(events: DataFrame, customers: DataFrame) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
 
 
+def clicks_after_views(views: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every click a user makes within 30
+    minutes after one of their views, matched on user_id with the
+    event-time range condition. Both sides carry watermarks so the join
+    state store evicts: a buffered view can be dropped once the click
+    watermark passes view_ts + 30 min — without the range condition the
+    state would grow forever, which is the failure mode that kills
+    stream-stream joins at scale."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+    )
+
+
 def run_to_parquet_batches(
     df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "update"
 ) -> int:

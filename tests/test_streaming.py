@@ -222,3 +222,16 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     # exactly once: old rows not re-emitted, new rows appended once
     assert sorted(r.event_id for r in final.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
+    from adcirctime2cogs_spark.tables import load_table
+
+    out = sw.run_to_memory(
+        sw.clicks_after_views(events_stream, events_stream), "ss_join"
+    )
+    batch_events = load_table(spark, sf_dir, "events")
+    expected = sw.clicks_after_views(batch_events, batch_events)
+    cols = ["view_id", "click_id", "user_id", "view_ts_s", "click_ts_s"]
+    assert _rows(out, cols) == _rows(expected, cols)
+    assert out.count() > 0
