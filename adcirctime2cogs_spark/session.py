@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) carries no min/max statistics, so
+        # every timestamp-filtered scan over engine-written parquet
+        # would read every row group; TIMESTAMP_MICROS restores
+        # stats-based row-group skipping (tests/test_plans.py pins it).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as int64 ns and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -213,3 +213,27 @@ def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     plan = _plan(vec_quantize_int8(spark, sf_dir))
     # everything is array folds in one narrow projection: no Exchange
     assert "Exchange" not in plan
+
+
+def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """Range-partition + sort-within on the time column, then read with
+    a narrow time filter: parquet min/max stats must prune most row
+    groups (the scan's numOutputRows is a fraction of the table). This
+    is the data-layout half of scan efficiency at 100 TB — and it pins
+    TIMESTAMP_MICROS output, because INT96 carries no stats at all."""
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_sorted")
+    (
+        events.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    total = events.count()
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 20
+    df = spark.read.parquet(out).filter(F.col("ts") <= cutoff)
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    rows_read = scan.metrics().apply("numOutputRows").value()
+    assert rows_read < total / 2, f"scan read {rows_read}/{total}: no skipping"
