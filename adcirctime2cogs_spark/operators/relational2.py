@@ -126,23 +126,29 @@ def map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, round(o_totalprice, 4) AS total
     FROM orders o
-    WHERE o_totalprice > (
-      SELECT 2 * avg(o2.o_totalprice) FROM orders o2
+    WHERE round(o_totalprice, 4) > (
+      SELECT round(2 * avg(o2.o_totalprice), 4) FROM orders o2
       WHERE o2.o_custkey = o.o_custkey
     )
     """,
 )
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates to an
-    aggregate + join — SURVEY P8's free-lunch row)."""
+    aggregate + join — SURVEY P8's free-lunch row).
+
+    Both comparison sides are rounded to 4dp (engine-exact floor form):
+    Spark's and DuckDB's avg fold orders can differ by ~1ulp, and the
+    raw `x > 2*avg` predicate let boundary rows flip between engines
+    (round-1 driver hash fail)."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_sq_orders")
     return spark.sql(
         """
         SELECT o_orderkey, floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS total
         FROM _sq_orders o
-        WHERE o_totalprice > (
-          SELECT 2 * avg(o2.o_totalprice) FROM _sq_orders o2
+        WHERE floor(o_totalprice * 10000.0 + 0.5) / 10000.0 > (
+          SELECT floor((2 * avg(o2.o_totalprice)) * 10000.0 + 0.5) / 10000.0
+          FROM _sq_orders o2
           WHERE o2.o_custkey = o.o_custkey
         )
         """
@@ -206,11 +212,21 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("agg_approx_quantiles")  # rows-only: sketch is engine-specific
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the constant-memory
-    quantile path for 100TB; exact twin is agg_stats.median_price."""
+    quantile path for 100TB; exact twin is agg_stats.median_price.
+
+    The quartile array is serialized to a fixed-decimal CSV string —
+    external row canonicalizers sort output columns, and a raw
+    array<double> column is unhashable there (round-1 driver err)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        F.array_join(
+            F.transform(
+                F.expr(
+                    "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+                ),
+                lambda x: F.format_string("%.4f", x),
+            ),
+            ",",
         ).alias("quartiles")
     )
 
@@ -247,8 +263,12 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs2",
     """
     SELECT vec_id,
-           list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4)))
-             AS head_sorted,
+           array_to_string(
+             list_transform(
+               list_sort(list_transform(embedding[1:4],
+                                        x -> round(CAST(x AS DOUBLE), 4))),
+               x -> printf('%.4f', x)),
+             ',')                                              AS head_sorted,
            round(CAST(list_max(embedding[1:8]) AS DOUBLE), 4)  AS head_max,
            len(list_filter(embedding, x -> x > 0))             AS n_pos,
            list_contains(list_transform(embedding, x -> x > 1.0), true) AS any_gt1
@@ -256,13 +276,23 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second array batch: slice/sort/filter/exists over vectors."""
+    """Second array batch: slice/sort/filter/exists over vectors.
+
+    The sorted head array is emitted as a fixed-decimal CSV string
+    (`%.4f` is bit-stable across Java's and DuckDB's printf on
+    identical doubles, unlike JSON float rendering) — external row
+    canonicalizers can't sort array-typed columns (round-1 driver
+    err)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     head4 = F.slice("embedding", 1, 4)
     return emb.select(
         "vec_id",
-        F.array_sort(
-            F.transform(head4, lambda x: r4(x.cast("double")))
+        F.array_join(
+            F.transform(
+                F.array_sort(F.transform(head4, lambda x: r4(x.cast("double")))),
+                lambda x: F.format_string("%.4f", x),
+            ),
+            ",",
         ).alias("head_sorted"),
         r4(F.array_max(F.slice("embedding", 1, 8)).cast("double")).alias("head_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
