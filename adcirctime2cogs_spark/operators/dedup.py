@@ -66,16 +66,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle doc-frequency cap: a shingle appearing in more than
+# DF_CAP documents is boilerplate ("terms of service apply") and would
+# explode k^2 candidate pairs at scale, so it never contributes to
+# intersection counts. 32 is > the max fixture df (25 at sf0.1), so
+# fixture results are unchanged while the skew guard is active and
+# oracle-mirrored.
+DF_CAP = 32
+
+# DuckDB twin of the capped intersection table (the WHERE d.dfc <= cap
+# mirrors _shingle_artifacts' posting-list size filter).
+_INTER_SQL = f""",
+shdf AS (SELECT sh, count(*) AS dfc FROM shh GROUP BY sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN shdf d ON d.sh = a.sh
+  WHERE d.dfc <= {DF_CAP}
+  GROUP BY 1, 2
+)"""
+
 _JACCARD_PAIRS_SQL = (
     "WITH "
     + SHINGLES_SQL
     + """,
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"""
+    + _INTER_SQL
+    + """
 SELECT doc_a, doc_b,
        round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
 FROM inter
@@ -88,24 +105,37 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     """The fuzzy-dedup family's shared intermediates: the shingle
-    explode `sh` and the shared-shingle pair-count table `inter`
-    (doc_a < doc_b, c = |shingles in common|).
+    explode `sh`, the stop-shingle set `stop` (doc frequency > DF_CAP),
+    and the capped shared-shingle pair-count table `inter`
+    (doc_a < doc_b, c = |non-stop shingles in common|).
 
     `inter` materializes from per-shingle posting lists (inverted
     index): one groupBy keys each shingle to its doc list, then only
     the i<j combinations explode via two codegen'd explodes — half the
     join output of a shingle self-join and one full-table shuffle less.
-    Both are persisted: exact-Jaccard pairs, LSH verify, and the
-    clustering query all read them, and at 100 TB they are the
-    written-once tables between pipeline stages. (A stop-shingle cap
-    would bound the k^2 explode of ultra-common shingles at scale; the
-    planted-dup data has no such skew.)
+    The posting-list size filter doubles as the stop-shingle cap: a
+    shingle shared by k docs explodes k^2/2 pairs, so ultra-common
+    boilerplate shingles (df > DF_CAP) are dropped from pair
+    generation entirely — the standard skew guard, mirrored in every
+    fuzzy-dedup oracle via _INTER_SQL. `sh` and `inter` are persisted:
+    exact-Jaccard pairs, LSH verify, and the clustering query all read
+    them, and at 100 TB they are the written-once tables between
+    pipeline stages.
     """
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     posts = (
         sh.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter(F.size("ds").between(2, DF_CAP))
+    )
+    # the stop set is tiny by construction (only boilerplate shingles
+    # cross the cap), so downstream consumers broadcast-anti-join it
+    stop = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > DF_CAP)
+        .select("sh")
+        .persist()
     )
     inter = (
         posts.select(F.explode("ds").alias("doc_a"), "ds")
@@ -115,13 +145,13 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").alias("c"))
         .persist()
     )
-    return sh, inter
+    return sh, stop, inter
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.8 pairs:
     (doc_a, doc_b, jaccard double, unrounded)."""
-    sh, inter = _shingle_artifacts(spark, sf_dir)
+    sh, _stop, inter = _shingle_artifacts(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
@@ -191,11 +221,14 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+shdf AS (SELECT sh, count(*) AS dfc FROM shh GROUP BY sh),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS c
   FROM cand c
   JOIN shh a ON a.doc_id = c.doc_a
   JOIN shh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  JOIN shdf d ON d.sh = a.sh
+  WHERE d.dfc <= {DF_CAP}
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
@@ -214,14 +247,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> exact-Jaccard verify >= 0.5.
 
     The band self-join touches only bucket collisions (sub-quadratic);
-    exact Jaccard runs on candidates alone, as an equi-join against the
-    shared pair-count artifact (_shingle_artifacts) — a candidate pair
-    with no shared shingle has Jaccard 0 and drops out of the inner
-    join exactly as it would out of the >= 0.5 filter. 4 bands x 2
-    rows catches j >= 0.8 pairs with ~98% probability per band
-    structure — the sf0.01 planted dups (j ~ 0.99) are all caught.
+    exact Jaccard runs on candidates alone — shingle rows join against
+    the candidate pair table, so intersection counting touches only
+    shingles of candidate docs, never the all-pairs shared-shingle
+    enumeration (which would cost the same as the exact-Jaccard join
+    and forfeit the sub-quadratic property). Stop shingles
+    (df > DF_CAP) are dropped from the count via a broadcast anti-join
+    — the tiny stop set ships, the shingle table never re-shuffles for
+    it. A candidate pair with no shared shingle has Jaccard 0 and
+    drops out of the inner join exactly as it would out of the >= 0.5
+    filter. 4 bands x 2 rows catches j >= 0.8 pairs with ~98%
+    probability per band structure — the sf0.01 planted dups
+    (j ~ 0.99) are all caught.
     """
-    sh, inter = _shingle_artifacts(spark, sf_dir)
+    sh, stop, _inter = _shingle_artifacts(spark, sf_dir)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
         for j, (a, b) in enumerate(MH_COEFS)
@@ -254,7 +293,15 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    verified = cand.join(inter, ["doc_a", "doc_b"])
+    sh_kept = sh.join(F.broadcast(stop), "sh", "left_anti")
+    sh_a = sh_kept.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh_kept.select(F.col("doc_id").alias("doc_b"), "sh")
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
     sa = sig_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sig_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
@@ -393,12 +440,9 @@ _COMPONENTS_CTES = (
     "WITH RECURSIVE "
     + SHINGLES_SQL
     + """,
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"""
+    + _INTER_SQL
+    + """,
 pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
@@ -454,6 +498,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(20):  # diameter bound; planted clusters are shallow
         prop = edges.join(labels, edges.doc_a == labels.node).select(
             F.col("doc_b").alias("node"), "label"
@@ -466,8 +511,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a diameter->20 graph would silently emit wrong (unconverged)
+        # labels; fail loudly instead — at that diameter the fix is the
+        # O(log n) large-star/small-star contraction, not more rounds
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge "
+            "within 20 rounds"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -181,28 +181,63 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_TAU = 0.4  # threshold-pair cosine cutoff
+
+
 @_register(
     "sim_threshold_pairs",
     f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SIGN_SQL_TMPL.format(e="embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_COS_SQL.format(a="a.embedding", b="c.embedding")}, 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_COS_SQL.format(a="a.embedding", b="c.embedding")}, 4) >= {SIM_TAU}
     """,
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= 0.4 (embedding near-dup detection). Kept
-    exact/quadratic here as the verify stage; production path blocks by
-    sign bucket first (sim_topk_bucketed's join)."""
+    """Similar-pair mining at cosine >= 0.4 (embedding near-dup
+    detection), sign-bucket blocked: candidate pairs come from an
+    equi-join on the sign-LSH bucket key, exact cosine verifies
+    candidates only. Sub-quadratic — comparisons scale with bucket
+    occupancy, not n^2, the same 100TB shape as dedup_embedding_cosine.
+    The unblocked all-pairs form lives on as sim_threshold_pairs_exact
+    (test-only recall oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = r4(cosine(F.col("ea"), F.col("eb")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= SIM_TAU)
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+    )
+
+
+def sim_threshold_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.4 — the quadratic exactness oracle for
+    sim_threshold_pairs' recall. Test-only (not registered): a BNLJ
+    self-join dies at 100x scale, so the registered query is the
+    blocked variant above."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = r4(cosine(F.col("ea"), F.col("eb")))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
+        .filter(cos >= SIM_TAU)
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
 
 

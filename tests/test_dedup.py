@@ -1,0 +1,83 @@
+"""Dedup-family behavior tests: stop-shingle cap semantics, LSH recall
+against the exact-Jaccard miner, and the pyspark.ml scale path."""
+
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.operators.dedup import (
+    DF_CAP,
+    _shingle_artifacts,
+    dedup_minhash_lsh_pairs,
+    dedup_minhash_ml,
+    dedup_ngram_jaccard,
+)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [
+            (i, text, "en", "test", len(text))
+            for i, text in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+
+def test_stop_shingle_cap_blocks_boilerplate_pairs(spark, tmp_path):
+    """A boilerplate sentence shared by > DF_CAP docs must not generate
+    candidate pairs (the k^2 skew bomb), while true near-dup pairs that
+    also share non-stop shingles are still found."""
+    boiler = "this content is provided under the standard license terms"
+    rows = []
+    # DF_CAP + 8 docs share ONLY the boilerplate (unique filler after)
+    for i in range(DF_CAP + 8):
+        rows.append((i, f"{boiler} unique filler alpha{i} beta{i} gamma{i} delta{i}"))
+    # one true near-dup pair sharing a long non-boilerplate body
+    body = "the quick brown fox jumps over the lazy dog again and again today"
+    rows.append((900, f"{body} ending one"))
+    rows.append((901, f"{body} ending two"))
+    _write_docs(spark, tmp_path, rows)
+
+    sh, stop, inter = _shingle_artifacts(spark, str(tmp_path))
+    stop_shingles = {r.sh for r in stop.collect()}
+    assert stop_shingles, "boilerplate shingles did not cross the cap"
+    assert all(s.split()[0] in boiler for s in stop_shingles)
+
+    pairs = inter.select("doc_a", "doc_b").collect()
+    pair_set = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (900, 901) in pair_set
+    # no boilerplate-only pair survives: k^2 explosion capped
+    assert all(a >= 900 for a, _ in pair_set), sorted(pair_set)[:5]
+
+    jac = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert {(r.doc_a, r.doc_b) for r in jac} == {(900, 901)}
+
+
+def test_lsh_pairs_recall_vs_exact(spark, sf_dir):
+    """Every exact-Jaccard >= 0.8 pair must be recovered by the
+    MinHash-LSH pipeline (its verify threshold is 0.5, so >= 0.8 pairs
+    survive whenever banding surfaces them — the planted dups do)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert exact, "fixture has no planted near-dup documents"
+    missed = exact - lsh
+    assert not missed, f"LSH missed exact pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_ml_finds_planted_pairs(spark, sf_dir):
+    """The pyspark.ml MinHashLSH scale path finds the same planted
+    near-dup pairs as the exact-Jaccard miner (values engine-specific,
+    membership is not)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    ml = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_ml(spark, sf_dir).collect()
+    }
+    assert exact, "fixture has no planted near-dup documents"
+    missed = exact - ml
+    assert not missed, f"ml LSH missed exact pairs: {sorted(missed)[:5]}"

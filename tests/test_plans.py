@@ -151,7 +151,6 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "regrid_synthetic": 2,        # grid gen + ts x node generator
         "regrid_synthetic_bench": 2,
         "regrid_multivar": 2,         # same generators as regrid_synthetic
-        "sim_threshold_pairs": 1,     # intentional quadratic verify stage
         "sim_topk_bruteforce": 1,     # broadcast probe ship
         "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
         "text_tfidf_top": 1,          # single-row corpus-count broadcast

@@ -1,0 +1,73 @@
+"""Similarity-search behavior tests: the registered (sub-quadratic)
+threshold-pair miner against its quadratic exactness oracle."""
+
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.operators.similarity import (
+    SIM_TAU,
+    sim_threshold_pairs,
+    sim_threshold_pairs_exact,
+)
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b): r.cos_sim for r in df.collect()}
+
+
+def test_threshold_pairs_blocked_subset_of_exact(spark, sf_dir):
+    """Every blocked pair is a true >=tau pair with the identical
+    score — blocking may lose recall, never precision."""
+    blocked = _pairs(sim_threshold_pairs(spark, sf_dir))
+    exact = _pairs(sim_threshold_pairs_exact(spark, sf_dir))
+    assert blocked, "blocked miner found no pairs on the fixture"
+    for pair, cs in blocked.items():
+        assert pair in exact, f"false positive {pair}"
+        assert cs == exact[pair]
+
+
+def test_threshold_pairs_high_sim_recall(spark, tmp_path):
+    """Near-dup pairs (cosine ~1) agree on every coordinate sign, so
+    sign-bucket blocking must catch them — the recall property the
+    dedup pipeline actually relies on. The fixture tables carry no
+    planted near-dup vectors, so plant them here: 40 base vectors, 10
+    of which get a tiny-noise twin."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    planted = set()
+    for i in range(40):
+        # keep coordinates away from 0 so the ±0.01 twin noise can
+        # never flip a sign bit (the property blocking relies on)
+        v = [rng.choice([-1, 1]) * rng.uniform(0.05, 1.0) for _ in range(16)]
+        rows.append((i, v, i % 3))
+        if i < 10:
+            twin = [x + rng.uniform(-0.01, 0.01) for x in v]
+            rows.append((100 + i, twin, i % 3))
+            planted.add((i, 100 + i))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    blocked = _pairs(sim_threshold_pairs(spark, str(tmp_path)))
+    exact_hi = {
+        p for p, cs in _pairs(sim_threshold_pairs_exact(spark, str(tmp_path))).items()
+        if cs >= 0.99
+    }
+    assert planted <= exact_hi, "planted twins not high-sim in exact miner"
+    missed = exact_hi - blocked.keys()
+    assert not missed, f"blocking missed high-sim pairs: {sorted(missed)[:5]}"
+
+
+def test_threshold_pairs_plan_is_equi_join(spark, sf_dir):
+    """The registered query must plan as a hash equi-join on the bucket
+    key — no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    spark.catalog.clearCache()
+    plan = (
+        sim_threshold_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
