@@ -300,13 +300,19 @@ def prep_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-separated hash bucket falls under the language's target rate,
     and emit the inverse-rate weight so downstream stats stay unbiased.
     Hash-threshold sampling (not RNG) means membership is recomputable
-    by any engine and stable under repartitioning."""
+    by any engine and stable under repartitioning. Languages outside
+    _MIX_RATES default to 1000 (keep whole) — without the coalesce a
+    new language would get a NULL rate and be silently dropped,
+    diverging from the documented keep-the-rest-whole semantics."""
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+            ),
+            F.col("lang"),
         ),
-        F.col("lang"),
+        F.lit(1000),
     )
     return (
         docs.select(

@@ -108,24 +108,43 @@ def load_config_yaml(path: str) -> dict:
     return out
 
 
+_ARG_DEFAULTS = {
+    "input_dir": None,
+    "output_dir": None,
+    "final_dir": None,
+    "input_file": "timeseries",
+    "input_variable": "timeseries",
+    "res": 0.005,
+}
+
+
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(description=__doc__)
+    # argument_default=SUPPRESS: an unset flag is ABSENT from the
+    # namespace, so a flag explicitly set to its default value (e.g.
+    # --res 0.005) is distinguishable from an unset one — "CLI flags
+    # win over YAML" holds for default-valued flags too. Precedence:
+    # CLI > YAML > _ARG_DEFAULTS.
+    p = argparse.ArgumentParser(
+        description=__doc__, argument_default=argparse.SUPPRESS
+    )
     p.add_argument("--config", help="YAML file holding any of the flags below")
     p.add_argument("--input-dir")
     p.add_argument("--output-dir")
     p.add_argument("--final-dir")
-    p.add_argument("--input-file", default="timeseries")
-    p.add_argument("--input-variable", default="timeseries")
-    p.add_argument("--res", type=float, default=0.005)
+    p.add_argument("--input-file")
+    p.add_argument("--input-variable")
+    p.add_argument("--res", type=float)
     args = p.parse_args(argv)
+    ns = vars(args)
 
-    if args.config:
-        # CLI flags win over YAML values (YAML fills unset flags only)
-        conf = load_config_yaml(args.config)
-        for key, val in conf.items():
+    config = ns.pop("config", None)
+    if config:
+        for key, val in load_config_yaml(config).items():
             attr = key.replace("-", "_")
-            if hasattr(args, attr) and getattr(args, attr) in (None, p.get_default(attr)):
-                setattr(args, attr, val)
+            if attr in _ARG_DEFAULTS and attr not in ns:
+                ns[attr] = val
+    for key, val in _ARG_DEFAULTS.items():
+        ns.setdefault(key, val)
     missing = [k for k in ("input_dir", "output_dir", "final_dir")
                if getattr(args, k) is None]
     if missing:
