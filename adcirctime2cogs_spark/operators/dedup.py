@@ -86,12 +86,24 @@ inter AS (
   GROUP BY 1, 2
 )"""
 
+# Jaccard denominators count only non-stop shingles — the same universe
+# as the intersection counts (which drop df > DF_CAP shingles). Mixing
+# a capped numerator with uncapped denominators would bias
+# boilerplate-heavy pairs below threshold: the Jaccard here is the
+# Jaccard OF THE STOP-FILTERED SHINGLE SETS on both sides of the ratio.
+_SIZES_SQL = f""",
+sizes AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM shh s JOIN shdf d USING (sh)
+  WHERE d.dfc <= {DF_CAP}
+  GROUP BY s.doc_id
+)"""
+
 _JACCARD_PAIRS_SQL = (
     "WITH "
     + SHINGLES_SQL
-    + """,
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"""
     + _INTER_SQL
+    + _SIZES_SQL
     + """
 SELECT doc_a, doc_b,
        round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
@@ -151,8 +163,14 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.8 pairs:
     (doc_a, doc_b, jaccard double, unrounded)."""
-    sh, _stop, inter = _shingle_artifacts(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh, stop, inter = _shingle_artifacts(spark, sf_dir)
+    # denominators over the stop-filtered sets, matching inter (see
+    # _SIZES_SQL); the stop set is tiny so the anti-join broadcasts
+    sizes = (
+        sh.join(F.broadcast(stop), "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
@@ -220,7 +238,6 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 shdf AS (SELECT sh, count(*) AS dfc FROM shh GROUP BY sh),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS c
@@ -230,6 +247,12 @@ inter AS (
   JOIN shdf d ON d.sh = a.sh
   WHERE d.dfc <= {DF_CAP}
   GROUP BY 1, 2
+),
+sizes AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM shh s JOIN shdf d USING (sh)
+  WHERE d.dfc <= {DF_CAP}
+  GROUP BY s.doc_id
 )
 SELECT i.doc_a, i.doc_b,
        round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
@@ -267,10 +290,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # one groupBy produces signatures AND set sizes (the Jaccard
     # denominators) — at 100TB that's one pass over the shingle table
-    # instead of two
-    sig_sizes = sh.groupBy("doc_id").agg(
-        *aggs, F.count("*").alias("n")
-    ).persist()
+    # instead of two. Signatures min-fold over the FULL shingle set
+    # (LSH is the recall filter; seeing stop shingles only adds
+    # candidates), while n counts only non-stop shingles so the exact
+    # verify denominators match the capped intersection (_SIZES_SQL).
+    stop_marked = stop.withColumn("is_stop", F.lit(True))
+    sig_sizes = (
+        sh.join(F.broadcast(stop_marked), "sh", "left")
+        .groupBy("doc_id")
+        .agg(*aggs, F.count(F.when(F.col("is_stop").isNull(), 1)).alias("n"))
+        .persist()
+    )
     sig = sig_sizes
     bands = sig.selectExpr(
         "doc_id",
@@ -439,9 +469,8 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPONENTS_CTES = (
     "WITH RECURSIVE "
     + SHINGLES_SQL
-    + """,
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)"""
     + _INTER_SQL
+    + _SIZES_SQL
     + """,
 pairs AS (
   SELECT doc_a, doc_b FROM inter
@@ -539,7 +568,7 @@ alldocs AS (
 SELECT component,
        arg_max(doc_id, n_chars * 4294967296 - doc_id) AS keeper,
        count(*) AS cluster_size,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM alldocs GROUP BY component
 """
 )

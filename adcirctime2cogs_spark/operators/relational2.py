@@ -124,33 +124,43 @@ def map_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "subquery_correlated",
     """
-    SELECT o_orderkey, round(o_totalprice, 4) AS total
-    FROM orders o
-    WHERE round(o_totalprice, 4) > (
-      SELECT round(2 * avg(o2.o_totalprice), 4) FROM orders o2
-      WHERE o2.o_custkey = o.o_custkey
+    WITH oc AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
     )
+    SELECT o_orderkey, cents AS total_cents
+    FROM oc o
+    WHERE cents * (SELECT count(*) FROM oc o2
+                   WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT sum(cents) FROM oc o2
+                 WHERE o2.o_custkey = o.o_custkey)
     """,
 )
 def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (Catalyst decorrelates to an
     aggregate + join — SURVEY P8's free-lunch row).
 
-    Both comparison sides are rounded to 4dp (engine-exact floor form):
-    Spark's and DuckDB's avg fold orders can differ by ~1ulp, and the
-    raw `x > 2*avg` predicate let boundary rows flip between engines
-    (round-1 driver hash fail)."""
+    The predicate `price > 2*avg(price)` is evaluated integer-exactly:
+    prices are 2dp, so both sides are cent-scaled BIGINTs and the avg
+    comparison is cross-multiplied (`cents*cnt > 2*sum_cents`). Any fp
+    form — even with both sides rounded — left 1-ulp avg fold-order
+    differences between engines able to flip boundary rows (round-1
+    and round-2 driver hash fails)."""
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_sq_orders")
+    orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("_sq_orders_cents")
     return spark.sql(
         """
-        SELECT o_orderkey, floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS total
-        FROM _sq_orders o
-        WHERE floor(o_totalprice * 10000.0 + 0.5) / 10000.0 > (
-          SELECT floor((2 * avg(o2.o_totalprice)) * 10000.0 + 0.5) / 10000.0
-          FROM _sq_orders o2
-          WHERE o2.o_custkey = o.o_custkey
-        )
+        SELECT o_orderkey, cents AS total_cents
+        FROM _sq_orders_cents o
+        WHERE cents * (SELECT count(*) FROM _sq_orders_cents o2
+                       WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(cents) FROM _sq_orders_cents o2
+                     WHERE o2.o_custkey = o.o_custkey)
         """
     )
 

@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input-file")
     p.add_argument("--input-variable")
     p.add_argument("--res", type=float)
+    # every flag except --config must have a _ARG_DEFAULTS entry, or an
+    # unset flag would be absent from the namespace (argument_default=
+    # SUPPRESS) and blow up with AttributeError at first use
+    undeclared = {
+        a.dest for a in p._actions if a.dest not in ("help", "config")
+    } - _ARG_DEFAULTS.keys()
+    assert not undeclared, f"flags missing from _ARG_DEFAULTS: {sorted(undeclared)}"
     args = p.parse_args(argv)
     ns = vars(args)
 

@@ -113,10 +113,17 @@ def all_queries() -> dict[str, QueryFn]:
         if dupes:
             raise ValueError(f"duplicate query names in {mod.__name__}: {sorted(dupes)}")
         merged.update(mod.QUERIES)
+    # The driver oracle-checks exactly the first 50 registry entries; a
+    # typo'd _PRIORITY name or a silently-failed module import would
+    # demote a query out of the verified window — fail loudly instead.
+    missing = [name for name in _PRIORITY if name not in merged]
+    if missing:
+        raise ValueError(f"_PRIORITY names not in registry: {missing}")
+    if len(_PRIORITY) != 50:
+        raise ValueError(f"_PRIORITY must pin exactly 50 names, got {len(_PRIORITY)}")
     out: dict[str, QueryFn] = {}
     for name in _PRIORITY:
-        if name in merged:
-            out[name] = merged.pop(name)
+        out[name] = merged.pop(name)
     out.update(merged)
     return out
 

@@ -67,10 +67,9 @@ def archive_output(out_dir: str, final_dir: str, remove_source: bool = False) ->
     return path
 
 
-def upload_to_s3(bucket: str, key: str, path: str) -> bool:
-    """S3 artifact upload (reference O23, run/utilities/s3_utilities.py:
-    33-49). boto3 is absent in this container -> gated import; data-path
-    S3 writes go through spark's s3a committer instead."""
+def _default_s3_client():
+    """boto3 is absent in this container -> gated import; data-path S3
+    writes go through spark's s3a committer instead."""
     try:
         import boto3
     except ImportError as exc:
@@ -78,6 +77,39 @@ def upload_to_s3(bucket: str, key: str, path: str) -> bool:
             "boto3 not available in this environment; artifact upload "
             "requires a boto3-equipped host (data paths use s3a://)."
         ) from exc
-    s3 = boto3.client("s3")
-    s3.upload_file(path, bucket, key)
+    return boto3.client("s3")
+
+
+def bucket_exists(bucket: str, client=None) -> bool:
+    """True iff the bucket is listed for this account (reference
+    run/utilities/s3_utilities.py:33-35 membership test)."""
+    client = client or _default_s3_client()
+    names = [b["Name"] for b in client.list_buckets().get("Buckets", [])]
+    return bucket in names
+
+
+def ensure_bucket(bucket: str, region: str = "us-east-2", client=None):
+    """Create the bucket if missing, with the region pinned via
+    LocationConstraint (reference s3_utilities.py:37-41; region default
+    from its load_config, :30)."""
+    client = client or _default_s3_client()
+    if bucket_exists(bucket, client):
+        return None
+    return client.create_bucket(
+        Bucket=bucket,
+        CreateBucketConfiguration={"LocationConstraint": region},
+    )
+
+
+def upload_to_s3(bucket: str, key: str, path: str, client=None) -> bool:
+    """S3 artifact upload (reference O23, run/utilities/s3_utilities.py:
+    43-49): public-read ACL, False on client error rather than raising —
+    the reference treats a failed sidecar upload as non-fatal."""
+    client = client or _default_s3_client()
+    try:
+        client.upload_file(
+            path, bucket, key, ExtraArgs={"ACL": "public-read"}
+        )
+    except Exception:
+        return False
     return True

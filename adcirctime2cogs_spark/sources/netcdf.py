@@ -84,6 +84,95 @@ def scan_netcdf_distributed(
     )
 
 
+def _default_splitter(path: str, length: int):
+    """Enumerate per-timestep byte-range splits of one ADCIRC NetCDF:
+    [(t_idx, offset, nbytes), ...]. Requires an HDF5/NetCDF library to
+    read the chunk index (the reference's chunks={'time': 1} layout,
+    adcirc_dask_utilities.py:42, makes each timestep one contiguous
+    chunk)."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "No HDF5 reader in this environment (h5py absent); inject a "
+            "splitter, or use scan_netcdf_distributed for small files."
+        ) from exc
+    raise NotImplementedError("chunk-index splitter requires h5py at runtime")
+
+
+def _default_range_decoder(path: str, variable: str, t_idx: int, offset: int, nbytes: int):
+    """Decode ONE timestep's byte range -> (ts, node_ids, values_1d).
+    The task opens the file itself and reads [offset, offset+nbytes) —
+    whole-file bytes never flow through Spark."""
+    raise NotImplementedError(
+        "No NetCDF reader in this environment; inject a range decoder."
+    )
+
+
+SPLIT_SCHEMA = "path string, t_idx int, offset long, nbytes long"
+
+
+def scan_netcdf_split(
+    spark: SparkSession,
+    path_glob: str,
+    variable: str,
+    splitter: Callable = _default_splitter,
+    range_decoder: Callable = _default_range_decoder,
+) -> DataFrame:
+    """Large-file NetCDF scan: per-(file, timestep) byte-range tasks.
+
+    `scan_netcdf_distributed` puts one whole file in one task — fine for
+    many small files, but the reference's production input is ONE
+    multi-GB fort.63.nc (SURVEY D2): one file = one task = zero
+    parallelism and an OOM risk. This path mirrors the reference's
+    chunks={'time': 1} (adcirc_dask_utilities.py:42):
+
+    1. list files (metadata only — the binaryFile `content` column is
+       pruned, only path/length are read);
+    2. plan splits driver-side with `splitter(path, length)` — a
+       header-only read per file, the same metadata-on-driver split
+       planning Spark's own FileSourceScanExec does;
+    3. one task per (file, timestep) split; each task opens its file
+       and reads ONLY its byte range via `range_decoder`.
+
+    So an F-file x T-timestep input becomes F*T parallel tasks, and no
+    task ever materializes whole-file content.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "length")
+        .collect()
+    )
+    specs = [
+        (f.path, int(t_idx), int(offset), int(nbytes))
+        for f in files
+        for (t_idx, offset, nbytes) in splitter(f.path, int(f.length))
+    ]
+    splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
+        max(len(specs), 1), "path", "t_idx"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, t_idx, offset, nbytes in zip(
+                pdf["path"], pdf["t_idx"], pdf["offset"], pdf["nbytes"]
+            ):
+                ts, node_ids, values = range_decoder(
+                    path, variable, int(t_idx), int(offset), int(nbytes)
+                )
+                node_list = list(node_ids)
+                yield pd.DataFrame(
+                    {
+                        "ts": pd.Series([ts] * len(node_list)),
+                        "node_id": node_list,
+                        "value": values,
+                    }
+                )
+
+    return splits.mapInPandas(decode, schema=TIMESERIES_OUT_SCHEMA)
+
+
 def netcdf_to_parquet(
     spark: SparkSession,
     nc_path: str,
