@@ -21,18 +21,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 
-from adcirctime2cogs_spark.tables import TABLE_SCHEMAS
+from adcirctime2cogs_spark.tables import TABLE_SCHEMAS, _events_ts_is_nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns timestamps read as
-    long, converted like tables.load_table)."""
+    """File-source stream over the events parquet, probing the footer
+    like tables.load_table (ts has shipped as both int64-nanos and
+    native TIMESTAMP_MICROS across fixture generations)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = TABLE_SCHEMAS["events"]
+    nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    if nanos:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema.fields
+            ]
+        )
     raw = (
-        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

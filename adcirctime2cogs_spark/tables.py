@@ -10,6 +10,7 @@ pruning) and make the oracle comparison type-stable.
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -80,14 +81,16 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is TIMESTAMP(NANOS) on disk; with spark.sql.legacy.parquet
-    # .nanosAsLong it scans as int64 nanoseconds and load_table converts
-    # to TimestampType by ns->us truncation (DuckDB's timestamps are us,
-    # so both engines see identical values).
+    # ts encoding varies by fixture generation: TIMESTAMP(NANOS) (older
+    # drops; scanned as int64 via spark.sql.legacy.parquet.nanosAsLong
+    # and truncated ns->us in load_table) or native TIMESTAMP_MICROS
+    # (newer drops; read directly).  load_table probes the footer once
+    # per path and picks the right schema, so both engines (Spark and
+    # the DuckDB oracle, whose timestamps are us) see identical values.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -115,16 +118,35 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
 
+@_lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """True if events.ts is physically int64 nanoseconds (TIMESTAMP(NANOS)
+    or plain INT64) rather than a native us/ms timestamp.  One footer
+    read per path, driver-side, cached for the process lifetime."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    return not (pa.types.is_timestamp(t) and t.unit in ("us", "ms"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
-    if name == "events":
+    schema = TABLE_SCHEMAS[name]
+    if name == "events" and _events_ts_is_nanos(path):
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
         # integer div: ts is ~1.7e18 ns — float division would lose µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
