@@ -96,6 +96,134 @@ def test_netcdf_adapter_with_injected_decoder(spark, tmp_path):
     assert len(nulls) == 2  # masked dry nodes -> SQL nulls
 
 
+def test_netcdf_split_scan_one_task_per_timestep(spark, tmp_path):
+    """Large-file path (VERDICT #6): F files x T timesteps -> F*T
+    byte-range tasks; no task ever sees whole-file content — the range
+    decoder gets (path, offset, nbytes) and opens the file itself."""
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
+
+    HDR, T, NODES = 8, 3, 4
+    block = NODES * 8
+    for fname, base in (("fort.63.nc", 0.0), ("fort2.63.nc", 100.0)):
+        payload = b"\x89HDF-hdr" + b"".join(
+            np.array(
+                [base + 10 * t + n for n in range(NODES)], dtype="<f8"
+            ).tobytes()
+            for t in range(T)
+        )
+        (tmp_path / fname).write_bytes(payload)
+
+    def splitter(path, length):
+        assert length == HDR + T * block  # metadata-only listing saw the file
+        return [(t, HDR + t * block, block) for t in range(T)]
+
+    def range_decoder(path, variable, t_idx, offset, nbytes):
+        assert variable == "zeta" and nbytes == block
+        local = path.removeprefix("file:")
+        with open(local, "rb") as fh:
+            fh.seek(offset)
+            buf = fh.read(nbytes)  # ONLY the split's range is read
+        vals = np.frombuffer(buf, dtype="<f8")
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t_idx), range(
+            NODES
+        ), vals
+
+    df = scan_netcdf_split(
+        spark,
+        str(tmp_path / "*.nc"),
+        "zeta",
+        splitter=splitter,
+        range_decoder=range_decoder,
+    )
+    # one planned task per (file, timestep) split
+    assert df.rdd.getNumPartitions() == 2 * T
+    rows = df.collect()
+    assert len(rows) == 2 * T * NODES
+    # every (file, timestep, node) value decodes from the right range
+    for t in range(T):
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t)
+        for n in range(NODES):
+            vals = sorted(r.value for r in rows
+                          if r.ts == ts and r.node_id == n)
+            assert vals == [10.0 * t + n, 100.0 + 10 * t + n]
+
+
+def test_netcdf_split_default_splitter_gated(spark, tmp_path):
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
+
+    nc = tmp_path / "y.nc"
+    nc.write_bytes(b"00")
+    with pytest.raises(Exception, match="(?i)h5py|notimplemented"):
+        scan_netcdf_split(spark, str(nc), "zeta")
+
+
+class _FakeS3Client:
+    """Minimal boto3-shaped client (reference s3_utilities.py:33-49
+    semantics: list/create/upload with public-read ACL)."""
+
+    def __init__(self, buckets=(), fail_upload=False):
+        self.buckets = list(buckets)
+        self.fail_upload = fail_upload
+        self.calls = []
+
+    def list_buckets(self):
+        return {"Buckets": [{"Name": b} for b in self.buckets]}
+
+    def create_bucket(self, Bucket, CreateBucketConfiguration):
+        self.calls.append(("create", Bucket, CreateBucketConfiguration))
+        self.buckets.append(Bucket)
+        return {"Location": Bucket}
+
+    def upload_file(self, path, bucket, key, ExtraArgs):
+        if self.fail_upload:
+            raise RuntimeError("simulated ClientError")
+        self.calls.append(("upload", path, bucket, key, ExtraArgs))
+
+
+def test_s3_sink_with_fake_client(tmp_path):
+    """VERDICT #7: the boto3-gated artifact sink, driven by an injected
+    fake client — bucket membership, create-with-region, upload ACL,
+    and the reference's non-fatal failed-upload contract."""
+    from adcirctime2cogs_spark.sinks.sidecar import (
+        bucket_exists,
+        ensure_bucket,
+        upload_to_s3,
+    )
+
+    c = _FakeS3Client(buckets=["have"])
+    assert bucket_exists("have", client=c)
+    assert not bucket_exists("missing", client=c)
+
+    assert ensure_bucket("have", client=c) is None  # no-op when present
+    ensure_bucket("missing", region="us-west-1", client=c)
+    assert bucket_exists("missing", client=c)
+    assert ("create", "missing", {"LocationConstraint": "us-west-1"}) in c.calls
+
+    art = tmp_path / "mosaic.zip"
+    art.write_bytes(b"zip")
+    assert upload_to_s3("missing", "runs/mosaic.zip", str(art), client=c)
+    up = next(x for x in c.calls if x[0] == "upload")
+    assert up[1:] == (str(art), "missing", "runs/mosaic.zip",
+                      {"ACL": "public-read"})
+
+    bad = _FakeS3Client(buckets=["b"], fail_upload=True)
+    assert upload_to_s3("b", "k", str(art), client=bad) is False  # non-fatal
+
+
+def test_s3_default_client_gated():
+    """Without boto3 the default client raises the documented gate; with
+    it (no creds in this image) a failed upload stays non-fatal False."""
+    from adcirctime2cogs_spark.sinks.sidecar import upload_to_s3
+
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="boto3"):
+            upload_to_s3("b", "k", "/nonexistent")
+    else:
+        assert upload_to_s3("b", "k", "/nonexistent") is False
+
+
 def test_netcdf_default_decoder_gated(spark, tmp_path):
     nc = tmp_path / "x.nc"
     nc.write_bytes(b"00")
