@@ -1,0 +1,291 @@
+"""Graph & dimension-maintenance operators (SURVEY §2B extensions).
+
+Large-scale training-data pipelines need a handful of operator shapes
+the plain relational suite doesn't exercise:
+
+- **iterative fixed-point over a graph** (`graph_pagerank`) — the
+  canonical "loop of join+aggregate" pattern (same skeleton as
+  dedup_components' connected components, but with floating-point
+  state and per-edge weights);
+- **wedge/triangle mining** (`graph_triangle_count`) — the self-join
+  pattern whose cost is bounded by ordering each edge (a<b), the
+  standard trick that also caps wedge skew;
+- **heavy-hitter detection** (`agg_heavy_hitters`) — skew *detection*
+  as a first-class query (the salting strategy in join_skew_salted
+  needs to know its keys from somewhere);
+- **SCD Type-2 dimension build** (`scd2_intervals`) — change-log →
+  validity-interval reshaping, the standard warehouse maintenance op.
+
+The event graph is deterministic: within each event_type stream ordered
+by (ts, event_id), each event's user links to the next event's user —
+a co-occurrence chain needing no RNG, so both engines derive the exact
+same edge list.
+
+All plans are single-pass DataFrame compositions; the PageRank loop
+materializes only O(nodes) state per round and shuffles on the edge
+key, which is the minimum any distributed PageRank pays.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# shared deterministic edge derivation (Spark + the oracle CTE below)
+_EDGES_CTE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         lead(user_id) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+edges AS (
+  SELECT user_id AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id
+)
+"""
+
+
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed follow-on edges of the per-type event streams."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", F.lead("user_id").over(w).alias("nxt")
+    )
+    return seq.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id"))
+    ).select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+
+
+_PAGERANK_SQL = (
+    _EDGES_CTE
+    + """,
+nodes AS (
+  SELECT DISTINCT u FROM (SELECT src AS u FROM edges
+                          UNION SELECT dst FROM edges)
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (
+  SELECT nd.u, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.inc, 0.0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS u, sum(r0.r / deg.d) AS inc
+    FROM edges e JOIN r0 ON r0.u = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.u = nd.u
+),
+r2 AS (
+  SELECT nd.u, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.inc, 0.0) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS u, sum(r1.r / deg.d) AS inc
+    FROM edges e JOIN r1 ON r1.u = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.u = nd.u
+)
+SELECT u AS user_id, round((SELECT n FROM nn) * r, 4) AS pr_scaled
+FROM r2
+"""
+)
+
+
+@_register("graph_pagerank", _PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank iterations over the event co-occurrence
+    graph (damping 0.85, uniform init; the simplified variant without
+    dangling-mass redistribution — dangling rank leaks identically in
+    both engines).
+
+    Scale shape: edges+degrees are computed once and persisted; each
+    round is edges ⋈ ranks on src (one hash shuffle, reusable across
+    rounds since the partitioning key never changes) → groupBy dst
+    partial-aggregated contribution sum → left join back to the node
+    set. State per round is O(nodes); with checkpointing every ~10
+    rounds this is the textbook distributed PageRank. The fixed
+    2-iteration form keeps a portable SQL oracle (each round is one
+    CTE); convergence-loop users call `pagerank_iterations` directly.
+
+    Ranks are emitted scaled by N (so values are O(1) and the shared
+    round-4dp convention is meaningful at any graph size)."""
+    return pagerank_iterations(_event_edges(spark, sf_dir), iterations=2)
+
+
+def pagerank_iterations(edges: DataFrame, iterations: int) -> DataFrame:
+    """PageRank driver: N damped rounds over (src, dst) edges, returning
+    (user_id, pr_scaled). Persists the loop invariants."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # driver-side scalar: the node count parameterizes the teleport term
+    n = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, ranks.u == edges.src)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("inc"))
+        )
+        ranks = nodes.join(contrib, nodes.u == contrib.dst, "left").select(
+            "u",
+            (F.lit(0.15 / n) + 0.85 * F.coalesce("inc", F.lit(0.0))).alias("r"),
+        )
+    return ranks.select(
+        F.col("u").alias("user_id"), r4(F.lit(n) * F.col("r")).alias("pr_scaled")
+    )
+
+
+_TRIANGLE_SQL = (
+    _EDGES_CTE
+    + """,
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM ue e1
+  JOIN ue e2 ON e2.a = e1.b
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT v AS user_id, count(*) AS n_triangles
+FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY v
+"""
+)
+
+
+@_register("graph_triangle_count", _TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation over the undirected event
+    graph.
+
+    Each triangle is enumerated exactly once by canonicalizing edges to
+    a < b and chaining a<b<c — the ordering also bounds the wedge join
+    (every wedge is rooted at its smallest vertex, the standard
+    skew-capping trick: a hub node only roots wedges toward
+    larger-id neighbors). Two equi-joins on the edge key; no cross
+    join, no windows."""
+    edges = _event_edges(spark, sf_dir)
+    ue = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e2 = ue.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = ue.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        ue.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    verts = (
+        tri.select(F.col("a").alias("v"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+    )
+    return verts.groupBy(F.col("v").alias("user_id")).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+@_register(
+    "agg_heavy_hitters",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT count(*) AS k, sum(n) AS tot FROM c)
+    SELECT user_id, n AS n_events
+    FROM c, t
+    WHERE n * k * 20 > 23 * tot
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users with event volume > 1.15× the mean —
+    the key inventory a skew-mitigation pass (join_skew_salted) salts.
+
+    The threshold compare is integer-exact (cross-multiplied counts,
+    n*k*20 > 23*tot) so no fp-average boundary can flip membership
+    between engines. One hash aggregate + a broadcast of the two-value
+    totals row; the per-key count table never leaves the executors."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n")).persist()
+    totals = counts.agg(
+        F.count("*").alias("k"), F.sum("n").alias("tot")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .filter(F.col("n") * F.col("k") * 20 > 23 * F.col("tot"))
+        .select("user_id", F.col("n").alias("n_events"))
+    )
+
+
+@_register(
+    "scd2_intervals",
+    """
+    SELECT user_id,
+           round(value, 4) AS attr,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'signup' AND user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: fold a change log (signup events as
+    attribute updates) into validity intervals [valid_from, valid_to)
+    with an is_current flag — the standard warehouse dimension-
+    maintenance reshape.
+
+    One window per natural key (partition-local sort after a single
+    hash shuffle on user_id); no join, no second pass. At 100 TB the
+    per-key history is small even when the log is huge, so the shuffle
+    on the natural key is the whole cost."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        events.filter((F.col("event_type") == "signup") & (F.col("user_id") < 40))
+        .select(
+            "user_id",
+            r4(F.col("value")).alias("attr"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+                F.lit("9999-12-31 00:00:00"),
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )

@@ -155,6 +155,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
+        "agg_heavy_hitters": 1,       # single-row totals broadcast
     }
     spark.catalog.clearCache()
     bad = []
