@@ -317,17 +317,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
     )
-    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
+    # the lexicographic (o_orderdate, o_orderkey) max, packed into ONE
+    # BIGINT: max(struct) only plans as a SortAggregate (struct isn't a
+    # mutable hash-agg buffer type), which buys two per-task sorts of
+    # the expanded join output; max(bigint) hash-aggregates in
+    # whole-stage codegen. o_orderdate is day-granular, so
+    # days-since-epoch (< 2^15) shifted by 2^40 leaves room for order
+    # keys up to ~10^12 — far past any plausible scale factor.
+    shift = F.lit(1 << 40)
+    packed = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * shift
+        + F.col("o_orderkey")
+    )
     return (
         joined.groupBy("event_id", "user_id")
-        .agg(best)
+        .agg(F.max(packed).alias("bp"))
         .select(
             "event_id",
             "user_id",
-            F.col("best.o_orderkey").alias("o_orderkey"),
-            F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
-                "asof_orderdate"
-            ),
+            (F.col("bp") % shift).alias("o_orderkey"),
+            # integer div: packed values pass 2^53, fp division would
+            # round the day count
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.expr(f"bp div {1 << 40}").cast("int"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("asof_orderdate"),
         )
     )
 

@@ -168,6 +168,15 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
     assert not bad, bad
 
 
+def test_asof_pick_is_hash_agg_not_sort(spark, sf_dir):
+    """The as-of pick must stay a packed-BIGINT max (HashAggregate in
+    codegen) — a struct max regresses to SortAggregate and buys two
+    per-task sorts of the expanded join output."""
+    plan = _plan(relational.join_asof(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "partial_max" in plan
+
+
 def test_sort_merge_hint_respected(spark, sf_dir):
     from adcirctime2cogs_spark.operators.relational2 import join_sort_merge
 
