@@ -224,6 +224,37 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert sorted(r.event_id for r in final.collect()) == [1, 2, 3, 4, 5]
 
 
+def test_regrid_stream_matches_batch(spark, tmp_path):
+    """The domain flagship on Structured Streaming: timesteps arriving
+    as file drops regrid incrementally (one micro-batch per drop) and
+    the final state equals the batch regrid — nulls (dry nodes)
+    included."""
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.streaming import regrid_stream as rs
+
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    ts_batch = mm.timeseries_df(spark).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "drops")
+    # one file per timestep = the forecast-advisory arrival pattern
+    ts_batch.repartition(3, "ts").write.parquet(src)
+    stream = rs.read_timeseries_stream(spark, src, max_files_per_trigger=1)
+    out = sw.run_to_memory(rs.regrid_stream(w, stream), "t_regrid")
+
+    batch = regrid(w, ts_batch)
+    # round the value: the 3-term w·v sum folds in arrival order on the
+    # streaming side, so the last ulp can differ from the batch plan
+    cols = ["ts", "cell_id", "grid_row", "grid_col"]
+    rounded = lambda df: _rows(df.withColumn("value", F.round("value", 9)),
+                               cols + ["value"])
+    assert rounded(out) == rounded(batch)
+    # the dry-node cell nulls must survive the streaming path too
+    assert any(r[4] is None for r in rounded(out))
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
     from adcirctime2cogs_spark.tables import load_table
 
