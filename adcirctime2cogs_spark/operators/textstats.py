@@ -461,3 +461,101 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("alp").alias("avg_logprob"),
         r4(F.exp(-F.col("alp"))).alias("ppl_proxy"),
     )
+
+
+_BM25_TERMS = ("spark", "query", "vector")
+
+
+@_register(
+    "text_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    ad AS (SELECT sum(dl) * 1.0 / (SELECT n FROM nn) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf FROM tok
+      WHERE t IN ('spark', 'query', 'vector') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(((SELECT n FROM nn) - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                / (SELECT avgdl FROM ad)))) AS s
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(s, 4) AS bm25,
+             row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, bm25, rn FROM ranked WHERE rn <= 25
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query
+    against the corpus, top-25 documents.
+
+    Same corpus-statistic skeleton as text_tfidf_top (token explode →
+    tf/df hash aggs), plus the doc-length normalization BM25 adds: dl
+    joins per doc, avgdl and N ride in as broadcast one-row aggregates
+    (scalar-subquery shape, no driver collect). The query-term filter
+    lands BEFORE the tf aggregation, so the scored table is
+    O(n_docs × |query|), not O(corpus vocabulary). Global top-k is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    heaps, no global sort) — with the dense rank stamped afterwards on
+    the 25 surviving rows. Ranking compares the 4dp-rounded score (ties
+    broken by doc_id) so a last-ulp fold difference cannot reorder
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    nn = docs.agg(F.count("*").alias("n"))
+    ad = dl.crossJoin(F.broadcast(nn)).agg(
+        (F.sum("dl") * 1.0 / F.first("n")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("t").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dfq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+    top = (
+        scored.select("doc_id", r4("s").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(25)
+    )
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.withColumn("rn", F.row_number().over(w))

@@ -156,6 +156,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast
+        "text_bm25_topk": 3,          # N + avgdl one-row broadcasts
     }
     spark.catalog.clearCache()
     bad = []
