@@ -225,6 +225,64 @@ def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_zorder_key_matches_python_interleave(spark):
+    """The shift-mask cascade must equal a bit-by-bit reference
+    interleave for random coordinates."""
+    import random
+
+    from adcirctime2cogs_spark.functions.spatial import BITS, zorder_key
+
+    rng = random.Random(3)
+    bbox = (0.0, 0.0, 1.0, 1.0)
+    pts = [(rng.random(), rng.random()) for _ in range(200)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = [
+        r.zkey
+        for r in df.select(zorder_key(F.col("lon"), F.col("lat"), bbox))
+        .collect()
+    ]
+
+    def interleave(x, y):
+        out = 0
+        for b in range(BITS):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    scale = (1 << BITS) - 1
+    want = [interleave(int(x * scale), int(y * scale)) for x, y in pts]
+    assert got == want
+
+
+def test_zorder_write_prunes_bbox_scans(spark, tmp_path):
+    """Z-order layout: a bbox filter over the Morton-clustered mesh
+    parquet must skip most row groups on lon/lat min/max stats — the
+    2-D analogue of the sorted-write time-skipping test below. File-
+    order (spatially random) writes can't prune at all, so the gate is
+    relative: the clustered scan reads a small fraction of the rows."""
+    import random
+
+    from adcirctime2cogs_spark.functions.spatial import write_zordered
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-80.0, -60.0), rng.uniform(20.0, 40.0))
+           for i in range(120_000)]
+    nodes = spark.createDataFrame(pts, "node_id long, lon double, lat double")
+    out = str(tmp_path / "nodes_z")
+    write_zordered(nodes, out, bbox=(-80.0, 20.0, -60.0, 40.0),
+                   n_files=4, row_group_bytes=64 * 1024)
+
+    df = spark.read.parquet(out).filter(
+        (F.col("lon") >= -71.0) & (F.col("lon") <= -69.0)
+        & (F.col("lat") >= 29.0) & (F.col("lat") <= 31.0)
+    )
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    rows_read = scan.metrics().apply("numOutputRows").value()
+    # the bbox is 1% of the domain area; stats pruning must cut the
+    # scan to well under a quarter of the table
+    assert rows_read < 30_000, f"z-ordered scan read {rows_read}/120000 rows"
+
+
 def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     """Range-partition + sort-within on the time column, then read with
     a narrow time filter: parquet min/max stats must prune most row
