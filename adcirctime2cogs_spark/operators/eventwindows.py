@@ -576,3 +576,77 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(zc).alias("z"),
         )
     )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vt
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage, 'view' AS _s, count(*) AS n_users FROM v
+      UNION ALL SELECT 2, 'click', count(*) FROM c
+      UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click
+    — the product-analytics staple (strict event-order semantics, not
+    mere set membership).
+
+    Each stage is one conditional min-aggregate joined against the
+    previous stage's first-qualifying timestamp; all three joins key on
+    user_id, so at scale the event log shuffles once onto user_id and
+    every stage reuses that partitioning. No window over the raw event
+    stream, no per-user sort — stage k's state is one timestamp per
+    surviving user."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    counts = [
+        (1, v.agg(F.count("*").alias("n"))),
+        (2, c.agg(F.count("*").alias("n"))),
+        (3, p.agg(F.count("*").alias("n"))),
+    ]
+    out = None
+    for stage, df in counts:
+        row = df.select(
+            F.lit(stage).alias("stage"), F.col("n").alias("n_users")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
