@@ -289,3 +289,77 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.isNull().alias("is_current"),
         )
     )
+
+
+@_register(
+    "cdc_merge_apply",
+    """
+    WITH latest AS (
+      SELECT user_id + 1400 AS k,
+             arg_max(value, ts) AS v,
+             arg_max(event_type, ts) AS et
+      FROM events GROUP BY user_id
+    ),
+    ch AS (
+      SELECT k, round(v, 4) AS new_bal,
+             CASE WHEN et = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM latest
+    )
+    SELECT coalesce(c.c_custkey, ch.k) AS c_custkey,
+           coalesce(c.c_name, 'new-' || CAST(ch.k AS VARCHAR)) AS c_name,
+           CASE WHEN ch.k IS NOT NULL THEN ch.new_bal
+                ELSE round(c.c_acctbal, 4) END AS acctbal,
+           coalesce(c.c_mktsegment, 'NEW') AS c_mktsegment,
+           CASE WHEN ch.k IS NULL THEN 'carry'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.k
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (upsert + delete) without a table format: fold a
+    change stream into a dimension snapshot in one full-outer join —
+    the batch equivalent of Delta/Iceberg MERGE INTO, expressed as a
+    pure Spark plan over immutable parquet.
+
+    Change extraction is one hash agg (max_by on the unique-per-user
+    event time picks the latest change); the merge itself is a single
+    full-outer equi-join on the natural key, so the whole CDC apply
+    shuffles each side once on that key. Matched 'error' changes delete
+    the row, other matches update in place, unmatched changes insert,
+    untouched rows carry — the action column makes the branch auditable
+    downstream. The key offset (+1400) makes the change set straddle
+    the snapshot boundary so every branch has rows at every SF."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    latest = (
+        events.groupBy((F.col("user_id") + 1400).alias("k"))
+        .agg(
+            F.expr("max_by(value, ts)").alias("v"),
+            F.expr("max_by(event_type, ts)").alias("et"),
+        )
+    )
+    ch = latest.select(
+        "k",
+        r4(F.col("v")).alias("new_bal"),
+        F.when(F.col("et") == "error", "D").otherwise("U").alias("op"),
+    )
+    merged = customer.join(ch, customer.c_custkey == ch.k, "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_custkey", "k").alias("c_custkey"),
+            F.coalesce(
+                "c_name", F.concat(F.lit("new-"), F.col("k").cast("string"))
+            ).alias("c_name"),
+            F.when(F.col("k").isNotNull(), F.col("new_bal"))
+            .otherwise(r4(F.col("c_acctbal")))
+            .alias("acctbal"),
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("c_mktsegment"),
+            F.when(F.col("k").isNull(), "carry")
+            .when(F.col("c_custkey").isNull(), "insert")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )
