@@ -1,0 +1,121 @@
+"""ADCIRC NetCDF as a native Spark 4 Python DataSource.
+
+`scan_netcdf_split` (netcdf.py) composes the per-timestep byte-range
+scan out of binaryFile + mapInPandas; this module packages the same
+plan as a first-class `spark.read.format("adcirc_netcdf")` source
+(PySpark 4's DataSource API), so the scan participates in Spark's
+source machinery directly: one InputPartition per (file, timestep)
+byte-range split, Arrow RecordBatch output, schema declared up front.
+
+    spark.dataSource.register(AdcircNetCDFDataSource)
+    df = (spark.read.format("adcirc_netcdf")
+          .option("path", "/data/fort.63.nc")
+          .option("variable", "zeta")
+          .load())
+
+Decoder injection mirrors netcdf.py: the container has no NetCDF
+library, so `splitter` / `range_decoder` callables may be passed to the
+constructor-bound class via `with_codecs` (cloudpickle ships them to
+the python workers with the DataSource instance); the defaults gate on
+the missing dependency with a clear error. Reference semantics:
+per-timestep chunking = chunks={'time': 1}
+(run/utilities/adcirc_dask_utilities.py:42).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from adcirctime2cogs_spark.sources.netcdf import (
+    TIMESERIES_OUT_SCHEMA,
+    _default_range_decoder,
+    _default_splitter,
+)
+
+
+class _TimestepSplit(InputPartition):
+    def __init__(self, path: str, t_idx: int, offset: int, nbytes: int):
+        self.path = path
+        self.t_idx = t_idx
+        self.offset = offset
+        self.nbytes = nbytes
+
+
+class _NetCDFReader(DataSourceReader):
+    def __init__(
+        self,
+        options: dict,
+        splitter: Callable,
+        range_decoder: Callable,
+    ):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("adcirc_netcdf requires .option('path', ...)")
+        self.variable = options.get("variable", "zeta")
+        self.splitter = splitter
+        self.range_decoder = range_decoder
+
+    def partitions(self):
+        """One InputPartition per (file, timestep) — planned driver-side
+        from file metadata, exactly like FileSourceScanExec split
+        planning; no file content is read here beyond the splitter's
+        header probe."""
+        paths = sorted(_glob.glob(self.path)) or [self.path]
+        return [
+            _TimestepSplit(p, int(t), int(off), int(nb))
+            for p in paths
+            for (t, off, nb) in self.splitter(p, os.path.getsize(p))
+        ]
+
+    def read(self, split: _TimestepSplit) -> Iterator[tuple]:
+        from datetime import timezone
+
+        ts, node_ids, values = self.range_decoder(
+            split.path, self.variable, split.t_idx, split.offset, split.nbytes
+        )
+        # the Arrow bridge wants tz-aware stamps; decoders naturally
+        # return naive UTC (NetCDF time axes carry no zone)
+        if getattr(ts, "tzinfo", None) is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        for node_id, value in zip(node_ids, values):
+            v = float(value)
+            # NaN fill values -> SQL null at ingest (reference masked
+            # array semantics, run/utilities/adcirc_utilities.py:30)
+            yield ts, int(node_id), (None if v != v else v)
+
+
+class AdcircNetCDFDataSource(DataSource):
+    """`format("adcirc_netcdf")` — per-timestep partitioned scan."""
+
+    _splitter = staticmethod(_default_splitter)
+    _range_decoder = staticmethod(_default_range_decoder)
+
+    @classmethod
+    def name(cls) -> str:
+        return "adcirc_netcdf"
+
+    def schema(self) -> str:
+        return TIMESERIES_OUT_SCHEMA
+
+    def reader(self, schema) -> _NetCDFReader:
+        return _NetCDFReader(self.options, self._splitter, self._range_decoder)
+
+    @classmethod
+    def with_codecs(
+        cls, splitter: Callable, range_decoder: Callable
+    ) -> type["AdcircNetCDFDataSource"]:
+        """A registerable subclass with injected split/decode callables
+        (the no-NetCDF-library test path, and the hook for xarray/h5py
+        codecs on equipped hosts)."""
+        return type(
+            "AdcircNetCDFDataSourceInjected",
+            (cls,),
+            {
+                "_splitter": staticmethod(splitter),
+                "_range_decoder": staticmethod(range_decoder),
+            },
+        )

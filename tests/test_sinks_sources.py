@@ -148,6 +148,59 @@ def test_netcdf_split_scan_one_task_per_timestep(spark, tmp_path):
             assert vals == [10.0 * t + n, 100.0 + 10 * t + n]
 
 
+def test_netcdf_python_datasource(spark, tmp_path):
+    """The same byte-range scan as a native Spark 4 Python DataSource:
+    format('adcirc_netcdf') with injected codecs — one InputPartition
+    per timestep, NaN→null at ingest."""
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+
+    HDR, T, NODES = 8, 3, 4
+    block = NODES * 8
+    payload = b"\x89HDF-hdr" + b"".join(
+        np.array(
+            [10.0 * t + n if (t, n) != (1, 2) else float("nan")
+             for n in range(NODES)],
+            dtype="<f8",
+        ).tobytes()
+        for t in range(T)
+    )
+    (tmp_path / "fort.63.nc").write_bytes(payload)
+
+    def splitter(path, length):
+        return [(t, HDR + t * block, block) for t in range(T)]
+
+    def range_decoder(path, variable, t_idx, offset, nbytes):
+        assert variable == "zeta"
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            vals = np.frombuffer(fh.read(nbytes), dtype="<f8")
+        return (
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t_idx),
+            range(NODES),
+            vals,
+        )
+
+    spark.dataSource.register(
+        AdcircNetCDFDataSource.with_codecs(splitter, range_decoder)
+    )
+    df = (
+        spark.read.format("adcirc_netcdf")
+        .option("path", str(tmp_path / "*.nc"))
+        .option("variable", "zeta")
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<ts:timestamp,node_id:bigint,value:double>"
+    )
+    assert df.rdd.getNumPartitions() == T  # one partition per timestep
+    rows = {(r.ts.hour, r.node_id): r.value for r in df.collect()}
+    assert len(rows) == T * NODES
+    assert rows[(0, 3)] == 3.0 and rows[(2, 1)] == 21.0
+    assert rows[(1, 2)] is None  # NaN fill -> SQL null
+
+
 def test_netcdf_split_default_splitter_gated(spark, tmp_path):
     from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
 
