@@ -650,3 +650,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                                 date_trunc('week', e.ts)) / 7) AS BIGINT)
+             AS week_k,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as active in each subsequent week — the standard
+    product-analytics retention triangle.
+
+    One hash agg finds each user's cohort anchor, one join fans it back
+    over the event log (both keyed on user_id — a single shuffle
+    partitioning serves both), and one distinct-count agg builds the
+    matrix. Week arithmetic stays on day-granular truncated stamps so
+    the /7 division is exact in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort_w = F.date_trunc("week", F.col("first_ts"))
+    event_w = F.date_trunc("week", F.col("ts"))
+    return (
+        events.join(firsts, "user_id")
+        .groupBy(
+            F.date_format(cohort_w, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(event_w, cohort_w) / 7)
+            .cast("long")
+            .alias("week_k"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

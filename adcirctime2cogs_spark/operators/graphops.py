@@ -363,3 +363,45 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@_register(
+    "mining_basket_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def mining_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in the same order,
+    with support counts (the pairwise level of frequent-itemset
+    mining).
+
+    The pair explode self-joins on the order key, so its output is
+    bounded by sum(basket²) — baskets are small and bounded (TPC-H ≤ 7
+    lines), which is what makes the per-key self-join safe where a
+    general self-join would not be; the a<b ordering halves the output
+    and canonicalizes pairs. The support agg then shuffles once on the
+    pair. Same inverted-index shape as dedup's shingle posting lists,
+    with the basket as the posting list."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
