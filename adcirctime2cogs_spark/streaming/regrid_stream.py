@@ -67,3 +67,43 @@ def regrid_stream(
             F.when(F.col("_nvals") == F.col("_nw"), F.col("_sum")).alias("value"),
         )
     )
+
+
+def run_regrid_to_cogs(
+    regridded: DataFrame, spec, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Continuous COG production: drive the streaming regrid with a
+    foreachBatch hook that pushes each micro-batch's COMPLETED
+    timesteps (append mode — emitted exactly once, when the watermark
+    passes them) through the batch COG sink. Returns the number of
+    non-empty micro-batches.
+
+    This closes the reference's whole dataflow as one always-on job:
+    NetCDF drop → regrid → per-timestep COG, checkpointed and
+    exactly-once, where the reference re-runs a batch CLI per advisory
+    (run/adcircTime2cogs.py:266)."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+
+    n_batches = 0
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        rows = batch_df.withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        )
+        if rows.isEmpty():
+            return
+        n_batches += 1
+        write_cogs(rows, spec, out_dir).collect()
+
+    q = (
+        regridded.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return n_batches

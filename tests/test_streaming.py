@@ -255,6 +255,83 @@ def test_regrid_stream_matches_batch(spark, tmp_path):
     assert any(r[4] is None for r in rounded(out))
 
 
+def test_streaming_cog_pipeline_end_to_end(spark, tmp_path):
+    """The reference's whole dataflow as one always-on job: timestep
+    file drops → watermarked streaming regrid → per-timestep COG files
+    via foreachBatch, byte-comparable to the batch pipeline's COGs."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+    from adcirctime2cogs_spark.streaming import regrid_stream as rs
+
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    ts_batch = mm.timeseries_df(spark).withColumn("ts", F.to_timestamp("ts"))
+    pdf = ts_batch.toPandas().sort_values(["ts", "node_id"])
+    stamps = sorted(pdf["ts"].unique())
+
+    # one parquet drop per timestep, mtimes ascending so the file
+    # source replays them in arrival order; a final sentinel drop
+    # advances the watermark past the last real timestep
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    sentinel = stamps[-1] + np.timedelta64(2, "h")
+    batches = [pdf[pdf["ts"] == t] for t in stamps]
+    batches.append(
+        pdf[pdf["ts"] == stamps[0]].assign(ts=sentinel)
+    )
+    for i, b in enumerate(batches):
+        path = str(drops / f"drop{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(b["ts"], pa.timestamp("us")),
+                    "node_id": pa.array(b["node_id"], pa.int64()),
+                    "value": pa.array(b["value"], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = rs.read_timeseries_stream(spark, str(drops), max_files_per_trigger=1)
+    regridded = rs.regrid_stream(w, stream, watermark="30 minutes")
+    out_s = str(tmp_path / "cogs_stream")
+    n = rs.run_regrid_to_cogs(
+        regridded, mm.GRID, out_s, str(tmp_path / "ck")
+    )
+    assert n >= 1
+
+    out_b = str(tmp_path / "cogs_batch")
+    batch_manifest = write_cogs(
+        regrid(w, ts_batch).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ),
+        mm.GRID,
+        out_b,
+    ).collect()
+    # every real timestep's streaming COG exists and matches the batch
+    # raster cell-for-cell (sentinel never completes, so no extra file)
+    stream_files = sorted(os.listdir(out_s))
+    batch_files = sorted(os.listdir(out_b))
+    assert stream_files == batch_files
+    assert len(batch_manifest) == len(stamps)
+    for f in batch_files:
+        if not f.endswith(".npz"):
+            continue
+        a = np.load(os.path.join(out_s, f))["raster"]
+        b = np.load(os.path.join(out_b, f))["raster"]
+        assert np.allclose(a, b, equal_nan=True)
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
     from adcirctime2cogs_spark.tables import load_table
 
