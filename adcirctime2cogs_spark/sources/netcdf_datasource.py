@@ -28,7 +28,12 @@ import glob as _glob
 import os
 from collections.abc import Callable, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from adcirctime2cogs_spark.sources.netcdf import (
     TIMESERIES_OUT_SCHEMA,
@@ -104,6 +109,11 @@ class AdcircNetCDFDataSource(DataSource):
     def reader(self, schema) -> _NetCDFReader:
         return _NetCDFReader(self.options, self._splitter, self._range_decoder)
 
+    def simpleStreamReader(self, schema) -> "_NetCDFStreamReader":
+        return _NetCDFStreamReader(
+            self.options, self._splitter, self._range_decoder
+        )
+
     @classmethod
     def with_codecs(
         cls, splitter: Callable, range_decoder: Callable
@@ -119,3 +129,65 @@ class AdcircNetCDFDataSource(DataSource):
                 "_range_decoder": staticmethod(range_decoder),
             },
         )
+
+
+class _NetCDFStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over an arriving-NetCDF directory.
+
+    Offset = {"consumed": {file_path: n_timesteps_read}} — new files
+    and newly-split timesteps of known files become the next batch.
+    Replay between committed offsets re-decodes exactly the same
+    byte ranges (splits are deterministic per file), giving the
+    exactly-once recovery contract for free."""
+
+    def __init__(self, options: dict, splitter: Callable, range_decoder: Callable):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("adcirc_netcdf requires .option('path', ...)")
+        self.variable = options.get("variable", "zeta")
+        self.splitter = splitter
+        self.range_decoder = range_decoder
+
+    def initialOffset(self) -> dict:
+        return {"consumed": {}}
+
+    def _splits_by_file(self) -> dict[str, list[tuple[int, int, int]]]:
+        paths = sorted(_glob.glob(self.path)) or []
+        return {
+            p: sorted(self.splitter(p, os.path.getsize(p)))
+            for p in paths
+        }
+
+    def _decode_rows(self, path: str, splits) -> Iterator[tuple]:
+        from datetime import timezone
+
+        for t, off, nb in splits:
+            ts, node_ids, values = self.range_decoder(
+                path, self.variable, int(t), int(off), int(nb)
+            )
+            if getattr(ts, "tzinfo", None) is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            for node_id, value in zip(node_ids, values):
+                v = float(value)
+                yield ts, int(node_id), (None if v != v else v)
+
+    def read(self, start: dict):
+        consumed = dict(start.get("consumed", {}))
+        rows: list[tuple] = []
+        for path, splits in self._splits_by_file().items():
+            done = consumed.get(path, 0)
+            fresh = splits[done:]
+            if fresh:
+                rows.extend(self._decode_rows(path, fresh))
+                consumed[path] = done + len(fresh)
+        return iter(rows), {"consumed": consumed}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        s = start.get("consumed", {})
+        for path, n_end in end.get("consumed", {}).items():
+            n_start = s.get(path, 0)
+            if n_end > n_start:
+                splits = sorted(
+                    self.splitter(path, os.path.getsize(path))
+                )[n_start:n_end]
+                yield from self._decode_rows(path, splits)

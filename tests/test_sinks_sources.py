@@ -201,6 +201,72 @@ def test_netcdf_python_datasource(spark, tmp_path):
     assert rows[(1, 2)] is None  # NaN fill -> SQL null
 
 
+def test_netcdf_datasource_stream_reader(spark, tmp_path):
+    """readStream.format('adcirc_netcdf'): files arriving in a watched
+    directory become micro-batches of decoded timesteps; the committed
+    offset tracks per-file consumed timesteps so every row lands
+    exactly once."""
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+
+    HDR, T, NODES = 8, 2, 3
+    block = NODES * 8
+
+    def write_nc(name, base):
+        payload = b"\x89HDF-hdr" + b"".join(
+            np.array([base + 10 * t + n for n in range(NODES)],
+                     dtype="<f8").tobytes()
+            for t in range(T)
+        )
+        (tmp_path / name).write_bytes(payload)
+
+    def splitter(path, length):
+        return [(t, HDR + t * block, block) for t in range(T)]
+
+    def range_decoder(path, variable, t_idx, offset, nbytes):
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            vals = np.frombuffer(fh.read(nbytes), dtype="<f8")
+        return (
+            pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t_idx),
+            range(NODES),
+            vals,
+        )
+
+    write_nc("a.nc", 0.0)
+    spark.dataSource.register(
+        AdcircNetCDFDataSource.with_codecs(splitter, range_decoder)
+    )
+    stream = (
+        spark.readStream.format("adcirc_netcdf")
+        .option("path", str(tmp_path / "*.nc"))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_nc_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.table("t_nc_stream").count() == T * NODES
+    # a file landing later is picked up by the next micro-batch only
+    # for its not-yet-consumed splits
+    write_nc("b.nc", 100.0)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("t_nc_stream").collect()
+    assert len(rows) == 2 * T * NODES
+    vals = sorted(r.value for r in rows)
+    want = sorted(
+        [10.0 * t + n for t in range(T) for n in range(NODES)]
+        + [100.0 + 10 * t + n for t in range(T) for n in range(NODES)]
+    )
+    assert vals == want
+
+
 def test_netcdf_split_default_splitter_gated(spark, tmp_path):
     from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
 
