@@ -87,8 +87,10 @@ _PRIORITY = [
     "join_asof",
     "join_range",
     "agg_rollup",
-    "win_rank",
-    "topk_per_group",
+    # iterative-graph + CDC representatives (windows stay covered by
+    # win_range_frame, per-group top-k by join_lateral_topk)
+    "graph_pagerank",
+    "cdc_merge_apply",
     "json_extract",
     "join_skew_salted",
     "subquery_correlated",
