@@ -136,11 +136,15 @@ _SIGN_SQL_TMPL = " + ".join(
              {_SIGN_SQL_TMPL.format(e="embedding")} AS bucket
       FROM embeddings
     ),
+    qp AS (
+      SELECT vec_id AS q_id, embedding AS q_emb,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+      FROM b WHERE vec_id < {N_QUERY_VECS}
+    ),
     pairs AS (
-      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-             round({_COS_SQL.format(a="q.embedding", b="c.embedding")}, 4) AS cos_sim
-      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-      WHERE q.vec_id < {N_QUERY_VECS}
+      SELECT DISTINCT q.q_id, c.vec_id AS c_id,
+             round({_COS_SQL.format(a="q.q_emb", b="c.embedding")}, 4) AS cos_sim
+      FROM qp q JOIN b c ON c.bucket = q.bucket AND q.q_id != c.vec_id
     )
     SELECT q_id, c_id, cos_sim FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
@@ -150,15 +154,25 @@ _SIGN_SQL_TMPL = " + ".join(
     """,
 )
 def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF/LSH-style ANN: candidates restricted to the probe's sign
-    bucket (equi-join on bucket key), exact cosine re-rank inside the
-    bucket. Sub-quadratic: comparisons scale with bucket occupancy, not
-    n^2 — the 100TB shape, trading recall for the dropped cross join."""
+    """Multiprobe sign-LSH ANN: candidates come from the probe's own
+    sign bucket PLUS the SIGN_BITS buckets one bit-flip away (standard
+    multiprobe LSH), exact cosine re-rank over the deduped candidate
+    set. Still sub-quadratic — comparisons scale with (SIGN_BITS+1) x
+    bucket occupancy, not n^2 — while multiprobe recovers most of the
+    recall a single-bucket lookup forfeits (a true neighbor differing
+    in one sign dim is still found). The probe fan-out rides the
+    broadcast side; the candidate table is never replicated."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(SIGN_BITS)],
+    )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probes).alias("bucket"),
     )
     c = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
@@ -172,6 +186,7 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
         )
+        .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
