@@ -46,6 +46,7 @@ class PipelineResult:
     cog_dir: str
     archive: str
     sidecars: list[str]
+    uploaded: bool = False
 
 
 def run_pipeline(
@@ -56,6 +57,8 @@ def run_pipeline(
     variable: str,
     res: float,
     bin_size_cells: float = 4.0,
+    s3_bucket: str | None = None,
+    s3_client=None,
 ) -> PipelineResult:
     """The whole dataflow; returns a small result summary (files are
     the real output, like the reference)."""
@@ -82,6 +85,23 @@ def run_pipeline(
 
     sidecars = write_mosaic_sidecars(cog_dir, f"{variable}_mosaic")  # O21
     archive = archive_output(cog_dir, final_dir)  # O22
+    uploaded = False
+    if s3_bucket:
+        # O23 (reference run/utilities/s3_utilities.py:33-49): ensure
+        # the bucket, ship the archive; a failed upload is non-fatal
+        # exactly like the reference's sidecar-upload contract
+        from adcirctime2cogs_spark.sinks.sidecar import (
+            ensure_bucket,
+            upload_to_s3,
+        )
+
+        ensure_bucket(s3_bucket, client=s3_client)
+        uploaded = upload_to_s3(
+            s3_bucket,
+            os.path.basename(archive),
+            archive,
+            client=s3_client,
+        )
     weights.unpersist()
 
     return PipelineResult(
@@ -90,6 +110,7 @@ def run_pipeline(
         cog_dir=cog_dir,
         archive=archive,
         sidecars=sidecars,
+        uploaded=uploaded,
     )
 
 
@@ -115,6 +136,7 @@ _ARG_DEFAULTS = {
     "input_file": "timeseries",
     "input_variable": "timeseries",
     "res": 0.005,
+    "s3_bucket": None,
 }
 
 
@@ -134,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input-file")
     p.add_argument("--input-variable")
     p.add_argument("--res", type=float)
+    p.add_argument("--s3-bucket")
     # every flag except --config must have a _ARG_DEFAULTS entry, or an
     # unset flag would be absent from the namespace (argument_default=
     # SUPPRESS) and blow up with AttributeError at first use
@@ -177,10 +200,12 @@ def main(argv: list[str] | None = None) -> int:
         args.final_dir,
         args.input_variable,
         args.res,
+        s3_bucket=args.s3_bucket,
     )
     print(
         f"wrote {result.n_timesteps} COGs ({result.n_cells} cells) to "
         f"{result.cog_dir}; archive {result.archive}"
+        + (" (uploaded)" if result.uploaded else "")
     )
     return 0
 

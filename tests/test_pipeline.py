@@ -59,6 +59,33 @@ def test_pipeline_end_to_end(spark, tmp_path):
         assert abs(arr[r, c] - (4 * cx - 7 * cy + 2)) < 1e-9
 
 
+def test_pipeline_s3_upload_with_fake_client(spark, tmp_path):
+    """--s3-bucket path: the pipeline ensures the bucket and ships the
+    archive through the injected client (reference O23 ordering:
+    create-if-missing, then upload, non-fatal on failure)."""
+    from tests.test_sinks_sources import _FakeS3Client
+
+    base = str(tmp_path / "in")
+    _write_input(spark, base)
+    client = _FakeS3Client()
+    result = run_pipeline(
+        spark,
+        base,
+        str(tmp_path / "out"),
+        str(tmp_path / "final"),
+        variable="zeta",
+        res=0.1,
+        bin_size_cells=3.0,
+        s3_bucket="cog-artifacts",
+        s3_client=client,
+    )
+    assert result.uploaded is True
+    assert "cog-artifacts" in client.buckets
+    up = next(c for c in client.calls if c[0] == "upload")
+    assert up[1] == result.archive and up[2] == "cog-artifacts"
+    assert up[3].endswith(".zip") and up[4] == {"ACL": "public-read"}
+
+
 def test_pipeline_yaml_config(tmp_path):
     """O26: YAML job config fills unset CLI flags; explicit flags win."""
     import pytest
