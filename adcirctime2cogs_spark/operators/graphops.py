@@ -133,9 +133,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iterations(_event_edges(spark, sf_dir), iterations=2)
 
 
-def pagerank_iterations(edges: DataFrame, iterations: int) -> DataFrame:
+def pagerank_iterations(
+    edges: DataFrame, iterations: int, checkpoint_every: int = 10
+) -> DataFrame:
     """PageRank driver: N damped rounds over (src, dst) edges, returning
-    (user_id, pr_scaled). Persists the loop invariants."""
+    (user_id, pr_scaled). Persists the loop invariants and truncates
+    the rank lineage with a localCheckpoint every `checkpoint_every`
+    rounds — without it, deep iteration counts replan an ever-growing
+    join tree (the same guard dedup_components uses)."""
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("u"))
@@ -147,7 +152,7 @@ def pagerank_iterations(edges: DataFrame, iterations: int) -> DataFrame:
     # driver-side scalar: the node count parameterizes the teleport term
     n = nodes.count()
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             edges.join(ranks, ranks.u == edges.src)
             .join(deg, "src")
@@ -158,6 +163,8 @@ def pagerank_iterations(edges: DataFrame, iterations: int) -> DataFrame:
             "u",
             (F.lit(0.15 / n) + 0.85 * F.coalesce("inc", F.lit(0.0))).alias("r"),
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("u").alias("user_id"), r4(F.lit(n) * F.col("r")).alias("pr_scaled")
     )

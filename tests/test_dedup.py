@@ -81,3 +81,21 @@ def test_minhash_ml_finds_planted_pairs(spark, sf_dir):
     assert exact, "fixture has no planted near-dup documents"
     missed = exact - ml
     assert not missed, f"ml LSH missed exact pairs: {sorted(missed)[:5]}"
+
+
+def test_pagerank_deep_iteration_with_checkpoint(spark, sf_dir):
+    """12 checkpointed rounds must run without lineage blowup and
+    conserve (damped) rank mass: sum(pr_scaled) == N minus the
+    dangling-node leak, i.e. strictly between 0.15*N and N."""
+    from adcirctime2cogs_spark.operators.graphops import (
+        _event_edges,
+        pagerank_iterations,
+    )
+    from pyspark.sql import functions as F
+
+    out = pagerank_iterations(
+        _event_edges(spark, sf_dir), iterations=12, checkpoint_every=5
+    )
+    agg = out.agg(F.sum("pr_scaled").alias("s"), F.count("*").alias("n")).first()
+    assert 0.15 * agg.n < agg.s <= agg.n + 1e-6
+    assert out.filter(F.col("pr_scaled") <= 0).count() == 0

@@ -225,6 +225,35 @@ def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The automatic half of the skew story (join_skew_salted is the
+    manual half): AQE must detect a hot key's oversized partition at
+    runtime and split it — SortMergeJoin(skew=true) in the final
+    adaptive plan. Thresholds are lowered to make fixture-scale skew
+    visible; production keeps the defaults."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(500_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS payload",
+        )
+        dim = spark.range(1_000).selectExpr("id AS k", "id * 2 AS attr")
+        joined = big.join(dim, "k").groupBy().count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_zorder_key_matches_python_interleave(spark):
     """The shift-mask cascade must equal a bit-by-bit reference
     interleave for random coordinates."""
