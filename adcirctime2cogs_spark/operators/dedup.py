@@ -600,3 +600,45 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cluster_size"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_CORPUS_EMIT_SQL = (
+    _COMPONENTS_CTES
+    + """,
+comp AS (
+  SELECT node AS doc_id, min(label) AS component
+  FROM walk GROUP BY node
+),
+alldocs AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+keepers AS (
+  SELECT arg_max(doc_id, n_chars * 4294967296 - doc_id) AS doc_id
+  FROM alldocs GROUP BY component
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+"""
+)
+
+
+@_register("dedup_corpus_emit", _CORPUS_EMIT_SQL)
+def dedup_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: the deduplicated corpus
+    itself — every document that is its near-dup cluster's canonical
+    keeper (singletons keep themselves), ready to feed the training
+    shard sink.
+
+    Composition of the whole fuzzy-dedup chain (shingles → capped
+    posting lists → pair graph → connected components → survivor
+    pick) finished by ONE broadcast semi-join of the keeper set
+    against the corpus scan: keepers are one row per cluster, so even
+    at 100 TB the final emit never shuffles the documents table."""
+    keepers = dedup_survivors(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(keepers), "doc_id", "semi").select(
+        "doc_id", "lang", "n_chars"
+    )

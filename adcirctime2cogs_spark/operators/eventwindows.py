@@ -691,3 +691,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           round(p.n * 1.0 / t.tot, 4) AS p_transition
+    FROM pairs p JOIN totals t ON t.from_type = p.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event streams:
+    P(next event type | current event type) — the sequence-model
+    sibling of the funnel query (empirical bigram over behavior
+    streams).
+
+    One window per user stream (single shuffle on user_id), one pair
+    hash agg, and a 25-row totals table joined back broadcast-side. The
+    transition probability divides exact counts, so parity is exact up
+    to the shared 4dp rounding."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        r4(F.col("n") * 1.0 / F.col("tot")).alias("p_transition"),
+    )
