@@ -572,3 +572,37 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@_register(
+    "subquery_scalar_select",
+    """
+    SELECT n_name,
+           (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+             AS n_customers,
+           (SELECT round(coalesce(sum(round(c.c_acctbal, 2)), 0.0), 4)
+            FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS total_bal
+    FROM nation n
+    """,
+)
+def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries in the SELECT list (per-row correlated
+    aggregates) — Catalyst decorrelates both into ONE left outer
+    aggregate join on the correlation key, so the nation scan is not
+    re-probed per row (SURVEY P8). The inner balance is rounded to 2dp
+    before summing so the sum is exact-decimal in both engines
+    regardless of fold order."""
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("_sq_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        SELECT n_name,
+               (SELECT count(*) FROM _sq_customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+               (SELECT round(coalesce(sum(round(c.c_acctbal, 2)), 0.0), 4)
+                FROM _sq_customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS total_bal
+        FROM _sq_nation n
+        """
+    )

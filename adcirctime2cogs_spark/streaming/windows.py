@@ -220,3 +220,45 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.table(name)
+
+
+def run_continuous_rollup(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Continuous aggregate (hypertable-style materialized rollup):
+    maintain the tumbling-window counts as a PARTITIONED PARQUET TABLE,
+    incrementally — update-mode re-emissions of a window overwrite
+    exactly that window's partition (dynamic partition overwrite keyed
+    by the window start), so each micro-batch touches only the windows
+    it changed and a late event rewrites one partition, not the table.
+
+    This is the lambda-free serving layer: readers see the same layout
+    a batch rollup would write, while the stream keeps it current.
+    Returns the number of micro-batches processed."""
+    agg = tumbling_counts(events).withColumn(
+        "win_key",
+        F.regexp_replace(F.col("win_start"), "[-: ]", ""),
+    )
+    n_batches = 0
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        if batch_df.isEmpty():
+            return
+        n_batches += 1
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_key")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return n_batches

@@ -255,6 +255,60 @@ def test_regrid_stream_matches_batch(spark, tmp_path):
     assert any(r[4] is None for r in rounded(out))
 
 
+def test_continuous_rollup_incremental_partitions(spark, sf_dir, tmp_path):
+    """The materialized continuous aggregate: three time-ordered event
+    drops stream through the tumbling agg into a win_key-partitioned
+    parquet table via dynamic partition overwrite; the final table must
+    equal the batch rollup exactly, and later batches must only touch
+    their own windows' partitions."""
+    import os
+
+    from adcirctime2cogs_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").orderBy("ts")
+    total = events.count()
+    cut1, cut2 = total // 3, 2 * total // 3
+    pdf = events.toPandas()
+    drops = tmp_path / "edrops"
+    drops.mkdir()
+    for i, chunk in enumerate(
+        (pdf.iloc[:cut1], pdf.iloc[cut1:cut2], pdf.iloc[cut2:])
+    ):
+        p = str(drops / f"e{i}.parquet")
+        spark.createDataFrame(chunk).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(drops / f"_tmp{i}"))
+        part = next(
+            f
+            for f in os.listdir(str(drops / f"_tmp{i}"))
+            if f.endswith(".parquet")
+        )
+        os.rename(str(drops / f"_tmp{i}" / part), p)
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drops))
+    )
+    out = str(tmp_path / "rollup")
+    n = sw.run_continuous_rollup(stream, out, str(tmp_path / "ck"))
+    assert n >= 2  # genuinely incremental — several non-empty batches
+
+    got = spark.read.parquet(out).drop("win_key")
+    batch = eventwindows.events_tumbling_window(spark, sf_dir)
+    cols = ["win_start", "event_type", "n", "total_value"]
+    got_rows = sorted(
+        (r[0], r[1], r[2], round(r[3], 6)) for r in got.select(*cols).collect()
+    )
+    batch_rows = sorted(
+        (r[0], r[1], r[2], round(r[3], 6))
+        for r in batch.select(*cols).collect()
+    )
+    assert got_rows == batch_rows
+
+
 def test_streaming_cog_pipeline_end_to_end(spark, tmp_path):
     """The reference's whole dataflow as one always-on job: timestep
     file drops → watermarked streaming regrid → per-timestep COG files
