@@ -606,3 +606,112 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _sq_nation n
         """
     )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY round(sum(round(l.l_extendedprice * (1 - l.l_discount), 4)), 4)
+             DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the classic selective
+    filter-join-agg-topk. Both date filters push to the parquet scans,
+    the customer-segment dim side broadcasts, and the top-10 plans as
+    TakeOrderedAndProject. Each line's revenue term is rounded to 4dp
+    BEFORE the sum so the aggregate is exact-decimal in both engines
+    and the rank order cannot flip on a last-ulp difference."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    term = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(F.broadcast(c.join(o, c.c_custkey == o.o_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(F.sum(term)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the having-subquery →
+    semi-reduction → re-join shape. The `big` order list is a
+    partial-aggregated hash agg over lineitem alone (map-side combine
+    before the orderkey shuffle); it then SEMI-reduces orders before
+    the wide customer join, so the expensive joins run only on
+    qualifying orders — the plan you want when 0.1% of orders qualify
+    at 100 TB. Quantities are whole numbers, so their double sums are
+    exact and the >150 cut cannot straddle engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("l_orderkey"), "semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(r4(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            r4(F.col("o_totalprice")).alias("totalprice"),
+            "sum_qty",
+        )
+    )
