@@ -559,3 +559,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("bm25").desc(), "doc_id")
     return top.withColumn("rn", F.row_number().over(w))
+
+
+@_register(
+    "text_bpe_pair_counts",
+    """
+    WITH heads AS (
+      SELECT doc_id, substr(text, 1, 200) AS h FROM documents
+    ),
+    grams AS (
+      SELECT substr(h, CAST(i AS INTEGER), 2) AS pair
+      FROM heads, unnest(range(1, length(h))) AS t(i)
+    ),
+    counts AS (
+      SELECT pair, count(*) AS n FROM grams
+      WHERE length(pair) = 2 GROUP BY pair
+    ),
+    ranked AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn
+      FROM counts
+    )
+    SELECT pair, n, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE iteration: corpus-wide adjacent character-pair
+    frequencies, top-50 merge candidates — the inner loop of tokenizer
+    vocabulary induction, run as one explode + hash agg.
+
+    Each doc head explodes to length-1 bigram rows JVM-side (sequence +
+    substr, no UDF); the pair count partial-aggregates map-side so the
+    shuffle carries one row per distinct pair per partition, and the
+    global top-50 is TakeOrderedAndProject. Doc heads are capped at 200
+    chars so the explode is bounded per row (the real loop would run on
+    the tokenized corpus with the same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    heads = docs.select(F.substring("text", 1, 200).alias("h"))
+    grams = (
+        heads.select(
+            F.explode(F.sequence(F.lit(1), F.length("h") - 1)).alias("i"), "h"
+        )
+        .select(F.expr("substr(h, i, 2)").alias("pair"))
+        .filter(F.length("pair") == 2)
+    )
+    counts = grams.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "pair").limit(50)
+    w = W.orderBy(F.col("n").desc(), "pair")
+    return top.withColumn("rn", F.row_number().over(w))
