@@ -27,3 +27,16 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_priority_window_is_pinned():
+    """The external harness verifies exactly the first 50 registry
+    entries; their identity and order are part of the contract."""
+    from adcirctime2cogs_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) == 50
+    assert list(ALL_QUERIES)[:50] == _PRIORITY
+    # every windowed entry must actually be runnable with an oracle or
+    # documented rows-only (approx sketch)
+    for name in _PRIORITY:
+        assert name in ALL_QUERIES
