@@ -386,6 +386,100 @@ def test_streaming_cog_pipeline_end_to_end(spark, tmp_path):
         assert np.allclose(a, b, equal_nan=True)
 
 
+def test_netcdf_stream_to_cog_full_flow(spark, tmp_path):
+    """The reference's entire production flow, live: raw per-advisory
+    NetCDF drops → readStream.format('adcirc_netcdf') → watermarked
+    streaming regrid → per-timestep COG files — output byte-comparable
+    to the batch pipeline on the same data."""
+    import os
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+    from adcirctime2cogs_spark.streaming import regrid_stream as rs
+
+    ts_batch = mm.timeseries_df(spark).withColumn("ts", F.to_timestamp("ts"))
+    pdf = ts_batch.toPandas().sort_values(["ts", "node_id"])
+    stamps = sorted(pdf["ts"].unique())
+    n_nodes = pdf["node_id"].nunique()
+
+    # one fake one-timestep .nc per advisory: header + float64 node
+    # values in node_id order (NaN encodes the dry node); a sentinel
+    # advisory dated past the last real one advances the watermark
+    drops = tmp_path / "nc"
+    drops.mkdir()
+    HDR = 8
+    frames = [(t, pdf[pdf["ts"] == t]) for t in stamps]
+    frames.append((stamps[-1] + np.timedelta64(2, "h"), frames[0][1]))
+    for i, (t, frame) in enumerate(frames):
+        vals = (
+            frame.sort_values("node_id")["value"]
+            .astype("float64")
+            .to_numpy()
+        )
+        p = str(drops / f"adv{i}.nc")
+        with open(p, "wb") as fh:
+            fh.write(b"\x89HDF-hdr" + vals.tobytes())
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    stamp_by_file = {
+        str(drops / f"adv{i}.nc"): t for i, (t, _) in enumerate(frames)
+    }
+
+    def splitter(path, length):
+        return [(0, HDR, length - HDR)]
+
+    def range_decoder(path, variable, t_idx, offset, nbytes):
+        import pandas as pd
+
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            vals = np.frombuffer(fh.read(nbytes), dtype="<f8")
+        return pd.Timestamp(stamp_by_file[path]), range(len(vals)), vals
+
+    spark.dataSource.register(
+        AdcircNetCDFDataSource.with_codecs(splitter, range_decoder)
+    )
+    stream = (
+        spark.readStream.format("adcirc_netcdf")
+        .option("path", str(drops / "*.nc"))
+        .load()
+    )
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
+    )
+    out_s = str(tmp_path / "cogs_live")
+    n = rs.run_regrid_to_cogs(
+        rs.regrid_stream(w, stream, watermark="30 minutes"),
+        mm.GRID,
+        out_s,
+        str(tmp_path / "ck"),
+    )
+    assert n >= 1
+
+    out_b = str(tmp_path / "cogs_batch")
+    write_cogs(
+        regrid(w, ts_batch).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ),
+        mm.GRID,
+        out_b,
+    ).collect()
+    assert sorted(os.listdir(out_s)) == sorted(os.listdir(out_b))
+    for f in os.listdir(out_b):
+        if f.endswith(".npz"):
+            a = np.load(os.path.join(out_s, f))["raster"]
+            b = np.load(os.path.join(out_b, f))["raster"]
+            assert np.allclose(a, b, equal_nan=True)
+    assert n_nodes == 6  # the golden fixture shape backing this test
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
     from adcirctime2cogs_spark.tables import load_table
 
