@@ -410,3 +410,38 @@ def test_training_shard_sink_layout_and_determinism(spark, sf_dir, tmp_path):
         a_rows = spark.read.parquet(f"{out_a}/split={s}").collect()
         b_rows = spark.read.parquet(f"{out_b}/split={s}").collect()
         assert sorted(map(tuple, a_rows)) == sorted(map(tuple, b_rows))
+
+
+def test_events_loader_handles_both_ts_encodings(spark, sf_dir, tmp_path):
+    """events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+    across fixture drops; load_table must read either via its footer
+    probe. The current fixtures are us — synthesize the nanos variant
+    and pin value equality."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adcirctime2cogs_spark.tables import load_table
+
+    ref = load_table(spark, sf_dir, "events").orderBy("event_id").limit(50)
+    rows = ref.collect()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r.event_id for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r.ts for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r.user_id for r in rows], pa.int64()),
+            "event_type": pa.array([r.event_type for r in rows]),
+            "value": pa.array([r.value for r in rows], pa.float64()),
+            "props": pa.array([r.props for r in rows]),
+        }
+    )
+    pq.write_table(
+        tbl, str(tmp_path / "events.parquet"), version="2.6",
+        coerce_timestamps=None,
+    )
+    back = load_table(spark, str(tmp_path), "events")
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    got = {(r.event_id, r.ts) for r in back.collect()}
+    want = {(r.event_id, r.ts) for r in rows}
+    assert got == want
