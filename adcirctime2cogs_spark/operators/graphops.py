@@ -141,12 +141,15 @@ def pagerank_iterations(
     the rank lineage with a localCheckpoint every `checkpoint_every`
     rounds — without it, deep iteration counts replan an ever-growing
     join tree (the same guard dedup_components uses)."""
-    edges = edges.persist()
+    # eager localCheckpoint, not just persist: every iteration and both
+    # node/degree branches re-reference edges, and an un-truncated
+    # lineage makes each round's plan re-derive the source window
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("u"))
         .union(edges.select("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # driver-side scalar: the node count parameterizes the teleport term
@@ -207,7 +210,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint()  # three self-join branches read this
     )
     e2 = ue.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = ue.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
