@@ -415,3 +415,68 @@ def mining_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@_register(
+    "events_pit_enrich",
+    """
+    WITH dim AS (
+      SELECT user_id, round(value, 4) AS attr, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31') AS valid_to
+      FROM events WHERE event_type = 'signup' AND user_id < 40
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           d.attr
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id
+            AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    WHERE e.event_type = 'purchase' AND e.user_id < 40
+    """,
+)
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (the feature-store temporal join): each
+    purchase event picks up the dimension attribute that was valid AT
+    its event time — never a later value (no training-serving leakage).
+
+    Composes the SCD2 interval build (scd2_intervals' window) with an
+    equi+range join on the natural key: the equi key does the
+    distribution (one shuffle on user_id for both sides), the range
+    predicate evaluates post-join against the handful of intervals per
+    user — the standard shape when per-key history is small and the
+    fact stream is huge."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        events.filter((F.col("event_type") == "signup") & (F.col("user_id") < 40))
+        .select(
+            F.col("user_id").alias("d_user"),
+            r4(F.col("value")).alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(
+                    W.partitionBy("user_id").orderBy("ts", "event_id")
+                ),
+                F.lit("9999-12-31").cast("timestamp"),
+            ).alias("valid_to"),
+        )
+    )
+    fact = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.d_user)
+            & (fact.ts >= dim.valid_from)
+            & (fact.ts < dim.valid_to),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            "attr",
+        )
+    )
