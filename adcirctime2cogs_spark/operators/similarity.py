@@ -492,3 +492,64 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         r4(F.when(nrm > 0, F.sqrt(err / nrm))).alias("rel_err"),
     )
+
+
+@_register(
+    "vec_covariance_matrix",
+    """
+    WITH x AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    m AS (SELECT i, avg(v) AS mu FROM x GROUP BY i),
+    p AS (
+      SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, round(p.exy - ma.mu * mb.mu, 4) AS cov
+    FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+    """,
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance matrix of the embedding columns
+    (upper triangle, d(d+1)/2 rows) — the whitening/PCA-prep primitive.
+
+    The d²/2 product terms explode from each vector IN ONE PASS (nested
+    array transform + flatten, all codegen — no self-join, so the
+    embeddings table is read and shuffled once) and partial-aggregate
+    map-side into the (i, j) cells; the per-dimension means ride the
+    same scan. The d²-cell fan-out is inherent to exact covariance (any
+    algorithm maintains d² accumulators); here it costs one hash agg
+    keyed on (i, j). The oracle computes identical products via a
+    per-vector index self-join — same math, join-shaped for SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pair_expr = (
+        "flatten(transform(e, (x, i) -> "
+        "transform(slice(e, i + 1, size(e) - i), (y, j) -> "
+        "struct(i + 1 AS i, i + j + 1 AS j, x * y AS v))))"
+    )
+    pairs = e.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.v").alias("v")
+    )
+    exy = pairs.groupBy("i", "j").agg(F.avg("v").alias("exy"))
+    means = (
+        e.select(F.posexplode("e").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.avg("v").alias("mu"))
+    )
+    ma = means.select(F.col("i").alias("mi"), F.col("mu").alias("mua"))
+    mb = means.select(F.col("i").alias("mj"), F.col("mu").alias("mub"))
+    return (
+        exy.join(F.broadcast(ma), exy.i == ma.mi)
+        .join(F.broadcast(mb), exy.j == mb.mj)
+        .select(
+            "i", "j",
+            r4(F.col("exy") - F.col("mua") * F.col("mub")).alias("cov"),
+        )
+    )
