@@ -553,3 +553,55 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("exy") - F.col("mua") * F.col("mub")).alias("cov"),
         )
     )
+
+
+PCA_K = 8
+
+
+@_register("vec_pca_project")  # rows-only: eigvecs aren't SQL-expressible
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-k principal components — the
+    dimensionality-reduction step before clustering/ANN at scale.
+
+    The pattern that matters at 100 TB: the d×d covariance (from
+    vec_covariance_matrix's distributed pass) is TINY, so it collects
+    to the driver, numpy eigendecomposes it there (d³ flops on 64×64 —
+    microseconds), and only the d×k component matrix broadcasts back
+    into a codegen array-fold projection. The corpus is scanned twice
+    total (covariance pass + projection pass) and never leaves the
+    executors. Rows-only: eigenvectors have no portable SQL oracle;
+    tests/test_similarity.py pins the PCA invariants instead (variance
+    ordering, cross-component decorrelation)."""
+    import numpy as np
+
+    cov_rows = vec_covariance_matrix(spark, sf_dir).collect()
+    d = max(r.i for r in cov_rows)
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i - 1, r.j - 1] = cov[r.j - 1, r.i - 1] = r.cov
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    comps = evecs[:, order]  # d x k
+    # sign convention: largest-|.| coordinate positive (deterministic)
+    for c in range(comps.shape[1]):
+        jmax = int(np.abs(comps[:, c]).argmax())
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    comp_cols = [
+        F.array(*[F.lit(float(comps[i, c])) for i in range(d)])
+        for c in range(comps.shape[1])
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    dot = lambda vec: F.aggregate(
+        F.zip_with(F.col("e"), vec, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        *[r4(dot(comp_cols[c])).alias(f"pc{c}") for c in range(len(comp_cols))],
+    )

@@ -90,3 +90,28 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     ivf = pairs(S.sim_topk_ivf(spark, sf_dir))
     assert len(bf & bucketed) / len(bf) >= 0.2
     assert len(bf & ivf) / len(bf) >= 0.4
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """No SQL oracle exists for eigenvectors, so pin the linear-algebra
+    invariants instead: projected components are variance-ordered and
+    pairwise decorrelated (covariance between distinct PCs ~ 0)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        PCA_K,
+        vec_pca_project,
+    )
+
+    rows = vec_pca_project(spark, sf_dir).collect()
+    mat = np.array([[r[f"pc{c}"] for c in range(PCA_K)] for r in rows])
+    cov = np.cov(mat, rowvar=False, bias=True)
+    variances = np.diag(cov)
+    assert all(
+        variances[i] >= variances[i + 1] - 1e-6 for i in range(PCA_K - 1)
+    )
+    off = cov - np.diag(variances)
+    assert np.abs(off).max() < 1e-2  # decorrelated up to 4dp rounding
+    # projection is deterministic across invocations (sign convention)
+    again = vec_pca_project(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
