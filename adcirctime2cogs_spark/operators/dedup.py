@@ -642,3 +642,47 @@ def dedup_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(keepers), "doc_id", "semi").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_CONTAINMENT_SQL = (
+    "WITH "
+    + SHINGLES_SQL
+    + _INTER_SQL
+    + _SIZES_SQL
+    + """
+SELECT doc_a, doc_b,
+       round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / least(sa.n, sb.n) >= 0.7
+"""
+)
+
+
+@_register("dedup_containment_pairs", _CONTAINMENT_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.7 —
+    catches sub-/super-set duplication (a document embedded inside a
+    longer one) that symmetric Jaccard misses entirely (a 10× longer
+    superset caps Jaccard at 0.1 however complete the containment).
+
+    Rides the exact same persisted shingle artifacts as the Jaccard
+    pair mining — the posting-list intersection table and stop-filtered
+    sizes are shared, so registering this query adds zero extra corpus
+    scans to a pipeline that already mines near-dups."""
+    sh, stop, inter = _shingle_artifacts(spark, sf_dir)
+    sizes = (
+        sh.join(F.broadcast(stop), "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c") * 1.0 / F.least("na", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.7)
+        .select("doc_a", "doc_b", r4(cont).alias("containment"))
+    )

@@ -738,3 +738,34 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(F.col("n") * 1.0 / F.col("tot")).alias("p_transition"),
     )
+
+
+@_register("events_sketch_rollup")  # rows-only: HLL estimates are engine-specific
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-hour HLL sketches of distinct users,
+    unioned into per-day estimates WITHOUT rescanning the events — the
+    property that makes approximate distinct counts work in a rollup
+    hierarchy at 100 TB (hour sketches persist once; day/week/month
+    totals are sketch unions, never recounts).
+
+    tests/test_dedup.py pins the algebra: the estimate from unioned
+    hourly sketches equals the directly-computed daily estimate
+    (identical sketch state either way). Rows-only for the driver —
+    DataSketches estimates have no DuckDB twin."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_hours"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "approx_users",
+            "n_hours",
+        )
+    )

@@ -99,3 +99,41 @@ def test_pagerank_deep_iteration_with_checkpoint(spark, sf_dir):
     agg = out.agg(F.sum("pr_scaled").alias("s"), F.count("*").alias("n")).first()
     assert 0.15 * agg.n < agg.s <= agg.n + 1e-6
     assert out.filter(F.col("pr_scaled") <= 0).count() == 0
+
+
+def test_hll_sketch_rollup_merge_equals_direct(spark, sf_dir):
+    """The mergeability contract behind events_sketch_rollup: unioning
+    hourly sketches must give the SAME estimate as sketching each day
+    directly (same final sketch state), and estimates must be within
+    HLL error of exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_sketch_rollup,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    rolled = {
+        r.day: r.approx_users
+        for r in events_sketch_rollup(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r.day: r.est
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert rolled == direct  # merge-then-estimate == estimate-direct
+    exact = {
+        r.day: r.n
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, est in rolled.items():
+        assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
