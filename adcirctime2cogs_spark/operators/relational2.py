@@ -715,3 +715,99 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@_register(
+    "join_relational_division",
+    """
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    cp AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+    SELECT o_custkey, count(*) AS n_priorities
+    FROM cp GROUP BY o_custkey
+    HAVING count(*) = (SELECT count(*) FROM pr)
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (universal quantification): customers whose
+    orders span EVERY priority class — 'for all x in divisor, (c, x)
+    exists'. The textbook operator SQL lacks a keyword for, expressed
+    as the standard count-matching reduction: distinct (customer,
+    priority) pairs, grouped, kept when the per-customer count equals
+    the divisor cardinality (a one-row broadcast).
+
+    Shape at scale: one distinct + one hash agg, both keyed on the
+    customer — no join against the divisor at all until the final
+    scalar compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    pr_count = orders.select("o_orderpriority").distinct().count()
+    cp = orders.select("o_custkey", "o_orderpriority").distinct()
+    return (
+        cp.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_priorities"))
+        .filter(F.col("n_priorities") == pr_count)
+    )
+
+
+@_register(
+    "agg_rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY recency, o_custkey)              AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey)       AS f_score,
+           ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)  AS m_score
+    FROM base
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles — the classic warehouse scoring reshape (one agg pass +
+    exact ntile bucketing, custkey tie-breaks making every bucket
+    boundary deterministic; monetary is cent-scaled BIGINT so no fp
+    enters the ordering).
+
+    The global ntile is a single-partition window over one row per
+    CUSTOMER (not per order) — exact quantile bucketing's inherent
+    cost. At 100 TB the swap-in is approx_percentile cutpoints
+    (demonstrated in agg_approx_quantiles) joined broadcast-side; the
+    exact form is kept here because the oracle must be value-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("gmax"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "lastd").alias("recency"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    return base.select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("recency", "o_custkey")).alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
