@@ -246,9 +246,12 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare is integer-exact (cross-multiplied counts,
     n*k*20 > 23*tot) so no fp-average boundary can flip membership
     between engines. One hash aggregate + a broadcast of the two-value
-    totals row; the per-key count table never leaves the executors."""
+    totals row; the per-key count table never leaves the executors.
+    No explicit persist: counts feeds two branches of ONE plan, and
+    Spark reuses the aggregate's exchange — a persist here would leak
+    cached partitions in long-lived sessions (bench loops, sweeps)."""
     events = load_table(spark, sf_dir, "events")
-    counts = events.groupBy("user_id").agg(F.count("*").alias("n")).persist()
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n"))
     totals = counts.agg(
         F.count("*").alias("k"), F.sum("n").alias("tot")
     )

@@ -631,8 +631,9 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): the classic selective
     filter-join-agg-topk. Both date filters push to the parquet scans,
-    the customer-segment dim side broadcasts, and the top-10 plans as
-    TakeOrderedAndProject. Each line's revenue term is rounded to 4dp
+    only the customer-segment dim table broadcasts (orders stays on
+    the shuffle path — it is fact-scale even after the date cut), and
+    the top-10 plans as TakeOrderedAndProject. Each line's revenue term is rounded to 4dp
     BEFORE the sum so the aggregate is exact-decimal in both engines
     and the rank order cannot flip on a last-ulp difference."""
     c = load_table(spark, sf_dir, "customer").filter(
@@ -645,9 +646,14 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1995-03-15"
     )
     term = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # Only the segment-filtered CUSTOMER table is dim-scale; orders
+    # filtered by date alone is still ~half the fact table, so the
+    # c⋈o result must NOT be force-broadcast. Broadcast c into the
+    # orders join, then shuffle-join lineitem on o_orderkey (AQE may
+    # still upgrade it at small SF).
+    co = o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
     return (
-        li.join(F.broadcast(c.join(o, c.c_custkey == o.o_custkey)),
-                li.l_orderkey == F.col("o_orderkey"))
+        li.join(co, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r4(F.sum(term)).alias("revenue"))
         .select(

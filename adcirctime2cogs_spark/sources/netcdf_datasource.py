@@ -69,7 +69,16 @@ class _NetCDFReader(DataSourceReader):
         from file metadata, exactly like FileSourceScanExec split
         planning; no file content is read here beyond the splitter's
         header probe."""
-        paths = sorted(_glob.glob(self.path)) or [self.path]
+        paths = sorted(_glob.glob(self.path))
+        if not paths:
+            # Never fall back to treating the glob pattern itself as a
+            # file path — os.path.getsize on the raw pattern raises a
+            # baffling FileNotFoundError. (The STREAM reader returns
+            # empty for the same case because files may arrive later;
+            # a batch scan over zero files is almost always a typo.)
+            raise FileNotFoundError(
+                f"adcirc_netcdf: no files matched path pattern {self.path!r}"
+            )
         return [
             _TimestepSplit(p, int(t), int(off), int(nb))
             for p in paths

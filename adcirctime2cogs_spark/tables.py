@@ -118,16 +118,35 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
 
-@_lru_cache(maxsize=None)
 def _events_ts_is_nanos(path: str) -> bool:
     """True if events.ts is physically int64 nanoseconds (TIMESTAMP(NANOS)
     or plain INT64) rather than a native us/ms timestamp.  One footer
-    read per path, driver-side, cached for the process lifetime."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    read per (path, mtime), driver-side — keying the cache on mtime
+    means regenerating events.parquet in place with the other encoding
+    is re-probed instead of misread for the rest of the process."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        # Non-local path (s3a://, hdfs://) or plain missing file: the
+        # local footer probe can't run, but Spark itself may well be
+        # able to read the path — don't crash the loader here.
+        mtime = None
+    return _events_ts_is_nanos_cached(path, mtime)
 
-    t = pq.read_schema(path).field("ts").type
-    return not (pa.types.is_timestamp(t) and t.unit in ("us", "ms"))
+
+@_lru_cache(maxsize=None)
+def _events_ts_is_nanos_cached(path: str, mtime: float | None) -> bool:
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        return not (pa.types.is_timestamp(t) and t.unit in ("us", "ms"))
+    except Exception:
+        # Unreadable footer (remote filesystem, directory dataset, …):
+        # assume native timestamps — the common modern encoding — and
+        # let Spark's own reader surface any real schema error.
+        return False
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

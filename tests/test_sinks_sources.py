@@ -445,3 +445,50 @@ def test_events_loader_handles_both_ts_encodings(spark, sf_dir, tmp_path):
     got = {(r.event_id, r.ts) for r in back.collect()}
     want = {(r.event_id, r.ts) for r in rows}
     assert got == want
+
+
+def test_netcdf_datasource_empty_glob_raises():
+    """A batch scan whose path glob matches nothing must fail with a
+    clear 'no files matched' error, not a FileNotFoundError on the raw
+    glob pattern (the stream reader instead yields no batches — files
+    may legitimately arrive later)."""
+    import pytest
+
+    from adcirctime2cogs_spark.sources.netcdf_datasource import _NetCDFReader
+
+    reader = _NetCDFReader(
+        {"path": "/nonexistent-dir/*.nc"},
+        splitter=lambda p, n: [(0, 0, n)],
+        range_decoder=None,
+    )
+    with pytest.raises(FileNotFoundError, match="no files matched"):
+        reader.partitions()
+
+
+def test_events_ts_probe_survives_unreadable_path(tmp_path):
+    """The footer probe must not crash on paths the local filesystem
+    can't stat (s3a://, hdfs://) or unreadable files — it falls back to
+    assuming native timestamps; and the cache is keyed on mtime so an
+    in-place rewrite with the other encoding is re-probed."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adcirctime2cogs_spark.tables import _events_ts_is_nanos
+
+    # remote-scheme path: getmtime fails, footer probe fails -> False
+    assert _events_ts_is_nanos("s3a://bucket/events.parquet") is False
+    assert _events_ts_is_nanos("/definitely/missing/events.parquet") is False
+
+    # in-place rewrite flips the cached answer (mtime-keyed cache)
+    p = tmp_path / "events.parquet"
+    pq.write_table(pa.table({"ts": pa.array([0], pa.timestamp("us"))}), str(p))
+    assert _events_ts_is_nanos(str(p)) is False
+    time.sleep(0.05)
+    pq.write_table(pa.table({"ts": pa.array([0], pa.timestamp("ns"))}), str(p))
+    os_utime_bump = p.stat().st_mtime + 1
+    import os as _os
+
+    _os.utime(p, (os_utime_bump, os_utime_bump))
+    assert _events_ts_is_nanos(str(p)) is True
