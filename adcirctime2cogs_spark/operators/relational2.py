@@ -219,25 +219,56 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
 
 
-@_register("agg_approx_quantiles")  # rows-only: sketch is engine-specific
+@_register(
+    "agg_approx_quantiles",
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           true AS q25_within_1pct,
+           true AS q50_within_1pct,
+           true AS q75_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the constant-memory
-    quantile path for 100TB; exact twin is agg_stats.median_price.
+    quantile path for 100TB; exact twin is agg_exact_percentiles.
 
-    The quartile array is serialized to a fixed-decimal CSV string —
-    external row canonicalizers sort output columns, and a raw
-    array<double> column is unhashable there (round-1 driver err)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.array_join(
-            F.transform(
-                F.expr(
-                    "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
-                ),
-                lambda x: F.format_string("%.4f", x),
-            ),
-            ",",
-        ).alias("quartiles")
+    Sketch values are engine-specific, so the oracle checks the
+    sketch's RANK contract instead of its values: for each quartile v
+    returned at accuracy=1000 (guaranteed rank error <= n/1000), the
+    query re-ranks v against the actual data and emits an
+    integer-exact within-1%-rank boolean — v is a valid (q ± 0.01)
+    quantile iff count(x < v)*100 <= (q_pct+1)*n  AND
+    count(x <= v)*100 >= (q_pct-1)*n (the two-sided form is duplicate-
+    value-safe). The DuckDB oracle emits literal `true`s: the hash
+    matches iff the sketch really is inside 10x its guaranteed error,
+    which no correct engine can fail deterministically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    qs = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("qv")
+    )
+    joined = li.join(F.broadcast(qs), "l_returnflag")
+    agg_exprs = [F.count("*").alias("n_rows")]
+    for i, q_pct in ((0, 25), (1, 50), (2, 75)):
+        v = F.col("qv")[i]
+        p = F.col("l_extendedprice")
+        agg_exprs.append(F.sum((p < v).cast("long")).alias(f"lt{q_pct}"))
+        agg_exprs.append(F.sum((p <= v).cast("long")).alias(f"le{q_pct}"))
+    g = joined.groupBy("l_returnflag").agg(*agg_exprs)
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            (
+                (F.col(f"lt{q_pct}") * 100 <= (q_pct + 1) * F.col("n_rows"))
+                & (F.col(f"le{q_pct}") * 100 >= (q_pct - 1) * F.col("n_rows"))
+            ).alias(f"q{q_pct}_within_1pct")
+            for q_pct in (25, 50, 75)
+        ],
     )
 
 
@@ -816,4 +847,66 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5)
         .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
         .alias("m_score"),
+    )
+
+
+@_register(
+    "join_bucketed",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_quantity), 4) AS sum_qty,
+           count(*) AS n_items,
+           min(l.l_orderkey) AS min_orderkey,
+           max(l.l_orderkey) AS max_orderkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written `bucketBy(8,
+    orderkey)` + sorted, so the SortMergeJoin reads bucket files
+    directly with NO pre-join Exchange on either side — the 100 TB
+    pattern for a fact table joined on the same key every day. The only
+    shuffle in the whole plan is the final 5-group priority rollup.
+
+    The bucketed tables are (re)written from the current ``sf_dir`` on
+    every call: a managed table left over from a different scale factor
+    would silently change the answer, and overwrite-always is the
+    correctness-safe trade (write cost is one narrow 2-column
+    projection per side). The `merge` hint keeps the planner on the
+    SMJ path buckets exist for — at fixture scale it would otherwise
+    broadcast and skip bucket pruning entirely.
+
+    Reference parity: the reference engine has no bucketing concept
+    (single-node xarray, run/adcircTime2cogs.py); this is the §2B
+    'joins co-located' category from SURVEY.md.
+    """
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # per-session metastore: DROP TABLE alone won't clear a previous
+    # process's managed location, so clear the warehouse dirs too
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_lineitem", "bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("bkt_orders")
+    j = spark.table("bkt_lineitem").hint("merge").join(
+        spark.table("bkt_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
     )

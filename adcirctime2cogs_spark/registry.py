@@ -37,67 +37,78 @@ _OPERATOR_MODULES = [
 # red row, so its fix is externally verified) come first; redundant
 # strategy variants and second scalar/array batches follow.
 _PRIORITY = [
+    # Round-4 rotation: external verification is the one signal the
+    # repo can't manufacture, so 20 multi-round-verified entries were
+    # swapped out for 20 oracled-but-never-driver-verified ones (plus
+    # queries modified this round, which always stay in-window). The
+    # full which-query-verified-in-which-round ledger is generated
+    # into COVERAGE.md by tools/coverage_ledger.py; swapped-out
+    # queries remain covered by the repo's own all-oracle parity
+    # sweep (tests/test_oracle_parity.py).
+    #
     # domain core (reference semantics: run/adcircTime2cogs.py:199-201)
     "micromesh_weights",
     "micromesh_regrid",
     "micromesh_domain_mask",
-    "micromesh_bbox",
-    "raster_grid_gen",
-    "regrid_synthetic",
     "regrid_synthetic_bench",
-    "regrid_multivar",
-    # dedup family
-    "dedup_exact",
+    # dedup family (lsh_pairs retained: r04 bench-regression suspect)
     "dedup_ngram_jaccard",
-    "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
     "dedup_survivors",
-    # similarity / vector family
+    # similarity / vector family (bucketed retained: multi-table LSH
+    # rewrite this round; covariance newly rotated in)
     "sim_topk_bruteforce",
     "sim_topk_bucketed",
     "sim_threshold_pairs",
     "sim_topk_ivf",
-    "vec_centroid_per_label",
     "vec_quantize_int8",
-    # text analysis representatives
-    "text_tokens",
-    "text_langid",
+    "vec_covariance_matrix",
+    # text analysis
     "text_tfidf_top",
-    "text_fingerprint",
-    # dataset-prep representatives
+    "text_bm25_topk",
+    "text_quality",
+    # dataset-prep
     "prep_decontaminate",
-    "prep_mixture_sample",
     "prep_quality_filter",
-    # event/stream-twin representatives
-    "events_tumbling_window",
+    # event/stream-twin + behavioral suite (funnel/retention/PIT/
+    # sessionize/LOCF newly rotated in)
     "events_session_window",
-    "events_time_weighted_avg",
     "events_m4_downsample",
-    # UDF surface representatives
-    "udf_pandas_scalar",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_pit_enrich",
+    "events_sessionize_gap",
+    "events_gap_fill_locf",
+    # UDF/UDTF surface
     "udaf_grouped_pandas",
+    "udtf_expand_rows",
     # multimodal metadata (the one oracle-backed mm query)
     "mm_binary_meta",
-    # relational core
+    # relational core (q3 retained-in after its broadcast fix;
+    # join_bucketed is new this round — co-located bucket join)
     "q1_pricing_summary",
     "join_star_revenue",
     "join_asof",
-    "join_range",
+    "join_bucketed",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume",
     "agg_rollup",
-    # iterative-graph + CDC representatives (windows stay covered by
-    # win_range_frame, per-group top-k by join_lateral_topk)
-    "graph_pagerank",
-    "cdc_merge_apply",
-    "json_extract",
+    "agg_rfm_segmentation",
+    "agg_heavy_hitters",
     "join_skew_salted",
-    "subquery_correlated",
-    "array_funcs2",
+    "join_relational_division",
+    "subquery_scalar_select",
+    "json_variant_agg",
+    "scd2_intervals",
     "agg_approx_quantiles",
-    "win_range_frame",
     "join_lateral_topk",
+    # iterative-graph + CDC + mining
+    "graph_pagerank",
+    "graph_triangle_count",
+    "cdc_merge_apply",
+    "mining_basket_pairs",
 ]
 
 
