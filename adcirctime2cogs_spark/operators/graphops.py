@@ -346,17 +346,28 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot boundary so every branch has rows at every SF."""
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
+    # the string event_type is reduced to an int flag BEFORE the agg:
+    # max_by with a string agg buffer is not hash-agg mutable and
+    # regressed the whole extraction to SortAggregate; downstream only
+    # needs "was the latest change an error", so max_by(int, ts) keeps
+    # every buffer primitive and the aggregate in hash/codegen
     latest = (
-        events.groupBy((F.col("user_id") + 1400).alias("k"))
+        events.select(
+            (F.col("user_id") + 1400).alias("k"),
+            "ts",
+            "value",
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("ie"),
+        )
+        .groupBy("k")
         .agg(
             F.expr("max_by(value, ts)").alias("v"),
-            F.expr("max_by(event_type, ts)").alias("et"),
+            F.expr("max_by(ie, ts)").alias("iev"),
         )
     )
     ch = latest.select(
         "k",
         r4(F.col("v")).alias("new_bal"),
-        F.when(F.col("et") == "error", "D").otherwise("U").alias("op"),
+        F.when(F.col("iev") == 1, "D").otherwise("U").alias("op"),
     )
     merged = customer.join(ch, customer.c_custkey == ch.k, "full_outer")
     return (

@@ -1003,24 +1003,34 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: EARLIEST order at-or-after each event
     (join_asof's mirror — lookahead instead of lookback). Same
-    aggregate-based strategy: equi-join on the customer key +
-    min(struct) per probe, partial-aggregated map-side."""
+    aggregate-based strategy as join_asof: equi-join on the customer
+    key + the lexicographic (o_orderdate, o_orderkey) MIN packed into
+    one BIGINT, so the pick hash-aggregates in whole-stage codegen
+    (min(struct) would regress to SortAggregate — see join_asof)."""
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     joined = events.join(
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate >= events.ts),
     )
-    best = F.min(F.struct("o_orderdate", "o_orderkey")).alias("best")
+    shift = F.lit(1 << 40)
+    packed = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * shift
+        + F.col("o_orderkey")
+    )
     return (
         joined.groupBy("event_id", "user_id")
-        .agg(best)
+        .agg(F.min(packed).alias("bp"))
         .select(
             "event_id",
             "user_id",
-            F.col("best.o_orderkey").alias("o_orderkey"),
-            F.date_format("best.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
-                "next_orderdate"
-            ),
+            (F.col("bp") % shift).alias("o_orderkey"),
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.expr(f"bp div {1 << 40}").cast("int"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("next_orderdate"),
         )
     )

@@ -126,17 +126,25 @@ def build_weights(
     # min_by hash-agg, not a row_number window: partial aggregation
     # collapses duplicates map-side and no sort is ever materialized —
     # at the reference's 70M-cell raster that's the difference between
-    # shuffling candidate rows and shuffling one row per cell
+    # shuffling candidate rows and shuffling one row per cell.
+    # PER-COLUMN min_by, not min_by(struct, ...): a struct agg buffer
+    # is not hash-agg mutable and regresses the whole aggregate to
+    # SortAggregate (two per-task sorts of the candidate rows); seven
+    # primitive-buffer aggregates stay HashAggregate in whole-stage
+    # codegen. elem_id is unique per candidate row within a cell, so
+    # the per-column picks are mutually consistent by construction.
     return (
         candidates.groupBy("cell_id", "grid_row", "grid_col")
         .agg(
-            F.min_by(
-                F.struct("elem_id", "n0", "n1", "n2", "w0", "w1", "w2"), "elem_id"
-            ).alias("_t")
+            F.min("elem_id").alias("elem_id"),
+            *[
+                F.min_by(c, "elem_id").alias(c)
+                for c in ("n0", "n1", "n2", "w0", "w1", "w2")
+            ],
         )
         .select(
-            "cell_id", "grid_row", "grid_col", "_t.elem_id",
-            "_t.n0", "_t.n1", "_t.n2", "_t.w0", "_t.w1", "_t.w2",
+            "cell_id", "grid_row", "grid_col", "elem_id",
+            "n0", "n1", "n2", "w0", "w1", "w2",
         )
     )
 

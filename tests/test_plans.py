@@ -179,6 +179,27 @@ def test_asof_pick_is_hash_agg_not_sort(spark, sf_dir):
     assert "partial_max" in plan
 
 
+def test_argmin_family_is_hash_agg_not_sort(spark, sf_dir):
+    """Every argmin/argmax pick in the engine must hash-aggregate:
+    weights' per-cell triangle pick (per-column min_by, primitive
+    buffers), CDC's latest-change extraction (int flag instead of a
+    string max_by buffer), and the forward as-of's packed-BIGINT min.
+    A struct or string agg buffer silently regresses the aggregate to
+    SortAggregate — two per-task sorts of the pre-agg rows, the single
+    largest residual plan cost at the reference's 70M-cell raster."""
+    from adcirctime2cogs_spark import registry
+
+    qs = registry.all_queries()
+    for name in (
+        "micromesh_weights",
+        "micromesh_regrid",
+        "regrid_synthetic_bench",
+        "cdc_merge_apply",
+        "join_asof_forward",
+    ):
+        assert "SortAggregate" not in _plan(qs[name](spark, sf_dir)), name
+
+
 def test_sort_merge_hint_respected(spark, sf_dir):
     from adcirctime2cogs_spark.operators.relational2 import join_sort_merge
 
