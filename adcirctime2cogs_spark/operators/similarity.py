@@ -106,14 +106,14 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sign_bucket(emb: Column) -> Column:
-    """Sign-pattern bucket of the first SIGN_BITS dims (a fixed
-    axis-aligned random-hyperplane LSH — deterministic and
-    engine-neutral)."""
+def _sign_bucket(emb: Column, offset: int = 0) -> Column:
+    """Sign-pattern bucket of SIGN_BITS dims starting at ``offset`` (a
+    fixed axis-aligned random-hyperplane LSH — deterministic and
+    engine-neutral; distinct offsets give independent hash tables)."""
     bits = [
-        F.when(F.element_at(emb, i + 1).cast("double") >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        F.when(
+            F.element_at(emb, offset + i + 1).cast("double") >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         for i in range(SIGN_BITS)
     ]
     out = bits[0]
@@ -122,29 +122,56 @@ def _sign_bucket(emb: Column) -> Column:
     return out
 
 
+def _sign_sql(e: str, offset: int = 0) -> str:
+    """DuckDB twin of _sign_bucket(emb, offset)."""
+    return " + ".join(
+        f"(CASE WHEN CAST({e}[{offset + i + 1}] AS DOUBLE) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(SIGN_BITS)
+    )
+
+
 _SIGN_SQL_TMPL = " + ".join(
     f"(CASE WHEN CAST({{e}}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
     for i in range(SIGN_BITS)
+)
+
+L_TABLES = 4  # independent sign-LSH tables over disjoint dim blocks
+
+
+_MULTITABLE_BUCKET_CASE = (
+    "CASE tbl "
+    + " ".join(
+        f"WHEN {t} THEN {_sign_sql('embedding', t * SIGN_BITS)}"
+        for t in range(L_TABLES - 1)
+    )
+    + f" ELSE {_sign_sql('embedding', (L_TABLES - 1) * SIGN_BITS)} END"
 )
 
 
 @_register(
     "sim_topk_bucketed",
     f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             {_SIGN_SQL_TMPL.format(e="embedding")} AS bucket
-      FROM embeddings
+    WITH cb AS (
+      SELECT vec_id, tbl, {_MULTITABLE_BUCKET_CASE} AS bucket
+      FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS tbl) t
     ),
     qp AS (
-      SELECT vec_id AS q_id, embedding AS q_emb,
+      SELECT vec_id AS q_id, tbl,
              unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
-      FROM b WHERE vec_id < {N_QUERY_VECS}
+      FROM cb WHERE vec_id < {N_QUERY_VECS}
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id AS c_id
+      FROM qp q JOIN cb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.q_id != c.vec_id
     ),
     pairs AS (
-      SELECT DISTINCT q.q_id, c.vec_id AS c_id,
-             round({_COS_SQL.format(a="q.q_emb", b="c.embedding")}, 4) AS cos_sim
-      FROM qp q JOIN b c ON c.bucket = q.bucket AND q.q_id != c.vec_id
+      SELECT d.q_id, d.c_id,
+             round({_COS_SQL.format(a="qe.embedding", b="ce.embedding")}, 4) AS cos_sim
+      FROM cand d
+      JOIN embeddings qe ON qe.vec_id = d.q_id
+      JOIN embeddings ce ON ce.vec_id = d.c_id
     )
     SELECT q_id, c_id, cos_sim FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
@@ -154,39 +181,78 @@ _SIGN_SQL_TMPL = " + ".join(
     """,
 )
 def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe sign-LSH ANN: candidates come from the probe's own
-    sign bucket PLUS the SIGN_BITS buckets one bit-flip away (standard
-    multiprobe LSH), exact cosine re-rank over the deduped candidate
-    set. Still sub-quadratic — comparisons scale with (SIGN_BITS+1) x
-    bucket occupancy, not n^2 — while multiprobe recovers most of the
-    recall a single-bucket lookup forfeits (a true neighbor differing
-    in one sign dim is still found). The probe fan-out rides the
-    broadcast side; the candidate table is never replicated."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _sign_bucket(F.col("embedding"))
+    """Multi-table multiprobe sign-LSH ANN: L_TABLES independent sign
+    projections over disjoint dim blocks, each probed at the query's
+    own bucket PLUS the SIGN_BITS one-bit-flip buckets (multiprobe);
+    candidate sets union across tables, then one exact cosine re-rank.
+
+    Independent tables are the standard recall amplifier a single
+    table can't match: a true neighbor is missed only if it differs in
+    sign in EVERY table's dim block (miss^L instead of miss). Still
+    sub-quadratic — comparisons scale with L x (SIGN_BITS+1) x bucket
+    occupancy, not n^2.
+
+    Plan shape for 100 TB: the bucket join carries ONLY ids — the
+    probe fan-out (L x 7 int rows per query) broadcasts, the candidate
+    side is L int rows per vector, and embeddings are fetched by key
+    once per DEDUPED candidate pair. Arrays never ride the bucket
+    fan-out and the distinct runs on (long, long) pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _sign_bucket(F.col("embedding"), t * SIGN_BITS).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(L_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("c_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    probe_structs = []
+    for t in range(L_TABLES):
+        b = _sign_bucket(F.col("embedding"), t * SIGN_BITS)
+        for flip in [0] + [1 << i for i in range(SIGN_BITS)]:
+            probe_structs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(flip)).alias("bucket"),
+                )
+            )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.array(*probe_structs)).alias("tb"),
+        )
+        .select(
+            "q_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(SIGN_BITS)],
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(probes).alias("bucket"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket"
-    )
-    pairs = (
+    cand = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(cb, ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    pairs = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
         .select(
             "q_id",
             "c_id",
             r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
         )
-        .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (

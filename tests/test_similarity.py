@@ -88,7 +88,9 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     bf = pairs(S.sim_topk_bruteforce(spark, sf_dir))
     bucketed = pairs(S.sim_topk_bucketed(spark, sf_dir))
     ivf = pairs(S.sim_topk_ivf(spark, sf_dir))
-    assert len(bf & bucketed) / len(bf) >= 0.2
+    # L=4 independent tables x 7-probe multiprobe: measured 0.84 at
+    # sf0.01 (single-table multiprobe was 0.2-0.36, single bucket 0.08)
+    assert len(bf & bucketed) / len(bf) >= 0.5
     assert len(bf & ivf) / len(bf) >= 0.4
 
 
