@@ -238,6 +238,21 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in plan  # buckets align, no shuffle
 
 
+def test_join_bucketed_query_has_no_prejoin_exchange(spark, sf_dir):
+    """The registered join_bucketed query (not just the machinery test
+    above) must read its bucketed tables straight into the
+    SortMergeJoin: the ONLY shuffle in the plan is the final 5-group
+    priority rollup — zero exchanges between the scans and the join."""
+    from adcirctime2cogs_spark.operators.relational2 import join_bucketed
+
+    plan = _plan(join_bucketed(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    # one exchange for the groupBy, none for the join sides
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "SelectedBucketsCount" in plan  # scans are bucket-aware
+
+
 def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     from adcirctime2cogs_spark.operators.similarity import vec_quantize_int8
 
