@@ -115,6 +115,9 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 )
 
 
+_ARTIFACT_MEMO: dict = {}
+
+
 def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     """The fuzzy-dedup family's shared intermediates: the shingle
     explode `sh`, the stop-shingle set `stop` (doc frequency > DF_CAP),
@@ -134,6 +137,10 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     them, and at 100 TB they are the written-once tables between
     pipeline stages.
     """
+    key = (id(spark), sf_dir)
+    memo = _ARTIFACT_MEMO.get(key)
+    if memo is not None and memo[0] is spark:
+        return memo[1], memo[2], memo[3]
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     posts = (
         sh.groupBy("sh")
@@ -157,6 +164,13 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
         .agg(F.count("*").alias("c"))
         .persist()
     )
+    # memoized per (session, sf_dir): repeated calls (bench loops, the
+    # oracle sweep, multi-query pipelines) must reuse the SAME cached
+    # DataFrames instead of re-persisting equivalent plans — the
+    # CacheManager would dedupe by plan anyway, but each re-persist
+    # call logs a warning and re-walks the plan. Keyed on the live
+    # session object so a restarted session rebuilds cleanly.
+    _ARTIFACT_MEMO[(id(spark), sf_dir)] = (spark, sh, stop, inter)
     return sh, stop, inter
 
 
