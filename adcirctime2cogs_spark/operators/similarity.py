@@ -139,6 +139,29 @@ _SIGN_SQL_TMPL = " + ".join(
 L_TABLES = 4  # independent sign-LSH tables over disjoint dim blocks
 
 
+def _multitable_buckets(emb: DataFrame, id_alias: str) -> DataFrame:
+    """(id, tbl, bucket) rows for all L_TABLES sign tables — ids only,
+    so the LSH fan-out never replicates embedding arrays."""
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _sign_bucket(F.col("embedding"), t * SIGN_BITS).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(L_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        id_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 _MULTITABLE_BUCKET_CASE = (
     "CASE tbl "
     + " ".join(
@@ -198,22 +221,7 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per DEDUPED candidate pair. Arrays never ride the bucket
     fan-out and the distinct runs on (long, long) pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _sign_bucket(F.col("embedding"), t * SIGN_BITS).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(L_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("c_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cb = _multitable_buckets(emb, "c_id")
     probe_structs = []
     for t in range(L_TABLES):
         b = _sign_bucket(F.col("embedding"), t * SIGN_BITS)
@@ -323,7 +331,10 @@ def sim_threshold_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENT_MOD = 67  # centroid rule: vec_id % 67 == 1 → nlist ≈ n/67 cells
-N_PROBE = 3  # each query scans its 3 nearest cells
+# Each query scans its 4 nearest cells. nlist ≈ n/67 grows with the
+# data, so nprobe=4 stays sub-linear at scale; measured recall@5 at
+# sf0.01: nprobe 3 → 0.64, 4 → 0.80, 5 → 0.84 (floor pinned at 0.6).
+N_PROBE = 4
 
 _IVF_SQL = f"""
     WITH cent AS (
@@ -414,6 +425,89 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cos_sim")
+    )
+
+
+KNN_K = 3  # neighbors per vector in the k-NN self-join
+
+
+@_register(
+    "sim_knn_join",
+    f"""
+    WITH cb AS (
+      SELECT vec_id, tbl, {_MULTITABLE_BUCKET_CASE} AS bucket
+      FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS tbl) t
+    ),
+    ap AS (
+      SELECT vec_id, tbl,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+      FROM cb
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM ap a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id != b.vec_id
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id,
+             round({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 4) AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a_id
+      JOIN embeddings eb ON eb.vec_id = c.b_id
+    )
+    SELECT a_id, b_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY a_id
+                                   ORDER BY cos_sim DESC, b_id) AS rn
+      FROM pairs
+    ) WHERE rn <= {KNN_K}
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: EVERY vector gets its approximate top-k
+    neighbors (not just a probe set) — the workhorse for embedding
+    clustering, mutual-kNN graph building, and semantic dedup sweeps.
+
+    Same multi-table multiprobe sign-LSH blocking as sim_topk_bucketed,
+    applied to every vector as the probe side: side A expands to the
+    L x (1+SIGN_BITS) one-bit-flip buckets, side B stays at L rows per
+    vector, the (tbl, bucket) join touches only bucket collisions,
+    candidates dedupe as (long, long) id pairs, embeddings join back
+    by key once per pair, and one window picks top-KNN_K per source.
+    Sub-quadratic end-to-end — comparisons scale with L x probes x
+    bucket occupancy, not n^2, and no array ever rides the fan-out.
+    Vectors whose probed buckets hold no collision simply emit no rows
+    (the honest ANN contract; raise L_TABLES for higher recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _multitable_buckets(emb, "a_id")
+    flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(SIGN_BITS)])
+    ap = cb.select(
+        "a_id",
+        "tbl",
+        F.explode(
+            F.transform(flips, lambda fl: F.col("bucket").bitwiseXOR(fl))
+        ).alias("bucket"),
+    )
+    cbb = cb.select(F.col("a_id").alias("b_id"), "tbl", "bucket")
+    cand = (
+        ap.join(cbb, ["tbl", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id", "b_id", r4(cosine(F.col("ea"), F.col("eb"))).alias("cos_sim")
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), "b_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("a_id", "b_id", "cos_sim")
     )
 
 

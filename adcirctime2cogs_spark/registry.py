@@ -61,7 +61,7 @@ _PRIORITY = [
     # rewrite this round; covariance newly rotated in)
     "sim_topk_bruteforce",
     "sim_topk_bucketed",
-    "sim_threshold_pairs",
+    "sim_knn_join",
     "sim_topk_ivf",
     "vec_quantize_int8",
     "vec_covariance_matrix",

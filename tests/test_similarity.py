@@ -91,7 +91,8 @@ def test_ann_recall_floors_vs_bruteforce(spark, sf_dir):
     # L=4 independent tables x 7-probe multiprobe: measured 0.84 at
     # sf0.01 (single-table multiprobe was 0.2-0.36, single bucket 0.08)
     assert len(bf & bucketed) / len(bf) >= 0.5
-    assert len(bf & ivf) / len(bf) >= 0.4
+    # IVF nprobe=4: measured 0.80 at sf0.01 (nprobe=3 was 0.64)
+    assert len(bf & ivf) / len(bf) >= 0.6
 
 
 def test_pca_projection_invariants(spark, sf_dir):
@@ -117,3 +118,32 @@ def test_pca_projection_invariants(spark, sf_dir):
     # projection is deterministic across invocations (sign convention)
     again = vec_pca_project(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_knn_join_quality_and_shape(spark, sf_dir):
+    """The k-NN self-join must (a) emit at most KNN_K neighbors per
+    vector with self-pairs excluded, and (b) recover a healthy share of
+    the exact top-KNN_K for the probe vectors (same blocking as the
+    bucketed path, so recall tracks its 0.84 floor)."""
+    from adcirctime2cogs_spark.operators import similarity as S
+
+    rows = S.sim_knn_join(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert r.a_id != r.b_id
+        per.setdefault(r.a_id, []).append(r.b_id)
+    assert max(len(v) for v in per.values()) <= S.KNN_K
+    # exact top-KNN_K for the probe vectors from the brute-force
+    # ranking (collect order is arbitrary — impose the rank order)
+    bf = {}
+    ranked = S.sim_topk_bruteforce(spark, sf_dir).orderBy(
+        "q_id", F.desc("cos_sim"), "c_id"
+    )
+    for r in ranked.collect():
+        bf.setdefault(r.q_id, []).append(r.c_id)
+    hits = tot = 0
+    for q, cs in bf.items():
+        exact = set(cs[: S.KNN_K])
+        tot += len(exact)
+        hits += len(exact & set(per.get(q, [])))
+    assert hits / tot >= 0.5, (hits, tot)
