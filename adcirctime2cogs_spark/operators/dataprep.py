@@ -367,3 +367,96 @@ def prep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("n_chars")).alias("avg_chars"),
         )
     )
+
+
+CHUNK_W = 200  # chunk window (chars)
+CHUNK_S = 150  # chunk stride (chars) -> 50-char overlap
+
+
+@_register(
+    "prep_chunk_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST((greatest(length(text) - {CHUNK_W}, 0) + {CHUNK_S} - 1)
+                  // {CHUNK_S} AS BIGINT) + 1 AS n_chunks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, text, n_chunks,
+             unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1))
+               AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx, n_chunks,
+           substr(text, chunk_idx * {CHUNK_S} + 1, {CHUNK_W}) AS chunk_text
+    FROM e
+    """,
+)
+def prep_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: each document splits into
+    CHUNK_W-char windows at CHUNK_S stride (50-char overlap) — the
+    retrieval/pretraining chunker. Pure row-local explode: sequence +
+    substring, no shuffle at all; at 100 TB this is a map-only stage
+    whose output feeds the shard sink. Chunk count is integer-exact in
+    both engines: 1 + ceil(max(len - W, 0) / S)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.expr(
+            f"(greatest(length(text) - {CHUNK_W}, 0) + {CHUNK_S} - 1)"
+            f" div {CHUNK_S}"
+        )
+        + 1
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "text", n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.col("n_chunks") - 1)).alias("chunk_idx"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunks",
+            F.substring(
+                "text", F.col("chunk_idx") * CHUNK_S + 1, CHUNK_W
+            ).alias("chunk_text"),
+        )
+    )
+
+
+SHUF_SEED = 20260814  # deterministic training-order seed
+SHUF_MULT = 2654435761  # Knuth multiplicative hash
+SHUF_MOD = 1 << 32
+N_SHARDS = 64
+
+
+@_register(
+    "prep_seeded_shuffle",
+    f"""
+    SELECT doc_id,
+           (doc_id * {SHUF_MULT} + {SHUF_SEED}) % {SHUF_MOD} AS sort_key,
+           ((doc_id * {SHUF_MULT} + {SHUF_SEED}) % {SHUF_MOD}) % {N_SHARDS}
+             AS shard
+    FROM documents
+    """,
+)
+def prep_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training order: each doc
+    gets a multiplicative-hash sort key and a shard assignment —
+    reproducible across engines/runs (no RNG state) and stable under
+    repartitioning. The scalable shuffle contract at 100 TB: write
+    shard files partitioned by `shard`, sorted by `sort_key` within
+    each shard (sortWithinPartitions on the shard sink); a global
+    row_number would serialize on one partition and is deliberately
+    NOT offered. Pure projection — zero shuffle in this plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * SHUF_MULT + SHUF_SEED) % SHUF_MOD
+    return docs.select(
+        "doc_id",
+        key.alias("sort_key"),
+        (key % N_SHARDS).alias("shard"),
+    )

@@ -769,3 +769,61 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@_register(
+    "events_feature_rollup",
+    f"""
+    WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
+    SELECT user_id,
+           sum(CASE WHEN epoch_us(ts) > gmax - {_DAY_US} THEN 1 ELSE 0 END)
+             AS n_1d,
+           sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US} THEN 1 ELSE 0 END)
+             AS n_7d,
+           sum(CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US} THEN 1 ELSE 0 END)
+             AS n_30d,
+           round(sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US}
+                          THEN value ELSE 0 END), 4) AS val_7d,
+           count(DISTINCT CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US}
+                               THEN event_type END) AS types_30d,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events, g
+    GROUP BY user_id
+    """,
+)
+def events_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon feature rollup (the feature-store staple): per
+    user, trailing 1d/7d/30d activity counts, 7d value sum, 30d
+    distinct event types, and last-seen — all as of the corpus's max
+    event time.
+
+    ONE hash aggregate computes every horizon via conditional
+    aggregation — no per-horizon scan, no window function, no
+    self-join; the only extra input is the one-row global-max-ts
+    broadcast (allowlisted BNLJ, same pattern as agg_rfm_segmentation).
+    Horizon cuts compare integer epoch micros, so window membership is
+    engine-exact. At 100 TB this is a single events shuffle on
+    user_id."""
+    events = load_table(spark, sf_dir, "events")
+    gmax = events.agg(F.max(F.unix_micros("ts")).alias("gmax"))
+    us = F.unix_micros("ts")
+    in_h = lambda days: us > F.col("gmax") - days * _DAY_US  # noqa: E731
+    return (
+        events.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(in_h(1), 1).otherwise(0)).alias("n_1d"),
+            F.sum(F.when(in_h(7), 1).otherwise(0)).alias("n_7d"),
+            F.sum(F.when(in_h(30), 1).otherwise(0)).alias("n_30d"),
+            r4(F.sum(F.when(in_h(7), F.col("value")).otherwise(0.0))).alias(
+                "val_7d"
+            ),
+            F.countDistinct(
+                F.when(in_h(30), F.col("event_type"))
+            ).alias("types_30d"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )

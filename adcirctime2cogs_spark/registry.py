@@ -69,13 +69,14 @@ _PRIORITY = [
     "text_tfidf_top",
     "text_bm25_topk",
     "text_quality",
-    # dataset-prep
-    "prep_decontaminate",
-    "prep_quality_filter",
+    # dataset-prep (chunking + seeded shuffle are new this round;
+    # decontaminate/quality_filter rotate out r03-verified)
+    "prep_chunk_windows",
+    "prep_seeded_shuffle",
     # event/stream-twin + behavioral suite (funnel/retention/PIT/
-    # sessionize/LOCF newly rotated in)
+    # sessionize/LOCF newly rotated in; feature_rollup new this round)
     "events_session_window",
-    "events_m4_downsample",
+    "events_feature_rollup",
     "events_funnel",
     "events_retention_cohorts",
     "events_pit_enrich",

@@ -158,6 +158,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "agg_heavy_hitters": 1,       # single-row totals broadcast
         "text_bm25_topk": 3,          # N + avgdl one-row broadcasts
         "agg_rfm_segmentation": 1,    # single-row corpus-max-date broadcast
+        "events_feature_rollup": 1,   # single-row global-max-ts broadcast
     }
     spark.catalog.clearCache()
     bad = []
