@@ -106,3 +106,56 @@ def test_survivors_partition_the_corpus(spark, sf_dir):
         assert comp.get(r.keeper, r.keeper) == r.component
         members = [d for d, c in comp.items() if c == r.component] or [r.component]
         assert chars[r.keeper] == max(chars[d] for d in members)
+
+
+def test_chunk_windows_edges(spark, tmp_path):
+    """Chunking must be total: empty text -> one empty chunk, text at
+    exactly the window size -> one chunk, text one char past the
+    stride boundary -> extra chunk with the 50-char overlap intact."""
+    from adcirctime2cogs_spark.operators.dataprep import (
+        CHUNK_S,
+        CHUNK_W,
+        prep_chunk_windows,
+    )
+
+    docs = [
+        (0, "", "en", "s", 0),
+        (1, "x" * CHUNK_W, "en", "s", CHUNK_W),
+        (2, "a" * (CHUNK_W + 1), "en", "s", CHUNK_W + 1),
+        (3, "b" * (CHUNK_W + CHUNK_S), "en", "s", CHUNK_W + CHUNK_S),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = prep_chunk_windows(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert len(by_doc[0]) == 1 and by_doc[0][0].chunk_text == ""
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "x" * CHUNK_W
+    assert len(by_doc[2]) == 2
+    # second chunk starts at the stride, overlapping the first by W-S
+    assert by_doc[2][1].chunk_text == "a" * (CHUNK_W + 1 - CHUNK_S)
+    assert len(by_doc[3]) == 2
+    assert by_doc[3][1].chunk_text == "b" * CHUNK_W
+    # every chunk records the doc's total chunk count
+    for d, chunks in by_doc.items():
+        for r in chunks.values():
+            assert r.n_chunks == len(chunks)
+
+
+def test_seeded_shuffle_properties(spark, sf_dir):
+    """The seeded shuffle is a bijection on sort keys (multiplicative
+    hash is odd -> injective mod 2^32), shard-bounded, and stable
+    across invocations."""
+    from adcirctime2cogs_spark.operators.dataprep import (
+        N_SHARDS,
+        prep_seeded_shuffle,
+    )
+
+    rows = prep_seeded_shuffle(spark, sf_dir).collect()
+    keys = [r.sort_key for r in rows]
+    assert len(set(keys)) == len(keys)  # injective on doc_ids
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+    again = prep_seeded_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
