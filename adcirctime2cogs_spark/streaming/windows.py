@@ -126,6 +126,65 @@ def running_value_by_user(events: DataFrame) -> DataFrame:
     )
 
 
+def session_flush_on_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful session store with EVENT-TIME state expiry
+    (applyInPandasWithState + EventTimeTimeout): per-user running
+    session state (count, first/last event time) is flushed as ONE
+    final record when the watermark passes the user's last event +
+    gap — the state-TTL half of the stateful-operator story that
+    running_value_by_user (NoTimeout, emit-on-every-trigger) doesn't
+    show. State is removed on flush, so an inactive key costs nothing
+    forever after — the property that keeps per-key state bounded on
+    an unbounded key space (the failure mode that kills stateful
+    streams at 100 TB is keys that never expire).
+
+    Timestamps ride through state as int64 epoch-micros (GroupState
+    tuples are plain rows; micros round-trip exactly)."""
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+        else:
+            n, first_us, last_us = (
+                state.get if state.exists else (0, None, None)
+            )
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                n += len(pdf)
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            state.update((n, first_us, last_us))
+            # flush when the event-time watermark passes last + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, first_us long, last_us long"
+            ),
+            stateStructType="n long, first_us long, last_us long",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def enrich_with_users(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: each incoming event picks up its customer's
     market segment from a static dimension table. The static side is

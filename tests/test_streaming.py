@@ -491,3 +491,60 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream)
     cols = ["view_id", "click_id", "user_id", "view_ts_s", "click_ts_s"]
     assert _rows(out, cols) == _rows(expected, cols)
     assert out.count() > 0
+
+
+def test_stateful_session_flush_on_event_time_timeout(spark, tmp_path):
+    """State TTL: a user silent past (last event + gap) is flushed as
+    one final session record when a LATER batch advances the event-time
+    watermark past the deadline, and the flushed key's state is
+    removed. User 1 goes quiet after batch A; user 2 keeps eventing two
+    hours later, dragging the watermark forward -> only user 1
+    flushes."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts"]
+        ).astype({"ts": "datetime64[us]"})
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name)
+        )
+
+    _write(
+        "batch_a.parquet",
+        [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 10:05:00"),
+         (2, 20, "2024-01-01 10:06:00")],
+    )
+    _time.sleep(1.1)
+    _write("batch_b.parquet", [(2, 21, "2024-01-01 12:00:00")])
+    _time.sleep(1.1)
+    # third batch so the watermark computed after batch_b takes effect
+    _write("batch_c.parquet", [(2, 22, "2024-01-01 12:01:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sw.session_flush_on_timeout(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_flush")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.user_id: r for r in spark.table("t_flush").collect()}
+    assert set(rows) == {1}, rows  # user 2 is still live -> no flush
+    r = rows[1]
+    assert r.n_events == 2
+    assert pd.Timestamp(r.first_us, unit="us") == pd.Timestamp("2024-01-01 10:00:00")
+    assert pd.Timestamp(r.last_us, unit="us") == pd.Timestamp("2024-01-01 10:05:00")
