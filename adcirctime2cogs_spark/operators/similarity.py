@@ -765,3 +765,53 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[r4(dot(comp_cols[c])).alias(f"pc{c}") for c in range(len(comp_cols))],
     )
+
+
+MRL_DIM = 16  # Matryoshka truncation prefix length
+
+_SLICE_IP_SQL = (
+    "list_inner_product("
+    "list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)),"
+    "list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE)))"
+)
+
+
+@_register(
+    "vec_matryoshka_truncate",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({_SLICE_IP_SQL.format(d=MRL_DIM)}) AS norm16
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(norm16, 4) AS norm16,
+           round(CAST(embedding[1] AS DOUBLE) / nullif(norm16, 0), 4) AS c0,
+           round(CAST(embedding[2] AS DOUBLE) / nullif(norm16, 0), 4) AS c1,
+           round(CAST(embedding[3] AS DOUBLE) / nullif(norm16, 0), 4) AS c2,
+           round(CAST(embedding[4] AS DOUBLE) / nullif(norm16, 0), 4) AS c3
+    FROM n
+    """,
+)
+def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first MRL_DIM
+    dims and L2-renormalize — the modern embedding-shrink trade (MRL
+    models front-load information, so prefix truncation + renorm
+    preserves ranking at a fraction of the storage/compute). Row-local
+    array math, zero shuffle; at 100 TB this is the map stage you run
+    before re-indexing a cheaper ANN tier. Zero-norm prefixes yield
+    null components via nullif (no Inf/NaN leaves the operator)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, MRL_DIM)
+    norm16 = F.sqrt(dot(head, head))
+    nz = F.nullif(norm16, F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        r4(norm16).alias("norm16"),
+        *[
+            r4(F.element_at("embedding", i + 1).cast("double") / nz).alias(
+                f"c{i}"
+            )
+            for i in range(4)
+        ],
+    )

@@ -606,3 +606,63 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "pair").limit(50)
     w = W.orderBy(F.col("n").desc(), "pair")
     return top.withColumn("rn", F.row_number().over(w))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@_register(
+    "text_pii_redact",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(dirty, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(dirty, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(dirty, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS clean_md5,
+           length(dirty)
+             - length(regexp_replace(regexp_replace(dirty, '{_EMAIL_RE}',
+                                                    '[EMAIL]', 'g'),
+                                     '{_PHONE_RE}', '[PHONE]', 'g'))
+             AS chars_removed
+    FROM d
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone-shaped digit runs):
+    count matches, replace with typed placeholder tokens, emit the
+    redacted text's md5 and the net character delta — the standard
+    pre-training scrub pass, all JVM-side regex (no UDF).
+
+    The fixture corpus is deterministically clean (no digits or '@'),
+    so each doc plants one email + one phone derived from its own
+    doc_id before redaction — identical construction in both engines,
+    which turns the oracle into a true positive-path check rather than
+    an all-zeros one. Patterns stay in the Java-regex ∩ RE2 common
+    subset (no backrefs/lookaround) so both engines match identically;
+    at 100 TB this is a narrow map-only projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+        (F.length(dirty) - F.length(clean)).alias("chars_removed"),
+    )

@@ -63,10 +63,10 @@ _PRIORITY = [
     "sim_topk_bucketed",
     "sim_knn_join",
     "sim_topk_ivf",
-    "vec_quantize_int8",
+    "vec_matryoshka_truncate",
     "vec_covariance_matrix",
     # text analysis
-    "text_tfidf_top",
+    "text_pii_redact",
     "text_bm25_topk",
     "text_quality",
     # dataset-prep (chunking + seeded shuffle are new this round;
