@@ -61,9 +61,11 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        # min of 2 runs: measures the plan, not one-time codegen/JIT
+        # min of 3 runs: measures the plan, not one-time codegen/JIT or
+        # transient machine load (ambient throughput on this host was
+        # observed drifting ±30% between sessions)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
