@@ -1034,3 +1034,75 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_orderdate"),
         )
     )
+
+
+@_register(
+    "join_asof_nearest",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(date_diff('day', CAST(e.ts AS DATE),
+                                      CAST(o.o_orderdate AS DATE))),
+                        CASE WHEN CAST(o.o_orderdate AS DATE)
+                                  > CAST(e.ts AS DATE) THEN 1 ELSE 0 END,
+                        o.o_orderkey) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id
+      WHERE abs(date_diff('day', CAST(e.ts AS DATE),
+                          CAST(o.o_orderdate AS DATE))) <= 90
+    )
+    SELECT event_id, user_id, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS nearest_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (merge_asof direction='nearest'): the order
+    closest IN EITHER DIRECTION to each event, at day granularity (the
+    orders table is day-granular), bounded to a ±90-day tolerance;
+    equidistant past/future ties break toward the PAST order, then the
+    lowest orderkey — a total order, so the pick is deterministic in
+    both engines.
+
+    Same hash-agg argmin strategy as join_asof/join_asof_forward: the
+    composite ordering (|Δdays|, is_future, orderkey) packs into ONE
+    BIGINT ((|Δdays|·2 + is_future) · 2^40 + orderkey — |Δdays| ≤ 90
+    keeps the product far under 2^63 and orderkey rides the low bits
+    uncompressed, so the key is unique per candidate and every
+    per-column min_by picks the SAME row). All agg buffers primitive →
+    HashAggregate with map-side partials; integer day arithmetic means
+    no float truncation can diverge from the oracle's ranking."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.to_date("o_orderdate"), F.to_date("ts"))
+    joined = (
+        events.join(orders, orders.o_custkey == events.user_id)
+        .withColumn("dd", dd)
+        .filter(F.abs(F.col("dd")) <= 90)
+    )
+    key = (
+        (F.abs(F.col("dd")).cast("long") * 2
+         + F.when(F.col("dd") > 0, 1).otherwise(0))
+        * F.lit(1 << 40)
+        + F.col("o_orderkey")
+    )
+    days = F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+    picked = (
+        joined.withColumn("k", key)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.min_by("o_orderkey", "k").alias("o_orderkey"),
+            F.min_by(days, "k").alias("days"),
+        )
+    )
+    return picked.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("days").cast("int")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("nearest_orderdate"),
+    )

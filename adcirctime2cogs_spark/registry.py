@@ -91,7 +91,7 @@ _PRIORITY = [
     # join_bucketed is new this round — co-located bucket join)
     "q1_pricing_summary",
     "join_star_revenue",
-    "join_asof",
+    "join_asof_nearest",
     "join_bucketed",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume",

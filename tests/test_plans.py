@@ -197,6 +197,7 @@ def test_argmin_family_is_hash_agg_not_sort(spark, sf_dir):
         "regrid_synthetic_bench",
         "cdc_merge_apply",
         "join_asof_forward",
+        "join_asof_nearest",
     ):
         assert "SortAggregate" not in _plan(qs[name](spark, sf_dir)), name
 
