@@ -1,0 +1,613 @@
+"""TPC-H decision-support suite (the classic shapes beyond Q1/Q3/Q18,
+which live in relational.py / relational2.py).
+
+The fixture schema is a reduced TPC-H — no partsupp table, and
+lineitem carries only shipdate (no commit/receipt dates), so the
+partsupp queries (Q2/Q11/Q16/Q20) are out of reach and Q4/Q13/Q17/
+Q19/Q22 are adapted to the columns that exist; each docstring notes
+the adaptation. What matters for the engine is the PLAN SHAPE each
+query exercises — multi-hop dim pruning (Q5), pure scan-pushdown agg
+(Q6), bi-directional nation pairing (Q7), top-k over a filtered
+fact join (Q10), outer-join histogram (Q13), conditional-aggregate
+ratio (Q14), scalar-max semi-selection (Q15), correlated per-group
+threshold (Q17), disjunctive multi-range predicates (Q19), and
+anti-join with a global scalar gate (Q22).
+
+Money arithmetic follows the repo convention: per-line revenue terms
+round via r4 (bit-identical to the oracle's expanded floor form)
+before summing, and any value that feeds a cross-engine comparison,
+ratio, or threshold is first projected to exact integer cents
+(CAST(round(x*100) AS BIGINT)) so double fold-order can never flip a
+filter or a rank (see functions/numeric.py).
+
+Reference parity: the reference engine has no relational suite at
+all (its pipeline is run/adcircTime2cogs.py:199-207 regrid+COG); this
+module is part of the §2B "required categories" coverage — joins,
+aggregation, subqueery decorrelation — at TPC-H's canonical shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _rev_term() -> F.Column:
+    """Per-line revenue l_extendedprice*(1-l_discount), rounded 4dp in
+    the engine-exact floor form so Spark and DuckDB sum identical
+    doubles."""
+    return r4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+# oracle-side spelling of the same term; expand_round_sql rewrites the
+# round(...,4) into the floor form at registration time
+_REV_SQL = "round(l_extendedprice * (1 - l_discount), 4)"
+
+
+@_register(
+    "tpch_q4_order_priority",
+    f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" is a lineitem shipped more
+    than 60 days after the order date — same EXISTS-correlated
+    semi-join shape, same quarter window.
+
+    Plan shape: the date range pushes to the orders scan, the EXISTS
+    becomes a LeftSemi equi-join on orderkey with the ship-lag
+    residual as a join filter (no secondary shuffle, no decorrelation
+    subquery re-scan), then a 5-group hash agg. At 100 TB the semi
+    join keeps only one bit per order — nothing from lineitem is
+    carried past the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@_register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n_name, round(sum({_REV_SQL}), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    customer and supplier share an ASIA nation.
+
+    Plan shape at 100 TB: region→nation→supplier collapses into ONE
+    broadcast dim (region 5 rows prunes nation, nation prunes
+    supplier; supplier is ~10k rows/SF — MBs even at SF1e5). The two
+    fact tables join on orderkey (shuffle), the dim broadcasts into
+    the fact side, and customer joins last on custkey with the
+    c_nationkey = s_nationkey residual as a join filter — AQE picks
+    shuffle vs broadcast for that side by actual post-filter size.
+    Both date bounds push to the orders scan."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            c,
+            (F.col("o_custkey") == c.c_custkey)
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(r4(F.sum(_rev_term())).alias("revenue"))
+    )
+
+
+@_register(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT round(sum(round(l_extendedprice * l_discount, 4)), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-pushdown aggregate — no join, no groupBy key, one global sum.
+
+    Plan shape: every predicate (two date bounds, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter and the
+    scan reads only 4 columns; the aggregate is a partial+final pair
+    with a single-row exchange. This is the query where scan
+    efficiency IS the query — at 100 TB it is bounded by parquet
+    row-group pruning, not compute."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r4(F.sum(r4(F.col("l_extendedprice") * F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum({_REV_SQL.replace('l_', 'l.l_')}), 4) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations in
+    both directions, by ship year.
+
+    Plan shape: the nation filter prunes BOTH dim chains before they
+    touch a fact table — supplier and customer are each semi-reduced
+    to two nations by a broadcast join, so the fact-side shuffle
+    (lineitem ⋈ orders on orderkey) carries only the ~8% of rows a
+    two-nation supplier produces, and the cross-pair disjunction runs
+    as a cheap residual on the already-joined row, not as a join
+    strategy. Group key cardinality is 2 pairs × years."""
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cus, o.o_custkey == cus.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(r4(F.sum(_rev_term())).alias("revenue"))
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           round(sum({_REV_SQL.replace('l_', 'l.l_')}), 4) AS revenue,
+           round(c.c_acctbal, 4) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by lost
+    revenue on returned lines in one quarter. (The fixture customer
+    has no address/phone/comment columns; the projection carries what
+    exists.)
+
+    Plan shape: both selective predicates (quarter on orders,
+    returnflag on lineitem) push to their scans BEFORE the orderkey
+    shuffle; aggregation keys on the customer so the wide customer/
+    nation attributes join AFTER the agg onto ~|customers| rows, and
+    the top-20 plans as TakeOrderedAndProject (per-partition heap, no
+    global sort). Revenue is bit-stable (r4 terms) and ties break on
+    c_custkey, so rank order cannot flip across engines."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(r4(F.sum(_rev_term())).alias("revenue"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            r4(F.col("c_acctbal")).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by
+    non-urgent order count, zeros preserved. (The spec's o_comment
+    NOT LIKE filter is adapted to a priority filter — the fixture has
+    no comment column; the shape under test is the filtered LEFT
+    OUTER join whose filter must stay on the JOIN, not the WHERE,
+    to keep zero-order customers.)
+
+    Plan shape: the priority filter pushes to the orders scan (it is
+    a join-side filter, not an outer-side one), the outer join
+    shuffles on custkey, and the double aggregate is two hash aggs —
+    the second one tiny (≤ max order count keys). At 100 TB the
+    first agg's map-side combine collapses each customer's orders
+    before the exchange."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT round(
+      100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(round({_REV_SQL.replace('l_', 'l.l_')} * 10000) AS BIGINT)
+                       ELSE 0 END)
+            / sum(CAST(round({_REV_SQL.replace('l_', 'l.l_')} * 10000) AS BIGINT)),
+      4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO-type parts (the fixture's p_type is a single token, so
+    the spec's LIKE 'PROMO%%' is an equality).
+
+    Plan shape: the month window pushes to the lineitem scan, part
+    broadcasts (dim-scale), and the ratio is ONE pass — two
+    conditional sums in the same aggregate, no second scan or join.
+    Both sums are exact integers (revenue terms scaled to 1e-4 units
+    after the bit-stable r4), so the final ratio is computed from
+    identical values in both engines regardless of fold order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    units = F.round(_rev_term() * 10000).cast("bigint")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        r4(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0)))
+            / F.sum(units)
+        ).alias("promo_revenue_pct")
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in a quarter — the create-view / scalar-max / equality-select
+    shape.
+
+    Plan shape: one hash agg over the quarter-filtered lineitem
+    builds the per-supplier revenue ONCE; the scalar max is a one-row
+    aggregate of that same cached-exchange result joined back by
+    equality (BroadcastHashJoin on the value — Spark reuses the
+    exchange rather than re-scanning lineitem), then the supplier dim
+    joins onto the ≥1 surviving row. Revenue is exact integer cents,
+    so the max-equality cannot miss by an ulp in either engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_cents == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@_register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT round(
+      sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 700.0, 4)
+      AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#7'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of one brand
+    whose quantity is below 20% of that part's average — the
+    correlated per-group threshold shape. (Adapted: brand only; the
+    fixture part has no container column.)
+
+    Plan shape: the brand filter prunes part to ~1/25 and broadcasts;
+    the per-part average is computed ONLY for surviving parts (the
+    broadcast semi-reduces lineitem before the avg's hash agg), then
+    threshold and detail join back on partkey. Catalyst decorrelates
+    the SQL form the same way — one agg + one join, no per-row
+    re-scan. Quantities are integral doubles, so their sums (hence
+    the avg and the 0.2× threshold) are EXACT in any fold order; the
+    final revenue is integer cents over 700.0."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#7"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        li.l_partkey, "l_quantity", "l_extendedprice"
+    )
+    th = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("th")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        brand_lines.join(
+            F.broadcast(th), brand_lines.l_partkey == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("th"))
+        .agg(r4(F.sum(cents) / 700.0).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive_pred",
+    f"""
+    SELECT round(sum({_REV_SQL.replace('l_', 'l.l_')}), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    query — three (brand, size-range, quantity-range) branches OR'd
+    together. (Adapted: p_size ranges instead of the container lists
+    the fixture lacks.)
+
+    Plan shape: the implied predicates are hoisted so each side still
+    prunes — part scans only the 3 brands with size ≤ 15 (pushed
+    IN + range filter), lineitem scans only quantity 1–30 (pushed
+    range over the union of branches); the exact disjunction then
+    runs as a residual on the broadcast join's output. Without the
+    hoist the OR would defeat pushdown entirely and both scans would
+    be full — the difference between reading 3/25ths and all of a
+    100 TB fact table."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#3", "Brand#14")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(r4(F.sum(_rev_term())).alias("revenue"))
+
+
+@_register(
+    "tpch_q22_sales_opportunity",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT b.c_nationkey, count(*) AS numcust,
+           sum(b.cents) AS total_cents
+    FROM bal b
+    WHERE b.cents > (SELECT avg(cents) FROM bal WHERE cents > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = b.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY b.c_nationkey
+    """,
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no recent activity, counted per nation. (Adapted:
+    grouped by nationkey instead of the phone country code the
+    fixture lacks, and "never ordered" relaxed to "no order since
+    2000-01-01" — every fixture customer has some order.)
+
+    Plan shape: the global average is a one-row aggregate broadcast
+    into a non-equi filter join (the allowlisted single-row BNLJ
+    pattern); the NOT EXISTS is a LeftAnti equi-join against orders
+    pre-filtered by the pushed date bound — at 100 TB the anti side
+    scans only the recent partition range, not order history.
+    Balances compare as exact integer cents against an
+    exact-integer-ratio average, so membership cannot flip on
+    fold order."""
+    bal = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    avg_pos = bal.filter(F.col("cents") > 0).agg(
+        F.avg("cents").alias("avg_cents")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        bal.join(F.broadcast(avg_pos), bal.cents > F.col("avg_cents"))
+        .join(recent, bal.c_custkey == recent.o_custkey, "anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -27,6 +27,7 @@ _OPERATOR_MODULES = [
     "adcirctime2cogs_spark.operators.multimodal",
     "adcirctime2cogs_spark.operators.relational",
     "adcirctime2cogs_spark.operators.relational2",
+    "adcirctime2cogs_spark.operators.tpch",
     "adcirctime2cogs_spark.operators.graphops",
 ]
 

@@ -159,6 +159,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_bm25_topk": 3,          # N + avgdl one-row broadcasts
         "agg_rfm_segmentation": 1,    # single-row corpus-max-date broadcast
         "events_feature_rollup": 1,   # single-row global-max-ts broadcast
+        "tpch_q22_sales_opportunity": 1,  # single-row global-avg broadcast
     }
     spark.catalog.clearCache()
     bad = []
