@@ -26,6 +26,7 @@ Reference parity: the reference has no LLM-pipeline stage (SURVEY §2B
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.functions.numeric import r4
@@ -459,4 +460,54 @@ def prep_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         key.alias("sort_key"),
         (key % N_SHARDS).alias("shard"),
+    )
+
+
+SOURCE_CAP = 8  # max docs kept per source
+_CAP_SALTS = 4  # phase-1 fan-out for the skew-safe two-phase top-N
+
+
+@_register(
+    "prep_source_cap",
+    f"""
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {SOURCE_CAP}
+    """,
+)
+def prep_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) cap: keep at most SOURCE_CAP docs per
+    source, preferring longer documents — the standard corpus-prep
+    guard against a single crawl domain dominating the training mix.
+
+    The naive form is one row_number window partitioned by source —
+    but at 100 TB a hot domain (half the corpus from one host) makes
+    that a single-task sort of billions of rows. This runs the
+    skew-safe two-phase top-N instead: phase 1 partitions each source
+    into _CAP_SALTS deterministic salt groups (doc_id % salts — no RNG,
+    stable under recompute) and takes the top SOURCE_CAP within each
+    (source, salt); phase 2 re-ranks the ≤ salts×cap survivors per
+    source. The second window's per-key input is bounded by
+    salts×cap = 32 rows REGARDLESS of domain skew, and phase 1's
+    parallelism scales with the salt count. Ordering (n_chars DESC,
+    doc_id) is total, so the final ranks match the naive form exactly
+    — which is what the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    order = (F.col("n_chars").desc(), F.col("doc_id"))
+    w1 = W.partitionBy("source", "salt").orderBy(*order)
+    phase1 = (
+        docs.withColumn("salt", F.col("doc_id") % _CAP_SALTS)
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= SOURCE_CAP)
+    )
+    w2 = W.partitionBy("source").orderBy(*order)
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("source", "doc_id", "n_chars", "rk")
     )

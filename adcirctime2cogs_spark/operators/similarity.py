@@ -815,3 +815,80 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+KM_K = 8       # clusters
+KM_ITERS = 3   # fixed Lloyd iterations (deterministic, no convergence RNG)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, JVM-side (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@_register("vec_kmeans_lloyd")  # iterative; no portable SQL oracle
+def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the iterative-ML
+    workload (beyond pagerank's graph loop): KM_ITERS assignment/
+    update rounds with deterministic init (the KM_K lowest vec_ids),
+    so the result is reproducible with no RNG state.
+
+    The distributed shape per iteration:
+    - centroids ship to executors as LITERALS (k×dim doubles baked
+      into the plan — smaller than a broadcast join and kept inside
+      whole-stage codegen), so assignment is a row-local argmin over
+      k squared-L2 distances: a narrow map stage, no join;
+    - the update is posexplode → groupBy (cluster, dim) → avg with
+      map-side partial aggregation: each task emits at most k×dim
+      partial sums no matter how many vectors it holds, and the
+      driver collects exactly k×dim finished means (the same
+      tree-reduce contract as MLlib's KMeans and the repo's PCA
+      driver-eigh — scale-invariant driver traffic);
+    - empty clusters keep their previous centroid.
+
+    Returns the final assignment (vec_id, cluster, dist) computed
+    lazily — per-iteration driver traffic is k×dim rows, never the
+    corpus. tests/test_similarity.py pins numpy equivalence."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = sorted(
+        emb.filter(F.col("vec_id") < KM_K).collect(), key=lambda r: r.vec_id
+    )
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in row.embedding] for i, row in enumerate(init)
+    }
+
+    def lit_cent(c: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in c])
+
+    def assign(df):
+        dists = F.array(
+            *[_sqdist(F.col("embedding"), lit_cent(cents[i])) for i in range(KM_K)]
+        )
+        return df.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(dists).alias("dist"),
+        )
+
+    for _ in range(KM_ITERS):
+        means = (
+            assign(emb)
+            .select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in means:
+            new.setdefault(r.cluster, [0.0] * len(cents[0]))[r.dim] = r.m
+        cents = {i: new.get(i, cents[i]) for i in range(KM_K)}
+
+    return assign(emb).select("vec_id", "cluster", r4(F.col("dist")).alias("dist"))

@@ -147,3 +147,47 @@ def test_knn_join_quality_and_shape(spark, sf_dir):
         tot += len(exact)
         hits += len(exact & set(per.get(q, [])))
     assert hits / tot >= 0.5, (hits, tot)
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """The distributed Lloyd loop must equal a straight numpy
+    implementation with the same deterministic init and iteration
+    count: identical assignments everywhere, centroids equal to
+    tolerance (the only allowed divergence is double fold order in
+    the avg)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        vec_kmeans_lloyd,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(v) for v in r.embedding] for r in rows])
+    cents = X[ids < KM_K][np.argsort(ids[ids < KM_K])].astype(float)
+
+    def assign_np(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    for _ in range(KM_ITERS):
+        lab, _ = assign_np(cents)
+        for k in range(KM_K):
+            if (lab == k).any():
+                cents[k] = X[lab == k].mean(axis=0)
+    lab, dist = assign_np(cents)
+    expected = dict(zip(ids.tolist(), lab.tolist()))
+
+    got = {r.vec_id: (r.cluster, r.dist) for r in
+           vec_kmeans_lloyd(spark, sf_dir).collect()}
+    assert len(got) == len(expected)
+    mismatch = [i for i in expected if got[i][0] != expected[i]]
+    assert not mismatch, f"{len(mismatch)} assignment mismatches: {mismatch[:5]}"
+    # distances agree to fp tolerance (spark reports r4-rounded)
+    by_id = dict(zip(ids.tolist(), dist.tolist()))
+    for i, (_, d) in got.items():
+        assert abs(d - by_id[i]) < 1e-3
