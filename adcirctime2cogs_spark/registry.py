@@ -71,9 +71,11 @@ _PRIORITY = [
     "text_bm25_topk",
     "text_quality",
     # dataset-prep (chunking + seeded shuffle are new this round;
-    # decontaminate/quality_filter rotate out r03-verified)
+    # decontaminate/quality_filter rotate out r03-verified;
+    # source_cap is the new skew-safe per-domain cap)
     "prep_chunk_windows",
     "prep_seeded_shuffle",
+    "prep_source_cap",
     # event/stream-twin + behavioral suite (funnel/retention/PIT/
     # sessionize/LOCF newly rotated in; feature_rollup new this round)
     "events_session_window",
@@ -89,23 +91,25 @@ _PRIORITY = [
     # multimodal metadata (the one oracle-backed mm query)
     "mm_binary_meta",
     # relational core (q3 retained-in after its broadcast fix;
-    # join_bucketed is new this round — co-located bucket join)
-    "q1_pricing_summary",
-    "join_star_revenue",
+    # join_bucketed is new this round — co-located bucket join;
+    # q1/join_star/agg_rollup/join_skew_salted/join_lateral_topk
+    # rotate out after three green rounds each, replaced by four
+    # queries from the new TPC-H suite — never externally verified)
     "join_asof_nearest",
     "join_bucketed",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume",
-    "agg_rollup",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q22_sales_opportunity",
     "agg_rfm_segmentation",
     "agg_heavy_hitters",
-    "join_skew_salted",
     "join_relational_division",
     "subquery_scalar_select",
     "json_variant_agg",
     "scd2_intervals",
     "agg_approx_quantiles",
-    "join_lateral_topk",
     # iterative-graph + CDC + mining
     "graph_pagerank",
     "graph_triangle_count",

@@ -57,9 +57,176 @@ def run_leg(spark, leg: str, n: int, grid_n: int, n_ts: int) -> dict:
     }
 
 
+def synth_documents(spark, out_dir: str, n_docs: int, n_tokens: int = 60,
+                    vocab: int = 5000, twin_every: int = 100) -> int:
+    """Write a fixture-shaped documents.parquet of n_docs synthetic
+    docs plus one near-dup twin per twin_every docs (twin of base doc
+    b sits at doc_id n_docs + b/twin_every, with ONE token mutated —
+    word-3-gram Jaccard ≈ (n_tokens-4)/(n_tokens+2) ≈ 0.92 at 60
+    tokens). Content is pure column arithmetic from doc_id: no RNG, no
+    driver-side rows, generation parallelizes like any scan."""
+    n_twins = n_docs // twin_every
+
+    def text_expr(content, mut_id):
+        def word(j):
+            # xxhash64 for avalanche mixing — a linear-congruential
+            # formula here degenerates into shared arithmetic
+            # progressions (all docs share token-step structure and
+            # the corpus collapses to ~15k distinct shingles)
+            w = F.pmod(F.xxhash64(content, j), F.lit(vocab)).cast("string")
+            base = F.concat(F.lit("w"), w)
+            if mut_id is None:
+                return base
+            return F.when(
+                j == F.pmod(content, n_tokens),
+                F.concat(F.lit("m"), mut_id.cast("string")),
+            ).otherwise(base)
+
+        return F.concat_ws(
+            " ",
+            F.transform(F.sequence(F.lit(0), F.lit(n_tokens - 1)), word),
+        )
+
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text_expr(F.col("id"), None).alias("text")
+    )
+    twins = spark.range(n_twins).select(
+        (F.lit(n_docs) + F.col("id")).alias("doc_id"),
+        text_expr(F.col("id") * twin_every, F.col("id")).alias("text"),
+    )
+    docs = base.unionAll(twins).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias(
+            "source"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return n_twins
+
+
+def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
+    """MinHash-LSH near-dup dedup on a synthetic corpus with planted
+    twins: the registered dedup_minhash_lsh_pairs runs UNCHANGED
+    against the synthetic sf_dir, and recall is checked against the
+    plant plan. The banding structure (4 bands x 2 rows) catches a
+    j≈0.92 pair with ≥99.9% probability, so recall must be ≥0.98;
+    found pairs beyond the plants would be 3-gram chance collisions
+    (≈0 at vocab 5000^3)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    out = tempfile.mkdtemp(prefix="scale_corpus_")
+    try:
+        n_twins = synth_documents(spark, out, n_docs)
+        t0 = time.time()
+        pairs = dedup_minhash_lsh_pairs(spark, out)
+        twin_every = 100
+        planted_hits = pairs.filter(
+            (F.col("doc_b") >= n_docs)
+            & (F.col("doc_a") == (F.col("doc_b") - n_docs) * twin_every)
+        )
+        stats = pairs.agg(
+            F.count("*").alias("total"),
+        ).first()
+        hits = planted_hits.count()
+        wall = time.time() - t0
+        recall = hits / n_twins
+        return {
+            "leg": f"corpus_lsh_{n_docs}",
+            "n_docs": n_docs + n_twins,
+            "planted": n_twins,
+            "found_planted": hits,
+            "pairs_total": stats.total,
+            "recall": round(recall, 4),
+            "wall_sec": round(wall, 2),
+            "violations": 0 if recall >= 0.98 else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def synth_embeddings(spark, out_dir: str, n_vecs: int, dim: int = 32,
+                     n_probes: int = 5) -> None:
+    """Fixture-shaped embeddings.parquet: n_vecs deterministic
+    pseudo-random vectors (sin arithmetic over vec_id — column math,
+    no RNG) plus one slightly-perturbed twin per probe vector at
+    vec_id n_vecs + q."""
+    def vec(content, eps: float):
+        # xxhash64-derived uniform [-1, 1] per (id, dim): a sin(phase)
+        # formula makes every vector a point on a 1-D phase manifold
+        # where chance phase-neighbors are CLOSER than the planted
+        # twins — decorrelate dims with a real hash instead
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64(content, j), F.lit(2000001)) - 1000000)
+                / 1000000.0
+                + F.cos(j * 1.7) * eps
+            ).cast("float"),
+        )
+
+    base = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), vec(F.col("id"), 0.0).alias("embedding")
+    )
+    twins = spark.range(n_probes).select(
+        (F.lit(n_vecs) + F.col("id")).alias("vec_id"),
+        vec(F.col("id"), 0.01).alias("embedding"),
+    )
+    base.unionAll(twins).select(
+        "vec_id", "embedding", F.lit(0).cast("int").alias("label")
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def run_corpus_ann_leg(spark, n_vecs: int) -> dict:
+    """Multi-table sign-LSH ANN at corpus scale: each of the 5 probe
+    vectors has a planted near-identical twin (cosine ≈ 0.9999) that
+    the registered sim_topk_bucketed must surface in its top-5 —
+    the recall contract at 1000x the fixture size, plus the wall-time
+    evidence that bucketing (not brute force) carries the cost."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        N_QUERY_VECS,
+        sim_topk_bucketed,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_ann_")
+    try:
+        synth_embeddings(spark, out, n_vecs, n_probes=N_QUERY_VECS)
+        t0 = time.time()
+        top = sim_topk_bucketed(spark, out).collect()
+        wall = time.time() - t0
+        found = {
+            (r.q_id, r.c_id) for r in top
+        }
+        hits = sum(
+            1 for q in range(N_QUERY_VECS) if (q, n_vecs + q) in found
+        )
+        return {
+            "leg": f"corpus_ann_{n_vecs}",
+            "n_vecs": n_vecs + N_QUERY_VECS,
+            "probes": N_QUERY_VECS,
+            "twin_hits": hits,
+            "wall_sec": round(wall, 2),
+            "violations": 0 if hits >= N_QUERY_VECS - 1 else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--corpus", action="store_true",
+                    help="also run the LSH-dedup and ANN corpus legs")
+    ap.add_argument("--corpus-docs", type=int, default=250_000)
+    ap.add_argument("--corpus-vecs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     from adcirctime2cogs_spark.session import get_spark
@@ -76,6 +243,14 @@ def main() -> int:
         print(json.dumps(res))
         if res["violations"]:
             rc = 1
+    if args.corpus:
+        for res in (
+            run_corpus_lsh_leg(spark, args.corpus_docs),
+            run_corpus_ann_leg(spark, args.corpus_vecs),
+        ):
+            print(json.dumps(res))
+            if res["violations"]:
+                rc = 1
     return rc
 
 
