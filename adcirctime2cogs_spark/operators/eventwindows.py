@@ -827,3 +827,87 @@ def events_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         )
     )
+
+
+@_register(
+    "events_gaps_islands",
+    """
+    WITH pd AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rk AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM pd
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS island_start,
+           strftime(max(d), '%Y-%m-%d') AS island_end,
+           count(*) AS n_days
+    FROM rk
+    GROUP BY user_id, d - rn * INTERVAL 1 DAY
+    """,
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE purchase-activity
+    days per user — the canonical streak/retention shape SQL has no
+    keyword for, expressed as the date-minus-row_number grouping trick
+    (consecutive days share a constant d - rn anchor).
+
+    Plan at scale: one distinct (map-side combined) collapses events
+    to user-days BEFORE the window, so the per-user sort ranks ~30
+    rows per user regardless of raw event volume; the island grouping
+    is then a hash agg on the same partitioning (no second exchange —
+    the window's hashpartitioning(user_id) carries into the groupBy)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pd_ = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    anchored = pd_.withColumn("grp", F.date_sub(F.col("d"), rn))
+    return (
+        anchored.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
+@_register(
+    "events_running_distinct",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_types_seen
+    FROM events
+    """,
+)
+def events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window (how many
+    distinct event types has each user touched so far) — Spark's
+    window aggregates reject DISTINCT, so the engine expresses it as
+    size(collect_set() OVER w): the set state is bounded by the
+    event-type cardinality (5 here; small enums in practice), NOT by
+    history length, so the frame never grows beyond the type universe.
+    For unbounded-cardinality columns the right tool is the
+    approx-sketch rollup (events_sketch_rollup), not this exact form.
+    One user_id exchange + per-partition sort — the same cost as any
+    ordered window; ordering (ts, event_id) is total so ranks cannot
+    flip."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )
