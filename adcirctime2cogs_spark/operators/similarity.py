@@ -819,6 +819,7 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8       # clusters
 KM_ITERS = 3   # fixed Lloyd iterations (deterministic, no convergence RNG)
+_KMEANS_MEMO: dict = {}  # (session id, sf_dir) -> trained centroids
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -853,8 +854,26 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the final assignment (vec_id, cluster, dist) computed
     lazily — per-iteration driver traffic is k×dim rows, never the
-    corpus. tests/test_similarity.py pins numpy equivalence."""
+    corpus. The trained centroids are memoized per (session, sf_dir)
+    so registry-wide plan sweeps (plan_audit, the cartesian gate) and
+    repeat invocations pay the iteration jobs once, like the shingle
+    artifacts in dedup.py. tests/test_similarity.py pins numpy
+    equivalence."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    memo = _KMEANS_MEMO.get((id(spark), sf_dir))
+    if memo is not None and memo[0] is spark:
+        cents = memo[1]
+        dists = F.array(
+            *[_sqdist(F.col("embedding"), F.array(*[F.lit(x) for x in cents[i]]))
+              for i in range(KM_K)]
+        )
+        return emb.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            r4(F.array_min(dists)).alias("dist"),
+        )
     init = sorted(
         emb.filter(F.col("vec_id") < KM_K).collect(), key=lambda r: r.vec_id
     )
@@ -891,4 +910,5 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             new.setdefault(r.cluster, [0.0] * len(cents[0]))[r.dim] = r.m
         cents = {i: new.get(i, cents[i]) for i in range(KM_K)}
 
+    _KMEANS_MEMO[(id(spark), sf_dir)] = (spark, cents)
     return assign(emb).select("vec_id", "cluster", r4(F.col("dist")).alias("dist"))

@@ -121,19 +121,26 @@ def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
     from adcirctime2cogs_spark.operators.dedup import dedup_minhash_lsh_pairs
 
     out = tempfile.mkdtemp(prefix="scale_corpus_")
+    twin_every = 100
     try:
-        n_twins = synth_documents(spark, out, n_docs)
+        n_twins = synth_documents(spark, out, n_docs, twin_every=twin_every)
+        if n_twins == 0:
+            raise ValueError(
+                f"--corpus-docs {n_docs} plants no twins (need >= {twin_every})"
+            )
         t0 = time.time()
         pairs = dedup_minhash_lsh_pairs(spark, out)
-        twin_every = 100
-        planted_hits = pairs.filter(
+        is_planted = (
             (F.col("doc_b") >= n_docs)
             & (F.col("doc_a") == (F.col("doc_b") - n_docs) * twin_every)
         )
+        # one aggregate = one execution of the un-persisted pipeline:
+        # total pairs and planted hits come from the same pass
         stats = pairs.agg(
             F.count("*").alias("total"),
+            F.sum(is_planted.cast("long")).alias("hits"),
         ).first()
-        hits = planted_hits.count()
+        hits = int(stats.hits or 0)
         wall = time.time() - t0
         recall = hits / n_twins
         return {
