@@ -494,3 +494,71 @@ def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attr",
         )
     )
+
+
+_MV_CUTOFF = "2001-01-01"
+
+
+@_register(
+    "cdc_rollup_refresh",
+    f"""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                 AND o_orderpriority = '1-URGENT')
+    )
+    SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM live GROUP BY o_custkey
+    """,
+)
+def cdc_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a per-customer
+    order rollup (count + sum) from a CDC delta batch WITHOUT
+    rescanning history — the aggregate-maintenance twin of
+    cdc_merge_apply's row merge.
+
+    The scenario is synthesized from the fixture: the "materialized"
+    base is the pre-cutoff rollup, the delta batch is post-cutoff
+    inserts plus retractions of the base's urgent orders (a
+    cancellation wave). Counts and sums are self-maintainable
+    aggregates: each delta row contributes a SIGNED (±1, ±cents)
+    increment, so the refresh is one hash agg over the DELTA ONLY plus
+    one full-outer join against the view on the group key — cost
+    proportional to |delta| + |view|, never |history|. Groups whose
+    count reaches zero drop out, exactly as a recompute would lose
+    them. (min/max are NOT self-maintainable under deletes — that case
+    needs the SCD2/re-aggregate path, deliberately not offered here.)
+
+    The oracle is the full recompute over (base minus retracted) ∪
+    inserts — so the parity check IS the incremental==recompute
+    equivalence proof, at every SF, in money-exact integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    is_base = F.col("o_orderdate") < _MV_CUTOFF
+    mv = (
+        orders.filter(is_base)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n0"), F.sum(cents).alias("c0"))
+    )
+    sign = F.when(is_base, F.lit(-1)).otherwise(F.lit(1))
+    delta = orders.filter(
+        (~is_base) | (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        "o_custkey",
+        sign.alias("dn"),
+        (sign * cents).alias("dc"),
+    )
+    dagg = delta.groupBy("o_custkey").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    merged = mv.join(dagg, "o_custkey", "full_outer")
+    zl = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return (
+        merged.select(
+            "o_custkey",
+            (zl("n0") + zl("dn")).alias("n_orders"),
+            (zl("c0") + zl("dc")).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

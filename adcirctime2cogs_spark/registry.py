@@ -78,7 +78,6 @@ _PRIORITY = [
     "prep_source_cap",
     # event/stream-twin + behavioral suite (funnel/retention/PIT/
     # sessionize/LOCF newly rotated in; feature_rollup new this round)
-    "events_session_window",
     "events_feature_rollup",
     "events_funnel",
     "events_retention_cohorts",
@@ -114,6 +113,7 @@ _PRIORITY = [
     "graph_pagerank",
     "graph_triangle_count",
     "cdc_merge_apply",
+    "cdc_rollup_refresh",
     "mining_basket_pairs",
 ]
 
