@@ -446,9 +446,17 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     ow = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(ow)
+    # microsecond-exact gap: unix_timestamp() TRUNCATES to seconds, so
+    # a true gap of 1800.5s would merge here yet split in
+    # F.session_window (and in the oracle's fractional epoch()) — the
+    # 10M-event cross-validation leg in tools/scale_check.py caught
+    # exactly that divergence
     is_start = (
         prev.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > SESSION_GAP_S)
+        | (
+            F.unix_micros("ts") - F.unix_micros(prev)
+            > SESSION_GAP_S * 1_000_000
+        )
     ).cast("bigint")
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow

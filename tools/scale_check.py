@@ -227,6 +227,84 @@ def run_corpus_ann_leg(spark, n_vecs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def synth_events(spark, out_dir: str, n_events: int, n_users: int) -> None:
+    """Fixture-shaped events.parquet: n_events rows scattered uniformly
+    over 30 days (xxhash64 column math — microsecond-random so an
+    exact-1800.000000s gap, where the two sessionization strategies'
+    boundary conventions could differ, has measure zero)."""
+    base_us = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(base_us)
+            + F.pmod(F.xxhash64("id"), F.lit(30 * 86400)) * 1_000_000
+            + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))
+        ).alias("ts"),
+        F.pmod(F.col("id"), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1000)) / 100.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def run_corpus_events_leg(spark, n_events: int, n_users: int = 100_000) -> dict:
+    """Sessionization cross-validation at event-stream scale: the two
+    registered strategy twins — F.session_window's merging-window
+    state operator and the portable lag/cumsum idiom — must produce
+    IDENTICAL sessions (same user, same start, same event count) on
+    the same 10M-row synthetic stream. Disagreement on any session is
+    a violation; the wall times show both shapes hold up when the
+    per-user history is long."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_session_window,
+        events_sessionize_gap,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_events_")
+    try:
+        synth_events(spark, out, n_events, n_users)
+        t0 = time.time()
+        sw = events_session_window(spark, out).select(
+            "user_id", "sess_start", F.col("n").alias("n_sw")
+        )
+        n_sw = sw.count()
+        t1 = time.time()
+        gap = events_sessionize_gap(spark, out).select(
+            "user_id", "sess_start", F.col("n_events").alias("n_gap")
+        )
+        n_gap = gap.count()
+        t2 = time.time()
+        mismatches = (
+            sw.join(gap, ["user_id", "sess_start"], "full_outer")
+            .filter(
+                F.col("n_sw").isNull()
+                | F.col("n_gap").isNull()
+                | (F.col("n_sw") != F.col("n_gap"))
+            )
+            .count()
+        )
+        return {
+            "leg": f"corpus_events_{n_events}",
+            "n_events": n_events,
+            "n_users": n_users,
+            "sessions_session_window": n_sw,
+            "sessions_gap_idiom": n_gap,
+            "mismatched_sessions": mismatches,
+            "wall_session_window_sec": round(t1 - t0, 2),
+            "wall_gap_idiom_sec": round(t2 - t1, 2),
+            "violations": 0 if mismatches == 0 else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -234,6 +312,7 @@ def main() -> int:
                     help="also run the LSH-dedup and ANN corpus legs")
     ap.add_argument("--corpus-docs", type=int, default=250_000)
     ap.add_argument("--corpus-vecs", type=int, default=1_000_000)
+    ap.add_argument("--corpus-events", type=int, default=10_000_000)
     args = ap.parse_args()
 
     from adcirctime2cogs_spark.session import get_spark
@@ -254,6 +333,7 @@ def main() -> int:
         for res in (
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
+            run_corpus_events_leg(spark, args.corpus_events),
         ):
             print(json.dumps(res))
             if res["violations"]:
