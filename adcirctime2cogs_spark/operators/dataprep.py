@@ -435,13 +435,26 @@ SHUF_MOD = 1 << 32
 N_SHARDS = 64
 
 
+# sort_key = (doc_id * MULT + SEED) mod 2^32, computed overflow-free:
+# a direct doc_id * 2654435761 exceeds BIGINT for doc_id >= ~3.47e9
+# (ANSI Spark throws, DuckDB errors — exactly the multi-billion-doc
+# regime the operator exists for), so the 32-bit residue is multiplied
+# in 16-bit halves: every intermediate stays under 2^49. Mathematically
+# identical to the direct form, so fixture-scale sort keys are
+# byte-for-byte unchanged.
+_SHUF_KEY_SQL = (
+    f"((((doc_id % {SHUF_MOD}) // 65536) * {SHUF_MULT} % {SHUF_MOD}) * 65536"
+    f" + ((doc_id % {SHUF_MOD}) % 65536) * {SHUF_MULT}"
+    f" + {SHUF_SEED}) % {SHUF_MOD}"
+)
+
+
 @_register(
     "prep_seeded_shuffle",
     f"""
     SELECT doc_id,
-           (doc_id * {SHUF_MULT} + {SHUF_SEED}) % {SHUF_MOD} AS sort_key,
-           ((doc_id * {SHUF_MULT} + {SHUF_SEED}) % {SHUF_MOD}) % {N_SHARDS}
-             AS shard
+           {_SHUF_KEY_SQL} AS sort_key,
+           ({_SHUF_KEY_SQL}) % {N_SHARDS} AS shard
     FROM documents
     """,
 )
@@ -453,9 +466,16 @@ def prep_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard files partitioned by `shard`, sorted by `sort_key` within
     each shard (sortWithinPartitions on the shard sink); a global
     row_number would serialize on one partition and is deliberately
-    NOT offered. Pure projection — zero shuffle in this plan."""
+    NOT offered. Pure projection — zero shuffle in this plan. The
+    split-multiply key form is overflow-safe to doc_id = 2^63-1 (see
+    _SHUF_KEY_SQL)."""
     docs = load_table(spark, sf_dir, "documents")
-    key = (F.col("doc_id") * SHUF_MULT + SHUF_SEED) % SHUF_MOD
+    d32 = F.pmod(F.col("doc_id"), F.lit(SHUF_MOD))
+    hi = F.shiftright(d32, 16)
+    lo = d32.bitwiseAND(F.lit(0xFFFF))
+    key = (
+        (hi * SHUF_MULT % SHUF_MOD) * 65536 + lo * SHUF_MULT + SHUF_SEED
+    ) % SHUF_MOD
     return docs.select(
         "doc_id",
         key.alias("sort_key"),

@@ -15,6 +15,8 @@ Shapes chosen for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,10 +139,22 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     them, and at 100 TB they are the written-once tables between
     pipeline stages.
     """
-    key = (id(spark), sf_dir)
+    # keyed on the documents file's mtime too (mirroring tables.py's
+    # footer-probe cache): an in-place fixture regeneration must not
+    # be served stale persisted shingles. A superseded entry for the
+    # same (session, sf_dir) is unpersisted and dropped.
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = (id(spark), sf_dir, mtime)
     memo = _ARTIFACT_MEMO.get(key)
     if memo is not None and memo[0] is spark:
         return memo[1], memo[2], memo[3]
+    for old_key in [k for k in _ARTIFACT_MEMO if k[:2] == key[:2]]:
+        old = _ARTIFACT_MEMO.pop(old_key)
+        for df in old[1:]:
+            df.unpersist()
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     posts = (
         sh.groupBy("sh")
@@ -170,7 +184,7 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     # CacheManager would dedupe by plan anyway, but each re-persist
     # call logs a warning and re-walks the plan. Keyed on the live
     # session object so a restarted session rebuilds cleanly.
-    _ARTIFACT_MEMO[(id(spark), sf_dir)] = (spark, sh, stop, inter)
+    _ARTIFACT_MEMO[key] = (spark, sh, stop, inter)
     return sh, stop, inter
 
 

@@ -870,10 +870,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for a fact table joined on the same key every day. The only
     shuffle in the whole plan is the final 5-group priority rollup.
 
-    The bucketed tables are (re)written from the current ``sf_dir`` on
-    every call: a managed table left over from a different scale factor
-    would silently change the answer, and overwrite-always is the
-    correctness-safe trade (write cost is one narrow 2-column
+    The bucketed table NAMES are derived from a digest of ``sf_dir``:
+    with a fixed name, calling this for sf_a then sf_b would drop and
+    rewrite the tables under an already-returned (lazy) sf_a
+    DataFrame, silently rebinding it to sf_b's rows. Per-sf_dir names
+    make each returned plan read only its own tables; they are still
+    (re)written on every call so an in-place fixture regeneration
+    can't serve stale buckets (write cost is one narrow 2-column
     projection per side). The `merge` hint keeps the planner on the
     SMJ path buckets exist for — at fixture scale it would otherwise
     broadcast and skip bucket pruning entirely.
@@ -882,26 +885,29 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-node xarray, run/adcircTime2cogs.py); this is the §2B
     'joins co-located' category from SURVEY.md.
     """
+    import hashlib
     import shutil
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_li, t_o = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     # per-session metastore: DROP TABLE alone won't clear a previous
     # process's managed location, so clear the warehouse dirs too
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("bkt_lineitem", "bkt_orders"):
+    for t in (t_li, t_o):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
         "overwrite"
-    ).saveAsTable("bkt_lineitem")
+    ).saveAsTable(t_li)
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
         "overwrite"
-    ).saveAsTable("bkt_orders")
-    j = spark.table("bkt_lineitem").hint("merge").join(
-        spark.table("bkt_orders"),
+    ).saveAsTable(t_o)
+    j = spark.table(t_li).hint("merge").join(
+        spark.table(t_o),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return j.groupBy("o_orderpriority").agg(

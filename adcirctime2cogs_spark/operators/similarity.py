@@ -131,12 +131,13 @@ def _sign_sql(e: str, offset: int = 0) -> str:
     )
 
 
-_SIGN_SQL_TMPL = " + ".join(
-    f"(CASE WHEN CAST({{e}}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(SIGN_BITS)
-)
+# derived from _sign_sql so the single- and multi-table oracles can
+# never desynchronize from a one-sided edit
+_SIGN_SQL_TMPL = _sign_sql("{e}")
 
 L_TABLES = 4  # independent sign-LSH tables over disjoint dim blocks
+# oracle-side table list; MUST track L_TABLES (generated, not typed)
+_TBL_LIST = ", ".join(str(t) for t in range(L_TABLES))
 
 
 def _multitable_buckets(emb: DataFrame, id_alias: str) -> DataFrame:
@@ -177,7 +178,7 @@ _MULTITABLE_BUCKET_CASE = (
     f"""
     WITH cb AS (
       SELECT vec_id, tbl, {_MULTITABLE_BUCKET_CASE} AS bucket
-      FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS tbl) t
+      FROM embeddings, (SELECT unnest([{_TBL_LIST}]) AS tbl) t
     ),
     qp AS (
       SELECT vec_id AS q_id, tbl,
@@ -436,7 +437,7 @@ KNN_K = 3  # neighbors per vector in the k-NN self-join
     f"""
     WITH cb AS (
       SELECT vec_id, tbl, {_MULTITABLE_BUCKET_CASE} AS bucket
-      FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS tbl) t
+      FROM embeddings, (SELECT unnest([{_TBL_LIST}]) AS tbl) t
     ),
     ap AS (
       SELECT vec_id, tbl,
@@ -859,8 +860,17 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeat invocations pay the iteration jobs once, like the shingle
     artifacts in dedup.py. tests/test_similarity.py pins numpy
     equivalence."""
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    memo = _KMEANS_MEMO.get((id(spark), sf_dir))
+    # mtime in the key: an in-place embeddings regeneration must not
+    # be served centroids trained on the old vectors
+    try:
+        _mt = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        _mt = -1.0
+    _key = (id(spark), sf_dir, _mt)
+    memo = _KMEANS_MEMO.get(_key)
     if memo is not None and memo[0] is spark:
         cents = memo[1]
         dists = F.array(
@@ -910,5 +920,5 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             new.setdefault(r.cluster, [0.0] * len(cents[0]))[r.dim] = r.m
         cents = {i: new.get(i, cents[i]) for i in range(KM_K)}
 
-    _KMEANS_MEMO[(id(spark), sf_dir)] = (spark, cents)
+    _KMEANS_MEMO[_key] = (spark, cents)
     return assign(emb).select("vec_id", "cluster", r4(F.col("dist")).alias("dist"))

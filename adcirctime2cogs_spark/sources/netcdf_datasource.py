@@ -70,6 +70,11 @@ class _NetCDFReader(DataSourceReader):
         planning; no file content is read here beyond the splitter's
         header probe."""
         paths = sorted(_glob.glob(self.path))
+        if not paths and os.path.exists(self.path):
+            # the literal filename contains glob metacharacters (e.g.
+            # /data/run[2020]/fort.63.nc) but the file itself exists —
+            # read it rather than mis-parsing the name as a pattern
+            paths = [self.path]
         if not paths:
             # Never fall back to treating the glob pattern itself as a
             # file path — os.path.getsize on the raw pattern raises a
