@@ -54,24 +54,7 @@ def regrid(
     unbounded ts ranges should keep the default shuffle join (AQE still
     picks broadcast on its own when stats allow).
     """
-    flat = explode_weights(weights)
-    ts_side = F.broadcast(timeseries) if broadcast_ts else timeseries
-    joined = flat.join(ts_side, "node_id")
-    return (
-        joined.groupBy("ts", "cell_id", "grid_row", "grid_col")
-        .agg(
-            F.sum(F.col("w") * F.col("value")).alias("_sum"),
-            F.count("value").alias("_nvals"),
-            F.count("*").alias("_nw"),
-        )
-        .select(
-            "ts",
-            "cell_id",
-            "grid_row",
-            "grid_col",
-            F.when(F.col("_nvals") == F.col("_nw"), F.col("_sum")).alias("value"),
-        )
-    )
+    return regrid_multi(weights, timeseries, ["value"], broadcast_ts)
 
 
 def regrid_multi(
@@ -92,7 +75,25 @@ def regrid_multi(
     flat = explode_weights(weights)
     ts_side = F.broadcast(timeseries) if broadcast_ts else timeseries
     joined = flat.join(ts_side, "node_id")
-    aggs = [F.count("*").alias("_nw")]
+    return aggregate_cells(joined, value_cols)
+
+
+def aggregate_cells(joined: DataFrame, value_cols: list[str]) -> DataFrame:
+    """The shared (ts, cell) aggregation over exploded-weights ⋈
+    timeseries rows — ONE implementation for regrid, regrid_multi and
+    the streaming regrid, so the null-mask semantics cannot drift.
+
+    A cell publishes a variable's value only when it received EXACTLY
+    the expected 3 non-null contributions (one per triangle vertex).
+    Comparing to the literal 3 — not to the joined row count — is
+    load-bearing: a node row MISSING from the timeseries at some ts
+    drops both counts together, so an equality between them would
+    publish a silently wrong partial sum (w0*v0 + w1*v1 with the
+    w2*v2 term gone); duplicate (ts, node) rows likewise over-count
+    both sides. Against the literal 3, missing rows, dry (null)
+    nodes, and duplicates all surface as null, never as a wrong
+    number."""
+    aggs = []
     for c in value_cols:
         aggs.append(F.sum(F.col("w") * F.col(c)).alias(f"_sum_{c}"))
         aggs.append(F.count(c).alias(f"_nv_{c}"))
@@ -103,7 +104,7 @@ def regrid_multi(
         "grid_row",
         "grid_col",
         *[
-            F.when(F.col(f"_nv_{c}") == F.col("_nw"), F.col(f"_sum_{c}")).alias(c)
+            F.when(F.col(f"_nv_{c}") == 3, F.col(f"_sum_{c}")).alias(c)
             for c in value_cols
         ],
     )

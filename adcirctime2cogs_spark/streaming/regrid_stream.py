@@ -11,8 +11,12 @@ Scale shape — identical to the batch plan, minus the per-run fixed
 cost:
 
 - the barycentric weights table is STATIC (the mesh doesn't change
-  mid-storm); it broadcasts to the stream side, so the stream never
-  shuffles on node_id;
+  mid-storm); pass broadcast_weights=True to ship it to the stream
+  side (no node_id shuffle) when the exploded table fits executor
+  memory — for production-size grids (the reference's 8837x7999 is
+  ~210M exploded rows) leave it False and let each micro-batch
+  shuffle-join, the planner still auto-broadcasts small static
+  sides;
 - the per-(ts, cell) aggregation is keyed on the watermarked event
   time, so state for a timestep is dropped as soon as the watermark
   passes it — state size is O(cells × in-flight timesteps), not
@@ -27,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from adcirctime2cogs_spark.plans.regrid import explode_weights
+from adcirctime2cogs_spark.plans.regrid import aggregate_cells, explode_weights
 
 TS_STREAM_SCHEMA = "ts timestamp, node_id long, value double"
 
@@ -44,29 +48,23 @@ def read_timeseries_stream(
 
 
 def regrid_stream(
-    weights: DataFrame, ts_stream: DataFrame, watermark: str = "1 hour"
+    weights: DataFrame,
+    ts_stream: DataFrame,
+    watermark: str = "1 hour",
+    broadcast_weights: bool = False,
 ) -> DataFrame:
-    """Continuous regrid: watermarked stream-static broadcast join +
-    per-(ts, cell) aggregation, null-propagating dry nodes exactly like
-    the batch plan (a cell is null unless all 3 node contributions are
-    present and non-null at that ts)."""
-    flat = F.broadcast(explode_weights(weights))
+    """Continuous regrid: watermarked stream-static join + the SAME
+    per-(ts, cell) aggregation as the batch plan (aggregate_cells —
+    one implementation, so the expected-3 null mask cannot drift).
+    broadcast_weights forces the static side to ship; default False
+    is the scale-safe choice (a 70M-cell grid explodes to ~210M
+    weight rows, past any broadcast limit) and the planner still
+    broadcasts small static sides on its own."""
+    flat = explode_weights(weights)
+    if broadcast_weights:
+        flat = F.broadcast(flat)
     joined = ts_stream.withWatermark("ts", watermark).join(flat, "node_id")
-    return (
-        joined.groupBy("ts", "cell_id", "grid_row", "grid_col")
-        .agg(
-            F.sum(F.col("w") * F.col("value")).alias("_sum"),
-            F.count("value").alias("_nvals"),
-            F.count("*").alias("_nw"),
-        )
-        .select(
-            "ts",
-            "cell_id",
-            "grid_row",
-            "grid_col",
-            F.when(F.col("_nvals") == F.col("_nw"), F.col("_sum")).alias("value"),
-        )
-    )
+    return aggregate_cells(joined, ["value"])
 
 
 def run_regrid_to_cogs(
@@ -82,21 +80,25 @@ def run_regrid_to_cogs(
     NetCDF drop → regrid → per-timestep COG, checkpointed and
     exactly-once, where the reference re-runs a batch CLI per advisory
     (run/adcircTime2cogs.py:266)."""
-    from pyspark.sql import functions as F
-
     from adcirctime2cogs_spark.sinks.cog import write_cogs
 
     n_batches = 0
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
-        rows = batch_df.withColumn(
-            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-        )
-        if rows.isEmpty():
-            return
-        n_batches += 1
-        write_cogs(rows, spec, out_dir).collect()
+        # ts stays a TIMESTAMP so write_cogs names files with the same
+        # strftime(TS_FMT) the batch pipeline uses — pre-formatting to
+        # a string hit the fallback path and produced a different
+        # filename for the same timestep. persist: isEmpty() and the
+        # COG write must not evaluate the regrid twice per trigger.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            n_batches += 1
+            write_cogs(batch_df, spec, out_dir).collect()
+        finally:
+            batch_df.unpersist()
 
     q = (
         regridded.writeStream.outputMode("append")

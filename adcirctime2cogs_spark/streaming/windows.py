@@ -21,34 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 
-from adcirctime2cogs_spark.tables import TABLE_SCHEMAS, _events_ts_is_nanos
+from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.tables import TABLE_SCHEMAS, events_read_plan
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet, probing the footer
-    like tables.load_table (ts has shipped as both int64-nanos and
-    native TIMESTAMP_MICROS across fixture generations)."""
-    import os
-
-    from pyspark.sql import types as T
-
-    schema = TABLE_SCHEMAS["events"]
-    nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
-    if nanos:
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in schema.fields
-            ]
-        )
-    raw = (
+    """File-source stream over the events parquet — same ts-encoding
+    contract as the batch loader, via the SHARED tables.events_read_plan
+    (one decode implementation, so batch and stream can't drift)."""
+    schema, decode = events_read_plan(sf_dir)
+    return decode(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if nanos:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -57,7 +43,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
@@ -273,8 +259,18 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
     aggregations, append otherwise; stateful update-mode operators pass
     mode='update' explicitly."""
     if mode is None:
+        # match the logical Aggregate NODE (start-of-line operator
+        # name), not a bare substring — a column aliased
+        # "AggregateScore" must not force complete mode, and stateful
+        # FlatMapGroupsWithState plans (no Aggregate node) need their
+        # callers to pass mode='update' explicitly
+        import re as _re
+
         plan = df._jdf.queryExecution().analyzed().toString()
-        mode = "complete" if "Aggregate" in plan else "append"
+        # node prefix chars: tree-drawing [:+- ], streaming marker ~,
+        # unresolved marker '
+        is_agg = _re.search(r"^[:+\- ]*~?'?Aggregate ", plan, _re.M) is not None
+        mode = "complete" if is_agg else "append"
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -286,10 +282,13 @@ def run_continuous_rollup(
 ) -> int:
     """Continuous aggregate (hypertable-style materialized rollup):
     maintain the tumbling-window counts as a PARTITIONED PARQUET TABLE,
-    incrementally — update-mode re-emissions of a window overwrite
-    exactly that window's partition (dynamic partition overwrite keyed
-    by the window start), so each micro-batch touches only the windows
-    it changed and a late event rewrites one partition, not the table.
+    incrementally — update-mode re-emissions overwrite exactly the
+    (window, event_type) partitions they carry (dynamic partition
+    overwrite keyed by BOTH group columns: update mode re-emits only
+    the changed groups of a window, so partitioning by the window
+    alone would wipe that window's untouched sibling event_types on
+    every partial re-emission), and a late event rewrites one
+    partition, not the table.
 
     This is the lambda-free serving layer: readers see the same layout
     a batch rollup would write, while the stream keeps it current.
@@ -308,7 +307,7 @@ def run_continuous_rollup(
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("win_key")
+            .partitionBy("win_key", "event_type")
             .parquet(out_dir)
         )
 

@@ -149,23 +149,38 @@ def _events_ts_is_nanos_cached(path: str, mtime: float | None) -> bool:
         return False
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+def events_read_plan(sf_dir: str):
+    """The events ts-encoding contract in ONE place (batch loader and
+    the streaming reader both consume it): returns (read_schema,
+    decode) where decode(df) normalizes ts back to a native timestamp.
+    ts has shipped as both int64-nanos and TIMESTAMP_MICROS across
+    fixture generations; the footer probe picks per (path, mtime)."""
     from pyspark.sql import functions as F
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = TABLE_SCHEMAS[name]
-    if name == "events" and _events_ts_is_nanos(path):
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in schema.fields
-            ]
+    schema = TABLE_SCHEMAS["events"]
+    if not _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet")):
+        return schema, (lambda df: df)
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in schema.fields
+        ]
+    )
+    # integer div: ts is ~1.7e18 ns — float division would lose µs
+    return schema, (
+        lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-        df = spark.read.schema(schema).parquet(path)
-        # integer div: ts is ~1.7e18 ns — float division would lose µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.schema(schema).parquet(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        schema, decode = events_read_plan(sf_dir)
+        return decode(spark.read.schema(schema).parquet(path))
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -217,3 +217,39 @@ def test_degenerate_triangle_claims_no_cells(spark):
     for r in got:
         for v in (r.w0, r.w1, r.w2):
             assert math.isfinite(v)
+
+
+def test_missing_node_row_nulls_cell_not_partial_sum(spark, weights):
+    """A node row MISSING from the timeseries (partial drop, upstream
+    filter) must null every touching cell — never publish the partial
+    two-term sum. Regression: the mask once compared non-null count to
+    the joined row count (which drop together when a row is absent)
+    instead of to the expected 3."""
+    full = mm.timeseries_df(spark).filter(F.col("ts") == mm.T1)
+    partial = full.filter(F.col("node_id") != 4)
+    out = {r.cell_id: r.value for r in regrid(weights, partial).collect()}
+    by_nodes = {
+        r.cell_id: (r.n0, r.n1, r.n2) for r in weights.collect()
+    }
+    baseline = {r.cell_id: r.value for r in
+                regrid(weights, full).collect()}
+    assert out, "partial regrid returned nothing"
+    for cell, nodes in by_nodes.items():
+        if 4 in nodes:
+            assert out[cell] is None, f"cell {cell} published a partial sum"
+        else:
+            assert out[cell] == baseline[cell]
+
+
+def test_duplicate_ts_node_row_nulls_cell_not_double_count(spark, weights):
+    """Duplicate (ts, node) rows (double-delivered drop) surface as
+    null, never as a silently doubled contribution."""
+    full = mm.timeseries_df(spark).filter(F.col("ts") == mm.T1)
+    dup = full.unionAll(full.filter(F.col("node_id") == 4))
+    out = {r.cell_id: r.value for r in regrid(weights, dup).collect()}
+    by_nodes = {r.cell_id: (r.n0, r.n1, r.n2) for r in weights.collect()}
+    for cell, nodes in by_nodes.items():
+        if 4 in nodes:
+            assert out[cell] is None, f"cell {cell} double-counted node 4"
+        else:
+            assert out[cell] is not None

@@ -366,9 +366,7 @@ def test_streaming_cog_pipeline_end_to_end(spark, tmp_path):
 
     out_b = str(tmp_path / "cogs_batch")
     batch_manifest = write_cogs(
-        regrid(w, ts_batch).withColumn(
-            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-        ),
+        regrid(w, ts_batch),
         mm.GRID,
         out_b,
     ).collect()
@@ -465,9 +463,7 @@ def test_netcdf_stream_to_cog_full_flow(spark, tmp_path):
 
     out_b = str(tmp_path / "cogs_batch")
     write_cogs(
-        regrid(w, ts_batch).withColumn(
-            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-        ),
+        regrid(w, ts_batch),
         mm.GRID,
         out_b,
     ).collect()
