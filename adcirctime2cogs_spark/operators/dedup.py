@@ -118,6 +118,18 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 
 _ARTIFACT_MEMO: dict = {}
+# per-memo-key derived cached DataFrames, evicted with their parents
+_DERIVED_CACHES: dict = {}
+
+
+def _register_derived_cache(spark, sf_dir: str, df):
+    """Persist a DataFrame derived from the shingle artifacts and tie
+    its cache lifetime to the memo entry (see eviction above)."""
+    for k in _ARTIFACT_MEMO:
+        if k[0] == id(spark) and k[1] == sf_dir:
+            _DERIVED_CACHES.setdefault(k, []).append(df.persist())
+            return df
+    return df.persist()
 
 
 def _shingle_artifacts(spark: SparkSession, sf_dir: str):
@@ -154,6 +166,12 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     for old_key in [k for k in _ARTIFACT_MEMO if k[:2] == key[:2]]:
         old = _ARTIFACT_MEMO.pop(old_key)
         for df in old[1:]:
+            df.unpersist()
+        # DERIVED persists (sig_sizes, component edges) cache plans
+        # built over the old artifacts; Spark's CacheManager would
+        # dedupe a rebuilt identical plan onto the stale entry, so
+        # they must be evicted together with their parents
+        for df in _DERIVED_CACHES.pop(old_key, []):
             df.unpersist()
     sh = shingles(load_table(spark, sf_dir, "documents")).persist()
     posts = (
@@ -327,8 +345,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(F.broadcast(stop_marked), "sh", "left")
         .groupBy("doc_id")
         .agg(*aggs, F.count(F.when(F.col("is_stop").isNull(), 1)).alias("n"))
-        .persist()
     )
+    sig_sizes = _register_derived_cache(spark, sf_dir, sig_sizes)
     sig = sig_sizes
     bands = sig.selectExpr(
         "doc_id",
@@ -546,9 +564,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     action per round, no full-frame comparison).
     """
     pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    edges = _register_derived_cache(
+        spark,
+        sf_dir,
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ),
+    )
     labels = (
         edges.select(F.col("doc_a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))

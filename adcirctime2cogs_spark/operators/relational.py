@@ -99,10 +99,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey, p_name, p_brand, p_type, p_size
     FROM part
-    WHERE p_size BETWEEN 10 AND 40
-      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-      AND p_type LIKE '%BRASS%'
-      AND regexp_matches(p_name, '^p.*[02468]$')
+    WHERE p_size BETWEEN 5 AND 45
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')
+      AND p_type LIKE '%O%'
+      AND regexp_matches(p_name, '^(small|red|hot) .*[gt]$')
       AND p_retailprice IS NOT NULL
     """,
 )
@@ -113,14 +113,18 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adcirc_dask_utilities.py:27) and startswith dispatch
     (run/adcircTime2cogs.py:270). All predicates reach the parquet scan
     as PushedFilters except the regex (evaluated post-scan, still
-    codegen).
+    codegen). Values are chosen from the FIXTURE's domain (verified
+    non-empty at every SF) — predicates matching nothing would make
+    the oracle check empty==empty and verify no semantics at all.
     """
     part = load_table(spark, sf_dir, "part")
     return part.filter(
-        F.col("p_size").between(10, 40)
-        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-        & F.col("p_type").like("%BRASS%")
-        & F.col("p_name").rlike("^p.*[02468]$")
+        F.col("p_size").between(5, 45)
+        & F.col("p_brand").isin(
+            "Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5"
+        )
+        & F.col("p_type").like("%O%")
+        & F.col("p_name").rlike("^(small|red|hot) .*[gt]$")
         & F.col("p_retailprice").isNotNull()
     ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
 
@@ -218,18 +222,26 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS).
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
 
     Same semantics as the reference's domain mask: raster cells with no
     containing triangle are dropped (run/adcircTime2cogs.py:178-185 →
-    SURVEY O15 maps mask == anti-join).
+    SURVEY O15 maps mask == anti-join). The anti side is priority-
+    filtered because EVERY fixture customer has some order — the
+    unfiltered form returned zero rows at sf0.001/0.01, making the
+    oracle check empty==empty (verifying nothing); this form is
+    non-empty at every SF.
     """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -294,7 +306,8 @@ def join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY e.event_id
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       FROM events e
-      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      JOIN orders o ON o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts - INTERVAL 28 YEAR
     )
     SELECT event_id, user_id, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
@@ -309,13 +322,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe: the lexicographic struct max IS the as-of pick with the
     o_orderkey tie-break, and unlike a row_number window it partial-
     aggregates map-side — the shuffle carries one row per event, not
-    the whole joined set.
+    the whole joined set. Event times align back 28 years into the
+    order era (fixture events are 2024, orders 1995-2001) so the
+    at-or-before predicate is LIVE — per-event picks vary with the
+    event time instead of degenerating to each user's newest order.
     """
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    aligned = events.ts - F.expr("INTERVAL 28 YEARS")
     joined = events.join(
         orders,
-        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= aligned),
     )
     # the lexicographic (o_orderdate, o_orderkey) max, packed into ONE
     # BIGINT: max(struct) only plans as a SortAggregate (struct isn't a
@@ -357,7 +374,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY e.event_id
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       FROM events e
-      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      JOIN orders o ON o.o_custkey = e.user_id
+                   AND o.o_orderdate <= e.ts - INTERVAL 28 YEAR
     )
     SELECT event_id, user_id, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
@@ -377,10 +395,11 @@ def join_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal timestamps sort orders before events (is_event ascending) so
     an order dated exactly at the event time qualifies; same-date
     orders sort by o_orderkey so `last` picks the largest — both
-    matching the oracle's DESC, DESC rank."""
+    matching the oracle's DESC, DESC rank. Event times align back 28
+    years into the order era (see join_asof)."""
     events = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("key"),
-        F.col("ts").alias("t"),
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("t"),
         F.lit(1).alias("is_event"),
         "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
@@ -540,20 +559,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (disjoint rollup dimensions)."""
+    """Explicit GROUPING SETS (disjoint rollup dimensions) — pure
+    DataFrame groupingSets API, no temp view: a fixed-name
+    createOrReplaceTempView mutates global catalog state and races
+    across interleaved sf_dirs in one session."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).createOrReplaceTempView(
-        "_gs_cust_nation"
-    )
-    return spark.sql(
-        """
-        SELECT c_mktsegment, n_name, count(*) AS n,
-               round(sum(c_acctbal), 4) AS bal
-        FROM _gs_cust_nation
-        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
-        """
-    )
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return j.groupingSets(
+        [["c_mktsegment"], ["n_name"]], "c_mktsegment", "n_name"
+    ).agg(F.count("*").alias("n"), _r4(F.sum("c_acctbal")).alias("bal"))
 
 
 @_register(
@@ -993,7 +1008,8 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY e.event_id
                                 ORDER BY o.o_orderdate, o.o_orderkey) AS rn
       FROM events e
-      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      JOIN orders o ON o.o_custkey = e.user_id
+                   AND o.o_orderdate >= e.ts - INTERVAL 28 YEAR
     )
     SELECT event_id, user_id, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_orderdate
@@ -1006,12 +1022,16 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-based strategy as join_asof: equi-join on the customer
     key + the lexicographic (o_orderdate, o_orderkey) MIN packed into
     one BIGINT, so the pick hash-aggregates in whole-stage codegen
-    (min(struct) would regress to SortAggregate — see join_asof)."""
+    (min(struct) would regress to SortAggregate — see join_asof).
+    Event times align back 28 years into the order era (see
+    join_asof); without it no order is ever at-or-after an event and
+    the query is vacuously empty."""
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    aligned = events.ts - F.expr("INTERVAL 28 YEARS")
     joined = events.join(
         orders,
-        (orders.o_custkey == events.user_id) & (orders.o_orderdate >= events.ts),
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate >= aligned),
     )
     shift = F.lit(1 << 40)
     packed = (
@@ -1043,14 +1063,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
              row_number() OVER (
                PARTITION BY e.event_id
-               ORDER BY abs(date_diff('day', CAST(e.ts AS DATE),
+               ORDER BY abs(date_diff('day', CAST(e.ts - INTERVAL 28 YEAR AS DATE),
                                       CAST(o.o_orderdate AS DATE))),
                         CASE WHEN CAST(o.o_orderdate AS DATE)
-                                  > CAST(e.ts AS DATE) THEN 1 ELSE 0 END,
+                                  > CAST(e.ts - INTERVAL 28 YEAR AS DATE) THEN 1 ELSE 0 END,
                         o.o_orderkey) AS rn
       FROM events e
       JOIN orders o ON o.o_custkey = e.user_id
-      WHERE abs(date_diff('day', CAST(e.ts AS DATE),
+      WHERE abs(date_diff('day', CAST(e.ts - INTERVAL 28 YEAR AS DATE),
                           CAST(o.o_orderdate AS DATE))) <= 90
     )
     SELECT event_id, user_id, o_orderkey,
@@ -1073,10 +1093,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncompressed, so the key is unique per candidate and every
     per-column min_by picks the SAME row). All agg buffers primitive →
     HashAggregate with map-side partials; integer day arithmetic means
-    no float truncation can diverge from the oracle's ranking."""
+    no float truncation can diverge from the oracle's ranking. Event
+    times align back 28 years into the order era (see join_asof) —
+    the ±90-day tolerance can never match across the fixture's raw
+    23-year gap."""
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    dd = F.datediff(F.to_date("o_orderdate"), F.to_date("ts"))
+    dd = F.datediff(
+        F.to_date("o_orderdate"),
+        F.to_date(F.col("ts") - F.expr("INTERVAL 28 YEARS")),
+    )
     joined = (
         events.join(orders, orders.o_custkey == events.user_id)
         .withColumn("dd", dd)

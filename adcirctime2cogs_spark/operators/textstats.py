@@ -215,7 +215,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS s
+             round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 4) AS s
       FROM tf JOIN dfq USING (term) CROSS JOIN n
     ),
     ranked AS (
@@ -223,7 +223,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY s DESC, term) AS rn
       FROM scored
     )
-    SELECT doc_id, term, round(s, 4) AS tfidf, rn
+    SELECT doc_id, term, s AS tfidf, rn
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -253,7 +253,10 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            # round BEFORE ranking (the bm25 convention): near-tied
+            # raw doubles can sort differently across engines, and rn
+            # is part of the hashed output
+            r4(
                 F.col("tf")
                 * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
             ).alias("s"),
@@ -263,7 +266,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", r4("s").alias("tfidf"), "rn")
+        .select("doc_id", "term", F.col("s").alias("tfidf"), "rn")
     )
 
 

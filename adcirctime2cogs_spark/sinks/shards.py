@@ -46,7 +46,14 @@ def write_training_shards(
     shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
     (
         df.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
+        # range-partition on the shard id: repartition(n, "shard")
+        # murmur-hashes the already-bucketed value, and murmur3(i) % n
+        # over i in [0, n) is NOT a bijection — partitions collide
+        # (2-3 shard groups in one task, others empty), exactly the
+        # straggler skew the n_shards knob exists to prevent. Range
+        # partitioning with one narrow range per distinct value keeps
+        # task <-> shard ~1:1.
+        .repartitionByRange(n_shards, "shard")
         .sortWithinPartitions(*part_cols, order_col)
         .drop("shard")
         .write.mode("overwrite")

@@ -95,6 +95,10 @@ def ensure_bucket(bucket: str, region: str = "us-east-2", client=None):
     client = client or _default_s3_client()
     if bucket_exists(bucket, client):
         return None
+    if region in (None, "us-east-1"):
+        # S3 rejects CreateBucketConfiguration for the default region
+        # (InvalidLocationConstraint) — it must be omitted entirely
+        return client.create_bucket(Bucket=bucket)
     return client.create_bucket(
         Bucket=bucket,
         CreateBucketConfiguration={"LocationConstraint": region},

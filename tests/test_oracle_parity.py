@@ -10,10 +10,23 @@ ALL_QUERIES = registry.all_queries()
 ALL_ORACLES = registry.all_oracles()
 
 
+# Oracled queries allowed to return ZERO rows at sf0.001 — anything
+# else that comes back empty is vacuous (the hash check compares
+# empty==empty and verifies no semantics), a bug class that has
+# already bitten: the as-of family silently returned nothing for two
+# rounds because fixture events (2024) and orders (1995-2001) shared
+# no time domain.
+EMPTY_OK = {
+    "tpch_q7_volume_shipping",  # 2-nation 2-year trade: no qualifying
+    # lineitem among sf0.001's 600 rows; non-empty from sf0.01 up
+}
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     n = compare(spark, sf_dir, ALL_QUERIES[name], ALL_ORACLES[name])
-    assert n >= 0
+    if name not in EMPTY_OK:
+        assert n > 0, f"{name} returned 0 rows — vacuous oracle check"
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
