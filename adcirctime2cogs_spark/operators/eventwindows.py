@@ -95,7 +95,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     f"""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id))
                   > {SESSION_GAP_S} THEN 1
@@ -107,7 +107,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess AS (
       SELECT user_id, ts, value,
              sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM ordered
     )
@@ -148,7 +148,7 @@ _OVL_BUCKET_S = 3600  # 1-hour candidate bins for the interval join
     "join_interval_overlap",
     f"""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id))
                   > {SESSION_GAP_S} THEN 1
@@ -160,7 +160,7 @@ _OVL_BUCKET_S = 3600  # 1-hour candidate bins for the interval join
     tagged AS (
       SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     ),
@@ -538,7 +538,7 @@ SELECT event_id, user_id,
        round(value, 4) AS value,
        round((value - mu) / sd, 4) AS z
 FROM w
-WHERE n_prior >= 5 AND sd > 0 AND abs((value - mu) / sd) > 3.0
+WHERE n_prior >= 5 AND sd > 0 AND abs(round((value - mu) / sd, 4)) > 3.0
 """
 
 
@@ -574,7 +574,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     zc = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
         scored.filter(
-            (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(zc) > 3.0)
+            # the outlier cut compares the ROUNDED z: mu/sd come from
+            # engine-specific fold orders, so an unrounded |z| ~ 3.00000
+            # boundary row could pass in one engine and fail in the other
+            (F.col("n_prior") >= 5) & (F.col("sd") > 0) & (F.abs(r4(zc)) > 3.0)
         )
         .select(
             "event_id",

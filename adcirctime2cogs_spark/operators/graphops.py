@@ -470,9 +470,7 @@ def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("value")).alias("attr"),
             F.col("ts").alias("valid_from"),
             F.coalesce(
-                F.lead("ts").over(
-                    W.partitionBy("user_id").orderBy("ts", "event_id")
-                ),
+                F.lead("ts").over(w),
                 F.lit("9999-12-31").cast("timestamp"),
             ).alias("valid_to"),
         )

@@ -173,15 +173,23 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_partkey IN (SELECT l_partkey FROM lineitem
                         WHERE l_quantity > 45)
       AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
-                            WHERE l_discount > 0.09)
+                            WHERE l_discount > 0.09
+                              AND l_partkey IS NOT NULL)
     """,
 )
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / NOT IN subqueries (semi + null-aware anti join)."""
+    """IN / NOT IN subqueries (semi + anti join). The NOT IN side
+    filters nulls out of the subquery IN BOTH ENGINES: SQL NOT IN is
+    null-aware (one NULL key empties the whole result) while a
+    left_anti join is not — pinning the subquery non-null makes the
+    two semantics identical instead of coincidentally equal on
+    null-free fixtures."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     hi_qty = li.filter(F.col("l_quantity") > 45).select("l_partkey")
-    hi_disc = li.filter(F.col("l_discount") > 0.09).select("l_partkey")
+    hi_disc = li.filter(
+        (F.col("l_discount") > 0.09) & F.col("l_partkey").isNotNull()
+    ).select("l_partkey")
     return (
         part.join(hi_qty, part.p_partkey == hi_qty.l_partkey, "left_semi")
         .join(hi_disc, part.p_partkey == hi_disc.l_partkey, "left_anti")
@@ -676,7 +684,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1995-03-15"
     )
-    term = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # r4, not F.round: Spark HALF_UP and the oracle's expanded floor
+    # form can disagree at fp half-boundaries (see functions/numeric.py)
+    term = r4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     # Only the segment-filtered CUSTOMER table is dim-scale; orders
     # filtered by date alone is still ~half the fact table, so the
     # c⋈o result must NOT be force-broadcast. Broadcast c into the

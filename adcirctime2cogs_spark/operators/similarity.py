@@ -26,6 +26,10 @@ ORACLES = {}
 N_QUERY_VECS = 5  # vec_id < 5 are the probe vectors
 TOP_K = 5
 SIGN_BITS = 6  # sign-LSH bucket = sign pattern of the first 6 dims
+# fixture embedding dimensionality; the covariance oracle's unnest bound
+# derives from it (generated, not typed — a fixture regenerated at a
+# different dim must desynchronize loudly, not silently NULL-pad)
+EMB_DIM = 64
 
 
 def _register(name: str, oracle: str | None = None):
@@ -379,7 +383,7 @@ _IVF_SQL = f"""
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: an inverted-file index with data-derived coarse
     centroids (deterministic rule vec_id % 67 == 1, so nlist grows with
-    n), nprobe=3, exact cosine re-rank inside the probed cells.
+    n), nprobe=4 (N_PROBE), exact cosine re-rank inside the probed cells.
 
     The scale shape: centroids broadcast (nlist rows), so assignment is
     a map-side score + per-vector top-1 — each vector is compared to
@@ -657,11 +661,11 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "vec_covariance_matrix",
-    """
+    f"""
     WITH x AS (
       SELECT vec_id, CAST(i AS BIGINT) AS i,
              CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
-      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      FROM embeddings, unnest(range(1, {EMB_DIM} + 1)) AS t(i)
     ),
     m AS (SELECT i, avg(v) AS mu FROM x GROUP BY i),
     p AS (
@@ -870,6 +874,11 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         _mt = -1.0
     _key = (id(spark), sf_dir, _mt)
+    for old_key in [k for k in _KMEANS_MEMO if k[:2] == _key[:2] and k != _key]:
+        # bound the memo: a regenerated fixture (new mtime) supersedes
+        # the old centroids; without eviction every regeneration (and
+        # the stale SparkSession refs inside) accumulates forever
+        _KMEANS_MEMO.pop(old_key)
     memo = _KMEANS_MEMO.get(_key)
     if memo is not None and memo[0] is spark:
         cents = memo[1]
