@@ -33,7 +33,6 @@ from adcirctime2cogs_spark.functions.numeric import r4
 from adcirctime2cogs_spark.functions.text import (
     SHINGLES_SQL,
     hash32,
-    shingles,
     tokens_col,
 )
 from adcirctime2cogs_spark.tables import load_table
@@ -88,11 +87,15 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join — with a real eval benchmark that set is tiny (broadcast);
     the join key is the shingle string, never the lossy int hash."""
     docs = load_table(spark, sf_dir, "documents")
-    # Same analyzed plan as dedup._shingle_artifacts' persisted build, so
-    # the CacheManager shares one cached shingle table across the whole
-    # fuzzy-dedup family; within this query the train and test branches
-    # both read it instead of re-scanning documents.
-    sh = shingles(docs).persist().select("doc_id", "sh")
+    # Reuse dedup's MEMOIZED shingle table (mtime-keyed, evicted on
+    # in-place fixture regeneration) instead of persisting a second
+    # copy here: an untracked persist of the identical plan would be
+    # the entry CacheManager re-serves STALE after dedup's eviction,
+    # and it was never unpersisted.
+    from adcirctime2cogs_spark.operators.dedup import _shingle_artifacts
+
+    sh_full, _stop, _inter = _shingle_artifacts(spark, sf_dir)
+    sh = sh_full.select("doc_id", "sh")
     split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
     train_sh = sh.join(split.filter(F.col("bucket") < 80), "doc_id").select(
         "doc_id", "sh"

@@ -58,12 +58,15 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over a binary column: byte length, content digest,
     first byte — the projection a multimodal catalog scan serves without
     ever decoding payloads."""
-    b = binary_docs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return b.join(docs, "doc_id").select(
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    # payload and text come from the SAME row — a join back to
+    # documents to recover text would re-scan and shuffle for a
+    # projection that is row-local
+    return docs.select(
         "doc_id",
-        F.length("payload").alias("n_bytes"),
-        F.md5("payload").alias("digest"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
         F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
     )
 

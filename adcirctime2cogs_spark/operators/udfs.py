@@ -109,8 +109,13 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
-        # sequential sums (python floats) to match DuckDB's fold order;
-        # numpy .sum() would pairwise-sum and drift the low bits
+        # sort first: applyInPandas delivers group rows in
+        # shuffle-dependent order, so an arrival-order fold is
+        # nondeterministic run to run. A keyed sequential fold is at
+        # least DETERMINISTIC; the oracle's thread-parallel sum may
+        # still fold differently, which the shared 4dp rounding
+        # absorbs (boundary cases are ~1e-9 vs 1e-4 granularity).
+        pdf = pdf.sort_values(["l_orderkey", "l_linenumber"])
         num = 0.0
         den = 0.0
         for p, q in zip(pdf["l_extendedprice"], pdf["l_quantity"]):
@@ -124,9 +129,12 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return li.select("l_returnflag", "l_extendedprice", "l_quantity").groupBy(
-        "l_returnflag"
-    ).applyInPandas(wavg, schema="l_returnflag string, weighted_avg_price double")
+    return li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).groupBy("l_returnflag").applyInPandas(
+        wavg, schema="l_returnflag string, weighted_avg_price double"
+    )
 
 
 @_register(

@@ -169,9 +169,22 @@ def main(argv: list[str] | None = None) -> int:
 
     config = ns.pop("config", None)
     if config:
+        # YAML values bypass argparse's per-flag type= coercion, so a
+        # quoted numeric (res: "0.005") would flow through as a string
+        # and TypeError deep inside run_pipeline — coerce here with
+        # the same converter the CLI flag declares, failing fast
+        coerce = {
+            a.dest: a.type for a in p._actions if a.type is not None
+        }
         for key, val in load_config_yaml(config).items():
             attr = key.replace("-", "_")
             if attr in _ARG_DEFAULTS and attr not in ns:
+                conv = coerce.get(attr)
+                if conv is not None and val is not None:
+                    try:
+                        val = conv(val)
+                    except (TypeError, ValueError):
+                        p.error(f"config {key}: invalid value {val!r}")
                 ns[attr] = val
     for key, val in _ARG_DEFAULTS.items():
         ns.setdefault(key, val)
@@ -180,7 +193,16 @@ def main(argv: list[str] | None = None) -> int:
     if missing:
         p.error(f"missing required: {', '.join(m.replace('_', '-') for m in missing)}")
 
-    probe = os.path.join(args.input_dir, f"{args.input_variable}.parquet")
+    # mirror load_timeseries' max-variable dispatch: max vars live in
+    # node_maxes.parquet, so probing {variable}.parquet would reject
+    # every valid max-variable run at the CLI door
+    import re as _re
+
+    probe_name = (
+        "node_maxes" if _re.search("max", args.input_variable)
+        else args.input_variable
+    )
+    probe = os.path.join(args.input_dir, f"{probe_name}.parquet")
     if not os.path.exists(probe):
         # the reference's conditional dispatch (O28,
         # run/adcircTime2cogs.py:270-279): missing swan inputs soft-exit

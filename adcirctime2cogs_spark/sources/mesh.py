@@ -73,12 +73,21 @@ def load_timeseries(
 ) -> DataFrame:
     """Long-format [ts, node] variable. A `max`-named variable (the
     reference's regex dispatch, adcirc_dask_utilities.py:27) loads the
-    time-less node_maxes table instead."""
+    time-less node_maxes table instead, labeled with the VARIABLE NAME
+    as its single pseudo-timestep — so the same regrid plan (which
+    groups by ts) and the COG sink (which names files by ts) run
+    unchanged and emit one `raster.<variable>` file, matching the
+    reference's one-raster-per-max-variable output."""
     import re
 
+    from pyspark.sql import functions as F
+
     if re.search("max", variable):
-        return spark.read.schema(NODE_MAXES_SCHEMA).parquet(
+        maxes = spark.read.schema(NODE_MAXES_SCHEMA).parquet(
             os.path.join(base_dir, "node_maxes.parquet")
+        )
+        return maxes.select(
+            F.lit(variable).alias("ts"), "node_id", "value"
         )
     return spark.read.schema(TIMESERIES_SCHEMA).parquet(
         os.path.join(base_dir, f"{variable}.parquet")

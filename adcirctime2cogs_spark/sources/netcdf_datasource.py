@@ -97,8 +97,14 @@ class _NetCDFReader(DataSourceReader):
             split.path, self.variable, split.t_idx, split.offset, split.nbytes
         )
         # the Arrow bridge wants tz-aware stamps; decoders naturally
-        # return naive UTC (NetCDF time axes carry no zone)
-        if getattr(ts, "tzinfo", None) is None:
+        # return naive UTC (NetCDF time axes carry no zone). xarray
+        # decoders return numpy.datetime64 (no .replace) — normalize
+        # through pandas first.
+        if not hasattr(ts, "tzinfo"):
+            import pandas as pd
+
+            ts = pd.Timestamp(ts)
+        if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
         for node_id, value in zip(node_ids, values):
             v = float(value)
@@ -166,11 +172,16 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         return {"consumed": {}}
 
     def _splits_by_file(self) -> dict[str, list[tuple[int, int, int]]]:
-        paths = sorted(_glob.glob(self.path)) or []
-        return {
-            p: sorted(self.splitter(p, os.path.getsize(p)))
-            for p in paths
-        }
+        out: dict[str, list[tuple[int, int, int]]] = {}
+        for p in sorted(_glob.glob(self.path)):
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                # rotated/deleted between listing and stat: skip this
+                # trigger; it is re-listed (or permanently gone) next
+                continue
+            out[p] = sorted(self.splitter(p, size))
+        return out
 
     def _decode_rows(self, path: str, splits) -> Iterator[tuple]:
         from datetime import timezone
@@ -179,7 +190,11 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
             ts, node_ids, values = self.range_decoder(
                 path, self.variable, int(t), int(off), int(nb)
             )
-            if getattr(ts, "tzinfo", None) is None:
+            if not hasattr(ts, "tzinfo"):
+                import pandas as pd
+
+                ts = pd.Timestamp(ts)
+            if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
             for node_id, value in zip(node_ids, values):
                 v = float(value)
@@ -201,7 +216,16 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         for path, n_end in end.get("consumed", {}).items():
             n_start = s.get(path, 0)
             if n_end > n_start:
-                splits = sorted(
-                    self.splitter(path, os.path.getsize(path))
-                )[n_start:n_end]
+                try:
+                    size = os.path.getsize(path)
+                except OSError as exc:
+                    # a COMMITTED file was deleted before replay: the
+                    # data is genuinely unrecoverable — fail with a
+                    # clear message instead of a bare FileNotFoundError
+                    # deep inside the offset math
+                    raise RuntimeError(
+                        f"adcirc_netcdf replay: committed file {path!r} "
+                        "no longer exists; its rows cannot be recovered"
+                    ) from exc
+                splits = sorted(self.splitter(path, size))[n_start:n_end]
                 yield from self._decode_rows(path, splits)

@@ -134,3 +134,39 @@ def test_pipeline_cli_swan_soft_exit(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r2.returncode == 1  # non-swan missing input hard-exits 1
+
+
+def test_pipeline_max_variable_end_to_end(spark, tmp_path):
+    """The reference's max-variable run (maxele.63.nc-style): node_maxes
+    in, ONE raster named by the variable out. Regression — the max
+    dispatch returned a ts-less frame the regrid (which groups by ts)
+    could not consume, and the CLI probe looked for maxele.parquet
+    which never exists for max variables, so the whole path was dead
+    through the pipeline."""
+    import os
+
+    base = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    final = str(tmp_path / "final")
+    _write_input(spark, base)
+    # node maxes: the k=0 synthetic field, so the analytic check holds
+    synth_timeseries(spark, 12, 1).select("node_id", "value").write.parquet(
+        base + "/node_maxes.parquet"
+    )
+    result = run_pipeline(
+        spark, base, out, final, variable="maxele", res=0.1, bin_size_cells=3.0
+    )
+    assert result.n_timesteps == 1
+    files = os.listdir(result.cog_dir)
+    assert any("maxele" in f for f in files), files
+    arr = np.load(
+        f"{result.cog_dir}/" + next(f for f in files if f.endswith(".npz"))
+    )["raster"]
+    meta = json.load(
+        open(f"{result.cog_dir}/" + next(f for f in files if f.endswith(".json")))
+    )
+    ulx, xres, _, uly, _, yres = meta["transform"]
+    nrows, ncols = arr.shape
+    r, c = nrows // 2, ncols // 2
+    cx, cy = ulx + (c + 0.5) * xres, uly + (r + 0.5) * yres
+    assert abs(arr[r, c] - (4 * cx - 7 * cy + 2)) < 1e-9

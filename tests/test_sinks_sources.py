@@ -353,14 +353,20 @@ def test_netcdf_default_decoder_gated(spark, tmp_path):
 
 def test_maxvar_dispatch(spark, tmp_path):
     """`max`-named variables load the time-less table (reference regex
-    dispatch, adcirc_dask_utilities.py:27)."""
+    dispatch, adcirc_dask_utilities.py:27), labeled with the variable
+    name as the single pseudo-timestep so the regrid plan and COG sink
+    (which key on ts) run unchanged — regression: the 2-column form
+    made the whole max path unusable through the pipeline (regrid
+    groups by ts)."""
     base = str(tmp_path)
     spark.createDataFrame(
         [(0, 1.5), (1, 2.5)], "node_id long, value double"
     ).write.parquet(base + "/node_maxes.parquet")
     df = load_timeseries(spark, base, "zeta_max")
-    assert df.columns == ["node_id", "value"]
-    assert df.count() == 2
+    assert df.columns == ["ts", "node_id", "value"]
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.ts for r in rows} == {"zeta_max"}
 
 
 def test_csv_json_roundtrip(spark, tmp_path):
