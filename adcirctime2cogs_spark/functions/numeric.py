@@ -36,6 +36,11 @@ def expand_round_sql(sql: str) -> str:
         if j < 0:
             out.append(sql[i:])
             return "".join(out)
+        # word boundary: 'bround(', 'workaround(' etc. must not match
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i : j + len("round(")])
+            i = j + len("round(")
+            continue
         # find the matching close paren
         depth = 0
         k = j + len("round(")
@@ -66,5 +71,8 @@ def expand_round_sql(sql: str) -> str:
             out.append(f"floor(({expr}) * 10000.0 + 0.5) / 10000.0")
             i = k + 1
         else:
-            out.append(sql[i : k + 1])
-            i = k + 1
+            # a non-4dp round: emit only its opening and KEEP SCANNING
+            # inside it — a round(X, 4) nested in round(..., 2) must
+            # still be rewritten (skipping to k+1 left it native)
+            out.append(sql[i:start])
+            i = start

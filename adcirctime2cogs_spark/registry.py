@@ -122,7 +122,17 @@ def _modules():
     for modname in _OPERATOR_MODULES:
         try:
             yield importlib.import_module(modname)
-        except ImportError:
+        except ImportError as exc:
+            # only a genuinely OPTIONAL third-party dependency may
+            # drop a module; an ImportError rooted in this package,
+            # pyspark, or the always-present libs is a bug that would
+            # otherwise silently shrink the registry and the oracle
+            # sweep's coverage
+            root = (exc.name or "").split(".")[0]
+            if root in {
+                "adcirctime2cogs_spark", "pyspark", "pandas", "numpy", ""
+            }:
+                raise
             continue
 
 
@@ -153,6 +163,11 @@ def all_oracles() -> dict[str, str]:
 
     out: dict[str, str] = {}
     for mod in _modules():
+        dupes = out.keys() & mod.ORACLES.keys()
+        if dupes:
+            raise ValueError(
+                f"duplicate oracle names in {mod.__name__}: {sorted(dupes)}"
+            )
         # round(X, 4) in oracle SQL is expanded to the engine-exact
         # floor form (see functions/numeric.py) — DuckDB's double
         # round() mis-rounds at half-boundaries.

@@ -60,5 +60,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate IGNORES every .config() when a session already
+    # exists (a notebook or foreign fixture created one first) — and
+    # the SQL confs here are load-bearing for correctness: non-UTC
+    # session time or a missing nanosAsLong silently drifts results
+    # from the UTC DuckDB oracles and misreads events.parquet. All of
+    # them are runtime-settable SQL confs, so re-apply on the returned
+    # session; static JVM confs (driver memory, master) can't change
+    # post-hoc, but none of those affect answers.
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        **(extra_conf or {}),
+    }.items():
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

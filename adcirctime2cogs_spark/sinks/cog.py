@@ -40,14 +40,21 @@ def _fallback_writer(
     fname: str, arr: np.ndarray, transform: list[float], crs: str
 ) -> None:
     """No-GDAL writer: raster as .npz + JSON sidecar with the same
-    georeferencing a COG would carry."""
-    np.savez_compressed(fname + ".npz", raster=arr)
-    with open(fname + ".json", "w") as f:
+    georeferencing a COG would carry. Writes are ATOMIC (temp file +
+    os.replace) so a speculative/retried task can never leave a
+    half-written raster behind — the retry simply replaces it."""
+    import uuid
+
+    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}"
+    np.savez_compressed(tmp, raster=arr)
+    os.replace(tmp + ".npz", fname + ".npz")
+    with open(tmp + ".json", "w") as f:
         json.dump(
             {"transform": transform, "crs": crs, "shape": list(arr.shape),
              "nodata": "nan"},
             f,
         )
+    os.replace(tmp + ".json", fname + ".json")
 
 
 def _rasterio_writer(
@@ -66,13 +73,22 @@ def _rasterio_writer(
         dst.write(arr, 1)
 
 
-def default_writer() -> Callable:
+def _auto_writer(
+    fname: str, arr: np.ndarray, transform: list[float], crs: str
+) -> None:
+    """Probe rasterio AT CALL TIME — the writer executes on executors,
+    and a driver-side probe would bind the choice to the wrong
+    environment when driver and executor images differ."""
     try:
         import rasterio  # noqa: F401
-
-        return _rasterio_writer
     except ImportError:
-        return _fallback_writer
+        _fallback_writer(fname, arr, transform, crs)
+    else:
+        _rasterio_writer(fname, arr, transform, crs)
+
+
+def default_writer() -> Callable:
+    return _auto_writer
 
 
 def write_cogs(
@@ -99,6 +115,12 @@ def write_cogs(
     w = writer or default_writer()
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        # executor-side: out_dir must exist on the machine doing the
+        # write (driver-side makedirs covers local mode only). On a
+        # real cluster out_dir must be SHARED storage (NFS/Lustre —
+        # the reference's HPC world) or an object-store mount; tasks
+        # write their own files, never a shared one.
+        os.makedirs(out_dir, exist_ok=True)
         ts = pdf["ts"].iloc[0]
         arr = np.full((nrows, ncols), np.nan, dtype="float64")
         arr[pdf["grid_row"].to_numpy(), pdf["grid_col"].to_numpy()] = (

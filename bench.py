@@ -58,9 +58,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
+        # the headline set is a cross-round contract: a missing entry
+        # silently shrinking the total would read as a speedup in the
+        # BENCH_r* comparison — fail loudly instead
+        fn = queries[name]
         # min of 3 runs: measures the plan, not one-time codegen/JIT or
         # transient machine load (ambient throughput on this host was
         # observed drifting ±30% between sessions)

@@ -106,3 +106,21 @@ def test_expand_round_sql_property(spark):
         assert a == pytest.approx(b, abs=1e-12)
 
     check()
+
+
+def test_expand_round_sql_nested_in_non4dp_and_word_boundary():
+    """Regressions: a round(X, 4) nested inside a round(..., 2) must
+    still be rewritten (the else branch used to skip the whole outer
+    call), and identifiers merely ENDING in 'round' (bround,
+    workaround) must not be corrupted."""
+    assert expand_round_sql("SELECT round(round(x, 4), 2) FROM t") == (
+        "SELECT round(floor((x) * 10000.0 + 0.5) / 10000.0, 2) FROM t"
+    )
+    assert (
+        expand_round_sql("SELECT bround(x, 4) FROM t")
+        == "SELECT bround(x, 4) FROM t"
+    )
+    assert (
+        expand_round_sql("SELECT workaround(x, 4) FROM t")
+        == "SELECT workaround(x, 4) FROM t"
+    )
