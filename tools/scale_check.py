@@ -21,6 +21,7 @@ violations}. violations MUST be 0.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -305,6 +306,85 @@ def run_corpus_events_leg(spark, n_events: int, n_users: int = 100_000) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_tpch_scale_leg(spark, factor: int = 10,
+                       base: str = "/root/testdata/sf0.1") -> dict:
+    """Relational path at factor× the bench SF: replicate the sf0.1
+    fact tables with disjoint key ranges (6M lineitem rows at 10×),
+    run the REGISTERED q1 / TPC-H Q18 unchanged against the synthetic
+    sf_dir, and check the exact replication invariants — q1's integral
+    sums and counts must be EXACTLY factor× the base run (quantities
+    are whole numbers, so the sums are fp-exact), averages identical
+    to 4dp, and Q18's qualifying-order count exactly factor× (each key
+    range qualifies independently and identically)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from adcirctime2cogs_spark.operators.relational import q1_pricing_summary
+    from adcirctime2cogs_spark.operators.relational2 import (
+        tpch_q18_large_volume,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    KEY_OFF = 1_000_000  # > max orderkey at sf0.1 (149,999)
+    out = tempfile.mkdtemp(prefix="scale_tpch_")
+    try:
+        li = load_table(spark, base, "lineitem")
+        orders = load_table(spark, base, "orders")
+        reduce(
+            lambda a, b: a.unionAll(b),
+            [
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + i * KEY_OFF
+                )
+                for i in range(factor)
+            ],
+        ).write.parquet(f"{out}/lineitem.parquet")
+        reduce(
+            lambda a, b: a.unionAll(b),
+            [
+                orders.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + i * KEY_OFF
+                )
+                for i in range(factor)
+            ],
+        ).write.parquet(f"{out}/orders.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "events", "documents", "embeddings"):
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+        t0 = time.time()
+        big = {(r.l_returnflag, r.l_linestatus): r
+               for r in q1_pricing_summary(spark, out).collect()}
+        t_q1 = time.time() - t0
+        small = {(r.l_returnflag, r.l_linestatus): r
+                 for r in q1_pricing_summary(spark, base).collect()}
+        violations = 0
+        for k, s in small.items():
+            b = big[k]
+            if (b.count_order != factor * s.count_order
+                    or b.sum_qty != factor * s.sum_qty
+                    or abs(b.avg_qty - s.avg_qty) > 1e-9):
+                violations += 1
+        t0 = time.time()
+        n18_big = tpch_q18_large_volume(spark, out).count()
+        t_q18 = time.time() - t0
+        n18_small = tpch_q18_large_volume(spark, base).count()
+        if n18_big != factor * n18_small:
+            violations += 1
+        return {
+            "leg": f"tpch_scale_{factor}x",
+            "n_lineitem": 600_000 * factor,
+            "q1_groups": len(big),
+            "q18_rows": n18_big,
+            "wall_q1_sec": round(t_q1, 2),
+            "wall_q18_sec": round(t_q18, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -334,6 +414,7 @@ def main() -> int:
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
+            run_tpch_scale_leg(spark),
         ):
             print(json.dumps(res))
             if res["violations"]:
