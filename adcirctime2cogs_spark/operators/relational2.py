@@ -926,3 +926,32 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_orderkey"),
         F.max("l_orderkey").alias("max_orderkey"),
     )
+
+
+@_register(
+    "agg_boolean_flags",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)    AS all_over_1k,
+           bool_or(o_totalprice > 400000)   AS any_over_400k,
+           count_if(o_orderstatus = 'F')    AS n_finished,
+           max(o_orderkey)                  AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate family (every/any/count_if): universal and
+    existential per-group flags plus a conditional count — the audit
+    predicates ("did EVERY order clear the floor, did ANY breach the
+    cap") that SQL's bool_and/bool_or express without a join or a
+    self-anti pattern. All are hash-aggregable single-bit buffers —
+    partial+final with map-side combine, the cheapest aggregate class
+    at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -611,3 +611,43 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@_register(
+    "tpch_q12_late_shipments",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: the
+    fixture has no l_shipmode/commit/receipt dates, so the group key
+    is l_linestatus and "late" is shipped more than 90 days after the
+    order date — the SHAPE under test is Q12's join + dual
+    conditional-count split of priorities per lineitem attribute
+    (distinct from Q4's EXISTS semi-join: here the order attributes
+    survive the join into the aggregate).
+
+    Plan: one orderkey join with the lateness residual, then a 2-group
+    hash agg computing both priority splits in the same pass — no
+    second scan, no CASE-induced shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
