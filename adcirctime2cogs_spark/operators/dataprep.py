@@ -338,7 +338,8 @@ def prep_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
            count(DISTINCT source) AS n_sources,
            round(avg(n_chars), 4) AS avg_chars
     FROM b

@@ -427,8 +427,10 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, event_id, ts,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no
       FROM g
     )
     SELECT user_id, session_no, count(*) AS n_events,
@@ -790,12 +792,12 @@ _DAY_US = 86_400_000_000
     f"""
     WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events)
     SELECT user_id,
-           sum(CASE WHEN epoch_us(ts) > gmax - {_DAY_US} THEN 1 ELSE 0 END)
-             AS n_1d,
-           sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US} THEN 1 ELSE 0 END)
-             AS n_7d,
-           sum(CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US} THEN 1 ELSE 0 END)
-             AS n_30d,
+           CAST(sum(CASE WHEN epoch_us(ts) > gmax - {_DAY_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+           CAST(sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+           CAST(sum(CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
            round(sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US}
                           THEN value ELSE 0 END), 4) AS val_7d,
            count(DISTINCT CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US}

@@ -506,7 +506,8 @@ _MV_CUTOFF = "2001-01-01"
                  AND o_orderpriority = '1-URGENT')
     )
     SELECT o_custkey, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM live GROUP BY o_custkey
     """,
 )

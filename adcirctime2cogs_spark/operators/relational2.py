@@ -587,7 +587,7 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -934,7 +934,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000)    AS all_over_1k,
            bool_or(o_totalprice > 400000)   AS any_over_400k,
-           count_if(o_orderstatus = 'F')    AS n_finished,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
            max(o_orderkey)                  AS max_key
     FROM orders
     GROUP BY o_orderpriority

@@ -275,7 +275,8 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
            round(avg(n_chars), 4) AS avg_chars,
            round(avg(length(text)), 4) AS avg_len_actual,
            min(doc_id) AS min_id,

@@ -408,8 +408,8 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS total_cents
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -566,7 +566,7 @@ def tpch_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT b.c_nationkey, count(*) AS numcust,
-           sum(b.cents) AS total_cents
+           CAST(sum(b.cents) AS BIGINT) AS total_cents
     FROM bal b
     WHERE b.cents > (SELECT avg(cents) FROM bal WHERE cents > 0)
       AND NOT EXISTS (
@@ -617,10 +617,10 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipments",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
@@ -650,4 +650,517 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-partsupp: the fixture has no partsupp table, so the four
+# partsupp queries (Q2/Q11/Q16/Q20) derive one from lineitem —
+# supplier-part pairs that actually traded, with availqty = total
+# quantity supplied and supplycost = the pair's best unit price in
+# exact integer cents. What each query exercises is its PLAN SHAPE
+# (correlated per-group min, global-fraction HAVING, NOT-IN grouped
+# distinct count, nested semi-joins with a correlated threshold); the
+# derived table feeds those shapes with deterministic integers.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS ps_availqty,
+         CAST(min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS ps_supplycost_cents
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PS_SQL. Unit price divides two doubles (IEEE —
+    bit-identical across engines), rounds to cents, and min/sum from
+    there are exact integers; quantities are whole numbers so the
+    availqty round/cast cannot disagree either."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100
+    ).cast("bigint")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(F.sum("l_quantity")).cast("bigint").alias("ps_availqty"),
+        F.min(unit_cents).alias("ps_supplycost_cents"),
+    )
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    offer AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, s.s_acctbal,
+             ps.ps_supplycost_cents
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE'
+    ),
+    mn AS (SELECT p_partkey, min(ps_supplycost_cents) AS mc
+           FROM offer GROUP BY 1)
+    SELECT o.p_partkey, o.p_brand, o.s_name, o.n_name,
+           round(o.s_acctbal, 4) AS s_acctbal, o.ps_supplycost_cents
+    FROM offer o
+    JOIN mn ON o.p_partkey = mn.p_partkey
+           AND o.ps_supplycost_cents = mn.mc
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the pseudo-partsupp
+    (no partsupp table; region EUROPE, p_type = 'LARGE' stands in for
+    the size/type predicate). The correlated scalar subquery ("the
+    region's minimum cost for this part") decorrelates into a per-part
+    min aggregate joined back on (part, cost) equality.
+
+    Plan shape: nation/region/supplier prune to a broadcast dim; the
+    offer subplan is built once and Spark reuses the exchange for both
+    the min-agg and the equality join back — cost membership is exact
+    integer cents, so the min-equality cannot miss by an ulp. At
+    100 TB the only big shuffle is the lineitem-derived ps aggregate,
+    keyed by (part, supplier)."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    offer = (
+        ps.join(dim, ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
+            "ps_supplycost_cents",
+        )
+    )
+    mn = offer.groupBy("p_partkey").agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    )
+    return (
+        offer.join(
+            mn.withColumnRenamed("p_partkey", "mn_partkey"),
+            (F.col("p_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            r4("s_acctbal").alias("s_acctbal"), "ps_supplycost_cents",
+        )
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """
+    WITH an AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS cents,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_13'
+                               THEN cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 4) AS mkt_share
+    FROM an GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_13's share of AMERICA's
+    ECONOMY-part revenue by order year. (Adapted only in constants —
+    the fixture's synthetic nation names replace BRAZIL/STEEL.)
+
+    Plan shape: the widest dim fan in the suite — part, two nation
+    hops, region, customer, supplier all broadcast after pruning; the
+    only shuffles are lineitem⋈orders on orderkey and the final
+    2-group agg. The share divides two exact integer-cent sums as
+    doubles, so the ratio is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nation = F.broadcast(
+        c.join(
+            n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey"),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    an = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_nation, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_13", F.col("cents")).otherwise(0)
+    )
+    return an.groupBy("o_year").agg(
+        r4(num.cast("double") / F.sum("cents").cast("double")).alias("mkt_share")
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name, year(o.o_orderdate) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice * l.l_quantity * 10)
+                           AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: no partsupp supplycost,
+    so cost is proxied by 10% of p_retailprice per unit (deterministic
+    column math — the shape under test is the profit expression over a
+    4-dim star with a LIKE filter, grouped by supplier nation x order
+    year). All money terms are exact integer cents, summed as BIGINT.
+
+    Plan shape: part (LIKE-filtered), supplier+nation broadcast;
+    lineitem⋈orders shuffles on orderkey; one hash agg on the
+    (nation, year) pair. Profit per line is computed before the
+    aggregate — no re-scan, no join after the agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cost_cents = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 10
+    ).cast("bigint")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (rev_cents - cost_cents).alias("profit"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("profit").alias("profit_cents"))
+    )
+
+
+@_register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+      SELECT ps.ps_partkey,
+             CAST(sum(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('EUROPE', 'ASIA')
+      GROUP BY 1
+    )
+    SELECT ps_partkey, value_cents FROM val
+    WHERE value_cents > (SELECT CAST(round(sum(value_cents) * 1.5 / count(*))
+                                     AS BIGINT) FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) over pseudo-partsupp:
+    per-part inventory value for EUROPE+ASIA suppliers, kept where the
+    value exceeds a global threshold. Adapted threshold: 1.5x the mean
+    part value rather than fraction-of-total — the original's 0.0001/SF
+    scales with the part count, and mean-relative is the scale-invariant
+    equivalent (≈7% selectivity at every fixture SF).
+
+    Plan shape: one hash agg builds val; the threshold is a one-row
+    aggregate of that same exchange broadcast into the filter
+    (allowlisted single-row BNLJ) — the HAVING-on-global-scalar
+    decorrelation. Exact integer cents both sides of the compare."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("EUROPE", "ASIA")
+    )
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        ps.join(dim, ps.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+    thr = val.agg(
+        F.round(F.sum("value_cents") * 1.5 / F.count("*"))
+        .cast("bigint")
+        .alias("thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_cents") > F.col("thr"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_count",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT pairs.l_suppkey) AS supplier_cnt
+    FROM pairs JOIN part p ON p.p_partkey = pairs.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1,4,7,10,13,16,19,22,25,28,31,34,37,40,43,46,49)
+      AND pairs.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: partsupp pairs
+    come from lineitem, and the "customer complaints" supplier
+    exclusion (the fixture has no s_comment) becomes accounts in
+    arrears (s_acctbal < 1000) — same NOT IN anti-join shape.
+
+    Plan shape: distinct pair projection (map-side combinable), part
+    broadcast after brand/type/size pruning, LeftAnti against the tiny
+    excluded-supplier list (suppkey is non-null, so NOT IN == anti
+    join), then count(DISTINCT supplier) per (brand, type, size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*range(1, 50, 3))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        pairs.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            pairs.l_partkey == p.p_partkey,
+        )
+        .join(
+            F.broadcast(excluded),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q20_excess_stock",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped96 AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM ps
+      JOIN shipped96 sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+        AND ps.ps_availqty > 8 * sh.qty96
+    )
+    """,
+)
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers holding
+    excess stock of 'cold%' parts — availqty (pseudo: all-time supplied
+    quantity) above 8x what the pair shipped in 1996. The multiplier
+    replaces the original's 0.5x-of-year because pseudo-availqty spans
+    the fixture's ~6.5 years (8x keeps real selectivity at every SF:
+    8/10, 15/100, 16/1000 suppliers).
+
+    Plan shape: the nested IN chain becomes semi-joins — part names
+    prune ps, the correlated per-pair scalar (that year's shipped
+    quantity) is an equi-join on the (part, supplier) pair rather than
+    a per-row subquery re-scan, and suppliers are kept by a final semi
+    join. Both sides of the threshold compare exactly (integers vs
+    0.5-exact doubles)."""
+    ps = _pseudo_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped96 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    cold = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("cold%")
+    ).select("p_partkey")
+    cand = (
+        ps.join(
+            shipped96,
+            (ps.ps_partkey == shipped96.l_partkey)
+            & (ps.ps_suppkey == shipped96.l_suppkey),
+        )
+        .join(F.broadcast(cold), ps.ps_partkey == F.col("p_partkey"), "semi")
+        .filter(F.col("ps_availqty") > 8 * F.col("qty96"))
+        .select("ps_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        cand, s.s_suppkey == F.col("ps_suppkey"), "semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "tpch_q21_waiting_orders",
+    """
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    ostats AS (
+      SELECT p.l_orderkey,
+             count(*) AS n_supp,
+             count(lt.l_suppkey) AS n_late,
+             max(lt.l_suppkey) AS late_supp
+      FROM pairs p
+      LEFT JOIN late lt ON lt.l_orderkey = p.l_orderkey
+                       AND lt.l_suppkey = p.l_suppkey
+      GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM ostats JOIN supplier s ON s.s_suppkey = ostats.late_supp
+    WHERE ostats.n_supp > 1 AND ostats.n_late = 1
+    GROUP BY 1
+    """,
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted: "late" is
+    shipped >60 days after the order date (no commit/receipt dates),
+    and the metric counts waiting ORDERS per sole-late supplier.
+
+    Plan shape: the original's EXISTS + NOT-EXISTS double correlated
+    self-scan of lineitem is rewritten as ONE grouped pass — distinct
+    (order, supplier) pairs left-joined to the late subset, then
+    per-order counts decide "multi-supplier AND exactly one late" and
+    max() recovers that sole supplier (exact because n_late = 1).
+    Three scans of lineitem collapse to two, and the per-order state
+    is three small integers — at 100 TB this is one orderkey shuffle
+    instead of two correlated sub-plans re-shuffling per predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(
+            F.col("l_orderkey").alias("lt_orderkey"),
+            F.col("l_suppkey").alias("lt_suppkey"),
+        )
+        .distinct()
+    )
+    ostats = (
+        pairs.join(
+            late,
+            (pairs.l_orderkey == F.col("lt_orderkey"))
+            & (pairs.l_suppkey == F.col("lt_suppkey")),
+            "left",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.count("lt_suppkey").alias("n_late"),
+            F.max("lt_suppkey").alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        ostats.join(s, ostats.late_supp == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

@@ -29,6 +29,7 @@ _OPERATOR_MODULES = [
     "adcirctime2cogs_spark.operators.relational2",
     "adcirctime2cogs_spark.operators.tpch",
     "adcirctime2cogs_spark.operators.graphops",
+    "adcirctime2cogs_spark.streaming.parity",
 ]
 
 # External harnesses verify only the FIRST 50 registry entries, so the
@@ -38,83 +39,79 @@ _OPERATOR_MODULES = [
 # red row, so its fix is externally verified) come first; redundant
 # strategy variants and second scalar/array batches follow.
 _PRIORITY = [
-    # Round-4 rotation: external verification is the one signal the
-    # repo can't manufacture, so 20 multi-round-verified entries were
-    # swapped out for 20 oracled-but-never-driver-verified ones (plus
-    # queries modified this round, which always stay in-window). The
-    # full which-query-verified-in-which-round ledger is generated
-    # into COVERAGE.md by tools/coverage_ledger.py; swapped-out
-    # queries remain covered by the repo's own all-oracle parity
-    # sweep (tests/test_oracle_parity.py).
+    # Round-5 rotation: r04's 29 freshly-verified survivors rotate out
+    # (they stay covered by tests/test_oracle_parity.py's all-oracle
+    # sweep) in favor of (a) the 5 r04 RED rows — numerically proven
+    # identical, red only on the DuckDB-HUGEINT-vs-Spark-BIGINT hash
+    # artifact, oracles now CAST ... AS BIGINT and gated by
+    # test_oracle_no_exotic_types — which MUST stay in-window until the
+    # driver re-verifies them green; (b) every remaining
+    # oracled-but-never-driver-verified query (31); (c) the new
+    # oracle-backed streaming parity row; (d) nine r01-only queries
+    # whose single green is four rounds stale. Ledger in COVERAGE.md.
     #
     # domain core (reference semantics: run/adcircTime2cogs.py:199-201)
     "micromesh_weights",
     "micromesh_regrid",
     "micromesh_domain_mask",
     "regrid_synthetic_bench",
-    # dedup family (lsh_pairs retained: r04 bench-regression suspect)
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_survivors",
-    # similarity / vector family (bucketed retained: multi-table LSH
-    # rewrite this round; covariance newly rotated in)
-    "sim_topk_bruteforce",
-    "sim_topk_bucketed",
-    "sim_knn_join",
-    "sim_topk_ivf",
-    "vec_matryoshka_truncate",
-    "vec_covariance_matrix",
-    # text analysis
-    "text_pii_redact",
-    "text_bm25_topk",
-    "text_quality",
-    # dataset-prep (chunking + seeded shuffle are new this round;
-    # decontaminate/quality_filter rotate out r03-verified;
-    # source_cap is the new skew-safe per-domain cap)
-    "prep_chunk_windows",
-    "prep_seeded_shuffle",
-    "prep_source_cap",
-    # event/stream-twin + behavioral suite (funnel/retention/PIT/
-    # sessionize/LOCF newly rotated in; feature_rollup new this round)
+    # r04 red rows, oracle type fixed this round — keep until green
     "events_feature_rollup",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_pit_enrich",
     "events_sessionize_gap",
-    "events_gap_fill_locf",
-    # UDF/UDTF surface
-    "udaf_grouped_pandas",
-    "udtf_expand_rows",
-    # multimodal metadata (the one oracle-backed mm query)
-    "mm_binary_meta",
-    # relational core (q3 retained-in after its broadcast fix;
-    # join_bucketed is new this round — co-located bucket join;
-    # q1/join_star/agg_rollup/join_skew_salted/join_lateral_topk
-    # rotate out after three green rounds each, replaced by four
-    # queries from the new TPC-H suite — never externally verified)
-    "join_asof_nearest",
-    "join_bucketed",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_volume",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
     "tpch_q22_sales_opportunity",
-    "agg_rfm_segmentation",
-    "agg_heavy_hitters",
-    "join_relational_division",
-    "subquery_scalar_select",
     "json_variant_agg",
-    "scd2_intervals",
-    "agg_approx_quantiles",
-    # iterative-graph + CDC + mining
-    "graph_pagerank",
-    "graph_triangle_count",
-    "cdc_merge_apply",
     "cdc_rollup_refresh",
-    "mining_basket_pairs",
+    # new this round: REAL Structured Streaming run, externally hashed
+    # against the batch sessionize oracle (stream == batch contract)
+    "stream_session_flush",
+    # TPC-H tail — never externally verified
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_pred",
+    # dedup tail — never externally verified
+    "dedup_corpus_emit",
+    "dedup_containment_pairs",
+    # text tail — never externally verified
+    "text_profile",
+    "text_blocked_editdist",
+    "text_train_test_split",
+    "text_pack_sequences",
+    "text_unigram_logprob",
+    "text_bpe_pair_counts",
+    # prep tail — never externally verified
+    "prep_denylist_scrub",
+    "prep_repetition_filter",
+    "prep_dataset_card",
+    # events/behavioral tail — never externally verified
+    "events_sliding_window",
+    "events_multires_rollup",
+    "events_dedup_first",
+    "events_anomaly_zscore",
+    "events_markov_transitions",
+    "events_gaps_islands",
+    "events_running_distinct",
+    # joins/UDF/scan tail — never externally verified (crs_reproject
+    # is a SURVEY §2A row whose only driver check was r01)
+    "join_interval_overlap",
+    "udf_pandas_iter",
+    "udtf_python_native",
+    "agg_boolean_flags",
+    "crs_reproject",
+    # r01-only queries — single green, four rounds stale
+    "join_asof_union_window",
+    "agg_cube",
+    "agg_pivot",
+    "win_distribution",
+    "map_struct_ops",
+    "subquery_in",
+    "setop_except",
+    "array_explode_agg",
+    "join_full_outer",
 ]
 
 

@@ -1,0 +1,150 @@
+"""Oracle-backed streaming parity query (SURVEY §2B streaming row).
+
+``stream_session_flush`` REALLY runs Structured Streaming — the events
+table is replayed through the file source in time-ordered micro-batches
+into the stateful TTL sessionizer
+(streaming/windows.py::session_flush_on_timeout, split_on_gap=True) —
+and the flushed session records are returned as a plain DataFrame whose
+oracle is the SAME SQL as the batch twin ``events_sessionize_gap``.
+That closes the loop the pytest suite pins locally (stream == batch)
+with an externally hashed correctness row: the driver cannot tell the
+difference between this and any batch query, which is the point —
+incremental execution must be invisible in the result.
+
+Replay protocol (what makes the stream deterministic):
+- the events table is range-repartitioned and sorted by ``ts`` into
+  K parquet chunk files whose lexicographic part-file order equals
+  time order; mtimes are set strictly increasing so the file source
+  (oldest-first) consumes them in event-time order with
+  ``maxFilesPerTrigger=1``;
+- per-user arrival is therefore time-ordered, which is exactly the
+  regime where split_on_gap sessionization is exact (late data would
+  need the watermark story instead — that is what the 10-minute
+  watermark + EventTimeTimeout half already handles);
+- two far-future sentinel batches for a reserved negative user_id
+  advance the event-time watermark past every real session's
+  last+gap deadline (the second batch exists because a watermark
+  computed after batch N takes effect in batch N+1), flushing all
+  remaining state; the sentinel key itself is filtered out of the
+  result.
+
+At scale the file source swaps for Kafka and the memory sink for
+foreachBatch — the state operator and its TTL bound are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.streaming.windows import session_flush_on_timeout
+from adcirctime2cogs_spark.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+_SENTINEL_USER = -1
+_N_CHUNKS = 8
+
+
+def stream_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionize events by actually streaming them (see module
+    docstring); result shape matches events_sessionize_gap."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        src = os.path.join(tmp, "src")
+        (
+            events.repartitionByRange(_N_CHUNKS, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        base = 1_000_000_000
+        for i, f in enumerate(files):
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        # sentinel batches: far past every real deadline; written last
+        max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for j in range(2):
+            pdf = pd.DataFrame(
+                {
+                    "user_id": [_SENTINEL_USER],
+                    "event_id": [-1],
+                    "ts": [max_ts + pd.Timedelta(days=10 + j)],
+                }
+            ).astype({"ts": "datetime64[us]"})
+            p = os.path.join(src, f"zz-sentinel-{j}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+            os.utime(p, (base + 10_000 + j, base + 10_000 + j))
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = f"stream_sess_{uuid.uuid4().hex[:12]}"
+        q = (
+            session_flush_on_timeout(stream, gap_minutes=30, split_on_gap=True)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.table(sink).filter(F.col("user_id") != _SENTINEL_USER)
+    # sessions of one user are disjoint in time, so first_us ordering
+    # reproduces the batch twin's cumulative session numbering
+    w = W.partitionBy("user_id").orderBy("first_us")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_no"),
+        "n_events",
+        F.date_format(F.timestamp_micros(F.col("first_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_start"
+        ),
+        F.date_format(F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "sess_end"
+        ),
+    )
+
+
+QUERIES["stream_session_flush"] = stream_session_flush
+# identical semantics to the batch twin events_sessionize_gap
+# (operators/eventwindows.py) — one SQL, two execution strategies
+ORACLES["stream_session_flush"] = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_no
+      FROM g
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+    FROM s GROUP BY 1, 2
+"""

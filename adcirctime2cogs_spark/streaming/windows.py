@@ -112,7 +112,9 @@ def running_value_by_user(events: DataFrame) -> DataFrame:
     )
 
 
-def session_flush_on_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def session_flush_on_timeout(
+    events: DataFrame, gap_minutes: int = 30, split_on_gap: bool = False
+) -> DataFrame:
     """Stateful session store with EVENT-TIME state expiry
     (applyInPandasWithState + EventTimeTimeout): per-user running
     session state (count, first/last event time) is flushed as ONE
@@ -124,11 +126,24 @@ def session_flush_on_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFr
     an unbounded key space (the failure mode that kills stateful
     streams at 100 TB is keys that never expire).
 
+    With ``split_on_gap=True`` the operator is an EXACT gap
+    sessionizer for per-user time-ordered arrival: incoming events are
+    also split on intra-batch gaps (> gap), and a batch whose first
+    event gaps away from the retained state closes that session
+    immediately instead of waiting for the timeout — so the emitted
+    sessions equal the batch twin ``events_sessionize_gap`` (see
+    streaming/parity.py, which oracle-checks exactly that). The
+    default (False) keeps the pure-TTL semantics: one record per key
+    per expiry, nothing emitted while the key stays live.
+
     Timestamps ride through state as int64 epoch-micros (GroupState
     tuples are plain rows; micros round-trip exactly)."""
     gap_ms = gap_minutes * 60 * 1000
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         if state.hasTimedOut:
             n, first_us, last_us = state.get
             state.remove()
@@ -140,21 +155,43 @@ def session_flush_on_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFr
                     "last_us": [last_us],
                 }
             )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        parts = [
+            pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not parts:
+            if n:
+                state.update((n, first_us, last_us))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+            return
+        us = np.sort(np.concatenate(parts))
+        if split_on_gap:
+            segs = np.split(us, np.flatnonzero(np.diff(us) > gap_us) + 1)
         else:
-            n, first_us, last_us = (
-                state.get if state.exists else (0, None, None)
+            segs = [us]
+        sessions = [(len(s), int(s[0]), int(s[-1])) for s in segs]
+        if n:  # merge or close the session carried in state
+            c0, f0, l0 = sessions[0]
+            if split_on_gap and f0 - last_us > gap_us:
+                sessions.insert(0, (n, first_us, last_us))
+            else:
+                sessions[0] = (n + c0, min(first_us, f0), max(last_us, l0))
+        *closed, (n, first_us, last_us) = sessions
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "n_events": [c for c, _, _ in closed],
+                    "first_us": [f for _, f, _ in closed],
+                    "last_us": [last for _, _, last in closed],
+                }
             )
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                us = pdf["ts"].astype("datetime64[us]").astype("int64")
-                n += len(pdf)
-                lo, hi = int(us.min()), int(us.max())
-                first_us = lo if first_us is None else min(first_us, lo)
-                last_us = hi if last_us is None else max(last_us, hi)
-            state.update((n, first_us, last_us))
-            # flush when the event-time watermark passes last + gap
-            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        state.update((n, first_us, last_us))
+        # flush when the event-time watermark passes last + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
 
     return (
         events.withWatermark("ts", "10 minutes")

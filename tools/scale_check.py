@@ -385,6 +385,80 @@ def run_tpch_scale_leg(spark, factor: int = 10,
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_skew_join_leg(spark, n_rows: int = 20_000_000,
+                      n_keys: int = 100_000) -> dict:
+    """Deliberately key-skewed join under AQE skew-split: a 20M-row
+    fact table where ONE key owns 50% of all rows joins a 100k-row dim
+    through a forced sort-merge join with the skew thresholds lowered
+    so OptimizeSkewedJoin must split the hot partition. Invariants are
+    exact and cross-strategy: the skew-split SMJ must produce the SAME
+    row count and the SAME integer checksum as the broadcast-hash twin
+    of the identical logical plan (two physical strategies, one
+    answer), and the executed plan must actually contain a skew=true
+    split — a leg that passes because AQE silently didn't engage would
+    be vacuous."""
+    hot = F.when(F.col("id") % 2 == 0, F.lit(0))
+    fact = spark.range(n_rows).select(
+        hot.otherwise(
+            F.pmod(F.xxhash64("id"), F.lit(n_keys - 1)) + 1
+        ).alias("k"),
+        F.pmod(F.col("id"), F.lit(97)).alias("v"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("mult")
+    )
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        smj = fact.join(dim.hint("merge"), "k").agg(
+            F.count("*").alias("n"), F.sum(F.col("v") * F.col("mult")).alias("s")
+        )
+        t0 = time.time()
+        smj_row = smj.first()
+        wall_smj = time.time() - t0
+        plan = smj._jdf.queryExecution().executedPlan().toString()
+        skew_applied = "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    t0 = time.time()
+    bc_row = fact.join(F.broadcast(dim), "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("mult")).alias("s")
+    ).first()
+    wall_bc = time.time() - t0
+    violations = 0
+    if smj_row.n != n_rows or smj_row.n != bc_row.n:
+        violations += 1
+    if smj_row.s != bc_row.s:
+        violations += 1
+    if not skew_applied:
+        violations += 1
+    return {
+        "leg": f"skew_join_{n_rows}",
+        "n_rows": n_rows,
+        "hot_key_share": 0.5,
+        "out_rows": smj_row.n,
+        "checksum": smj_row.s,
+        "skew_split_applied": skew_applied,
+        "wall_skew_smj_sec": round(wall_smj, 2),
+        "wall_broadcast_sec": round(wall_bc, 2),
+        "violations": violations,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -393,6 +467,7 @@ def main() -> int:
     ap.add_argument("--corpus-docs", type=int, default=250_000)
     ap.add_argument("--corpus-vecs", type=int, default=1_000_000)
     ap.add_argument("--corpus-events", type=int, default=10_000_000)
+    ap.add_argument("--tpch-factor", type=int, default=30)
     args = ap.parse_args()
 
     from adcirctime2cogs_spark.session import get_spark
@@ -414,7 +489,8 @@ def main() -> int:
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
-            run_tpch_scale_leg(spark),
+            run_tpch_scale_leg(spark, factor=args.tpch_factor),
+            run_skew_join_leg(spark),
         ):
             print(json.dumps(res))
             if res["violations"]:
