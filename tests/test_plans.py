@@ -160,6 +160,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "agg_rfm_segmentation": 1,    # single-row corpus-max-date broadcast
         "events_feature_rollup": 1,   # single-row global-max-ts broadcast
         "tpch_q22_sales_opportunity": 1,  # single-row global-avg broadcast
+        "tpch_q11_important_stock": 1,  # single-row threshold broadcast
     }
     spark.catalog.clearCache()
     bad = []

@@ -424,7 +424,10 @@ def run_skew_join_leg(spark, n_rows: int = 20_000_000,
             F.count("*").alias("n"), F.sum(F.col("v") * F.col("mult")).alias("s")
         )
         t0 = time.time()
-        smj_row = smj.first()
+        # collect(), not first(): first() executes a separate limited
+        # plan, leaving this DataFrame's queryExecution un-finalized so
+        # the skew=true marker would never appear in its plan string
+        smj_row = smj.collect()[0]
         wall_smj = time.time() - t0
         plan = smj._jdf.queryExecution().executedPlan().toString()
         skew_applied = "skew=true" in plan
@@ -437,7 +440,7 @@ def run_skew_join_leg(spark, n_rows: int = 20_000_000,
     t0 = time.time()
     bc_row = fact.join(F.broadcast(dim), "k").agg(
         F.count("*").alias("n"), F.sum(F.col("v") * F.col("mult")).alias("s")
-    ).first()
+    ).collect()[0]
     wall_bc = time.time() - t0
     violations = 0
     if smj_row.n != n_rows or smj_row.n != bc_row.n:
