@@ -122,6 +122,66 @@ def stream_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming aggregate, externally hashed: the 5-minute
+    tumbling count/sum rollup runs through readStream (file source over
+    the fixture parquet, same shared ts-decode plan as batch) with a
+    watermark, complete-mode memory sink — and must equal the plain
+    GROUP BY its oracle states. No replay choreography is needed here:
+    complete mode re-emits full state, and with the whole fixture in
+    one batch the watermark never drops anything, so the oracle is the
+    batch twin events_tumbling_window's SQL verbatim."""
+    from adcirctime2cogs_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    sink = f"stream_tumb_{uuid.uuid4().hex[:12]}"
+    return run_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)), sink,
+        mode="complete",
+    )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, externally hashed: each streamed event picks
+    up its customer's market segment from the static customer dim
+    (broadcast per micro-batch, zero stream state), appended to a
+    memory sink — must equal the batch left join the oracle states."""
+    from adcirctime2cogs_spark.streaming.windows import (
+        enrich_with_users,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    sink = f"stream_enrich_{uuid.uuid4().hex[:12]}"
+    return run_to_memory(
+        enrich_with_users(read_events_stream(spark, sf_dir), cust), sink,
+        mode="append",
+    )
+
+
+QUERIES["stream_tumbling_rollup"] = stream_tumbling_rollup
+# same SQL as the batch twin events_tumbling_window
+ORACLES["stream_tumbling_rollup"] = """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+QUERIES["stream_static_enrich"] = stream_static_enrich
+ORACLES["stream_static_enrich"] = """
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
 QUERIES["stream_session_flush"] = stream_session_flush
 # identical semantics to the batch twin events_sessionize_gap
 # (operators/eventwindows.py) — one SQL, two execution strategies
