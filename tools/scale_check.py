@@ -385,6 +385,67 @@ def run_tpch_scale_leg(spark, factor: int = 10,
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_streaming_session_leg(spark, n_events: int = 1_000_000,
+                              n_users: int = 10_000) -> dict:
+    """The stateful streaming path at scale: 1M synthetic events replay
+    through the REGISTERED stream_session_flush (real Structured
+    Streaming — time-ordered micro-batches into the
+    applyInPandasWithState TTL sessionizer, watermark-advancing
+    sentinel flush) and the emitted sessions are full-outer compared
+    against the batch gap-sessionizer on the same data. Any session
+    that exists in only one engine, or disagrees on count/start/end,
+    is a violation — incremental must be invisible in the result at
+    100x the fixture's event volume too."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_sessionize_gap,
+    )
+    from adcirctime2cogs_spark.streaming.parity import stream_session_flush
+
+    out = tempfile.mkdtemp(prefix="scale_stream_sess_")
+    try:
+        synth_events(spark, out, n_events, n_users)
+        t0 = time.time()
+        stream = stream_session_flush(spark, out)
+        n_stream = stream.count()
+        wall_stream = time.time() - t0
+        t0 = time.time()
+        batch = events_sessionize_gap(spark, out).select(
+            "user_id", "session_no",
+            F.col("n_events").alias("n_b"),
+            F.col("sess_start").alias("start_b"),
+            F.col("sess_end").alias("end_b"),
+        )
+        n_batch = batch.count()
+        wall_batch = time.time() - t0
+        mismatches = (
+            stream.join(batch, ["user_id", "session_no"], "full_outer")
+            .filter(
+                F.col("n_events").isNull()
+                | F.col("n_b").isNull()
+                | (F.col("n_events") != F.col("n_b"))
+                | (F.col("sess_start") != F.col("start_b"))
+                | (F.col("sess_end") != F.col("end_b"))
+            )
+            .count()
+        )
+        return {
+            "leg": f"stream_sessions_{n_events}",
+            "n_events": n_events,
+            "n_users": n_users,
+            "sessions_stream": n_stream,
+            "sessions_batch": n_batch,
+            "mismatched_sessions": mismatches,
+            "wall_stream_sec": round(wall_stream, 2),
+            "wall_batch_sec": round(wall_batch, 2),
+            "violations": 0 if mismatches == 0 else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_skew_join_leg(spark, n_rows: int = 20_000_000,
                       n_keys: int = 100_000) -> dict:
     """Deliberately key-skewed join under AQE skew-split: a 20M-row
@@ -494,6 +555,7 @@ def main() -> int:
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
+            run_streaming_session_leg(spark),
         ):
             print(json.dumps(res))
             if res["violations"]:
