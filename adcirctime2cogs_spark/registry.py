@@ -46,9 +46,11 @@ _PRIORITY = [
     # artifact, oracles now CAST ... AS BIGINT and gated by
     # test_oracle_no_exotic_types — which MUST stay in-window until the
     # driver re-verifies them green; (b) every remaining
-    # oracled-but-never-driver-verified query (31); (c) the new
-    # oracle-backed streaming parity row; (d) nine r01-only queries
-    # whose single green is four rounds stale. Ledger in COVERAGE.md.
+    # oracled-but-never-driver-verified query (31); (c) the three new
+    # oracle-backed streaming parity rows; (d) the seven TPC-H
+    # queries completed this round (22/22 suite) — new queries have
+    # NO external signal yet, which outranks refreshing stale r01
+    # greens. Ledger in COVERAGE.md.
     #
     # domain core (reference semantics: run/adcircTime2cogs.py:199-201)
     "micromesh_weights",
@@ -102,16 +104,17 @@ _PRIORITY = [
     "udtf_python_native",
     "agg_boolean_flags",
     "crs_reproject",
-    # r01-only queries — single green, four rounds stale
-    "join_asof_union_window",
-    "agg_cube",
-    "agg_pivot",
-    "win_distribution",
-    "map_struct_ops",
-    "subquery_in",
-    "setop_except",
-    "array_explode_agg",
-    "join_full_outer",
+    # new this round — the TPC-H completions (pseudo-partsupp +
+    # lateness adaptations) and the other two streaming parity rows
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_orders",
+    "stream_tumbling_rollup",
+    "stream_static_enrich",
 ]
 
 
