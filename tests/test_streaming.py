@@ -544,3 +544,72 @@ def test_stateful_session_flush_on_event_time_timeout(spark, tmp_path):
     assert r.n_events == 2
     assert pd.Timestamp(r.first_us, unit="us") == pd.Timestamp("2024-01-01 10:00:00")
     assert pd.Timestamp(r.last_us, unit="us") == pd.Timestamp("2024-01-01 10:05:00")
+
+
+def test_session_flush_split_on_gap_semantics(spark, tmp_path):
+    """Pin the split_on_gap=True unit semantics the stream_session_flush
+    parity query depends on, batch case by batch case: (1) a single
+    micro-batch containing TWO gap-separated sessions for one user
+    emits the first immediately and retains the second; (2) a later
+    batch CONTINUING the retained session merges into it (no emission);
+    (3) a later batch gapping away CLOSES the carried session on
+    arrival (gap detection, not timeout). The end-to-end oracle check
+    in tests/test_oracle_parity.py would survive some compensating-bug
+    pairs here; this test won't."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "split_src"
+    src.mkdir()
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts"]
+        ).astype({"ts": "datetime64[us]"})
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / name)
+        )
+
+    # batch A: user 1 has sessions {10:00, 10:10} and {11:00} (50-min
+    # intra-batch gap) -> first emits at once, second is retained open
+    _write(
+        "a.parquet",
+        [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 10:10:00"),
+         (1, 12, "2024-01-01 11:00:00")],
+    )
+    _time.sleep(1.1)
+    # batch B: 11:20 continues the open session (20-min gap — merge)
+    _write("b.parquet", [(1, 13, "2024-01-01 11:20:00")])
+    _time.sleep(1.1)
+    # batch C: 13:00 gaps away from 11:20 -> the carried {11:00, 11:20}
+    # session closes ON ARRIVAL; {13:00} is retained (never flushed:
+    # nothing later advances the watermark past its deadline)
+    _write("c.parquet", [(1, 14, "2024-01-01 13:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sw.session_flush_on_timeout(stream, gap_minutes=30, split_on_gap=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_split_gap")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.n_events,
+         str(pd.Timestamp(r.first_us, unit="us")),
+         str(pd.Timestamp(r.last_us, unit="us")))
+        for r in spark.table("t_split_gap").collect()
+    )
+    assert got == [
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),  # intra-batch split
+        (2, "2024-01-01 11:00:00", "2024-01-01 11:20:00"),  # merged then closed
+    ]
