@@ -375,3 +375,50 @@ def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
     scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     rows_read = scan.metrics().apply("numOutputRows").value()
     assert rows_read < total / 2, f"scan read {rows_read}/{total}: no skipping"
+
+
+def test_new_tpch_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-5 TPC-H completions — each asserts the
+    shape the docstring promises for 100 TB, so a refactor that demotes
+    a broadcast to a shuffle or re-introduces a correlated re-scan
+    fails here, not in the bench."""
+    from adcirctime2cogs_spark.operators import tpch
+
+    # Q8: every dim ships as a broadcast; the only SMJ-eligible join
+    # (lineitem x orders) may stay a hash join at fixture size, but no
+    # cartesian and no sort aggregate anywhere
+    plan = _plan(tpch.tpch_q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+
+    # Q9: part and supplier-nation broadcast; profit computed before
+    # the single (nation, year) hash agg — exactly one agg exchange
+    plan = _plan(tpch.tpch_q9_product_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortAggregate" not in plan
+
+    # Q11: the global threshold is the allowlisted one-row broadcast,
+    # not a join re-scan of ps
+    plan = _plan(tpch.tpch_q11_important_stock(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+    # Q16: NOT IN planned as LeftAnti (suppkey is non-null)
+    plan = _plan(tpch.tpch_q16_supplier_count(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    # Q20: both membership chains are semi-joins — no distinct-then-
+    # inner rewrite that would duplicate suppliers
+    plan = _plan(tpch.tpch_q20_excess_stock(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+
+    # Q21: the grouped rewrite — one left join + one hash agg, never
+    # the double correlated EXISTS/NOT-EXISTS self-scan (which would
+    # show as extra lineitem scans); supplier names ship broadcast
+    plan = _plan(tpch.tpch_q21_waiting_orders(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # 2 lineitem reads (pairs + late), not 3+
+    assert plan.count("Scan parquet") <= 4  # lineitem x2 + orders + supplier
