@@ -947,7 +947,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one hash agg builds val; the threshold is a one-row
     aggregate of that same exchange broadcast into the filter
     (allowlisted single-row BNLJ) — the HAVING-on-global-scalar
-    decorrelation. Exact integer cents both sides of the compare."""
+    decorrelation. The threshold's count deliberately references
+    ps_partkey (not count(*)): both branches then prune val's subtree
+    to the same two columns, the canonical plans match, and
+    ReuseExchange collapses them to ONE ps/lineitem pass (verified: 1
+    lineitem scan + 1 ReusedExchange in the final plan; with count(*)
+    the branches diverge and the whole ps aggregate runs twice).
+    Exact integer cents both sides of the compare."""
     ps = _pseudo_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -969,7 +975,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     thr = val.agg(
-        F.round(F.sum("value_cents") * 1.5 / F.count("*"))
+        F.round(F.sum("value_cents") * 1.5 / F.count("ps_partkey"))
         .cast("bigint")
         .alias("thr")
     )
