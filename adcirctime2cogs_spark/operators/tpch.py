@@ -478,13 +478,16 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture part has no container column.)
 
     Plan shape: the brand filter prunes part to ~1/25 and broadcasts;
-    the per-part average is computed ONLY for surviving parts (the
-    broadcast semi-reduces lineitem before the avg's hash agg), then
-    threshold and detail join back on partkey. Catalyst decorrelates
-    the SQL form the same way — one agg + one join, no per-row
-    re-scan. Quantities are integral doubles, so their sums (hence
-    the avg and the 0.2× threshold) are EXACT in any fold order; the
-    final revenue is integer cents over 700.0."""
+    the per-part 20%-of-average threshold is a window over the
+    brand-pruned lines partitioned by partkey — ONE pass over one
+    shuffle. The agg-then-broadcast-back decorrelation read the
+    brand-pruned lineitem twice (per-branch column pruning diverges
+    the two subtree copies, so ReuseExchange cannot merge them — the
+    same defect fixed in Q2/Q15). Quantities are integral doubles, so
+    their sums (hence the avg and the 0.2× threshold) are EXACT in
+    any fold order; the final revenue is integer cents over 700.0."""
+    from pyspark.sql import Window as W
+
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#7"
     ).select("p_partkey")
@@ -494,14 +497,10 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         li.l_partkey, "l_quantity", "l_extendedprice"
     )
-    th = brand_lines.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("th")
-    )
+    th = (F.lit(0.2) * F.avg("l_quantity").over(W.partitionBy("l_partkey")))
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return (
-        brand_lines.join(
-            F.broadcast(th), brand_lines.l_partkey == F.col("t_partkey")
-        )
+        brand_lines.withColumn("th", th)
         .filter(F.col("l_quantity") < F.col("th"))
         .agg(r4(F.sum(cents) / 700.0).alias("avg_yearly"))
     )
