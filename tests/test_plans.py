@@ -422,3 +422,29 @@ def test_new_tpch_plan_shapes(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1
     # 2 lineitem reads (pairs + late), not 3+
     assert plan.count("Scan parquet") <= 4  # lineitem x2 + orders + supplier
+
+
+def test_min_selection_rewrites_scan_fact_once(spark, sf_dir):
+    """Q2/Q15/Q17's window rewrites exist to kill the duplicate fact
+    scan the agg-then-join-back decorrelation planned (per-branch
+    column pruning defeats ReuseExchange). Execute and count scans in
+    the FINAL adaptive plan — the pre-execution plan would show the
+    un-reused shape and pass vacuously."""
+    import re
+    from collections import Counter
+
+    from adcirctime2cogs_spark.operators import tpch
+
+    for fn, table, limit in [
+        (tpch.tpch_q2_min_cost_supplier, "lineitem", 1),
+        (tpch.tpch_q15_top_supplier, "lineitem", 1),
+        (tpch.tpch_q17_small_qty_revenue, "lineitem", 1),
+        (tpch.tpch_q11_important_stock, "lineitem", 1),
+    ]:
+        df = fn(spark, sf_dir)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        scans = Counter(
+            re.findall(r"Scan parquet[^\n]*?/(\w+)\.parquet", final)
+        )
+        assert scans[table] <= limit, (fn.__name__, dict(scans))
