@@ -231,11 +231,17 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf =
     ln((N+1)/(df+1)) + 1, sklearn's convention).
 
-    The corpus statistics are two hash aggs over the token explode; the
-    document count joins in as a broadcast single-row literal (never a
-    driver-side collect), and the per-doc top-k is a row_number window
-    — the shape that scales to a 100 TB corpus where both tf and df
-    tables stay partitioned by their group keys."""
+    The tf table is one hash agg over the token explode; df rides on a
+    count window partitioned by term OVER THAT SAME tf table — the
+    groupBy(term)-then-join-back form re-keys its aggregate's exchange
+    to hash(term), so the tf subtree under it can never unify with the
+    scoring branch's hash(doc_id, term) copy and the corpus tokenizes
+    twice (measured: 3 documents scans vs this form's 2). The join
+    form's tf side shuffles by term anyway, so the window costs the
+    same shuffle and one less full pass; stop-word term groups are the
+    window's skew, and they spill, not OOM. The document count joins
+    in as a broadcast single-row literal (never a driver-side
+    collect), and the per-doc top-k is a row_number window."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -245,10 +251,10 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
+    df_w = F.count("tf").over(W.partitionBy("term"))
     scored = (
-        tf.join(dfq, "term")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -509,52 +515,61 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query
     against the corpus, top-25 documents.
 
-    Same corpus-statistic skeleton as text_tfidf_top (token explode →
-    tf/df hash aggs), plus the doc-length normalization BM25 adds: dl
-    joins per doc, avgdl and N ride in as broadcast one-row aggregates
-    (scalar-subquery shape, no driver collect). The query-term filter
-    lands BEFORE the tf aggregation, so the scored table is
-    O(n_docs × |query|), not O(corpus vocabulary). Global top-k is
-    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
-    heaps, no global sort) — with the dense rank stamped afterwards on
-    the 25 surviving rows. Ranking compares the 4dp-rounded score (ties
-    broken by doc_id) so a last-ulp fold difference cannot reorder
-    engines."""
+    ONE tokenize pass: the per-doc aggregate computes dl AND the
+    per-query-term tfs together as conditional counts (the query is a
+    literal term list, so tf fans out to |query| columns, not rows).
+    Every global the formula needs — sum(dl) for avgdl, df per term as
+    count(tf_i > 0) — comes from one further aggregate of that SAME
+    per-doc table, referencing exactly the columns the scoring branch
+    reads, so the partial-agg exchange canonicalizes identically in
+    both branches and ReuseExchange collapses them: the text column is
+    tokenized ONCE (the previous dl/ad/tf/dfq decorrelation ran the
+    explode FOUR times — per-branch pruning defeated reuse, the same
+    defect as TPC-H Q2/Q15/Q17). N rides in from a column-pruned count
+    scan (it counts ALL docs, token-bearing or not, so it cannot come
+    from the token table). Global top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps, no global sort) — with
+    the rank stamped afterwards on the 25 surviving rows. Ranking
+    compares the 4dp-rounded score (ties broken by doc_id) so a
+    last-ulp fold difference cannot reorder engines."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"),
     ).filter(F.col("t") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("t") == term, 1)).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    tf_cols = [f"tf{i}" for i in range(len(_BM25_TERMS))]
     nn = docs.agg(F.count("*").alias("n"))
-    ad = dl.crossJoin(F.broadcast(nn)).agg(
-        (F.sum("dl") * 1.0 / F.first("n")).alias("avgdl")
+    glob = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        *[F.count(F.when(F.col(c) > 0, 1)).alias(f"df{i}")
+          for i, c in enumerate(tf_cols)],
     )
-    tf = (
-        toks.filter(F.col("t").isin(*_BM25_TERMS))
-        .groupBy("doc_id", F.col("t").alias("term"))
-        .agg(F.count("*").alias("tf"))
-    )
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    term_score = (
-        idf
-        * F.col("tf")
-        * 2.2
-        / (
-            F.col("tf")
-            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n")
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        return (
+            idf * tf * 2.2
+            / (tf + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl))
         )
-    )
+
+    s = sum((term_score(i) for i in range(1, len(_BM25_TERMS))),
+            term_score(0))
     scored = (
-        tf.join(dfq, "term")
-        .join(dl, "doc_id")
+        per_doc.filter(
+            sum((F.col(c) for c in tf_cols[1:]), F.col(tf_cols[0])) > 0
+        )
         .crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(ad))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("s"))
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", s.alias("s"))
     )
     top = (
         scored.select("doc_id", r4("s").alias("bm25"))
