@@ -685,17 +685,19 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted as active in each subsequent week — the standard
     product-analytics retention triangle.
 
-    One hash agg finds each user's cohort anchor, one join fans it back
-    over the event log (both keyed on user_id — a single shuffle
-    partitioning serves both), and one distinct-count agg builds the
-    matrix. Week arithmetic stays on day-granular truncated stamps so
-    the /7 division is exact in both engines."""
+    Each user's cohort anchor is a min window over the user_id
+    partitioning — ONE events scan and one shuffle (the agg-then-join
+    decorrelation scanned events twice: the firsts subtree diverges
+    under per-branch pruning, so ReuseExchange never merged it), then
+    one distinct-count agg builds the matrix. Week arithmetic stays on
+    day-granular truncated stamps so the /7 division is exact in both
+    engines."""
     events = load_table(spark, sf_dir, "events")
-    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first_ts = F.min("ts").over(W.partitionBy("user_id"))
     cohort_w = F.date_trunc("week", F.col("first_ts"))
     event_w = F.date_trunc("week", F.col("ts"))
     return (
-        events.join(firsts, "user_id")
+        events.withColumn("first_ts", first_ts)
         .groupBy(
             F.date_format(cohort_w, "yyyy-MM-dd").alias("cohort_week"),
             F.floor(F.datediff(event_w, cohort_w) / 7)
@@ -733,7 +735,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams).
 
     One window per user stream (single shuffle on user_id), one pair
-    hash agg, and a 25-row totals table joined back broadcast-side. The
+    hash agg, and the row-normalizing totals as a sum window over the
+    |types|² pair table itself — the groupBy-totals-then-join-back
+    form re-ran the WHOLE lead-window pipeline a second time (its
+    re-keyed aggregate exchange can never unify with the join branch's
+    copy), doubling the events scan for a ≤25-row normalizer. The
     transition probability divides exact counts, so parity is exact up
     to the shared 4dp rounding."""
     events = load_table(spark, sf_dir, "events")
@@ -744,12 +750,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = seq.groupBy(
         F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
     ).agg(F.count("*").alias("n"))
-    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
-    return pairs.join(F.broadcast(totals), "from_type").select(
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.select(
         "from_type",
         "to_type",
         "n",
-        r4(F.col("n") * 1.0 / F.col("tot")).alias("p_transition"),
+        r4(F.col("n") * 1.0 / tot).alias("p_transition"),
     )
 
 

@@ -248,12 +248,17 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines. One hash aggregate + a broadcast of the two-value
     totals row; the per-key count table never leaves the executors.
     No explicit persist: counts feeds two branches of ONE plan, and
-    Spark reuses the aggregate's exchange — a persist here would leak
-    cached partitions in long-lived sessions (bench loops, sweeps)."""
+    the totals aggregate counts the user_id COLUMN (never null, equal
+    to count(*)) precisely so both branches read counts' full
+    (user_id, n) output — identical pruning means the partial-agg
+    exchange canonicalizes the same and ReuseExchange serves both from
+    one events scan (with count(*) the subtrees diverge and events is
+    scanned and aggregated twice); a persist here would leak cached
+    partitions in long-lived sessions (bench loops, sweeps)."""
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").alias("n"))
     totals = counts.agg(
-        F.count("*").alias("k"), F.sum("n").alias("tot")
+        F.count("user_id").alias("k"), F.sum("n").alias("tot")
     )
     return (
         counts.join(F.broadcast(totals))

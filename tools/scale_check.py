@@ -532,6 +532,9 @@ def main() -> int:
     ap.add_argument("--corpus-vecs", type=int, default=1_000_000)
     ap.add_argument("--corpus-events", type=int, default=10_000_000)
     ap.add_argument("--tpch-factor", type=int, default=30)
+    ap.add_argument("--hsofs", action="store_true",
+                    help="run the reference's production geometry "
+                         "(1.82M nodes, 8400^2 raster, 2 ts)")
     args = ap.parse_args()
 
     from adcirctime2cogs_spark.session import get_spark
@@ -542,6 +545,12 @@ def main() -> int:
         if args.quick
         else [("broadcast_1M", 1000, 1001, 2), ("shuffle_50ts", 1000, 501, 50)]
     )
+    if args.hsofs:
+        # the reference's production geometry class (HSOFS, BASELINE.md):
+        # ~1.8M nodes / ~3.6M triangles regridded onto a 8400^2 ≈ 70.5M
+        # centroid raster per timestep, linear-field exactness checked
+        # on every output cell
+        legs.append(("hsofs_production", 1350, 8400, 2))
     rc = 0
     for leg, n, grid_n, n_ts in legs:
         res = run_leg(spark, leg, n, grid_n, n_ts)
