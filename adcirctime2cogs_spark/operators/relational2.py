@@ -729,37 +729,34 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the having-subquery →
-    semi-reduction → re-join shape. The `big` order list is a
-    partial-aggregated hash agg over lineitem alone (map-side combine
-    before the orderkey shuffle); it then SEMI-reduces orders before
-    the wide customer join, so the expensive joins run only on
-    qualifying orders — the plan you want when 0.1% of orders qualify
-    at 100 TB. Quantities are whole numbers, so their double sums are
+    semi-reduction shape. The per-order quantity rollup is ONE
+    partial-aggregated hash agg over lineitem (map-side combine before
+    the orderkey shuffle) that serves BOTH roles — the >150 cut AND
+    the reported sum_qty: because the output's group key contains the
+    orderkey, the classic re-join-lineitem-and-re-aggregate detail
+    pass would recompute exactly this rollup, so it is dropped
+    (measured: 1 lineitem scan vs 2). Orders then joins only the
+    qualifying ≈0.1%, customer broadcasts — the plan you want at
+    100 TB. Quantities are whole numbers, so their double sums are
     exact and the >150 cut cannot straddle engines."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 150)
-        .select("l_orderkey")
     )
-    o = load_table(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == F.col("l_orderkey"), "semi"
-    )
+    o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(r4(F.sum("l_quantity")).alias("sum_qty"))
         .select(
             "c_name",
             "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             r4(F.col("o_totalprice")).alias("totalprice"),
-            "sum_qty",
+            r4(F.col("sq")).alias("sum_qty"),
         )
     )
 
