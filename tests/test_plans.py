@@ -435,11 +435,25 @@ def test_min_selection_rewrites_scan_fact_once(spark, sf_dir):
 
     from adcirctime2cogs_spark.operators import tpch
 
+    from adcirctime2cogs_spark.operators import (
+        eventwindows,
+        graphops,
+        relational2,
+        textstats,
+    )
+
     for fn, table, limit in [
         (tpch.tpch_q2_min_cost_supplier, "lineitem", 1),
         (tpch.tpch_q15_top_supplier, "lineitem", 1),
         (tpch.tpch_q17_small_qty_revenue, "lineitem", 1),
         (tpch.tpch_q11_important_stock, "lineitem", 1),
+        (relational2.tpch_q18_large_volume, "lineitem", 1),
+        (eventwindows.events_markov_transitions, "events", 1),
+        (eventwindows.events_retention_cohorts, "events", 1),
+        (graphops.agg_heavy_hitters, "events", 1),
+        # documents twice: the tokenize pass + the pruned N count scan
+        (textstats.text_bm25_topk, "documents", 2),
+        (textstats.text_tfidf_top, "documents", 2),
     ]:
         df = fn(spark, sf_dir)
         df.collect()
