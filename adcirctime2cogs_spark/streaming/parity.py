@@ -182,6 +182,42 @@ ORACLES["stream_static_enrich"] = """
     LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, externally hashed: every click a
+    user makes within 30 minutes after one of their views, both sides
+    streamed with watermarks (the join state store evicts buffered
+    views once the click watermark passes view_ts + 30 min — the
+    bounded-state property), appended to a memory sink — must equal
+    the batch self-join with the identical range condition."""
+    from adcirctime2cogs_spark.streaming.windows import (
+        clicks_after_views,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sink = f"stream_ssj_{uuid.uuid4().hex[:12]}"
+    return run_to_memory(
+        clicks_after_views(stream, stream), sink, mode="append"
+    )
+
+
+QUERIES["stream_stream_interval_join"] = stream_stream_interval_join
+ORACLES["stream_stream_interval_join"] = """
+    SELECT v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 QUERIES["stream_session_flush"] = stream_session_flush
 # identical semantics to the batch twin events_sessionize_gap
 # (operators/eventwindows.py) — one SQL, two execution strategies
