@@ -790,6 +790,89 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_BIN = 0.25  # value-histogram bin width (binary fraction: fp-exact)
+
+
+@_register(
+    "events_histogram_quantile_rollup",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+             CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      SELECT day, bin, CAST(sum(c) AS BIGINT) AS c FROM hourly GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, bin,
+             CAST(sum(c) OVER (PARTITION BY day ORDER BY bin) AS BIGINT)
+               AS cum,
+             CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS total
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(min(CASE WHEN cum * 2 >= total THEN bin END)
+                 * {_HIST_BIN}, 4) AS p50_lo,
+           round(min(CASE WHEN cum * 10 >= 9 * total THEN bin END)
+                 * {_HIST_BIN}, 4) AS p90_lo,
+           CAST(max(total) AS BIGINT) AS n
+    FROM cum GROUP BY 1
+    """,
+)
+def events_histogram_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE rollup — the exact-oracle sibling of
+    events_sketch_rollup's HLL: per-hour fixed-bin value histograms
+    merge into per-day histograms by summing bin counts (never
+    rescanning events), and day quantiles read off the cumulative bin
+    distribution. This is how continuous-aggregate stores serve p50/p90
+    at 100 TB: hour sketches persist once; wider windows are additions
+    of small bin tables. Unlike approx_percentile (whose partial state
+    is opaque and non-reusable across groupings), the histogram is
+    closed under union BY CONSTRUCTION, so the rollup is an exact
+    algebra the oracle can mirror.
+
+    All comparisons are integers (cum*2 >= total), the bin width is a
+    binary fraction, and the reported estimate is the lower edge of the
+    first bin covering the target rank — engine-exact everywhere."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.floor(F.col("value") / _HIST_BIN).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    daily = hourly.groupBy("day", "bin").agg(F.sum("c").alias("c"))
+    cum = F.sum("c").over(
+        W.partitionBy("day").orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    total = F.sum("c").over(W.partitionBy("day"))
+    binned = daily.select(
+        "day", "bin", cum.alias("cum"), total.alias("total")
+    )
+    return binned.groupBy("day").agg(
+        r4(
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin")))
+            * _HIST_BIN
+        ).alias("p50_lo"),
+        r4(
+            F.min(
+                F.when(F.col("cum") * 10 >= 9 * F.col("total"), F.col("bin"))
+            )
+            * _HIST_BIN
+        ).alias("p90_lo"),
+        F.max("total").alias("n"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "p50_lo",
+        "p90_lo",
+        "n",
+    )
+
+
 _DAY_US = 86_400_000_000
 
 
