@@ -2,10 +2,17 @@
 which live in relational.py / relational2.py).
 
 The fixture schema is a reduced TPC-H — no partsupp table, and
-lineitem carries only shipdate (no commit/receipt dates), so the
-partsupp queries (Q2/Q11/Q16/Q20) are out of reach and Q4/Q13/Q17/
-Q19/Q22 are adapted to the columns that exist; each docstring notes
-the adaptation. What matters for the engine is the PLAN SHAPE each
+lineitem carries only shipdate (no commit/receipt dates) — so every
+query is adapted to the columns that exist and each docstring notes
+its adaptation. The partsupp queries (Q2/Q11/Q16/Q20) run against a
+deterministic PSEUDO-PARTSUPP derived from the part x supplier keys
+(see _pseudo_partsupp below): the derivation is pure column
+arithmetic, stated identically in the oracle SQL, so the four
+queries exercise their canonical plan shapes (min-cost correlated
+subquery, group-threshold having, distinct-supplier counting,
+excess-stock semi-join chain) with externally hashable results.
+Q4/Q12/Q21's commit/receipt lateness predicates are restated on
+shipdate offsets the same way. What matters for the engine is the PLAN SHAPE each
 query exercises — multi-hop dim pruning (Q5), pure scan-pushdown agg
 (Q6), bi-directional nation pairing (Q7), top-k over a filtered
 fact join (Q10), outer-join histogram (Q13), conditional-aggregate

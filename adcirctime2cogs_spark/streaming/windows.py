@@ -175,6 +175,18 @@ def session_flush_on_timeout(
         sessions = [(len(s), int(s[0]), int(s[-1])) for s in segs]
         if n:  # merge or close the session carried in state
             c0, f0, l0 = sessions[0]
+            if split_on_gap and f0 < last_us:
+                # exactness of the carry-merge depends on per-key
+                # time-ordered arrival (the replay protocol): an
+                # out-of-order batch that reaches BEHIND the carried
+                # session could silently merge across a >gap hole or
+                # mis-extend the session — fail loudly instead
+                raise ValueError(
+                    f"out-of-order arrival for key {key}: batch min "
+                    f"{f0} < carried last {last_us}; split_on_gap "
+                    "sessionization requires per-key time-ordered "
+                    "replay (see streaming/parity.py protocol)"
+                )
             if split_on_gap and f0 - last_us > gap_us:
                 sessions.insert(0, (n, first_us, last_us))
             else:
@@ -311,7 +323,15 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    return df.sparkSession.table(name)
+    # materialize, then DROP the memory sink: each sink pins a full
+    # result copy in driver memory for the session's lifetime, so a
+    # long-lived session running sweeps/bench loops would accumulate
+    # one leaked copy per invocation
+    spark = df.sparkSession
+    tbl = spark.table(name)
+    local = spark.createDataFrame(tbl.collect(), schema=tbl.schema)
+    spark.catalog.dropTempView(name)
+    return local
 
 
 def run_continuous_rollup(

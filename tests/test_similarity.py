@@ -73,7 +73,7 @@ def test_threshold_pairs_plan_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_ann_recall_floors_vs_bruteforce(spark):
+def test_ann_recall_floors_vs_bruteforce(spark, sf_medium_dir):
     """Recall@k of the sub-quadratic ANN paths against the exact
     brute-force top-k. The fixture embeddings are near-isotropic (true
     neighbors have weak cosine), which is the hard case for LSH — the
@@ -85,7 +85,7 @@ def test_ann_recall_floors_vs_bruteforce(spark):
     neighborhood: 0.64 there vs 0.80 here)."""
     from adcirctime2cogs_spark.operators import similarity as S
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = sf_medium_dir
 
     def pairs(df):
         return {(r[0], r[1]) for r in df.select("q_id", "c_id").collect()}
