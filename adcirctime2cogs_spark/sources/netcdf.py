@@ -12,11 +12,12 @@ two paths:
    ts-partitioned parquet layout of sources/mesh.py, the engine-native
    path for repeated querying.
 
-This container ships no NetCDF reader (xarray/netCDF4/h5netcdf absent),
-so both paths gate behind an import-try: the Spark plumbing (binary
-scan, schema, batch iteration, partition fan-out) is real and unit-
-tested with the decoder injected; the HDF5 decoding itself raises
-NotImplementedError without a library.
+Decoding is self-contained for ADCIRC's native output format: fort.*
+files are classic NetCDF-3, which sources/netcdf3.py reads with
+struct+numpy alone (no third-party library), so the default decoder,
+splitter, and range decoder all WORK in this container. Only
+HDF5-backed NetCDF-4 inputs still gate behind an import-try for
+xarray/h5py; custom codecs remain injectable for those environments.
 """
 
 from __future__ import annotations
@@ -32,21 +33,31 @@ TIMESERIES_OUT_SCHEMA = "ts timestamp, node_id long, value double"
 
 
 def _default_decoder(path: str, content: bytes, variable: str):
-    """Decode one ADCIRC NetCDF into (times, node_ids, values[t][n])
-    using whichever NetCDF library is installed."""
-    try:
-        import io
+    """Decode one ADCIRC NetCDF into (times, node_ids, values[t][n]).
 
-        import xarray as xr  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "No NetCDF reader in this environment (xarray/netCDF4 absent); "
-            "inject a decoder or convert offline with netcdf_to_parquet "
-            "on a codec-equipped host."
-        ) from exc
-    ds = xr.open_dataset(io.BytesIO(content), drop_variables=list(DROP_VARIABLES))
-    var = ds[variable]
-    return ds["time"].values, range(var.shape[-1]), var.values
+    Classic NetCDF-3 (ADCIRC's native fort.* format) decodes via the
+    pure-Python codec in netcdf3.py — no library needed. HDF5-backed
+    NetCDF-4 falls back to xarray, gated on its presence."""
+    from adcirctime2cogs_spark.sources import netcdf3
+
+    try:
+        return netcdf3.decode_adcirc(path, content, variable)
+    except netcdf3.NotClassicNetCDF as not_classic:
+        try:
+            import io
+
+            import xarray as xr  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"{not_classic}; and no NetCDF-4 reader in this environment "
+                "(xarray/netCDF4 absent) — inject a decoder or convert "
+                "offline with netcdf_to_parquet on a codec-equipped host."
+            ) from exc
+        ds = xr.open_dataset(
+            io.BytesIO(content), drop_variables=list(DROP_VARIABLES)
+        )
+        var = ds[variable]
+        return ds["time"].values, range(var.shape[-1]), var.values
 
 
 def scan_netcdf_distributed(
@@ -86,27 +97,43 @@ def scan_netcdf_distributed(
 
 def _default_splitter(path: str, length: int):
     """Enumerate per-timestep byte-range splits of one ADCIRC NetCDF:
-    [(t_idx, offset, nbytes), ...]. Requires an HDF5/NetCDF library to
-    read the chunk index (the reference's chunks={'time': 1} layout,
-    adcirc_dask_utilities.py:42, makes each timestep one contiguous
-    chunk)."""
+    [(t_idx, offset, nbytes), ...] (the reference's chunks={'time': 1},
+    adcirc_dask_utilities.py:42). For classic NetCDF-3 the record
+    layout makes every timestep's span computable from one small header
+    read (netcdf3.classic_splitter) — no chunk index, no library. The
+    HDF5-backed NetCDF-4 layout still needs h5py to read its chunk
+    B-tree."""
+    from adcirctime2cogs_spark.sources import netcdf3
+
     try:
-        import h5py  # noqa: F401
-    except ImportError as exc:
+        return netcdf3.classic_splitter(path, length)
+    except netcdf3.NotClassicNetCDF as not_classic:
+        try:
+            import h5py  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"{not_classic}; and no HDF5 reader in this environment "
+                "(h5py absent) — inject a splitter, or use "
+                "scan_netcdf_distributed for small files."
+            ) from exc
         raise NotImplementedError(
-            "No HDF5 reader in this environment (h5py absent); inject a "
-            "splitter, or use scan_netcdf_distributed for small files."
-        ) from exc
-    raise NotImplementedError("chunk-index splitter requires h5py at runtime")
+            "chunk-index splitter for NetCDF-4 requires h5py at runtime"
+        )
 
 
 def _default_range_decoder(path: str, variable: str, t_idx: int, offset: int, nbytes: int):
     """Decode ONE timestep's byte range -> (ts, node_ids, values_1d).
-    The task opens the file itself and reads [offset, offset+nbytes) —
-    whole-file bytes never flow through Spark."""
-    raise NotImplementedError(
-        "No NetCDF reader in this environment; inject a range decoder."
-    )
+    The task opens the file itself and reads only its slab (plus the
+    tiny time slab) — whole-file bytes never flow through Spark.
+    Classic NetCDF-3 decodes via netcdf3.py; NetCDF-4 needs injection."""
+    from adcirctime2cogs_spark.sources import netcdf3
+
+    try:
+        return netcdf3.classic_range_decoder(path, variable, t_idx, offset, nbytes)
+    except netcdf3.NotClassicNetCDF as not_classic:
+        raise NotImplementedError(
+            f"{not_classic}; inject a range decoder for NetCDF-4 inputs."
+        ) from not_classic
 
 
 SPLIT_SCHEMA = "path string, t_idx int, offset long, nbytes long"

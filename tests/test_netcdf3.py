@@ -1,0 +1,287 @@
+"""Pure-Python classic NetCDF-3 codec (sources/netcdf3.py): spec-level
+header-byte conformance, reader/writer round-trips, per-record slab
+addressing, and the REAL end-to-end path — a fort.63-like .nc decoded
+by the DEFAULT codecs (no injection, no third-party library) through
+the distributed scans into the regrid plan, golden-matched against the
+micromesh fixture (SURVEY O1/O2/O6)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from adcirctime2cogs_spark.plans import micromesh as mm
+from adcirctime2cogs_spark.sources import netcdf3 as nc3
+
+FILL = -99999.0
+
+
+def _write_micromesh_nc(path: str, version: int = 1) -> None:
+    """fort.63-shaped file from the micromesh fixture: time(time),
+    zeta(time,node) with _FillValue marking the dry node, and the
+    static x/y/depth/element fields ADCIRC carries alongside."""
+    n_nodes = len(mm.NODES)
+    times = np.array([0.0, 3600.0, 7200.0])
+    zeta = np.full((3, n_nodes), FILL)
+    by_ts = {}
+    for ts, nid, v in mm.TIMESERIES:
+        by_ts.setdefault(ts, {})[nid] = v
+    for t_idx, ts in enumerate((mm.T1, mm.T2, mm.T3)):
+        for nid in range(n_nodes):
+            v = by_ts[ts][nid]
+            zeta[t_idx, nid] = FILL if v is None else v
+    lon = np.array([n[1] for n in mm.NODES])
+    lat = np.array([n[2] for n in mm.NODES])
+    element = np.array([[e[1], e[2], e[3]] for e in mm.ELEMENTS],
+                       dtype="int32") + 1  # ADCIRC is 1-based
+    nc3.write_classic(
+        path,
+        dims=[("time", None), ("node", n_nodes),
+              ("nele", len(mm.ELEMENTS)), ("nvertex", 3)],
+        variables=[
+            {"name": "time", "dims": ["time"], "data": times,
+             "atts": {"units": f"seconds since {mm.T1} UTC"}},
+            {"name": "x", "dims": ["node"], "data": lon},
+            {"name": "y", "dims": ["node"], "data": lat},
+            {"name": "element", "dims": ["nele", "nvertex"],
+             "data": element},
+            {"name": "zeta", "dims": ["time", "node"], "data": zeta,
+             "atts": {"_FillValue": FILL, "units": "m"}},
+        ],
+        gatts={"model": "ADCIRC", "grid": "micromesh"},
+        version=version,
+    )
+
+
+def test_header_bytes_conform_to_spec(tmp_path):
+    """Byte-level conformance of the writer against the PUBLIC spec
+    (independently hand-encoded here, not via the reader): magic,
+    numrecs, list tags, name padding, dim sizes, attribute encoding."""
+    p = str(tmp_path / "tiny.nc")
+    nc3.write_classic(
+        p,
+        dims=[("time", None), ("node", 2)],
+        variables=[
+            {"name": "time", "dims": ["time"],
+             "data": np.array([0.0, 60.0]),
+             "atts": {"units": "seconds since 2024-01-01 00:00:00"}},
+            {"name": "zeta", "dims": ["time", "node"],
+             "data": np.arange(4.0).reshape(2, 2)},
+        ],
+    )
+    buf = open(p, "rb").read()
+    assert buf[:4] == b"CDF\x01"
+    assert struct.unpack(">i", buf[4:8])[0] == 2  # numrecs
+    # dim_list: tag NC_DIMENSION=0x0A, nelems=2
+    assert struct.unpack(">ii", buf[8:16]) == (0x0A, 2)
+    # dim 0: name "time" (len 4, no padding needed), size 0 = record
+    assert struct.unpack(">i", buf[16:20])[0] == 4
+    assert buf[20:24] == b"time"
+    assert struct.unpack(">i", buf[24:28])[0] == 0
+    # dim 1: name "node", size 2
+    assert struct.unpack(">i", buf[28:32])[0] == 4
+    assert buf[32:36] == b"node"
+    assert struct.unpack(">i", buf[36:40])[0] == 2
+    # gatt_list ABSENT = 8 zero bytes
+    assert buf[40:48] == b"\x00" * 8
+    # var_list: tag NC_VARIABLE=0x0B, nelems=2
+    assert struct.unpack(">ii", buf[48:56]) == (0x0B, 2)
+    # var 0: name "time", ndims=1, dimids=[0]
+    assert struct.unpack(">i", buf[56:60])[0] == 4
+    assert buf[60:64] == b"time"
+    assert struct.unpack(">ii", buf[64:72]) == (1, 0)
+    # its vatt_list: tag NC_ATTRIBUTE=0x0C, nelems=1, name "units"
+    assert struct.unpack(">ii", buf[72:80]) == (0x0C, 1)
+    assert struct.unpack(">i", buf[80:84])[0] == 5
+    assert buf[84:92] == b"units\x00\x00\x00"  # padded to 4
+    # attr payload: NC_CHAR=2, nelems=33, 33 chars + 3 pad
+    assert struct.unpack(">ii", buf[92:100]) == (2, 33)
+    assert buf[100:133] == b"seconds since 2024-01-01 00:00:00"
+    assert buf[133:136] == b"\x00" * 3
+    # var 0 tail: nc_type=NC_DOUBLE=6, vsize=8 (one double per record)
+    assert struct.unpack(">ii", buf[136:144]) == (6, 8)
+
+
+def test_roundtrip_reader_writer(tmp_path):
+    p = str(tmp_path / "micro.nc")
+    _write_micromesh_nc(p)
+    h = nc3.read_header_file(p)
+    assert h.version == 1 and h.numrecs == 3
+    assert dict(h.dims)["node"] == len(mm.NODES)
+    assert h.gatts == {"model": "ADCIRC", "grid": "micromesh"}
+    assert h.vars["zeta"].atts["_FillValue"] == FILL
+    # fixed vars decode exactly
+    lon = nc3.read_var(p, h, "x")
+    assert lon.tolist() == [n[1] for n in mm.NODES]
+    el = nc3.read_var(p, h, "element")
+    assert el.shape == (3, 3) and el.dtype == np.dtype(">i4")
+    assert (el - 1).tolist() == [[e[1], e[2], e[3]] for e in mm.ELEMENTS]
+    # record var decodes across records; fill -> nan via masked_to_nan
+    zeta = nc3.masked_to_nan(nc3.read_var(p, h, "zeta"), h.vars["zeta"])
+    assert zeta.shape == (3, 6)
+    assert np.isnan(zeta[1, 3])  # dry node 3 at t2
+    assert zeta[0, 4] == 2.0 * 1.0 + 3.0 * 1.0 + 1.0
+    # CF time decode
+    times = nc3.decode_times(p, h)
+    assert str(times[0]) == "2024-01-01T00:00:00.000000"
+    assert str(times[2]) == "2024-01-01T02:00:00.000000"
+
+
+def test_cdf2_roundtrip(tmp_path):
+    """CDF-2 (64-bit offsets) differs only in the begin field width."""
+    p = str(tmp_path / "micro2.nc")
+    _write_micromesh_nc(p, version=2)
+    buf = open(p, "rb").read()
+    assert buf[:4] == b"CDF\x02"
+    h = nc3.parse_header(buf)
+    assert h.version == 2
+    zeta = nc3.read_var(buf, h, "zeta")
+    assert zeta.shape == (3, 6) and zeta[2, 0] == 10.0
+
+
+def test_multi_record_var_interleaving_and_padding(tmp_path):
+    """Two record vars (one float32 with an odd byte count) exercise the
+    interleaved record layout and the pad-to-4 rule; a single-record-var
+    file exercises the spec's no-padding special case."""
+    p = str(tmp_path / "multi.nc")
+    t = np.array([0.0, 1.0, 2.0])
+    a = np.arange(9, dtype="float32").reshape(3, 3)  # 12 B/rec: no pad
+    b = np.arange(3, dtype="int16").reshape(3, 1)    # 2 B/rec -> pad to 4
+    nc3.write_classic(
+        p,
+        dims=[("time", None), ("three", 3), ("one", 1)],
+        variables=[
+            {"name": "time", "dims": ["time"], "data": t},
+            {"name": "a", "dims": ["time", "three"], "data": a},
+            {"name": "b", "dims": ["time", "one"], "data": b},
+        ],
+    )
+    h = nc3.read_header_file(p)
+    assert h.recsize == 8 + 12 + 4  # padded per-record sizes
+    assert nc3.read_var(p, h, "a").tolist() == a.tolist()
+    assert nc3.read_var(p, h, "b").ravel().tolist() == [0, 1, 2]
+    # per-record slab addressing agrees with the full gather
+    for r in range(3):
+        off, n = h.record_slab_range("a", r)
+        assert n == 12
+        assert nc3.read_record_slab(p, h, "a", r).tolist() == a[r].tolist()
+    # single record var -> unpadded recsize
+    p1 = str(tmp_path / "single.nc")
+    nc3.write_classic(
+        p1,
+        dims=[("time", None), ("one", 1)],
+        variables=[{"name": "b", "dims": ["time", "one"], "data": b}],
+    )
+    h1 = nc3.read_header_file(p1)
+    assert h1.recsize == 2  # spec special rule: no padding
+    assert nc3.read_var(p1, h1, "b").ravel().tolist() == [0, 1, 2]
+
+
+def test_not_classic_errors():
+    with pytest.raises(nc3.NotClassicNetCDF, match="HDF5"):
+        nc3.parse_header(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(nc3.NotClassicNetCDF, match="magic"):
+        nc3.parse_header(b"not-netcdf-at-all")
+
+
+def test_truncated_header_retry(tmp_path):
+    """read_header_file's doubling re-read: a header larger than the
+    first probe parses anyway."""
+    p = str(tmp_path / "bigheader.nc")
+    _write_micromesh_nc(p)
+    h = nc3.read_header_file(p, first_try=16)
+    assert "zeta" in h.vars
+
+
+def test_scan_distributed_default_decoder_real_file(spark, tmp_path):
+    """scan_netcdf_distributed with NO injected decoder on a real
+    classic file: rows match the fixture, fill values arrive as null."""
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc(p)
+    df = scan_netcdf_distributed(spark, p, "zeta")
+    got = {
+        (str(r.ts), r.node_id): r.value
+        for r in df.collect()
+    }
+    assert len(got) == len(mm.TIMESERIES)
+    for ts, nid, v in mm.TIMESERIES:
+        gv = got[(ts, nid)]
+        if v is None:
+            assert gv is None or (gv != gv)  # null (NaN normalizes at agg)
+        else:
+            assert gv == pytest.approx(v, abs=0)
+
+
+def test_scan_split_default_codecs_match_distributed(spark, tmp_path):
+    """scan_netcdf_split with the DEFAULT header-driven splitter and
+    range decoder (one task per timestep, header-only planning) returns
+    exactly the whole-file scan's rows."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        scan_netcdf_distributed,
+        scan_netcdf_split,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc(p)
+    whole = scan_netcdf_distributed(spark, p, "zeta")
+    split = scan_netcdf_split(spark, p, "zeta")
+    key = lambda r: (str(r.ts), r.node_id)  # noqa: E731
+    a = sorted(((key(r), r.value) for r in whole.collect()))
+    b = sorted(((key(r), r.value) for r in split.collect()))
+    # NaN != NaN — compare with nan-aware equality
+    assert [k for k, _ in a] == [k for k, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert (va is None and vb is None) or va == vb or (va != va and vb != vb)
+
+
+def test_python_datasource_default_codecs_real_file(spark, tmp_path):
+    """spark.read.format('adcirc_netcdf') with NO injected codecs on a
+    real classic file — the DataSource's default splitter/range-decoder
+    now decode CDF-1 natively (one InputPartition per timestep)."""
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc(p)
+    spark.dataSource.register(AdcircNetCDFDataSource)
+    df = (
+        spark.read.format("adcirc_netcdf")
+        .option("path", p)
+        .option("variable", "zeta")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(mm.TIMESERIES)
+    nulls = {(str(r.ts), r.node_id) for r in rows if r.value is None}
+    assert nulls == {(mm.T2, 3)}  # exactly the dry node
+
+
+def test_real_decode_feeds_regrid_golden(spark, tmp_path):
+    """The VERDICT's O1 'full yes' bar: a real .nc decoded by the
+    default codec, regridded through the SAME plan as the fixture
+    queries, equals the fixture-sourced regrid exactly (nulls at dry
+    cells included)."""
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc(p)
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark),
+        mm.BIN_SIZE,
+    )
+    from_nc = regrid(w, scan_netcdf_distributed(spark, p, "zeta"))
+    from_fixture = regrid(w, mm.timeseries_df(spark))
+
+    def snap(df):
+        return sorted(
+            (str(r.ts), r.grid_row, r.grid_col,
+             None if r.value is None else round(r.value, 9))
+            for r in df.collect()
+        )
+
+    assert snap(from_nc) == snap(from_fixture)
