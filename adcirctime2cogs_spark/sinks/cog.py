@@ -8,15 +8,14 @@ fans out ONE TASK PER TIMESTEP, each task pivots its long rows to a
 dense 2-D array and writes its own file — embarrassingly parallel, and
 GDAL never sees a shared file (SURVEY §7 "what's hard").
 
-rasterio is not in this container, so the writer falls back to a
-deterministic .npz + JSON-sidecar format carrying the identical raster
-payload and geotransform; `write_cogs(..., writer=...)` swaps in
-rasterio's COG driver unchanged on a codec-equipped cluster.
+The default writer emits REAL tiled-deflate COGs through the pure
+struct+zlib codec in sinks/geotiff.py (no GDAL needed); when rasterio
+IS present its COG driver is preferred, and `write_cogs(...,
+writer=...)` stays injectable for custom drivers.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Callable
 
@@ -39,22 +38,17 @@ def _geotransform(spec: GridSpec) -> list[float]:
 def _fallback_writer(
     fname: str, arr: np.ndarray, transform: list[float], crs: str
 ) -> None:
-    """No-GDAL writer: raster as .npz + JSON sidecar with the same
-    georeferencing a COG would carry. Writes are ATOMIC (temp file +
+    """No-GDAL writer: a real tiled-deflate COG via the pure-Python
+    codec (sinks/geotiff.py). Writes are ATOMIC (temp file +
     os.replace) so a speculative/retried task can never leave a
     half-written raster behind — the retry simply replaces it."""
     import uuid
 
-    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}"
-    np.savez_compressed(tmp, raster=arr)
-    os.replace(tmp + ".npz", fname + ".npz")
-    with open(tmp + ".json", "w") as f:
-        json.dump(
-            {"transform": transform, "crs": crs, "shape": list(arr.shape),
-             "nodata": "nan"},
-            f,
-        )
-    os.replace(tmp + ".json", fname + ".json")
+    from adcirctime2cogs_spark.sinks.geotiff import write_geotiff
+
+    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}.tif"
+    write_geotiff(tmp, arr, transform, crs, nodata=float("nan"))
+    os.replace(tmp, fname + ".tif")
 
 
 def _rasterio_writer(

@@ -1,7 +1,6 @@
 """End-to-end pipeline test: parquet mesh in -> COGs + sidecars + zip
 out, values checked against the analytic field."""
 
-import json
 import subprocess
 import sys
 
@@ -44,14 +43,13 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert len(result.sidecars) == 3
 
     # check one raster numerically: field at k=0 is 4*lon - 7*lat + 2
-    meta_files = sorted(
-        p for p in __import__("os").listdir(result.cog_dir) if p.endswith(".json")
+    from adcirctime2cogs_spark.sinks.geotiff import geotransform_of, read_geotiff
+
+    cog_files = sorted(
+        p for p in __import__("os").listdir(result.cog_dir) if p.endswith(".tif")
     )
-    first = json.load(open(f"{result.cog_dir}/{meta_files[0]}"))
-    ulx, xres, _, uly, _, yres = first["transform"]
-    arr = np.load(f"{result.cog_dir}/{meta_files[0].replace('.json', '.npz')}")[
-        "raster"
-    ]
+    arr, tags = read_geotiff(f"{result.cog_dir}/{cog_files[0]}")
+    ulx, xres, _, uly, _, yres = geotransform_of(tags)
     nrows, ncols = arr.shape
     for r, c in [(0, 0), (nrows // 2, ncols // 2), (nrows - 1, ncols - 1)]:
         cx = ulx + (c + 0.5) * xres
@@ -159,13 +157,12 @@ def test_pipeline_max_variable_end_to_end(spark, tmp_path):
     assert result.n_timesteps == 1
     files = os.listdir(result.cog_dir)
     assert any("maxele" in f for f in files), files
-    arr = np.load(
-        f"{result.cog_dir}/" + next(f for f in files if f.endswith(".npz"))
-    )["raster"]
-    meta = json.load(
-        open(f"{result.cog_dir}/" + next(f for f in files if f.endswith(".json")))
+    from adcirctime2cogs_spark.sinks.geotiff import geotransform_of, read_geotiff
+
+    arr, tags = read_geotiff(
+        f"{result.cog_dir}/" + next(f for f in files if f.endswith(".tif"))
     )
-    ulx, xres, _, uly, _, yres = meta["transform"]
+    ulx, xres, _, uly, _, yres = geotransform_of(tags)
     nrows, ncols = arr.shape
     r, c = nrows // 2, ncols // 2
     cx, cy = ulx + (c + 0.5) * xres, uly + (r + 0.5) * yres

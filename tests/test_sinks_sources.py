@@ -1,7 +1,6 @@
 """COG sink, sidecar, mesh parquet round-trip, and the NetCDF adapter
 plumbing (with an injected decoder — no NetCDF lib in this image)."""
 
-import json
 
 import numpy as np
 import pandas as pd
@@ -29,21 +28,91 @@ def raster_long(spark):
 
 
 def test_cog_sink_one_file_per_ts(spark, raster_long, tmp_path):
+    from adcirctime2cogs_spark.sinks import geotiff as gt
+
     out = str(tmp_path / "cogs")
     manifest = write_cogs(raster_long, mm.GRID, out).collect()
     assert len(manifest) == 3  # one task/file per timestep
     for row in manifest:
-        data = np.load(row.path + ".npz")["raster"]
+        data, tags = gt.read_geotiff(row.path + ".tif")
         assert data.shape == (5, 5)
-        meta = json.load(open(row.path + ".json"))
-        assert meta["transform"] == [0.0, 0.4, 0.0, 2.0, 0.0, -0.4]
+        assert gt.geotransform_of(tags) == [0.0, 0.4, 0.0, 2.0, 0.0, -0.4]
     # t1 linear field: check one concrete pixel value and the mask
     t1 = next(r for r in manifest if "2024-01-01 00" in r.ts)
-    arr = np.load(t1.path + ".npz")["raster"]
+    arr, _ = gt.read_geotiff(t1.path + ".tif")
     # grid_row=4, grid_col=0 -> centroid (0.2, 0.2) -> 2*0.2+3*0.2+1 = 2.0
     assert abs(arr[4, 0] - 2.0) < 1e-12
     # hull-hole cell (row 4, col 3) must be NaN
     assert np.isnan(arr[4, 3])
+
+
+def test_cog_header_bytes_conform_to_tiff_spec(spark, raster_long, tmp_path):
+    """Byte-level validation of the pure-Python COG (VERDICT O20 bar):
+    little-endian TIFF magic, first IFD at offset 8 (header-first COG
+    layout), required tags with spec values, GeoTIFF keys carrying the
+    EPSG code, and GDAL's nodata tag."""
+    import struct
+
+    from adcirctime2cogs_spark.sinks import geotiff as gt
+
+    out = str(tmp_path / "cogs")
+    manifest = write_cogs(raster_long, mm.GRID, out).collect()
+    path = manifest[0].path + ".tif"
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"II*\x00"
+    assert struct.unpack("<I", buf[4:8])[0] == 8  # IFD immediately after
+    tags = gt.read_tags(path)[0]
+    assert tags[gt.TAG_BITS_PER_SAMPLE] == 64
+    assert tags[gt.TAG_COMPRESSION] == 8          # Adobe deflate
+    assert tags[gt.TAG_SAMPLE_FORMAT] == 3        # IEEE float
+    assert tags[gt.TAG_TILE_WIDTH] == 256 and tags[gt.TAG_TILE_LENGTH] == 256
+    assert tags[gt.TAG_SAMPLES_PER_PIXEL] == 1
+    assert tags[gt.TAG_MODEL_PIXEL_SCALE] == (0.4, 0.4, 0.0)
+    assert tags[gt.TAG_MODEL_TIEPOINT] == (0.0, 0.0, 0.0, 0.0, 2.0, 0.0)
+    assert tags[gt.TAG_GDAL_NODATA] == "nan"
+    geokeys = tags[gt.TAG_GEO_KEY_DIRECTORY]
+    assert geokeys[:4] == (1, 1, 0, 3)
+    assert (2048, 0, 1, 4326) == geokeys[12:16]   # GeographicType=EPSG:4326
+    # deflate tiles round-trip: one tile for the 5x5 raster
+    n_tiles = 1
+    offs = tags[gt.TAG_TILE_OFFSETS]
+    counts = tags[gt.TAG_TILE_BYTE_COUNTS]
+    offs = (offs,) if isinstance(offs, int) else offs
+    assert len(offs) == n_tiles
+    import zlib
+
+    tile = np.frombuffer(
+        zlib.decompress(
+            buf[offs[0]:offs[0] + (counts if isinstance(counts, int) else counts[0])]
+        ),
+        dtype="<f8",
+    ).reshape(256, 256)
+    assert np.isnan(tile[10, 10])  # padding carries the nodata value
+
+
+def test_geotiff_overviews_for_large_rasters(tmp_path):
+    """Rasters larger than one tile get reduced-resolution overview
+    IFDs (NewSubfileType=1) — the 'optimized' half of COG."""
+    from adcirctime2cogs_spark.sinks import geotiff as gt
+
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(600, 700))
+    p = str(tmp_path / "big.tif")
+    gt.write_geotiff(p, arr, [0.0, 0.01, 0.0, 6.0, 0.0, -0.01])
+    ifds = gt.read_tags(p)
+    # 600x700 -> 300x350 -> 150x175 (min dim now <= tile) stops there
+    assert len(ifds) == 3
+    assert gt.TAG_NEW_SUBFILE_TYPE not in ifds[0]
+    for ov in ifds[1:]:
+        assert ov[gt.TAG_NEW_SUBFILE_TYPE] == 1
+    assert ifds[1][gt.TAG_IMAGE_WIDTH] == 350
+    assert ifds[1][gt.TAG_IMAGE_LENGTH] == 300
+    assert ifds[2][gt.TAG_IMAGE_WIDTH] == 175
+    assert ifds[2][gt.TAG_IMAGE_LENGTH] == 150
+    # full-res round-trip is exact (deflate is lossless)
+    back, _ = gt.read_geotiff(p)
+    assert back.shape == (600, 700)
+    assert np.array_equal(back, arr)
 
 
 def test_mosaic_sidecars(tmp_path):

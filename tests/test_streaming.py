@@ -376,12 +376,17 @@ def test_streaming_cog_pipeline_end_to_end(spark, tmp_path):
     batch_files = sorted(os.listdir(out_b))
     assert stream_files == batch_files
     assert len(batch_manifest) == len(stamps)
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+
+    compared = 0
     for f in batch_files:
-        if not f.endswith(".npz"):
+        if not f.endswith(".tif"):
             continue
-        a = np.load(os.path.join(out_s, f))["raster"]
-        b = np.load(os.path.join(out_b, f))["raster"]
+        a, _ = read_geotiff(os.path.join(out_s, f))
+        b, _ = read_geotiff(os.path.join(out_b, f))
         assert np.allclose(a, b, equal_nan=True)
+        compared += 1
+    assert compared == len(stamps)  # the loop must actually compare
 
 
 def test_netcdf_stream_to_cog_full_flow(spark, tmp_path):
@@ -468,11 +473,16 @@ def test_netcdf_stream_to_cog_full_flow(spark, tmp_path):
         out_b,
     ).collect()
     assert sorted(os.listdir(out_s)) == sorted(os.listdir(out_b))
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+
+    compared = 0
     for f in os.listdir(out_b):
-        if f.endswith(".npz"):
-            a = np.load(os.path.join(out_s, f))["raster"]
-            b = np.load(os.path.join(out_b, f))["raster"]
+        if f.endswith(".tif"):
+            a, _ = read_geotiff(os.path.join(out_s, f))
+            b, _ = read_geotiff(os.path.join(out_b, f))
             assert np.allclose(a, b, equal_nan=True)
+            compared += 1
+    assert compared == len(stamps)  # the loop must actually compare
     assert n_nodes == 6  # the golden fixture shape backing this test
 
 
