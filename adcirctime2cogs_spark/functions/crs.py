@@ -1,0 +1,137 @@
+"""Coordinate-reference transforms as vectorized numpy kernels
+(SURVEY O10) — real math, no pyproj.
+
+The reference's reprojection is geopandas to_crs with source == target
+EPSG:4326 (run/adcircTime2cogs.py:44-46), a structural no-op; these
+kernels implement the genuine transforms a COG/tiling pipeline needs,
+from the public formulas:
+
+- EPSG:4326 <-> EPSG:3857 spherical web-Mercator (the web-tile CRS):
+  x = R*lambda, y = R*ln(tan(pi/4 + phi/2)) on the WGS84 semi-major
+  sphere, valid for |lat| < ~85.0511 (the square-world cutoff);
+- EPSG:4326 <-> UTM (WGS84 ellipsoid): transverse Mercator via the
+  Krueger third-flattening series (the Karney-popularized n-series,
+  coefficients to n^3 — sub-mm over a UTM zone), k0 = 0.9996,
+  false easting 500 km, false northing 10 000 km south.
+
+Everything is element-wise numpy on float64 arrays, so the same
+functions back the Arrow-vectorized pandas UDFs in operators/udfs.py
+and driver-side golden tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+K0 = 0.9996
+FALSE_EASTING = 500_000.0
+FALSE_NORTHING_SOUTH = 10_000_000.0
+
+_N = WGS84_F / (2.0 - WGS84_F)  # third flattening
+# rectifying radius: A = a/(1+n) (1 + n^2/4 + n^4/64 + ...)
+RECTIFYING_A = WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+# Krueger forward (alpha) and inverse (beta) coefficients to n^3
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0,
+    61.0 * _N**3 / 240.0,
+)
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0,
+    _N**2 / 48.0 + _N**3 / 15.0,
+    17.0 * _N**3 / 480.0,
+)
+
+
+# ------------------------------------------------------- web mercator
+def webmercator_forward(lon_deg, lat_deg):
+    """EPSG:4326 -> EPSG:3857 (x_m, y_m)."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    x = WGS84_A * np.radians(lon)
+    y = WGS84_A * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_inverse(x_m, y_m):
+    """EPSG:3857 -> EPSG:4326 (lon_deg, lat_deg)."""
+    x = np.asarray(x_m, dtype="float64")
+    y = np.asarray(y_m, dtype="float64")
+    lon = np.degrees(x / WGS84_A)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2.0)
+    return lon, lat
+
+
+# ---------------------------------------------------------------- UTM
+def utm_zone(lon_deg) -> np.ndarray:
+    """Standard 6-degree zone number (1..60) for a longitude."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    return np.clip(((lon + 180.0) // 6.0).astype("int64") + 1, 1, 60)
+
+
+def utm_central_meridian(zone) -> np.ndarray:
+    return np.asarray(zone, dtype="float64") * 6.0 - 183.0
+
+
+def utm_forward(lon_deg, lat_deg, zone=None):
+    """EPSG:4326 -> UTM (easting_m, northing_m, zone). Southern
+    hemisphere northings carry the 10 000 km false northing."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    zone = utm_zone(lon) if zone is None else np.broadcast_to(
+        np.asarray(zone, dtype="int64"), lon.shape
+    )
+    lam = np.radians(lon - utm_central_meridian(zone))
+    phi = np.radians(lat)
+
+    # conformal latitude via the exact ellipsoidal relation (at the
+    # poles arctanh(±1) = ±inf and the chain converges to xi = ±pi/2 —
+    # the right answer — so the divide warning is noise, not an error)
+    e2sqrt = 2.0 * np.sqrt(_N) / (1.0 + _N)
+    with np.errstate(divide="ignore"):
+        t = np.sinh(
+            np.arctanh(np.sin(phi)) - e2sqrt * np.arctanh(e2sqrt * np.sin(phi))
+        )
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
+        eta += a * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
+    easting = FALSE_EASTING + K0 * RECTIFYING_A * eta
+    northing = K0 * RECTIFYING_A * xi
+    northing = np.where(lat < 0.0, northing + FALSE_NORTHING_SOUTH, northing)
+    return easting, northing, zone
+
+
+def utm_inverse(easting_m, northing_m, zone, southern=False):
+    """UTM -> EPSG:4326 (lon_deg, lat_deg)."""
+    E = np.asarray(easting_m, dtype="float64")
+    N = np.asarray(northing_m, dtype="float64")
+    if southern:
+        N = N - FALSE_NORTHING_SOUTH
+    xi = N / (K0 * RECTIFYING_A)
+    eta = (E - FALSE_EASTING) / (K0 * RECTIFYING_A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p -= b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))  # conformal latitude
+    # invert conformal -> geodetic latitude by fixed point (quadratic
+    # convergence is overkill; this converges to 1e-12 rad in <6 iters)
+    e2sqrt = 2.0 * np.sqrt(_N) / (1.0 + _N)
+    phi = chi.copy()
+    for _ in range(8):
+        s = np.sin(phi)
+        t_target = np.sinh(
+            np.arcsinh(np.tan(chi))
+            + e2sqrt * np.arctanh(e2sqrt * s)
+        )
+        phi = np.arctan(t_target)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon = np.degrees(lam) + utm_central_meridian(np.asarray(zone))
+    return lon, np.degrees(phi)
