@@ -219,12 +219,44 @@ def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("sample_reservoir")  # rows-only: RNG is engine-specific
+@_register(
+    "sample_reservoir",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             (l_orderkey * 8 + l_linenumber) * 2654435761 % 4294967296 AS h
+      FROM lineitem
+    )
+    ORDER BY h, l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+)
 def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (TABLESAMPLE) — statistically meaningful
-    but engine-specific values, so rows-only."""
+    """Uniform fixed-size sample as DETERMINISTIC bottom-k-by-hash
+    (Knuth multiplicative hash on the row key): selecting the k rows
+    with the smallest hash values IS a uniform k-sample, and — unlike
+    an RNG reservoir — it is engine-portable (integer arithmetic both
+    engines compute exactly, hence a value-hashed oracle rather than
+    rows-only), stable under re-runs and repartitioning, and
+    distributed-friendly: Spark plans the sort+limit as
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver — the same communication shape as distributed reservoir
+    merging). Engine-seeded .sample() remains available for
+    statistical workloads; this is the reproducible-pipeline variant
+    (e.g. train-set sampling where re-runs must pick identical rows).
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    h = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * F.lit(2654435761)
+        % F.lit(4294967296)
+    ).alias("h")
+    return (
+        li.select("l_orderkey", "l_linenumber", h)
+        .orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(1000)
+        .select("l_orderkey", "l_linenumber")
+    )
 
 
 @_register(

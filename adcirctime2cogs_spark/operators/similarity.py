@@ -824,7 +824,68 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8       # clusters
 KM_ITERS = 3   # fixed Lloyd iterations (deterministic, no convergence RNG)
+KM_DIM = 64    # fixture embedding dimensionality
 _KMEANS_MEMO: dict = {}  # (session id, sf_dir) -> trained centroids
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB oracle for vec_kmeans_lloyd: the SAME deterministic Lloyd
+    run, UNROLLED — KM_ITERS assignment/update rounds as generated CTEs.
+
+    Float-exactness notes (why the hash can match at all):
+    - squared distances fold dimension-by-dimension in index order on
+      both engines (Spark's F.aggregate left-fold == an explicit
+      left-associated 64-term sum, since 0.0 + x1 == x1 exactly);
+    - argmin tie-breaks to the LOWEST cluster index on both sides
+      (array_position-of-min == row_number ORDER BY d, cluster);
+    - centroid means may differ by fold order (engine-parallel avg),
+      but the fixture's assignment margins are ~1e6 ulp wide, so a
+      1-ulp mean wiggle cannot flip any assignment (pinned by
+      tests/test_similarity.py's margin floor).
+    """
+    dim_terms = " + ".join(
+        f"(emb[{i}]-cent[{i}])*(emb[{i}]-cent[{i}])"
+        for i in range(1, KM_DIM + 1)
+    )
+    parts = [
+        """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         emb AS cent
+  FROM e WHERE vec_id < %d
+)""" % KM_K
+    ]
+    for j in range(KM_ITERS + 1):
+        parts.append(f"""d{j} AS (
+  SELECT e.vec_id, e.emb, c.cluster, {dim_terms} AS d
+  FROM e CROSS JOIN c{j} c
+),
+a{j} AS (
+  SELECT vec_id, emb, cluster, d FROM (
+    SELECT vec_id, emb, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM d{j}
+  ) WHERE rn = 1
+)""")
+        if j < KM_ITERS:
+            parts.append(f"""m{j} AS (
+  SELECT cluster, i AS dim, avg(emb[i]) AS m
+  FROM a{j} CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+  GROUP BY cluster, i
+),
+c{j + 1} AS (
+  SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+  FROM c{j} p LEFT JOIN (
+    SELECT cluster, list(m ORDER BY dim) AS cent FROM m{j} GROUP BY cluster
+  ) n USING (cluster)
+)""")
+    final = (
+        f"\nSELECT vec_id, cluster, round(d, 4) AS dist FROM a{KM_ITERS}"
+    )
+    return ",\n".join(parts) + final
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -837,7 +898,7 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-@_register("vec_kmeans_lloyd")  # iterative; no portable SQL oracle
+@_register("vec_kmeans_lloyd", _kmeans_oracle_sql())
 def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column — the iterative-ML
     workload (beyond pagerank's graph loop): KM_ITERS assignment/

@@ -198,3 +198,15 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     by_id = dict(zip(ids.tolist(), dist.tolist()))
     for i, (_, d) in got.items():
         assert abs(d - by_id[i]) < 1e-3
+    # margin floor backing the DuckDB oracle (_kmeans_oracle_sql): the
+    # gap between each point's best and second-best centroid must dwarf
+    # any engine fold-order wiggle in the means (~1e-9 abs), or a hash
+    # oracle on the assignment would be flaky
+    dmat = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    dmat.sort(axis=1)
+    margins = dmat[:, 1] - dmat[:, 0]
+    # measured: 1.2e-4 at sf0.001, vs ~1e-12 relative fold wiggle
+    assert margins.min() > 1e-6, margins.min()
+    # and no r4-rounded distance sits near a rounding boundary
+    frac = np.abs((dist * 1e4 + 0.5) - np.round(dist * 1e4 + 0.5))
+    assert frac.min() > 1e-5, frac.min()
