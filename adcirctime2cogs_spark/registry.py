@@ -33,88 +33,76 @@ _OPERATOR_MODULES = [
 ]
 
 # External harnesses verify only the FIRST 50 registry entries, so the
-# emission order is part of the contract: the flagship domain queries,
-# the full dedup/similarity family, one representative per LLM-pipeline
-# module, and the core relational operators (including every previously
-# red row, so its fix is externally verified) come first; redundant
-# strategy variants and second scalar/array batches follow.
+# emission order is part of the contract. Rotation policy (stated after
+# the round-5 advice): (1) every query MODIFIED OR ADDED in the current
+# round stays in-window — a plan/oracle rewrite with only local
+# verification must not ship unexamined; (2) then every oracled query
+# the driver has NEVER hash-verified; (3) the remaining slots refresh
+# the STALEST external greens (oldest round first). Rotated-out queries
+# stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-5 rotation: r04's 29 freshly-verified survivors rotate out
-    # (they stay covered by tests/test_oracle_parity.py's all-oracle
-    # sweep) in favor of (a) the 5 r04 RED rows — numerically proven
-    # identical, red only on the DuckDB-HUGEINT-vs-Spark-BIGINT hash
-    # artifact, oracles now CAST ... AS BIGINT and gated by
-    # test_oracle_no_exotic_types — which MUST stay in-window until the
-    # driver re-verifies them green; (b) every remaining
-    # oracled-but-never-driver-verified query (31); (c) the three new
-    # oracle-backed streaming parity rows; (d) the seven TPC-H
-    # queries completed this round (22/22 suite) — new queries have
-    # NO external signal yet, which outranks refreshing stale r01
-    # greens. Ledger in COVERAGE.md.
-    #
-    # domain core (reference semantics: run/adcircTime2cogs.py:199-201)
-    "micromesh_weights",
-    "micromesh_regrid",
-    "micromesh_domain_mask",
-    "regrid_synthetic_bench",
-    # r04 red rows, oracle type fixed this round — keep until green
-    "events_feature_rollup",
-    "events_sessionize_gap",
-    "tpch_q22_sales_opportunity",
-    "json_variant_agg",
-    "cdc_rollup_refresh",
-    # new this round: REAL Structured Streaming run, externally hashed
-    # against the batch sessionize oracle (stream == batch contract)
+    # Round-6 rotation.
+    # (1) modified this round: the four streaming parity rows
+    # (memory-sink materialize+drop), crs_reproject (real web-Mercator
+    # math + new transcendental oracle), vec_kmeans_lloyd (new unrolled
+    # DuckDB oracle) and sample_reservoir (deterministic bottom-k-by-
+    # hash semantics). stream_stream_interval_join and
+    # events_histogram_quantile_rollup are ALSO the two r05-noted
+    # never-verified rows.
     "stream_session_flush",
-    # TPC-H tail — never externally verified
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_pred",
-    # dedup tail — never externally verified
-    "dedup_corpus_emit",
-    "dedup_containment_pairs",
-    # text tail — never externally verified
-    "text_profile",
-    "text_blocked_editdist",
-    "text_train_test_split",
-    "text_pack_sequences",
-    "text_unigram_logprob",
-    "text_bpe_pair_counts",
-    # prep tail — never externally verified
-    "prep_denylist_scrub",
-    "prep_repetition_filter",
-    "prep_dataset_card",
-    # events/behavioral tail — never externally verified
-    "events_sliding_window",
-    "events_multires_rollup",
-    "events_dedup_first",
-    "events_anomaly_zscore",
-    "events_markov_transitions",
-    "events_gaps_islands",
-    "events_running_distinct",
-    # joins/UDF/scan tail — never externally verified (crs_reproject
-    # is a SURVEY §2A row whose only driver check was r01)
-    "join_interval_overlap",
-    "udf_pandas_iter",
-    "udtf_python_native",
-    "agg_boolean_flags",
-    "crs_reproject",
-    # new this round — the TPC-H completions (pseudo-partsupp +
-    # lateness adaptations) and the other two streaming parity rows
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_count",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_orders",
     "stream_tumbling_rollup",
     "stream_static_enrich",
+    "stream_stream_interval_join",
+    "crs_reproject",
+    "vec_kmeans_lloyd",
+    "sample_reservoir",
+    # (2) oracled, never driver-verified
+    "events_histogram_quantile_rollup",
+    # (3) stalest greens — last verified r01 (five rounds ago)
+    "filter_predicates",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_nl",
+    "join_asof_union_window",
+    "join_asof_forward",
+    "join_full_outer",
+    "join_sort_merge",
+    "agg_distinct",
+    "agg_stats",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_corr_covar",
+    "agg_exact_percentiles",
+    "win_running",
+    "win_lag_lead",
+    "win_distribution",
+    "sort_limit",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "scalar_string_date",
+    "scalar_path_parse",
+    "scalar_math",
+    "scalar_conditional",
+    "array_ops",
+    "array_explode_agg",
+    "map_struct_ops",
+    "subquery_in",
+    "date_trunc_agg",
+    "string_funcs2",
+    # (3) last verified r02
+    "win_rank",
+    "topk_per_group",
+    # (3) last verified r03
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "join_range",
+    "join_asof",
+    "agg_rollup",
+    "json_extract",
 ]
 
 

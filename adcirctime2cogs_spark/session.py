@@ -75,6 +75,15 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         **(extra_conf or {}),
     }.items():
-        spark.conf.set(k, v)
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # STATIC confs (spark.ui.*, spark.memory.*) cannot be set
+            # on a live session — on a fresh session the builder above
+            # already applied them, and on a pre-existing session they
+            # are unchangeable by definition; only runtime SQL confs
+            # must win here
+            if k.startswith("spark.sql."):
+                raise
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -523,6 +523,92 @@ def run_skew_join_leg(spark, n_rows: int = 20_000_000,
     }
 
 
+def _ui_spill_bytes(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all stages,
+    via the Spark UI REST API (the child session enables the UI)."""
+    import json as j
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    apps = j.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = j.load(
+        urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    return (
+        sum(s.get("memoryBytesSpilled", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
+def run_spill_leg(
+    n: int = 1000, grid_n: int = 501, n_ts: int = 50, driver_mem: str = "4g"
+) -> dict:
+    """Spill-pressure leg (VERDICT r05 #7): rerun the 50-ts SHUFFLE
+    regrid (50M-row value table, node_id shuffle join — above the
+    broadcast cutoff) in a FRESH JVM deliberately memory-starved
+    (driver_mem total for all 32 local executor threads, and
+    spark.memory.fraction squeezed to 0.2), and prove the plan
+    completes CORRECTLY via spill-to-disk rather than OOM — the
+    property the 100 TB cluster story depends on: execution memory
+    pressure must degrade to disk, never to a wrong answer or a crash.
+
+    Memory has to be constrained at JVM launch, so the leg re-executes
+    this script in a subprocess (--spill-child) and reads back the
+    child's JSON line, which includes the spill byte counts observed
+    through the UI REST API."""
+    import subprocess
+
+    # 16 threads, not 32: the squeeze must land on the DATA (per-task
+    # execution memory small vs its partition -> sort/agg spill), not
+    # on task MINIMUM page allocations (32 starving tasks OOM outright
+    # before any operator gets far enough to spill)
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_DRIVER_MEM": driver_mem,
+        "SPARK_GRAFT_CPUS": "16",
+    }
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--spill-child",
+        "--n", str(n), "--grid-n", str(grid_n), "--n-ts", str(n_ts),
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=3600
+    )
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    if proc.returncode != 0 or not json_lines:
+        return {
+            "leg": "spill_shuffle",
+            "violations": 1,
+            "error": (proc.stderr or proc.stdout)[-800:],
+        }
+    return json.loads(json_lines[-1])
+
+
+def _spill_child(n: int, grid_n: int, n_ts: int) -> int:
+    from adcirctime2cogs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="spill_check",
+        extra_conf={
+            "spark.ui.enabled": "true",       # REST API for spill metrics
+            "spark.ui.port": "4090",
+            "spark.memory.fraction": "0.3",   # starve execution memory
+        },
+    )
+    res = run_leg(spark, "spill_shuffle", n, grid_n, n_ts)
+    mem_spill, disk_spill = _ui_spill_bytes(spark)
+    res["driver_mem"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "?")
+    res["memory_spilled_mb"] = round(mem_spill / 1e6, 1)
+    res["disk_spilled_mb"] = round(disk_spill / 1e6, 1)
+    print(json.dumps(res))
+    return 1 if res["violations"] else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -535,7 +621,23 @@ def main() -> int:
     ap.add_argument("--hsofs", action="store_true",
                     help="run the reference's production geometry "
                          "(1.82M nodes, 8400^2 raster, 2 ts)")
+    ap.add_argument("--spill", action="store_true",
+                    help="run the constrained-memory shuffle-regrid leg "
+                         "in a 3g subprocess JVM and record spill bytes")
+    ap.add_argument("--spill-child", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--grid-n", type=int, default=501)
+    ap.add_argument("--n-ts", type=int, default=50)
     args = ap.parse_args()
+
+    if args.spill_child:
+        return _spill_child(args.n, args.grid_n, args.n_ts)
+
+    if args.spill:
+        res = run_spill_leg(n=args.n, grid_n=args.grid_n, n_ts=args.n_ts)
+        print(json.dumps(res))
+        return 1 if res["violations"] else 0
 
     from adcirctime2cogs_spark.session import get_spark
 
