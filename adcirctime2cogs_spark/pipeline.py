@@ -203,21 +203,43 @@ def main(argv: list[str] | None = None) -> int:
         else args.input_variable
     )
     probe = os.path.join(args.input_dir, f"{probe_name}.parquet")
+    nc_input = os.path.join(args.input_dir, args.input_file)
+    base_dir = args.input_dir
+    spark = None
     if not os.path.exists(probe):
-        # the reference's conditional dispatch (O28,
-        # run/adcircTime2cogs.py:270-279): missing swan inputs soft-exit
-        if args.input_file.startswith("swan"):
+        if args.input_file.endswith(".nc") and os.path.exists(nc_input):
+            # the reference's actual entry point: ONE fort.*.nc carrying
+            # mesh + variable (run/adcircTime2cogs.py:148-156). Convert
+            # into a staging table set under output-dir with the
+            # built-in classic-NetCDF codecs, then run the normal
+            # parquet pipeline against it.
+            from adcirctime2cogs_spark.session import get_spark
+            from adcirctime2cogs_spark.sources.netcdf import (
+                adcirc_nc_to_tables,
+            )
+
+            spark = get_spark(app_name="adcirctime2cogs_pipeline")
+            base_dir = os.path.join(args.output_dir, "_tables")
+            adcirc_nc_to_tables(
+                spark, nc_input, base_dir, args.input_variable
+            )
+        elif args.input_file.startswith("swan"):
+            # the reference's conditional dispatch (O28,
+            # run/adcircTime2cogs.py:270-279): missing swan inputs
+            # soft-exit
             print(f"swan input {probe} absent; nothing to do", file=sys.stderr)
             return 0
-        print(f"input not found: {probe}", file=sys.stderr)
-        return 1
+        else:
+            print(f"input not found: {probe}", file=sys.stderr)
+            return 1
 
-    from adcirctime2cogs_spark.session import get_spark
+    if spark is None:
+        from adcirctime2cogs_spark.session import get_spark
 
-    spark = get_spark(app_name="adcirctime2cogs_pipeline")
+        spark = get_spark(app_name="adcirctime2cogs_pipeline")
     result = run_pipeline(
         spark,
-        args.input_dir,
+        base_dir,
         args.output_dir,
         args.final_dir,
         args.input_variable,

@@ -22,6 +22,7 @@ xarray/h5py; custom codecs remain injectable for those environments.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -216,3 +217,73 @@ def netcdf_to_parquet(
         .partitionBy("ts")
         .parquet(f"{out_dir}/{variable}.parquet")
     )
+
+
+def adcirc_nc_to_tables(
+    spark: SparkSession, nc_path: str, out_dir: str, variable: str
+) -> None:
+    """One ADCIRC fort.*.nc -> the COMPLETE engine-native table set
+    (sources/mesh.py layout): mesh_nodes / mesh_elements from the
+    static grid variables, plus {variable}.parquet (record variable,
+    decoded distributed) or node_maxes.parquet (time-less max field).
+
+    This is the reference-parity ingest: extract_url_grid +
+    get_adcirc_slice (run/utilities/adcirc_dask_utilities.py:15-33)
+    read the same x/y/depth/element/zeta variables. Mesh arrays are
+    materialized driver-side like the reference's grid dict (an HSOFS
+    mesh is ~50 MB — metadata next to the fact table); the fact decode
+    is the per-timestep distributed scan with the default (classic
+    NetCDF-3) codecs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adcirctime2cogs_spark.sources import netcdf3
+
+    os.makedirs(out_dir, exist_ok=True)
+    h = netcdf3.header_for(nc_path)
+    x = netcdf3.read_var(nc_path, h, "x").astype("float64").ravel()
+    y = netcdf3.read_var(nc_path, h, "y").astype("float64").ravel()
+    depth = (
+        netcdf3.masked_to_nan(
+            netcdf3.read_var(nc_path, h, "depth"), h.vars["depth"]
+        ).ravel()
+        if "depth" in h.vars
+        else np.full(len(x), np.nan)
+    )
+    pq.write_table(
+        pa.table({
+            "node_id": pa.array(np.arange(len(x)), pa.int64()),
+            "lon": pa.array(x, pa.float64()),
+            "lat": pa.array(y, pa.float64()),
+            "depth": pa.array(depth, pa.float64()),
+        }),
+        os.path.join(out_dir, "mesh_nodes.parquet"),
+    )
+    el = netcdf3.read_var(nc_path, h, "element").astype("int64") - 1  # O4
+    pq.write_table(
+        pa.table({
+            "elem_id": pa.array(np.arange(el.shape[0]), pa.int64()),
+            "n0": pa.array(el[:, 0], pa.int64()),
+            "n1": pa.array(el[:, 1], pa.int64()),
+            "n2": pa.array(el[:, 2], pa.int64()),
+        }),
+        os.path.join(out_dir, "mesh_elements.parquet"),
+    )
+    v = h.vars[variable]
+    if h.is_record(v):
+        long_df = scan_netcdf_split(spark, nc_path, variable)
+        long_df.repartition("ts").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{variable}.parquet")
+        )
+    else:
+        vals = netcdf3.masked_to_nan(
+            netcdf3.read_var(nc_path, h, variable), v
+        ).ravel()
+        pq.write_table(
+            pa.table({
+                "node_id": pa.array(np.arange(len(vals)), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }),
+            os.path.join(out_dir, "node_maxes.parquet"),
+        )

@@ -43,6 +43,7 @@ def _write_micromesh_nc(path: str, version: int = 1) -> None:
              "atts": {"units": f"seconds since {mm.T1} UTC"}},
             {"name": "x", "dims": ["node"], "data": lon},
             {"name": "y", "dims": ["node"], "data": lat},
+            {"name": "depth", "dims": ["node"], "data": lon + lat + 5.0},
             {"name": "element", "dims": ["nele", "nvertex"],
              "data": element},
             {"name": "zeta", "dims": ["time", "node"], "data": zeta,

@@ -167,3 +167,57 @@ def test_pipeline_max_variable_end_to_end(spark, tmp_path):
     r, c = nrows // 2, ncols // 2
     cx, cy = ulx + (c + 0.5) * xres, uly + (r + 0.5) * yres
     assert abs(arr[r, c] - (4 * cx - 7 * cy + 2)) < 1e-9
+
+
+def test_pipeline_netcdf_input_end_to_end(spark, tmp_path):
+    """Reference parity at the CLI door: ONE fort.63.nc in (mesh +
+    zeta, classic NetCDF-3), COGs out — mesh/element/timeseries all
+    extracted by the BUILT-IN codecs (zero injection), rasters
+    identical to a run fed the equivalent parquet tables."""
+    import os
+
+    from adcirctime2cogs_spark.pipeline import main, run_pipeline
+    from adcirctime2cogs_spark.plans import micromesh as mm
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+    from tests.test_netcdf3 import _write_micromesh_nc
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_micromesh_nc(str(in_dir / "fort.63.nc"))
+    rc = main([
+        "--input-dir", str(in_dir),
+        "--output-dir", str(tmp_path / "o"),
+        "--final-dir", str(tmp_path / "f"),
+        "--input-file", "fort.63.nc",
+        "--input-variable", "zeta",
+        "--res", "0.4",
+    ])
+    assert rc == 0
+    cog_dir = tmp_path / "o" / "zeta"
+    tifs = sorted(p for p in os.listdir(cog_dir) if p.endswith(".tif"))
+    assert len(tifs) == 3  # one COG per timestep
+
+    # equivalent parquet-table run must produce identical rasters
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "tables")
+    mm.nodes_df(spark).withColumn(
+        "depth", F.lit(None).cast("double")
+    ).write.parquet(base + "/mesh_nodes.parquet")
+    mm.elements_df(spark).write.parquet(base + "/mesh_elements.parquet")
+    mm.timeseries_df(spark).withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.parquet(base + "/zeta.parquet")
+    run_pipeline(
+        spark, base, str(tmp_path / "o2"), str(tmp_path / "f2"),
+        variable="zeta", res=0.4,
+    )
+    tifs2 = sorted(
+        p for p in os.listdir(tmp_path / "o2" / "zeta") if p.endswith(".tif")
+    )
+    assert tifs == tifs2  # same per-ts filenames (same decoded stamps)
+    for f in tifs:
+        a, _ = read_geotiff(str(cog_dir / f))
+        b, _ = read_geotiff(str(tmp_path / "o2" / "zeta" / f))
+        assert np.allclose(a, b, equal_nan=True)
