@@ -229,17 +229,28 @@ def parse_header(buf: bytes) -> NC3Header:
 def read_header_file(path: str, first_try: int = 8192) -> NC3Header:
     """Header from a FILE with a small read (doubling on truncation) —
     this is all the 'chunk index' the split planner ever reads."""
+    import os as _os
+
     n = first_try
     path = _fs_path(path)
     while True:
         with open(path, "rb") as f:
             buf = f.read(n)
         try:
-            return parse_header(buf)
+            h = parse_header(buf)
+            break
         except TruncatedHeader:
             if len(buf) < n:  # whole file read and still truncated
                 raise
             n *= 2
+    if h.numrecs == 0xFFFFFFFF and h.record_vars:
+        # STREAMING sentinel: a writer that crashed (or is still
+        # appending) never patched numrecs — the actual record count
+        # is whatever whole records exist between the first record
+        # offset and EOF (the spec-sanctioned recovery)
+        base = min(v.begin for v in h.record_vars)
+        h.numrecs = max(0, (_os.path.getsize(path) - base) // h.recsize)
+    return h
 
 
 @lru_cache(maxsize=128)

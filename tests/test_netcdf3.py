@@ -178,6 +178,20 @@ def test_multi_record_var_interleaving_and_padding(tmp_path):
     assert nc3.read_var(p1, h1, "b").ravel().tolist() == [0, 1, 2]
 
 
+def test_streaming_numrecs_sentinel_recovered(tmp_path):
+    """A file whose numrecs field holds the STREAMING sentinel
+    (0xFFFFFFFF — writer crashed or still appending) recovers the true
+    record count from the file size, per the spec's recovery rule."""
+    p = str(tmp_path / "streaming.nc")
+    _write_micromesh_nc(p)
+    buf = bytearray(open(p, "rb").read())
+    buf[4:8] = b"\xff\xff\xff\xff"
+    open(p, "wb").write(bytes(buf))
+    h = nc3.read_header_file(p)
+    assert h.numrecs == 3
+    assert nc3.read_var(p, h, "zeta").shape == (3, 6)
+
+
 def test_not_classic_errors():
     with pytest.raises(nc3.NotClassicNetCDF, match="HDF5"):
         nc3.parse_header(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
@@ -286,3 +300,83 @@ def test_real_decode_feeds_regrid_golden(spark, tmp_path):
         )
 
     assert snap(from_nc) == snap(from_fixture)
+
+
+def test_streaming_classic_drops_to_cog_zero_injection(spark, tmp_path):
+    """The reference's production flow, live and with ZERO injected
+    codecs: per-advisory classic .nc drops -> readStream
+    .format('adcirc_netcdf') decoding through the built-in NetCDF-3
+    codec -> watermarked streaming regrid -> per-timestep COGs,
+    cell-identical to the batch pipeline."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+    from adcirctime2cogs_spark.streaming import regrid_stream as rs
+
+    ts_batch = mm.timeseries_df(spark).withColumn("ts", F.to_timestamp("ts"))
+    pdf = ts_batch.toPandas().sort_values(["ts", "node_id"])
+    stamps = sorted(pdf["ts"].unique())
+    base_t = pd.Timestamp(stamps[0])
+
+    drops = tmp_path / "nc"
+    drops.mkdir()
+    frames = [(t, pdf[pdf["ts"] == t]) for t in stamps]
+    # sentinel advisory advances the watermark past the last real ts
+    frames.append((stamps[-1] + np.timedelta64(2, "h"), frames[0][1]))
+    for i, (t, frame) in enumerate(frames):
+        vals = frame.sort_values("node_id")["value"].astype("float64").to_numpy()
+        vals = np.where(np.isnan(vals), FILL, vals)
+        secs = (pd.Timestamp(t) - base_t).total_seconds()
+        p = str(drops / f"adv{i}.nc")
+        nc3.write_classic(
+            p,
+            dims=[("time", None), ("node", len(vals))],
+            variables=[
+                {"name": "time", "dims": ["time"],
+                 "data": np.array([secs]),
+                 "atts": {"units": f"seconds since {base_t}"}},
+                {"name": "zeta", "dims": ["time", "node"],
+                 "data": vals.reshape(1, -1),
+                 "atts": {"_FillValue": FILL}},
+            ],
+        )
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    spark.dataSource.register(AdcircNetCDFDataSource)  # DEFAULT codecs
+    stream = (
+        spark.readStream.format("adcirc_netcdf")
+        .option("path", str(drops / "*.nc"))
+        .load()
+    )
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark),
+        mm.BIN_SIZE,
+    )
+    out_s = str(tmp_path / "cogs_live")
+    n = rs.run_regrid_to_cogs(
+        rs.regrid_stream(w, stream, watermark="30 minutes"),
+        mm.GRID, out_s, str(tmp_path / "ck"),
+    )
+    assert n >= 1
+
+    out_b = str(tmp_path / "cogs_batch")
+    write_cogs(regrid(w, ts_batch), mm.GRID, out_b).collect()
+    assert sorted(os.listdir(out_s)) == sorted(os.listdir(out_b))
+    compared = 0
+    for f in os.listdir(out_b):
+        if f.endswith(".tif"):
+            a, _ = read_geotiff(os.path.join(out_s, f))
+            b, _ = read_geotiff(os.path.join(out_b, f))
+            assert np.allclose(a, b, equal_nan=True)
+            compared += 1
+    assert compared == len(stamps)
