@@ -1,5 +1,5 @@
-"""Pure-Python classic NetCDF-3 codec (CDF-1 / CDF-2) — struct+numpy
-only, no third-party NetCDF library.
+"""Pure-Python classic NetCDF-3 codec (CDF-1 / CDF-2 / CDF-5) —
+struct+numpy only, no third-party NetCDF library.
 
 This removes the engine's last dependency gate on SURVEY O1/O2: the
 reference opens ADCIRC's fort.63.nc through xarray
@@ -8,13 +8,17 @@ output is classic NetCDF-3 — a simple, fully public binary format
 (Unidata "NetCDF Classic Format Specification"):
 
     header  = magic numrecs dim_list gatt_list var_list
-    magic   = 'C' 'D' 'F' \\x01|\\x02     (CDF-2 = 64-bit file offsets)
-    *_list  = ABSENT (8 zero bytes) | tag nelems [elem ...]
+    magic   = 'C' 'D' 'F' \\x01|\\x02|\\x05
+    *_list  = ABSENT (zero tag + zero count) | tag nelems [elem ...]
     tags    : NC_DIMENSION=0x0A  NC_VARIABLE=0x0B  NC_ATTRIBUTE=0x0C
     var     = name ndims [dimid...] vatt_list nc_type vsize begin
 
-All integers are 4-byte big-endian (CDF-2 widens only `begin` to 8
-bytes); names and attribute payloads pad to 4-byte boundaries. Fixed
+All integers are 4-byte big-endian in CDF-1; CDF-2 widens only `begin`
+to 8 bytes; CDF-5 (the PnetCDF 64-bit-data variant large parallel
+ADCIRC runs write) widens every NON_NEG count — list sizes, name
+lengths, dim lengths, attribute nelems, ndims, vsize, numrecs — to
+64-bit (dimid references stay 32-bit) and adds the unsigned/int64
+type set. Names and attribute payloads pad to 4-byte boundaries. Fixed
 variables live as one contiguous block at `begin`; record variables
 interleave per record with stride `recsize` (sum of the record vars'
 padded per-record sizes — unpadded when there is exactly ONE record
@@ -40,15 +44,25 @@ import numpy as np
 MAGIC = b"CDF"
 NC_DIMENSION, NC_VARIABLE, NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 (PnetCDF 64-bit-data) extended types
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 
 _TYPE_DTYPE = {
     NC_BYTE: ">i1", NC_CHAR: "S1", NC_SHORT: ">i2",
     NC_INT: ">i4", NC_FLOAT: ">f4", NC_DOUBLE: ">f8",
+    NC_UBYTE: ">u1", NC_USHORT: ">u2", NC_UINT: ">u4",
+    NC_INT64: ">i8", NC_UINT64: ">u8",
 }
 _TYPE_SIZE = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4,
-              NC_FLOAT: 4, NC_DOUBLE: 8}
+              NC_FLOAT: 4, NC_DOUBLE: 8, NC_UBYTE: 1, NC_USHORT: 2,
+              NC_UINT: 4, NC_INT64: 8, NC_UINT64: 8}
 _DTYPE_TYPE = {"int8": NC_BYTE, "S1": NC_CHAR, "int16": NC_SHORT,
-               "int32": NC_INT, "float32": NC_FLOAT, "float64": NC_DOUBLE}
+               "int32": NC_INT, "float32": NC_FLOAT, "float64": NC_DOUBLE,
+               "uint8": NC_UBYTE, "uint16": NC_USHORT, "uint32": NC_UINT,
+               "int64": NC_INT64, "uint64": NC_UINT64}
+# CDF-5 types are illegal in CDF-1/2 files
+_CLASSIC_ONLY_TYPES = {NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT,
+                       NC_DOUBLE}
 
 
 class TruncatedHeader(ValueError):
@@ -141,8 +155,13 @@ def _fs_path(path: str) -> str:
 
 # ---------------------------------------------------------------- parse
 class _Cursor:
-    def __init__(self, buf: bytes):
-        self.buf, self.pos = buf, 0
+    """Version-aware reader: CDF-5 (PnetCDF 64-bit data) widens every
+    NON_NEG count — list sizes, name lengths, dim lengths, attribute
+    nelems, ndims, vsize, numrecs — to 64-bit; dimid references stay
+    32-bit; `begin` is 64-bit in both CDF-2 and CDF-5."""
+
+    def __init__(self, buf: bytes, version: int = 1):
+        self.buf, self.pos, self.version = buf, 0, version
 
     def take(self, n: int) -> bytes:
         if self.pos + n > len(self.buf):
@@ -160,15 +179,18 @@ class _Cursor:
     def u64(self) -> int:
         return int.from_bytes(self.take(8), "big")
 
+    def cnt(self) -> int:
+        return self.u64() if self.version == 5 else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.cnt()
         s = self.take(n).decode("utf-8")
         self.take(_pad4(n) - n)
         return s
 
     def att_value(self):
         nc_type = self.u32()
-        nelems = self.u32()
+        nelems = self.cnt()
         nbytes = nelems * _TYPE_SIZE[nc_type]
         raw = self.take(nbytes)
         self.take(_pad4(nbytes) - nbytes)
@@ -179,7 +201,7 @@ class _Cursor:
 
     def att_list(self) -> dict:
         tag = self.u32()
-        nelems = self.u32()
+        nelems = self.cnt()
         if tag == 0 and nelems == 0:
             return {}
         if tag != NC_ATTRIBUTE:
@@ -187,41 +209,50 @@ class _Cursor:
         return {self.name(): self.att_value() for _ in range(nelems)}
 
 
+_STREAMING = {1: 0xFFFFFFFF, 2: 0xFFFFFFFF, 5: 0xFFFFFFFFFFFFFFFF}
+
+
 def parse_header(buf: bytes) -> NC3Header:
-    """Parse a classic header from a byte prefix (raises TruncatedHeader
-    if the prefix is too short, NotClassicNetCDF on wrong magic)."""
-    if buf[:3] != MAGIC or (len(buf) > 3 and buf[3] not in (1, 2)):
+    """Parse a classic/CDF-5 header from a byte prefix (raises
+    TruncatedHeader if the prefix is too short, NotClassicNetCDF on
+    wrong magic)."""
+    if buf[:3] != MAGIC or (len(buf) > 3 and buf[3] not in (1, 2, 5)):
         if buf[:4] == b"\x89HDF":
             raise NotClassicNetCDF(
                 "HDF5-backed NetCDF-4 file — this codec reads classic "
-                "CDF-1/CDF-2 only; convert with `nccopy -k classic` or "
-                "install an HDF5 reader"
+                "CDF-1/CDF-2/CDF-5 only; convert with `nccopy -k classic`"
+                " or install an HDF5 reader"
             )
         raise NotClassicNetCDF("not a classic NetCDF file (bad magic)")
-    cur = _Cursor(buf)
-    cur.take(3)
-    version = cur.take(1)[0]
-    numrecs = cur.u32()  # 0xFFFFFFFF = STREAMING; treated as unknown
-    tag, nelems = cur.u32(), cur.u32()
+    version = buf[3] if len(buf) > 3 else 0
+    cur = _Cursor(buf, version)
+    cur.take(4)
+    numrecs = cur.cnt()  # _STREAMING sentinel = unknown (see read_header_file)
+    tag, nelems = cur.u32(), cur.cnt()
     dims: list[tuple[str, int]] = []
     if not (tag == 0 and nelems == 0):
         if tag != NC_DIMENSION:
             raise NotClassicNetCDF(f"bad dim-list tag 0x{tag:X}")
-        dims = [(cur.name(), cur.u32()) for _ in range(nelems)]
+        dims = [(cur.name(), cur.cnt()) for _ in range(nelems)]
     gatts = cur.att_list()
-    tag, nelems = cur.u32(), cur.u32()
+    tag, nelems = cur.u32(), cur.cnt()
     h = NC3Header(version=version, numrecs=numrecs, dims=dims, gatts=gatts)
     if not (tag == 0 and nelems == 0):
         if tag != NC_VARIABLE:
             raise NotClassicNetCDF(f"bad var-list tag 0x{tag:X}")
         for _ in range(nelems):
             name = cur.name()
-            ndims = cur.u32()
+            ndims = cur.cnt()
             dimids = tuple(cur.u32() for _ in range(ndims))
             atts = cur.att_list()
             nc_type = cur.u32()
-            vsize = cur.u32()
-            begin = cur.u64() if version == 2 else cur.u32()
+            if version != 5 and nc_type not in _CLASSIC_ONLY_TYPES:
+                raise NotClassicNetCDF(
+                    f"type {nc_type} of {name} is CDF-5-only but the file "
+                    f"is CDF-{version}"
+                )
+            vsize = cur.cnt()
+            begin = cur.u64() if version in (2, 5) else cur.u32()
             h.vars[name] = NC3Var(name, dimids, atts, nc_type, vsize, begin)
     return h
 
@@ -243,7 +274,7 @@ def read_header_file(path: str, first_try: int = 8192) -> NC3Header:
             if len(buf) < n:  # whole file read and still truncated
                 raise
             n *= 2
-    if h.numrecs == 0xFFFFFFFF and h.record_vars:
+    if h.numrecs == _STREAMING.get(h.version) and h.record_vars:
         # STREAMING sentinel: a writer that crashed (or is still
         # appending) never patched numrecs — the actual record count
         # is whatever whole records exist between the first record
@@ -416,10 +447,10 @@ def classic_range_decoder(path: str, variable: str, t_idx: int,
 
 
 # ---------------------------------------------------------------- write
-def _att_bytes(value) -> bytes:
+def _att_bytes(value, w: int) -> bytes:
     if isinstance(value, str):
         raw = value.encode("utf-8")
-        head = NC_CHAR.to_bytes(4, "big") + len(raw).to_bytes(4, "big")
+        head = NC_CHAR.to_bytes(4, "big") + len(raw).to_bytes(w, "big")
         return head + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
     arr = np.asarray(value)
     if arr.dtype.kind == "f":
@@ -429,22 +460,22 @@ def _att_bytes(value) -> bytes:
     else:
         raise TypeError(f"unsupported attribute type: {arr.dtype}")
     raw = arr.ravel().tobytes()
-    head = nc_type.to_bytes(4, "big") + int(arr.size).to_bytes(4, "big")
+    head = nc_type.to_bytes(4, "big") + int(arr.size).to_bytes(w, "big")
     return head + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
 
 
-def _name_bytes(name: str) -> bytes:
+def _name_bytes(name: str, w: int) -> bytes:
     raw = name.encode("utf-8")
-    return (len(raw).to_bytes(4, "big") + raw
+    return (len(raw).to_bytes(w, "big") + raw
             + b"\x00" * (_pad4(len(raw)) - len(raw)))
 
 
-def _att_list_bytes(atts: dict) -> bytes:
+def _att_list_bytes(atts: dict, w: int) -> bytes:
     if not atts:
-        return b"\x00" * 8
-    out = NC_ATTRIBUTE.to_bytes(4, "big") + len(atts).to_bytes(4, "big")
+        return b"\x00" * (4 + w)  # ABSENT: zero tag + zero count
+    out = NC_ATTRIBUTE.to_bytes(4, "big") + len(atts).to_bytes(w, "big")
     for k, v in atts.items():
-        out += _name_bytes(k) + _att_bytes(v)
+        out += _name_bytes(k, w) + _att_bytes(v, w)
     return out
 
 
@@ -461,7 +492,12 @@ def write_classic(
     dims: (name, size) with size None/0 marking THE record dimension.
     variables: {name, dims: [dim names], data: np.ndarray, atts: {}} —
     a record variable's data carries numrecs as its first axis.
+    version: 1 (CDF-1), 2 (64-bit offsets), or 5 (PnetCDF 64-bit data:
+    64-bit counts everywhere plus the unsigned/int64 type set).
     """
+    if version not in (1, 2, 5):
+        raise ValueError(f"unsupported classic version {version}")
+    w = 8 if version == 5 else 4  # NON_NEG count width
     dim_sizes = [(n, int(s) if s else 0) for n, s in dims]
     dim_index = {n: i for i, (n, _) in enumerate(dim_sizes)}
     rec_id = next((i for i, (_, s) in enumerate(dim_sizes) if s == 0), None)
@@ -473,6 +509,10 @@ def write_classic(
         dimids = tuple(dim_index[d] for d in spec["dims"])
         nc_type = _DTYPE_TYPE[data.dtype.name if data.dtype.kind != "S"
                               else "S1"]
+        if version != 5 and nc_type not in _CLASSIC_ONLY_TYPES:
+            raise ValueError(
+                f"type {data.dtype} of {spec['name']} needs version=5"
+            )
         is_rec = bool(dimids) and dimids[0] == rec_id
         if is_rec:
             numrecs = max(numrecs, data.shape[0])
@@ -489,30 +529,30 @@ def write_classic(
     n_rec = sum(1 for m in meta if m["is_rec"])
 
     def header_bytes() -> bytes:
-        out = MAGIC + bytes([version]) + numrecs.to_bytes(4, "big")
+        out = MAGIC + bytes([version]) + numrecs.to_bytes(w, "big")
         if dim_sizes:
             out += NC_DIMENSION.to_bytes(4, "big")
-            out += len(dim_sizes).to_bytes(4, "big")
+            out += len(dim_sizes).to_bytes(w, "big")
             for n, s in dim_sizes:
-                out += _name_bytes(n) + s.to_bytes(4, "big")
+                out += _name_bytes(n, w) + s.to_bytes(w, "big")
         else:
-            out += b"\x00" * 8
-        out += _att_list_bytes(gatts or {})
+            out += b"\x00" * (4 + w)
+        out += _att_list_bytes(gatts or {}, w)
         if meta:
-            out += NC_VARIABLE.to_bytes(4, "big") + len(meta).to_bytes(4, "big")
+            out += NC_VARIABLE.to_bytes(4, "big") + len(meta).to_bytes(w, "big")
             for m in meta:
-                out += _name_bytes(m["name"])
-                out += len(m["dimids"]).to_bytes(4, "big")
+                out += _name_bytes(m["name"], w)
+                out += len(m["dimids"]).to_bytes(w, "big")
                 for d in m["dimids"]:
-                    out += d.to_bytes(4, "big")
-                out += _att_list_bytes(m["atts"])
+                    out += d.to_bytes(4, "big")  # dimids stay 32-bit
+                out += _att_list_bytes(m["atts"], w)
                 out += m["nc_type"].to_bytes(4, "big")
                 vsize = _pad4(m["slab"]) if (n_rec != 1 or not m["is_rec"]) \
                     else m["slab"]
-                out += vsize.to_bytes(4, "big")
-                out += m["begin"].to_bytes(8 if version == 2 else 4, "big")
+                out += vsize.to_bytes(w, "big")
+                out += m["begin"].to_bytes(8 if version in (2, 5) else 4, "big")
         else:
-            out += b"\x00" * 8
+            out += b"\x00" * (4 + w)
         return out
 
     for m in meta:  # pass 1: measure header with placeholder begins

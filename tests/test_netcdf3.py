@@ -140,6 +140,50 @@ def test_cdf2_roundtrip(tmp_path):
     assert zeta.shape == (3, 6) and zeta[2, 0] == 10.0
 
 
+def test_cdf5_roundtrip_with_64bit_types(tmp_path):
+    """CDF-5 (PnetCDF 64-bit data): 64-bit counts everywhere, int64
+    variables allowed; the same micromesh content round-trips, and a
+    CDF-5-only type in a CDF-1 file is rejected on both paths."""
+    p = str(tmp_path / "micro5.nc")
+    _write_micromesh_nc(p, version=5)
+    buf = open(p, "rb").read()
+    assert buf[:4] == b"CDF\x05"
+    # numrecs is 8 bytes in CDF-5
+    assert int.from_bytes(buf[4:12], "big") == 3
+    h = nc3.read_header_file(p)
+    assert h.version == 5 and h.numrecs == 3
+    zeta = nc3.masked_to_nan(nc3.read_var(p, h, "zeta"), h.vars["zeta"])
+    assert np.isnan(zeta[1, 3]) and zeta[2, 0] == 10.0
+    assert str(nc3.decode_times(p, h)[1]) == "2024-01-01T01:00:00.000000"
+
+    # int64 payload round-trips under version 5
+    p2 = str(tmp_path / "big_ids.nc")
+    ids = np.array([[2**40 + 1], [2**41 + 7]], dtype="int64")
+    nc3.write_classic(
+        p2,
+        dims=[("time", None), ("one", 1)],
+        variables=[{"name": "gid", "dims": ["time", "one"], "data": ids}],
+        version=5,
+    )
+    h2 = nc3.read_header_file(p2)
+    assert h2.vars["gid"].nc_type == nc3.NC_INT64
+    assert nc3.read_var(p2, h2, "gid").ravel().tolist() == [2**40 + 1, 2**41 + 7]
+
+    # CDF-5-only type in a classic file: writer refuses...
+    with pytest.raises(ValueError, match="version=5"):
+        nc3.write_classic(
+            str(tmp_path / "bad.nc"),
+            dims=[("one", 1)],
+            variables=[{"name": "g", "dims": ["one"],
+                        "data": np.array([1], dtype="int64")}],
+        )
+    # ...and the parser rejects a forged one
+    forged = bytearray(open(p2, "rb").read())
+    forged[3] = 1  # claim CDF-1; counts are then misparsed or type trips
+    with pytest.raises(nc3.NotClassicNetCDF):
+        nc3.parse_header(bytes(forged))
+
+
 def test_multi_record_var_interleaving_and_padding(tmp_path):
     """Two record vars (one float32 with an odd byte count) exercise the
     interleaved record layout and the pad-to-4 rule; a single-record-var
