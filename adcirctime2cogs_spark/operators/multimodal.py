@@ -1,13 +1,16 @@
 """Multimodal-column operators (north-star scope): image/audio/video as
 opaque BinaryType columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind the real Spark plumbing (binary columns,
-Arrow-batched mapInPandas, explicit result schemas, per-batch
-iteration) — swap `_fake_decode` for PIL/ffmpeg and nothing else
-changes. documents.text doubles as the binary payload
-(encode('utf-8')), exactly how a real pipeline would carry raw bytes
-alongside metadata.
+The IMAGE family is real since r06: payloads are genuine encoded
+images (24-bit BMP / binary PPM, formats simple enough to codec with
+struct+numpy — functions/imagecodec.py), the decode kernel really
+parses headers and pixel rows, and resize really resamples pixels —
+so mm_image_decode and mm_resize carry DuckDB oracles (dims are
+arithmetic in doc_id, and the query only matches if the encode →
+decode → resample chain reproduces them). A PIL/cv2 cluster swaps
+`decode_image` for Image.open and nothing else changes. The video
+frame-sampler remains a structural stand-in (no container codec can
+read real video), exercising the one->many mapInPandas shape.
 """
 
 from __future__ import annotations
@@ -71,36 +74,84 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder: derives (width,
-    height, channels) from the payload bytes. Replace with PIL's
-    Image.open in a codec-equipped image; the Spark plumbing is real.
+def _synth_image(doc_id: int):
+    """Deterministic test image for a doc: dims and pixels are pure
+    arithmetic in doc_id, so the decoded metadata is SQL-expressible
+    (the oracle's contract) while the bytes are a real encoded image."""
+    import numpy as np
+
+    w = 16 + doc_id % 48
+    h = 16 + (doc_id * 7) % 48
+    r = np.arange(h, dtype="int64")[:, None]
+    c = np.arange(w, dtype="int64")[None, :]
+    base = (r * 31 + c * 17 + doc_id) % 256
+    return np.stack(
+        [base, (base + 85) % 256, (base + 170) % 256], axis=2
+    ).astype("uint8")
+
+
+def image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL encoded image — BMP for
+    even ids, binary PPM for odd — generated executor-side in Arrow
+    batches (the encode half of the codec round-trip)."""
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp(_synth_image(d)) if d % 2 == 0
+                else encode_ppm(_synth_image(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register(
+    "mm_image_decode",
     """
-    n = len(payload)
-    return (64 + n % 512, 64 + (n * 7) % 512, 3 if n % 2 == 0 else 1)
-
-
-@_register("mm_image_decode")  # mapInPandas kernel: rows-only check
+    SELECT doc_id,
+           CAST(16 + doc_id % 48 AS INT)       AS width,
+           CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+           CAST(3 AS INT)                      AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+    FROM documents
+    """,
+)
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Decode' each binary payload to image metadata via Arrow-batched
-    mapInPandas — the per-partition batch shape a real decoder runs in
-    (one Python worker per partition, zero driver involvement)."""
-    b = binary_docs(spark, sf_dir)
+    """Decode each binary payload with the REAL pure-Python codec
+    (functions/imagecodec.py) via Arrow-batched mapInPandas. The
+    oracle states the dims as doc_id arithmetic — the hash matches
+    only if the full encode -> header parse -> pixel reshape chain
+    reproduces them for every row."""
+    from adcirctime2cogs_spark.functions.imagecodec import decode_image
+
+    b = image_docs(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_fake_decode)
+            ids, ws, hs, chans, fmts = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, fmt = decode_image(bytes(payload))
+                ids.append(doc_id)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                chans.append(arr.shape[2] if arr.ndim == 3 else 1)
+                fmts.append(fmt)
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": meta.map(lambda m: m[0]),
-                    "height": meta.map(lambda m: m[1]),
-                    "channels": meta.map(lambda m: m[2]),
-                }
+                {"doc_id": ids, "width": ws, "height": hs,
+                 "channels": chans, "format": fmts}
             )
 
     return b.mapInPandas(
-        decode, schema="doc_id long, width int, height int, channels int"
+        decode,
+        schema="doc_id long, width int, height int, channels int, format string",
     )
 
 
@@ -133,52 +184,89 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("mm_resize")  # mapInPandas kernel: rows-only check
+RESIZE_BOX = 32  # fit box (smaller than every synth dim range's max)
+
+
+@_register(
+    "mm_resize",
+    f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 48 AS DOUBLE)       AS w,
+             CAST(16 + (doc_id * 7) % 48 AS DOUBLE) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(GREATEST(1, FLOOR(w * LEAST({RESIZE_BOX}.0 / w,
+                                            {RESIZE_BOX}.0 / h, 1.0)))
+                AS INT) AS out_w,
+           CAST(GREATEST(1, FLOOR(h * LEAST({RESIZE_BOX}.0 / w,
+                                            {RESIZE_BOX}.0 / h, 1.0)))
+                AS INT) AS out_h
+    FROM dims
+    """,
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Resize' each image to fit a 224x224 box, aspect preserved:
-    decode dims from the payload, compute the integer target box, and
-    emit a proportionally downsampled payload (byte striding as the
-    stand-in for pixel resampling). Same binary-in/binary-out
-    mapInPandas contract a PIL/cv2 resize kernel would use."""
-    b = binary_docs(spark, sf_dir)
-    box = 224
+    """REAL resize: decode pixels, nearest-neighbor resample into a
+    RESIZE_BOX fit box (aspect preserved), re-encode. The reported
+    dims come from the RESAMPLED array's shape, so the oracle only
+    matches if decode + resample actually ran; pixel-level resample
+    correctness is pinned in tests/test_multimodal.py. Both engines
+    compute the scale in IEEE doubles (division and multiply are
+    correctly rounded), so floor() agrees bit-for-bit."""
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    b = image_docs(spark, sf_dir)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ows, ohs, payloads = [], [], [], []
+            ids, ows, ohs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _ = _fake_decode(payload)
-                scale = min(box / w, box / h, 1.0)
-                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-                stride = max(1, (w * h) // max(1, ow * oh))
+                arr, _ = decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                scale = min(RESIZE_BOX / w, RESIZE_BOX / h, 1.0)
+                ow = max(1, int(w * scale))
+                oh = max(1, int(h * scale))
+                out = resize_nearest(arr, ow, oh)
+                encode_ppm(out)  # binary-out path exercised
                 ids.append(doc_id)
-                ows.append(ow)
-                ohs.append(oh)
-                payloads.append(payload[::stride])
-            yield pd.DataFrame(
-                {"doc_id": ids, "out_w": ows, "out_h": ohs, "resized": payloads}
-            )
+                ohs.append(out.shape[0])
+                ows.append(out.shape[1])
+            yield pd.DataFrame({"doc_id": ids, "out_w": ows, "out_h": ohs})
 
-    return b.mapInPandas(
-        resize, schema="doc_id long, out_w int, out_h int, resized binary"
-    )
+    return b.mapInPandas(resize, schema="doc_id long, out_w int, out_h int")
 
 
-@_register("mm_feature_extract")  # mapInPandas kernel: rows-only check
+@_register("mm_feature_extract")  # pixel stats: numpy-pinned, rows-only
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction stub: payload -> fixed 8-dim float vector
-    (byte-histogram projection). The schema/batch contract of an
-    embedding-model UDF without the model."""
-    b = binary_docs(spark, sf_dir)
+    """Feature extraction over REAL decoded pixels: 8-dim vector of
+    per-channel means and stds plus luminance min/max — the schema and
+    batch contract of an embedding-model UDF, with the decode stage
+    genuine (tests pin the values against numpy on the same images)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.imagecodec import decode_image
+
+    b = image_docs(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(
-                lambda p: [
-                    float(sum(byte for byte in p[i::8]) % 1000) / 1000.0
-                    for i in range(8)
-                ]
-            )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr, _ = decode_image(bytes(payload))
+                px = arr.astype("float64")
+                lum = px.mean(axis=2)
+                feats.append([
+                    float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+                    float(px[:, :, 2].mean()), float(px[:, :, 0].std()),
+                    float(px[:, :, 1].std()), float(px[:, :, 2].std()),
+                    float(lum.min()), float(lum.max()),
+                ])
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
 
     return b.mapInPandas(extract, schema="doc_id long, features array<float>")

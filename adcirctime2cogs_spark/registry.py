@@ -56,6 +56,9 @@ _PRIORITY = [
     "crs_reproject",
     "vec_kmeans_lloyd",
     "sample_reservoir",
+    # ...and the image kernels, real codecs + new oracles this round
+    "mm_image_decode",
+    "mm_resize",
     # (2) oracled, never driver-verified
     "events_histogram_quantile_rollup",
     # (3) stalest greens — last verified r01 (five rounds ago)
@@ -96,13 +99,12 @@ _PRIORITY = [
     # (3) last verified r02
     "win_rank",
     "topk_per_group",
-    # (3) last verified r03
+    # (3) last verified r03 (agg_rollup/json_extract — the two
+    # least-stale candidates — yielded their slots to the image rows)
     "q1_pricing_summary",
     "join_star_revenue",
     "join_range",
     "join_asof",
-    "agg_rollup",
-    "json_extract",
 ]
 
 
