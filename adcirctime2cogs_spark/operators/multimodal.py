@@ -241,6 +241,131 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(resize, schema="doc_id long, out_w int, out_h int")
 
 
+AUDIO_RATE = 8000
+AUDIO_WINDOW, AUDIO_HOP = 256, 128
+
+
+def _synth_samples(doc_id: int):
+    """Deterministic int16 'audio' for a doc: length and every sample
+    are integer arithmetic in doc_id, so decode metadata AND framed
+    energies are SQL-expressible exactly (int64 sums — no float fold
+    order to disagree on)."""
+    import numpy as np
+
+    n = 256 + (doc_id * 13) % 1024
+    i = np.arange(n, dtype="int64")
+    return (((doc_id + 7 * i) % 65536) - 32768).astype("int16")
+
+
+def audio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL PCM WAV file
+    (functions/audiocodec.py), generated executor-side."""
+    from adcirctime2cogs_spark.functions.audiocodec import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(_synth_samples(d), AUDIO_RATE)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register(
+    "mm_audio_decode",
+    f"""
+    SELECT doc_id,
+           CAST({AUDIO_RATE} AS INT)                 AS sample_rate,
+           CAST(256 + (doc_id * 13) % 1024 AS INT)   AS n_samples,
+           (256 + (doc_id * 13) % 1024) * 1000 // {AUDIO_RATE} AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode each WAV payload with the REAL RIFF parser; the reported
+    rate/length come from the parsed chunks, so the oracle (pure
+    doc_id arithmetic) only matches if encode -> chunk walk -> sample
+    count ran correctly for every row."""
+    from adcirctime2cogs_spark.functions.audiocodec import decode_wav
+
+    b = audio_docs(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, durs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                ids.append(doc_id)
+                rates.append(rate)
+                ns.append(len(samples))
+                durs.append(len(samples) * 1000 // rate)
+            yield pd.DataFrame(
+                {"doc_id": ids, "sample_rate": rates, "n_samples": ns,
+                 "duration_ms": durs}
+            )
+
+    return b.mapInPandas(
+        decode,
+        schema="doc_id long, sample_rate int, n_samples int, duration_ms long",
+    )
+
+
+@_register(
+    "mm_audio_frames",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, 256 + (doc_id * 13) % 1024 AS n FROM documents
+    ),
+    frames AS (
+      -- DuckDB's range() takes no lateral column args: enumerate a
+      -- fixed superset (max n = 1279 -> at most 8 frames) and filter
+      SELECT doc_id, n, CAST(f.i AS INT) AS frame_idx
+      FROM docs CROSS JOIN range(64) f(i)
+      WHERE f.i <= (n - {AUDIO_WINDOW}) // {AUDIO_HOP}
+    )
+    SELECT fr.doc_id, fr.frame_idx,
+           SUM(CAST((fr.doc_id + 7 * (fr.frame_idx * {AUDIO_HOP} + o.k)) % 65536 - 32768 AS BIGINT)
+               * CAST((fr.doc_id + 7 * (fr.frame_idx * {AUDIO_HOP} + o.k)) % 65536 - 32768 AS BIGINT))
+             AS energy_sq
+    FROM frames fr CROSS JOIN range({AUDIO_WINDOW}) o(k)
+    GROUP BY fr.doc_id, fr.frame_idx
+    """,
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real DSP over decoded samples: standard (window, hop) framing
+    with per-frame sum-of-squares energy — the one->many audio-feature
+    shape (VAD, loudness, spectrogram prep). Energies are int64-exact
+    sums of the decoded int16 samples, so the oracle re-derives every
+    frame's energy arithmetically and the hash is fold-order-proof."""
+    from adcirctime2cogs_spark.functions.audiocodec import (
+        decode_wav,
+        frame_energies,
+    )
+
+    b = audio_docs(spark, sf_dir)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _ = decode_wav(bytes(payload))
+                es = frame_energies(samples, AUDIO_WINDOW, AUDIO_HOP)
+                ids.extend([doc_id] * len(es))
+                idxs.extend(range(len(es)))
+                energies.extend(int(e) for e in es)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "energy_sq": energies}
+            )
+
+    return b.mapInPandas(
+        frames, schema="doc_id long, frame_idx int, energy_sq long"
+    )
+
+
 @_register("mm_feature_extract")  # pixel stats: numpy-pinned, rows-only
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over REAL decoded pixels: 8-dim vector of

@@ -56,9 +56,12 @@ _PRIORITY = [
     "crs_reproject",
     "vec_kmeans_lloyd",
     "sample_reservoir",
-    # ...and the image kernels, real codecs + new oracles this round
+    # ...and the image/audio kernels: real codecs + new oracles this
+    # round (mm_audio_* are NEW queries — no external signal yet)
     "mm_image_decode",
     "mm_resize",
+    "mm_audio_decode",
+    "mm_audio_frames",
     # (2) oracled, never driver-verified
     "events_histogram_quantile_rollup",
     # (3) stalest greens — last verified r01 (five rounds ago)
@@ -99,12 +102,11 @@ _PRIORITY = [
     # (3) last verified r02
     "win_rank",
     "topk_per_group",
-    # (3) last verified r03 (agg_rollup/json_extract — the two
-    # least-stale candidates — yielded their slots to the image rows)
+    # (3) last verified r03 (agg_rollup/json_extract/join_range/
+    # join_asof — the four least-stale candidates — yielded their
+    # slots to the new image/audio rows)
     "q1_pricing_summary",
     "join_star_revenue",
-    "join_range",
-    "join_asof",
 ]
 
 

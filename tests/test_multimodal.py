@@ -120,3 +120,64 @@ def test_feature_extract_matches_numpy(spark, sf_dir):
         # float32 storage tolerance
         assert all(math.isclose(f, w, rel_tol=1e-6, abs_tol=1e-4)
                    for f, w in zip(feats, want))
+
+
+def test_wav_roundtrip_and_header():
+    from adcirctime2cogs_spark.functions import audiocodec as ac
+
+    s = mm._synth_samples(11)
+    data = ac.encode_wav(s, 8000)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert data[12:16] == b"fmt " and data[36:40] == b"data"
+    back, rate = ac.decode_wav(data)
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_wav_chunk_walker_skips_extras_and_downmixes():
+    import struct
+
+    from adcirctime2cogs_spark.functions import audiocodec as ac
+
+    s = mm._synth_samples(3)
+    data = ac.encode_wav(s, 16000)
+    # splice an unknown LIST chunk between fmt and data: a real-world
+    # WAV often carries one; the parser must skip it
+    fmt_end = 36
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOxx"
+    spliced = data[:fmt_end] + extra + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    back, rate = ac.decode_wav(spliced)
+    assert rate == 16000 and np.array_equal(back, s)
+    # stereo payload downmixes to mono
+    stereo = np.stack([s, np.zeros_like(s)], axis=1).ravel()
+    data2 = ac.encode_wav(stereo, 8000)
+    patched = data2.replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    back2, _ = ac.decode_wav(patched)
+    assert len(back2) == len(s)
+    # mean of (s, 0) is s/2.0; the int16 cast truncates toward zero
+    expected = (s.astype("float64") / 2.0).astype("int16")
+    assert np.array_equal(back2, expected)
+
+
+def test_frame_energies_match_numpy():
+    from adcirctime2cogs_spark.functions import audiocodec as ac
+
+    s = mm._synth_samples(42)
+    es = ac.frame_energies(s, mm.AUDIO_WINDOW, mm.AUDIO_HOP)
+    n_expected = (len(s) - mm.AUDIO_WINDOW) // mm.AUDIO_HOP + 1
+    assert len(es) == n_expected
+    for i, e in enumerate(es):
+        w = s[i * mm.AUDIO_HOP: i * mm.AUDIO_HOP + mm.AUDIO_WINDOW].astype("int64")
+        assert int(e) == int((w * w).sum())
+
+
+def test_audio_decode_kernel_matches_synth(spark, sf_dir):
+    out = {r.doc_id: r for r in mm.mm_audio_decode(spark, sf_dir).collect()}
+    for d, r in list(out.items())[:50]:
+        assert r.sample_rate == mm.AUDIO_RATE
+        assert r.n_samples == 256 + (d * 13) % 1024
+        assert r.duration_ms == r.n_samples * 1000 // mm.AUDIO_RATE
