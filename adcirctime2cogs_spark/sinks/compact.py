@@ -1,0 +1,115 @@
+"""Small-file compaction — the table-maintenance operator every
+long-lived lake needs (OPTIMIZE / rewriteDataFiles in Delta/Iceberg
+terms), expressed with plain Spark + atomic directory swap.
+
+Why it exists here: this engine's own sinks create the problem shape —
+streaming ingest lands one parquet file per micro-batch
+(streaming/windows.py run_to_parquet_batches), the continuous rollup
+overwrites tiny per-window partitions, and a ts-partitioned timeseries
+accretes one small file per timestep. At 100 TB, scan cost is
+dominated by file-open overhead and tiny row groups long before bytes
+matter: compaction rewrites a directory into ~target-sized files so
+downstream scans plan few, large, stats-rich splits.
+
+Design:
+- target file count is computed from the ACTUAL on-disk bytes
+  (driver-side listing — metadata only), not row counts, so column
+  width changes don't skew sizing;
+- rows are re-laid-out with repartition(n) (hash, even sizes) or
+  repartitionByRange(sort_cols) when a sort is requested — sorted
+  compaction restores per-file min/max stats so range predicates skip
+  whole files (the Z-order/time-sort story in functions/spatial.py);
+- the rewrite lands in a sibling temp dir, then an atomic
+  os.replace swap publishes it — readers never observe a half-compacted
+  table, and a crashed compaction leaves only a stale temp dir;
+- partitioned layouts keep their partition columns (Hive dirs are
+  re-created by partitionBy), with maxRecordsPerFile bounding any hot
+  partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class CompactionStats:
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+
+
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = (),
+) -> CompactionStats:
+    """Rewrite `table_dir` into ~target-sized parquet files, atomically.
+
+    Returns before/after stats. The row count is verified to survive
+    the rewrite before the swap — a compaction that loses rows must
+    fail loudly and leave the original table untouched.
+    """
+    files = _parquet_files(table_dir)
+    bytes_total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(table_dir)
+    rows_before = df.count()
+    # bound rows per file from observed density so one hot partition
+    # can't emit an unsplittable giant even in partitioned mode
+    rows_per_file = max(1, rows_before // n_out) if rows_before else 1
+
+    if sort_cols:
+        laid_out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    elif partition_cols:
+        laid_out = df.repartition(n_out, *partition_cols)
+    else:
+        laid_out = df.repartition(n_out)
+
+    tmp = f"{table_dir.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
+    writer = laid_out.write.mode("overwrite").option(
+        "maxRecordsPerFile", rows_per_file * 2
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}; "
+            f"original left untouched at {table_dir}"
+        )
+    old = f"{table_dir.rstrip('/')}.pre-compact-{uuid.uuid4().hex[:8]}"
+    os.replace(table_dir, old)      # both renames are atomic;
+    os.replace(tmp, table_dir)      # readers see old XOR new, never half
+    shutil.rmtree(old, ignore_errors=True)
+    return CompactionStats(
+        files_before=len(files),
+        files_after=len(_parquet_files(table_dir)),
+        bytes_total=bytes_total,
+        rows=rows_after,
+    )

@@ -567,3 +567,92 @@ def test_events_ts_probe_survives_unreadable_path(tmp_path):
 
     _os.utime(p, (os_utime_bump, os_utime_bump))
     assert _events_ts_is_nanos(str(p)) is True
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """50 tiny files -> few target-sized files, identical rows, atomic
+    swap (no temp/backup dirs left behind)."""
+    import os
+
+    from adcirctime2cogs_spark.sinks.compact import compact_parquet
+    from adcirctime2cogs_spark.tables import load_table
+
+    tbl = str(tmp_path / "events_tbl")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    events.repartition(50).write.parquet(tbl)
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(tbl))
+    assert n_small == 50
+    before = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+
+    stats = compact_parquet(spark, tbl, target_file_bytes=64 * 1024 * 1024)
+    assert stats.files_before == 50
+    assert stats.files_after < 50 and stats.files_after >= 1
+    assert stats.rows == len(before)
+    after = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+    assert after == before
+    # atomic swap left no residue next to the table
+    residue = [d for d in os.listdir(tmp_path)
+               if "compact" in d and d != "events_tbl"]
+    assert residue == []
+
+
+def test_compact_parquet_sorted_restores_file_skipping(spark, sf_dir, tmp_path):
+    """Sorted compaction: files are range-partitioned on the sort key,
+    so each output file covers a disjoint key range (the min/max-stats
+    property that lets range predicates skip whole files)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from adcirctime2cogs_spark.sinks.compact import compact_parquet
+    from adcirctime2cogs_spark.tables import load_table
+
+    tbl = str(tmp_path / "li_tbl")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).repartition(20).write.parquet(tbl)
+
+    compact_parquet(
+        spark, tbl, target_file_bytes=64 * 1024, sort_cols=("l_orderkey",)
+    )
+    ranges = []
+    for f in os.listdir(tbl):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(tbl, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1  # the tiny target forced multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint per-file key ranges
+
+
+def test_compact_parquet_partitioned_layout_preserved(spark, sf_dir, tmp_path):
+    import os
+
+    from adcirctime2cogs_spark.sinks.compact import compact_parquet
+    from adcirctime2cogs_spark.tables import load_table
+
+    tbl = str(tmp_path / "orders_tbl")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).repartition(10).write.partitionBy("o_orderstatus").parquet(tbl)
+    before = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+
+    stats = compact_parquet(
+        spark, tbl, target_file_bytes=64 * 1024 * 1024,
+        partition_cols=("o_orderstatus",),
+    )
+    # Hive dirs survive and rows are intact
+    parts = [d for d in os.listdir(tbl) if d.startswith("o_orderstatus=")]
+    assert parts
+    after = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+    assert after == before
+    assert stats.files_after < stats.files_before
