@@ -1,0 +1,116 @@
+"""Property-based round-trips (hypothesis) for the round-6 pure-Python
+codecs: classic NetCDF, tiled GeoTIFF, BMP/PPM, and WAV. Hand-picked
+cases pin the spec corners; these pin the parametric space — arbitrary
+shapes, dtypes, and values must survive encode -> decode bit-exactly.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adcirctime2cogs_spark.functions import audiocodec as ac
+from adcirctime2cogs_spark.functions import imagecodec as ic
+from adcirctime2cogs_spark.sinks import geotiff as gt
+from adcirctime2cogs_spark.sources import netcdf3 as nc3
+
+
+@st.composite
+def _uint8_image(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+
+
+@settings(max_examples=40, deadline=None)
+@given(_uint8_image())
+def test_bmp_roundtrip_any_shape(img):
+    assert np.array_equal(ic.decode_bmp(ic.encode_bmp(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_uint8_image())
+def test_ppm_roundtrip_any_shape(img):
+    arr, fmt = ic.decode_image(ic.encode_ppm(img))
+    assert fmt == "ppm" and np.array_equal(arr, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _uint8_image(),
+    st.integers(1, 50),
+    st.integers(1, 50),
+)
+def test_resize_nearest_properties(img, ow, oh):
+    out = ic.resize_nearest(img, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    # every output pixel exists somewhere in the source (nearest picks,
+    # never blends)
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in out.reshape(-1, 3)[:20])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 2000).map(lambda n: n),
+    st.integers(1000, 96000),
+    st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_any_length(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype="int16")
+    back, r = ac.decode_wav(ac.encode_wav(s, rate))
+    assert r == rate and np.array_equal(back, s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_rec=st.integers(1, 6),
+    n_node=st.integers(1, 30),
+    version=st.sampled_from([1, 2, 5]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_netcdf_roundtrip_any_shape(tmp_path_factory, n_rec, n_node, version, seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=(n_rec, n_node))
+    t = np.arange(n_rec, dtype="float64") * 60.0
+    fixed = rng.normal(size=n_node)
+    p = str(tmp_path_factory.mktemp("nc") / "f.nc")
+    nc3.write_classic(
+        p,
+        dims=[("time", None), ("node", n_node)],
+        variables=[
+            {"name": "time", "dims": ["time"], "data": t,
+             "atts": {"units": "seconds since 2024-01-01 00:00:00"}},
+            {"name": "x", "dims": ["node"], "data": fixed},
+            {"name": "zeta", "dims": ["time", "node"], "data": vals},
+        ],
+        version=version,
+    )
+    h = nc3.read_header_file(p)
+    assert h.numrecs == n_rec and dict(h.dims)["node"] == n_node
+    assert np.array_equal(nc3.read_var(p, h, "zeta"), vals)
+    assert np.array_equal(nc3.read_var(p, h, "x"), fixed)
+    # per-record slabs agree with the full gather at every record
+    for r in range(n_rec):
+        assert np.array_equal(nc3.read_record_slab(p, h, "zeta", r), vals[r])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 300),
+    w=st.integers(1, 300),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_geotiff_roundtrip_any_shape(tmp_path_factory, h, w, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.normal(size=(h, w))
+    # sprinkle NaNs — nodata must survive deflate + tiling
+    mask = rng.random(size=(h, w)) < 0.1
+    arr[mask] = np.nan
+    p = str(tmp_path_factory.mktemp("tif") / "t.tif")
+    gt.write_geotiff(p, arr, [0.0, 0.01, 0.0, float(h) * 0.01, 0.0, -0.01])
+    back, tags = gt.read_geotiff(p)
+    assert back.shape == (h, w)
+    assert np.array_equal(back, arr, equal_nan=True)
