@@ -328,9 +328,9 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE f.i <= (n - {AUDIO_WINDOW}) // {AUDIO_HOP}
     )
     SELECT fr.doc_id, fr.frame_idx,
-           SUM(CAST((fr.doc_id + 7 * (fr.frame_idx * {AUDIO_HOP} + o.k)) % 65536 - 32768 AS BIGINT)
+           CAST(SUM(CAST((fr.doc_id + 7 * (fr.frame_idx * {AUDIO_HOP} + o.k)) % 65536 - 32768 AS BIGINT)
                * CAST((fr.doc_id + 7 * (fr.frame_idx * {AUDIO_HOP} + o.k)) % 65536 - 32768 AS BIGINT))
-             AS energy_sq
+             AS BIGINT) AS energy_sq
     FROM frames fr CROSS JOIN range({AUDIO_WINDOW}) o(k)
     GROUP BY fr.doc_id, fr.frame_idx
     """,

@@ -957,6 +957,12 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every invocation REWRITES the bucketed tables, which invalidates any
+# previously returned plan's file listing — the registry plan cache
+# must never serve a stale DataFrame for this query
+join_bucketed._no_plan_cache = True
+
+
 @_register(
     "agg_boolean_flags",
     """
