@@ -609,6 +609,73 @@ def _spill_child(n: int, grid_n: int, n_ts: int) -> int:
     return 1 if res["violations"] else 0
 
 
+def run_compaction_leg(
+    spark, n_files: int = 2000, n_rows: int = 4_000_000
+) -> dict:
+    """Small-file pathology -> compaction payoff, measured: write a
+    fact table as n_files tiny parquet files (the shape per-micro-batch
+    streaming sinks accrete), time a scan-heavy aggregate, compact with
+    sinks/compact.py (sorted on the range-predicate key), re-time.
+    Violations: any checksum drift across the rewrite, or a post-
+    compaction scan that is SLOWER — compaction must pay for itself
+    on the very next scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.sinks.compact import compact_parquet
+
+    tmp = tempfile.mkdtemp(prefix="compact_leg_")
+    tbl = os.path.join(tmp, "fact")
+    try:
+        (
+            spark.range(n_rows)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 1000).alias("grp"),
+                (F.col("id") * 7 % 10_000).cast("double").alias("v"),
+            )
+            .repartition(n_files)
+            .write.parquet(tbl)
+        )
+
+        def scan_agg():
+            t0 = time.time()
+            row = (
+                spark.read.parquet(tbl)
+                .filter(F.col("k") < n_rows // 10)  # range predicate
+                .groupBy("grp")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum("s").alias("cs"),
+                    F.sum("n").alias("cn"),
+                ).first()
+            )
+            return time.time() - t0, (float(row.cs), int(row.cn))
+
+        spark.catalog.clearCache()
+        t_before, sum_before = scan_agg()
+        stats = compact_parquet(
+            spark, tbl, target_file_bytes=64 * 1024 * 1024, sort_cols=("k",)
+        )
+        spark.catalog.clearCache()
+        t_after, sum_after = scan_agg()
+        violations = int(sum_before != sum_after) + int(t_after > t_before)
+        return {
+            "leg": f"compaction_{n_files}f",
+            "files_before": stats.files_before,
+            "files_after": stats.files_after,
+            "rows": stats.rows,
+            "scan_before_sec": round(t_before, 2),
+            "scan_after_sec": round(t_after, 2),
+            "speedup": round(t_before / max(t_after, 1e-9), 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -624,6 +691,8 @@ def main() -> int:
     ap.add_argument("--spill", action="store_true",
                     help="run the constrained-memory shuffle-regrid leg "
                          "in a 3g subprocess JVM and record spill bytes")
+    ap.add_argument("--compaction", action="store_true",
+                    help="run the small-file -> compaction scan-payoff leg")
     ap.add_argument("--spill-child", action="store_true",
                     help=argparse.SUPPRESS)
     ap.add_argument("--n", type=int, default=1000)
@@ -636,6 +705,13 @@ def main() -> int:
 
     if args.spill:
         res = run_spill_leg(n=args.n, grid_n=args.grid_n, n_ts=args.n_ts)
+        print(json.dumps(res))
+        return 1 if res["violations"] else 0
+
+    if args.compaction:
+        from adcirctime2cogs_spark.session import get_spark as _gs
+
+        res = run_compaction_leg(_gs(app_name="compaction_leg"))
         print(json.dumps(res))
         return 1 if res["violations"] else 0
 
