@@ -50,6 +50,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
+            if body + 16 > len(data):
+                raise ValueError("truncated fmt chunk")
             pcm, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, body
             )

@@ -78,6 +78,8 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
     (offset,) = struct.unpack_from("<I", data, 10)
     size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
     if size < 40 or bpp != 24 or comp != 0:

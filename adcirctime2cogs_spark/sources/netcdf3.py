@@ -225,6 +225,16 @@ def parse_header(buf: bytes) -> NC3Header:
             )
         raise NotClassicNetCDF("not a classic NetCDF file (bad magic)")
     version = buf[3] if len(buf) > 3 else 0
+    try:
+        return _parse_header_body(buf, version)
+    except (KeyError, UnicodeDecodeError, OverflowError) as exc:
+        # malformed counts/types/names inside a correct magic: surface
+        # as the typed rejection, never a raw KeyError/UnicodeError —
+        # callers (and the HDF5 fallback chain) dispatch on this type
+        raise NotClassicNetCDF(f"malformed classic header: {exc!r}") from exc
+
+
+def _parse_header_body(buf: bytes, version: int) -> NC3Header:
     cur = _Cursor(buf, version)
     cur.take(4)
     numrecs = cur.cnt()  # _STREAMING sentinel = unknown (see read_header_file)

@@ -114,3 +114,34 @@ def test_geotiff_roundtrip_any_shape(tmp_path_factory, h, w, seed):
     back, tags = gt.read_geotiff(p)
     assert back.shape == (h, w)
     assert np.array_equal(back, arr, equal_nan=True)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_netcdf_parser_rejects_garbage_with_typed_errors(junk):
+    """Fuzz: arbitrary bytes behind a correct magic must terminate
+    quickly with one of the codec's TYPED errors — never a KeyError /
+    UnicodeDecodeError / hang (callers dispatch on NotClassicNetCDF to
+    reach the HDF5 fallback chain)."""
+    try:
+        nc3.parse_header(b"CDF\x01" + junk)
+    except (nc3.NotClassicNetCDF, nc3.TruncatedHeader):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=256),
+    prefix=st.sampled_from(
+        [b"", b"BM", b"P6\n", b"RIFF\x20\x00\x00\x00WAVE",
+         b"RIFF\x20\x00\x00\x00WAVEfmt "]
+    ),
+)
+def test_image_audio_decoders_reject_garbage(junk, prefix):
+    """Fuzz past the magic too: truncated/corrupt chunk structures must
+    raise ValueError, never struct.error / index crashes."""
+    for dec in (ic.decode_image, ac.decode_wav):
+        try:
+            dec(prefix + junk)
+        except ValueError:
+            pass
