@@ -216,7 +216,6 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded), so floor() agrees bit-for-bit."""
     from adcirctime2cogs_spark.functions.imagecodec import (
         decode_image,
-        encode_ppm,
         resize_nearest,
     )
 
@@ -232,7 +231,6 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ow = max(1, int(w * scale))
                 oh = max(1, int(h * scale))
                 out = resize_nearest(arr, ow, oh)
-                encode_ppm(out)  # binary-out path exercised
                 ids.append(doc_id)
                 ohs.append(out.shape[0])
                 ows.append(out.shape[1])

@@ -150,6 +150,7 @@ def _data_version(sf_dir: str) -> int:
 
 
 _PLAN_CACHE: dict = {}
+_SEEN_SESSIONS: set[int] = set()
 
 
 def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
@@ -187,9 +188,27 @@ def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
         if hit is not None and hit[0] is spark:
             return hit[1]
         # evict superseded versions of this (query, session, dir) so a
-        # regenerating fixture doesn't grow the cache without bound
+        # regenerating fixture doesn't grow the cache without bound...
         for old in [k for k in _PLAN_CACHE if k[:3] == key[:3] and k != key]:
             _PLAN_CACHE.pop(old)
+        # ...and, the first time a NEW session shows up, drop entries
+        # pinned to STOPPED sessions — the strong session refs in
+        # values would otherwise keep dead sessions (and their JVM
+        # plan state) alive forever in a stop/recreate process. Doing
+        # this only on session turnover keeps the steady state free of
+        # per-call py4j liveness probes.
+        if id(spark) not in _SEEN_SESSIONS:
+            _SEEN_SESSIONS.clear()
+            _SEEN_SESSIONS.add(id(spark))
+            for old, (sess, _df) in list(_PLAN_CACHE.items()):
+                if sess is spark:
+                    continue
+                try:
+                    stopped = sess.sparkContext._jsc.sc().isStopped()
+                except Exception:
+                    stopped = True
+                if stopped:
+                    _PLAN_CACHE.pop(old, None)
         df = fn(spark, sf_dir)
         _PLAN_CACHE[key] = (spark, df)
         return df

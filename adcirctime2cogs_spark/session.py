@@ -79,11 +79,24 @@ def get_spark(
             spark.conf.set(k, v)
         except Exception:
             # STATIC confs (spark.ui.*, spark.memory.*) cannot be set
-            # on a live session — on a fresh session the builder above
-            # already applied them, and on a pre-existing session they
-            # are unchangeable by definition; only runtime SQL confs
-            # must win here
+            # on a live session. On a FRESH session the builder above
+            # already applied them, so the live value matches and the
+            # failure is harmless noise; on a PRE-EXISTING session the
+            # requested value was silently ignored — that must fail
+            # loudly, or e.g. a "memory-starved" spill run would
+            # proceed unstarved and report numbers that measured
+            # nothing.
             if k.startswith("spark.sql."):
                 raise
+            try:
+                live = spark.conf.get(k)
+            except Exception:
+                live = None
+            if live != v:
+                raise RuntimeError(
+                    f"static conf {k}={v!r} could not be applied (live "
+                    f"value {live!r}): a pre-existing SparkSession was "
+                    "reused — stop it first or start a fresh process"
+                ) from None
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -19,9 +19,15 @@ Design:
   repartitionByRange(sort_cols) when a sort is requested — sorted
   compaction restores per-file min/max stats so range predicates skip
   whole files (the Z-order/time-sort story in functions/spatial.py);
-- the rewrite lands in a sibling temp dir, then an atomic
-  os.replace swap publishes it — readers never observe a half-compacted
-  table, and a crashed compaction leaves only a stale temp dir;
+- the rewrite lands in a sibling temp dir and publishes via two
+  atomic renames (old -> backup, new -> table). Readers therefore
+  never observe a HALF-compacted table; they can, however, hit a
+  brief table-absent window between the renames, and a crash inside
+  that window leaves the data intact under the `.pre-compact-*`
+  backup name (recover by renaming it back). True in-place directory
+  exchange needs filesystem RENAME_EXCHANGE or a metastore pointer
+  swap (what Delta/Iceberg commit logs provide) — out of scope for a
+  plain-directory table;
 - partitioned layouts keep their partition columns (Hive dirs are
   re-created by partitionBy), with maxRecordsPerFile bounding any hot
   partition.
@@ -104,8 +110,13 @@ def compact_parquet(
             f"original left untouched at {table_dir}"
         )
     old = f"{table_dir.rstrip('/')}.pre-compact-{uuid.uuid4().hex[:8]}"
-    os.replace(table_dir, old)      # both renames are atomic;
-    os.replace(tmp, table_dir)      # readers see old XOR new, never half
+    os.replace(table_dir, old)
+    try:
+        os.replace(tmp, table_dir)
+    except OSError:
+        os.replace(old, table_dir)  # restore — the swap never happened
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return CompactionStats(
         files_before=len(files),

@@ -272,9 +272,15 @@ def adcirc_nc_to_tables(
     )
     v = h.vars[variable]
     if h.is_record(v):
+        # same ts-partitioned layout as netcdf_to_parquet: the O5
+        # time-slice pruning story depends on it (a flat directory
+        # would scan every row group for any ts filter)
         long_df = scan_netcdf_split(spark, nc_path, variable)
-        long_df.repartition("ts").write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{variable}.parquet")
+        (
+            long_df.repartition("ts")
+            .write.mode("overwrite")
+            .partitionBy("ts")
+            .parquet(os.path.join(out_dir, f"{variable}.parquet"))
         )
     else:
         vals = netcdf3.masked_to_nan(

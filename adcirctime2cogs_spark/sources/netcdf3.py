@@ -284,13 +284,19 @@ def read_header_file(path: str, first_try: int = 8192) -> NC3Header:
             if len(buf) < n:  # whole file read and still truncated
                 raise
             n *= 2
+    return _recover_streaming_numrecs(h, _os.path.getsize(path))
+
+
+def _recover_streaming_numrecs(h: NC3Header, total_bytes: int) -> NC3Header:
+    """STREAMING sentinel: a writer that crashed (or is still
+    appending) never patched numrecs — the actual record count is
+    whatever whole records exist between the first record offset and
+    EOF (the spec-sanctioned recovery). Applied by every entry point
+    that knows the total size (file reads AND whole-file byte decodes)
+    so a sentinel can never reach read_var as a ~2^32 record count."""
     if h.numrecs == _STREAMING.get(h.version) and h.record_vars:
-        # STREAMING sentinel: a writer that crashed (or is still
-        # appending) never patched numrecs — the actual record count
-        # is whatever whole records exist between the first record
-        # offset and EOF (the spec-sanctioned recovery)
         base = min(v.begin for v in h.record_vars)
-        h.numrecs = max(0, (_os.path.getsize(path) - base) // h.recsize)
+        h.numrecs = max(0, (total_bytes - base) // h.recsize)
     return h
 
 
@@ -317,9 +323,16 @@ def _read_at(src, off: int, n: int) -> bytes:
 
 def read_var(src, h: NC3Header, name: str) -> np.ndarray:
     """Whole variable (src: bytes or path), shaped per the header.
+    Refuses an unresolved STREAMING numrecs (the caller must recover
+    it from the total size first) rather than looping ~2^32 records.
     Multi-record reads gather the per-record slabs at stride recsize."""
     v = h.vars[name]
     dt = np.dtype(_TYPE_DTYPE[v.nc_type])
+    if h.is_record(v) and h.numrecs == _STREAMING.get(h.version):
+        raise ValueError(
+            "numrecs is the STREAMING sentinel; recover it via "
+            "_recover_streaming_numrecs(header, total_bytes) before reading"
+        )
     shape = h.var_shape(v)
     if not h.is_record(v):
         raw = _read_at(src, v.begin, h.slab_size(v))
@@ -405,7 +418,11 @@ def decode_adcirc(path: str, content: bytes, variable: str):
     """(times, node_ids, values[t][n]) — scan_netcdf_distributed's
     decoder contract (netcdf.py), whole-file form."""
     src = content if content else path
-    h = parse_header(content) if content else header_for(path)
+    h = (
+        _recover_streaming_numrecs(parse_header(content), len(content))
+        if content
+        else header_for(path)
+    )
     v = h.vars[variable]
     if not h.is_record(v):
         raise ValueError(
@@ -446,6 +463,11 @@ def classic_range_decoder(path: str, variable: str, t_idx: int,
         )
     values = masked_to_nan(read_record_slab(path, h, variable, t_idx), v)
     tv = _time_var(h)
+    if tv is None:
+        raise ValueError(
+            f"no time variable in classic NetCDF file {path!r} — the "
+            "per-timestep range decode needs one record time axis"
+        )
     traw = read_record_slab(path, h, tv.name, t_idx).astype("float64").ravel()
     units = tv.atts.get("units")
     scale, base = (

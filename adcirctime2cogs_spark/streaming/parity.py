@@ -105,13 +105,13 @@ def stream_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # materialize + drop the memory sink so repeated runs don't pin one
-    # result copy per invocation in driver memory (same policy as
-    # windows.run_to_memory)
-    tbl = spark.table(sink)
-    local = spark.createDataFrame(tbl.collect(), schema=tbl.schema)
-    spark.catalog.dropTempView(sink)
-    out = local.filter(F.col("user_id") != _SENTINEL_USER)
+    from adcirctime2cogs_spark.streaming.windows import (
+        materialize_and_drop_sink,
+    )
+
+    out = materialize_and_drop_sink(spark, sink).filter(
+        F.col("user_id") != _SENTINEL_USER
+    )
     # sessions of one user are disjoint in time, so first_us ordering
     # reproduces the batch twin's cumulative session numbering
     w = W.partitionBy("user_id").orderBy("first_us")

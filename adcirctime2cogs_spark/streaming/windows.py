@@ -323,11 +323,16 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    # materialize, then DROP the memory sink: each sink pins a full
-    # result copy in driver memory for the session's lifetime, so a
-    # long-lived session running sweeps/bench loops would accumulate
-    # one leaked copy per invocation
-    spark = df.sparkSession
+    return materialize_and_drop_sink(df.sparkSession, name)
+
+
+def materialize_and_drop_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory sink's rows locally, then DROP the sink:
+    each memory sink pins a full result copy in driver memory for the
+    session's lifetime, so a long-lived session running sweeps/bench
+    loops would accumulate one leaked copy per invocation. The ONE
+    implementation of this policy — parity queries that manage their
+    own sinks share it rather than re-implementing the sequence."""
     tbl = spark.table(name)
     local = spark.createDataFrame(tbl.collect(), schema=tbl.schema)
     spark.catalog.dropTempView(name)

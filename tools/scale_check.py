@@ -549,9 +549,10 @@ def run_spill_leg(
     """Spill-pressure leg (VERDICT r05 #7): rerun the 50-ts SHUFFLE
     regrid (50M-row value table, node_id shuffle join — above the
     broadcast cutoff) in a FRESH JVM deliberately memory-starved
-    (driver_mem total for all 32 local executor threads, and
-    spark.memory.fraction squeezed to 0.2), and prove the plan
-    completes CORRECTLY via spill-to-disk rather than OOM — the
+    (driver_mem — default 4g — total for 16 local executor threads,
+    spark.memory.fraction squeezed to 0.3; tighter settings OOM on
+    task MINIMUM allocations before any operator can spill), and
+    prove the plan completes CORRECTLY via spill-to-disk — the
     property the 100 TB cluster story depends on: execution memory
     pressure must degrade to disk, never to a wrong answer or a crash.
 
@@ -690,7 +691,8 @@ def main() -> int:
                          "(1.82M nodes, 8400^2 raster, 2 ts)")
     ap.add_argument("--spill", action="store_true",
                     help="run the constrained-memory shuffle-regrid leg "
-                         "in a 3g subprocess JVM and record spill bytes")
+                         "in a 4g/16-thread subprocess JVM and record "
+                         "spill bytes")
     ap.add_argument("--compaction", action="store_true",
                     help="run the small-file -> compaction scan-payoff leg")
     ap.add_argument("--spill-child", action="store_true",
