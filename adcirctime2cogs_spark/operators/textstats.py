@@ -685,3 +685,101 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         (F.length(dirty) - F.length(clean)).alias("chars_removed"),
     )
+
+
+BPE_MERGES = 10
+
+
+@_register("text_bpe_train")  # iterative (N data-dependent rounds): no
+# SQL oracle is possible — each round's pair statistics depend on the
+# previous round's chosen merge; pinned by tests/test_dataprep.py's
+# pure-Python reference-BPE equality instead, and exempt from the
+# modified-stays-in-window rule (a window slot buys only a row-count
+# check for an oracle-less query; hash slots go to oracled rows)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich word-level BPE), the
+    iterative text workload beyond the single pair-count pass
+    (text_bpe_pair_counts): BPE_MERGES rounds of count-pairs ->
+    pick-best -> apply-merge, returning the learned merge table
+    (rank, left, right, pair_count).
+
+    Scale shape — the classic trick makes this tractable at 100 TB:
+    after ONE corpus-sized tokenize+count shuffle, every round runs
+    over the DISTINCT-WORD histogram (vocabulary-sized, ~sqrt of
+    corpus growth), so per-round cost is one explode + hash-agg over
+    the vocabulary and the driver receives exactly ONE row per round
+    (the argmax pair — same driver-traffic contract as k-means'
+    k x dim means and PageRank's convergence scalar). The merge apply
+    is an Arrow-batched pandas UDF doing the leftmost-first
+    non-overlapping pair replacement per word. Determinism: ties break
+    (count desc, left, right) — no RNG anywhere."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter((F.length("w") >= 2) & (F.length("w") <= 20))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        F.expr("split(w, '')").alias("syms"), "cnt"
+    ).persist()
+
+    def pair_counts(v):
+        return (
+            v.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(BPE_MERGES):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((rank, left, right, n))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == _l
+                            and syms[i + 1] == _r
+                        ):
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
+
+        nxt = vocab.mapInPandas(
+            apply_merge, schema="syms array<string>, cnt long"
+        ).persist()
+        nxt.count()  # materialize before unpersisting the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

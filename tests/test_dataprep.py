@@ -159,3 +159,60 @@ def test_seeded_shuffle_properties(spark, sf_dir):
     assert all(0 <= r.shard < N_SHARDS for r in rows)
     again = prep_seeded_shuffle(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_train_matches_reference_python(spark, sf_dir):
+    """Distributed BPE training equals a straight pure-Python Sennrich
+    implementation on the same word histogram: identical merge table
+    (ranks, pairs, counts) — the iterative-loop analogue of the
+    k-means==numpy pin."""
+    from collections import Counter
+
+    from adcirctime2cogs_spark.functions.text import tokens_col
+    from adcirctime2cogs_spark.operators.textstats import (
+        BPE_MERGES,
+        text_bpe_train,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .filter((F.length("w") >= 2) & (F.length("w") <= 20))
+        .groupBy("w").count().collect()
+    )
+    vocab = {tuple(r.w): r["count"] for r in rows}
+
+    expected = []
+    for rank in range(BPE_MERGES):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        # tie-break (count desc, left, right) — the operator's contract
+        (left, right), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, left, right, n))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in text_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expected
