@@ -11,7 +11,13 @@ from adcirctime2cogs_spark.tables import load_table
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan string, FINAL section only: once a DataFrame has
+    executed (e.g. the registry plan cache hands back a collected one),
+    AdaptiveSparkPlan.toString() appends an '== Initial Plan ==' dump —
+    counting node occurrences over the whole string would then double
+    every operator and fail exact-allowance gates spuriously."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
