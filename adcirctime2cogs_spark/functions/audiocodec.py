@@ -50,7 +50,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
-            if body + 16 > len(data):
+            # the chunk's own declared size must cover the 16 PCM
+            # fields too, or a size-0 fmt chunk would silently read
+            # the NEXT chunk's bytes as format fields
+            if size < 16 or body + 16 > len(data):
                 raise ValueError("truncated fmt chunk")
             pcm, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", data, body

@@ -727,8 +727,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def pair_counts(v):
+        # the size >= 2 filter is load-bearing: sequence(1, 0) is
+        # [1, 0] (Spark steps DOWN when start > stop), so a fully
+        # merged single-symbol word would index syms[1] on a 1-element
+        # array — an ANSI-mode job abort (or, ANSI off, phantom null
+        # pairs counted into the argmax)
         return (
-            v.select(
+            v.filter(F.expr("size(syms) >= 2"))
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1), "
@@ -742,44 +748,48 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(BPE_MERGES):
-        top = (
-            pair_counts(vocab)
-            .orderBy(F.col("n").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        left, right, n = top[0].l, top[0].r, int(top[0].n)
-        merges.append((rank, left, right, n))
+    try:
+        for rank in range(BPE_MERGES):
+            top = (
+                pair_counts(vocab)
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, n = top[0].l, top[0].r, int(top[0].n)
+            merges.append((rank, left, right, n))
+            if rank == BPE_MERGES - 1:
+                break  # the last merge is never applied — skip the pass
 
-        def apply_merge(batches, _l=left, _r=right):
-            for pdf in batches:
-                out = []
-                for syms in pdf["syms"]:
-                    res, i = [], 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == _l
-                            and syms[i + 1] == _r
-                        ):
-                            res.append(_l + _r)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    out.append(res)
-                yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
+            def apply_merge(batches, _l=left, _r=right):
+                for pdf in batches:
+                    out = []
+                    for syms in pdf["syms"]:
+                        res, i = [], 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == _l
+                                and syms[i + 1] == _r
+                            ):
+                                res.append(_l + _r)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        out.append(res)
+                    yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
 
-        nxt = vocab.mapInPandas(
-            apply_merge, schema="syms array<string>, cnt long"
-        ).persist()
-        nxt.count()  # materialize before unpersisting the parent
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+            nxt = vocab.mapInPandas(
+                apply_merge, schema="syms array<string>, cnt long"
+            ).persist()
+            nxt.count()  # materialize before unpersisting the parent
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()  # also covers a mid-round failure
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

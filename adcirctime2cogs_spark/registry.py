@@ -194,11 +194,12 @@ def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
         # ...and, the first time a NEW session shows up, drop entries
         # pinned to STOPPED sessions — the strong session refs in
         # values would otherwise keep dead sessions (and their JVM
-        # plan state) alive forever in a stop/recreate process. Doing
-        # this only on session turnover keeps the steady state free of
-        # per-call py4j liveness probes.
+        # plan state) alive forever in a stop/recreate process. The
+        # seen-set accumulates every LIVE session id (stopped ones are
+        # discarded during the sweep), so alternating between two live
+        # sessions does NOT re-trigger per-call py4j liveness probes —
+        # only genuine first appearances sweep.
         if id(spark) not in _SEEN_SESSIONS:
-            _SEEN_SESSIONS.clear()
             _SEEN_SESSIONS.add(id(spark))
             for old, (sess, _df) in list(_PLAN_CACHE.items()):
                 if sess is spark:
@@ -209,6 +210,7 @@ def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
                     stopped = True
                 if stopped:
                     _PLAN_CACHE.pop(old, None)
+                    _SEEN_SESSIONS.discard(id(sess))
         df = fn(spark, sf_dir)
         _PLAN_CACHE[key] = (spark, df)
         return df

@@ -216,3 +216,23 @@ def test_bpe_train_matches_reference_python(spark, sf_dir):
         for r in text_bpe_train(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_bpe_train_survives_fully_merged_words(spark, tmp_path):
+    """Regression: a word whose symbols fully merge into ONE symbol
+    (here 'ab' after round-1's ('a','b') merge) must not crash later
+    rounds — sequence(1, size-1) on a 1-element array is [1, 0] in
+    Spark (descending!) and indexed syms[1] out of bounds before the
+    size>=2 guard existed."""
+    from adcirctime2cogs_spark.operators.textstats import text_bpe_train
+
+    rows = [(i, "ab ab ab cdef", "en", "s", 13) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = text_bpe_train(spark, str(tmp_path)).orderBy("rank").collect()
+    assert out  # did not crash
+    # round 1 merges the dominant pair (a,b); 'ab' is then one symbol
+    assert (out[0].left, out[0].right) == ("a", "b")
+    # later merges come from the surviving multi-symbol word 'cdef'
+    assert all((r.left, r.right) != ("a", "b") for r in out[1:])
