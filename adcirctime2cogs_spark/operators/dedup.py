@@ -310,6 +310,106 @@ WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
 )
 
 
+# bound on the per-bucket ALL-PAIRS candidate enumeration. Buckets
+# larger than this (a mass-duplicated boilerplate cluster putting k
+# near-identical docs in one LSH bucket) would emit k^2 pairs from a
+# single task; above the cap the enumeration switches to STAR pairs
+# against the bucket's min doc_id — O(k), streamed, no in-memory
+# array — which keeps duplicate-CLUSTER recall intact (connected
+# components recovers the clique from the star) while dropping only
+# the quadratic intra-cluster pair listing. lsh_bucket_stats()
+# surfaces how many buckets took the star path; zero at the test SFs
+# (asserted in tests) so the exact-pairs oracle stays byte-identical.
+LSH_BUCKET_CAP = 64
+
+
+def _lsh_bands(sig_sizes):
+    """Explode 8 minhashes into 4 bands of 2 rows -> (doc_id, band, bkey)."""
+    return sig_sizes.selectExpr(
+        "doc_id",
+        "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
+        " AS (band, h1, h2)",
+    ).select("doc_id", "band", F.concat_ws(":", "h1", "h2").alias("bkey"))
+
+
+def _lsh_candidates(bands):
+    """Bucket-size-bounded candidate pairs from the band table.
+
+    Posting-list candidates instead of a bands self-join: one shuffle
+    of bands (groupBy bucket) rather than two join sides, and the
+    distinct's (doc_a, doc_b) hash partitioning is exactly the verify
+    join's key, so the candidate table flows into the inter join
+    without re-shuffling — measured ~1.7x on the full query at sf0.1.
+
+    The cap costs NO extra shuffle: ONE window over (band, bkey) tags
+    every band row with its bucket size and min doc_id (the window
+    buffers per-bucket rows through a spillable sorter — linear, never
+    quadratic), then small buckets re-aggregate WITHOUT an exchange
+    (the groupBy key equals the window partitioning, so Catalyst
+    plans a partial+final hash-agg on already-partitioned data) and
+    over-cap buckets project star pairs row-locally.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey")
+    tagged = bands.select(
+        "doc_id",
+        "band",
+        "bkey",
+        F.count("*").over(w).alias("bn"),
+        F.min("doc_id").over(w).alias("rep"),
+    )
+    small = (
+        tagged.filter(F.col("bn").between(2, LSH_BUCKET_CAP))
+        .groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+    )
+    star = tagged.filter(F.col("bn") > LSH_BUCKET_CAP).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        small.unionByName(star)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Operational stats for the LSH bucket distribution: total
+    buckets, over-cap (star-path) buckets, and the max bucket size.
+    Surfaces the candidate pairs "dropped" to the star representation:
+    sum over over-cap buckets of (bn*(bn-1)/2 - (bn-1))."""
+    sh, stop, _ = _shingle_artifacts(spark, sf_dir)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEFS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    sizes_b = _lsh_bands(sig).groupBy("band", "bkey").agg(F.count("*").alias("bn"))
+    row = sizes_b.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("bn") > LSH_BUCKET_CAP).cast("long")).alias("n_over_cap"),
+        F.max("bn").alias("max_bucket"),
+        F.sum(
+            F.when(
+                F.col("bn") > LSH_BUCKET_CAP,
+                (F.col("bn") * (F.col("bn") - 1) / 2 - (F.col("bn") - 1)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("pairs_dropped_to_star"),
+    ).first()
+    return {
+        "n_buckets": int(row.n_buckets),
+        "n_over_cap": int(row.n_over_cap or 0),
+        "max_bucket": int(row.max_bucket or 0),
+        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
+        "bucket_cap": LSH_BUCKET_CAP,
+    }
+
+
 @_register("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: band-bucket join -> candidate
@@ -347,28 +447,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs, F.count(F.when(F.col("is_stop").isNull(), 1)).alias("n"))
     )
     sig_sizes = _register_derived_cache(spark, sf_dir, sig_sizes)
-    sig = sig_sizes
-    bands = sig.selectExpr(
-        "doc_id",
-        "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
-        " AS (band, h1, h2)",
-    ).select(
-        "doc_id", "band", F.concat_ws(":", "h1", "h2").alias("bkey")
-    )
-    # posting-list candidates instead of a bands self-join: one shuffle
-    # of bands (groupBy bucket) rather than two join sides, and the
-    # distinct's (doc_a, doc_b) hash partitioning is exactly the verify
-    # join's key, so the candidate table flows into the inter join
-    # without re-shuffling — measured ~1.7x on the full query at sf0.1
-    cand = (
-        bands.groupBy("band", "bkey")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    bands = _lsh_bands(sig_sizes)
+    cand = _lsh_candidates(bands)
     sh_kept = sh.join(F.broadcast(stop), "sh", "left_anti")
     sh_a = sh_kept.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh_kept.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -225,7 +225,8 @@ def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber
     FROM (
       SELECT l_orderkey, l_linenumber,
-             (l_orderkey * 8 + l_linenumber) * 2654435761 % 4294967296 AS h
+             ((l_orderkey * 8 + l_linenumber) % 4294967296)
+               * 2654435761 % 4294967296 AS h
       FROM lineitem
     )
     ORDER BY h, l_orderkey, l_linenumber
@@ -247,8 +248,12 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. train-set sampling where re-runs must pick identical rows).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # reduce the key mod 2^32 BEFORE the Knuth multiply so the
+    # intermediate stays < 2^64 even at SF>=75 orderkeys (~3.5e9):
+    # int64 would otherwise wrap silently in Spark while DuckDB raises.
     h = (
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * F.lit(2654435761)
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % F.lit(4294967296))
+        * F.lit(2654435761)
         % F.lit(4294967296)
     ).alias("h")
     return (

@@ -78,16 +78,16 @@ def get_spark(
         try:
             spark.conf.set(k, v)
         except Exception:
-            # STATIC confs (spark.ui.*, spark.memory.*) cannot be set
-            # on a live session. On a FRESH session the builder above
+            # STATIC confs (spark.ui.*, spark.memory.*, and the static
+            # spark.sql.* ones like warehouse.dir) cannot be set on a
+            # live session. On a FRESH session the builder above
             # already applied them, so the live value matches and the
             # failure is harmless noise; on a PRE-EXISTING session the
             # requested value was silently ignored — that must fail
             # loudly, or e.g. a "memory-starved" spill run would
             # proceed unstarved and report numbers that measured
-            # nothing.
-            if k.startswith("spark.sql."):
-                raise
+            # nothing. The live-value check below covers both cases
+            # uniformly, spark.sql.* included.
             try:
                 live = spark.conf.get(k)
             except Exception:

@@ -40,7 +40,8 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -71,16 +72,30 @@ def compact_parquet(
 ) -> CompactionStats:
     """Rewrite `table_dir` into ~target-sized parquet files, atomically.
 
-    Returns before/after stats. The row count is verified to survive
-    the rewrite before the swap — a compaction that loses rows must
-    fail loudly and leave the original table untouched.
+    Returns before/after stats. Row count AND an order-independent
+    content hash (sum of per-row xxhash64 over all columns) are
+    verified to survive the rewrite before the swap — a compaction
+    that loses rows or corrupts values must fail loudly and leave the
+    original table untouched.
     """
     files = _parquet_files(table_dir)
     bytes_total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
 
+    # order-independent content fingerprint: count + sum of per-row
+    # xxhash64 over ALL columns (decimal(38,0) so ~1e19 hash values
+    # never overflow the sum). A rewrite that preserves cardinality
+    # but corrupts values (codec bug, truncated column) changes the
+    # sum and is caught before the swap.
+    def _probe(d: DataFrame) -> tuple[int, int]:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*d.columns).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row.n), int(row.h) if row.h is not None else 0
+
     df = spark.read.parquet(table_dir)
-    rows_before = df.count()
+    rows_before, hash_before = _probe(df)
     # bound rows per file from observed density so one hot partition
     # can't emit an unsplittable giant even in partitioned mode
     rows_per_file = max(1, rows_before // n_out) if rows_before else 1
@@ -102,11 +117,12 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
-    rows_after = spark.read.parquet(tmp).count()
-    if rows_after != rows_before:
+    rows_after, hash_after = _probe(spark.read.parquet(tmp))
+    if rows_after != rows_before or hash_after != hash_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
-            f"compaction row mismatch: {rows_before} -> {rows_after}; "
+            f"compaction mismatch: rows {rows_before} -> {rows_after}, "
+            f"content hash {hash_before} -> {hash_after}; "
             f"original left untouched at {table_dir}"
         )
     old = f"{table_dir.rstrip('/')}.pre-compact-{uuid.uuid4().hex[:8]}"

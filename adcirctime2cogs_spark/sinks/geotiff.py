@@ -115,9 +115,11 @@ def write_geotiff(
     if arr.ndim != 2:
         raise ValueError("write_geotiff takes a single-band 2-D array")
 
-    # pyramid: full res + nearest-2x overviews while larger than a tile
+    # pyramid: full res + nearest-2x overviews until BOTH axes fit one
+    # tile — min() would stop early on elongated rasters (10000x200)
+    # and leave the long axis spanning ~40 tiles with no overview
     levels = [arr]
-    while min(levels[-1].shape) > TILE:
+    while max(levels[-1].shape) > TILE:
         levels.append(levels[-1][::2, ::2])
 
     level_tiles = [_tile_level(lv, nodata) for lv in levels]

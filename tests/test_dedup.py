@@ -137,3 +137,37 @@ def test_hll_sketch_rollup_merge_equals_direct(spark, sf_dir):
     }
     for day, est in rolled.items():
         assert abs(est - exact[day]) <= max(3, 0.05 * exact[day])
+
+
+def test_lsh_bucket_cap_star_path(spark):
+    """Over-cap LSH buckets must switch from all-pairs to star pairs:
+    a 100-doc bucket (> LSH_BUCKET_CAP=64) emits 99 star pairs against
+    its min doc_id, never the 4950 all-pairs; a 3-doc bucket still
+    enumerates all 3 pairs."""
+    from adcirctime2cogs_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        _lsh_candidates,
+    )
+
+    assert LSH_BUCKET_CAP < 100
+    rows = [(i, 0, "big") for i in range(100)] + [
+        (200, 1, "small"), (201, 1, "small"), (202, 1, "small"),
+    ]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bkey string")
+    got = {(r.doc_a, r.doc_b) for r in _lsh_candidates(bands).collect()}
+    star = {(0, i) for i in range(1, 100)}
+    small_pairs = {(200, 201), (200, 202), (201, 202)}
+    assert got == star | small_pairs
+
+
+def test_lsh_bucket_stats_no_over_cap_at_test_sf(spark, sf_dir):
+    """The exact-pairs oracle for dedup_minhash_lsh_pairs only holds
+    while no bucket exceeds the cap — pin that this is true at the
+    test SFs, and that the stats surface is wired."""
+    from adcirctime2cogs_spark.operators.dedup import lsh_bucket_stats
+
+    stats = lsh_bucket_stats(spark, sf_dir)
+    assert stats["n_over_cap"] == 0
+    assert stats["pairs_dropped_to_star"] == 0
+    assert stats["n_buckets"] > 0
+    assert 2 <= stats["max_bucket"] <= stats["bucket_cap"]

@@ -158,6 +158,78 @@ def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_degenerate_bucket_leg(
+    spark, n_dup: int = 100_000, n_normal: int = 20_000
+) -> dict:
+    """Adversarial mass-duplication: n_dup IDENTICAL docs appended to a
+    normal planted-twin corpus. Every clone hashes to the SAME minhash
+    signature, so all n_dup land in the same 4 LSH buckets — without
+    operators.dedup.LSH_BUCKET_CAP the posting-list enumeration would
+    build a 100k-element array in one task and emit ~4 * k^2/2 = 2e10
+    candidate pairs from it. With the cap, over-cap buckets take the
+    STAR path (O(k) pairs against min doc_id, streamed). Green =
+    (a) the run finishes (no straggler/OOM), (b) lsh_bucket_stats
+    reports the over-cap buckets and the pairs dropped to star, and
+    (c) planted-twin recall on the normal corpus is unharmed. The
+    clones themselves emit NO verified pairs by the stop-shingle
+    design (every clone shingle has df > DF_CAP, so verified Jaccard
+    is vacuously below threshold) — the leg is about candidate-stage
+    survival, not clone pair output."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+        lsh_bucket_stats,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_degen_")
+    twin_every = 100
+    try:
+        n_twins = synth_documents(spark, out, n_normal, twin_every=twin_every)
+        base_id = n_normal * 2
+        boiler = " ".join(f"zq{j}" for j in range(40))
+        clones = spark.range(n_dup).select(
+            (F.lit(base_id) + F.col("id")).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("boiler").alias("source"),
+            F.lit(len(boiler)).cast("long").alias("n_chars"),
+        )
+        clones.write.mode("append").parquet(f"{out}/documents.parquet")
+        t0 = time.time()
+        stats = lsh_bucket_stats(spark, out)
+        pairs = dedup_minhash_lsh_pairs(spark, out)
+        is_planted = (
+            F.col("doc_b").between(n_normal, n_normal + n_twins - 1)
+            & (F.col("doc_a") == (F.col("doc_b") - n_normal) * twin_every)
+        )
+        agg = pairs.agg(
+            F.count("*").alias("total"),
+            F.sum(is_planted.cast("long")).alias("hits"),
+        ).first()
+        wall = time.time() - t0
+        hits = int(agg.hits or 0)
+        recall = hits / n_twins
+        return {
+            "leg": f"degenerate_bucket_{n_dup}",
+            "n_clones": n_dup,
+            "n_normal": n_normal + n_twins,
+            "over_cap_buckets": stats["n_over_cap"],
+            "max_bucket": stats["max_bucket"],
+            "pairs_dropped_to_star": stats["pairs_dropped_to_star"],
+            "planted": n_twins,
+            "found_planted": hits,
+            "recall": round(recall, 4),
+            "wall_sec": round(wall, 2),
+            # the leg must BOTH survive and actually exercise the star
+            # path (>= 4 over-cap buckets: one per band for the clones)
+            "violations": int(recall < 0.98) + int(stats["n_over_cap"] < 4),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def synth_embeddings(spark, out_dir: str, n_vecs: int, dim: int = 32,
                      n_probes: int = 5) -> None:
     """Fixture-shaped embeddings.parquet: n_vecs deterministic
@@ -662,7 +734,13 @@ def run_compaction_leg(
         )
         spark.catalog.clearCache()
         t_after, sum_after = scan_agg()
-        violations = int(sum_before != sum_after) + int(t_after > t_before)
+        # violation gates on correctness (checksum) and structure
+        # (file count actually dropped) only — single-shot timing
+        # swings +/-30% with ambient load on this host (BASELINE.md),
+        # so t_after > t_before is reported informationally, not failed
+        violations = int(sum_before != sum_after) + int(
+            stats.files_after >= stats.files_before
+        )
         return {
             "leg": f"compaction_{n_files}f",
             "files_before": stats.files_before,
@@ -740,6 +818,7 @@ def main() -> int:
     if args.corpus:
         for res in (
             run_corpus_lsh_leg(spark, args.corpus_docs),
+            run_degenerate_bucket_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
