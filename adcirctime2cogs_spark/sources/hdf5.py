@@ -1,0 +1,1261 @@
+"""Pure-Python HDF5 subset codec — enough to read (and write, for
+fixtures) the HDF5 layout that NetCDF-4 files use. struct+numpy+zlib
+only, no h5py / libhdf5.
+
+This closes the engine's last input gap (SURVEY O1/O2): the reference
+opens ADCIRC output through xarray (run/utilities/
+adcirc_dask_utilities.py:36-44), which reads classic NetCDF-3 *and*
+HDF5-backed NetCDF-4; ADCIRC can be built to emit either. Classic
+NC-3 is handled by sources/netcdf3.py; this module handles the
+NetCDF-4 side from the public "HDF5 File Format Specification"
+(versions 1.0/2.0, hdfgroup.org) and the public NetCDF-4 data-model
+conventions (dimension scales, Unidata netcdf-c docs):
+
+    file        = superblock [objects...]
+    superblock  = \\x89HDF\\r\\n\\x1a\\n + v0 (symbol-table root) |
+                  v2/v3 (root object header address)
+    object      = object header (v1 | v2 'OHDR') of typed messages:
+                  dataspace, datatype, fill value, data layout
+                  (compact/contiguous/chunked-v1-btree), filter
+                  pipeline (deflate, shuffle), attribute, link,
+                  symbol table, continuation
+    group (v0)  = symbol-table message -> v1 B-tree ('TREE' type 0)
+                  -> 'SNOD' symbol nodes + 'HEAP' local heap (names)
+    group (v2)  = compact Link messages in the object header
+    chunk index = v1 B-tree ('TREE' type 1): key = stored size,
+                  filter mask, chunk offsets; child = chunk address
+    vlen attrs  = (len, gheap addr, index) triples -> 'GCOL' global
+                  heap collections (how DIMENSION_LIST stores its
+                  object references)
+
+NetCDF-4 semantics on top (the same mapping netcdf-c uses):
+
+  * a dataset with attribute CLASS = "DIMENSION_SCALE" is a
+    dimension; NAME starting with "This is a netCDF dimension but
+    not a netCDF variable" marks a dim with no coordinate variable;
+  * every data variable carries DIMENSION_LIST, a vlen-of-object-
+    reference attribute pointing at its dimensions' datasets;
+  * the unlimited (record) dimension has max size H5_UNDEF;
+  * _FillValue / missing_value -> NaN and CF "units since" time
+    decoding follow the same rules as sources/netcdf3.py (shared
+    helpers are imported from there).
+
+The v1-btree chunk index is what makes scan_netcdf_split work on
+NetCDF-4 exactly like the classic format: the splitter reads the
+B-tree once driver-side and emits one (t_idx, chunk offset, stored
+bytes) task per chunk of the record variable — each task then reads
+ONLY its compressed chunk bytes.
+
+Out-of-scope (clear errors, not silent wrong answers): fractal-heap
+dense groups, v2 chunk indexes (sb v3 "latest" layouts), szip/user
+filters, datatypes beyond fixed/float/string/reference/vlen.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+H5_SIG = b"\x89HDF\r\n\x1a\n"
+H5_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# object header message types
+MSG_NIL = 0x00
+MSG_DATASPACE = 0x01
+MSG_LINK_INFO = 0x02
+MSG_DATATYPE = 0x03
+MSG_FILL_OLD = 0x04
+MSG_FILL = 0x05
+MSG_LINK = 0x06
+MSG_LAYOUT = 0x08
+MSG_GROUP_INFO = 0x0A
+MSG_FILTERS = 0x0B
+MSG_ATTRIBUTE = 0x0C
+MSG_CONTINUATION = 0x10
+MSG_SYMBOL_TABLE = 0x11
+
+FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
+
+NC_DIM_PHONY_PREFIX = b"This is a netCDF dimension but not a netCDF variable"
+
+
+class HDF5Error(ValueError):
+    """Malformed or out-of-subset HDF5 structure."""
+
+
+class NotHDF5(ValueError):
+    """Bytes are not an HDF5 file (no signature)."""
+
+
+# ---------------------------------------------------------------- I/O
+class _Src:
+    """Random access over bytes or a filesystem path (lazy for paths —
+    a multi-GB .nc never has to be resident to plan splits)."""
+
+    def __init__(self, src):
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self._buf, self._path = bytes(src), None
+        else:
+            from adcirctime2cogs_spark.sources.netcdf3 import _fs_path
+
+            self._buf, self._path = None, _fs_path(str(src))
+
+    def read(self, off: int, n: int) -> bytes:
+        if self._buf is not None:
+            b = self._buf[off:off + n]
+        else:
+            with open(self._path, "rb") as f:
+                f.seek(off)
+                b = f.read(n)
+        if len(b) != n:
+            raise HDF5Error(f"short read at {off}+{n} (got {len(b)})")
+        return b
+
+
+def _u16(b, o=0):
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _u32(b, o=0):
+    return struct.unpack_from("<I", b, o)[0]
+
+
+def _u64(b, o=0):
+    return struct.unpack_from("<Q", b, o)[0]
+
+
+# ------------------------------------------------------- superblock
+def _parse_superblock(s: _Src) -> int:
+    """Returns the root group object header address."""
+    head = s.read(0, 96)
+    if head[:8] != H5_SIG:
+        raise NotHDF5("no HDF5 signature")
+    ver = head[8]
+    if ver in (0, 1):
+        so, sl = head[13], head[14]
+        if (so, sl) != (8, 8):
+            raise HDF5Error(f"unsupported offset/length sizes {so}/{sl}")
+        base_off = 24 if ver == 0 else 28  # v1 inserts 4 bytes
+        base = _u64(head, base_off)
+        # root group symbol table entry: link name offset, OHDR addr
+        return base + _u64(head, base_off + 32 + 8)
+    if ver in (2, 3):
+        if (head[9], head[10]) != (8, 8):
+            raise HDF5Error("unsupported offset/length sizes")
+        base = _u64(head, 12)
+        return base + _u64(head, 12 + 24)
+    raise HDF5Error(f"unsupported superblock version {ver}")
+
+
+# ---------------------------------------------------- object headers
+def _parse_ohdr(s: _Src, addr: int) -> list[tuple[int, bytes]]:
+    """All (type, body) messages of one object header, v1 or v2,
+    continuations followed."""
+    probe = s.read(addr, 6)
+    if probe[:4] == b"OHDR":
+        return _parse_ohdr_v2(s, addr)
+    if probe[0] != 1:
+        raise HDF5Error(f"unsupported object header version {probe[0]}")
+    hd = s.read(addr, 16)
+    nmsgs, hsize = _u16(hd, 2), _u32(hd, 8)
+    msgs: list[tuple[int, bytes]] = []
+    blocks = [(addr + 16, hsize)]
+    while blocks and len(msgs) < nmsgs:
+        boff, blen = blocks.pop(0)
+        buf, p = s.read(boff, blen), 0
+        while p + 8 <= blen and len(msgs) < nmsgs:
+            mtype, msize = _u16(buf, p), _u16(buf, p + 2)
+            body = buf[p + 8:p + 8 + msize]
+            p += 8 + msize
+            if mtype == MSG_CONTINUATION:
+                blocks.append((_u64(body, 0), _u64(body, 8)))
+            else:
+                msgs.append((mtype, body))
+    return msgs
+
+
+def _parse_ohdr_v2(s: _Src, addr: int) -> list[tuple[int, bytes]]:
+    hd = s.read(addr, 16)
+    if hd[:4] != b"OHDR" or hd[4] != 2:
+        raise HDF5Error("bad v2 object header")
+    flags = hd[5]
+    p = 6
+    if flags & 0x20:
+        p += 16  # timestamps
+    if flags & 0x10:
+        p += 4  # max compact / min dense attr counts
+    szlen = 1 << (flags & 0x03)
+    raw = s.read(addr, p + szlen)
+    size0 = int.from_bytes(raw[p:p + szlen], "little")
+    p += szlen
+    track_corder = bool(flags & 0x04)
+    msgs: list[tuple[int, bytes]] = []
+    blocks = [(addr + p, size0)]
+    hdrlen = 4 + (2 if track_corder else 0)
+    while blocks:
+        boff, blen = blocks.pop(0)
+        buf = s.read(boff, blen)
+        if buf[:4] == b"OCHK":  # continuation block: sig + msgs + cksum
+            buf = buf[4:-4]
+            blen = len(buf)
+        q = 0
+        while q + hdrlen <= blen:
+            mtype, msize = buf[q], _u16(buf, q + 1)
+            if mtype == MSG_NIL and msize == 0 and blen - q < 8:
+                break  # trailing gap
+            body = buf[q + hdrlen:q + hdrlen + msize]
+            q += hdrlen + msize
+            if mtype == MSG_CONTINUATION:
+                blocks.append((_u64(body, 0), _u64(body, 8)))
+            else:
+                msgs.append((mtype, body))
+    return msgs
+
+
+# ------------------------------------------------------- messages
+def _parse_dataspace(b: bytes) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    ver = b[0]
+    rank, flags = b[1], b[2]
+    p = 8 if ver == 1 else 4
+    dims = tuple(_u64(b, p + 8 * i) for i in range(rank))
+    p += 8 * rank
+    if flags & 1:
+        maxdims = tuple(_u64(b, p + 8 * i) for i in range(rank))
+    else:
+        maxdims = dims
+    return dims, maxdims
+
+
+@dataclass
+class _DType:
+    h5class: int
+    size: int
+    byteorder: str = "<"
+    signed: bool = True
+    base: "_DType | None" = None  # vlen element type
+    nbytes_encoded: int = 8  # consumed bytes (for nested parsing)
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        if self.h5class == 0:
+            return np.dtype(f"{self.byteorder}{'i' if self.signed else 'u'}{self.size}")
+        if self.h5class == 1:
+            return np.dtype(f"{self.byteorder}f{self.size}")
+        if self.h5class == 3:
+            return np.dtype(f"S{self.size}")
+        if self.h5class == 7:
+            return np.dtype("<u8")  # object reference = file address
+        raise HDF5Error(f"no numpy dtype for HDF5 class {self.h5class}")
+
+
+def _parse_datatype(b: bytes) -> _DType:
+    cls = b[0] & 0x0F
+    bits0 = b[1]
+    size = _u32(b, 4)
+    order = ">" if (bits0 & 1) else "<"
+    if cls == 0:  # fixed-point
+        return _DType(0, size, order, signed=bool(bits0 & 0x08))
+    if cls == 1:  # float
+        return _DType(1, size, order)
+    if cls == 3:  # string
+        return _DType(3, size)
+    if cls == 7:  # reference
+        return _DType(7, size)
+    if cls == 9:  # variable-length; base type encoding follows
+        base = _parse_datatype(b[8:])
+        dt = _DType(9, size, base=base)
+        dt.nbytes_encoded = 8 + base.nbytes_encoded
+        return dt
+    raise HDF5Error(f"unsupported datatype class {cls}")
+
+
+def _parse_fill(b: bytes):
+    ver = b[0]
+    if ver in (1, 2):
+        if b[3] != 1:  # not defined
+            return None
+        n = _u32(b, 4)
+        return b[8:8 + n] if n else None
+    if ver == 3:
+        if not (b[1] & 0x20):
+            return None
+        n = _u32(b, 2)
+        return b[6:6 + n] if n else None
+    raise HDF5Error(f"unsupported fill value version {ver}")
+
+
+def _parse_filters(b: bytes) -> list[tuple[int, tuple[int, ...]]]:
+    ver, nf = b[0], b[1]
+    out = []
+    p = 8 if ver == 1 else 2
+    for _ in range(nf):
+        fid = _u16(b, p)
+        if ver == 1 or fid >= 256:
+            namelen = _u16(b, p + 2)
+            p += 2
+        else:
+            namelen = 0
+        flags, ncv = _u16(b, p + 2), _u16(b, p + 4)
+        p += 6
+        if ver == 1:
+            namelen = (namelen + 7) & ~7 if namelen else 0
+        p += namelen
+        cvals = tuple(_u32(b, p + 4 * i) for i in range(ncv))
+        p += 4 * ncv
+        if ver == 1 and ncv % 2:
+            p += 4
+        out.append((fid, cvals))
+    return out
+
+
+@dataclass
+class _Layout:
+    kind: str  # compact | contiguous | chunked
+    data: bytes | None = None
+    addr: int = H5_UNDEF
+    size: int = 0
+    chunk: tuple[int, ...] = ()
+    btree: int = H5_UNDEF
+
+
+def _parse_layout(b: bytes) -> _Layout:
+    ver = b[0]
+    if ver != 3:
+        raise HDF5Error(f"unsupported data layout version {ver}")
+    cls = b[1]
+    if cls == 0:  # compact
+        n = _u16(b, 2)
+        return _Layout("compact", data=b[4:4 + n])
+    if cls == 1:  # contiguous
+        return _Layout("contiguous", addr=_u64(b, 2), size=_u64(b, 10))
+    if cls == 2:  # chunked, v1 B-tree index
+        rank = b[2]  # dataset rank + 1 (element-size dim)
+        btree = _u64(b, 3)
+        dims = tuple(_u32(b, 11 + 4 * i) for i in range(rank))
+        return _Layout("chunked", btree=btree, chunk=dims[:-1])
+    raise HDF5Error(f"unsupported layout class {cls}")
+
+
+def _parse_attribute(b: bytes, s: _Src):
+    ver = b[0]
+    if ver == 1:
+        nsize, dtsize, dssize = _u16(b, 2), _u16(b, 4), _u16(b, 6)
+        p = 8
+
+        def padded(n):
+            return (n + 7) & ~7
+    elif ver in (2, 3):
+        flags = b[1]
+        if flags & 0x03:
+            raise HDF5Error("shared attribute datatype/dataspace unsupported")
+        nsize, dtsize, dssize = _u16(b, 2), _u16(b, 4), _u16(b, 6)
+        p = 8 + (1 if ver == 3 else 0)
+
+        def padded(n):
+            return n
+    else:
+        raise HDF5Error(f"unsupported attribute version {ver}")
+    name = b[p:p + nsize].split(b"\x00")[0]
+    p += padded(nsize)
+    dt = _parse_datatype(b[p:p + dtsize])
+    p += padded(dtsize)
+    dims, _ = _parse_dataspace(b[p:p + dssize])
+    p += padded(dssize)
+    n_elem = int(np.prod(dims)) if dims else 1
+    data = b[p:p + n_elem * dt.size]
+    return name.decode("utf-8", "replace"), _attr_value(dt, dims, data, s)
+
+
+def _attr_value(dt: _DType, dims, data: bytes, s: _Src):
+    if dt.h5class == 3:
+        return data.split(b"\x00")[0].decode("utf-8", "replace")
+    if dt.h5class == 9:
+        # vlen: per element (len u32, gheap addr u64, index u32)
+        out = []
+        for i in range(int(np.prod(dims)) if dims else 1):
+            n, gaddr, gidx = struct.unpack_from("<IQI", data, 16 * i)
+            payload = _gheap_object(s, gaddr, gidx)
+            base = dt.base
+            vals = np.frombuffer(
+                payload[: n * base.size], dtype=base.np_dtype
+            )
+            out.append([int(v) for v in vals])
+        return out
+    arr = np.frombuffer(data, dtype=dt.np_dtype)
+    if not dims and arr.size == 1:
+        v = arr[0]
+        return int(v) if dt.h5class == 0 else float(v)
+    return arr
+
+
+def _gheap_object(s: _Src, gaddr: int, gidx: int) -> bytes:
+    """One object from a 'GCOL' global heap collection."""
+    hd = s.read(gaddr, 16)
+    if hd[:4] != b"GCOL":
+        raise HDF5Error(f"no GCOL signature at {gaddr}")
+    total = _u64(hd, 8)
+    buf = s.read(gaddr, total)
+    p = 16
+    while p + 16 <= total:
+        idx, _ref = _u16(buf, p), _u16(buf, p + 2)
+        osize = _u64(buf, p + 8)
+        if idx == gidx:
+            return buf[p + 16:p + 16 + osize]
+        if idx == 0:  # free space: spans the rest
+            break
+        p += 16 + ((osize + 7) & ~7)
+    raise HDF5Error(f"global heap object {gidx} not found at {gaddr}")
+
+
+# -------------------------------------------------------- group walk
+def _walk_group(s: _Src, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
+    """name -> object header address for one group's links."""
+    out: dict[str, int] = {}
+    for t, b in msgs:
+        if t == MSG_SYMBOL_TABLE:
+            btree, heap = _u64(b, 0), _u64(b, 8)
+            heap_hd = s.read(heap, 32)
+            if heap_hd[:4] != b"HEAP":
+                raise HDF5Error("bad local heap signature")
+            heap_data_addr = _u64(heap_hd, 24)
+            for name_off, ohdr in _walk_group_btree(s, btree):
+                raw = s.read(heap_data_addr + name_off, 256)
+                out[raw.split(b"\x00")[0].decode()] = ohdr
+        elif t == MSG_LINK:
+            name, ohdr = _parse_link(b)
+            if ohdr is not None:
+                out[name] = ohdr
+        elif t == MSG_LINK_INFO:
+            ver_flags = b[1]
+            p = 2 + (8 if ver_flags & 1 else 0)
+            fheap = _u64(b, p)
+            if fheap != H5_UNDEF:
+                raise HDF5Error(
+                    "dense (fractal-heap) groups are outside this subset"
+                )
+    return out
+
+
+def _walk_group_btree(s: _Src, addr: int):
+    hd = s.read(addr, 24)
+    if hd[:4] != b"TREE" or hd[4] != 0:
+        raise HDF5Error("bad group B-tree node")
+    level, n = hd[5], _u16(hd, 6)
+    body = s.read(addr + 24, (n + 1) * 8 + n * 8)
+    children = [_u64(body, 8 + i * 16) for i in range(n)]
+    for child in children:
+        if level > 0:
+            yield from _walk_group_btree(s, child)
+        else:
+            snod = s.read(child, 8)
+            if snod[:4] != b"SNOD":
+                raise HDF5Error("bad symbol node signature")
+            nsym = _u16(snod, 6)
+            ents = s.read(child + 8, nsym * 40)
+            for i in range(nsym):
+                yield _u64(ents, 40 * i), _u64(ents, 40 * i + 8)
+
+
+def _parse_link(b: bytes):
+    ver, flags = b[0], b[1]
+    if ver != 1:
+        raise HDF5Error(f"unsupported link message version {ver}")
+    p = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = b[p]
+        p += 1
+    if flags & 0x04:
+        p += 8  # creation order
+    if flags & 0x10:
+        p += 1  # charset
+    lsize = 1 << (flags & 0x03)
+    namelen = int.from_bytes(b[p:p + lsize], "little")
+    p += lsize
+    name = b[p:p + namelen].decode()
+    p += namelen
+    if ltype != 0:
+        return name, None  # soft/external links: not objects
+    return name, _u64(b, p)
+
+
+# ----------------------------------------------------- chunk B-tree
+def _walk_chunk_btree(s: _Src, addr: int, rank: int):
+    """Yield (offsets, chunk_addr, stored_nbytes, filter_mask) for every
+    chunk of a dataset, from its v1 B-tree index."""
+    if addr == H5_UNDEF:
+        return
+    hd = s.read(addr, 24)
+    if hd[:4] != b"TREE" or hd[4] != 1:
+        raise HDF5Error("bad chunk B-tree node")
+    level, n = hd[5], _u16(hd, 6)
+    keysize = 8 + (rank + 1) * 8
+    body = s.read(addr + 24, (n + 1) * keysize + n * 8)
+    p = 0
+    for _ in range(n):
+        size, mask = _u32(body, p), _u32(body, p + 4)
+        offs = tuple(_u64(body, p + 8 + 8 * i) for i in range(rank))
+        child = _u64(body, p + keysize)
+        p += keysize + 8
+        if level > 0:
+            yield from _walk_chunk_btree(s, child, rank)
+        else:
+            yield offs, child, size, mask
+
+
+# ----------------------------------------------------------- H5File
+@dataclass
+class H5Dataset:
+    name: str
+    addr: int
+    shape: tuple[int, ...]
+    maxshape: tuple[int, ...]
+    dtype: np.dtype
+    layout: _Layout
+    filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
+    fill_raw: bytes | None = None
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def fill(self):
+        if self.fill_raw:
+            return np.frombuffer(self.fill_raw, dtype=self.dtype)[0]
+        return np.zeros(1, self.dtype)[0]
+
+
+class H5File:
+    """Flat view of an HDF5 file's datasets (groups are walked
+    recursively; nested names join with '/')."""
+
+    def __init__(self, src):
+        self._s = _Src(src)
+        root = _parse_superblock(self._s)
+        self.root_attrs: dict = {}
+        self.datasets: dict[str, H5Dataset] = {}
+        self._load_group("", root, top=True)
+
+    def _load_group(self, prefix: str, addr: int, top: bool = False):
+        msgs = _parse_ohdr(self._s, addr)
+        attrs = {}
+        for t, b in msgs:
+            if t == MSG_ATTRIBUTE:
+                k, v = _parse_attribute(b, self._s)
+                attrs[k] = v
+        if top:
+            self.root_attrs = attrs
+        for name, child_addr in _walk_group(self._s, msgs).items():
+            full = f"{prefix}{name}"
+            child_msgs = _parse_ohdr(self._s, child_addr)
+            if any(t in (MSG_SYMBOL_TABLE, MSG_LINK, MSG_LINK_INFO)
+                   for t, _ in child_msgs):
+                self._load_group(f"{full}/", child_addr)
+            else:
+                self.datasets[full] = self._make_dataset(
+                    full, child_addr, child_msgs
+                )
+
+    def _make_dataset(self, name, addr, msgs) -> H5Dataset:
+        shape = maxshape = ()
+        dtype = None
+        layout = None
+        filters: list = []
+        fill = None
+        attrs: dict = {}
+        for t, b in msgs:
+            if t == MSG_DATASPACE:
+                shape, maxshape = _parse_dataspace(b)
+            elif t == MSG_DATATYPE:
+                dtype = _parse_datatype(b).np_dtype
+            elif t == MSG_LAYOUT:
+                layout = _parse_layout(b)
+            elif t == MSG_FILTERS:
+                filters = _parse_filters(b)
+            elif t == MSG_FILL:
+                fill = _parse_fill(b)
+            elif t == MSG_ATTRIBUTE:
+                k, v = _parse_attribute(b, self._s)
+                attrs[k] = v
+        if dtype is None or layout is None:
+            raise HDF5Error(f"dataset {name!r} missing datatype/layout")
+        return H5Dataset(name, addr, shape, maxshape, dtype, layout,
+                         filters, fill, attrs)
+
+    # ---- data access ------------------------------------------------
+    def chunks(self, name: str):
+        d = self.datasets[name]
+        if d.layout.kind != "chunked":
+            raise HDF5Error(f"{name} is not chunked")
+        yield from _walk_chunk_btree(self._s, d.layout.btree, len(d.shape))
+
+    def _decode_chunk(self, d: H5Dataset, raw: bytes,
+                      filter_mask: int) -> np.ndarray:
+        for i, (fid, cvals) in enumerate(reversed(d.filters)):
+            pos = len(d.filters) - 1 - i
+            if filter_mask & (1 << pos):
+                continue
+            if fid == FILTER_DEFLATE:
+                raw = zlib.decompress(raw)
+            elif fid == FILTER_SHUFFLE:
+                esize = cvals[0] if cvals else d.dtype.itemsize
+                n = len(raw) // esize
+                raw = (
+                    np.frombuffer(raw, "u1")
+                    .reshape(esize, n).T.tobytes()
+                )
+            else:
+                raise HDF5Error(f"unsupported filter id {fid}")
+        return np.frombuffer(raw, dtype=d.dtype).reshape(d.layout.chunk)
+
+    def read(self, name: str) -> np.ndarray:
+        d = self.datasets[name]
+        lay = d.layout
+        if lay.kind == "compact":
+            return np.frombuffer(lay.data, dtype=d.dtype).reshape(d.shape)
+        if lay.kind == "contiguous":
+            if lay.addr == H5_UNDEF:  # storage never allocated
+                return np.full(d.shape, d.fill, dtype=d.dtype)
+            raw = self._s.read(lay.addr, lay.size)
+            return np.frombuffer(raw, dtype=d.dtype).reshape(d.shape)
+        # chunked: paint chunks into a grid-extent canvas, then crop
+        # (HDF5 edge chunks are full-size; bytes beyond dims are junk)
+        grid = tuple(
+            -(-max(n, 1) // c) * c for n, c in zip(d.shape, lay.chunk)
+        )
+        out = np.full(grid, d.fill, dtype=d.dtype)
+        for offs, addr, nbytes, mask in self.chunks(name):
+            raw = self._s.read(addr, nbytes)
+            arr = self._decode_chunk(d, raw, mask)
+            sl = tuple(
+                slice(o, o + c) for o, c in zip(offs, lay.chunk)
+            )
+            out[sl] = arr
+        return out[tuple(slice(0, n) for n in d.shape)]
+
+
+# ===================================================== NetCDF-4 layer
+@dataclass
+class NC4Var:
+    name: str
+    dims: tuple[str, ...]
+    shape: tuple[int, ...]
+    atts: dict
+    dtype: np.dtype
+
+
+class NC4File:
+    """NetCDF-4 semantic view of an HDF5 file: dims (+ the unlimited
+    one), variables with named dims and attributes — the same model
+    sources/netcdf3.py exposes for classic files."""
+
+    def __init__(self, src):
+        self.h5 = H5File(src)
+        self.gatts = dict(self.h5.root_attrs)
+        self.dims: dict[str, int] = {}
+        self.unlimited: set[str] = set()
+        addr2dim: dict[int, str] = {}
+        for name, d in self.h5.datasets.items():
+            if d.attrs.get("CLASS") == "DIMENSION_SCALE":
+                self.dims[name] = d.shape[0] if d.shape else 0
+                addr2dim[d.addr] = name
+                if d.maxshape and d.maxshape[0] == H5_UNDEF:
+                    self.unlimited.add(name)
+        self.vars: dict[str, NC4Var] = {}
+        for name, d in self.h5.datasets.items():
+            nm = d.attrs.get("NAME", "")
+            if isinstance(nm, str) and nm.startswith(
+                NC_DIM_PHONY_PREFIX.decode()
+            ):
+                continue  # dim without a coordinate variable
+            if d.attrs.get("CLASS") == "DIMENSION_SCALE":
+                vdims = (name,)  # coordinate variable: its own dim
+            else:
+                refs = d.attrs.get("DIMENSION_LIST")
+                if refs is None:
+                    vdims = tuple(f"phony_dim_{i}" for i in range(len(d.shape)))
+                    for i, n in enumerate(d.shape):
+                        self.dims.setdefault(f"phony_dim_{i}", n)
+                else:
+                    vdims = tuple(addr2dim[r[0]] for r in refs)
+            self.vars[name] = NC4Var(name, vdims, d.shape, d.attrs, d.dtype)
+
+    def is_record(self, name: str) -> bool:
+        v = self.vars[name]
+        return bool(v.dims) and v.dims[0] in self.unlimited
+
+    def read_var(self, name: str) -> np.ndarray:
+        return self.h5.read(name)
+
+
+def is_hdf5(first_bytes: bytes) -> bool:
+    return first_bytes[:8] == H5_SIG
+
+
+@lru_cache(maxsize=64)
+def _nc4_cached(path: str, mtime_ns: int) -> NC4File:
+    return NC4File(path)
+
+
+def nc4_for(path: str) -> NC4File:
+    import os
+
+    from adcirctime2cogs_spark.sources.netcdf3 import _fs_path
+
+    path = _fs_path(path)
+    return _nc4_cached(path, os.stat(path).st_mtime_ns)
+
+
+def _masked_to_nan(arr: np.ndarray, atts: dict) -> np.ndarray:
+    out = arr.astype("float64", copy=True)
+    for key in ("_FillValue", "missing_value"):
+        fill = atts.get(key)
+        if fill is not None:
+            out[out == float(np.asarray(fill).ravel()[0])] = np.nan
+    return out
+
+
+def _decode_times_nc4(nc: NC4File) -> np.ndarray:
+    from adcirctime2cogs_spark.sources.netcdf3 import parse_time_units
+
+    tv = None
+    if "time" in nc.vars:
+        tv = nc.vars["time"]
+    else:
+        for v in nc.vars.values():
+            if len(v.dims) == 1 and v.dims[0] in nc.unlimited and \
+                    " since " in str(v.atts.get("units", "")):
+                tv = v
+                break
+    if tv is None:
+        raise HDF5Error("no time variable in NetCDF-4 file")
+    vals = nc.read_var(tv.name).astype("float64").ravel()
+    units = tv.atts.get("units")
+    scale, base = (
+        parse_time_units(str(units)) if units
+        else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
+    )
+    return base + np.round(vals * scale * 1e6).astype("timedelta64[us]")
+
+
+# --------------------------------- netcdf.py codec callables (NC4)
+def decode_adcirc_nc4(path: str, content: bytes, variable: str):
+    """(times, node_ids, values[t][n]) — scan_netcdf_distributed's
+    decoder contract, NetCDF-4 form (mirrors netcdf3.decode_adcirc)."""
+    nc = NC4File(content) if content else nc4_for(path)
+    if variable not in nc.vars:
+        raise HDF5Error(f"variable {variable!r} not in file")
+    if not nc.is_record(variable):
+        raise ValueError(
+            f"{variable} is not a record variable; time-less max fields "
+            "load through sources/mesh.py's node_maxes path"
+        )
+    v = nc.vars[variable]
+    values = _masked_to_nan(nc.read_var(variable), v.atts)
+    times = _decode_times_nc4(nc)
+    return times, range(values.shape[-1]), values
+
+
+def nc4_splitter(path: str, length: int, variable: str):
+    """(t_idx, chunk offset, stored nbytes) per CHUNK of the record
+    variable — the NetCDF-4 analogue of netcdf3.classic_splitter. The
+    v1-btree chunk index is read once driver-side; each emitted split
+    covers exactly one compressed chunk, so a (T timesteps × C chunks/
+    row) dataset becomes T*C byte-range tasks. Rows with multiple
+    chunks repeat t_idx — each task emits only its node range."""
+    nc = nc4_for(path)
+    if not nc.is_record(variable):
+        return []
+    return [
+        (int(offs[0]), int(addr), int(nbytes))
+        for offs, addr, nbytes, _mask in nc.h5.chunks(variable)
+    ]
+
+
+def nc4_range_decoder(path: str, variable: str, t_idx: int,
+                      offset: int, nbytes: int):
+    """(ts, node_ids, values_1d) for ONE chunk of one timestep —
+    scan_netcdf_split's range-decoder contract. The task reads ONLY its
+    compressed chunk bytes; chunk geometry comes from the (cached)
+    driver-planned index, times from the (tiny) time variable."""
+    nc = nc4_for(path)
+    d = nc.h5.datasets[variable]
+    match = None
+    for offs, addr, size, mask in nc.h5.chunks(variable):
+        if addr == offset:
+            match = (offs, size, mask)
+            break
+    if match is None or match[1] != nbytes or match[0][0] != t_idx:
+        raise ValueError(
+            f"split [{offset}, +{nbytes}) for {variable}[{t_idx}] does not "
+            "match any chunk in the file's index"
+        )
+    offs, size, mask = match
+    raw = _Src(path).read(offset, nbytes)
+    arr = nc.h5._decode_chunk(d, raw, mask)
+    if d.layout.chunk[0] != 1:
+        arr = arr[t_idx - offs[0]:t_idx - offs[0] + 1]
+    node0 = offs[-1]
+    node_end = min(node0 + d.layout.chunk[-1], d.shape[-1])
+    values = _masked_to_nan(
+        arr.reshape(-1)[: node_end - node0], nc.vars[variable].atts
+    )
+    ts = _decode_times_nc4(nc)[t_idx]
+    return ts, range(node0, node_end), values
+
+
+# ===================================================== NetCDF-4 writer
+# Fixture-grade writer producing the same HDF5 layout netcdf-c emits
+# for "NetCDF-4 classic model" files: superblock v0, v1 object
+# headers, a symbol-table root group (v1 B-tree + SNOD + local heap),
+# dimension-scale datasets with CLASS/NAME/_Netcdf4Dimid attributes,
+# DIMENSION_LIST vlen-of-object-reference attributes through a real
+# 'GCOL' global heap, chunked record variables indexed by a v1 B-tree
+# with optional shuffle+deflate filters. Nothing here is required at
+# query time — it exists so the reader can be tested against real
+# NetCDF-4 bytes in an environment with no HDF5 library.
+
+def _pad8b(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _enc_dt(dt: np.dtype) -> bytes:
+    dt = np.dtype(dt)
+    if dt.kind in "iu":
+        bits = 0x08 if dt.kind == "i" else 0x00
+        head = struct.pack("<B3BI", (1 << 4) | 0, bits, 0, 0, dt.itemsize)
+        return head + struct.pack("<HH", 0, dt.itemsize * 8)
+    if dt.kind == "f":
+        if dt.itemsize == 8:
+            sign, exp, esz, bias, man = 63, 52, 11, 1023, 52
+        else:
+            sign, exp, esz, bias, man = 31, 23, 8, 127, 23
+        head = struct.pack(
+            "<B3BI", (1 << 4) | 1, 0x20, sign, 0, dt.itemsize
+        )
+        props = struct.pack(
+            "<HHBBBBI", 0, dt.itemsize * 8, exp, esz, 0, man, bias
+        )
+        return head + props
+    if dt.kind == "S":
+        return struct.pack("<B3BI", (1 << 4) | 3, 0, 0, 0, dt.itemsize)
+    raise HDF5Error(f"writer: unsupported dtype {dt}")
+
+
+_DT_REF = struct.pack("<B3BI", (1 << 4) | 7, 0, 0, 0, 8)
+_DT_VLEN_REF = struct.pack("<B3BI", (1 << 4) | 9, 0, 0, 0, 16) + _DT_REF
+
+
+def _enc_ds(shape, maxshape=None) -> bytes:
+    rank = len(shape)
+    flags = 1 if maxshape is not None else 0
+    out = struct.pack("<BBB5x", 1, rank, flags)
+    out += b"".join(struct.pack("<Q", n) for n in shape)
+    if maxshape is not None:
+        out += b"".join(struct.pack("<Q", n) for n in maxshape)
+    return out
+
+
+def _enc_attr(name: str, dt: bytes, ds: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    return (
+        struct.pack("<BBHHH", 1, 0, len(nb), len(dt), len(ds))
+        + _pad8b(nb) + _pad8b(dt) + _pad8b(ds) + data
+    )
+
+
+def _attr_scalar(name: str, value) -> bytes:
+    if isinstance(value, str):
+        raw = value.encode() + b"\x00"
+        return _enc_attr(name, _enc_dt(np.dtype(f"S{len(raw)}")),
+                         _enc_ds(()), raw)
+    arr = np.asarray(value)
+    if arr.ndim == 0:
+        return _enc_attr(name, _enc_dt(arr.dtype), _enc_ds(()),
+                         arr.tobytes())
+    return _enc_attr(name, _enc_dt(arr.dtype), _enc_ds(arr.shape),
+                     arr.tobytes())
+
+
+def _v1_msg(mtype: int, size: int, body_fn) -> tuple[int, int, object]:
+    """(type, padded size, body renderer) for a v1 header message."""
+    return (mtype, (size + 7) & ~7, body_fn)
+
+
+def _render_ohdr_v1(msgs, addrs) -> bytes:
+    body = b""
+    for mtype, psize, body_fn in msgs:
+        raw = body_fn(addrs) if callable(body_fn) else body_fn
+        raw = raw + b"\x00" * (psize - len(raw))
+        body += struct.pack("<HHB3x", mtype, psize, 0) + raw
+    return struct.pack("<BxHII4x", 1, len(msgs), 1, len(body)) + body
+
+
+def _ohdr_size(msgs) -> int:
+    return 16 + sum(8 + psize for _, psize, _ in msgs)
+
+
+def write_netcdf4(
+    path: str,
+    dims: dict,
+    variables: dict,
+    gatts: dict | None = None,
+    compress: int | None = 6,
+    shuffle: bool = False,
+    node_chunk: int | None = None,
+) -> None:
+    """Write a NetCDF-4 (HDF5) file.
+
+    dims: {name: size | None}; None marks the unlimited dimension.
+    variables: {name: (dim_names, np.ndarray, atts_dict)} — a variable
+    named like a dim with dims == (name,) becomes its coordinate
+    variable (e.g. `time`). Record variables (first dim unlimited) are
+    chunked (1 record × node_chunk columns, default the full row) with
+    optional shuffle+deflate; everything else is contiguous.
+    """
+    dim_names = list(dims)
+    sizes: dict[str, int] = {}
+    for dname, dsize in dims.items():
+        if dsize is not None:
+            sizes[dname] = int(dsize)
+            continue
+        for vdims, data, _ in variables.values():
+            if dname in vdims:
+                sizes[dname] = int(
+                    np.asarray(data).shape[list(vdims).index(dname)]
+                )
+                break
+        else:
+            raise HDF5Error(f"unlimited dim {dname!r} used by no variable")
+    unlimited = {d for d, n in dims.items() if n is None}
+
+    # ---- dataset descriptors (creation order: dims first) ----------
+    @dataclass
+    class _WDS:
+        name: str
+        shape: tuple
+        maxshape: tuple
+        data: np.ndarray | None
+        atts: list  # encoded attr bodies (DIMENSION_LIST handled apart)
+        dimlist: tuple = ()  # dim names for DIMENSION_LIST
+        chunk: tuple = ()
+        fill: bytes | None = None
+        dtype: np.dtype = None
+
+    wds: list[_WDS] = []
+    for i, dname in enumerate(dim_names):
+        mx = (H5_UNDEF,) if dname in unlimited else (sizes[dname],)
+        spec = variables.get(dname)
+        if spec is not None and tuple(spec[0]) == (dname,):
+            vdims, data, atts = spec
+            data = np.ascontiguousarray(data)
+            enc = [_attr_scalar("CLASS", "DIMENSION_SCALE"),
+                   _attr_scalar("_Netcdf4Dimid", np.int32(i))]
+            enc += [_attr_scalar(k, v) for k, v in atts.items()]
+            wds.append(_WDS(dname, (sizes[dname],), mx, data, enc,
+                            dtype=data.dtype))
+        else:
+            phony = (
+                f"{NC_DIM_PHONY_PREFIX.decode()}.{sizes[dname]:10d}"
+            )
+            enc = [_attr_scalar("CLASS", "DIMENSION_SCALE"),
+                   _attr_scalar("NAME", phony),
+                   _attr_scalar("_Netcdf4Dimid", np.int32(i))]
+            wds.append(_WDS(dname, (sizes[dname],), mx, None, enc,
+                            dtype=np.dtype("<f4")))
+    for vname, (vdims, data, atts) in variables.items():
+        if vname in dims:
+            if tuple(vdims) != (vname,):
+                raise HDF5Error(
+                    f"variable {vname!r} shadows dim with different dims"
+                )
+            continue
+        data = np.ascontiguousarray(data)
+        shape = tuple(sizes[d] for d in vdims)
+        if data.shape != shape:
+            raise HDF5Error(f"{vname}: data shape {data.shape} != {shape}")
+        mx = tuple(H5_UNDEF if d in unlimited else sizes[d] for d in vdims)
+        enc = [_attr_scalar(k, v) for k, v in atts.items()]
+        fill = None
+        if "_FillValue" in atts:
+            fill = np.asarray(atts["_FillValue"], data.dtype).tobytes()
+        wds.append(_WDS(vname, shape, mx, data, enc, dimlist=tuple(vdims),
+                        fill=fill, dtype=data.dtype))
+
+    for d in wds:
+        if d.maxshape and d.maxshape[0] == H5_UNDEF:
+            chunk = [1] + [n for n in d.shape[1:]]
+            if node_chunk and len(chunk) > 1:
+                chunk[-1] = min(node_chunk, chunk[-1])
+            d.chunk = tuple(max(1, c) for c in chunk)
+
+    # ---- global heap payloads (one object per DIMENSION_LIST ref) --
+    dim_index = {d: i for i, d in enumerate(dim_names)}
+    gheap_objs: list[str] = []  # dim name per object, 1-based index
+    gh_ref: dict[tuple[str, int], int] = {}
+    for d in wds:
+        for j, dn in enumerate(d.dimlist):
+            gh_ref[(d.name, j)] = len(gheap_objs) + 1
+            gheap_objs.append(dn)
+
+    # ---- per-dataset message lists ---------------------------------
+    filters = []
+    if shuffle:
+        filters.append((FILTER_SHUFFLE, ()))
+    if compress is not None:
+        filters.append((FILTER_DEFLATE, (int(compress),)))
+
+    def enc_filters(esize: int) -> bytes:
+        out = struct.pack("<BB6x", 1, len(filters))
+        for fid, cv in filters:
+            cvals = cv if fid != FILTER_SHUFFLE else (esize,)
+            out += struct.pack("<HHHH", fid, 0, 1, len(cvals))
+            out += b"".join(struct.pack("<I", c) for c in cvals)
+            if len(cvals) % 2:
+                out += b"\x00" * 4
+        return out
+
+    def chunk_grid(d: _WDS):
+        return [
+            tuple(range(0, max(n, 1), c))
+            for n, c in zip(d.shape, d.chunk)
+        ]
+
+    def iter_chunks(d: _WDS):
+        from itertools import product
+
+        for offs in product(*chunk_grid(d)):
+            sl = tuple(
+                slice(o, min(o + c, n))
+                for o, c, n in zip(offs, d.chunk, d.shape)
+            )
+            piece = d.data[sl]
+            if piece.shape != d.chunk:  # pad edge chunk to full size
+                fillv = (
+                    np.frombuffer(d.fill, d.dtype)[0]
+                    if d.fill else np.zeros(1, d.dtype)[0]
+                )
+                full = np.full(d.chunk, fillv, d.dtype)
+                full[tuple(slice(0, s) for s in piece.shape)] = piece
+                piece = full
+            raw = piece.tobytes()
+            if shuffle:
+                raw = (
+                    np.frombuffer(raw, "u1")
+                    .reshape(-1, d.dtype.itemsize).T.tobytes()
+                )
+            if compress is not None:
+                raw = zlib.compress(raw, int(compress))
+            yield offs, raw
+
+    blobs: list[tuple[str, int, object]] = []  # (key, size, render_fn)
+    chunk_store: dict[str, list[tuple[tuple, bytes]]] = {}
+
+    def msgs_for(d: _WDS):
+        msgs = [
+            _v1_msg(MSG_DATASPACE, len(_enc_ds(d.shape, d.maxshape)),
+                    _enc_ds(d.shape, d.maxshape)),
+            _v1_msg(MSG_DATATYPE, len(_enc_dt(d.dtype)), _enc_dt(d.dtype)),
+        ]
+        if d.fill:
+            fb = struct.pack("<BBBBI", 2, 2, 2, 1, len(d.fill)) + d.fill
+        else:
+            fb = struct.pack("<BBBB", 2, 2, 2, 0)
+        msgs.append(_v1_msg(MSG_FILL, len(fb), fb))
+        if d.chunk:
+            if filters:
+                fl = enc_filters(d.dtype.itemsize)
+                msgs.append(_v1_msg(MSG_FILTERS, len(fl), fl))
+            rank1 = len(d.shape) + 1
+            lsize = 3 + 8 + 4 * rank1
+
+            def lay(addrs, d=d, rank1=rank1):
+                body = struct.pack(
+                    "<BBBQ", 3, 2, rank1, addrs[f"btree:{d.name}"]
+                )
+                for c in d.chunk:
+                    body += struct.pack("<I", c)
+                body += struct.pack("<I", d.dtype.itemsize)
+                return body
+
+            msgs.append(_v1_msg(MSG_LAYOUT, lsize, lay))
+        else:
+            nbytes = (
+                int(np.prod(d.shape)) * d.dtype.itemsize if d.shape else
+                d.dtype.itemsize
+            )
+
+            def lay(addrs, d=d, nbytes=nbytes):
+                addr = addrs.get(f"data:{d.name}", H5_UNDEF)
+                return struct.pack("<BBQQ", 3, 1, addr, nbytes)
+
+            msgs.append(_v1_msg(MSG_LAYOUT, 18, lay))
+        for enc in d.atts:
+            msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
+        if d.dimlist:
+            rank = len(d.dimlist)
+            dlsize = (
+                8 + len(_pad8b(b"DIMENSION_LIST\x00"))
+                + len(_pad8b(_DT_VLEN_REF)) + len(_pad8b(_enc_ds((rank,))))
+                + 16 * rank
+            )
+
+            def dlattr(addrs, d=d, rank=rank):
+                data = b""
+                for j in range(rank):
+                    dn = d.dimlist[j]
+                    data += struct.pack(
+                        "<IQI", 1,
+                        addrs["gheap"],
+                        gh_ref[(d.name, j)],
+                    )
+                    _ = addrs[f"ohdr:{dn}"]  # payload holds this addr
+                return _enc_attr("DIMENSION_LIST", _DT_VLEN_REF,
+                                 _enc_ds((rank,)), data)
+
+            msgs.append(_v1_msg(MSG_ATTRIBUTE, dlsize, dlattr))
+        return msgs
+
+    ds_msgs = {d.name: msgs_for(d) for d in wds}
+
+    # ---- root group: heap / btree / snod ---------------------------
+    names_sorted = sorted(d.name for d in wds)
+    heap_off: dict[str, int] = {}
+    heap_data = b"\x00" * 8
+    for nm in names_sorted:
+        heap_off[nm] = len(heap_data)
+        heap_data += _pad8b(nm.encode() + b"\x00")
+
+    root_msgs = [
+        _v1_msg(
+            MSG_SYMBOL_TABLE, 16,
+            lambda addrs: struct.pack(
+                "<QQ", addrs["btree"], addrs["heap_hdr"]
+            ),
+        )
+    ]
+    for k, v in (gatts or {}).items():
+        enc = _attr_scalar(k, v)
+        root_msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
+
+    blobs.append(("root_ohdr", _ohdr_size(root_msgs),
+                  lambda addrs: _render_ohdr_v1(root_msgs, addrs)))
+    blobs.append(("heap_hdr", 32, lambda addrs: (
+        b"HEAP" + struct.pack(
+            "<B3xQQQ", 0, len(heap_data), 1, addrs["heap_data"]
+        )
+    )))
+    blobs.append(("heap_data", len(heap_data), heap_data))
+
+    n = len(names_sorted)
+    btree_size = 24 + (1 + 1) * 8 + 1 * 8  # one SNOD child
+
+    def render_btree(addrs):
+        return (
+            b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, H5_UNDEF, H5_UNDEF)
+            + struct.pack("<Q", 0)
+            + struct.pack("<Q", addrs["snod"])
+            + struct.pack("<Q", heap_off[names_sorted[-1]])
+        )
+
+    blobs.append(("btree", btree_size, render_btree))
+
+    def render_snod(addrs):
+        out = b"SNOD" + struct.pack("<BxH", 1, n)
+        for nm in names_sorted:
+            out += struct.pack(
+                "<QQII16x", heap_off[nm], addrs[f"ohdr:{nm}"], 0, 0
+            )
+        return out
+
+    blobs.append(("snod", 8 + n * 40, render_snod))
+
+    # ---- global heap ----------------------------------------------
+    if gheap_objs:
+        need = 16 + len(gheap_objs) * (16 + 8) + 16
+        gsize = max(4096, (need + 7) & ~7)
+
+        def render_gheap(addrs):
+            out = b"GCOL" + struct.pack("<B3xQ", 1, gsize)
+            for i, dn in enumerate(gheap_objs, start=1):
+                payload = struct.pack("<Q", addrs[f"ohdr:{dn}"])
+                out += struct.pack("<HH4xQ", i, 1, len(payload))
+                out += _pad8b(payload)
+            free = gsize - len(out)
+            out += struct.pack("<HH4xQ", 0, 0, free) + b"\x00" * (free - 16)
+            return out
+
+        blobs.append(("gheap", gsize, render_gheap))
+
+    # ---- dataset headers, then data --------------------------------
+    for d in wds:
+        blobs.append((
+            f"ohdr:{d.name}", _ohdr_size(ds_msgs[d.name]),
+            lambda addrs, d=d: _render_ohdr_v1(ds_msgs[d.name], addrs),
+        ))
+    for d in wds:
+        if d.chunk:
+            chunks = list(iter_chunks(d))
+            chunk_store[d.name] = chunks
+            rank1 = len(d.shape) + 1
+            keysize = 8 + rank1 * 8
+            bsize = 24 + (len(chunks) + 1) * keysize + len(chunks) * 8
+
+            def render_cbtree(addrs, d=d, chunks=chunks, rank1=rank1):
+                out = b"TREE" + struct.pack(
+                    "<BBHQQ", 1, 0, len(chunks), H5_UNDEF, H5_UNDEF
+                )
+                for i, (offs, raw) in enumerate(chunks):
+                    out += struct.pack("<II", len(raw), 0)
+                    for o in offs:
+                        out += struct.pack("<Q", o)
+                    out += struct.pack("<Q", 0)  # element-dim offset
+                    out += struct.pack("<Q", addrs[f"chunk:{d.name}:{i}"])
+                # final key: one past the last chunk in dim 0
+                last = chunks[-1][0]
+                out += struct.pack("<II", 0, 0)
+                out += struct.pack("<Q", last[0] + d.chunk[0])
+                for o in last[1:]:
+                    out += struct.pack("<Q", o + 0)
+                out += struct.pack("<Q", 0)
+                return out
+
+            blobs.append((f"btree:{d.name}", bsize, render_cbtree))
+            for i, (offs, raw) in enumerate(chunks):
+                blobs.append((f"chunk:{d.name}:{i}", len(raw), raw))
+        elif d.data is not None:
+            raw = d.data.tobytes()
+            blobs.append((f"data:{d.name}", len(raw), raw))
+        # phony dims: no storage (layout address stays UNDEF)
+
+    # ---- assign addresses and render -------------------------------
+    addrs: dict[str, int] = {}
+    pos = 96
+    for key, size, _ in blobs:
+        pos = (pos + 7) & ~7
+        addrs[key] = pos
+        pos += size
+    eof = pos
+
+    sb = H5_SIG + struct.pack(
+        "<BBBBBBBxHHI", 0, 0, 0, 0, 0, 8, 8, 4, 16, 0
+    )
+    sb += struct.pack("<QQQQ", 0, H5_UNDEF, eof, H5_UNDEF)
+    sb += struct.pack("<QQII16x", 0, addrs["root_ohdr"], 0, 0)
+    assert len(sb) == 96, len(sb)
+
+    out = bytearray(eof)
+    out[0:96] = sb
+    for key, size, render in blobs:
+        raw = render(addrs) if callable(render) else render
+        if len(raw) != size:
+            raise HDF5Error(
+                f"writer size mismatch for {key}: planned {size}, "
+                f"rendered {len(raw)}"
+            )
+        out[addrs[key]:addrs[key] + size] = raw
+    with open(path, "wb") as f:
+        f.write(bytes(out))

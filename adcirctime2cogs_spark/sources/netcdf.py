@@ -12,12 +12,15 @@ two paths:
    ts-partitioned parquet layout of sources/mesh.py, the engine-native
    path for repeated querying.
 
-Decoding is self-contained for ADCIRC's native output format: fort.*
-files are classic NetCDF-3, which sources/netcdf3.py reads with
-struct+numpy alone (no third-party library), so the default decoder,
-splitter, and range decoder all WORK in this container. Only
-HDF5-backed NetCDF-4 inputs still gate behind an import-try for
-xarray/h5py; custom codecs remain injectable for those environments.
+Decoding is self-contained for BOTH NetCDF flavors: fort.* files are
+classic NetCDF-3, which sources/netcdf3.py reads with struct+numpy
+alone, and HDF5-backed NetCDF-4 decodes through the pure-Python HDF5
+subset in sources/hdf5.py (superblock v0/v2, v1-btree chunk index,
+deflate/shuffle filters, dimension scales) — so the default decoder,
+splitter, and range decoder all WORK in this container with no
+third-party NetCDF/HDF5 library. Only HDF5 layouts outside that
+subset (fractal-heap dense groups, v2 chunk indexes, szip) fall back
+to an import-try for xarray/h5py; custom codecs remain injectable.
 """
 
 from __future__ import annotations
@@ -37,22 +40,29 @@ def _default_decoder(path: str, content: bytes, variable: str):
     """Decode one ADCIRC NetCDF into (times, node_ids, values[t][n]).
 
     Classic NetCDF-3 (ADCIRC's native fort.* format) decodes via the
-    pure-Python codec in netcdf3.py — no library needed. HDF5-backed
-    NetCDF-4 falls back to xarray, gated on its presence."""
-    from adcirctime2cogs_spark.sources import netcdf3
+    pure-Python codec in netcdf3.py; HDF5-backed NetCDF-4 via the
+    pure-Python HDF5 subset in hdf5.py — no library needed for
+    either. HDF5 layouts outside that subset fall back to xarray,
+    gated on its presence."""
+    from adcirctime2cogs_spark.sources import hdf5, netcdf3
 
     try:
         return netcdf3.decode_adcirc(path, content, variable)
     except netcdf3.NotClassicNetCDF as not_classic:
+        try:
+            return hdf5.decode_adcirc_nc4(path, content, variable)
+        except hdf5.HDF5Error as h5err:
+            pass  # out-of-subset layout: try the library fallback
         try:
             import io
 
             import xarray as xr  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                f"{not_classic}; and no NetCDF-4 reader in this environment "
-                "(xarray/netCDF4 absent) — inject a decoder or convert "
-                "offline with netcdf_to_parquet on a codec-equipped host."
+                f"{not_classic}; and the HDF5 layout is outside the "
+                f"built-in subset ({h5err}) with no xarray/netCDF4 in "
+                "this environment — inject a decoder or convert offline "
+                "with netcdf_to_parquet on a codec-equipped host."
             ) from exc
         ds = xr.open_dataset(
             io.BytesIO(content), drop_variables=list(DROP_VARIABLES)
@@ -96,45 +106,39 @@ def scan_netcdf_distributed(
     )
 
 
-def _default_splitter(path: str, length: int):
-    """Enumerate per-timestep byte-range splits of one ADCIRC NetCDF:
+def _default_splitter(path: str, length: int, variable: str | None = None):
+    """Enumerate byte-range splits of one ADCIRC NetCDF:
     [(t_idx, offset, nbytes), ...] (the reference's chunks={'time': 1},
     adcirc_dask_utilities.py:42). For classic NetCDF-3 the record
     layout makes every timestep's span computable from one small header
-    read (netcdf3.classic_splitter) — no chunk index, no library. The
-    HDF5-backed NetCDF-4 layout still needs h5py to read its chunk
-    B-tree."""
-    from adcirctime2cogs_spark.sources import netcdf3
+    read (netcdf3.classic_splitter) — no chunk index. For HDF5-backed
+    NetCDF-4 the splits come from the variable's v1-btree chunk index
+    (hdf5.nc4_splitter), one split per compressed chunk — also planned
+    from a driver-side metadata read, no library."""
+    from adcirctime2cogs_spark.sources import hdf5, netcdf3
 
     try:
         return netcdf3.classic_splitter(path, length)
     except netcdf3.NotClassicNetCDF as not_classic:
-        try:
-            import h5py  # noqa: F401
-        except ImportError as exc:
+        if variable is None:
             raise NotImplementedError(
-                f"{not_classic}; and no HDF5 reader in this environment "
-                "(h5py absent) — inject a splitter, or use "
-                "scan_netcdf_distributed for small files."
-            ) from exc
-        raise NotImplementedError(
-            "chunk-index splitter for NetCDF-4 requires h5py at runtime"
-        )
+                f"{not_classic}; NetCDF-4 splits are per-variable — call "
+                "with the variable name (scan_netcdf_split does)."
+            ) from not_classic
+        return hdf5.nc4_splitter(path, length, variable)
 
 
 def _default_range_decoder(path: str, variable: str, t_idx: int, offset: int, nbytes: int):
-    """Decode ONE timestep's byte range -> (ts, node_ids, values_1d).
-    The task opens the file itself and reads only its slab (plus the
-    tiny time slab) — whole-file bytes never flow through Spark.
-    Classic NetCDF-3 decodes via netcdf3.py; NetCDF-4 needs injection."""
-    from adcirctime2cogs_spark.sources import netcdf3
+    """Decode ONE split's byte range -> (ts, node_ids, values_1d).
+    The task opens the file itself and reads only its slab/chunk (plus
+    the tiny time slab) — whole-file bytes never flow through Spark.
+    Classic NetCDF-3 decodes via netcdf3.py; NetCDF-4 via hdf5.py."""
+    from adcirctime2cogs_spark.sources import hdf5, netcdf3
 
     try:
         return netcdf3.classic_range_decoder(path, variable, t_idx, offset, nbytes)
-    except netcdf3.NotClassicNetCDF as not_classic:
-        raise NotImplementedError(
-            f"{not_classic}; inject a range decoder for NetCDF-4 inputs."
-        ) from not_classic
+    except netcdf3.NotClassicNetCDF:
+        return hdf5.nc4_range_decoder(path, variable, t_idx, offset, nbytes)
 
 
 SPLIT_SCHEMA = "path string, t_idx int, offset long, nbytes long"
@@ -172,10 +176,16 @@ def scan_netcdf_split(
         .select("path", "length")
         .collect()
     )
+    def plan(path: str, length: int):
+        try:  # NetCDF-4 splits are per-variable; injected 2-arg
+            return splitter(path, length, variable)  # splitters still work
+        except TypeError:
+            return splitter(path, length)
+
     specs = [
         (f.path, int(t_idx), int(offset), int(nbytes))
         for f in files
-        for (t_idx, offset, nbytes) in splitter(f.path, int(f.length))
+        for (t_idx, offset, nbytes) in plan(f.path, int(f.length))
     ]
     splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
         max(len(specs), 1), "path", "t_idx"
@@ -238,17 +248,36 @@ def adcirc_nc_to_tables(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from adcirctime2cogs_spark.sources import netcdf3
+    from adcirctime2cogs_spark.sources import hdf5, netcdf3
 
     os.makedirs(out_dir, exist_ok=True)
-    h = netcdf3.header_for(nc_path)
-    x = netcdf3.read_var(nc_path, h, "x").astype("float64").ravel()
-    y = netcdf3.read_var(nc_path, h, "y").astype("float64").ravel()
+    try:
+        h = netcdf3.header_for(nc_path)
+
+        def _read(name):
+            return netcdf3.read_var(nc_path, h, name)
+
+        def _masked(name):
+            return netcdf3.masked_to_nan(_read(name), h.vars[name])
+
+        var_names = h.vars
+        is_record = h.is_record(h.vars[variable])
+    except netcdf3.NotClassicNetCDF:
+        nc4 = hdf5.nc4_for(nc_path)
+
+        def _read(name):
+            return nc4.read_var(name)
+
+        def _masked(name):
+            return hdf5._masked_to_nan(_read(name), nc4.vars[name].atts)
+
+        var_names = nc4.vars
+        is_record = nc4.is_record(variable)
+    x = _read("x").astype("float64").ravel()
+    y = _read("y").astype("float64").ravel()
     depth = (
-        netcdf3.masked_to_nan(
-            netcdf3.read_var(nc_path, h, "depth"), h.vars["depth"]
-        ).ravel()
-        if "depth" in h.vars
+        _masked("depth").ravel()
+        if "depth" in var_names
         else np.full(len(x), np.nan)
     )
     pq.write_table(
@@ -260,7 +289,7 @@ def adcirc_nc_to_tables(
         }),
         os.path.join(out_dir, "mesh_nodes.parquet"),
     )
-    el = netcdf3.read_var(nc_path, h, "element").astype("int64") - 1  # O4
+    el = _read("element").astype("int64") - 1  # O4
     pq.write_table(
         pa.table({
             "elem_id": pa.array(np.arange(el.shape[0]), pa.int64()),
@@ -270,8 +299,7 @@ def adcirc_nc_to_tables(
         }),
         os.path.join(out_dir, "mesh_elements.parquet"),
     )
-    v = h.vars[variable]
-    if h.is_record(v):
+    if is_record:
         # same ts-partitioned layout as netcdf_to_parquet: the O5
         # time-slice pruning story depends on it (a flat directory
         # would scan every row group for any ts filter)
@@ -283,9 +311,7 @@ def adcirc_nc_to_tables(
             .parquet(os.path.join(out_dir, f"{variable}.parquet"))
         )
     else:
-        vals = netcdf3.masked_to_nan(
-            netcdf3.read_var(nc_path, h, variable), v
-        ).ravel()
+        vals = _masked(variable).ravel()
         pq.write_table(
             pa.table({
                 "node_id": pa.array(np.arange(len(vals)), pa.int64()),

@@ -84,10 +84,16 @@ class _NetCDFReader(DataSourceReader):
             raise FileNotFoundError(
                 f"adcirc_netcdf: no files matched path pattern {self.path!r}"
             )
+        def plan(p: str, length: int):
+            try:  # NetCDF-4 splits are per-variable; injected 2-arg
+                return self.splitter(p, length, self.variable)
+            except TypeError:
+                return self.splitter(p, length)
+
         return [
             _TimestepSplit(p, int(t), int(off), int(nb))
             for p in paths
-            for (t, off, nb) in self.splitter(p, os.path.getsize(p))
+            for (t, off, nb) in plan(p, os.path.getsize(p))
         ]
 
     def read(self, split: _TimestepSplit) -> Iterator[tuple]:
@@ -168,6 +174,12 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         self.splitter = splitter
         self.range_decoder = range_decoder
 
+    def _plan(self, p: str, length: int):
+        try:  # NetCDF-4 splits are per-variable; injected 2-arg
+            return self.splitter(p, length, self.variable)
+        except TypeError:
+            return self.splitter(p, length)
+
     def initialOffset(self) -> dict:
         return {"consumed": {}}
 
@@ -180,7 +192,7 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
                 # rotated/deleted between listing and stat: skip this
                 # trigger; it is re-listed (or permanently gone) next
                 continue
-            out[p] = sorted(self.splitter(p, size))
+            out[p] = sorted(self._plan(p, size))
         return out
 
     def _decode_rows(self, path: str, splits) -> Iterator[tuple]:
@@ -227,5 +239,5 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
                         f"adcirc_netcdf replay: committed file {path!r} "
                         "no longer exists; its rows cannot be recovered"
                     ) from exc
-                splits = sorted(self.splitter(path, size))[n_start:n_end]
+                splits = sorted(self._plan(path, size))[n_start:n_end]
                 yield from self._decode_rows(path, splits)

@@ -1,0 +1,416 @@
+"""Pure-Python HDF5/NetCDF-4 codec (sources/hdf5.py): spec-level byte
+conformance, reader/writer round-trips across layouts and filters, a
+hand-encoded superblock-v2 + OHDR-v2 file (independent of the writer),
+and the REAL end-to-end path — a fort.63-like NetCDF-4 file decoded by
+the DEFAULT codecs (zero injection, no h5py) through the distributed
+scans into the regrid plan, golden-matched against both the micromesh
+fixture and the byte-identical classic NetCDF-3 file (SURVEY O1/O2)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from adcirctime2cogs_spark.plans import micromesh as mm
+from adcirctime2cogs_spark.sources import hdf5
+from adcirctime2cogs_spark.sources import netcdf3 as nc3
+
+FILL = -99999.0
+
+
+def _micromesh_payload():
+    n_nodes = len(mm.NODES)
+    times = np.array([0.0, 3600.0, 7200.0])
+    zeta = np.full((3, n_nodes), FILL)
+    by_ts = {}
+    for ts, nid, v in mm.TIMESERIES:
+        by_ts.setdefault(ts, {})[nid] = v
+    for t_idx, ts in enumerate((mm.T1, mm.T2, mm.T3)):
+        for nid in range(n_nodes):
+            v = by_ts[ts][nid]
+            zeta[t_idx, nid] = FILL if v is None else v
+    lon = np.array([n[1] for n in mm.NODES])
+    lat = np.array([n[2] for n in mm.NODES])
+    element = np.array([[e[1], e[2], e[3]] for e in mm.ELEMENTS],
+                       dtype="int32") + 1  # ADCIRC is 1-based
+    return times, zeta, lon, lat, element
+
+
+def _write_micromesh_nc4(path: str, **kw) -> None:
+    """The same fort.63-shaped content test_netcdf3 writes as CDF-1,
+    here as NetCDF-4 (HDF5): time/zeta record vars chunked+deflated,
+    static mesh fields contiguous."""
+    times, zeta, lon, lat, element = _micromesh_payload()
+    hdf5.write_netcdf4(
+        path,
+        dims={"time": None, "node": len(lon),
+              "nele": len(element), "nvertex": 3},
+        variables={
+            "time": (("time",), times,
+                     {"units": f"seconds since {mm.T1} UTC"}),
+            "x": (("node",), lon, {}),
+            "y": (("node",), lat, {}),
+            "depth": (("node",), lon + lat + 5.0, {}),
+            "element": (("nele", "nvertex"), element, {}),
+            "zeta": (("time", "node"), zeta,
+                     {"_FillValue": np.float64(FILL), "units": "m"}),
+        },
+        gatts={"model": "ADCIRC", "grid": "micromesh"},
+        **kw,
+    )
+
+
+# ------------------------------------------------------ spec bytes
+def test_superblock_bytes_conform_to_spec(tmp_path):
+    """Byte-level conformance independently hand-decoded here (not via
+    the reader): signature, version fields, offset sizes, EOF address,
+    root symbol-table entry, and the local-heap/B-tree signatures the
+    root group points at."""
+    p = str(tmp_path / "sb.nc")
+    hdf5.write_netcdf4(
+        p, dims={"node": 3},
+        variables={"v": (("node",), np.arange(3.0), {})},
+        compress=None,
+    )
+    buf = open(p, "rb").read()
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert buf[8] == 0                      # superblock v0
+    assert (buf[13], buf[14]) == (8, 8)     # offset/length sizes
+    base, _fs, eof, _drv = struct.unpack_from("<4Q", buf, 24)
+    assert base == 0 and eof == len(buf)
+    root_ohdr = struct.unpack_from("<Q", buf, 56 + 8)[0]
+    assert buf[root_ohdr] == 1              # v1 object header
+    # first root message is the symbol table: btree + heap addresses
+    mtype, msize = struct.unpack_from("<HH", buf, root_ohdr + 16)
+    assert mtype == hdf5.MSG_SYMBOL_TABLE
+    btree, heap = struct.unpack_from("<QQ", buf, root_ohdr + 24)
+    assert buf[btree:btree + 4] == b"TREE"
+    assert buf[heap:heap + 4] == b"HEAP"
+    # the B-tree's single child is a symbol node
+    snod = struct.unpack_from("<Q", buf, btree + 24 + 8)[0]
+    assert buf[snod:snod + 4] == b"SNOD"
+
+
+def test_chunk_btree_key_layout(tmp_path):
+    """The v1 chunk B-tree's keys carry (stored size, filter mask,
+    chunk offsets) exactly as the spec lays them out — verified by
+    matching the tree's stored sizes against zlib-decompressing each
+    chunk at its recorded address."""
+    import zlib
+
+    p = str(tmp_path / "ck.nc")
+    data = np.arange(20.0).reshape(4, 5)
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 5},
+        variables={"time": (("time",), np.arange(4.0), {}),
+                   "zeta": (("time", "node"), data, {})},
+    )
+    buf = open(p, "rb").read()
+    f = hdf5.H5File(p)
+    chunks = list(f.chunks("zeta"))
+    assert len(chunks) == 4  # one per record: chunk shape (1, node)
+    for offs, addr, nbytes, mask in chunks:
+        assert mask == 0
+        raw = zlib.decompress(buf[addr:addr + nbytes])
+        row = np.frombuffer(raw, "<f8")
+        assert np.array_equal(row, data[offs[0]])
+
+
+# ------------------------------------------------------ round trips
+def test_roundtrip_layouts_dtypes_filters(tmp_path):
+    """Contiguous/chunked × i4/f4/f8 × {plain, deflate, shuffle+deflate},
+    plus edge chunks (node_chunk that doesn't divide the row) and
+    attribute fidelity."""
+    rng = np.random.default_rng(7)
+    zeta = rng.normal(size=(5, 13)).astype("f8")
+    cases = [
+        dict(compress=None),
+        dict(compress=9),
+        dict(compress=6, shuffle=True),
+        dict(compress=6, node_chunk=4),  # 13 % 4 != 0: edge chunk
+    ]
+    for i, kw in enumerate(cases):
+        p = str(tmp_path / f"rt{i}.nc")
+        hdf5.write_netcdf4(
+            p, dims={"time": None, "node": 13, "three": 3},
+            variables={
+                "time": (("time",), np.arange(5.0) * 60, {}),
+                "zeta": (("time", "node"), zeta,
+                         {"_FillValue": np.float64(FILL)}),
+                "counts": (("three",), np.array([7, 8, 9], "<i4"),
+                           {"long_name": "counter"}),
+                "f32": (("node",), np.arange(13, dtype="<f4"), {}),
+            },
+            gatts={"title": "rt", "pi": np.float64(3.25)},
+            **kw,
+        )
+        nc = hdf5.NC4File(p)
+        assert np.array_equal(nc.read_var("zeta"), zeta), kw
+        assert np.array_equal(nc.read_var("counts"),
+                              np.array([7, 8, 9], "<i4"))
+        assert np.array_equal(nc.read_var("f32"),
+                              np.arange(13, dtype="<f4"))
+        assert nc.vars["counts"].atts["long_name"] == "counter"
+        assert nc.gatts["title"] == "rt" and nc.gatts["pi"] == 3.25
+        assert nc.dims == {"time": 5, "node": 13, "three": 3}
+        assert nc.unlimited == {"time"}
+        assert nc.vars["zeta"].dims == ("time", "node")
+        assert nc.is_record("zeta") and not nc.is_record("counts")
+
+
+def test_phony_dim_and_unallocated_storage(tmp_path):
+    """A dim with no coordinate variable gets the netcdf-c phony-NAME
+    dataset and never appears as a variable; its (never-allocated)
+    storage reads back as fill."""
+    p = str(tmp_path / "ph.nc")
+    hdf5.write_netcdf4(
+        p, dims={"node": 4},
+        variables={"v": (("node",), np.arange(4.0), {})},
+    )
+    nc = hdf5.NC4File(p)
+    assert "node" in nc.dims and "node" not in nc.vars
+    d = nc.h5.datasets["node"]
+    assert d.attrs["NAME"].startswith(
+        "This is a netCDF dimension but not a netCDF variable"
+    )
+    assert d.layout.addr == hdf5.H5_UNDEF
+    assert nc.h5.read("node").shape == (4,)  # fill, not a crash
+
+
+def test_dimension_list_resolves_through_global_heap(tmp_path):
+    """DIMENSION_LIST is a real vlen-of-object-reference attribute: the
+    raw attribute data holds (len, GCOL address, index) triples and the
+    global heap objects hold the dim datasets' header addresses."""
+    p = str(tmp_path / "dl.nc")
+    _write_micromesh_nc4(p)
+    f = hdf5.H5File(p)
+    refs = f.datasets["zeta"].attrs["DIMENSION_LIST"]
+    assert len(refs) == 2 and all(len(r) == 1 for r in refs)
+    assert refs[0][0] == f.datasets["time"].addr
+    assert refs[1][0] == f.datasets["node"].addr
+    buf = open(p, "rb").read()
+    # and the refs really route through exactly one 'GCOL' collection
+    g = buf.find(b"GCOL")
+    assert g >= 0 and buf.find(b"GCOL", g + 4) == -1
+
+
+def test_not_hdf5_and_out_of_subset_errors(tmp_path):
+    with pytest.raises(hdf5.NotHDF5):
+        hdf5.H5File(b"CDF\x01" + b"\x00" * 100)
+    # fractal-heap (dense) group: link info with a real heap address
+    p = str(tmp_path / "dense.h5")
+    _write_minimal_v2_file(p, dense=True)
+    with pytest.raises(hdf5.HDF5Error, match="fractal-heap"):
+        hdf5.H5File(p)
+
+
+# ------------------------------------- superblock v2 / OHDR v2 path
+def _write_minimal_v2_file(path: str, dense: bool = False) -> None:
+    """Hand-encoded (writer-independent) superblock-v2 file: root group
+    as a v2 'OHDR' with compact Link messages -> one contiguous f8
+    dataset 'v' of shape (4,). Checksums are written as zeros — the
+    reader parses structure and does not verify them."""
+    def v2msg(mtype, body):
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    data = np.arange(4.0)
+    # dataset object header (v2)
+    ds_msgs = (
+        v2msg(hdf5.MSG_DATASPACE, struct.pack("<BBBBQ", 2, 1, 0, 1, 4))
+        + v2msg(hdf5.MSG_DATATYPE,
+                struct.pack("<B3BI", (1 << 4) | 1, 0x20, 63, 0, 8)
+                + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+        + v2msg(hdf5.MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, 0, 32))
+    )
+    # addresses: superblock 48 | root OHDR | ds OHDR | data
+    root_link = v2msg(
+        hdf5.MSG_LINK,
+        struct.pack("<BBB", 1, 0, 1) + b"v" + struct.pack("<Q", 0),
+    )
+    if dense:
+        root_li = v2msg(
+            hdf5.MSG_LINK_INFO, struct.pack("<BBQQ", 0, 0, 4096, 4096)
+        )
+    else:
+        root_li = v2msg(
+            hdf5.MSG_LINK_INFO,
+            struct.pack("<BBQQ", 0, 0, hdf5.H5_UNDEF, hdf5.H5_UNDEF),
+        )
+    root_body = root_li + root_link
+    root_hdr = b"OHDR" + struct.pack("<BBB", 2, 0, len(root_body))
+    ds_hdr = b"OHDR" + struct.pack("<BBB", 2, 0, len(ds_msgs))
+    root_addr = 48
+    ds_addr = root_addr + len(root_hdr) + len(root_body) + 4
+    data_addr = ds_addr + len(ds_hdr) + len(ds_msgs) + 4
+    # patch link target + layout address now that layout is known
+    root_link = v2msg(
+        hdf5.MSG_LINK,
+        struct.pack("<BBB", 1, 0, 1) + b"v" + struct.pack("<Q", ds_addr),
+    )
+    root_body = root_li + root_link
+    ds_msgs = ds_msgs[: len(ds_msgs) - 18] + struct.pack(
+        "<BBQQ", 3, 1, data_addr, 32
+    )
+    eof = data_addr + 32
+    sb = (
+        hdf5.H5_SIG
+        + struct.pack("<BBBB", 2, 8, 8, 0)
+        + struct.pack("<QQQQ", 0, hdf5.H5_UNDEF, eof, root_addr)
+        + b"\x00" * 4  # checksum (unverified)
+    )
+    assert len(sb) == 48
+    with open(path, "wb") as f:
+        f.write(sb + root_hdr + root_body + b"\x00" * 4)
+        f.write(ds_hdr + ds_msgs + b"\x00" * 4)
+        f.write(data.tobytes())
+
+
+def test_superblock_v2_ohdr_v2_compact_links(tmp_path):
+    p = str(tmp_path / "v2.h5")
+    _write_minimal_v2_file(p)
+    f = hdf5.H5File(p)
+    assert list(f.datasets) == ["v"]
+    assert np.array_equal(f.read("v"), np.arange(4.0))
+
+
+# ----------------------------------------- default codecs, zero h5py
+def test_scan_distributed_default_decoder_nc4(spark, tmp_path):
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc4(p)
+    df = scan_netcdf_distributed(spark, p, "zeta")
+    got = {(str(r.ts), r.node_id): r.value for r in df.collect()}
+    assert len(got) == len(mm.TIMESERIES)
+    for ts, nid, v in mm.TIMESERIES:
+        gv = got[(ts, nid)]
+        if v is None:
+            assert gv is None or (gv != gv)
+        else:
+            assert gv == pytest.approx(v, abs=0)
+
+
+@pytest.mark.parametrize("node_chunk", [None, 2])
+def test_scan_split_default_codecs_nc4(spark, tmp_path, node_chunk):
+    """scan_netcdf_split on NetCDF-4 with the DEFAULT splitter/range
+    decoder: splits come from the chunk B-tree (per compressed chunk —
+    node_chunk=2 forces multiple chunks per record) and the union of
+    all chunk tasks equals the whole-file scan."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        scan_netcdf_distributed,
+        scan_netcdf_split,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc4(p, node_chunk=node_chunk)
+    whole = scan_netcdf_distributed(spark, p, "zeta")
+    split = scan_netcdf_split(spark, p, "zeta")
+    key = lambda r: (str(r.ts), r.node_id)  # noqa: E731
+    a = sorted(((key(r), r.value) for r in whole.collect()))
+    b = sorted(((key(r), r.value) for r in split.collect()))
+    assert [k for k, _ in a] == [k for k, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert (va is None and vb is None) or va == vb or \
+            (va != va and vb != vb)
+
+
+def test_nc4_and_nc3_decode_identically(spark, tmp_path):
+    """The SAME micromesh content written as CDF-1 and as NetCDF-4
+    yields bit-identical rows through the default decoders — format
+    parity, not just plausibility."""
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    p3 = str(tmp_path / "c.nc")
+    p4 = str(tmp_path / "h.nc")
+    times, zeta, lon, lat, element = _micromesh_payload()
+    nc3.write_classic(
+        p3,
+        dims=[("time", None), ("node", len(lon))],
+        variables=[
+            {"name": "time", "dims": ["time"], "data": times,
+             "atts": {"units": f"seconds since {mm.T1} UTC"}},
+            {"name": "zeta", "dims": ["time", "node"], "data": zeta,
+             "atts": {"_FillValue": FILL}},
+        ],
+    )
+    _write_micromesh_nc4(p4)
+    rows3 = sorted(
+        ((str(r.ts), r.node_id), r.value)
+        for r in scan_netcdf_distributed(spark, p3, "zeta").collect()
+    )
+    rows4 = sorted(
+        ((str(r.ts), r.node_id), r.value)
+        for r in scan_netcdf_distributed(spark, p4, "zeta").collect()
+    )
+    assert [k for k, _ in rows3] == [k for k, _ in rows4]
+    for (_, v3), (_, v4) in zip(rows3, rows4):
+        assert (v3 is None and v4 is None) or v3 == v4 or \
+            (v3 != v3 and v4 != v4)
+
+
+def test_nc4_decode_feeds_regrid_golden(spark, tmp_path):
+    """The O1 'full yes' bar for NetCDF-4: a real .nc (HDF5 bytes)
+    decoded by the default codec, regridded through the SAME plan as
+    the fixture queries, equals the fixture-sourced regrid exactly."""
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc4(p)
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark),
+        mm.BIN_SIZE,
+    )
+    from_nc = regrid(w, scan_netcdf_distributed(spark, p, "zeta"))
+    from_fixture = regrid(w, mm.timeseries_df(spark))
+
+    def snap(df):
+        return sorted(
+            (str(r.ts), r.grid_row, r.grid_col,
+             None if r.value is None else round(r.value, 9))
+            for r in df.collect()
+        )
+
+    assert snap(from_nc) == snap(from_fixture)
+
+
+def test_python_datasource_default_codecs_nc4(spark, tmp_path):
+    """spark.read.format('adcirc_netcdf') on a NetCDF-4 file with NO
+    injected codecs — one InputPartition per chunk via the B-tree."""
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc4(p)
+    spark.dataSource.register(AdcircNetCDFDataSource)
+    df = (
+        spark.read.format("adcirc_netcdf")
+        .option("path", p)
+        .option("variable", "zeta")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(mm.TIMESERIES)
+    nulls = {(str(r.ts), r.node_id) for r in rows if r.value is None}
+    assert nulls == {(mm.T2, 3)}  # exactly the dry node
+
+
+def test_adcirc_nc4_to_tables(spark, tmp_path):
+    """adcirc_nc_to_tables on a NetCDF-4 input produces the same
+    engine-native table set as the classic path."""
+    from adcirctime2cogs_spark.sources.netcdf import adcirc_nc_to_tables
+
+    p = str(tmp_path / "fort.63.nc")
+    out = str(tmp_path / "tables")
+    _write_micromesh_nc4(p)
+    adcirc_nc_to_tables(spark, p, out, "zeta")
+    nodes = spark.read.parquet(f"{out}/mesh_nodes.parquet")
+    elems = spark.read.parquet(f"{out}/mesh_elements.parquet")
+    zeta = spark.read.parquet(f"{out}/zeta.parquet")
+    assert nodes.count() == len(mm.NODES)
+    assert elems.count() == len(mm.ELEMENTS)
+    assert zeta.count() == len(mm.TIMESERIES)
+    # element connectivity is back to 0-based (O4)
+    assert elems.agg({"n0": "min"}).first()[0] == 0
