@@ -135,3 +135,155 @@ def utm_inverse(easting_m, northing_m, zone, southern=False):
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
     lon = np.degrees(lam) + utm_central_meridian(np.asarray(zone))
     return lon, np.degrees(phi)
+
+
+# ------------------------------------------------- conic / polar CRS
+# Lambert Conformal Conic (2SP) and Polar Stereographic — the two
+# projection families met/ocean mosaics commonly target beyond
+# Mercator/UTM. Formulas are the public EPSG Guidance Note 7-2
+# methods 9802 and 9810/9829, element-wise numpy like everything
+# above so the same kernels back pandas UDFs and driver-side tests.
+
+def _ecc(f: float) -> float:
+    return np.sqrt(2.0 * f - f * f)
+
+
+def _lcc_m(phi, e):
+    return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+
+def _lcc_t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+
+
+def lcc_constants(lat1_deg: float, lat2_deg: float, lat0_deg: float,
+                  a: float = WGS84_A, f: float = WGS84_F):
+    """(n, a*F, r0) for an LCC 2SP with standard parallels lat1/lat2
+    and false-origin latitude lat0 (EPSG 9802)."""
+    e = _ecc(f)
+    p1, p2, p0 = (np.radians(v) for v in (lat1_deg, lat2_deg, lat0_deg))
+    m1, m2 = _lcc_m(p1, e), _lcc_m(p2, e)
+    t1, t2, t0 = _lcc_t(p1, e), _lcc_t(p2, e), _lcc_t(p0, e)
+    if lat1_deg == lat2_deg:
+        n = np.sin(p1)
+    else:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    aF = a * m1 / (n * t1 ** n)
+    r0 = aF * t0 ** n
+    return float(n), float(aF), float(r0)
+
+
+def lcc_forward(lon_deg, lat_deg, lat1_deg, lat2_deg, lat0_deg,
+                lon0_deg, fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG:4326 -> Lambert Conformal Conic 2SP (E_m, N_m)."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    e = _ecc(f)
+    n, aF, r0 = lcc_constants(lat1_deg, lat2_deg, lat0_deg, a, f)
+    r = aF * _lcc_t(np.radians(lat), e) ** n
+    theta = n * np.radians(lon - lon0_deg)
+    return fe + r * np.sin(theta), fn + r0 - r * np.cos(theta)
+
+
+def lcc_inverse(e_m, n_m, lat1_deg, lat2_deg, lat0_deg, lon0_deg,
+                fe: float = 0.0, fn: float = 0.0,
+                a: float = WGS84_A, f: float = WGS84_F):
+    """Lambert Conformal Conic 2SP -> EPSG:4326 (lon_deg, lat_deg)."""
+    E = np.asarray(e_m, dtype="float64") - fe
+    N = np.asarray(n_m, dtype="float64") - fn
+    ecc = _ecc(f)
+    n, aF, r0 = lcc_constants(lat1_deg, lat2_deg, lat0_deg, a, f)
+    rp = np.sign(n) * np.sqrt(E * E + (r0 - N) ** 2)
+    tp = (rp / aF) ** (1.0 / n)
+    theta = np.arctan2(np.sign(n) * E, np.sign(n) * (r0 - N))
+    # invert t(phi) by fixed point (converges < 1e-12 rad in ~6 iters)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    for _ in range(8):
+        s = ecc * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            tp * ((1.0 - s) / (1.0 + s)) ** (ecc / 2.0)
+        )
+    return np.degrees(theta / n) + lon0_deg, np.degrees(phi)
+
+
+def _ps_t(phi, e, north: bool):
+    s = np.sin(phi)
+    ratio = ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+    if north:
+        return np.tan(np.pi / 4.0 - phi / 2.0) * ratio
+    return np.tan(np.pi / 4.0 + phi / 2.0) / ratio
+
+
+def polar_stereo_k0(lat_ts_deg: float, a: float = WGS84_A,
+                    f: float = WGS84_F) -> float:
+    """Scale at the pole implied by a standard parallel (variant B ->
+    variant A conversion, EPSG 9829): k0 = mF*sqrt((1+e)^(1+e)
+    (1-e)^(1-e)) / (2 tF)."""
+    e = _ecc(f)
+    north = lat_ts_deg >= 0.0
+    pF = np.radians(lat_ts_deg)
+    mF = _lcc_m(pF, e)
+    tF = _ps_t(pF, e, north)
+    return float(
+        mF * np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        / (2.0 * tF)
+    )
+
+
+def polar_stereo_forward(lon_deg, lat_deg, lat_ts_deg, lon0_deg,
+                         fe: float = 0.0, fn: float = 0.0,
+                         a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG:4326 -> Polar Stereographic with standard parallel
+    lat_ts (variant B; hemisphere follows lat_ts's sign). lat_ts at
+    +-90 degenerates to variant A with k0 = 1."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    e = _ecc(f)
+    north = lat_ts_deg >= 0.0
+    k0 = polar_stereo_k0(lat_ts_deg, a, f)
+    t = _ps_t(np.radians(lat), e, north)
+    rho = (
+        2.0 * a * k0 * t
+        / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    )
+    theta = np.radians(lon - lon0_deg)
+    E = fe + rho * np.sin(theta)
+    N = fn - rho * np.cos(theta) if north else fn + rho * np.cos(theta)
+    return E, N
+
+
+def polar_stereo_inverse(e_m, n_m, lat_ts_deg, lon0_deg,
+                         fe: float = 0.0, fn: float = 0.0,
+                         a: float = WGS84_A, f: float = WGS84_F):
+    """Polar Stereographic (variant B) -> EPSG:4326."""
+    E = np.asarray(e_m, dtype="float64") - fe
+    N = np.asarray(n_m, dtype="float64") - fn
+    e = _ecc(f)
+    north = lat_ts_deg >= 0.0
+    k0 = polar_stereo_k0(lat_ts_deg, a, f)
+    rho = np.sqrt(E * E + N * N)
+    tp = rho * np.sqrt(
+        (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)
+    ) / (2.0 * a * k0)
+    if north:
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+    else:
+        phi = 2.0 * np.arctan(tp) - np.pi / 2.0
+    for _ in range(8):
+        s = e * np.sin(phi)
+        # invert t(phi): north tan(pi/4-phi/2) = t*((1-s)/(1+s))^(e/2),
+        # south tan(pi/4+phi/2) = t*((1+s)/(1-s))^(e/2)
+        if north:
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                tp * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+            )
+        else:
+            phi = 2.0 * np.arctan(
+                tp * ((1.0 + s) / (1.0 - s)) ** (e / 2.0)
+            ) - np.pi / 2.0
+    lam = np.arctan2(E, -N) if north else np.arctan2(E, N)
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)

@@ -228,3 +228,108 @@ def crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", r4(F.col("p.x_m")).alias("x_m"), r4(F.col("p.y_m")).alias("y_m")
     )
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("lcc_e", T.DoubleType()),
+    T.StructField("lcc_n", T.DoubleType()),
+    T.StructField("ps_e", T.DoubleType()),
+    T.StructField("ps_n", T.DoubleType()),
+]))
+def _conic_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Conic/polar CRS kernels (EPSG methods 9802 / 9829) as one
+    Arrow-batched UDF: Lambert Conformal Conic 2SP on the Canada
+    Atlas parallels (49/77, origin 49N 95W) and south Polar
+    Stereographic on the Australian-Antarctic parameters (lat_ts -71,
+    lon0 70E) applied to the mirrored latitude."""
+    from adcirctime2cogs_spark.functions.crs import (
+        lcc_forward,
+        polar_stereo_forward,
+    )
+
+    lo, la = lon.to_numpy(), lat.to_numpy()
+    le, ln = lcc_forward(lo, la, 49.0, 77.0, 49.0, -95.0)
+    pe, pn = polar_stereo_forward(lo, -la, -71.0, 70.0)
+    return pd.DataFrame({"lcc_e": le, "lcc_n": ln, "ps_e": pe, "ps_n": pn})
+
+
+_CONIC_ORACLE_SQL = """
+    WITH pt AS (
+      SELECT vec_id,
+             radians(CAST(-140 + vec_id % 90 AS DOUBLE)
+                     - (-95.0)) AS dlam,
+             radians(CAST(40 + vec_id % 44 AS DOUBLE)) AS phi,
+             radians(CAST(-140 + vec_id % 90 AS DOUBLE) - 70.0) AS pdlam,
+             radians(CAST(-(40 + vec_id % 44) AS DOUBLE)) AS sphi
+      FROM embeddings WHERE vec_id < 100
+    ), k AS (
+      SELECT sqrt(2.0 / 298.257223563
+                  - 1.0 / (298.257223563 * 298.257223563)) AS e,
+             6378137.0 AS a,
+             radians(49.0) AS p1, radians(77.0) AS p2,
+             radians(49.0) AS p0, radians(-71.0) AS pf
+    ), c1 AS (
+      SELECT *,
+        cos(p1) / sqrt(1.0 - (e * sin(p1)) * (e * sin(p1))) AS m1,
+        cos(p2) / sqrt(1.0 - (e * sin(p2)) * (e * sin(p2))) AS m2,
+        tan(pi() / 4.0 - p1 / 2.0)
+          / pow((1.0 - e * sin(p1)) / (1.0 + e * sin(p1)), e / 2.0) AS t1,
+        tan(pi() / 4.0 - p2 / 2.0)
+          / pow((1.0 - e * sin(p2)) / (1.0 + e * sin(p2)), e / 2.0) AS t2,
+        tan(pi() / 4.0 - p0 / 2.0)
+          / pow((1.0 - e * sin(p0)) / (1.0 + e * sin(p0)), e / 2.0) AS t0,
+        cos(pf) / sqrt(1.0 - (e * sin(pf)) * (e * sin(pf))) AS mf,
+        tan(pi() / 4.0 + pf / 2.0)
+          * pow((1.0 - e * sin(pf)) / (1.0 + e * sin(pf)), e / 2.0) AS tf,
+        sqrt(pow(1.0 + e, 1.0 + e) * pow(1.0 - e, 1.0 - e)) AS ec
+      FROM k
+    ), c2 AS (
+      SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM c1
+    ), c3 AS (
+      SELECT *, a * m1 / (n * pow(t1, n)) AS af,
+             mf * ec / (2.0 * tf) AS k0
+      FROM c2
+    ), c4 AS (SELECT *, af * pow(t0, n) AS r0 FROM c3)
+    SELECT vec_id,
+       round(af * pow(tan(pi() / 4.0 - phi / 2.0)
+               / pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0),
+             n) * sin(n * dlam), 4) AS lcc_e,
+       round(r0 - af * pow(tan(pi() / 4.0 - phi / 2.0)
+               / pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0),
+             n) * cos(n * dlam), 4) AS lcc_n,
+       round(2.0 * a * k0 * (tan(pi() / 4.0 + sphi / 2.0)
+               / pow((1.0 + e * sin(sphi)) / (1.0 - e * sin(sphi)), e / 2.0))
+             / ec * sin(pdlam), 4) AS ps_e,
+       round(2.0 * a * k0 * (tan(pi() / 4.0 + sphi / 2.0)
+               / pow((1.0 + e * sin(sphi)) / (1.0 - e * sin(sphi)), e / 2.0))
+             / ec * cos(pdlam), 4) AS ps_n
+    FROM pt CROSS JOIN c4
+"""
+
+
+@_register("crs_reproject_conic", _CONIC_ORACLE_SQL)
+def crs_reproject_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE conic + polar reprojection through the pandas-UDF
+    kernels: Lambert Conformal Conic 2SP (EPSG 9802, Canada Atlas
+    parallels — validated against the EPSG GN7-2 worked example in
+    tests/test_crs.py) and south Polar Stereographic variant B (EPSG
+    9829, Australian Antarctic parameters). The oracle restates the
+    FULL ellipsoidal formulas in SQL — standard-parallel constants
+    included — so DuckDB derives n, F, r0, k0 itself rather than
+    trusting embedded literals. Inputs keep |values| in the 1e5-1e7 m
+    range where double-precision agreement (~1e-8 m) clears the 4dp
+    rounding boundary."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pts = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 90 - 140).cast("double").alias("lon"),
+        (F.col("vec_id") % 44 + 40).cast("double").alias("lat"),
+    )
+    out = pts.withColumn("p", _conic_udf("lon", "lat"))
+    return out.select(
+        "vec_id",
+        r4(F.col("p.lcc_e")).alias("lcc_e"),
+        r4(F.col("p.lcc_n")).alias("lcc_n"),
+        r4(F.col("p.ps_e")).alias("ps_e"),
+        r4(F.col("p.ps_n")).alias("ps_n"),
+    )

@@ -41,72 +41,66 @@ _OPERATOR_MODULES = [
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-6 rotation.
-    # (1) modified this round: the four streaming parity rows
-    # (memory-sink materialize+drop), crs_reproject (real web-Mercator
-    # math + new transcendental oracle), vec_kmeans_lloyd (new unrolled
-    # DuckDB oracle) and sample_reservoir (deterministic bottom-k-by-
-    # hash semantics). stream_stream_interval_join and
-    # events_histogram_quantile_rollup are ALSO the two r05-noted
-    # never-verified rows.
-    "stream_session_flush",
-    "stream_tumbling_rollup",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "crs_reproject",
-    "vec_kmeans_lloyd",
+    # Round-7 rotation.
+    # (1) modified or added this round: sample_reservoir's hash now
+    # reduces the key mod 2^32 BEFORE the Knuth multiply (overflow
+    # fix), dedup_minhash_lsh_pairs gained the bucket-cap candidate
+    # path, and crs_reproject_conic is NEW (LCC + polar-stereo
+    # kernels, full-formula oracle — never externally verified).
     "sample_reservoir",
-    # ...and the image/audio kernels: real codecs + new oracles this
-    # round (mm_audio_* are NEW queries — no external signal yet)
-    "mm_image_decode",
-    "mm_resize",
-    "mm_audio_decode",
-    "mm_audio_frames",
-    # (2) oracled, never driver-verified
-    "events_histogram_quantile_rollup",
-    # (3) stalest greens — last verified r01 (five rounds ago)
-    "filter_predicates",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_theta_nl",
-    "join_asof_union_window",
-    "join_asof_forward",
-    "join_full_outer",
-    "join_sort_merge",
-    "agg_distinct",
-    "agg_stats",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_corr_covar",
-    "agg_exact_percentiles",
-    "win_running",
-    "win_lag_lead",
-    "win_distribution",
-    "sort_limit",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "scalar_string_date",
-    "scalar_path_parse",
-    "scalar_math",
-    "scalar_conditional",
-    "array_ops",
-    "array_explode_agg",
-    "map_struct_ops",
-    "subquery_in",
-    "date_trunc_agg",
-    "string_funcs2",
-    # (3) last verified r02
-    "win_rank",
-    "topk_per_group",
-    # (3) last verified r03 (agg_rollup/json_extract/join_range/
-    # join_asof — the four least-stale candidates — yielded their
-    # slots to the new image/audio rows)
-    "q1_pricing_summary",
-    "join_star_revenue",
+    "dedup_minhash_lsh_pairs",
+    "crs_reproject_conic",
+    # (3) stalest greens — the complete r03 cohort (4 rounds old; the
+    # "no green older than 4 rounds" line).
+    "micromesh_bbox",
+    "raster_grid_gen",
+    "regrid_synthetic",
+    "regrid_multivar",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "sim_threshold_pairs",
+    "vec_centroid_per_label",
+    "vec_quantize_int8",
+    "text_tokens",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf_top",
+    "prep_decontaminate",
+    "prep_quality_filter",
+    "prep_mixture_sample",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_time_weighted_avg",
+    "events_m4_downsample",
+    "udf_pandas_scalar",
+    "join_range",
+    "join_asof",
+    "agg_rollup",
+    "json_extract",
+    "subquery_correlated",
+    "array_funcs2",
+    "win_range_frame",
+    "join_skew_salted",
+    "join_lateral_topk",
+    # (3) then the stalest of the r04 cohort — the dedup/sim family
+    # the round-6 verdict called out, plus its text/prep neighbors.
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_survivors",
+    "sim_topk_bruteforce",
+    "sim_topk_bucketed",
+    "sim_topk_ivf",
+    "sim_knn_join",
+    "vec_covariance_matrix",
+    "vec_matryoshka_truncate",
+    "text_quality",
+    "text_bm25_topk",
+    "text_pii_redact",
+    "prep_chunk_windows",
+    "prep_seeded_shuffle",
+    "prep_source_cap",
 ]
 
 

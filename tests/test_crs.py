@@ -2,6 +2,7 @@
 projection invariants, round-trips, and the Spark UDF surface."""
 
 import numpy as np
+import pytest
 
 from adcirctime2cogs_spark.functions import crs
 
@@ -90,3 +91,97 @@ def test_utm_udf_matches_kernel(spark, sf_dir):
     assert np.allclose([r.easting for r in rows], e, atol=1e-9)
     assert np.allclose([r.northing for r in rows], n, atol=1e-9)
     assert [r.zone for r in rows] == list(z)
+
+
+# ------------------------------------------------ conic / polar CRS
+def test_lcc_matches_epsg_worked_example():
+    """EPSG Guidance Note 7-2 method 9802 worked example (NAD27 Texas
+    South Central, Clarke 1866, US survey feet): 28d30'N 96dW ->
+    E 2963503.91 ftUS, N 254759.80 ftUS."""
+    from adcirctime2cogs_spark.functions.crs import lcc_forward, lcc_inverse
+
+    a, f = 6378206.400, 1.0 / 294.97870
+    ft_us = 1200.0 / 3937.0
+    kw = dict(lat1_deg=28 + 23 / 60, lat2_deg=30 + 17 / 60,
+              lat0_deg=27 + 50 / 60, lon0_deg=-99.0,
+              fe=2_000_000.0 * ft_us, fn=0.0, a=a, f=f)
+    E, N = lcc_forward(-96.0, 28.5, **kw)
+    assert E / ft_us == pytest.approx(2963503.91, abs=0.01)
+    assert N / ft_us == pytest.approx(254759.80, abs=0.01)
+    lon, lat = lcc_inverse(E, N, **kw)
+    assert lon == pytest.approx(-96.0, abs=1e-9)
+    assert lat == pytest.approx(28.5, abs=1e-9)
+
+
+def test_polar_stereo_matches_epsg_worked_example():
+    """EPSG Guidance Note 7-2 method 9829 worked example (Australian
+    Antarctic, WGS84, lat_ts -71, lon0 70E, FE=FN=6e6): 75S 120E ->
+    E 7255380.79, N 7053389.56."""
+    from adcirctime2cogs_spark.functions.crs import (
+        polar_stereo_forward,
+        polar_stereo_inverse,
+    )
+
+    E, N = polar_stereo_forward(120.0, -75.0, -71.0, 70.0, 6e6, 6e6)
+    assert E == pytest.approx(7255380.79, abs=0.01)
+    assert N == pytest.approx(7053389.56, abs=0.01)
+    lon, lat = polar_stereo_inverse(E, N, -71.0, 70.0, 6e6, 6e6)
+    assert lon == pytest.approx(120.0, abs=1e-9)
+    assert lat == pytest.approx(-75.0, abs=1e-9)
+
+
+def test_lcc_scale_is_unity_on_standard_parallels():
+    """The defining conformal-conic property: projection scale k == 1
+    exactly on BOTH standard parallels (finite-difference arc ratio
+    against the ellipsoidal parallel radius nu*cos(phi))."""
+    from adcirctime2cogs_spark.functions import crs
+
+    e = np.sqrt(2 * crs.WGS84_F - crs.WGS84_F**2)
+    for phi in (49.0, 77.0):
+        d = 1e-6
+        E1, N1 = crs.lcc_forward(-95.0, phi, 49.0, 77.0, 49.0, -95.0)
+        E2, N2 = crs.lcc_forward(-95.0 + d, phi, 49.0, 77.0, 49.0, -95.0)
+        nu = crs.WGS84_A / np.sqrt(1 - (e * np.sin(np.radians(phi))) ** 2)
+        arc = nu * np.cos(np.radians(phi)) * np.radians(d)
+        assert np.hypot(E2 - E1, N2 - N1) / arc == pytest.approx(1.0, abs=1e-8)
+
+
+def test_polar_stereo_invariants_and_roundtrip():
+    """Pole maps to the false origin in both hemispheres; scale at the
+    standard parallel is 1; dense round-trips close to 1e-12 deg."""
+    from adcirctime2cogs_spark.functions import crs
+
+    E, N = crs.polar_stereo_forward(33.0, -90.0, -71.0, 70.0, 6e6, 6e6)
+    assert (E, N) == (pytest.approx(6e6, abs=1e-6), pytest.approx(6e6, abs=1e-6))
+    E, N = crs.polar_stereo_forward(0.0, 90.0, 70.0, -45.0)
+    assert (E, N) == (pytest.approx(0.0, abs=1e-6), pytest.approx(0.0, abs=1e-6))
+    # scale at lat_ts == 1 (finite difference along the parallel)
+    e = np.sqrt(2 * crs.WGS84_F - crs.WGS84_F**2)
+    for ts, phi in ((-71.0, -71.0), (70.0, 70.0)):
+        d = 1e-6
+        E1, N1 = crs.polar_stereo_forward(10.0, phi, ts, 0.0)
+        E2, N2 = crs.polar_stereo_forward(10.0 + d, phi, ts, 0.0)
+        nu = crs.WGS84_A / np.sqrt(1 - (e * np.sin(np.radians(phi))) ** 2)
+        arc = nu * np.cos(np.radians(phi)) * np.radians(d)
+        assert np.hypot(E2 - E1, N2 - N1) / arc == pytest.approx(1.0, abs=1e-8)
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    for ts, lat in ((-71.0, rng.uniform(-88.0, -60.0, 500)),
+                    (70.0, rng.uniform(60.0, 88.0, 500))):
+        E, N = crs.polar_stereo_forward(lon, lat, ts, -45.0)
+        lon2, lat2 = crs.polar_stereo_inverse(E, N, ts, -45.0)
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-11
+        assert np.abs(lat2 - lat).max() < 1e-11
+
+
+def test_lcc_roundtrip_dense():
+    from adcirctime2cogs_spark.functions import crs
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-140.0, -50.0, 1000)
+    lat = rng.uniform(40.0, 84.0, 1000)
+    E, N = crs.lcc_forward(lon, lat, 49.0, 77.0, 49.0, -95.0)
+    lon2, lat2 = crs.lcc_inverse(E, N, 49.0, 77.0, 49.0, -95.0)
+    assert np.abs(lon2 - lon).max() < 1e-11
+    assert np.abs(lat2 - lat).max() < 1e-11

@@ -230,6 +230,170 @@ def run_degenerate_bucket_leg(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_production_e2e_leg(
+    spark,
+    n: int = 1350,
+    res: float = 0.005,
+    nx: int = 8838,
+    ny: int = 8000,
+    n_ts: int = 2,
+) -> dict:
+    """The reference's ACTUAL production job, end-to-end from real .nc
+    bytes: an HSOFS-class mesh (n^2 = 1.8225M nodes, 2*(n-1)^2 = 3.64M
+    triangles — the reference's 1.81M/3.56M geometry) written as a
+    REAL classic NetCDF-3 fort.63.nc, ingested distributed via the
+    per-record byte-range scan (adcirc_nc_to_tables), then the full
+    CLI dataflow (pipeline.run_pipeline): bbox -> 8838x8000-edge grid
+    (the reference's production raster, run/adcircTime2cogs.py:151-158)
+    -> weights -> all-ts regrid -> REAL pure-Python COG bytes at
+    8837x7999 = 70.66M pixels/timestep -> mosaic sidecars -> zip.
+
+    zeta is a linear field (4*lon - 7*lat + 2 + t), so barycentric
+    interpolation is EXACT: every non-nodata pixel of the final COG
+    bytes is checked against closed-form expectation (read back via
+    read_geotiff, chunked rows so verification adds no memory spike).
+    Records per-phase wall plus driver peak RSS — this leg is the
+    scale proof for the COG writer at 70.7M-pixel images, the one
+    surface the synthetic legs never exercised."""
+    import resource
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.pipeline import run_pipeline
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+    from adcirctime2cogs_spark.sources import netcdf3 as nc3
+    from adcirctime2cogs_spark.sources.netcdf import adcirc_nc_to_tables
+
+    work = tempfile.mkdtemp(prefix="scale_prod_")
+    try:
+        # ---- real fort.63.nc -----------------------------------------
+        t0 = time.time()
+        span_x, span_y = (nx - 1) * res, (ny - 1) * res
+        lon0, lat0 = -90.0, 20.0
+        xs = lon0 + np.linspace(0.0, span_x, n)
+        ys = lat0 + np.linspace(0.0, span_y, n)
+        lon = np.repeat(xs, n)  # node (i, j) = i * n + j
+        lat = np.tile(ys, n)
+        i, j = np.meshgrid(np.arange(n - 1), np.arange(n - 1),
+                           indexing="ij")
+        a = (i * n + j).ravel()
+        b = ((i + 1) * n + j).ravel()
+        c = (i * n + j + 1).ravel()
+        d = ((i + 1) * n + j + 1).ravel()
+        element = np.concatenate([
+            np.stack([a, b, c], 1), np.stack([b, d, c], 1)
+        ]).astype("int32") + 1  # ADCIRC 1-based
+        times = np.arange(n_ts, dtype="float64") * 3600.0
+        zeta = (
+            4.0 * lon - 7.0 * lat + 2.0
+            + np.arange(n_ts, dtype="float64")[:, None]
+        )
+        nc_path = f"{work}/fort.63.nc"
+        nc3.write_classic(
+            nc_path,
+            dims=[("time", None), ("node", n * n),
+                  ("nele", len(element)), ("nvertex", 3)],
+            variables=[
+                {"name": "time", "dims": ["time"], "data": times,
+                 "atts": {"units": "seconds since 2000-01-01 00:00:00"}},
+                {"name": "x", "dims": ["node"], "data": lon},
+                {"name": "y", "dims": ["node"], "data": lat},
+                {"name": "depth", "dims": ["node"],
+                 "data": np.full(n * n, 100.0)},
+                {"name": "element", "dims": ["nele", "nvertex"],
+                 "data": element},
+                {"name": "zeta", "dims": ["time", "node"], "data": zeta,
+                 "atts": {"_FillValue": -99999.0, "units": "m"}},
+            ],
+            gatts={"model": "ADCIRC", "grid": "hsofs-scale synthetic"},
+        )
+        t_nc = time.time() - t0
+
+        # ---- distributed ingest (per-record byte-range tasks) --------
+        t0 = time.time()
+        tables = f"{work}/tables"
+        adcirc_nc_to_tables(spark, nc_path, tables, "zeta")
+        t_ingest = time.time() - t0
+
+        # ---- the production pipeline ---------------------------------
+        t0 = time.time()
+        result = run_pipeline(
+            spark, tables, f"{work}/out", f"{work}/final", "zeta", res
+        )
+        t_pipeline = time.time() - t0
+
+        # ---- verify the actual COG bytes -----------------------------
+        t0 = time.time()
+        import glob as _glob
+
+        cogs = sorted(_glob.glob(f"{result.cog_dir}/zeta.*"))
+        violations, nodata, checked = 0, 0, 0
+        nrows = ncols = 0
+        for k, cog in enumerate(cogs):
+            arr, tags = read_geotiff(cog)
+            nrows, ncols = arr.shape
+            # grid_spec_from_bbox ceil can add one edge beyond the
+            # requested raster — the extra rim just reads as nodata
+            assert nx - 1 <= ncols <= nx and ny - 1 <= nrows <= ny, arr.shape
+            cx = lon0 + (np.arange(ncols) + 0.5) * res
+            for r0 in range(0, nrows, 512):
+                block = arr[r0:r0 + 512]
+                cy = (lat0 + span_y) - (np.arange(r0, r0 + block.shape[0])
+                                        + 0.5) * res
+                exp = 4.0 * cx[None, :] - 7.0 * cy[:, None] + 2.0 + k
+                bad = np.isnan(block)
+                nodata += int(bad.sum())
+                # EXACT coverage invariant: the mesh hull is the bbox
+                # rectangle, so every centroid strictly inside it must
+                # interpolate (no holes) and the ceil-extra rim beyond
+                # it must be nodata — both directions are violations
+                interior = (
+                    (cy[:, None] > lat0) & (cy[:, None] < lat0 + span_y)
+                    & (cx[None, :] > lon0) & (cx[None, :] < lon0 + span_x)
+                )
+                violations += int((bad & interior).sum())  # hole
+                violations += int((~bad & ~interior).sum())  # rim value
+                ok = ~bad
+                checked += int(ok.sum())
+                violations += int(
+                    (np.abs(block[ok] - exp[ok]) > 1e-6).sum()
+                )
+        coverage = checked / (len(cogs) * nrows * ncols)
+        t_verify = time.time() - t0
+
+        import os as _os
+
+        peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        cog_bytes = sum(_os.path.getsize(p) for p in cogs)
+        return {
+            "leg": "production_e2e_hsofs",
+            "n_nodes": n * n,
+            "n_elements": len(element),
+            "n_ts": n_ts,
+            "raster": f"{nrows}x{ncols}",
+            "pixels_per_ts": nrows * ncols,
+            "nc_bytes": _os.path.getsize(nc_path),
+            "cog_bytes": cog_bytes,
+            "n_cogs": len(cogs),
+            "sidecars": len(result.sidecars),
+            "archive": bool(result.archive and _os.path.exists(result.archive)),
+            "coverage": round(coverage, 6),
+            "wall_write_nc": round(t_nc, 2),
+            "wall_ingest": round(t_ingest, 2),
+            "wall_pipeline": round(t_pipeline, 2),
+            "wall_verify": round(t_verify, 2),
+            "cells_per_sec": int(len(cogs) * nrows * ncols / t_pipeline),
+            "driver_peak_rss_mb": int(peak_rss_mb),
+            "violations": violations
+            + int(len(cogs) != n_ts)
+            + int(not result.archive),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def synth_embeddings(spark, out_dir: str, n_vecs: int, dim: int = 32,
                      n_probes: int = 5) -> None:
     """Fixture-shaped embeddings.parquet: n_vecs deterministic
@@ -767,6 +931,10 @@ def main() -> int:
     ap.add_argument("--hsofs", action="store_true",
                     help="run the reference's production geometry "
                          "(1.82M nodes, 8400^2 raster, 2 ts)")
+    ap.add_argument("--production", action="store_true",
+                    help="run the reference's ACTUAL production job "
+                         "end-to-end: real fort.63.nc -> ingest -> "
+                         "8838x8000 raster -> real COG bytes -> zip")
     ap.add_argument("--spill", action="store_true",
                     help="run the constrained-memory shuffle-regrid leg "
                          "in a 4g/16-thread subprocess JVM and record "
@@ -812,6 +980,11 @@ def main() -> int:
     rc = 0
     for leg, n, grid_n, n_ts in legs:
         res = run_leg(spark, leg, n, grid_n, n_ts)
+        print(json.dumps(res))
+        if res["violations"]:
+            rc = 1
+    if args.production:
+        res = run_production_e2e_leg(spark)
         print(json.dumps(res))
         if res["violations"]:
             rc = 1
