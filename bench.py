@@ -57,6 +57,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         # the headline set is a cross-round contract: a missing entry
         # silently shrinking the total would read as a speedup in the
@@ -64,12 +65,20 @@ def main() -> None:
         fn = queries[name]
         # min of 3 runs: measures the plan, not one-time codegen/JIT or
         # transient machine load (ambient throughput on this host was
-        # observed drifting ±30% between sessions)
+        # observed drifting ±30% between sessions). Run 1 is the COLD
+        # run — the registry's prepared-plan cache is empty in this
+        # fresh session, so it pays plan construction; runs 2-3 are
+        # pure re-execution. Both totals are reported so neither a
+        # plan-construction regression (cold) nor an execution
+        # regression (cached min) can hide behind the other.
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            if i == 0:
+                cold[name] = round(wall, 3)
+            best = min(best, wall)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -81,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cold_total": round(sum(cold.values()), 3),
+                "queries_cold": cold,
             }
         )
     )
