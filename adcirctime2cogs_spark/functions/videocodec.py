@@ -1,0 +1,153 @@
+"""Pure-Python uncompressed-AVI (RIFF) codec — struct + numpy, no
+video library.
+
+Companion to imagecodec.py / audiocodec.py for the multimodal operator
+family: the AVI container (public Microsoft "AVI RIFF File Reference")
+with BI_RGB device-independent-bitmap frames is simple enough to
+implement exactly, so the video operators can carry REAL encoded video
+through the binary-column plumbing and the frame sampler can really
+walk a container — an ffmpeg cluster swaps `decode_avi` for its
+demuxer and nothing else changes.
+
+Layout written/read here:
+
+    RIFF <size> 'AVI '
+      LIST 'hdrl'
+        'avih' (56)  micro-sec/frame, total frames, streams=1, w, h
+        LIST 'strl'
+          'strh' (56) fccType='vids', handler='DIB ', scale/rate (fps),
+                      length
+          'strf' (40) BITMAPINFOHEADER: 24-bit BI_RGB, height > 0
+      LIST 'movi'
+        '00db' <frame DIB>  x N   (bottom-up rows, BGR, rows pad to 4)
+      'idx1'  one entry per frame (flags=AVIIF_KEYFRAME)
+
+The reader walks chunks tolerantly (skips unknown LISTs/chunks, takes
+'00db'/'00dc' as frames, honors odd-size chunk padding) so files from
+other writers parse too; frames return as (n, h, w, 3) uint8 RGB,
+top-down.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+AVIIF_KEYFRAME = 0x10
+
+
+def _dib_encode(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB, top-down -> DIB pixel bytes (bottom-up,
+    BGR, rows padded to 4 bytes)."""
+    h, w, _ = frame.shape
+    bgr = frame[::-1, :, ::-1]  # bottom-up + channel swap
+    row = np.zeros((h, (w * 3 + 3) & ~3), dtype="u1")
+    row[:, : w * 3] = bgr.reshape(h, w * 3)
+    return row.tobytes()
+
+
+def _dib_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype="u1", count=h * stride).reshape(h, stride)
+    bgr = arr[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()  # back to top-down RGB
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes
+    (with an idx1 index, like real writers emit)."""
+    frames = np.ascontiguousarray(frames, dtype="u1")
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("encode_avi takes (n, h, w, 3) uint8 frames")
+    n, h, w, _ = frames.shape
+    dib = [_dib_encode(f) for f in frames]
+    frame_bytes = len(dib[0]) if dib else 0
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      frame_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"".join(chunk(b"00db", d) for d in dib)
+    movi = lst(b"movi", movi_body)
+    # idx1 offsets are relative to the start of the 'movi' list's kind
+    # field (the convention real muxers use)
+    idx_entries, off = [], 4
+    for d in dib:
+        idx_entries.append(struct.pack(
+            "<4sIII", b"00db", AVIIF_KEYFRAME, off, len(d)
+        ))
+        off += 8 + len(d) + (len(d) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes -> ((n, h, w, 3) uint8 RGB frames, fps)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    scale, rate = 1, 10
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        nonlocal w, h, scale, rate
+        end = min(end, len(data))
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            # a declared size past EOF is corruption, not a feature —
+            # raise the typed error rather than unpack off the end
+            if body + size > len(data):
+                raise ValueError(
+                    f"chunk {cid!r} declares {size} bytes past EOF"
+                )
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte kind
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("truncated avih chunk")
+                vals = struct.unpack_from("<10I", data, body)
+                w, h = vals[8], vals[9]
+            elif cid == b"strh":
+                if data[body:body + 4] == b"vids" and size >= 40:
+                    _, _, _, _, scale, rate = struct.unpack_from(
+                        "<IHHIII", data, body + 8
+                    )
+            elif cid == b"strf" and size >= 24:
+                _bs, bw, bh = struct.unpack_from("<Iii", data, body)
+                w, h = bw, abs(bh)
+            elif cid in (b"00db", b"00dc"):
+                frames.append(data[body:body + size])
+            pos = body + size + (size % 2)  # chunks pad to even
+
+    walk(12, len(data))
+    if w is None or h is None:
+        raise ValueError("missing avih/strf header")
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError(f"implausible frame dimensions {w}x{h}")
+    fps = rate // scale if scale else rate
+    out = np.stack([_dib_decode(f, w, h) for f in frames]) if frames else \
+        np.empty((0, h, w, 3), dtype="u1")
+    return out, int(fps)

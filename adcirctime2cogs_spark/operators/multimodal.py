@@ -155,32 +155,120 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("mm_frame_sample")  # mapInPandas kernel: rows-only check
+VIDEO_FPS = 10
+VIDEO_STRIDE = 2  # sample every k-th frame
+
+
+def _synth_video_dims(doc_id: int) -> tuple[int, int, int]:
+    """(w, h, n_frames) — small, doc_id-deterministic."""
+    return 8 + doc_id % 8, 6 + doc_id % 5, 4 + doc_id % 9
+
+
+def _synth_frames(doc_id: int):
+    """Deterministic RGB frames: pixel(y, x) carries
+    B = v, G = (v+1)%256, R = (v+2)%256 with
+    v = (doc_id + f*131 + y*17 + x*7) % 256 — position-dependent so a
+    decoder that forgets the DIB bottom-up flip or the BGR->RGB swap
+    produces different probe values, and integer so every reported
+    metric is SQL-expressible exactly."""
+    import numpy as np
+
+    w, h, nf = _synth_video_dims(doc_id)
+    f = np.arange(nf)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    v = (doc_id + f * 131 + y * 17 + x * 7) % 256
+    rgb = np.stack([(v + 2) % 256, (v + 1) % 256, v], axis=-1)
+    return rgb.astype("u1")
+
+
+def video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL uncompressed AVI
+    (functions/videocodec.py), generated executor-side."""
+    from adcirctime2cogs_spark.functions.videocodec import encode_avi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_avi(_synth_frames(d), VIDEO_FPS)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register(
+    "mm_frame_sample",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w,
+             6 + doc_id % 5 AS h,
+             4 + doc_id % 9 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, CAST(f.i AS INT) AS frame_idx
+      FROM docs CROSS JOIN range(13) f(i)
+      WHERE f.i < nf AND f.i % {VIDEO_STRIDE} = 0
+    )
+    SELECT fr.doc_id, fr.frame_idx,
+           fr.frame_idx * (1000 // {VIDEO_FPS}) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM((fr.doc_id + fr.frame_idx * 131
+                     + y.y * 17 + x.x * 7 + 2) % 256) AS BIGINT)
+             AS red_sum,
+           CAST((fr.doc_id + fr.frame_idx * 131 + 2) % 256 AS INT)
+             AS corner_red
+    FROM fr
+    CROSS JOIN range(10) y(y) CROSS JOIN range(15) x(x)
+    WHERE y.y < h AND x.x < w
+    GROUP BY fr.doc_id, fr.frame_idx, w, h
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Video' frame sampling: split each payload into fixed-size chunks
-    and emit every k-th chunk as a frame row (one->many inside
-    mapInPandas — the UDTF shape). Real pipelines swap the chunker for
-    ffmpeg keyframe extraction; partitioning/batching is identical."""
-    b = binary_docs(spark, sf_dir)
-    chunk, stride = 64, 2
+    """REAL video frame sampling: each payload is a genuine
+    uncompressed AVI; the kernel demuxes the RIFF container
+    (functions/videocodec.py), takes every {VIDEO_STRIDE}-th frame
+    (the ffmpeg -vf select='not(mod(n,k))' shape), and reports
+    per-frame metadata from the DECODED pixels. red_sum is the
+    R-channel integer sum and corner_red the decoded top-left R value
+    — both depend on the DIB bottom-up flip and the BGR->RGB swap
+    being performed, so the pure-arithmetic oracle only matches if
+    container walk + frame decode actually ran. One->many inside
+    mapInPandas, Arrow-batched; an ffmpeg cluster swaps decode_avi
+    for its demuxer, the Spark plumbing is identical."""
+    from adcirctime2cogs_spark.functions.videocodec import decode_avi
+
+    b = video_docs(spark, sf_dir)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_frames = [], [], []
+            ids, idxs, tss, ws, hs, sums, corners = ([] for _ in range(7))
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = [
-                    payload[i : i + chunk]
-                    for i in range(0, len(payload), chunk)
-                ][::stride]
-                out_ids.extend([doc_id] * len(frames))
-                out_idx.extend(range(len(frames)))
-                out_frames.extend(frames)
-            yield pd.DataFrame(
-                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
-            )
+                frames, fps = decode_avi(bytes(payload))
+                for f_idx in range(0, frames.shape[0], VIDEO_STRIDE):
+                    fr = frames[f_idx]
+                    ids.append(doc_id)
+                    idxs.append(f_idx)
+                    tss.append(f_idx * (1000 // fps))
+                    ws.append(fr.shape[1])
+                    hs.append(fr.shape[0])
+                    sums.append(int(fr[:, :, 0].astype("int64").sum()))
+                    corners.append(int(fr[0, 0, 0]))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "ts_ms": tss,
+                "width": ws, "height": hs, "red_sum": sums,
+                "corner_red": corners,
+            })
 
     return b.mapInPandas(
-        sample, schema="doc_id long, frame_idx int, frame binary"
+        sample,
+        schema="doc_id long, frame_idx int, ts_ms long, width int, "
+               "height int, red_sum bigint, corner_red int",
     )
 
 

@@ -45,11 +45,13 @@ _PRIORITY = [
     # (1) modified or added this round: sample_reservoir's hash now
     # reduces the key mod 2^32 BEFORE the Knuth multiply (overflow
     # fix), dedup_minhash_lsh_pairs gained the bucket-cap candidate
-    # path, and crs_reproject_conic is NEW (LCC + polar-stereo
-    # kernels, full-formula oracle — never externally verified).
+    # path, crs_reproject_conic is NEW (LCC + polar-stereo kernels,
+    # full-formula oracle), and mm_frame_sample was UPGRADED from
+    # rows-only to a real-AVI demux with an exact arithmetic oracle.
     "sample_reservoir",
     "dedup_minhash_lsh_pairs",
     "crs_reproject_conic",
+    "mm_frame_sample",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -99,7 +101,6 @@ _PRIORITY = [
     "text_bm25_topk",
     "text_pii_redact",
     "prep_chunk_windows",
-    "prep_seeded_shuffle",
     "prep_source_cap",
 ]
 

@@ -145,3 +145,37 @@ def test_image_audio_decoders_reject_garbage(junk, prefix):
             dec(prefix + junk)
         except ValueError:
             pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 8),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    fps=st.integers(1, 120),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_any_shape(n, h, w, fps, seed):
+    from adcirctime2cogs_spark.functions import videocodec as vc
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype="u1")
+    out, r = vc.decode_avi(vc.encode_avi(frames, fps))
+    assert r == fps and np.array_equal(out, frames)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=200),
+    prefix=st.sampled_from(
+        [b"", b"RIFF\x20\x00\x00\x00AVI ",
+         b"RIFF\x40\x00\x00\x00AVI LIST\x10\x00\x00\x00hdrlavih"]
+    ),
+)
+def test_avi_decoder_rejects_garbage(junk, prefix):
+    from adcirctime2cogs_spark.functions import videocodec as vc
+
+    try:
+        vc.decode_avi(prefix + junk)
+    except ValueError:
+        pass

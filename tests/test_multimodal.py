@@ -90,20 +90,88 @@ def test_resize_kernel_matches_local_resample(spark, sf_dir):
         assert r.out_w <= mm.RESIZE_BOX and r.out_h <= mm.RESIZE_BOX
 
 
-def test_frame_sample_reconstructs_bytes(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    payloads = {r.doc_id: r.text.encode("utf-8") for r in docs}
+def test_frame_sample_decodes_real_avi(spark, sf_dir):
+    """mm_frame_sample demuxes REAL AVI containers: every sampled
+    frame's metadata matches a local decode of the same synthetic
+    video, including the orientation/channel-sensitive probes."""
     rows = mm.mm_frame_sample(spark, sf_dir).collect()
-    got = {}
-    for r in rows:
-        got.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
-    chunk, stride = 64, 2
-    for doc_id, payload in payloads.items():
-        want = [payload[i:i + chunk] for i in range(0, len(payload), chunk)][::stride]
-        frames = got.get(doc_id, {})
-        assert len(frames) == len(want)
-        for i, w in enumerate(want):
-            assert frames[i] == w
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    n_expected = 0
+    for r in docs[:40] + docs[-5:]:
+        w, h, nf = mm._synth_video_dims(r.doc_id)
+        frames = mm._synth_frames(r.doc_id)
+        for f_idx in range(0, nf, mm.VIDEO_STRIDE):
+            row = got[(r.doc_id, f_idx)]
+            assert (row.width, row.height) == (w, h)
+            assert row.ts_ms == f_idx * 100
+            assert row.red_sum == int(
+                frames[f_idx][:, :, 0].astype("int64").sum()
+            )
+            assert row.corner_red == int(frames[f_idx][0, 0, 0])
+    for r in docs:
+        _, _, nf = mm._synth_video_dims(r.doc_id)
+        n_expected += len(range(0, nf, mm.VIDEO_STRIDE))
+    assert len(rows) == n_expected
+
+
+def test_avi_bytes_conform_to_spec():
+    """Byte-level conformance of the AVI writer against the public
+    RIFF layout, independently hand-decoded (not via decode_avi)."""
+    import struct
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.videocodec import encode_avi
+
+    frames = np.arange(3 * 4 * 5 * 3, dtype="u1").reshape(3, 4, 5, 3) % 256
+    buf = encode_avi(frames, fps=25)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    (riff_size,) = struct.unpack_from("<I", buf, 4)
+    assert 8 + riff_size == len(buf)
+    assert buf[12:16] == b"LIST" and buf[20:24] == b"hdrl"
+    assert buf[24:28] == b"avih"
+    vals = struct.unpack_from("<10I", buf, 32)
+    assert vals[0] == 1_000_000 // 25  # micro-sec per frame
+    assert vals[4] == 3  # total frames
+    assert (vals[8], vals[9]) == (5, 4)  # width, height
+    # one '00db' chunk per frame, rows padded to 4 bytes (5*3 -> 16)
+    assert buf.count(b"00db") == 3 + 3  # movi chunks + idx1 entries
+    assert b"idx1" in buf
+    i = buf.find(b"00db")
+    (dib_size,) = struct.unpack_from("<I", buf, i + 4)
+    assert dib_size == 4 * 16
+
+
+def test_avi_roundtrip_and_tolerant_walk():
+    import struct
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (5, 7, 9, 3), dtype="u1")  # odd width
+    buf = encode_avi(frames, fps=10)
+    out, fps = decode_avi(buf)
+    assert fps == 10 and np.array_equal(out, frames)
+    # an unknown odd-size chunk inserted before 'movi' must be skipped
+    # (and its pad byte honored)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    i = buf.find(b"movi") - 8  # start of the movi LIST header
+    patched = buf[:i] + junk + buf[i:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    out2, _ = decode_avi(patched)
+    assert np.array_equal(out2, frames)
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
 
 
 def test_feature_extract_matches_numpy(spark, sf_dir):
