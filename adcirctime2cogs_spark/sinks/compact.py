@@ -140,3 +140,179 @@ def compact_parquet(
         bytes_total=bytes_total,
         rows=rows_after,
     )
+
+
+class VersionedTable:
+    """Copy-on-write versioned parquet table with snapshot-isolated
+    readers — the plain-filesystem rendition of a table format's
+    manifest/snapshot mechanism, for tables a streaming sink keeps
+    mutating while queries run.
+
+    Layout: `root/vNNNNNNNN` immutable version directories plus a
+    `root/current` symlink naming the live one. EVERY mutation —
+    per-batch dynamic-partition overwrite or compaction — builds the
+    next version in a staging directory (unchanged files HARDLINKED
+    from the live version: metadata-only, no data copied; parquet
+    files are never edited in place, so sharing blocks is safe) and
+    publishes it by atomically re-pointing the symlink. Published
+    versions are never touched again.
+
+    Readers pin a snapshot with `snapshot()` (the resolved real path)
+    so their planned file list survives any number of later publishes
+    until garbage collection; GC keeps the newest `keep` versions, so
+    the isolation grace window is `keep - 1` publishes — size it to
+    the longest query (a cluster deployment would add lease files or
+    reference counts; on an object store the same design is a
+    manifest, not a symlink). Scanning through `current` itself is
+    only safe for queries that finish before the next publish — the
+    streaming tests pin snapshots, matching how Iceberg/Delta readers
+    pin a snapshot id.
+
+    Directory-swap compaction (`compact_parquet`) has neither
+    property: its two-step os.replace leaves a window where the table
+    path is missing and deletes the old files immediately. Streaming
+    sinks that interleave compaction with appends use this class.
+    """
+
+    def __init__(self, root: str, keep: int = 4):
+        self.root = root
+        self.keep = max(2, keep)
+        self.current = os.path.join(root, "current")
+        os.makedirs(root, exist_ok=True)
+        if not os.path.lexists(self.current):
+            os.makedirs(os.path.join(root, "v00000001"), exist_ok=True)
+            self._flip("v00000001")
+
+    # ---- read side --------------------------------------------------
+    def snapshot(self) -> str:
+        """Immutable path of the live version — what readers plan
+        against. Survives later publishes for `keep - 1` cycles."""
+        return os.path.realpath(self.current)
+
+    def version(self) -> int:
+        return int(os.path.basename(self.snapshot())[1:])
+
+    # ---- publish machinery ------------------------------------------
+    def _flip(self, version_name: str) -> None:
+        tmp = os.path.join(self.root, f".current-{uuid.uuid4().hex[:8]}")
+        os.symlink(version_name, tmp)
+        os.replace(tmp, self.current)  # atomic publish
+
+    def _gc(self) -> None:
+        versions = sorted(
+            int(n[1:]) for n in os.listdir(self.root)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+        for v in versions[: -self.keep]:
+            shutil.rmtree(os.path.join(self.root, f"v{v:08d}"),
+                          ignore_errors=True)
+
+    def _publish(self, build) -> str:
+        """build(staging_dir, live_snapshot_dir) populates the next
+        version; on success it is renamed into place and published."""
+        src = self.snapshot()
+        nxt_name = f"v{self.version() + 1:08d}"
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex[:8]}")
+        os.makedirs(staging)
+        try:
+            build(staging, src)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        os.replace(staging, os.path.join(self.root, nxt_name))
+        self._flip(nxt_name)
+        self._gc()
+        return nxt_name
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Hardlink every file of src into dst (dirs recreated):
+        metadata-only copy-on-write base for the next version."""
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            target = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(target, exist_ok=True)
+            for f in filenames:
+                try:
+                    os.link(os.path.join(dirpath, f), os.path.join(target, f))
+                except OSError:
+                    shutil.copy2(os.path.join(dirpath, f),
+                                 os.path.join(target, f))
+
+    # ---- mutations --------------------------------------------------
+    def mutate(self, write_fn) -> str:
+        """Publish a new version produced by `write_fn(table_dir)` run
+        against a hardlinked copy of the live version — e.g. a
+        dynamic-partition-overwrite batch write. The live version is
+        never touched, so pinned readers keep a consistent scan."""
+
+        def build(staging: str, src: str) -> None:
+            self._link_tree(src, staging)
+            write_fn(staging)
+
+        return self._publish(build)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_cols: tuple[str, ...] = (),
+        sort_cols: tuple[str, ...] = (),
+    ) -> CompactionStats:
+        """Compact the live version into the next one and publish it.
+        Content verification (count + order-independent xxhash64 sum)
+        gates the publish exactly like compact_parquet."""
+        src = self.snapshot()
+        files = _parquet_files(src)
+        bytes_total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-bytes_total // target_file_bytes))
+
+        def _probe(d: DataFrame) -> tuple[int, int]:
+            row = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(*d.columns).cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+            return int(row.n), int(row.h) if row.h is not None else 0
+
+        df = spark.read.parquet(src)
+        rows_before, hash_before = _probe(df)
+        rows_per_file = max(1, rows_before // n_out) if rows_before else 1
+        if sort_cols:
+            laid_out = df.repartitionByRange(
+                n_out, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+        elif partition_cols:
+            laid_out = df.repartition(n_out, *partition_cols)
+        else:
+            laid_out = df.repartition(n_out)
+
+        def build(staging: str, _src: str) -> None:
+            out = os.path.join(staging, "data")
+            writer = laid_out.write.mode("overwrite").option(
+                "maxRecordsPerFile", rows_per_file * 2
+            )
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(out)
+            rows_after, hash_after = _probe(spark.read.parquet(out))
+            if rows_after != rows_before or hash_after != hash_before:
+                raise RuntimeError(
+                    f"compaction mismatch: rows {rows_before} -> "
+                    f"{rows_after}, content hash {hash_before} -> "
+                    f"{hash_after}; {self.current} unchanged"
+                )
+            # hoist the verified write up to the version root
+            for name in os.listdir(out):
+                os.replace(os.path.join(out, name),
+                           os.path.join(staging, name))
+            os.rmdir(out)
+
+        self._publish(build)
+        return CompactionStats(
+            files_before=len(files),
+            files_after=len(_parquet_files(self.snapshot())),
+            bytes_total=bytes_total,
+            rows=rows_before,
+        )

@@ -106,15 +106,18 @@ class _Src:
             self._buf, self._path = None, _fs_path(str(src))
 
     def read(self, off: int, n: int) -> bytes:
-        if self._buf is not None:
-            b = self._buf[off:off + n]
-        else:
-            with open(self._path, "rb") as f:
-                f.seek(off)
-                b = f.read(n)
+        b = self.read_prefix(off, n)
         if len(b) != n:
             raise HDF5Error(f"short read at {off}+{n} (got {len(b)})")
         return b
+
+    def read_prefix(self, off: int, n: int) -> bytes:
+        """Up to n bytes — for signature probes on possibly-tiny files."""
+        if self._buf is not None:
+            return self._buf[off:off + n]
+        with open(self._path, "rb") as f:
+            f.seek(off)
+            return f.read(n)
 
 
 def _u16(b, o=0):
@@ -132,9 +135,11 @@ def _u64(b, o=0):
 # ------------------------------------------------------- superblock
 def _parse_superblock(s: _Src) -> int:
     """Returns the root group object header address."""
-    head = s.read(0, 96)
+    head = s.read_prefix(0, 96)
     if head[:8] != H5_SIG:
         raise NotHDF5("no HDF5 signature")
+    if len(head) < 96:
+        raise HDF5Error("file shorter than a superblock")
     ver = head[8]
     if ver in (0, 1):
         so, sl = head[13], head[14]

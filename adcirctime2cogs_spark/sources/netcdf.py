@@ -125,7 +125,13 @@ def _default_splitter(path: str, length: int, variable: str | None = None):
                 f"{not_classic}; NetCDF-4 splits are per-variable — call "
                 "with the variable name (scan_netcdf_split does)."
             ) from not_classic
-        return hdf5.nc4_splitter(path, length, variable)
+        try:
+            return hdf5.nc4_splitter(path, length, variable)
+        except hdf5.NotHDF5 as exc:
+            raise ValueError(
+                f"{not_classic}; and not HDF5-backed NetCDF-4 either "
+                f"({exc}) — not a NetCDF file this engine can split."
+            ) from exc
 
 
 def _default_range_decoder(path: str, variable: str, t_idx: int, offset: int, nbytes: int):

@@ -340,7 +340,11 @@ def materialize_and_drop_sink(spark: SparkSession, name: str) -> DataFrame:
 
 
 def run_continuous_rollup(
-    events: DataFrame, out_dir: str, checkpoint_dir: str
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    compact_target_bytes: int = 4 * 1024 * 1024,
 ) -> int:
     """Continuous aggregate (hypertable-style materialized rollup):
     maintain the tumbling-window counts as a PARTITIONED PARQUET TABLE,
@@ -354,24 +358,53 @@ def run_continuous_rollup(
 
     This is the lambda-free serving layer: readers see the same layout
     a batch rollup would write, while the stream keeps it current.
-    Returns the number of micro-batches processed."""
+    Returns the number of micro-batches processed.
+
+    With `compact_every`, the sink also runs the table-maintenance
+    loop a real lakehouse needs, through a snapshot-isolated
+    sinks/compact.VersionedTable: EVERY mutation — each batch's
+    dynamic-partition overwrite and every N-th batch's small-file
+    compaction — publishes a new immutable version (unchanged files
+    hardlinked, `out_dir/current` symlink atomically re-pointed), so
+    a reader that pinned `VersionedTable.snapshot()` scans one
+    consistent version no matter how many appends/compactions land
+    mid-query. Without `compact_every` the sink writes a plain
+    parquet directory as before."""
     agg = tumbling_counts(events).withColumn(
         "win_key",
         F.regexp_replace(F.col("win_start"), "[-: ]", ""),
     )
     n_batches = 0
+    vt = None
+    if compact_every:
+        from adcirctime2cogs_spark.sinks.compact import VersionedTable
+
+        vt = VersionedTable(out_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         if batch_df.isEmpty():
             return
         n_batches += 1
-        (
-            batch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("win_key", "event_type")
-            .parquet(out_dir)
-        )
+
+        def overwrite(table_dir: str) -> None:
+            (
+                batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("win_key", "event_type")
+                .parquet(table_dir)
+            )
+
+        if vt is None:
+            overwrite(out_dir)
+            return
+        vt.mutate(overwrite)
+        if n_batches % compact_every == 0:
+            vt.compact(
+                batch_df.sparkSession,
+                target_file_bytes=compact_target_bytes,
+                partition_cols=("win_key", "event_type"),
+            )
 
     q = (
         agg.writeStream.outputMode("update")

@@ -336,13 +336,17 @@ def test_netcdf_datasource_stream_reader(spark, tmp_path):
     assert vals == want
 
 
-def test_netcdf_split_default_splitter_gated(spark, tmp_path):
+def test_netcdf_split_rejects_non_netcdf(spark, tmp_path):
+    """A file that is neither classic NC-3 nor HDF5 fails the split
+    planner with a typed error naming BOTH rejected formats (the old
+    h5py gate is gone — NetCDF-4 now splits natively)."""
     from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
 
     nc = tmp_path / "y.nc"
     nc.write_bytes(b"00")
-    with pytest.raises(Exception, match="(?i)h5py|notimplemented"):
+    with pytest.raises(ValueError, match="(?i)not classic|cdf") as ei:
         scan_netcdf_split(spark, str(nc), "zeta")
+    assert "HDF5" in str(ei.value)
 
 
 class _FakeS3Client:

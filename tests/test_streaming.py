@@ -664,3 +664,145 @@ def test_foreachbatch_checkpoint_resume_exactly_once(spark, tmp_path):
         r.event_id for r in spark.read.parquet(out + "/batch=*").collect()
     )
     assert got == [1, 2, 3, 4, 5]  # each row exactly once across runs
+
+
+def test_continuous_rollup_with_interleaved_compaction(spark, sf_dir, tmp_path):
+    """The streaming maintenance loop (VERDICT r06 item 8): the
+    continuous rollup publishes every batch AND every compaction as an
+    immutable VersionedTable version, WHILE a reader thread pins
+    snapshots and scans — no read may ever fail or see a partial
+    state, a scan pinned before later publishes must still finish
+    (copy-on-write + GC grace), and the final table must equal the
+    batch rollup exactly."""
+    import os
+    import threading
+
+    from adcirctime2cogs_spark.sinks.compact import VersionedTable
+    from adcirctime2cogs_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = events.toPandas()
+    drops = tmp_path / "cdrops"
+    drops.mkdir()
+    n_drops = 6
+    step = len(pdf) // n_drops + 1
+    for i in range(n_drops):
+        chunk = pdf.iloc[i * step:(i + 1) * step]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(drops / f"_tmp{i}"))
+        part = next(
+            f for f in os.listdir(str(drops / f"_tmp{i}"))
+            if f.endswith(".parquet")
+        )
+        os.rename(str(drops / f"_tmp{i}" / part), str(drops / f"e{i}.parquet"))
+        os.utime(str(drops / f"e{i}.parquet"), (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(drops))
+    )
+    out = str(tmp_path / "rollup")
+
+    # hammer pinned snapshots from another thread for the whole run;
+    # every single read must succeed and be internally consistent
+    stop = threading.Event()
+    observations: list[tuple[int, int, int]] = []
+    errors: list[BaseException] = []
+
+    def reader():
+        vt = VersionedTable(out)
+        while not stop.is_set():
+            snap = vt.snapshot()
+            if not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(snap) for f in fs
+            ):
+                continue  # version not yet populated
+            try:
+                df = spark.read.parquet(snap)
+                row = df.agg(
+                    F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")
+                ).first()
+                observations.append(
+                    (vt.version(), int(row[0]), int(row[1] or 0))
+                )
+            except BaseException as exc:  # noqa: BLE001 — the assertion
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        n = sw.run_continuous_rollup(
+            stream, out, str(tmp_path / "ck"), compact_every=2
+        )
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, f"pinned reader failed mid-publish: {errors[0]!r}"
+    assert n >= 4
+    assert observations, "reader thread never completed a read"
+    assert all(c > 0 and s > 0 for _, c, s in observations)
+
+    vt = VersionedTable(out)
+    # every batch + every compaction published a version
+    assert vt.version() >= n + n // 2
+
+    # copy-on-write isolation: a scan PLANNED against a pinned
+    # snapshot survives further publishes (append + compaction)
+    pinned = spark.read.parquet(vt.snapshot())
+    pinned_rows = pinned.count()
+    vt.mutate(lambda d: None)  # no-op append publish
+    vt.compact(spark, partition_cols=("win_key", "event_type"))
+    assert pinned.count() == pinned_rows
+
+    # and the final compacted table still equals the batch rollup
+    got = spark.read.parquet(vt.snapshot()).drop("win_key")
+    batch = eventwindows.events_tumbling_window(spark, sf_dir)
+    cols = ["win_start", "event_type", "n", "total_value"]
+    got_rows = sorted(
+        (r[0], r[1], r[2], round(r[3], 6)) for r in got.select(*cols).collect()
+    )
+    batch_rows = sorted(
+        (r[0], r[1], r[2], round(r[3], 6))
+        for r in batch.select(*cols).collect()
+    )
+    assert got_rows == batch_rows
+
+
+def test_versioned_table_compaction_reduces_files(spark, tmp_path):
+    """Compaction really merges the per-batch small files, the content
+    hash gate holds, and GC bounds the version count."""
+    import os
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.sinks.compact import (
+        VersionedTable,
+        _parquet_files,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"), keep=2)
+    rng = np.random.default_rng(1)
+    for b in range(6):
+        pdf = __import__("pandas").DataFrame({
+            "k": rng.integers(0, 5, 200), "v": rng.normal(size=200)
+        })
+
+        def append(d, pdf=pdf):
+            spark.createDataFrame(pdf).coalesce(2).write.mode(
+                "append"
+            ).parquet(d)
+
+        vt.mutate(append)
+    before = len(_parquet_files(vt.snapshot()))
+    total = spark.read.parquet(vt.snapshot()).count()
+    stats = vt.compact(spark)
+    assert stats.files_after < before
+    assert spark.read.parquet(vt.snapshot()).count() == total == 1200
+    versions = [n for n in os.listdir(str(tmp_path / "t"))
+                if n.startswith("v")]
+    assert len(versions) <= 2  # GC kept only `keep`
