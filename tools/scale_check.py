@@ -230,6 +230,125 @@ def run_degenerate_bucket_leg(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _hsofs_mesh(n: int, res: float, nx: int, ny: int, n_ts: int):
+    """HSOFS-class synthetic mesh arrays: n^2 nodes on the raster's
+    bbox, 2*(n-1)^2 CCW triangles (1-based), linear zeta per ts."""
+    import numpy as np
+
+    span_x, span_y = (nx - 1) * res, (ny - 1) * res
+    lon0, lat0 = -90.0, 20.0
+    xs = lon0 + np.linspace(0.0, span_x, n)
+    ys = lat0 + np.linspace(0.0, span_y, n)
+    lon = np.repeat(xs, n)  # node (i, j) = i * n + j
+    lat = np.tile(ys, n)
+    i, j = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    a = (i * n + j).ravel()
+    b = ((i + 1) * n + j).ravel()
+    c = (i * n + j + 1).ravel()
+    d = ((i + 1) * n + j + 1).ravel()
+    element = np.concatenate([
+        np.stack([a, b, c], 1), np.stack([b, d, c], 1)
+    ]).astype("int32") + 1  # ADCIRC 1-based
+    times = np.arange(n_ts, dtype="float64") * 3600.0
+    zeta = (
+        4.0 * lon - 7.0 * lat + 2.0
+        + np.arange(n_ts, dtype="float64")[:, None]
+    )
+    return lon, lat, element, times, zeta, (lon0, lat0, span_x, span_y)
+
+
+def run_nc4_ingest_leg(
+    spark, n: int = 1350, n_ts: int = 2, node_chunk: int = 200_000
+) -> dict:
+    """Production-scale NetCDF-4 ingest: the SAME HSOFS-class payload
+    written once as classic CDF-1 and once as HDF5/NetCDF-4 (record
+    var chunked (1, node_chunk), deflate — ceil(1.8225M/200k)=10
+    chunks per timestep, so the split scan plans n_ts*10 byte-range
+    tasks from the v1 B-tree). Green = both formats ingest through
+    scan_netcdf_split to IDENTICAL aggregate checksums. This is the
+    pure-Python HDF5 codec's scale proof: multi-chunk deflate decode
+    of a 1.8M-node record variable, distributed."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.sources import hdf5
+    from adcirctime2cogs_spark.sources import netcdf3 as nc3
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
+
+    work = tempfile.mkdtemp(prefix="scale_nc4_")
+    try:
+        lon, lat, element, times, zeta, _ = _hsofs_mesh(
+            n, 0.005, 8838, 8000, n_ts
+        )
+        p3, p4 = f"{work}/c.nc", f"{work}/h.nc"
+        t0 = time.time()
+        nc3.write_classic(
+            p3,
+            dims=[("time", None), ("node", n * n)],
+            variables=[
+                {"name": "time", "dims": ["time"], "data": times,
+                 "atts": {"units": "seconds since 2000-01-01 00:00:00"}},
+                {"name": "zeta", "dims": ["time", "node"], "data": zeta,
+                 "atts": {"_FillValue": -99999.0}},
+            ],
+        )
+        t_write3 = time.time() - t0
+        t0 = time.time()
+        hdf5.write_netcdf4(
+            p4,
+            dims={"time": None, "node": n * n},
+            variables={
+                "time": (("time",), times,
+                         {"units": "seconds since 2000-01-01 00:00:00"}),
+                "zeta": (("time", "node"), zeta,
+                         {"_FillValue": np.float64(-99999.0)}),
+            },
+            compress=4,
+            node_chunk=node_chunk,
+        )
+        t_write4 = time.time() - t0
+
+        def checksum(path):
+            df = scan_netcdf_split(spark, path, "zeta")
+            row = df.agg(
+                F.count("*").alias("c"),
+                F.round(F.sum("value"), 4).alias("s"),
+                F.round(F.sum(F.col("value") * F.col("node_id")), 2).alias(
+                    "sw"
+                ),
+            ).first()
+            return int(row.c), float(row.s), float(row.sw)
+
+        t0 = time.time()
+        c3 = checksum(p3)
+        t_ingest3 = time.time() - t0
+        t0 = time.time()
+        c4 = checksum(p4)
+        t_ingest4 = time.time() - t0
+        n_splits4 = len(hdf5.nc4_splitter(p4, 0, "zeta"))
+        import os as _os
+
+        return {
+            "leg": "production_nc4_ingest",
+            "n_nodes": n * n,
+            "n_ts": n_ts,
+            "nc3_bytes": _os.path.getsize(p3),
+            "nc4_bytes": _os.path.getsize(p4),
+            "nc4_splits": n_splits4,
+            "rows": c3[0],
+            "wall_write_nc3": round(t_write3, 2),
+            "wall_write_nc4": round(t_write4, 2),
+            "wall_ingest_nc3": round(t_ingest3, 2),
+            "wall_ingest_nc4": round(t_ingest4, 2),
+            "violations": int(c3 != c4)
+            + int(n_splits4 != n_ts * -(-(n * n) // node_chunk)),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_production_e2e_leg(
     spark,
     n: int = 1350,
@@ -270,26 +389,10 @@ def run_production_e2e_leg(
     try:
         # ---- real fort.63.nc -----------------------------------------
         t0 = time.time()
-        span_x, span_y = (nx - 1) * res, (ny - 1) * res
-        lon0, lat0 = -90.0, 20.0
-        xs = lon0 + np.linspace(0.0, span_x, n)
-        ys = lat0 + np.linspace(0.0, span_y, n)
-        lon = np.repeat(xs, n)  # node (i, j) = i * n + j
-        lat = np.tile(ys, n)
-        i, j = np.meshgrid(np.arange(n - 1), np.arange(n - 1),
-                           indexing="ij")
-        a = (i * n + j).ravel()
-        b = ((i + 1) * n + j).ravel()
-        c = (i * n + j + 1).ravel()
-        d = ((i + 1) * n + j + 1).ravel()
-        element = np.concatenate([
-            np.stack([a, b, c], 1), np.stack([b, d, c], 1)
-        ]).astype("int32") + 1  # ADCIRC 1-based
-        times = np.arange(n_ts, dtype="float64") * 3600.0
-        zeta = (
-            4.0 * lon - 7.0 * lat + 2.0
-            + np.arange(n_ts, dtype="float64")[:, None]
+        lon, lat, element, times, zeta, box = _hsofs_mesh(
+            n, res, nx, ny, n_ts
         )
+        lon0, lat0, span_x, span_y = box
         nc_path = f"{work}/fort.63.nc"
         nc3.write_classic(
             nc_path,
@@ -984,10 +1087,13 @@ def main() -> int:
         if res["violations"]:
             rc = 1
     if args.production:
-        res = run_production_e2e_leg(spark)
-        print(json.dumps(res))
-        if res["violations"]:
-            rc = 1
+        for res in (
+            run_production_e2e_leg(spark),
+            run_nc4_ingest_leg(spark),
+        ):
+            print(json.dumps(res))
+            if res["violations"]:
+                rc = 1
     if args.corpus:
         for res in (
             run_corpus_lsh_leg(spark, args.corpus_docs),
