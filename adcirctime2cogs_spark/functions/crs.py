@@ -287,3 +287,140 @@ def polar_stereo_inverse(e_m, n_m, lat_ts_deg, lon0_deg,
             ) - np.pi / 2.0
     lam = np.arctan2(E, -N) if north else np.arctan2(E, N)
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+# ---------------------------------------------- Albers equal-area
+def _aea_q(phi, e):
+    s = np.sin(phi)
+    return (1.0 - e * e) * (
+        s / (1.0 - (e * s) ** 2)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def albers_constants(lat1_deg: float, lat2_deg: float, lat0_deg: float,
+                     a: float = WGS84_A, f: float = WGS84_F):
+    """(n, C, rho0) for an Albers Equal Area conic (EPSG 9822)."""
+    e = _ecc(f)
+    p1, p2, p0 = (np.radians(v) for v in (lat1_deg, lat2_deg, lat0_deg))
+    m1, m2 = _lcc_m(p1, e), _lcc_m(p2, e)
+    q1, q2, q0 = _aea_q(p1, e), _aea_q(p2, e), _aea_q(p0, e)
+    if lat1_deg == lat2_deg:
+        n = np.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    return float(n), float(C), float(rho0)
+
+
+def albers_forward(lon_deg, lat_deg, lat1_deg, lat2_deg, lat0_deg,
+                   lon0_deg, fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG:4326 -> Albers Equal Area (E_m, N_m), EPSG method 9822."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    e = _ecc(f)
+    n, C, rho0 = albers_constants(lat1_deg, lat2_deg, lat0_deg, a, f)
+    q = _aea_q(np.radians(lat), e)
+    rho = a * np.sqrt(C - n * q) / n
+    theta = n * np.radians(lon - lon0_deg)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(e_m, n_m, lat1_deg, lat2_deg, lat0_deg, lon0_deg,
+                   fe: float = 0.0, fn: float = 0.0,
+                   a: float = WGS84_A, f: float = WGS84_F):
+    """Albers Equal Area -> EPSG:4326 (lon_deg, lat_deg)."""
+    E = np.asarray(e_m, dtype="float64") - fe
+    N = np.asarray(n_m, dtype="float64") - fn
+    e = _ecc(f)
+    n, C, rho0 = albers_constants(lat1_deg, lat2_deg, lat0_deg, a, f)
+    rho = np.sqrt(E * E + (rho0 - N) ** 2)
+    qp = (C - (rho * n / a) ** 2) / n
+    theta = np.arctan2(np.sign(n) * E, np.sign(n) * (rho0 - N))
+    # authalic -> geodetic latitude by fixed point (EPSG 9822 iteration)
+    phi = np.arcsin(np.clip(qp / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi))
+        corr = (
+            qp / (1.0 - e * e)
+            - s / (1.0 - (e * s) ** 2)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+        phi = phi + denom * corr
+    return np.degrees(theta / n) + lon0_deg, np.degrees(phi)
+
+
+# --------------------------------------------------- EPSG dispatch
+# Parameter sets for the projected CRS a met/ocean raster pipeline
+# actually targets (all public EPSG registry definitions). UTM zones
+# (326xx north / 327xx south) are synthesized on demand.
+_EPSG_PARAMS = {
+    3857: ("webmercator", {}),
+    3978: ("lcc", dict(lat1_deg=49.0, lat2_deg=77.0, lat0_deg=49.0,
+                       lon0_deg=-95.0)),  # NAD83 Canada Atlas Lambert
+    2154: ("lcc", dict(lat1_deg=49.0, lat2_deg=44.0, lat0_deg=46.5,
+                       lon0_deg=3.0, fe=700_000.0, fn=6_600_000.0)),
+    # RGF93 Lambert-93 (France)
+    3031: ("ps", dict(lat_ts_deg=-71.0, lon0_deg=0.0)),
+    # WGS84 Antarctic Polar Stereographic
+    3413: ("ps", dict(lat_ts_deg=70.0, lon0_deg=-45.0)),
+    # WGS84 NSIDC Sea Ice Polar Stereographic North
+    5070: ("albers", dict(lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0,
+                          lon0_deg=-96.0)),  # NAD83 CONUS Albers
+}
+
+
+def epsg_forward(epsg: int, lon_deg, lat_deg):
+    """EPSG:4326 -> the projected CRS `epsg` (E, N). Supports 3857,
+    UTM 32601-32660 / 32701-32760, and the registered conic/polar
+    codes; raises ValueError for anything else (parity with the
+    reference's pyproj-backed to_crs, scoped to real kernels)."""
+    if epsg == 4326:
+        return (np.asarray(lon_deg, dtype="float64"),
+                np.asarray(lat_deg, dtype="float64"))
+    if 32601 <= epsg <= 32660:
+        e, n, _ = utm_forward(lon_deg, lat_deg, zone=epsg - 32600)
+        return e, n
+    if 32701 <= epsg <= 32760:
+        e, n, _ = utm_forward(lon_deg, lat_deg, zone=epsg - 32700)
+        return e, n
+    kind, kw = _EPSG_PARAMS.get(epsg, (None, None))
+    if kind == "webmercator":
+        return webmercator_forward(lon_deg, lat_deg)
+    if kind == "lcc":
+        return lcc_forward(lon_deg, lat_deg, **kw)
+    if kind == "ps":
+        return polar_stereo_forward(lon_deg, lat_deg, **kw)
+    if kind == "albers":
+        return albers_forward(lon_deg, lat_deg, **kw)
+    raise ValueError(
+        f"EPSG:{epsg} not in the built-in kernel set "
+        f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
+    )
+
+
+def epsg_inverse(epsg: int, e_m, n_m):
+    """Projected CRS `epsg` -> EPSG:4326 (lon_deg, lat_deg)."""
+    if epsg == 4326:
+        return (np.asarray(e_m, dtype="float64"),
+                np.asarray(n_m, dtype="float64"))
+    if 32601 <= epsg <= 32660:
+        return utm_inverse(e_m, n_m, epsg - 32600)
+    if 32701 <= epsg <= 32760:
+        return utm_inverse(e_m, n_m, epsg - 32700, southern=True)
+    kind, kw = _EPSG_PARAMS.get(epsg, (None, None))
+    if kind == "webmercator":
+        return webmercator_inverse(e_m, n_m)
+    if kind == "lcc":
+        return lcc_inverse(e_m, n_m, **kw)
+    if kind == "ps":
+        return polar_stereo_inverse(e_m, n_m, **kw)
+    if kind == "albers":
+        return albers_inverse(e_m, n_m, **kw)
+    raise ValueError(
+        f"EPSG:{epsg} not in the built-in kernel set "
+        f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
+    )

@@ -198,6 +198,40 @@ def utm_project_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"easting": e, "northing": n, "zone": z})
 
 
+def reproject_points(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    epsg: int,
+    out_cols: tuple[str, str] = ("easting", "northing"),
+) -> DataFrame:
+    """User-facing to_crs parity (the reference's geopandas to_crs,
+    run/adcircTime2cogs.py:44-46, generalized to the CRS a raster
+    pipeline actually targets): project lon/lat columns into any
+    EPSG code the kernel set covers — 3857, every UTM zone, Canada
+    Atlas / Lambert-93 LCC, Antarctic & NSIDC polar stereographic,
+    CONUS Albers. One Arrow-batched pandas UDF; unknown codes raise
+    at plan time, not per-row."""
+    from adcirctime2cogs_spark.functions.crs import epsg_forward
+
+    epsg_forward(int(epsg), 0.0, 0.0)  # validate the code plan-side
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("e", T.DoubleType()),
+        T.StructField("n", T.DoubleType()),
+    ]))
+    def proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from adcirctime2cogs_spark.functions.crs import epsg_forward
+
+        e, n = epsg_forward(int(epsg), lon.to_numpy(), lat.to_numpy())
+        return pd.DataFrame({"e": e, "n": n})
+
+    out = df.withColumn("_p", proj(F.col(lon_col), F.col(lat_col)))
+    return out.withColumn(out_cols[0], F.col("_p.e")).withColumn(
+        out_cols[1], F.col("_p.n")
+    ).drop("_p")
+
+
 @_register(
     "crs_reproject",
     """

@@ -185,3 +185,85 @@ def test_lcc_roundtrip_dense():
     lon2, lat2 = crs.lcc_inverse(E, N, 49.0, 77.0, 49.0, -95.0)
     assert np.abs(lon2 - lon).max() < 1e-11
     assert np.abs(lat2 - lat).max() < 1e-11
+
+
+def test_albers_equal_area_property():
+    """The defining property of EPSG 9822: the Jacobian determinant of
+    (E, N) wrt (lon, lat) in radians equals the ellipsoidal area
+    element a^2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2 — checked by finite
+    differences across the CONUS domain, plus k == 1 exactly on both
+    standard parallels."""
+    from adcirctime2cogs_spark.functions import crs
+
+    e2 = 2 * crs.WGS84_F - crs.WGS84_F**2
+    kw = dict(lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0, lon0_deg=-96.0)
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(-125.0, -66.0, 50)
+    lat = rng.uniform(24.0, 50.0, 50)
+    d = 1e-6
+    E0, N0 = crs.albers_forward(lon, lat, **kw)
+    E1, N1 = crs.albers_forward(lon + d, lat, **kw)
+    E2, N2 = crs.albers_forward(lon, lat + d, **kw)
+    dr = np.radians(d)
+    det = ((E1 - E0) * (N2 - N0) - (E2 - E0) * (N1 - N0)) / (dr * dr)
+    s2 = np.sin(np.radians(lat)) ** 2
+    want = crs.WGS84_A**2 * (1 - e2) * np.cos(np.radians(lat)) / (
+        1 - e2 * s2
+    ) ** 2
+    assert np.abs(det / want - 1.0).max() < 1e-6
+    for phi in (29.5, 45.5):
+        Ea, Na = crs.albers_forward(-96.0, phi, **kw)
+        Eb, Nb = crs.albers_forward(-96.0 + d, phi, **kw)
+        e = np.sqrt(e2)
+        nu = crs.WGS84_A / np.sqrt(1 - (e * np.sin(np.radians(phi))) ** 2)
+        arc = nu * np.cos(np.radians(phi)) * np.radians(d)
+        assert np.hypot(Eb - Ea, Nb - Na) / arc == pytest.approx(
+            1.0, abs=1e-8
+        )
+
+
+def test_epsg_dispatch_roundtrips_every_registered_code():
+    from adcirctime2cogs_spark.functions import crs
+
+    domains = {
+        3857: ((-170, 170), (-80, 80)),
+        3978: ((-140, -50), (40, 84)),
+        2154: ((-5, 9), (41, 51)),
+        3031: ((-180, 180), (-88, -60)),
+        3413: ((-180, 180), (60, 88)),
+        5070: ((-125, -66), (24, 50)),
+        32617: ((-84, -78), (0, 80)),
+        32722: ((-54, -48), (-80, 0)),
+    }
+    rng = np.random.default_rng(22)
+    for code, (lo_r, la_r) in domains.items():
+        lon = rng.uniform(*lo_r, 300)
+        lat = rng.uniform(*la_r, 300)
+        E, N = crs.epsg_forward(code, lon, lat)
+        lon2, lat2 = crs.epsg_inverse(code, E, N)
+        dlon = (np.asarray(lon2) - lon + 180.0) % 360.0 - 180.0
+        tol = 1e-8 if 32000 < code < 33000 else 1e-11  # UTM series trunc
+        assert np.abs(dlon).max() < tol, code
+        assert np.abs(lat2 - lat).max() < tol, code
+    with pytest.raises(ValueError, match="EPSG:9999"):
+        crs.epsg_forward(9999, 0.0, 0.0)
+
+
+def test_reproject_points_operator(spark):
+    """The to_crs-parity DataFrame operator: kernel values through the
+    Arrow UDF, plan-time validation of unknown codes."""
+    from adcirctime2cogs_spark.operators.udfs import reproject_points
+
+    pts = spark.createDataFrame(
+        [(0, -96.0, 35.0), (1, -80.0, 40.0)], "id long, lon double, lat double"
+    )
+    got = {
+        r.id: (r.easting, r.northing)
+        for r in reproject_points(pts, "lon", "lat", 5070).collect()
+    }
+    E, N = crs.epsg_forward(5070, np.array([-96.0, -80.0]),
+                            np.array([35.0, 40.0]))
+    assert got[0] == (pytest.approx(E[0]), pytest.approx(N[0]))
+    assert got[1] == (pytest.approx(E[1]), pytest.approx(N[1]))
+    with pytest.raises(ValueError, match="EPSG:1234"):
+        reproject_points(pts, "lon", "lat", 1234)

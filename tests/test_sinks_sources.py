@@ -73,7 +73,11 @@ def test_cog_header_bytes_conform_to_tiff_spec(spark, raster_long, tmp_path):
     geokeys = tags[gt.TAG_GEO_KEY_DIRECTORY]
     assert geokeys[:4] == (1, 1, 0, 3)
     assert (2048, 0, 1, 4326) == geokeys[12:16]   # GeographicType=EPSG:4326
-    # deflate tiles round-trip: one tile for the 5x5 raster
+    assert tags[gt.TAG_PREDICTOR] == 3  # TIFF TN3 floating-point
+    # deflate tiles round-trip: one tile for the 5x5 raster. The
+    # predictor inversion here is independently hand-coded (cumsum of
+    # the byte diffs, planes back to interleaved big-endian floats) —
+    # not the module's reader.
     n_tiles = 1
     offs = tags[gt.TAG_TILE_OFFSETS]
     counts = tags[gt.TAG_TILE_BYTE_COUNTS]
@@ -81,12 +85,15 @@ def test_cog_header_bytes_conform_to_tiff_spec(spark, raster_long, tmp_path):
     assert len(offs) == n_tiles
     import zlib
 
-    tile = np.frombuffer(
-        zlib.decompress(
-            buf[offs[0]:offs[0] + (counts if isinstance(counts, int) else counts[0])]
-        ),
-        dtype="<f8",
-    ).reshape(256, 256)
+    raw = zlib.decompress(
+        buf[offs[0]:offs[0] + (counts if isinstance(counts, int) else counts[0])]
+    )
+    d = np.frombuffer(raw, dtype="u1").reshape(256, 8 * 256)
+    planes = (np.cumsum(d.astype("u8"), axis=1) % 256).astype("u1")
+    tile = (
+        np.ascontiguousarray(planes.reshape(256, 8, 256).transpose(0, 2, 1))
+        .view(">f8").reshape(256, 256)
+    )
     assert np.isnan(tile[10, 10])  # padding carries the nodata value
 
 
@@ -660,3 +667,43 @@ def test_compact_parquet_partitioned_layout_preserved(spark, sf_dir, tmp_path):
     after = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
     assert after == before
     assert stats.files_after < stats.files_before
+
+
+def test_geotiff_float_predictor_roundtrip_and_payoff(tmp_path):
+    """Predictor=3 COGs are lossless (NaN included) for smooth, noisy,
+    and constant rasters; predictor=1 remains readable; and on a
+    smooth field the predictor genuinely pays (file an order of
+    magnitude smaller than the raw-bytes encoding)."""
+    import os
+
+    from adcirctime2cogs_spark.sinks import geotiff as gt
+
+    rng = np.random.default_rng(13)
+    # rows wider than zlib's 32 KB window (4500 * 8 B = 36 KB), the
+    # production regime where plain deflate can't exploit row-to-row
+    # similarity and the predictor's payoff shows
+    gx = np.linspace(0, 4, 4500)[None, :]
+    gy = np.linspace(0, 3, 320)[:, None]
+    cases = {
+        "smooth": 4.0 * gx - 7.0 * gy + 2.0,
+        "noisy": rng.normal(size=(320, 4500)),
+        "const": np.full((320, 4500), 7.25),
+    }
+    cases["smooth"][5:9, 17:40] = np.nan
+    tr = [0.0, 0.01, 0.0, 3.2, 0.0, -0.01]
+    for name, arr in cases.items():
+        p = str(tmp_path / f"{name}.tif")
+        gt.write_geotiff(p, arr, tr)
+        back, tags = gt.read_geotiff(p)
+        assert tags[gt.TAG_PREDICTOR] == 3
+        assert np.array_equal(np.isnan(back), np.isnan(arr)), name
+        m = ~np.isnan(arr)
+        assert np.array_equal(back[m], arr[m]), name
+    p1 = str(tmp_path / "nopred.tif")
+    gt.write_geotiff(p1, cases["smooth"], tr, predictor=1)
+    back, tags = gt.read_geotiff(p1)
+    assert gt.TAG_PREDICTOR not in tags
+    m = ~np.isnan(cases["smooth"])
+    assert np.array_equal(back[m], cases["smooth"][m])
+    assert os.path.getsize(str(tmp_path / "smooth.tif")) * 8 < \
+        os.path.getsize(p1)
