@@ -222,7 +222,11 @@ def polar_stereo_k0(lat_ts_deg: float, a: float = WGS84_A,
                     f: float = WGS84_F) -> float:
     """Scale at the pole implied by a standard parallel (variant B ->
     variant A conversion, EPSG 9829): k0 = mF*sqrt((1+e)^(1+e)
-    (1-e)^(1-e)) / (2 tF)."""
+    (1-e)^(1-e)) / (2 tF). lat_ts at exactly +-90 is the variant-A
+    limit k0 = 1 — the mF/tF ratio is 0/0 there (mF and tF both
+    vanish), so the limit is taken explicitly rather than computed."""
+    if abs(lat_ts_deg) == 90.0:
+        return 1.0
     e = _ecc(f)
     north = lat_ts_deg >= 0.0
     pF = np.radians(lat_ts_deg)

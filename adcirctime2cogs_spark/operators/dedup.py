@@ -314,12 +314,18 @@ WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
 # larger than this (a mass-duplicated boilerplate cluster putting k
 # near-identical docs in one LSH bucket) would emit k^2 pairs from a
 # single task; above the cap the enumeration switches to STAR pairs
-# against the bucket's min doc_id — O(k), streamed, no in-memory
-# array — which keeps duplicate-CLUSTER recall intact (connected
-# components recovers the clique from the star) while dropping only
-# the quadratic intra-cluster pair listing. lsh_bucket_stats()
-# surfaces how many buckets took the star path; zero at the test SFs
-# (asserted in tests) so the exact-pairs oracle stays byte-identical.
+# against TWO representatives (the bucket's min and max doc_id) —
+# O(2k), streamed, no in-memory array. Connected components recovers
+# the clique from either star, and using two independent reps means a
+# single band-hash-collision rep (a doc that landed in the bucket
+# WITHOUT being a real near-dup, whose verify edges all fail the
+# Jaccard threshold) cannot silently sever the cluster for that band;
+# both reps colliding falsely is quadratically unlikely, and the
+# other 3 bands still cover the cluster. The price is the quadratic
+# intra-cluster pair LISTING (star output feeds cluster-level dedup,
+# not per-pair listings). lsh_bucket_stats() surfaces how many
+# buckets took the star path; zero at the test SFs (asserted in
+# tests) so the exact-pairs oracle stays byte-identical.
 LSH_BUCKET_CAP = 64
 
 
@@ -357,7 +363,8 @@ def _lsh_candidates(bands):
         "band",
         "bkey",
         F.count("*").over(w).alias("bn"),
-        F.min("doc_id").over(w).alias("rep"),
+        F.min("doc_id").over(w).alias("rep_lo"),
+        F.max("doc_id").over(w).alias("rep_hi"),
     )
     small = (
         tagged.filter(F.col("bn").between(2, LSH_BUCKET_CAP))
@@ -366,8 +373,12 @@ def _lsh_candidates(bands):
         .select(F.explode("ds").alias("doc_a"), "ds")
         .select("doc_a", F.explode("ds").alias("doc_b"))
     )
-    star = tagged.filter(F.col("bn") > LSH_BUCKET_CAP).select(
-        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    over = tagged.filter(F.col("bn") > LSH_BUCKET_CAP)
+    star = over.select(
+        F.explode(F.array("rep_lo", "rep_hi")).alias("rep"), "doc_id"
+    ).select(
+        F.least("rep", "doc_id").alias("doc_a"),
+        F.greatest("rep", "doc_id").alias("doc_b"),
     )
     return (
         small.unionByName(star)
@@ -379,8 +390,9 @@ def _lsh_candidates(bands):
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
     """Operational stats for the LSH bucket distribution: total
     buckets, over-cap (star-path) buckets, and the max bucket size.
-    Surfaces the candidate pairs "dropped" to the star representation:
-    sum over over-cap buckets of (bn*(bn-1)/2 - (bn-1))."""
+    Surfaces the candidate pairs "dropped" to the two-representative
+    star encoding: sum over over-cap buckets of
+    (bn*(bn-1)/2 - (2*bn - 3))."""
     sh, stop, _ = _shingle_artifacts(spark, sf_dir)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
@@ -395,9 +407,10 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
         F.sum(
             F.when(
                 F.col("bn") > LSH_BUCKET_CAP,
-                (F.col("bn") * (F.col("bn") - 1) / 2 - (F.col("bn") - 1)).cast(
-                    "long"
-                ),
+                (
+                    F.col("bn") * (F.col("bn") - 1) / 2
+                    - (2 * F.col("bn") - 3)
+                ).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("pairs_dropped_to_star"),
     ).first()

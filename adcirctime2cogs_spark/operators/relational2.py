@@ -225,7 +225,7 @@ def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber
     FROM (
       SELECT l_orderkey, l_linenumber,
-             ((l_orderkey * 8 + l_linenumber) % 4294967296)
+             ((l_orderkey * 8 + l_linenumber) % 2147483648)
                * 2654435761 % 4294967296 AS h
       FROM lineitem
     )
@@ -248,11 +248,13 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. train-set sampling where re-runs must pick identical rows).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # reduce the key mod 2^32 BEFORE the Knuth multiply so the
-    # intermediate stays < 2^64 even at SF>=75 orderkeys (~3.5e9):
-    # int64 would otherwise wrap silently in Spark while DuckDB raises.
+    # reduce the key mod 2^31 BEFORE the Knuth multiply so the
+    # intermediate is bounded by (2^31-1)*2654435761 ~ 5.7e18 < 2^63-1
+    # at ANY scale factor: mod 2^32 would still overflow int64 for
+    # ~19% of residues (residue * 2654435761 up to 1.14e19), wrapping
+    # silently in Spark while DuckDB raises on the same multiply.
     h = (
-        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % F.lit(4294967296))
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % F.lit(2147483648))
         * F.lit(2654435761)
         % F.lit(4294967296)
     ).alias("h")

@@ -63,6 +63,24 @@ def _parquet_files(root: str) -> list[str]:
     return out
 
 
+def _content_probe(d: DataFrame) -> tuple[int, int]:
+    """Order-independent content fingerprint: row count + sum of
+    per-row xxhash64 (decimal(38,0) so ~1e19 hash values never
+    overflow the sum). Columns are hashed in SORTED NAME ORDER and
+    cast to string so the probe survives the schema drift a re-layout
+    legitimately introduces — writing partitionBy moves the partition
+    columns to the end of the read-back schema and re-infers their
+    type (string '2024-01-01' comes back as date). A rewrite that
+    preserves cardinality but corrupts values still changes the sum
+    and is caught before the swap/publish."""
+    cols = [F.col(c).cast("string") for c in sorted(d.columns)]
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(row.n), int(row.h) if row.h is not None else 0
+
+
 def compact_parquet(
     spark: SparkSession,
     table_dir: str,
@@ -82,20 +100,8 @@ def compact_parquet(
     bytes_total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
 
-    # order-independent content fingerprint: count + sum of per-row
-    # xxhash64 over ALL columns (decimal(38,0) so ~1e19 hash values
-    # never overflow the sum). A rewrite that preserves cardinality
-    # but corrupts values (codec bug, truncated column) changes the
-    # sum and is caught before the swap.
-    def _probe(d: DataFrame) -> tuple[int, int]:
-        row = d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*d.columns).cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return int(row.n), int(row.h) if row.h is not None else 0
-
     df = spark.read.parquet(table_dir)
-    rows_before, hash_before = _probe(df)
+    rows_before, hash_before = _content_probe(df)
     # bound rows per file from observed density so one hot partition
     # can't emit an unsplittable giant even in partitioned mode
     rows_per_file = max(1, rows_before // n_out) if rows_before else 1
@@ -117,7 +123,7 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
-    rows_after, hash_after = _probe(spark.read.parquet(tmp))
+    rows_after, hash_after = _content_probe(spark.read.parquet(tmp))
     if rows_after != rows_before or hash_after != hash_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -267,17 +273,8 @@ class VersionedTable:
         bytes_total = sum(os.path.getsize(f) for f in files)
         n_out = max(1, -(-bytes_total // target_file_bytes))
 
-        def _probe(d: DataFrame) -> tuple[int, int]:
-            row = d.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.xxhash64(*d.columns).cast("decimal(38,0)")
-                ).alias("h"),
-            ).first()
-            return int(row.n), int(row.h) if row.h is not None else 0
-
         df = spark.read.parquet(src)
-        rows_before, hash_before = _probe(df)
+        rows_before, hash_before = _content_probe(df)
         rows_per_file = max(1, rows_before // n_out) if rows_before else 1
         if sort_cols:
             laid_out = df.repartitionByRange(
@@ -296,7 +293,7 @@ class VersionedTable:
             if partition_cols:
                 writer = writer.partitionBy(*partition_cols)
             writer.parquet(out)
-            rows_after, hash_after = _probe(spark.read.parquet(out))
+            rows_after, hash_after = _content_probe(spark.read.parquet(out))
             if rows_after != rows_before or hash_after != hash_before:
                 raise RuntimeError(
                     f"compaction mismatch: rows {rows_before} -> "

@@ -659,6 +659,8 @@ class NC4File:
 
     def __init__(self, src):
         self.h5 = H5File(src)
+        self._chunk_index: dict[str, dict] = {}
+        self._times = None
         self.gatts = dict(self.h5.root_attrs)
         self.dims: dict[str, int] = {}
         self.unlimited: set[str] = set()
@@ -694,6 +696,26 @@ class NC4File:
 
     def read_var(self, name: str) -> np.ndarray:
         return self.h5.read(name)
+
+    def chunk_index(self, name: str) -> dict:
+        """addr -> (offsets, stored nbytes, filter mask), built ONCE
+        per (file, variable) from the B-tree and cached — the range
+        decoder's O(1) lookup (a linear rewalk per task would make the
+        distributed scan O(chunks^2) in total)."""
+        idx = self._chunk_index.get(name)
+        if idx is None:
+            idx = {
+                addr: (offs, nbytes, mask)
+                for offs, addr, nbytes, mask in self.h5.chunks(name)
+            }
+            self._chunk_index[name] = idx
+        return idx
+
+    def times(self) -> np.ndarray:
+        """CF-decoded time axis, decoded once per file and cached."""
+        if self._times is None:
+            self._times = _decode_times_nc4(self)
+        return self._times
 
 
 def is_hdf5(first_bytes: bytes) -> bool:
@@ -765,35 +787,44 @@ def decode_adcirc_nc4(path: str, content: bytes, variable: str):
 
 
 def nc4_splitter(path: str, length: int, variable: str):
-    """(t_idx, chunk offset, stored nbytes) per CHUNK of the record
-    variable — the NetCDF-4 analogue of netcdf3.classic_splitter. The
-    v1-btree chunk index is read once driver-side; each emitted split
-    covers exactly one compressed chunk, so a (T timesteps × C chunks/
-    row) dataset becomes T*C byte-range tasks. Rows with multiple
-    chunks repeat t_idx — each task emits only its node range."""
+    """(t_idx, chunk offset, stored nbytes) per (record, chunk) of the
+    record variable — the NetCDF-4 analogue of netcdf3's per-record
+    splits. The v1-btree chunk index is read once driver-side. A chunk
+    whose time dimension is 1 (netcdf-c's usual unlimited layout)
+    yields one split; a time-chunked layout (e.g. nccopy -c time/24
+    writing (24, N) chunks) yields one split PER RECORD the chunk
+    covers, all pointing at the same compressed chunk bytes — each
+    task decodes the chunk and emits only its own record's rows, so no
+    timestep is ever silently dropped. Rows split across several node
+    chunks additionally repeat t_idx across those chunks."""
     nc = nc4_for(path)
     if not nc.is_record(variable):
         return []
+    d = nc.h5.datasets[variable]
+    chunk_t = d.layout.chunk[0] if d.layout.chunk else 1
+    n_rec = d.shape[0]
     return [
-        (int(offs[0]), int(addr), int(nbytes))
+        (int(t), int(addr), int(nbytes))
         for offs, addr, nbytes, _mask in nc.h5.chunks(variable)
+        for t in range(offs[0], min(offs[0] + chunk_t, n_rec))
     ]
 
 
 def nc4_range_decoder(path: str, variable: str, t_idx: int,
                       offset: int, nbytes: int):
-    """(ts, node_ids, values_1d) for ONE chunk of one timestep —
-    scan_netcdf_split's range-decoder contract. The task reads ONLY its
-    compressed chunk bytes; chunk geometry comes from the (cached)
-    driver-planned index, times from the (tiny) time variable."""
+    """(ts, node_ids, values_1d) for ONE (record, chunk) split —
+    scan_netcdf_split's range-decoder contract. The task reads ONLY
+    its compressed chunk bytes; chunk geometry is an O(1) lookup in
+    the per-file cached index, times come from the cached time axis."""
     nc = nc4_for(path)
     d = nc.h5.datasets[variable]
-    match = None
-    for offs, addr, size, mask in nc.h5.chunks(variable):
-        if addr == offset:
-            match = (offs, size, mask)
-            break
-    if match is None or match[1] != nbytes or match[0][0] != t_idx:
+    match = nc.chunk_index(variable).get(offset)
+    chunk_t = d.layout.chunk[0] if d.layout.chunk else 1
+    if (
+        match is None
+        or match[1] != nbytes
+        or not (match[0][0] <= t_idx < match[0][0] + chunk_t)
+    ):
         raise ValueError(
             f"split [{offset}, +{nbytes}) for {variable}[{t_idx}] does not "
             "match any chunk in the file's index"
@@ -801,14 +832,14 @@ def nc4_range_decoder(path: str, variable: str, t_idx: int,
     offs, size, mask = match
     raw = _Src(path).read(offset, nbytes)
     arr = nc.h5._decode_chunk(d, raw, mask)
-    if d.layout.chunk[0] != 1:
+    if chunk_t != 1:
         arr = arr[t_idx - offs[0]:t_idx - offs[0] + 1]
     node0 = offs[-1]
     node_end = min(node0 + d.layout.chunk[-1], d.shape[-1])
     values = _masked_to_nan(
         arr.reshape(-1)[: node_end - node0], nc.vars[variable].atts
     )
-    ts = _decode_times_nc4(nc)[t_idx]
+    ts = nc.times()[t_idx]
     return ts, range(node0, node_end), values
 
 
@@ -911,6 +942,7 @@ def write_netcdf4(
     compress: int | None = 6,
     shuffle: bool = False,
     node_chunk: int | None = None,
+    time_chunk: int = 1,
 ) -> None:
     """Write a NetCDF-4 (HDF5) file.
 
@@ -918,8 +950,10 @@ def write_netcdf4(
     variables: {name: (dim_names, np.ndarray, atts_dict)} — a variable
     named like a dim with dims == (name,) becomes its coordinate
     variable (e.g. `time`). Record variables (first dim unlimited) are
-    chunked (1 record × node_chunk columns, default the full row) with
-    optional shuffle+deflate; everything else is contiguous.
+    chunked (time_chunk records × node_chunk columns, default 1 × the
+    full row — netcdf-c's usual unlimited layout; time_chunk > 1
+    reproduces nccopy-rechunked files) with optional shuffle+deflate;
+    everything else is contiguous.
     """
     dim_names = list(dims)
     sizes: dict[str, int] = {}
@@ -992,7 +1026,8 @@ def write_netcdf4(
 
     for d in wds:
         if d.maxshape and d.maxshape[0] == H5_UNDEF:
-            chunk = [1] + [n for n in d.shape[1:]]
+            chunk = [min(max(1, time_chunk), max(1, d.shape[0]))]
+            chunk += [n for n in d.shape[1:]]
             if node_chunk and len(chunk) > 1:
                 chunk[-1] = min(node_chunk, chunk[-1])
             d.chunk = tuple(max(1, c) for c in chunk)

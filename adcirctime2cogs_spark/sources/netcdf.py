@@ -52,7 +52,10 @@ def _default_decoder(path: str, content: bytes, variable: str):
         try:
             return hdf5.decode_adcirc_nc4(path, content, variable)
         except hdf5.HDF5Error as h5err:
-            pass  # out-of-subset layout: try the library fallback
+            # out-of-subset layout: try the library fallback. Keep the
+            # message — `except ... as` unbinds the variable at block
+            # exit, so referencing h5err below would UnboundLocalError.
+            h5_msg = str(h5err)
         try:
             import io
 
@@ -60,7 +63,7 @@ def _default_decoder(path: str, content: bytes, variable: str):
         except ImportError as exc:
             raise NotImplementedError(
                 f"{not_classic}; and the HDF5 layout is outside the "
-                f"built-in subset ({h5err}) with no xarray/netCDF4 in "
+                f"built-in subset ({h5_msg}) with no xarray/netCDF4 in "
                 "this environment — inject a decoder or convert offline "
                 "with netcdf_to_parquet on a codec-equipped host."
             ) from exc
@@ -150,6 +153,30 @@ def _default_range_decoder(path: str, variable: str, t_idx: int, offset: int, nb
 SPLIT_SCHEMA = "path string, t_idx int, offset long, nbytes long"
 
 
+def plan_splits(splitter: Callable, path: str, length: int, variable: str):
+    """Invoke a splitter with (path, length, variable) when its
+    signature accepts a third positional arg, else (path, length) —
+    decided by inspection, NOT by catching TypeError: a genuine
+    TypeError raised INSIDE a 3-arg splitter must propagate, not
+    trigger a silent 2-arg re-invocation (which would mask the real
+    bug, or re-plan different splits for a defaulted third param).
+    Shared by scan_netcdf_split and both DataSource readers."""
+    import inspect
+
+    try:
+        params = list(inspect.signature(splitter).parameters.values())
+        positional = [
+            p for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        variadic = any(p.kind == p.VAR_POSITIONAL for p in params)
+    except (TypeError, ValueError):  # C callables with no signature
+        positional, variadic = [None, None], False
+    if variadic or len(positional) >= 3:
+        return splitter(path, length, variable)
+    return splitter(path, length)
+
+
 def scan_netcdf_split(
     spark: SparkSession,
     path_glob: str,
@@ -182,16 +209,12 @@ def scan_netcdf_split(
         .select("path", "length")
         .collect()
     )
-    def plan(path: str, length: int):
-        try:  # NetCDF-4 splits are per-variable; injected 2-arg
-            return splitter(path, length, variable)  # splitters still work
-        except TypeError:
-            return splitter(path, length)
-
     specs = [
         (f.path, int(t_idx), int(offset), int(nbytes))
         for f in files
-        for (t_idx, offset, nbytes) in plan(f.path, int(f.length))
+        for (t_idx, offset, nbytes) in plan_splits(
+            splitter, f.path, int(f.length), variable
+        )
     ]
     splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
         max(len(specs), 1), "path", "t_idx"

@@ -84,16 +84,14 @@ class _NetCDFReader(DataSourceReader):
             raise FileNotFoundError(
                 f"adcirc_netcdf: no files matched path pattern {self.path!r}"
             )
-        def plan(p: str, length: int):
-            try:  # NetCDF-4 splits are per-variable; injected 2-arg
-                return self.splitter(p, length, self.variable)
-            except TypeError:
-                return self.splitter(p, length)
+        from adcirctime2cogs_spark.sources.netcdf import plan_splits
 
         return [
             _TimestepSplit(p, int(t), int(off), int(nb))
             for p in paths
-            for (t, off, nb) in plan(p, os.path.getsize(p))
+            for (t, off, nb) in plan_splits(
+                self.splitter, p, os.path.getsize(p), self.variable
+            )
         ]
 
     def read(self, split: _TimestepSplit) -> Iterator[tuple]:
@@ -175,10 +173,9 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         self.range_decoder = range_decoder
 
     def _plan(self, p: str, length: int):
-        try:  # NetCDF-4 splits are per-variable; injected 2-arg
-            return self.splitter(p, length, self.variable)
-        except TypeError:
-            return self.splitter(p, length)
+        from adcirctime2cogs_spark.sources.netcdf import plan_splits
+
+        return plan_splits(self.splitter, p, length, self.variable)
 
     def initialOffset(self) -> dict:
         return {"consumed": {}}

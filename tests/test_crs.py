@@ -267,3 +267,15 @@ def test_reproject_points_operator(spark):
     assert got[1] == (pytest.approx(E[1]), pytest.approx(N[1]))
     with pytest.raises(ValueError, match="EPSG:1234"):
         reproject_points(pts, "lon", "lat", 1234)
+
+
+def test_polar_stereo_k0_pole_limit():
+    """lat_ts at exactly +-90 is the variant-A limit k0 = 1 (the raw
+    mF/tF ratio is 0/0 there), and it approaches 1 continuously."""
+    assert crs.polar_stereo_k0(90.0) == 1.0
+    assert crs.polar_stereo_k0(-90.0) == 1.0
+    assert crs.polar_stereo_k0(89.9999) == pytest.approx(1.0, abs=1e-8)
+    E, N = crs.polar_stereo_forward(12.0, 88.0, 90.0, 0.0)
+    assert np.isfinite(E) and np.isfinite(N)
+    lon, lat = crs.polar_stereo_inverse(E, N, 90.0, 0.0)
+    assert (lon, lat) == (pytest.approx(12.0), pytest.approx(88.0))

@@ -140,10 +140,11 @@ def test_hll_sketch_rollup_merge_equals_direct(spark, sf_dir):
 
 
 def test_lsh_bucket_cap_star_path(spark):
-    """Over-cap LSH buckets must switch from all-pairs to star pairs:
-    a 100-doc bucket (> LSH_BUCKET_CAP=64) emits 99 star pairs against
-    its min doc_id, never the 4950 all-pairs; a 3-doc bucket still
-    enumerates all 3 pairs."""
+    """Over-cap LSH buckets must switch from all-pairs to TWO-rep star
+    pairs: a 100-doc bucket (> LSH_BUCKET_CAP=64) emits the min-rep
+    star (0, i) plus the max-rep star (i, 99) — 2n-3 = 197 pairs, never
+    the 4950 all-pairs — so one false-positive representative cannot
+    sever the cluster; a 3-doc bucket still enumerates all 3 pairs."""
     from adcirctime2cogs_spark.operators.dedup import (
         LSH_BUCKET_CAP,
         _lsh_candidates,
@@ -155,9 +156,12 @@ def test_lsh_bucket_cap_star_path(spark):
     ]
     bands = spark.createDataFrame(rows, "doc_id long, band int, bkey string")
     got = {(r.doc_a, r.doc_b) for r in _lsh_candidates(bands).collect()}
-    star = {(0, i) for i in range(1, 100)}
+    star = {(0, i) for i in range(1, 100)} | {
+        (i, 99) for i in range(99)
+    }
     small_pairs = {(200, 201), (200, 202), (201, 202)}
     assert got == star | small_pairs
+    assert len(star) == 2 * 100 - 3
 
 
 def test_lsh_bucket_stats_no_over_cap_at_test_sf(spark, sf_dir):

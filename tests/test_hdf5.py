@@ -414,3 +414,30 @@ def test_adcirc_nc4_to_tables(spark, tmp_path):
     assert zeta.count() == len(mm.TIMESERIES)
     # element connectivity is back to 0-based (O4)
     assert elems.agg({"n0": "min"}).first()[0] == 0
+
+
+@pytest.mark.parametrize("time_chunk,node_chunk", [(2, None), (3, 2)])
+def test_scan_split_time_chunked_layout(spark, tmp_path, time_chunk,
+                                        node_chunk):
+    """nccopy-style time-chunked layouts (chunk time dim > 1) must not
+    drop records: the splitter emits one split PER RECORD a chunk
+    covers (3 records / chunk 2 -> an edge chunk), and the union of
+    all splits equals the whole-file scan."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        scan_netcdf_distributed,
+        scan_netcdf_split,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc4(p, time_chunk=time_chunk, node_chunk=node_chunk)
+    splits = hdf5.nc4_splitter(p, 0, "zeta")
+    assert sorted({t for t, _, _ in splits}) == [0, 1, 2]  # no record lost
+    whole = scan_netcdf_distributed(spark, p, "zeta")
+    split = scan_netcdf_split(spark, p, "zeta")
+    key = lambda r: (str(r.ts), r.node_id)  # noqa: E731
+    a = sorted(((key(r), r.value) for r in whole.collect()))
+    b = sorted(((key(r), r.value) for r in split.collect()))
+    assert [k for k, _ in a] == [k for k, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert (va is None and vb is None) or va == vb or \
+            (va != va and vb != vb)
