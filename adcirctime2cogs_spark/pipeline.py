@@ -47,6 +47,7 @@ class PipelineResult:
     archive: str
     sidecars: list[str]
     uploaded: bool = False
+    timings: dict | None = None  # per-phase wall seconds
 
 
 def run_pipeline(
@@ -61,7 +62,13 @@ def run_pipeline(
     s3_client=None,
 ) -> PipelineResult:
     """The whole dataflow; returns a small result summary (files are
-    the real output, like the reference)."""
+    the real output, like the reference) plus per-phase wall timings
+    (weights build / regrid+COG / sidecars+zip) so scale runs can
+    attribute cost without re-instrumenting."""
+    import time
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
     nodes, elements = load_mesh(spark, input_dir)
     tsv = load_timeseries(spark, input_dir, variable)
 
@@ -72,6 +79,11 @@ def run_pipeline(
     # bin size ~ a few cell widths (SURVEY §7 "what's hard")
     weights = build_weights(cells, nodes, elements, bin_size=res * bin_size_cells)
     weights = weights.cache()  # O13-O15, hoisted once (P6)
+    # materialize the cache now: the regrid action then reuses it, and
+    # the weights build gets its own wall-clock attribution for free
+    weights.count()
+    timings["weights"] = round(time.time() - t0, 2)
+    t0 = time.time()
 
     # parquet-metadata count: broadcast the node values (skipping the
     # node_id shuffle of the exploded weights) when the whole slice
@@ -82,9 +94,12 @@ def run_pipeline(
 
     cog_dir = os.path.join(output_dir, variable)
     manifest = write_cogs(raster_long, spec, cog_dir, prefix=variable).collect()
+    timings["regrid_cog"] = round(time.time() - t0, 2)
+    t0 = time.time()
 
     sidecars = write_mosaic_sidecars(cog_dir, f"{variable}_mosaic")  # O21
     archive = archive_output(cog_dir, final_dir)  # O22
+    timings["sidecar_zip"] = round(time.time() - t0, 2)
     uploaded = False
     if s3_bucket:
         # O23 (reference run/utilities/s3_utilities.py:33-49): ensure
@@ -111,6 +126,7 @@ def run_pipeline(
         archive=archive,
         sidecars=sidecars,
         uploaded=uploaded,
+        timings=timings,
     )
 
 

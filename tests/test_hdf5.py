@@ -441,3 +441,83 @@ def test_scan_split_time_chunked_layout(spark, tmp_path, time_chunk,
     for (_, va), (_, vb) in zip(a, b):
         assert (va is None and vb is None) or va == vb or \
             (va != va and vb != vb)
+
+
+def test_streaming_nc4_drops_to_cog_zero_injection(spark, tmp_path):
+    """The reference's production flow, live, with NetCDF-4 advisories:
+    per-advisory HDF5 .nc drops -> readStream .format('adcirc_netcdf')
+    decoding through the built-in HDF5 subset (chunk B-tree splits,
+    deflate inline) -> watermarked streaming regrid -> per-timestep
+    COGs, cell-identical to the batch pipeline — the NetCDF-4 twin of
+    test_netcdf3's classic streaming test."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.plans.regrid import regrid
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        AdcircNetCDFDataSource,
+    )
+    from adcirctime2cogs_spark.streaming import regrid_stream as rs
+
+    ts_batch = mm.timeseries_df(spark).withColumn("ts", F.to_timestamp("ts"))
+    pdf = ts_batch.toPandas().sort_values(["ts", "node_id"])
+    stamps = sorted(pdf["ts"].unique())
+    base_t = pd.Timestamp(stamps[0])
+
+    drops = tmp_path / "nc4"
+    drops.mkdir()
+    frames = [(t, pdf[pdf["ts"] == t]) for t in stamps]
+    # sentinel advisory advances the watermark past the last real ts
+    frames.append((stamps[-1] + np.timedelta64(2, "h"), frames[0][1]))
+    for i, (t, frame) in enumerate(frames):
+        vals = frame.sort_values("node_id")["value"].astype(
+            "float64"
+        ).to_numpy()
+        vals = np.where(np.isnan(vals), FILL, vals)
+        secs = (pd.Timestamp(t) - base_t).total_seconds()
+        p = str(drops / f"adv{i}.nc")
+        hdf5.write_netcdf4(
+            p,
+            dims={"time": None, "node": len(vals)},
+            variables={
+                "time": (("time",), np.array([secs]),
+                         {"units": f"seconds since {base_t}"}),
+                "zeta": (("time", "node"), vals.reshape(1, -1),
+                         {"_FillValue": np.float64(FILL)}),
+            },
+        )
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    spark.dataSource.register(AdcircNetCDFDataSource)  # DEFAULT codecs
+    stream = (
+        spark.readStream.format("adcirc_netcdf")
+        .option("path", str(drops / "*.nc"))
+        .load()
+    )
+    w = build_weights(
+        mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark),
+        mm.BIN_SIZE,
+    )
+    out_s = str(tmp_path / "cogs_live")
+    n = rs.run_regrid_to_cogs(
+        rs.regrid_stream(w, stream, watermark="30 minutes"),
+        mm.GRID, out_s, str(tmp_path / "ck"),
+    )
+    assert n >= 1
+
+    out_b = str(tmp_path / "cogs_batch")
+    write_cogs(regrid(w, ts_batch), mm.GRID, out_b).collect()
+    assert sorted(os.listdir(out_s)) == sorted(os.listdir(out_b))
+    compared = 0
+    for f in os.listdir(out_b):
+        if f.endswith(".tif"):
+            a, _ = read_geotiff(os.path.join(out_s, f))
+            b, _ = read_geotiff(os.path.join(out_b, f))
+            assert np.allclose(a, b, equal_nan=True)
+            compared += 1
+    assert compared == len(stamps)

@@ -486,6 +486,7 @@ def run_production_e2e_leg(
             "wall_write_nc": round(t_nc, 2),
             "wall_ingest": round(t_ingest, 2),
             "wall_pipeline": round(t_pipeline, 2),
+            "pipeline_phases": result.timings,
             "wall_verify": round(t_verify, 2),
             "cells_per_sec": int(len(cogs) * nrows * ncols / t_pipeline),
             "driver_peak_rss_mb": int(peak_rss_mb),
