@@ -269,14 +269,18 @@ def crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     T.StructField("lcc_n", T.DoubleType()),
     T.StructField("ps_e", T.DoubleType()),
     T.StructField("ps_n", T.DoubleType()),
+    T.StructField("aea_e", T.DoubleType()),
+    T.StructField("aea_n", T.DoubleType()),
 ]))
 def _conic_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-    """Conic/polar CRS kernels (EPSG methods 9802 / 9829) as one
-    Arrow-batched UDF: Lambert Conformal Conic 2SP on the Canada
-    Atlas parallels (49/77, origin 49N 95W) and south Polar
-    Stereographic on the Australian-Antarctic parameters (lat_ts -71,
-    lon0 70E) applied to the mirrored latitude."""
+    """Conic/polar CRS kernels (EPSG methods 9802 / 9829 / 9822) as
+    one Arrow-batched UDF: Lambert Conformal Conic 2SP on the Canada
+    Atlas parallels (49/77, origin 49N 95W), south Polar Stereographic
+    on the Australian-Antarctic parameters (lat_ts -71, lon0 70E)
+    applied to the mirrored latitude, and Albers Equal Area on the
+    CONUS parameters (29.5/45.5, origin 23N 96W)."""
     from adcirctime2cogs_spark.functions.crs import (
+        albers_forward,
         lcc_forward,
         polar_stereo_forward,
     )
@@ -284,7 +288,9 @@ def _conic_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     lo, la = lon.to_numpy(), lat.to_numpy()
     le, ln = lcc_forward(lo, la, 49.0, 77.0, 49.0, -95.0)
     pe, pn = polar_stereo_forward(lo, -la, -71.0, 70.0)
-    return pd.DataFrame({"lcc_e": le, "lcc_n": ln, "ps_e": pe, "ps_n": pn})
+    ae, an = albers_forward(lo, la, 29.5, 45.5, 23.0, -96.0)
+    return pd.DataFrame({"lcc_e": le, "lcc_n": ln, "ps_e": pe,
+                         "ps_n": pn, "aea_e": ae, "aea_n": an})
 
 
 _CONIC_ORACLE_SQL = """
@@ -294,14 +300,18 @@ _CONIC_ORACLE_SQL = """
                      - (-95.0)) AS dlam,
              radians(CAST(40 + vec_id % 44 AS DOUBLE)) AS phi,
              radians(CAST(-140 + vec_id % 90 AS DOUBLE) - 70.0) AS pdlam,
-             radians(CAST(-(40 + vec_id % 44) AS DOUBLE)) AS sphi
+             radians(CAST(-(40 + vec_id % 44) AS DOUBLE)) AS sphi,
+             radians(CAST(-140 + vec_id % 90 AS DOUBLE)
+                     - (-96.0)) AS adlam
       FROM embeddings WHERE vec_id < 100
     ), k AS (
       SELECT sqrt(2.0 / 298.257223563
                   - 1.0 / (298.257223563 * 298.257223563)) AS e,
              6378137.0 AS a,
              radians(49.0) AS p1, radians(77.0) AS p2,
-             radians(49.0) AS p0, radians(-71.0) AS pf
+             radians(49.0) AS p0, radians(-71.0) AS pf,
+             radians(29.5) AS pa1, radians(45.5) AS pa2,
+             radians(23.0) AS pa0
     ), c1 AS (
       SELECT *,
         cos(p1) / sqrt(1.0 - (e * sin(p1)) * (e * sin(p1))) AS m1,
@@ -315,15 +325,33 @@ _CONIC_ORACLE_SQL = """
         cos(pf) / sqrt(1.0 - (e * sin(pf)) * (e * sin(pf))) AS mf,
         tan(pi() / 4.0 + pf / 2.0)
           * pow((1.0 - e * sin(pf)) / (1.0 + e * sin(pf)), e / 2.0) AS tf,
-        sqrt(pow(1.0 + e, 1.0 + e) * pow(1.0 - e, 1.0 - e)) AS ec
+        sqrt(pow(1.0 + e, 1.0 + e) * pow(1.0 - e, 1.0 - e)) AS ec,
+        cos(pa1) / sqrt(1.0 - (e * sin(pa1)) * (e * sin(pa1))) AS ma1,
+        cos(pa2) / sqrt(1.0 - (e * sin(pa2)) * (e * sin(pa2))) AS ma2,
+        (1.0 - e * e) * (sin(pa1) / (1.0 - (e * sin(pa1)) * (e * sin(pa1)))
+          - (1.0 / (2.0 * e))
+            * ln((1.0 - e * sin(pa1)) / (1.0 + e * sin(pa1)))) AS qa1,
+        (1.0 - e * e) * (sin(pa2) / (1.0 - (e * sin(pa2)) * (e * sin(pa2)))
+          - (1.0 / (2.0 * e))
+            * ln((1.0 - e * sin(pa2)) / (1.0 + e * sin(pa2)))) AS qa2,
+        (1.0 - e * e) * (sin(pa0) / (1.0 - (e * sin(pa0)) * (e * sin(pa0)))
+          - (1.0 / (2.0 * e))
+            * ln((1.0 - e * sin(pa0)) / (1.0 + e * sin(pa0)))) AS qa0
       FROM k
     ), c2 AS (
-      SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM c1
+      SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n,
+             (ma1 * ma1 - ma2 * ma2) / (qa2 - qa1) AS na
+      FROM c1
     ), c3 AS (
       SELECT *, a * m1 / (n * pow(t1, n)) AS af,
-             mf * ec / (2.0 * tf) AS k0
+             mf * ec / (2.0 * tf) AS k0,
+             ma1 * ma1 + na * qa1 AS ca
       FROM c2
-    ), c4 AS (SELECT *, af * pow(t0, n) AS r0 FROM c3)
+    ), c4 AS (
+      SELECT *, af * pow(t0, n) AS r0,
+             a * sqrt(ca - na * qa0) / na AS rho0
+      FROM c3
+    )
     SELECT vec_id,
        round(af * pow(tan(pi() / 4.0 - phi / 2.0)
                / pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0),
@@ -336,7 +364,17 @@ _CONIC_ORACLE_SQL = """
              / ec * sin(pdlam), 4) AS ps_e,
        round(2.0 * a * k0 * (tan(pi() / 4.0 + sphi / 2.0)
                / pow((1.0 + e * sin(sphi)) / (1.0 - e * sin(sphi)), e / 2.0))
-             / ec * cos(pdlam), 4) AS ps_n
+             / ec * cos(pdlam), 4) AS ps_n,
+       round(a * sqrt(ca - na * ((1.0 - e * e)
+               * (sin(phi) / (1.0 - (e * sin(phi)) * (e * sin(phi)))
+                  - (1.0 / (2.0 * e))
+                    * ln((1.0 - e * sin(phi)) / (1.0 + e * sin(phi))))))
+             / na * sin(na * adlam), 4) AS aea_e,
+       round(rho0 - a * sqrt(ca - na * ((1.0 - e * e)
+               * (sin(phi) / (1.0 - (e * sin(phi)) * (e * sin(phi)))
+                  - (1.0 / (2.0 * e))
+                    * ln((1.0 - e * sin(phi)) / (1.0 + e * sin(phi))))))
+             / na * cos(na * adlam), 4) AS aea_n
     FROM pt CROSS JOIN c4
 """
 
@@ -346,13 +384,14 @@ def crs_reproject_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE conic + polar reprojection through the pandas-UDF
     kernels: Lambert Conformal Conic 2SP (EPSG 9802, Canada Atlas
     parallels — validated against the EPSG GN7-2 worked example in
-    tests/test_crs.py) and south Polar Stereographic variant B (EPSG
-    9829, Australian Antarctic parameters). The oracle restates the
-    FULL ellipsoidal formulas in SQL — standard-parallel constants
-    included — so DuckDB derives n, F, r0, k0 itself rather than
-    trusting embedded literals. Inputs keep |values| in the 1e5-1e7 m
-    range where double-precision agreement (~1e-8 m) clears the 4dp
-    rounding boundary."""
+    tests/test_crs.py), south Polar Stereographic variant B (EPSG
+    9829, Australian Antarctic parameters), and Albers Equal Area
+    (EPSG 9822, CONUS parameters). The oracle restates the FULL
+    ellipsoidal formulas in SQL — standard-parallel constants
+    included — so DuckDB derives n, F, r0, k0, C, rho0 itself rather
+    than trusting embedded literals. Inputs keep |values| in the
+    1e5-1e7 m range where double-precision agreement (~1e-8 m) clears
+    the 4dp rounding boundary."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     pts = emb.select(
         "vec_id",
@@ -366,4 +405,6 @@ def crs_reproject_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("p.lcc_n")).alias("lcc_n"),
         r4(F.col("p.ps_e")).alias("ps_e"),
         r4(F.col("p.ps_n")).alias("ps_n"),
+        r4(F.col("p.aea_e")).alias("aea_e"),
+        r4(F.col("p.aea_n")).alias("aea_n"),
     )
