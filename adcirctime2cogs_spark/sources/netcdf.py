@@ -121,7 +121,7 @@ def _default_splitter(path: str, length: int, variable: str | None = None):
     from adcirctime2cogs_spark.sources import hdf5, netcdf3
 
     try:
-        return netcdf3.classic_splitter(path, length)
+        return netcdf3.classic_splitter(path, length, variable)
     except netcdf3.NotClassicNetCDF as not_classic:
         if variable is None:
             raise NotImplementedError(

@@ -434,28 +434,82 @@ def decode_adcirc(path: str, content: bytes, variable: str):
     return times, range(values.shape[-1]), values
 
 
-def classic_splitter(path: str, length: int):
-    """(t_idx, offset, nbytes) per RECORD — offset/nbytes span the whole
-    record block (all record vars of that timestep); the range decoder
-    reads only its variable's sub-slab within it. Plans from one small
-    header read; never touches data bytes."""
+MAX_SPLIT_BYTES = 8 * 1024 * 1024
+
+
+def classic_splitter(path: str, length: int, variable: str | None = None,
+                     max_split_bytes: int = MAX_SPLIT_BYTES):
+    """Byte-range splits planned from one small header read; never
+    touches data bytes.
+
+    Without `variable` (legacy contract): (t_idx, offset, nbytes) per
+    RECORD — the span covers the whole record block and the range
+    decoder reads only its variable's sub-slab within it.
+
+    With `variable`, large records additionally SUB-SPLIT: the
+    variable's per-record slab is one contiguous array, so a record
+    bigger than max_split_bytes becomes ceil(slab/max) node-range
+    tasks — an HSOFS record (1.8M nodes x 8 B = 14.6 MB) planning at
+    8 MB yields 2 tasks/record instead of 1, restoring the intra-
+    record parallelism the NetCDF-4 chunk index gets for free. Each
+    split is itemsize-aligned; t_idx repeats across a record's
+    chunks."""
     h = header_for(path)
     rvs = h.record_vars
     if not rvs:
         return []
-    base = min(v.begin for v in rvs)
-    return [(r, base + r * h.recsize, h.recsize) for r in range(h.numrecs)]
+    v = h.vars.get(variable) if variable else None
+    if v is None or not h.is_record(v) or \
+            h.slab_size(v) <= max_split_bytes:
+        base = min(rv.begin for rv in rvs)
+        return [
+            (r, base + r * h.recsize, h.recsize) for r in range(h.numrecs)
+        ]
+    item = _TYPE_SIZE[v.nc_type]
+    slab = h.slab_size(v)
+    step = max(item, max_split_bytes - max_split_bytes % item)
+    out = []
+    for r in range(h.numrecs):
+        off0, _ = h.record_slab_range(variable, r)
+        for k in range(0, slab, step):
+            out.append((r, off0 + k, min(step, slab - k)))
+    return out
 
 
 def classic_range_decoder(path: str, variable: str, t_idx: int,
                           offset: int, nbytes: int):
-    """(ts, node_ids, values_1d) for ONE timestep — scan_netcdf_split's
-    range-decoder contract. Opens the file itself and reads the
-    variable's slab plus the (tiny) time slab; whole-file bytes never
-    flow through Spark."""
+    """(ts, node_ids, values_1d) for ONE split — scan_netcdf_split's
+    range-decoder contract. Opens the file itself and reads only its
+    byte range plus the (tiny) time slab; whole-file bytes never flow
+    through Spark. Accepts both split shapes the splitter plans:
+    a whole-record span containing the variable's slab (legacy), or a
+    sub-slab node-range chunk strictly inside it."""
     h = header_for(path)
     v = h.vars[variable]
     slab_off, slab_n = h.record_slab_range(variable, t_idx)
+    item = _TYPE_SIZE[v.nc_type]
+    if slab_off <= offset and offset + nbytes <= slab_off + slab_n:
+        # node-range sub-split of this record's slab
+        node0 = (offset - slab_off) // item
+        raw = _read_at(path, offset, nbytes)
+        arr = np.frombuffer(raw, dtype=_TYPE_DTYPE[v.nc_type])
+        values = masked_to_nan(arr, v)
+        tv = _time_var(h)
+        if tv is None:
+            raise ValueError(
+                f"no time variable in classic NetCDF file {path!r} — the "
+                "per-timestep range decode needs one record time axis"
+            )
+        traw = read_record_slab(path, h, tv.name, t_idx).astype(
+            "float64"
+        ).ravel()
+        units = tv.atts.get("units")
+        scale, base = (
+            parse_time_units(str(units)) if units
+            else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
+        )
+        ts = base + np.round(traw[0] * scale * 1e6).astype("timedelta64[us]")
+        return ts, range(node0, node0 + len(values)), values
     if not (offset <= slab_off and slab_off + slab_n <= offset + nbytes):
         raise ValueError(
             f"slab [{slab_off}, +{slab_n}) of {variable}[{t_idx}] outside "

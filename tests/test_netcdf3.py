@@ -424,3 +424,40 @@ def test_streaming_classic_drops_to_cog_zero_injection(spark, tmp_path):
             assert np.allclose(a, b, equal_nan=True)
             compared += 1
     assert compared == len(stamps)
+
+
+def test_classic_subsplit_large_records(spark, tmp_path):
+    """Records larger than max_split_bytes sub-split into node-range
+    chunks (the intra-record parallelism the NetCDF-4 chunk index
+    gives for free), and the union of chunk tasks equals the
+    whole-file scan exactly."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        scan_netcdf_distributed,
+        scan_netcdf_split,
+    )
+
+    p = str(tmp_path / "fort.63.nc")
+    _write_micromesh_nc(p)
+    h = nc3.header_for(p)
+    slab = h.slab_size(h.vars["zeta"])
+    # force sub-splitting: cap far below one record's slab
+    splits = nc3.classic_splitter(p, 0, "zeta", max_split_bytes=16)
+    assert len(splits) > 3  # more than one task per record
+    assert sorted({t for t, _, _ in splits}) == [0, 1, 2]
+    per_rec = [n for t, _, n in splits if t == 0]
+    assert sum(per_rec) == slab and all(n % 8 == 0 for n in per_rec)
+
+    whole = scan_netcdf_distributed(spark, p, "zeta")
+    split = scan_netcdf_split(
+        spark, p, "zeta",
+        splitter=lambda path, ln, var: nc3.classic_splitter(
+            path, ln, var, max_split_bytes=16
+        ),
+    )
+    key = lambda r: (str(r.ts), r.node_id)  # noqa: E731
+    a = sorted(((key(r), r.value) for r in whole.collect()))
+    b = sorted(((key(r), r.value) for r in split.collect()))
+    assert [k for k, _ in a] == [k for k, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert (va is None and vb is None) or va == vb or \
+            (va != va and vb != vb)
