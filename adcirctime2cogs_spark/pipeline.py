@@ -75,6 +75,8 @@ def run_pipeline(
     bbox = bounding_box(nodes)  # O7
     spec = grid_spec_from_bbox(bbox, res)  # D4
     cells = raster_cells(spark, spec)  # O11
+    timings["load_bbox"] = round(time.time() - t0, 2)
+    t0 = time.time()
 
     # bin size ~ a few cell widths (SURVEY §7 "what's hard")
     weights = build_weights(cells, nodes, elements, bin_size=res * bin_size_cells)

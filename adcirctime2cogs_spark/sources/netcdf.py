@@ -197,11 +197,13 @@ def scan_netcdf_split(
     2. plan splits driver-side with `splitter(path, length)` — a
        header-only read per file, the same metadata-on-driver split
        planning Spark's own FileSourceScanExec does;
-    3. one task per (file, timestep) split; each task opens its file
-       and reads ONLY its byte range via `range_decoder`.
+    3. one task per split; each task opens its file and reads ONLY its
+       byte range via `range_decoder`.
 
-    So an F-file x T-timestep input becomes F*T parallel tasks, and no
-    task ever materializes whole-file content.
+    So an F-file x T-timestep input becomes at least F*T parallel
+    tasks — and large records further sub-split (classic node-range
+    chunks, NetCDF-4 per-chunk splits), so even a ONE-file/ONE-record
+    input parallelizes. No task ever materializes whole-file content.
     """
     files = (
         spark.read.format("binaryFile")
@@ -216,8 +218,11 @@ def scan_netcdf_split(
             splitter, f.path, int(f.length), variable
         )
     ]
+    # key includes offset: sub-splits of one record must land in
+    # DIFFERENT partitions or the intra-record parallelism they exist
+    # for never materializes
     splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
-        max(len(specs), 1), "path", "t_idx"
+        max(len(specs), 1), "path", "t_idx", "offset"
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

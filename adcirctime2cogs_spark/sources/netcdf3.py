@@ -492,23 +492,10 @@ def classic_range_decoder(path: str, variable: str, t_idx: int,
         # node-range sub-split of this record's slab
         node0 = (offset - slab_off) // item
         raw = _read_at(path, offset, nbytes)
-        arr = np.frombuffer(raw, dtype=_TYPE_DTYPE[v.nc_type])
-        values = masked_to_nan(arr, v)
-        tv = _time_var(h)
-        if tv is None:
-            raise ValueError(
-                f"no time variable in classic NetCDF file {path!r} — the "
-                "per-timestep range decode needs one record time axis"
-            )
-        traw = read_record_slab(path, h, tv.name, t_idx).astype(
-            "float64"
-        ).ravel()
-        units = tv.atts.get("units")
-        scale, base = (
-            parse_time_units(str(units)) if units
-            else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
+        values = masked_to_nan(
+            np.frombuffer(raw, dtype=_TYPE_DTYPE[v.nc_type]), v
         )
-        ts = base + np.round(traw[0] * scale * 1e6).astype("timedelta64[us]")
+        ts = _record_ts(path, h, t_idx)
         return ts, range(node0, node0 + len(values)), values
     if not (offset <= slab_off and slab_off + slab_n <= offset + nbytes):
         raise ValueError(
@@ -516,20 +503,26 @@ def classic_range_decoder(path: str, variable: str, t_idx: int,
             f"assigned split [{offset}, +{nbytes})"
         )
     values = masked_to_nan(read_record_slab(path, h, variable, t_idx), v)
+    ts = _record_ts(path, h, t_idx)
+    return ts, range(values.shape[-1]), values
+
+
+def _record_ts(src, h: NC3Header, t_idx: int):
+    """ONE record's CF-decoded timestamp (reads only the tiny time
+    slab) — the shared time half of both range-decoder branches."""
     tv = _time_var(h)
     if tv is None:
         raise ValueError(
-            f"no time variable in classic NetCDF file {path!r} — the "
+            f"no time variable in classic NetCDF file {src!r} — the "
             "per-timestep range decode needs one record time axis"
         )
-    traw = read_record_slab(path, h, tv.name, t_idx).astype("float64").ravel()
+    traw = read_record_slab(src, h, tv.name, t_idx).astype("float64").ravel()
     units = tv.atts.get("units")
     scale, base = (
         parse_time_units(str(units)) if units
         else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
     )
-    ts = base + np.round(traw[0] * scale * 1e6).astype("timedelta64[us]")
-    return ts, range(values.shape[-1]), values
+    return base + np.round(traw[0] * scale * 1e6).astype("timedelta64[us]")
 
 
 # ---------------------------------------------------------------- write

@@ -158,8 +158,9 @@ class AdcircNetCDFDataSource(DataSource):
 class _NetCDFStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch reader over an arriving-NetCDF directory.
 
-    Offset = {"consumed": {file_path: n_timesteps_read}} — new files
-    and newly-split timesteps of known files become the next batch.
+    Offset = {"consumed": {file_path: n_splits_read}} — new files
+    and newly-planned splits of known files become the next batch
+    (one split per record for classic files — see _plan's merge).
     Replay between committed offsets re-decodes exactly the same
     byte ranges (splits are deterministic per file), giving the
     exactly-once recovery contract for free."""
@@ -173,9 +174,29 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         self.range_decoder = range_decoder
 
     def _plan(self, p: str, length: int):
+        """Streaming split plan: contiguous same-record sub-splits are
+        MERGED back into one span, because the checkpoint offset is a
+        per-file SPLIT COUNT — if the planner's granularity changed
+        between a commit and its replay (e.g. the batch path's
+        node-range sub-splitting of large classic records), a resumed
+        stream would re-emit or skip rows. Merging keeps the classic
+        count at one split per record across planner versions; a
+        micro-batch decodes a record in one task, which is the right
+        trade for incremental file arrival anyway. NetCDF-4 chunk
+        splits are non-contiguous and pass through unmerged (their
+        count is a stable property of the file's chunk layout)."""
         from adcirctime2cogs_spark.sources.netcdf import plan_splits
 
-        return plan_splits(self.splitter, p, length, self.variable)
+        merged: list[tuple[int, int, int]] = []
+        for t, off, nb in sorted(
+            plan_splits(self.splitter, p, length, self.variable)
+        ):
+            if merged and merged[-1][0] == t and \
+                    merged[-1][1] + merged[-1][2] == off:
+                merged[-1] = (t, merged[-1][1], merged[-1][2] + nb)
+            else:
+                merged.append((t, off, nb))
+        return merged
 
     def initialOffset(self) -> dict:
         return {"consumed": {}}
