@@ -434,7 +434,11 @@ def decode_adcirc(path: str, content: bytes, variable: str):
     return times, range(values.shape[-1]), values
 
 
-MAX_SPLIT_BYTES = 8 * 1024 * 1024
+# decode tasks are CPU-light (frombuffer + mask), so smaller splits
+# win on parallelism long before scheduling overhead bites: an HSOFS
+# record (14.6 MB) planned at 4 MB = 4 tasks/record — measured 2.1-3.4s
+# vs 14s unsplit for a 2-record file on local[32]
+MAX_SPLIT_BYTES = 4 * 1024 * 1024
 
 
 def classic_splitter(path: str, length: int, variable: str | None = None,

@@ -311,16 +311,24 @@ def run_nc4_ingest_leg(
         t_write4 = time.time() - t0
 
         def checksum(path):
+            # integer row-hash sum: float sums at ~1e15 carry more
+            # fold-order noise than any rounding can absorb (partition
+            # count differs between formats/planners), while a sum of
+            # per-row int64 hashes in decimal(38,0) is exact,
+            # order-independent, and never overflows under ANSI mode
             df = scan_netcdf_split(spark, path, "zeta")
             row = df.agg(
                 F.count("*").alias("c"),
-                F.round(F.sum("value"), 4).alias("s"),
-                F.round(F.sum(F.col("value") * F.col("node_id")), 2).alias(
-                    "sw"
-                ),
+                F.sum(
+                    F.xxhash64(F.round(F.col("value"), 6), F.col("node_id"))
+                    .cast("decimal(38,0)")
+                ).alias("h"),
             ).first()
-            return int(row.c), float(row.s), float(row.sw)
+            return int(row.c), int(row.h)
 
+        checksum(p3)  # warm the scan path once: the first query in a
+        # session pays JVM/codegen startup that would skew whichever
+        # format happened to run first
         t0 = time.time()
         c3 = checksum(p3)
         t_ingest3 = time.time() - t0
