@@ -793,3 +793,85 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+@_register("text_bpe_encode")  # rows-only like text_bpe_train: the
+# token boundaries depend on the learned (data-dependent, iterative)
+# merge table, so no closed-form SQL oracle exists; pinned by
+# tests/test_dataprep.py's pure-Python reference-encoder equality
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED merge table to the corpus — the serving half
+    of the tokenizer story (text_bpe_train learns the merges, this
+    encodes with them, the way a pipeline tokenizes petabytes with a
+    vocabulary learned once). Per doc: word count, pre-merge symbol
+    count, and the post-encode BPE token count.
+
+    Scale shape: the merge table is vocabulary-sized driver state
+    (BPE_MERGES rows) broadcast into an Arrow-batched mapInPandas
+    encoder; the corpus streams through in one map-only pass — no
+    shuffle at all, the ideal 100 TB profile. The encoder is the
+    standard rank-greedy BPE: repeatedly merge the lowest-rank
+    adjacent pair, leftmost-first non-overlapping."""
+    import pandas as pd
+
+    ranks = {
+        (r.left, r.right): r.rank
+        for r in text_bpe_train(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode(batches, _ranks=ranks):
+        for pdf in batches:
+            ids, n_words, n_syms, n_bpe = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # SAME tokenization as training (tokens_col: whitespace
+                # split + the 2..20-length filter) — a different
+                # tokenizer here would encode words no merge was
+                # learned for
+                words = [
+                    w for w in (text or "").split()
+                    if 2 <= len(w) <= 20
+                ]
+                syms_total = sum(len(w) for w in words)
+                toks = 0
+                for w in words:
+                    toks += len(bpe_encode_word(w, _ranks))
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_syms.append(syms_total)
+                n_bpe.append(toks)
+            yield pd.DataFrame({
+                "doc_id": ids, "n_words": n_words,
+                "n_syms": n_syms, "n_bpe_tokens": n_bpe,
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode,
+        schema="doc_id long, n_words int, n_syms int, n_bpe_tokens int",
+    )
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Rank-greedy BPE encode of one word: merge the lowest-rank
+    adjacent pair (leftmost-first, non-overlapping) until no learned
+    pair remains. Pure Python so tests can pin the Spark encoder to
+    this exact function."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -236,3 +236,55 @@ def test_bpe_train_survives_fully_merged_words(spark, tmp_path):
     assert (out[0].left, out[0].right) == ("a", "b")
     # later merges come from the surviving multi-symbol word 'cdef'
     assert all((r.left, r.right) != ("a", "b") for r in out[1:])
+
+
+def test_bpe_encode_matches_reference_python(spark, sf_dir):
+    """The distributed encoder equals per-doc pure-Python encoding with
+    the same merge table: identical (n_words, n_syms, n_bpe_tokens)
+    for every doc, plus the structural invariants (tokens never exceed
+    symbols; merges strictly shrink docs containing learned pairs)."""
+    from adcirctime2cogs_spark.operators.textstats import (
+        bpe_encode_word,
+        text_bpe_encode,
+        text_bpe_train,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    ranks = {
+        (r.left, r.right): r.rank
+        for r in text_bpe_train(spark, sf_dir).collect()
+    }
+    assert ranks  # training produced merges
+    got = {
+        r.doc_id: (r.n_words, r.n_syms, r.n_bpe_tokens)
+        for r in text_bpe_encode(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs)
+    shrunk = 0
+    for row in docs:
+        words = [w for w in (row.text or "").split() if 2 <= len(w) <= 20]
+        n_syms = sum(len(w) for w in words)
+        n_bpe = sum(len(bpe_encode_word(w, ranks)) for w in words)
+        assert got[row.doc_id] == (len(words), n_syms, n_bpe), row.doc_id
+        assert n_bpe <= n_syms
+        shrunk += n_bpe < n_syms
+    assert shrunk > 0  # the learned merges actually fire on the corpus
+
+
+def test_bpe_encode_word_rank_greedy_order():
+    """Encoding applies the LOWEST-rank merge first regardless of text
+    order — the property that distinguishes BPE encode from a naive
+    left-to-right replacement."""
+    from adcirctime2cogs_spark.operators.textstats import bpe_encode_word
+
+    # rank 0: ('b','c'); rank 1: ('a','b') — 'abc' must become a + bc
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("abc", ranks) == ["a", "bc"]
+    # chained merges: ('a','b') then ('ab','c')
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    assert bpe_encode_word("abcabc", ranks) == ["abc", "abc"]
+    # no applicable merge: identity
+    assert bpe_encode_word("xyz", {("q", "r"): 0}) == ["x", "y", "z"]
