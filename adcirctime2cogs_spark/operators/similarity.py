@@ -992,3 +992,202 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _KMEANS_MEMO[_key] = (spark, cents)
     return assign(emb).select("vec_id", "cluster", r4(F.col("dist")).alias("dist"))
+
+
+# ----------------------------------------------- product quantization
+PQ_M = 4          # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (16)
+PQ_K = 16         # centroids per subspace -> 4-bit codes, 64x smaller
+
+
+def _pq_sub_terms(emb: str, cent: str, m: int) -> str:
+    """Left-associated squared-distance sum over subspace m's dims —
+    written out so DuckDB folds in exactly numpy/Spark's index order."""
+    return " + ".join(
+        f"({emb}[{i}]-{cent}[{i}])*({emb}[{i}]-{cent}[{i}])"
+        for i in range(m * PQ_SUB + 1, (m + 1) * PQ_SUB + 1)
+    )
+
+
+def _pq_encode_sql() -> str:
+    subs = [_pq_sub_terms("e.emb", "a.cent", m) for m in range(PQ_M)]
+    d_cols = ", ".join(f"{t} AS d{m}" for m, t in enumerate(subs))
+    pick = "\n".join(
+        f"""p{m} AS (
+  SELECT vec_id, j AS c{m}, d{m} AS e{m} FROM (
+    SELECT vec_id, j, d{m},
+           row_number() OVER (PARTITION BY vec_id ORDER BY d{m}, j) AS rn
+    FROM d
+  ) WHERE rn = 1
+),""" for m in range(PQ_M)
+    )
+    joins = " ".join(f"JOIN p{m} USING (vec_id)" for m in range(1, PQ_M))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    a AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+             emb AS cent
+      FROM e WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+      SELECT e.vec_id, a.j, {d_cols} FROM e CROSS JOIN a
+    ),
+    {pick}
+    enc AS (SELECT * FROM p0 {joins})
+    SELECT vec_id, c0, c1, c2, c3,
+           round(e0 + e1 + e2 + e3, 3) AS qerr
+    FROM enc
+    """
+
+
+def _pq_anchors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def _pq_sub_dist(emb: Column, anchor: list[float], m: int) -> Column:
+    sub = F.slice(emb.cast("array<double>"), m * PQ_SUB + 1, PQ_SUB)
+    lit = F.array(*[F.lit(float(v)) for v in
+                    anchor[m * PQ_SUB:(m + 1) * PQ_SUB]])
+    return _sqdist(sub, lit)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c0..c3, e0..e3): per-subspace nearest-anchor code and
+    its squared distance. Anchors = the PQ_K lowest vec_ids' own
+    subvectors — the same deterministic-init convention as
+    vec_kmeans_lloyd (a production codebook would Lloyd-train each
+    subspace; assignment and ADC are identical either way)."""
+    anchors = _pq_anchors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id", "embedding")
+    for m in range(PQ_M):
+        darr = F.array(*[
+            _pq_sub_dist(F.col("embedding"), anchors[j], m)
+            for j in range(PQ_K)
+        ])
+        out = out.withColumn(f"_d{m}", darr)
+    for m in range(PQ_M):
+        # first index of the min == lowest-j tie-break, matching SQL's
+        # row_number ORDER BY d, j
+        out = out.withColumn(
+            f"c{m}",
+            (F.array_position(F.col(f"_d{m}"),
+                              F.array_min(F.col(f"_d{m}"))) - 1).cast("int"),
+        ).withColumn(
+            f"e{m}", F.element_at(F.col(f"_d{m}"), F.col(f"c{m}") + 1)
+        )
+    return out.select(
+        "vec_id", "embedding",
+        *[F.col(f"c{m}") for m in range(PQ_M)],
+        *[F.col(f"e{m}") for m in range(PQ_M)],
+    )
+
+
+@_register("vec_pq_encode", _pq_encode_sql())
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: split the 64-dim embedding into
+    {PQ_M} subspaces of {PQ_SUB} dims, assign each subvector to its
+    nearest codebook centroid, emit the 4-symbol code (4 x 4 bits —
+    64x smaller than float32) plus the total quantization error.
+
+    Scale shape: the codebook is tiny driver state (PQ_K anchors)
+    folded into literal columns, so encoding is a map-only pass over
+    the vectors — zero shuffle, the profile that PQ-compresses a
+    100 TB embedding store. The oracle re-derives codes and errors in
+    SQL with the same left-folded per-subspace distances and
+    lowest-index tie-break."""
+    codes = _pq_codes(spark, sf_dir)
+    qerr = F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3")
+    return codes.select(
+        "vec_id", "c0", "c1", "c2", "c3",
+        F.round(qerr, 3).alias("qerr"),
+    )
+
+
+def _pq_adc_sql() -> str:
+    subs_q = [_pq_sub_terms("q.emb", "a.cent", m) for m in range(PQ_M)]
+    enc = _pq_encode_sql()
+    # reuse the encode CTE body up to `enc`, then ADC-join probe tables
+    body = enc[enc.index("WITH"):enc.rindex("SELECT vec_id")]
+    tq_cols = ", ".join(f"{t} AS d{m}" for m, t in enumerate(subs_q))
+    return f"""
+    {body.rstrip().rstrip(',')},
+    probes AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < {N_QUERY_VECS}),
+    tq AS (
+      SELECT q.q_id, a.j, {tq_cols}
+      FROM probes q CROSS JOIN a
+    ),
+    adc AS (
+      SELECT t0.q_id, enc.vec_id AS c_id,
+             t0.d0 + t1.d1 + t2.d2 + t3.d3 AS adc
+      FROM enc
+      JOIN tq t0 ON t0.j = enc.c0
+      JOIN tq t1 ON t1.j = enc.c1 AND t1.q_id = t0.q_id
+      JOIN tq t2 ON t2.j = enc.c2 AND t2.q_id = t0.q_id
+      JOIN tq t3 ON t3.j = enc.c3 AND t3.q_id = t0.q_id
+      WHERE enc.vec_id != t0.q_id
+    )
+    SELECT q_id, c_id, round(adc, 3) AS adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc, c_id) AS rn
+      FROM adc
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@_register("sim_topk_pq_adc", _pq_adc_sql())
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    precomputes a {PQ_M} x {PQ_K} table of subspace distances to the
+    codebook, and every database vector scores as FOUR table lookups
+    summed — never touching its floats. This is the memory-bound scan
+    shape (IVF-)PQ indexes run at billion-vector scale: the code table
+    is 64x smaller than the vectors, the probe tables broadcast
+    (N_QUERY x {PQ_M} x {PQ_K} doubles), and the scan is one map-side
+    crossJoin with a per-probe top-k — no shuffle before the final
+    window. Exact parity with the SQL oracle: left-folded distances,
+    left-to-right lookup sum, lowest-id tie-breaks."""
+    anchors = _pq_anchors(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    for m in range(PQ_M):
+        probes = probes.withColumn(
+            f"t{m}",
+            F.array(*[
+                _pq_sub_dist(F.col("q_emb"), anchors[j], m)
+                for j in range(PQ_K)
+            ]),
+        )
+    scored = (
+        codes.crossJoin(F.broadcast(probes.drop("q_emb")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.element_at(F.col("t0"), F.col("c0") + 1)
+                + F.element_at(F.col("t1"), F.col("c1") + 1)
+                + F.element_at(F.col("t2"), F.col("c2") + 1)
+                + F.element_at(F.col("t3"), F.col("c3") + 1)
+            ).alias("adc"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", F.round(F.col("adc"), 3).alias("adc"))
+    )

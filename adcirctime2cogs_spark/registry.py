@@ -52,6 +52,10 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "crs_reproject_conic",
     "mm_frame_sample",
+    # ...and the NEW product-quantization pair (encode + ADC scan),
+    # both fully oracled, never externally verified
+    "vec_pq_encode",
+    "sim_topk_pq_adc",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -100,8 +104,6 @@ _PRIORITY = [
     "text_quality",
     "text_bm25_topk",
     "text_pii_redact",
-    "prep_chunk_windows",
-    "prep_source_cap",
 ]
 
 

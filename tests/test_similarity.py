@@ -1,6 +1,7 @@
 """Similarity-search behavior tests: the registered (sub-quadratic)
 threshold-pair miner against its quadratic exactness oracle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.operators.similarity import (
@@ -210,3 +211,66 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     # and no r4-rounded distance sits near a rounding boundary
     frac = np.abs((dist * 1e4 + 0.5) - np.round(dist * 1e4 + 0.5))
     assert frac.min() > 1e-5, frac.min()
+
+
+def test_pq_encode_and_adc_match_numpy(spark, sf_dir):
+    """Product quantization pinned to straight numpy: identical codes
+    (argmin with lowest-index ties), quantization errors, and ADC
+    top-k rankings — plus the compression arithmetic the operator
+    exists for (4x4-bit codes vs 64 floats)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        N_QUERY_VECS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        sim_topk_pq_adc,
+        vec_pq_encode,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id").select("vec_id", "embedding").collect()
+    )
+    ids = [r.vec_id for r in rows]
+    E = np.array([r.embedding for r in rows], dtype="float64")
+    A = E[:PQ_K]
+    codes = np.zeros((len(E), PQ_M), dtype=int)
+    errs = np.zeros((len(E), PQ_M))
+    for m in range(PQ_M):
+        sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        d = ((E[:, None, sl] - A[None, :, sl]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)  # argmin takes the FIRST min: lowest j
+        errs[:, m] = d.min(1)
+
+    got = {r.vec_id: r for r in vec_pq_encode(spark, sf_dir).collect()}
+    assert len(got) == len(E)
+    for i, vid in enumerate(ids):
+        r = got[vid]
+        assert [r.c0, r.c1, r.c2, r.c3] == list(codes[i]), vid
+        assert r.qerr == pytest.approx(errs[i].sum(), abs=5e-4)
+    assert all(0 <= c < PQ_K for r in got.values()
+               for c in (r.c0, r.c1, r.c2, r.c3))
+
+    adc_rows = sim_topk_pq_adc(spark, sf_dir).collect()
+    assert len(adc_rows) == N_QUERY_VECS * TOP_K
+    by_q = {}
+    for r in adc_rows:
+        by_q.setdefault(r.q_id, []).append((r.c_id, r.adc))
+    for q in range(N_QUERY_VECS):
+        tq = np.array([
+            ((E[q, m * PQ_SUB:(m + 1) * PQ_SUB]
+              - A[j, m * PQ_SUB:(m + 1) * PQ_SUB]) ** 2).sum()
+            for j in range(PQ_K) for m in range(PQ_M)
+        ]).reshape(PQ_K, PQ_M)
+        adc = tq[codes, np.arange(PQ_M)].sum(1)
+        order = sorted(
+            (float(adc[i]), ids[i]) for i in range(len(E)) if ids[i] != q
+        )[:TOP_K]
+        got_q = by_q[q]
+        assert [c for c, _ in got_q] == [c for _, c in order]
+        for (c, a), (a_np, _) in zip(got_q, order):
+            assert a == pytest.approx(a_np, abs=5e-4)
