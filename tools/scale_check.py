@@ -576,6 +576,129 @@ def run_corpus_ann_leg(spark, n_vecs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
+    """Product quantization at corpus scale: 1M 64-dim vectors PQ-
+    encoded (map-only) plus the registered ADC scan. What PQ actually
+    guarantees at this codebook size (16 cells/subspace over 1M
+    uniform vectors -> ~15 vectors per code) is SHORTLIST quality,
+    not exact top-5 — production stacks rerank the ADC shortlist with
+    exact distances. Green =
+    (a) every probe's planted twin lands in the SAME 4-symbol code
+        cell (encode preserves locality through 64x compression),
+    (b) the twin's ADC distance sits inside the top 1e-4 quantile of
+        the corpus (a 100-deep shortlist would carry it to rerank),
+    (c) the full encode+scan finishes at corpus scale.
+    The registered top-5's literal twin hits are reported
+    informationally (ties inside a code cell break by id)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERY_VECS,
+        sim_topk_pq_adc,
+        vec_pq_encode,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_pq_")
+    try:
+        synth_embeddings(spark, out, n_vecs, dim=EMB_DIM,
+                         n_probes=N_QUERY_VECS)
+        t0 = time.time()
+        codes = vec_pq_encode(spark, out)
+        probe_ids = list(range(N_QUERY_VECS))
+        twin_ids = [n_vecs + q for q in probe_ids]
+        small = {
+            r.vec_id: (r.c0, r.c1, r.c2, r.c3)
+            for r in codes.filter(
+                F.col("vec_id").isin(probe_ids + twin_ids)
+            ).collect()
+        }
+        n_codes = codes.count()
+        t_encode = time.time() - t0
+        same_cell = sum(
+            1 for q in probe_ids if small[q] == small[n_vecs + q]
+        )
+        t0 = time.time()
+        top = sim_topk_pq_adc(spark, out).collect()
+        t_scan = time.time() - t0
+        hits = sum(
+            1 for q in probe_ids
+            if (q, n_vecs + q) in {(r.q_id, r.c_id) for r in top}
+        )
+        # shortlist quality: twin ADC <= the corpus' 1e-4 quantile.
+        # same-cell twins have ADC == the probe's own quantization
+        # profile; rank them against every vector's ADC per probe.
+        from adcirctime2cogs_spark.operators.similarity import (
+            _pq_anchors,
+            _pq_codes,
+            _pq_sub_dist,
+            PQ_M,
+            PQ_K,
+        )
+
+        anchors = _pq_anchors(spark, out)
+        full = _pq_codes(spark, out)
+        # rank-of-twin via one aggregation per probe over the scored set
+        probes_emb = (
+            spark.read.parquet(f"{out}/embeddings.parquet")
+            .filter(F.col("vec_id") < N_QUERY_VECS)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"))
+        )
+        for m in range(PQ_M):
+            probes_emb = probes_emb.withColumn(
+                f"t{m}",
+                F.array(*[
+                    _pq_sub_dist(F.col("q_emb"), anchors[j], m)
+                    for j in range(PQ_K)
+                ]),
+            )
+        scored = (
+            full.crossJoin(F.broadcast(probes_emb.drop("q_emb")))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id", "vec_id",
+                (
+                    F.element_at(F.col("t0"), F.col("c0") + 1)
+                    + F.element_at(F.col("t1"), F.col("c1") + 1)
+                    + F.element_at(F.col("t2"), F.col("c2") + 1)
+                    + F.element_at(F.col("t3"), F.col("c3") + 1)
+                ).alias("adc"),
+            )
+        )
+        twin_adc = scored.filter(
+            F.col("vec_id") == F.col("q_id") + n_vecs
+        ).select("q_id", F.col("adc").alias("twin_adc"))
+        ranks = (
+            scored.join(F.broadcast(twin_adc), "q_id")
+            .groupBy("q_id")
+            .agg(
+                F.sum((F.col("adc") < F.col("twin_adc")).cast("long"))
+                .alias("n_closer")
+            )
+            .collect()
+        )
+        budget = max(100, int(n_vecs * 1e-4))
+        shortlist_ok = sum(1 for r in ranks if r.n_closer < budget)
+        return {
+            "leg": f"corpus_pq_{n_vecs}",
+            "n_vecs": n_codes,
+            "probes": N_QUERY_VECS,
+            "twin_same_code_cell": same_cell,
+            "twin_in_shortlist": shortlist_ok,
+            "shortlist_budget": budget,
+            "top5_twin_hits_informational": hits,
+            "wall_encode_sec": round(t_encode, 2),
+            "wall_adc_scan_sec": round(t_scan, 2),
+            "violations": int(n_codes != n_vecs + N_QUERY_VECS)
+            + (0 if same_cell >= N_QUERY_VECS - 1 else 1)
+            + (0 if shortlist_ok == N_QUERY_VECS else 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def synth_events(spark, out_dir: str, n_events: int, n_users: int) -> None:
     """Fixture-shaped events.parquet: n_events rows scattered uniformly
     over 30 days (xxhash64 column math — microsecond-random so an
@@ -1108,6 +1231,7 @@ def main() -> int:
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
+            run_corpus_pq_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
