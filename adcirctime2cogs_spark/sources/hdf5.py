@@ -138,9 +138,13 @@ def _parse_superblock(s: _Src) -> int:
     head = s.read_prefix(0, 96)
     if head[:8] != H5_SIG:
         raise NotHDF5("no HDF5 signature")
-    if len(head) < 96:
+    if len(head) < 9:
         raise HDF5Error("file shorter than a superblock")
     ver = head[8]
+    # v0/v1 superblocks span 96/100 bytes (root symbol-table entry at
+    # the end); v2/v3 are 48 bytes
+    if len(head) < (96 if ver in (0, 1) else 48):
+        raise HDF5Error("file shorter than a superblock")
     if ver in (0, 1):
         so, sl = head[13], head[14]
         if (so, sl) != (8, 8):
@@ -542,7 +546,13 @@ class H5File:
         root = _parse_superblock(self._s)
         self.root_attrs: dict = {}
         self.datasets: dict[str, H5Dataset] = {}
-        self._load_group("", root, top=True)
+        try:
+            self._load_group("", root, top=True)
+        except (struct.error, IndexError) as exc:
+            # a declared message size larger than its actual bytes can
+            # reach the field parsers with a truncated body — surface
+            # the module's typed error, never a raw struct/index crash
+            raise HDF5Error(f"malformed object header content: {exc}") from exc
 
     def _load_group(self, prefix: str, addr: int, top: bool = False):
         msgs = _parse_ohdr(self._s, addr)

@@ -179,3 +179,26 @@ def test_avi_decoder_rejects_garbage(junk, prefix):
         vc.decode_avi(prefix + junk)
     except ValueError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=300),
+    prefix=st.sampled_from(
+        [b"", b"\x89HDF\r\n\x1a\n",
+         b"\x89HDF\r\n\x1a\n" + b"\x00" * 88,  # v0 superblock of zeros
+         b"\x89HDF\r\n\x1a\n\x02\x08\x08\x00" + b"\x00" * 36]  # v2
+    ),
+)
+def test_hdf5_reader_rejects_garbage(junk, prefix):
+    """Corrupt/truncated HDF5 structures raise the module's typed
+    ValueErrors (NotHDF5/HDF5Error), never struct.error or index
+    crashes — same contract as the image/audio/video codecs."""
+    from adcirctime2cogs_spark.sources import hdf5
+
+    try:
+        hdf5.H5File(prefix + junk)
+    except ValueError:
+        pass
+    except RecursionError:
+        pass  # pathological self-referencing B-tree/continuation loops
