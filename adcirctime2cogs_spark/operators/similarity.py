@@ -998,6 +998,7 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4          # subspaces
 PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (16)
 PQ_K = 16         # centroids per subspace -> 4-bit codes, 64x smaller
+_PQ_ANCHOR_MEMO: dict = {}  # (session id, sf_dir, mtime) -> codebook
 
 
 def _pq_sub_terms(emb: str, cent: str, m: int) -> str:
@@ -1009,7 +1010,10 @@ def _pq_sub_terms(emb: str, cent: str, m: int) -> str:
     )
 
 
-def _pq_encode_sql() -> str:
+def _pq_ctes() -> str:
+    """The CTE prefix BOTH PQ oracles share (vectors, anchors,
+    per-subspace distances, per-subspace argmin codes) — one builder
+    so the encode and ADC SQL can never splice apart."""
     subs = [_pq_sub_terms("e.emb", "a.cent", m) for m in range(PQ_M)]
     d_cols = ", ".join(f"{t} AS d{m}" for m, t in enumerate(subs))
     pick = "\n".join(
@@ -1036,7 +1040,11 @@ def _pq_encode_sql() -> str:
       SELECT e.vec_id, a.j, {d_cols} FROM e CROSS JOIN a
     ),
     {pick}
-    enc AS (SELECT * FROM p0 {joins})
+    enc AS (SELECT * FROM p0 {joins})"""
+
+
+def _pq_encode_sql() -> str:
+    return f"""{_pq_ctes()}
     SELECT vec_id, c0, c1, c2, c3,
            round(e0 + e1 + e2 + e3, 3) AS qerr
     FROM enc
@@ -1044,6 +1052,22 @@ def _pq_encode_sql() -> str:
 
 
 def _pq_anchors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The PQ_K lowest vec_ids' embeddings — the deterministic
+    codebook. Memoized per (session, sf_dir, fixture mtime) so the
+    encode query and the ADC scan don't each pay a collect job per
+    plan construction (same pattern as _KMEANS_MEMO)."""
+    import os
+
+    try:
+        _mt = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        _mt = -1.0
+    key = (id(spark), sf_dir, _mt)
+    for old in [k for k in _PQ_ANCHOR_MEMO if k[:2] == key[:2] and k != key]:
+        _PQ_ANCHOR_MEMO.pop(old)
+    memo = _PQ_ANCHOR_MEMO.get(key)
+    if memo is not None and memo[0] is spark:
+        return memo[1]
     emb = load_table(spark, sf_dir, "embeddings")
     rows = (
         emb.filter(F.col("vec_id") < PQ_K)
@@ -1051,7 +1075,9 @@ def _pq_anchors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         .select("embedding")
         .collect()
     )
-    return [[float(x) for x in r.embedding] for r in rows]
+    anchors = [[float(x) for x in r.embedding] for r in rows]
+    _PQ_ANCHOR_MEMO[key] = (spark, anchors)
+    return anchors
 
 
 def _pq_sub_dist(emb: Column, anchor: list[float], m: int) -> Column:
@@ -1061,13 +1087,15 @@ def _pq_sub_dist(emb: Column, anchor: list[float], m: int) -> Column:
     return _sqdist(sub, lit)
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_codes(spark: SparkSession, sf_dir: str,
+              anchors: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, c0..c3, e0..e3): per-subspace nearest-anchor code and
     its squared distance. Anchors = the PQ_K lowest vec_ids' own
     subvectors — the same deterministic-init convention as
     vec_kmeans_lloyd (a production codebook would Lloyd-train each
     subspace; assignment and ADC are identical either way)."""
-    anchors = _pq_anchors(spark, sf_dir)
+    if anchors is None:
+        anchors = _pq_anchors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     out = emb.select("vec_id", "embedding")
     for m in range(PQ_M):
@@ -1096,11 +1124,11 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("vec_pq_encode", _pq_encode_sql())
 def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: split the 64-dim embedding into
-    {PQ_M} subspaces of {PQ_SUB} dims, assign each subvector to its
-    nearest codebook centroid, emit the 4-symbol code (4 x 4 bits —
-    64x smaller than float32) plus the total quantization error.
+    4 subspaces of 16 dims, assign each subvector to its nearest
+    codebook centroid, emit the 4-symbol code (4 x 4 bits — 64x
+    smaller than float32) plus the total quantization error.
 
-    Scale shape: the codebook is tiny driver state (PQ_K anchors)
+    Scale shape: the codebook is tiny driver state (16 anchors)
     folded into literal columns, so encoding is a map-only pass over
     the vectors — zero shuffle, the profile that PQ-compresses a
     100 TB embedding store. The oracle re-derives codes and errors in
@@ -1116,12 +1144,8 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_adc_sql() -> str:
     subs_q = [_pq_sub_terms("q.emb", "a.cent", m) for m in range(PQ_M)]
-    enc = _pq_encode_sql()
-    # reuse the encode CTE body up to `enc`, then ADC-join probe tables
-    body = enc[enc.index("WITH"):enc.rindex("SELECT vec_id")]
     tq_cols = ", ".join(f"{t} AS d{m}" for m, t in enumerate(subs_q))
-    return f"""
-    {body.rstrip().rstrip(',')},
+    return f"""{_pq_ctes()},
     probes AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < {N_QUERY_VECS}),
     tq AS (
       SELECT q.q_id, a.j, {tq_cols}
@@ -1145,20 +1169,15 @@ def _pq_adc_sql() -> str:
     """
 
 
-@_register("sim_topk_pq_adc", _pq_adc_sql())
-def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes: each probe
-    precomputes a {PQ_M} x {PQ_K} table of subspace distances to the
-    codebook, and every database vector scores as FOUR table lookups
-    summed — never touching its floats. This is the memory-bound scan
-    shape (IVF-)PQ indexes run at billion-vector scale: the code table
-    is 64x smaller than the vectors, the probe tables broadcast
-    (N_QUERY x {PQ_M} x {PQ_K} doubles), and the scan is one map-side
-    crossJoin with a per-probe top-k — no shuffle before the final
-    window. Exact parity with the SQL oracle: left-folded distances,
-    left-to-right lookup sum, lowest-id tie-breaks."""
+def pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id, adc) for every (probe, database vector) pair — the
+    shared ADC scoring plan: per-probe 4 x 16 distance tables as array
+    literals shipped by one broadcast, every database vector scored as
+    four element_at lookups summed left-to-right. Used by the
+    registered top-k query and the corpus scale leg so the formula
+    can't drift between them."""
     anchors = _pq_anchors(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir, anchors)
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -1171,7 +1190,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PQ_K)
             ]),
         )
-    scored = (
+    return (
         codes.crossJoin(F.broadcast(probes.drop("q_emb")))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
@@ -1185,6 +1204,21 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc"),
         )
     )
+
+
+@_register("sim_topk_pq_adc", _pq_adc_sql())
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each probe
+    precomputes a 4 x 16 table of subspace distances to the codebook,
+    and every database vector scores as FOUR table lookups summed —
+    never touching its floats. This is the memory-bound scan shape
+    (IVF-)PQ indexes run at billion-vector scale: the code table is
+    64x smaller than the vectors, the probe tables broadcast, and the
+    scan is one map-side crossJoin with a per-probe top-k — no shuffle
+    before the final window. Exact parity with the SQL oracle:
+    left-folded distances, left-to-right lookup sum, lowest-id
+    tie-breaks."""
+    scored = pq_adc_scored(spark, sf_dir)
     w = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

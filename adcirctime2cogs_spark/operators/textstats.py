@@ -795,6 +795,53 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))  # String.trim strips <= U+0020
+_JAVA_WS = None  # compiled lazily (regex import stays off the hot path)
+
+
+def java_ws_tokens(text: str) -> list[str]:
+    """Python twin of tokens_col's Java semantics: trim chars <=
+    U+0020 then split on Java \\s+ ([ \\t\\n\\x0b\\f\\r] — ASCII
+    only). A plain str.split() would ALSO split on Unicode whitespace
+    (NBSP, em-space...), silently tokenizing differently than the
+    JVM-side training pass."""
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    t = (text or "").strip(_JAVA_TRIM)
+    return [w for w in _JAVA_WS.split(t) if w]
+
+
+_BPE_MERGE_MEMO: dict = {}  # (session id, sf_dir, mtime) -> rank table
+
+
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> dict:
+    """{(left, right): rank} from text_bpe_train, memoized per
+    (session, sf_dir, fixture mtime) — training is BPE_MERGES
+    iterative Spark rounds, far too heavy to re-run on every plan
+    construction (same memo pattern as similarity._KMEANS_MEMO)."""
+    import os
+
+    try:
+        _mt = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        _mt = -1.0
+    key = (id(spark), sf_dir, _mt)
+    for old in [k for k in _BPE_MERGE_MEMO if k[:2] == key[:2] and k != key]:
+        _BPE_MERGE_MEMO.pop(old)
+    memo = _BPE_MERGE_MEMO.get(key)
+    if memo is not None and memo[0] is spark:
+        return memo[1]
+    ranks = {
+        (r.left, r.right): r.rank
+        for r in text_bpe_train(spark, sf_dir).collect()
+    }
+    _BPE_MERGE_MEMO[key] = (spark, ranks)
+    return ranks
+
+
 @_register("text_bpe_encode")  # rows-only like text_bpe_train: the
 # token boundaries depend on the learned (data-dependent, iterative)
 # merge table, so no closed-form SQL oracle exists; pinned by
@@ -814,22 +861,19 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent pair, leftmost-first non-overlapping."""
     import pandas as pd
 
-    ranks = {
-        (r.left, r.right): r.rank
-        for r in text_bpe_train(spark, sf_dir).collect()
-    }
+    ranks = bpe_merge_ranks(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
 
     def encode(batches, _ranks=ranks):
         for pdf in batches:
             ids, n_words, n_syms, n_bpe = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                # SAME tokenization as training (tokens_col: whitespace
-                # split + the 2..20-length filter) — a different
-                # tokenizer here would encode words no merge was
-                # learned for
+                # SAME tokenization as training (tokens_col's Java
+                # trim + \s+ semantics via java_ws_tokens, then the
+                # 2..20-length filter) — a different tokenizer here
+                # would encode words no merge was learned for
                 words = [
-                    w for w in (text or "").split()
+                    w for w in java_ws_tokens(text)
                     if 2 <= len(w) <= 20
                 ]
                 syms_total = sum(len(w) for w in words)

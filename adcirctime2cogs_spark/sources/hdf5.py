@@ -174,8 +174,12 @@ def _parse_ohdr(s: _Src, addr: int) -> list[tuple[int, bytes]]:
     nmsgs, hsize = _u16(hd, 2), _u32(hd, 8)
     msgs: list[tuple[int, bytes]] = []
     blocks = [(addr + 16, hsize)]
+    seen: set[tuple[int, int]] = set()
     while blocks and len(msgs) < nmsgs:
         boff, blen = blocks.pop(0)
+        if (boff, blen) in seen:  # self-referencing continuation
+            raise HDF5Error("object header continuation cycle")
+        seen.add((boff, blen))
         buf, p = s.read(boff, blen), 0
         while p + 8 <= blen and len(msgs) < nmsgs:
             mtype, msize = _u16(buf, p), _u16(buf, p + 2)
@@ -206,8 +210,12 @@ def _parse_ohdr_v2(s: _Src, addr: int) -> list[tuple[int, bytes]]:
     msgs: list[tuple[int, bytes]] = []
     blocks = [(addr + p, size0)]
     hdrlen = 4 + (2 if track_corder else 0)
+    seen: set[tuple[int, int]] = set()
     while blocks:
         boff, blen = blocks.pop(0)
+        if (boff, blen) in seen:  # self-referencing continuation
+            raise HDF5Error("object header continuation cycle")
+        seen.add((boff, blen))
         buf = s.read(boff, blen)
         if buf[:4] == b"OCHK":  # continuation block: sig + msgs + cksum
             buf = buf[4:-4]

@@ -454,10 +454,10 @@ def classic_splitter(path: str, length: int, variable: str | None = None,
     variable's per-record slab is one contiguous array, so a record
     bigger than max_split_bytes becomes ceil(slab/max) node-range
     tasks — an HSOFS record (1.8M nodes x 8 B = 14.6 MB) planning at
-    8 MB yields 2 tasks/record instead of 1, restoring the intra-
-    record parallelism the NetCDF-4 chunk index gets for free. Each
-    split is itemsize-aligned; t_idx repeats across a record's
-    chunks."""
+    the 4 MB default yields 4 tasks/record instead of 1, restoring
+    the intra-record parallelism the NetCDF-4 chunk index gets for
+    free. Each split is itemsize-aligned; t_idx repeats across a
+    record's chunks."""
     h = header_for(path)
     rvs = h.record_vars
     if not rvs:

@@ -245,16 +245,19 @@ def test_bpe_encode_matches_reference_python(spark, sf_dir):
     symbols; merges strictly shrink docs containing learned pairs)."""
     from adcirctime2cogs_spark.operators.textstats import (
         bpe_encode_word,
+        bpe_merge_ranks,
+        java_ws_tokens,
         text_bpe_encode,
-        text_bpe_train,
     )
     from adcirctime2cogs_spark.tables import load_table
 
-    ranks = {
-        (r.left, r.right): r.rank
-        for r in text_bpe_train(spark, sf_dir).collect()
-    }
+    ranks = bpe_merge_ranks(spark, sf_dir)
     assert ranks  # training produced merges
+    # Java-\s+ parity: NBSP/em-space are NOT token separators (the JVM
+    # training pass keeps them inside a token), plain spaces/tabs are
+    assert java_ws_tokens("foo bar baz\tqux") == [
+        "foo bar", "baz", "qux"
+    ]
     got = {
         r.doc_id: (r.n_words, r.n_syms, r.n_bpe_tokens)
         for r in text_bpe_encode(spark, sf_dir).collect()
@@ -265,7 +268,7 @@ def test_bpe_encode_matches_reference_python(spark, sf_dir):
     assert len(got) == len(docs)
     shrunk = 0
     for row in docs:
-        words = [w for w in (row.text or "").split() if 2 <= len(w) <= 20]
+        words = [w for w in java_ws_tokens(row.text) if 2 <= len(w) <= 20]
         n_syms = sum(len(w) for w in words)
         n_bpe = sum(len(bpe_encode_word(w, ranks)) for w in words)
         assert got[row.doc_id] == (len(words), n_syms, n_bpe), row.doc_id

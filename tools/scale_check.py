@@ -583,9 +583,9 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
     uniform vectors -> ~15 vectors per code) is SHORTLIST quality,
     not exact top-5 — production stacks rerank the ADC shortlist with
     exact distances. Green =
-    (a) every probe's planted twin lands in the SAME 4-symbol code
+    (a) EVERY probe's planted twin lands in the SAME 4-symbol code
         cell (encode preserves locality through 64x compression),
-    (b) the twin's ADC distance sits inside the top 1e-4 quantile of
+    (b) every twin's ADC distance sits inside the top 1e-4 quantile of
         the corpus (a 100-deep shortlist would carry it to rerank),
     (c) the full encode+scan finishes at corpus scale.
     The registered top-5's literal twin hits are reported
@@ -596,6 +596,7 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
     from adcirctime2cogs_spark.operators.similarity import (
         EMB_DIM,
         N_QUERY_VECS,
+        pq_adc_scored,
         sim_topk_pq_adc,
         vec_pq_encode,
     )
@@ -626,49 +627,12 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
             1 for q in probe_ids
             if (q, n_vecs + q) in {(r.q_id, r.c_id) for r in top}
         )
-        # shortlist quality: twin ADC <= the corpus' 1e-4 quantile.
-        # same-cell twins have ADC == the probe's own quantization
-        # profile; rank them against every vector's ADC per probe.
-        from adcirctime2cogs_spark.operators.similarity import (
-            _pq_anchors,
-            _pq_codes,
-            _pq_sub_dist,
-            PQ_M,
-            PQ_K,
-        )
-
-        anchors = _pq_anchors(spark, out)
-        full = _pq_codes(spark, out)
-        # rank-of-twin via one aggregation per probe over the scored set
-        probes_emb = (
-            spark.read.parquet(f"{out}/embeddings.parquet")
-            .filter(F.col("vec_id") < N_QUERY_VECS)
-            .select(F.col("vec_id").alias("q_id"),
-                    F.col("embedding").alias("q_emb"))
-        )
-        for m in range(PQ_M):
-            probes_emb = probes_emb.withColumn(
-                f"t{m}",
-                F.array(*[
-                    _pq_sub_dist(F.col("q_emb"), anchors[j], m)
-                    for j in range(PQ_K)
-                ]),
-            )
-        scored = (
-            full.crossJoin(F.broadcast(probes_emb.drop("q_emb")))
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select(
-                "q_id", "vec_id",
-                (
-                    F.element_at(F.col("t0"), F.col("c0") + 1)
-                    + F.element_at(F.col("t1"), F.col("c1") + 1)
-                    + F.element_at(F.col("t2"), F.col("c2") + 1)
-                    + F.element_at(F.col("t3"), F.col("c3") + 1)
-                ).alias("adc"),
-            )
-        )
+        # shortlist quality via the SHARED scoring plan (the exact
+        # formula the registered query ranks with): count vectors
+        # strictly closer than each probe's twin
+        scored = pq_adc_scored(spark, out)
         twin_adc = scored.filter(
-            F.col("vec_id") == F.col("q_id") + n_vecs
+            F.col("c_id") == F.col("q_id") + n_vecs
         ).select("q_id", F.col("adc").alias("twin_adc"))
         ranks = (
             scored.join(F.broadcast(twin_adc), "q_id")
@@ -692,7 +656,7 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
             "wall_encode_sec": round(t_encode, 2),
             "wall_adc_scan_sec": round(t_scan, 2),
             "violations": int(n_codes != n_vecs + N_QUERY_VECS)
-            + (0 if same_cell >= N_QUERY_VECS - 1 else 1)
+            + (0 if same_cell == N_QUERY_VECS else 1)
             + (0 if shortlist_ok == N_QUERY_VECS else 1),
         }
     finally:
