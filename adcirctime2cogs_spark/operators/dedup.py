@@ -335,7 +335,15 @@ def _lsh_bands(sig_sizes):
         "doc_id",
         "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
         " AS (band, h1, h2)",
-    ).select("doc_id", "band", F.concat_ws(":", "h1", "h2").alias("bkey"))
+    ).select(
+        "doc_id",
+        "band",
+        # injective long pack: h1, h2 < MH_PRIME = 2^31-1, so
+        # h1*2^31 + h2 < 2^62 — an 8-byte sort/shuffle/hash key
+        # instead of a per-row string concat (measured faster on the
+        # bucket window+groupBy, which sorts and hashes this key)
+        (F.col("h1") * F.lit(2147483648) + F.col("h2")).alias("bkey"),
+    )
 
 
 def _lsh_candidates(bands):
@@ -348,12 +356,17 @@ def _lsh_candidates(bands):
     without re-shuffling — measured ~1.7x on the full query at sf0.1.
 
     The cap costs NO extra shuffle: ONE window over (band, bkey) tags
-    every band row with its bucket size and min doc_id (the window
-    buffers per-bucket rows through a spillable sorter — linear, never
-    quadratic), then small buckets re-aggregate WITHOUT an exchange
-    (the groupBy key equals the window partitioning, so Catalyst
-    plans a partial+final hash-agg on already-partitioned data) and
-    over-cap buckets project star pairs row-locally.
+    every band row with its bucket size and min/max doc_id (the window
+    buffers per-bucket rows through a spillable sorter — linear disk,
+    never quadratic memory), then small buckets re-aggregate WITHOUT
+    an exchange (the groupBy key equals the window partitioning, so
+    Catalyst plans a partial+final hash-agg on already-partitioned
+    data) and over-cap buckets project star pairs row-locally. A
+    groupBy-sizes + join-back alternative was measured ~0.4 s SLOWER
+    on the sf0.1 headline query: buckets are mostly singletons, so the
+    sizes aggregation's map-side combine collapses nothing and its
+    shuffle is band-table-sized — a second full shuffle instead of the
+    window's one sort.
     """
     from pyspark.sql import Window
 
