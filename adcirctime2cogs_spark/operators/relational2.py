@@ -971,6 +971,117 @@ join_bucketed._no_plan_cache = True
 
 
 @_register(
+    "scan_orc_pushdown",
+    """
+    SELECT l_returnflag, count(*) AS n_items,
+           round(sum(l_extendedprice), 4) AS sum_price,
+           min(l_orderkey) AS min_orderkey
+    FROM lineitem
+    WHERE l_quantity >= 40
+    GROUP BY l_returnflag
+    """,
+)
+def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan with predicate pushdown: the same columnar-format
+    discipline the parquet scans are plan-gated on, exercised on
+    Spark's other built-in columnar format. The lineitem projection is
+    rewritten as ORC once per call (narrow 4-column write), then the
+    aggregate reads it back with a `l_quantity >= 40` predicate that
+    must reach the ORC reader as a search argument (PushedFilters in
+    the scan node — gated in tests/test_plans.py) so row groups whose
+    min/max exclude the bound never decompress. At 100 TB the format
+    choice is a table property, not a query rewrite: everything
+    downstream of the scan is identical to the parquet plan.
+
+    Reference parity: the reference reads NetCDF only
+    (run/utilities/adcirc_dask_utilities.py:42); this is the §2B
+    'scans: columnar formats' category widened beyond parquet/csv/json.
+    """
+    import hashlib
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{warehouse}/orc_lineitem_{tag}"
+    li.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .filter(F.col("l_quantity") >= 40)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            r4(F.sum("l_extendedprice")).alias("sum_price"),
+            F.min("l_orderkey").alias("min_orderkey"),
+        )
+    )
+
+
+# rewrites the ORC copy on every call — same staleness rule as
+# join_bucketed
+scan_orc_pushdown._no_plan_cache = True
+
+
+@_register(
+    "join_dpp_partitioned",
+    """
+    WITH dim(p, boost) AS (VALUES ('1-URGENT', 1), ('2-HIGH', 1))
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_price,
+           min(o_orderkey) AS min_orderkey
+    FROM orders JOIN dim ON o_orderpriority = dim.p AND dim.boost > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned BY the join key (one directory per o_orderpriority —
+    the date-partitioned-fact pattern every 100 TB warehouse uses),
+    and the join's small filtered dim side feeds the scan a runtime
+    partition filter (`dynamicpruningexpression` in the scan node —
+    gated in tests/test_plans.py). Spark broadcasts the dim for the
+    join anyway, REUSES that broadcast as the pruning subquery, and
+    the fact scan lists only the 2 of 5 priority directories the dim
+    survives — 60% of the fact table is never opened, before any row
+    predicate runs. The selective `boost > 0` filter on the dim is
+    what qualifies it as a pruning source (Spark only injects DPP
+    when the build side has a selective predicate).
+
+    Reference parity: no analogue (single-node xarray); §2B 'joins:
+    partition-pruned' — the scan-reduction twin of join_bucketed's
+    shuffle elimination.
+    """
+    import hashlib
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{warehouse}/dpp_orders_{tag}"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 1)], "p string, boost int"
+    ).filter(F.col("boost") > 0)
+    fact = spark.read.parquet(path)
+    return (
+        fact.join(dim, fact["o_orderpriority"] == dim["p"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("sum_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+    )
+
+
+# rewrites the partitioned copy on every call — same staleness rule as
+# join_bucketed
+join_dpp_partitioned._no_plan_cache = True
+
+
+@_register(
     "agg_boolean_flags",
     """
     SELECT o_orderpriority,

@@ -56,6 +56,10 @@ _PRIORITY = [
     # both fully oracled, never externally verified
     "vec_pq_encode",
     "sim_topk_pq_adc",
+    # ...and the NEW scan-reduction pair (ORC predicate pushdown,
+    # dynamic-partition-pruned join), added late in round 7
+    "scan_orc_pushdown",
+    "join_dpp_partitioned",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -102,8 +106,9 @@ _PRIORITY = [
     "vec_covariance_matrix",
     "vec_matryoshka_truncate",
     "text_quality",
-    "text_bm25_topk",
-    "text_pii_redact",
+    # (text_bm25_topk / text_pii_redact rotated back out when the new
+    # scan-reduction pair claimed their round-7 slots — both r04-green
+    # and still in the all-oracle sweep)
 ]
 
 

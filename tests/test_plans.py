@@ -264,6 +264,29 @@ def test_join_bucketed_query_has_no_prejoin_exchange(spark, sf_dir):
     assert "SelectedBucketsCount" in plan  # scans are bucket-aware
 
 
+def test_orc_scan_pushes_predicate(spark, sf_dir):
+    """The ORC scan must carry the quantity bound as a pushed search
+    argument — same gate the parquet scans pass, on the other
+    columnar format."""
+    from adcirctime2cogs_spark.operators.relational2 import scan_orc_pushdown
+
+    plan = _plan(scan_orc_pushdown(spark, sf_dir))
+    assert "Format: ORC" in plan
+    assert "GreaterThanOrEqual(l_quantity,40.0)" in plan, plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """The partitioned-fact join must inject a runtime partition
+    filter from the dim side (dynamic partition pruning), so only the
+    dim-surviving priority directories are listed/scanned."""
+    from adcirctime2cogs_spark.operators.relational2 import (
+        join_dpp_partitioned,
+    )
+
+    plan = _plan(join_dpp_partitioned(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
 def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     from adcirctime2cogs_spark.operators.similarity import vec_quantize_int8
 
