@@ -958,6 +958,100 @@ def run_skew_join_leg(spark, n_rows: int = 20_000_000,
     }
 
 
+def run_bloom_filter_leg(spark, n_rows: int = 20_000_000,
+                         n_keys: int = 1_000_000) -> dict:
+    """Runtime bloom-filter join: a 20M-row fact shuffles against a
+    1M-key dim of which a selective filter keeps 1% — the shape where
+    Spark's InjectRuntimeFilter builds a bloom filter from the dim
+    side and plants a `might_contain` pre-filter on the FACT SCAN, so
+    ~99% of fact rows drop before the shuffle instead of after it.
+    The leg simulates the 100 TB regime where neither side broadcasts
+    (autoBroadcastJoinThreshold lowered for its duration; the rule
+    skips broadcastable dims because a broadcast join needs no
+    shuffle to protect). Invariants: the bloom plan must actually
+    contain might_contain + bloom_filter_agg (a leg that passes
+    because the rule silently didn't engage would be vacuous), and it
+    must produce the SAME row count and integer checksum as the
+    bloom-disabled twin of the identical logical plan. Walls are
+    informational only and the bloom run is EXPECTED to be slower
+    here: on local[32] a shuffle is a memory copy, so the bloom build
+    scan dominates; the 99% pre-shuffle row reduction pays for itself
+    when the shuffle crosses a real network."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bloomleg_")
+    try:
+        spark.range(n_rows).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+            F.pmod(F.col("id"), F.lit(97)).alias("v"),
+        ).write.mode("overwrite").parquet(f"{tmp}/fact")
+        spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7 + 1).alias("mult"),
+            (F.col("id") % 100).alias("segment"),
+        ).write.mode("overwrite").parquet(f"{tmp}/dim")
+        fact = spark.read.parquet(f"{tmp}/fact")
+        dim = spark.read.parquet(f"{tmp}/dim").filter(F.col("segment") == 0)
+        q = fact.join(dim, "k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v") * F.col("mult")).alias("s"),
+        )
+        conf = spark.conf
+        keys = (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+        saved = {k: conf.get(k, None) for k in keys}
+        try:
+            conf.set(keys[0], "true")
+            conf.set(keys[1], "1MB")
+            conf.set(keys[2], "100MB")
+            conf.set(keys[3], "1MB")
+            t0 = time.time()
+            bloom_row = q.collect()[0]
+            wall_bloom = time.time() - t0
+            plan = q._jdf.queryExecution().executedPlan().toString().lower()
+            injected = "might_contain" in plan and "bloom_filter_agg" in plan
+            conf.set(keys[0], "false")
+            # a fresh DataFrame: the first one's queryExecution is
+            # already finalized with the bloom plan
+            q2 = fact.join(dim, "k").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v") * F.col("mult")).alias("s"),
+            )
+            t0 = time.time()
+            plain_row = q2.collect()[0]
+            wall_plain = time.time() - t0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        violations = 0
+        if not injected:
+            violations += 1
+        if bloom_row.n != plain_row.n or bloom_row.s != plain_row.s:
+            violations += 1
+        return {
+            "leg": f"bloom_filter_join_{n_rows}",
+            "n_rows": n_rows,
+            "dim_keys_kept": n_keys // 100,
+            "out_rows": bloom_row.n,
+            "checksum": bloom_row.s,
+            "bloom_injected": injected,
+            "wall_bloom_sec": round(wall_bloom, 2),
+            "wall_no_bloom_sec": round(wall_plain, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ui_spill_bytes(spark) -> tuple[int, int]:
     """(memoryBytesSpilled, diskBytesSpilled) summed over all stages,
     via the Spark UI REST API (the child session enables the UI)."""
@@ -1199,6 +1293,7 @@ def main() -> int:
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
+            run_bloom_filter_leg(spark),
             run_streaming_session_leg(spark),
         ):
             print(json.dumps(res))
