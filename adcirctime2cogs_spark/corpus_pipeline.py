@@ -1,0 +1,334 @@
+"""End-to-end training-corpus preparation CLI: documents in, training
+shards + dataset card out.
+
+This is the LLM-pipeline twin of pipeline.py (which drives the
+reference's geospatial dataflow, run/adcircTime2cogs.py:121-240): one
+command takes a raw documents table through the standard corpus-prep
+sequence and emits a training-ready artifact:
+
+    exact_dedup -> quality -> fuzzy_dedup -> decontaminate ->
+    pii_scrub -> source_cap -> [mixture] -> split -> shards + card
+
+Every stage composes the SAME DataFrame kernels the registered,
+DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
+source_cap_keepers, the PII regex pair, the md5-bucket split), so the
+pipeline's behavior is pinned by the per-operator correctness gates —
+there is no second implementation to drift.
+
+Scale shape: each enabled stage MATERIALIZES its output as
+documents.parquet under work_dir (the written-once tables a 100 TB
+pipeline checkpoints between stages — restartable, inspectable, and
+the input contract `dedup_corpus_emit` needs), and per-stage row
+counts come from parquet footer metadata, not a recount of the chain.
+All filters are either row-local column math or semi/anti joins
+against small keeper/drop sets; the documents table itself never
+self-joins (the fuzzy stage's pair graph is the capped LSH posting
+path, dedup.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# stage order is part of the contract: quality halves the fuzzy
+# stage's shingle volume, dedup precedes decontamination so dropped
+# twins never mask a contaminated keeper, and the cap runs last so it
+# counts only surviving docs
+STAGES = (
+    "exact_dedup",
+    "quality",
+    "fuzzy_dedup",
+    "decontaminate",
+    "pii_scrub",
+    "source_cap",
+    "mixture",
+)
+
+_DEFAULT_ON = {s: s != "mixture" for s in STAGES}  # mixture opt-in:
+# it intentionally downsamples the dominant language (lossy by design)
+
+
+def _write_stage(df: DataFrame, stage_dir: str) -> int:
+    """Materialize a stage output as <stage_dir>/documents.parquet and
+    return its row count (parquet footer metadata — no re-scan)."""
+    spark = df.sparkSession
+    path = os.path.join(stage_dir, "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def _read_stage(spark: SparkSession, stage_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(stage_dir, "documents.parquet"))
+
+
+def _exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per exact text content (xxhash64 group —
+    the same keep-first semantics as the registered dedup_exact)."""
+    keepers = (
+        docs.groupBy(F.xxhash64("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "semi")
+
+
+def _quality(docs: DataFrame) -> DataFrame:
+    from adcirctime2cogs_spark.operators.dataprep import quality_verdict
+
+    return quality_verdict(docs).filter("keep").select(*docs.columns)
+
+
+def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
+    """Near-dup clusters -> canonical keepers, via the registered
+    dedup_corpus_emit chain (shingles -> capped LSH -> connected
+    components -> survivor pick) run against the materialized stage
+    directory. Keepers are one row per cluster, so the final semi-join
+    broadcasts even at corpus scale."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_corpus_emit
+
+    keepers = dedup_corpus_emit(spark, stage_in_dir).select("doc_id")
+    return _read_stage(spark, stage_in_dir).join(
+        F.broadcast(keepers), "doc_id", "semi"
+    )
+
+
+def _decontaminate(docs: DataFrame) -> DataFrame:
+    """Drop every doc sharing a word-3-gram shingle with the held-out
+    eval bucket (same md5-bucket split and shingle join as the
+    registered prep_decontaminate; eval-side shingles reduce to a
+    distinct set first — tiny and broadcastable with a real
+    benchmark). Eval-bucket docs themselves are kept: they ARE the
+    holdout."""
+    from adcirctime2cogs_spark.operators.dataprep import _bucket
+    from adcirctime2cogs_spark.operators.dedup import shingles
+
+    sh = shingles(docs)
+    split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
+    train_sh = sh.join(split.filter(F.col("bucket") < 90), "doc_id")
+    test_sh = (
+        sh.join(split.filter(F.col("bucket") >= 90), "doc_id")
+        .select("sh")
+        .distinct()
+    )
+    contaminated = (
+        train_sh.join(F.broadcast(test_sh), "sh").select("doc_id").distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def _pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails / phone-shaped digit runs in the actual text
+    (same regex pair as the registered text_pii_redact — the
+    Java-regex ∩ RE2 common subset) and recompute n_chars."""
+    from adcirctime2cogs_spark.operators.textstats import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    others = [c for c in docs.columns if c not in ("text", "n_chars")]
+    return docs.select(
+        *others,
+        clean.alias("text"),
+        F.length(clean).cast("bigint").alias("n_chars"),
+    )
+
+
+def _source_cap(docs: DataFrame) -> DataFrame:
+    from adcirctime2cogs_spark.operators.dataprep import source_cap_keepers
+
+    keepers = source_cap_keepers(
+        docs.select("source", "doc_id", "n_chars")
+    ).select("doc_id")
+    return docs.join(keepers, "doc_id", "semi")
+
+
+def _mixture(docs: DataFrame) -> DataFrame:
+    """Deterministic language-mixture downsampling (same hash-bucket
+    membership as the registered prep_mixture_sample)."""
+    from adcirctime2cogs_spark.operators.dataprep import _MIX_RATES, _bucket
+
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in _MIX_RATES.items() for x in kv]),
+            F.col("lang"),
+        ),
+        F.lit(1000),
+    )
+    return docs.filter(_bucket("mix:", 1000) < rate)
+
+
+def _with_split(docs: DataFrame) -> DataFrame:
+    """The same content-stable 80/10/10 md5-bucket split the
+    registered text_train_test_split / prep_dataset_card recompute
+    inline — membership is derivable, not stored."""
+    from adcirctime2cogs_spark.operators.dataprep import _bucket
+
+    bucket = _bucket("", 100)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise(
+            "test"
+        ),
+    )
+
+
+def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
+    """Drive the full corpus-prep dataflow; returns the run manifest
+    (per-stage row counts + walls, shard layout, card path)."""
+    input_dir = cfg["input_dir"]
+    work_dir = cfg["work_dir"]
+    out_dir = cfg["out_dir"]
+    enabled = dict(_DEFAULT_ON, **cfg.get("stages", {}))
+    unknown = set(enabled) - set(STAGES)
+    if unknown:
+        raise ValueError(f"unknown corpus pipeline stages: {sorted(unknown)}")
+
+    docs = _read_stage(spark, input_dir)
+    n_in = docs.count()
+    manifest: dict = {
+        "input_dir": input_dir,
+        "rows_in": n_in,
+        "stages": [],
+    }
+    cur_dir = input_dir
+    prev_rows = n_in
+    for i, stage in enumerate(STAGES, start=1):
+        if not enabled[stage]:
+            continue
+        t0 = time.time()
+        if stage == "fuzzy_dedup":
+            out = _fuzzy_dedup(spark, cur_dir)
+        else:
+            fn = {
+                "exact_dedup": _exact_dedup,
+                "quality": _quality,
+                "decontaminate": _decontaminate,
+                "pii_scrub": _pii_scrub,
+                "source_cap": _source_cap,
+                "mixture": _mixture,
+            }[stage]
+            out = fn(docs)
+        stage_dir = os.path.join(work_dir, f"{i:02d}_{stage}")
+        n = _write_stage(out, stage_dir)
+        if n > prev_rows:
+            # every stage filters or rewrites 1:1 — growth means a
+            # join fanned out (a bug), never valid pipeline output
+            raise RuntimeError(
+                f"corpus stage {stage} grew the corpus: {prev_rows} -> {n}"
+            )
+        manifest["stages"].append(
+            {
+                "stage": stage,
+                "rows_out": n,
+                "dropped": prev_rows - n,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+        prev_rows = n
+        cur_dir = stage_dir
+        docs = _read_stage(spark, cur_dir)
+        if n == 0:
+            # nothing left to filter; skip straight to the (empty) emit
+            break
+
+    from adcirctime2cogs_spark.sinks.shards import write_training_shards
+
+    final = _with_split(docs)
+    shard_cfg = cfg.get("shards", {})
+    t0 = time.time()
+    layout = write_training_shards(
+        final,
+        os.path.join(out_dir, "shards"),
+        split_col="split",
+        order_col="doc_id",
+        n_shards=int(shard_cfg.get("n_shards", 8)),
+        max_records_per_file=int(
+            shard_cfg.get("max_records_per_file", 100_000)
+        ),
+    )
+    card_rows = (
+        final.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("split", "lang")
+        .collect()
+    )
+    card = {
+        "rows": prev_rows,
+        "splits": [r.asDict() for r in card_rows],
+        "stages": manifest["stages"],
+    }
+    card_path = os.path.join(out_dir, "dataset_card.json")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(card_path, "w") as fh:
+        json.dump(card, fh, indent=1, sort_keys=True)
+    manifest.update(
+        {
+            "rows_out": prev_rows,
+            "shard_layout": layout,
+            "card_path": card_path,
+            "emit_wall_sec": round(time.time() - t0, 2),
+        }
+    )
+    return manifest
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="YAML mapping of the flags below")
+    p.add_argument("--input-dir", help="dir containing documents.parquet")
+    p.add_argument("--work-dir", help="stage checkpoint dir")
+    p.add_argument("--out-dir", help="shards + dataset card dir")
+    p.add_argument(
+        "--skip",
+        action="append",
+        default=[],
+        help=f"stage to disable (repeatable); one of {STAGES}",
+    )
+    p.add_argument(
+        "--enable",
+        action="append",
+        default=[],
+        help="opt-in stage to enable (e.g. mixture)",
+    )
+    ns = p.parse_args(argv)
+    cfg: dict = {}
+    if ns.config:
+        from adcirctime2cogs_spark.pipeline import load_config_yaml
+
+        cfg.update(load_config_yaml(ns.config))
+    for key in ("input_dir", "work_dir", "out_dir"):
+        val = getattr(ns, key)
+        if val is not None:
+            cfg[key] = val
+    stages = dict(cfg.get("stages", {}))
+    stages.update({s: False for s in ns.skip})
+    stages.update({s: True for s in ns.enable})
+    cfg["stages"] = stages
+    missing = [k for k in ("input_dir", "work_dir", "out_dir") if k not in cfg]
+    if missing:
+        p.error(f"missing required settings: {missing}")
+
+    from adcirctime2cogs_spark.session import get_spark
+
+    manifest = run_corpus_pipeline(spark=get_spark(), cfg=cfg)
+    print(json.dumps(manifest, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -243,9 +243,18 @@ def prep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals are row-local column math over the token array, so the
     whole filter is one narrow map stage — the oracle's join between
     its CTEs is a DuckDB artifact, not a plan requirement."""
+    return quality_verdict(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "rep_ratio", "quality", "reason", "keep"
+    )
+
+
+def quality_verdict(docs: DataFrame) -> DataFrame:
+    """DataFrame-level quality kernel shared by the registered query
+    and corpus_pipeline: the input columns passed through, plus
+    (n_tokens, rep_ratio, quality, reason, keep) from row-local
+    column math only."""
     from adcirctime2cogs_spark.operators.textstats import LANG_MARKERS
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     grams = F.transform(
@@ -272,7 +281,7 @@ def prep_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
     )
     return docs.select(
-        "doc_id",
+        "*",
         n.cast("bigint").alias("n_tokens"),
         r4(rep).alias("rep_ratio"),
         r4(q).alias("quality"),
@@ -519,9 +528,17 @@ def prep_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism scales with the salt count. Ordering (n_chars DESC,
     doc_id) is total, so the final ranks match the naive form exactly
     — which is what the oracle runs."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", "n_chars"
+    return source_cap_keepers(
+        load_table(spark, sf_dir, "documents").select(
+            "source", "doc_id", "n_chars"
+        )
     )
+
+
+def source_cap_keepers(docs: DataFrame) -> DataFrame:
+    """DataFrame-level skew-safe per-source top-N kernel shared by the
+    registered query and corpus_pipeline; expects (source, doc_id,
+    n_chars) columns, returns the kept rows with their final rank."""
     order = (F.col("n_chars").desc(), F.col("doc_id"))
     w1 = W.partitionBy("source", "salt").orderBy(*order)
     phase1 = (

@@ -1,0 +1,198 @@
+"""End-to-end tests for the corpus-prep pipeline CLI
+(adcirctime2cogs_spark/corpus_pipeline.py): planted-defect removal,
+stage toggles, determinism, and decontamination cross-checked against
+the registered oracled query's semantics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.corpus_pipeline import (
+    STAGES,
+    _decontaminate,
+    run_corpus_pipeline,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _planted_input(spark, out_dir: str) -> None:
+    """sf0.001 documents plus two planted defects: an exact duplicate
+    of doc 7 under a fresh id, and a PII-bearing doc."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base = docs.limit(0)
+    dup = (
+        docs.filter(F.col("doc_id") == 7)
+        .withColumn("doc_id", F.lit(900001).cast("bigint"))
+    )
+    pii = spark.createDataFrame(
+        [
+            (
+                900002,
+                "the quick brown fox mailed alice@example.org or "
+                "called 555-0199 about the lazy dog and the old boat",
+                "en",
+                "web",
+            )
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    union = docs.unionByName(dup).unionByName(pii.select(*docs.columns))
+    union.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    assert base.columns == union.columns
+
+
+@pytest.fixture(scope="module")
+def pipe_run(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus_pipe")
+    _planted_input(spark, str(root / "input"))
+    cfg = {
+        "input_dir": str(root / "input"),
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        # keep the corpus large enough to assert on: the synthetic
+        # fixture has heavy cross-bucket shingle overlap, so the
+        # decontamination default would drop most of it (its semantics
+        # are pinned separately below)
+        "stages": {"decontaminate": False},
+        "shards": {"n_shards": 4},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    return root, cfg, manifest
+
+
+def test_pipeline_removes_planted_exact_dup(spark, pipe_run):
+    root, _, manifest = pipe_run
+    stage_out = spark.read.parquet(
+        str(root / "work" / "01_exact_dedup" / "documents.parquet")
+    )
+    ids = {r.doc_id for r in stage_out.select("doc_id").collect()}
+    assert 7 in ids  # keep-first: the lower id survives
+    assert 900001 not in ids  # the planted copy is dropped
+    exact = next(s for s in manifest["stages"] if s["stage"] == "exact_dedup")
+    assert exact["dropped"] >= 1
+    # and the final corpus holds no exact text duplicates at all
+    final = spark.read.parquet(str(root / "out" / "shards"))
+    assert final.count() == final.select("text").distinct().count()
+
+
+def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
+    root, _, _ = pipe_run
+    final = spark.read.parquet(str(root / "out" / "shards"))
+    hits = final.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+        | F.col("text").rlike(r"[0-9]{3}-[0-9]{4}")
+    ).count()
+    assert hits == 0
+    planted = final.filter(F.col("doc_id") == 900002).collect()
+    if planted:  # may have been quality-filtered; if kept, it's scrubbed
+        assert "[EMAIL]" in planted[0].text and "[PHONE]" in planted[0].text
+        assert planted[0].n_chars == len(planted[0].text)
+
+
+def test_pipeline_manifest_counts_monotone_and_card(spark, pipe_run):
+    root, _, manifest = pipe_run
+    counts = [manifest["rows_in"]] + [
+        s["rows_out"] for s in manifest["stages"]
+    ]
+    assert counts == sorted(counts, reverse=True)
+    assert manifest["rows_out"] == counts[-1] > 0
+    card = json.load(open(manifest["card_path"]))
+    assert card["rows"] == manifest["rows_out"]
+    assert sum(r["n_docs"] for r in card["splits"]) == card["rows"]
+    assert {r["split"] for r in card["splits"]} <= {"train", "valid", "test"}
+    shard_root = root / "out" / "shards"
+    for split_dir in manifest["shard_layout"]:
+        assert (shard_root / split_dir).is_dir()
+
+
+def test_pipeline_is_deterministic(spark, pipe_run):
+    root, cfg, manifest = pipe_run
+    cfg2 = dict(
+        cfg,
+        work_dir=str(root / "work2"),
+        out_dir=str(root / "out2"),
+    )
+    manifest2 = run_corpus_pipeline(spark, cfg2)
+
+    def counts(m):
+        return [(s["stage"], s["rows_out"], s["dropped"]) for s in m["stages"]]
+
+    assert counts(manifest2) == counts(manifest)
+    a = spark.read.parquet(str(root / "out" / "shards"))
+    b = spark.read.parquet(str(root / "out2" / "shards"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_all_stages_off_is_passthrough(spark, tmp_path):
+    cfg = {
+        "input_dir": SF_DIR,
+        "work_dir": str(tmp_path / "work"),
+        "out_dir": str(tmp_path / "out"),
+        "stages": {s: False for s in STAGES},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    assert manifest["rows_out"] == manifest["rows_in"]
+    assert manifest["stages"] == []
+    final = spark.read.parquet(str(tmp_path / "out" / "shards"))
+    assert final.count() == manifest["rows_in"]
+
+
+def test_decontaminate_matches_registered_semantics(spark):
+    """The pipeline's drop set must be exactly the bucket<90 docs that
+    share a shingle with the bucket>=90 eval set — the same shingle
+    join the oracled prep_decontaminate pins, widened from train-only
+    to train+valid (the pipeline guards BOTH non-eval splits)."""
+    from adcirctime2cogs_spark.operators.dataprep import _bucket
+    from adcirctime2cogs_spark.operators.dedup import shingles
+    from adcirctime2cogs_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = _decontaminate(docs)
+    sh = shingles(docs)
+    split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
+    test_sh = (
+        sh.join(split.filter("bucket >= 90"), "doc_id").select("sh").distinct()
+    )
+    expected_dropped = {
+        r.doc_id
+        for r in sh.join(split.filter("bucket < 90"), "doc_id")
+        .join(test_sh, "sh")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert all_ids - kept_ids == expected_dropped
+
+
+def test_cli_flags_drive_a_run(spark, tmp_path, capsys):
+    from adcirctime2cogs_spark import corpus_pipeline
+
+    rc = corpus_pipeline.main(
+        [
+            "--input-dir",
+            SF_DIR,
+            "--work-dir",
+            str(tmp_path / "w"),
+            "--out-dir",
+            str(tmp_path / "o"),
+            "--skip",
+            "fuzzy_dedup",
+            "--skip",
+            "decontaminate",
+        ]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    manifest = json.loads(line)
+    assert manifest["rows_out"] > 0
+    assert not any(
+        s["stage"] in ("fuzzy_dedup", "decontaminate")
+        for s in manifest["stages"]
+    )
