@@ -144,11 +144,15 @@ def _pii_scrub(docs: DataFrame) -> DataFrame:
     )
 
 
-def _source_cap(docs: DataFrame) -> DataFrame:
-    from adcirctime2cogs_spark.operators.dataprep import source_cap_keepers
+def _source_cap(docs: DataFrame, cap: int | None = None) -> DataFrame:
+    from adcirctime2cogs_spark.operators.dataprep import (
+        SOURCE_CAP,
+        source_cap_keepers,
+    )
 
     keepers = source_cap_keepers(
-        docs.select("source", "doc_id", "n_chars")
+        docs.select("source", "doc_id", "n_chars"),
+        cap=SOURCE_CAP if cap is None else cap,
     ).select("doc_id")
     return docs.join(keepers, "doc_id", "semi")
 
@@ -209,13 +213,14 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
         t0 = time.time()
         if stage == "fuzzy_dedup":
             out = _fuzzy_dedup(spark, cur_dir)
+        elif stage == "source_cap":
+            out = _source_cap(docs, cap=cfg.get("source_cap_n"))
         else:
             fn = {
                 "exact_dedup": _exact_dedup,
                 "quality": _quality,
                 "decontaminate": _decontaminate,
                 "pii_scrub": _pii_scrub,
-                "source_cap": _source_cap,
                 "mixture": _mixture,
             }[stage]
             out = fn(docs)

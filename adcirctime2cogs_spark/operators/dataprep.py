@@ -535,20 +535,23 @@ def prep_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def source_cap_keepers(docs: DataFrame) -> DataFrame:
+def source_cap_keepers(
+    docs: DataFrame, cap: int = SOURCE_CAP, salts: int = _CAP_SALTS
+) -> DataFrame:
     """DataFrame-level skew-safe per-source top-N kernel shared by the
-    registered query and corpus_pipeline; expects (source, doc_id,
-    n_chars) columns, returns the kept rows with their final rank."""
+    registered query (fixture-calibrated cap=8) and corpus_pipeline
+    (cap from config); expects (source, doc_id, n_chars) columns,
+    returns the kept rows with their final rank."""
     order = (F.col("n_chars").desc(), F.col("doc_id"))
     w1 = W.partitionBy("source", "salt").orderBy(*order)
     phase1 = (
-        docs.withColumn("salt", F.col("doc_id") % _CAP_SALTS)
+        docs.withColumn("salt", F.col("doc_id") % salts)
         .withColumn("rk1", F.row_number().over(w1))
-        .filter(F.col("rk1") <= SOURCE_CAP)
+        .filter(F.col("rk1") <= cap)
     )
     w2 = W.partitionBy("source").orderBy(*order)
     return (
         phase1.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= SOURCE_CAP)
+        .filter(F.col("rk") <= cap)
         .select("source", "doc_id", "n_chars", "rk")
     )

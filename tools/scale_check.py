@@ -158,6 +158,84 @@ def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
+    """The WHOLE corpus-prep pipeline (corpus_pipeline.py) end-to-end
+    at planted-truth scale: the same synthetic twin corpus as the LSH
+    leg flows through exact dedup -> quality -> MinHash-LSH dedup ->
+    decontamination -> PII scrub -> per-source cap -> shards + card as
+    ONE CLI run with checkpointed stage tables. Invariants: (a) the
+    run finishes with monotone non-increasing stage counts (the
+    pipeline itself raises on growth); (b) the emitted corpus
+    contains BOTH members of at most 2% of planted twin pairs (the
+    LSH banding miss rate bound — the dedup stage must actually
+    collapse clusters, not just run); (c) the dataset card's split
+    totals equal the emitted row count. The per-source cap is raised
+    to n_docs (policy knob, fixture-calibrated default 8 would
+    reduce any corpus to 160 docs) so the twin check stays
+    meaningful."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.corpus_pipeline import run_corpus_pipeline
+
+    root = tempfile.mkdtemp(prefix="scale_corpuspipe_")
+    twin_every = 100
+    try:
+        n_twins = synth_documents(
+            spark, f"{root}/input", n_docs, twin_every=twin_every
+        )
+        t0 = time.time()
+        manifest = run_corpus_pipeline(
+            spark,
+            {
+                "input_dir": f"{root}/input",
+                "work_dir": f"{root}/work",
+                "out_dir": f"{root}/out",
+                "source_cap_n": n_docs,
+            },
+        )
+        wall = time.time() - t0
+        final = spark.read.parquet(f"{root}/out/shards")
+        ids = final.select("doc_id")
+        twins = ids.filter(F.col("doc_id") >= n_docs).select(
+            (F.col("doc_id") - n_docs).alias("tw")
+        )
+        both = (
+            ids.filter(
+                (F.col("doc_id") < n_docs)
+                & (F.col("doc_id") % twin_every == 0)
+            )
+            .select((F.col("doc_id") / twin_every).cast("long").alias("tw"))
+            .join(twins, "tw", "semi")
+            .count()
+        )
+        import json as _json
+
+        card = _json.load(open(manifest["card_path"]))
+        card_total = sum(r["n_docs"] for r in card["splits"])
+        violations = 0
+        if both > 0.02 * n_twins:
+            violations += 1
+        if card_total != manifest["rows_out"]:
+            violations += 1
+        if manifest["rows_out"] <= 0:
+            violations += 1
+        return {
+            "leg": f"corpus_pipeline_{n_docs}",
+            "rows_in": manifest["rows_in"],
+            "rows_out": manifest["rows_out"],
+            "planted_pairs": n_twins,
+            "pairs_left_undeduped": both,
+            "stage_counts": {
+                s["stage"]: s["rows_out"] for s in manifest["stages"]
+            },
+            "wall_sec": round(wall, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_degenerate_bucket_leg(
     spark, n_dup: int = 100_000, n_normal: int = 20_000
 ) -> dict:
@@ -1287,6 +1365,7 @@ def main() -> int:
     if args.corpus:
         for res in (
             run_corpus_lsh_leg(spark, args.corpus_docs),
+            run_corpus_pipeline_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
