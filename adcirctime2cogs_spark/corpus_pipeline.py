@@ -21,9 +21,10 @@ pipeline checkpoints between stages — restartable, inspectable, and
 the input contract `dedup_corpus_emit` needs), and per-stage row
 counts come from parquet footer metadata, not a recount of the chain.
 All filters are either row-local column math or semi/anti joins
-against small keeper/drop sets; the documents table itself never
-self-joins (the fuzzy stage's pair graph is the capped LSH posting
-path, dedup.py).
+against keeper/drop id sets; the documents table itself never
+self-joins (the fuzzy stage's pair graph is dedup.py's capped
+posting-list exact-Jaccard path — DF_CAP bounds every shingle's
+pair fan-out, so no shingle self-join ever materializes).
 """
 
 from __future__ import annotations
@@ -86,25 +87,30 @@ def _quality(docs: DataFrame) -> DataFrame:
 
 def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
     """Near-dup clusters -> canonical keepers, via the registered
-    dedup_corpus_emit chain (shingles -> capped LSH -> connected
-    components -> survivor pick) run against the materialized stage
-    directory. Keepers are one row per cluster, so the final semi-join
-    broadcasts even at corpus scale."""
+    dedup_corpus_emit chain (shingles -> capped posting-list
+    exact-Jaccard pairs -> connected components -> survivor pick) run
+    against the materialized stage directory. Keepers include every
+    singleton (one row per SURVIVING doc, not per dup cluster), so
+    they are approximately corpus-sized: the semi-join must shuffle —
+    a forced broadcast would blow the 8 GB limit long before 100 TB.
+    AQE still converts it to a broadcast join when the corpus really
+    is small."""
     from adcirctime2cogs_spark.operators.dedup import dedup_corpus_emit
 
     keepers = dedup_corpus_emit(spark, stage_in_dir).select("doc_id")
-    return _read_stage(spark, stage_in_dir).join(
-        F.broadcast(keepers), "doc_id", "semi"
-    )
+    return _read_stage(spark, stage_in_dir).join(keepers, "doc_id", "semi")
 
 
 def _decontaminate(docs: DataFrame) -> DataFrame:
     """Drop every doc sharing a word-3-gram shingle with the held-out
     eval bucket (same md5-bucket split and shingle join as the
     registered prep_decontaminate; eval-side shingles reduce to a
-    distinct set first — tiny and broadcastable with a real
-    benchmark). Eval-bucket docs themselves are kept: they ARE the
-    holdout."""
+    distinct set first). The eval side here is ~10% of the corpus's
+    own shingles — it GROWS with the corpus, so the join is a plain
+    shuffle join on `sh` (AQE broadcasts it only when it measures
+    small; forcing a broadcast would cap the pipeline at whatever
+    fits in 8 GB). Eval-bucket docs themselves are kept: they ARE
+    the holdout."""
     from adcirctime2cogs_spark.operators.dataprep import _bucket
     from adcirctime2cogs_spark.operators.dedup import shingles
 
@@ -117,7 +123,7 @@ def _decontaminate(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        train_sh.join(F.broadcast(test_sh), "sh").select("doc_id").distinct()
+        train_sh.join(test_sh, "sh").select("doc_id").distinct()
     )
     return docs.join(contaminated, "doc_id", "left_anti")
 
@@ -226,6 +232,16 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             out = fn(docs)
         stage_dir = os.path.join(work_dir, f"{i:02d}_{stage}")
         n = _write_stage(out, stage_dir)
+        if stage == "fuzzy_dedup":
+            # the dedup kernels memoize persisted shingle artifacts
+            # keyed on the stage dir; every run checkpoints under a
+            # fresh work_dir, so without an explicit evict each run
+            # would pin its exploded shingle table for the session
+            from adcirctime2cogs_spark.operators.dedup import (
+                evict_shingle_artifacts,
+            )
+
+            evict_shingle_artifacts(spark, cur_dir)
         if n > prev_rows:
             # every stage filters or rewrites 1:1 — growth means a
             # join fanned out (a bug), never valid pipeline output

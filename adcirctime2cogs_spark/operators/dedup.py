@@ -206,6 +206,25 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
     return sh, stop, inter
 
 
+def evict_shingle_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist and drop the memoized shingle artifacts (and any
+    derived caches) for one (session, dir). The automatic eviction in
+    _shingle_artifacts only fires when the SAME dir is requested again
+    with a newer mtime — callers that key on ephemeral directories
+    (corpus_pipeline checkpoints a fresh work_dir per run) must evict
+    explicitly once the stage materializes, or each run pins its full
+    exploded shingle table in executor storage for the session's
+    lifetime."""
+    for key in [
+        k for k in _ARTIFACT_MEMO if k[0] == id(spark) and k[1] == sf_dir
+    ]:
+        old = _ARTIFACT_MEMO.pop(key)
+        for df in old[1:]:
+            df.unpersist()
+        for df in _DERIVED_CACHES.pop(key, []):
+            df.unpersist()
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard >= 0.8 pairs:
     (doc_a, doc_b, jaccard double, unrounded)."""

@@ -60,6 +60,10 @@ _PRIORITY = [
     # dynamic-partition-pruned join), added late in round 7
     "scan_orc_pushdown",
     "join_dpp_partitioned",
+    # ...and prep_source_cap, whose body was refactored this round
+    # into the parameterized source_cap_keepers kernel (rule 1:
+    # modified queries must not ship with only local verification)
+    "prep_source_cap",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -105,10 +109,10 @@ _PRIORITY = [
     "sim_knn_join",
     "vec_covariance_matrix",
     "vec_matryoshka_truncate",
-    "text_quality",
-    # (text_bm25_topk / text_pii_redact rotated back out when the new
-    # scan-reduction pair claimed their round-7 slots — both r04-green
-    # and still in the all-oracle sweep)
+    # (text_bm25_topk / text_pii_redact / text_quality rotated back
+    # out when the scan-reduction pair and the modified
+    # prep_source_cap claimed their round-7 slots — all r04-green and
+    # still in the all-oracle sweep)
 ]
 
 

@@ -27,12 +27,19 @@ def _planted_input(spark, out_dir: str) -> None:
         docs.filter(F.col("doc_id") == 7)
         .withColumn("doc_id", F.lit(900001).cast("bigint"))
     )
+    # 40 tokens, all-distinct 3-grams, stopword-rich: passes every
+    # quality_verdict gate (n>=20, rep<=0.05, q>=0.45) so the doc is
+    # guaranteed to REACH the pii_scrub stage — a shorter plant would
+    # die at quality and leave the scrub assertion vacuous
     pii = spark.createDataFrame(
         [
             (
                 900002,
-                "the quick brown fox mailed alice@example.org or "
-                "called 555-0199 about the lazy dog and the old boat",
+                "please contact alice@example.org or call 555-0199 if "
+                "the delivery of the old boat is delayed because the "
+                "harbor crew and the dock master keep a detailed log "
+                "of every crossing and the tide tables guide the "
+                "schedule for the season",
                 "en",
                 "web",
             )
@@ -82,16 +89,25 @@ def test_pipeline_removes_planted_exact_dup(spark, pipe_run):
 
 def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
     root, _, _ = pipe_run
+    # assert on the scrub stage's own checkpoint: the planted doc is
+    # built to survive quality, but the later source-cap stage (top-N
+    # per source) may legitimately drop it before the final shards
+    scrubbed = spark.read.parquet(
+        str(root / "work" / "05_pii_scrub" / "documents.parquet")
+    )
+    planted = scrubbed.filter(F.col("doc_id") == 900002).collect()
+    assert planted, "planted PII doc must reach the scrub stage"
+    assert "[EMAIL]" in planted[0].text and "[PHONE]" in planted[0].text
+    assert "alice@example.org" not in planted[0].text
+    assert "555-0199" not in planted[0].text
+    assert planted[0].n_chars == len(planted[0].text)
+    # and nothing PII-shaped leaks into the final emitted shards
     final = spark.read.parquet(str(root / "out" / "shards"))
     hits = final.filter(
         F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
         | F.col("text").rlike(r"[0-9]{3}-[0-9]{4}")
     ).count()
     assert hits == 0
-    planted = final.filter(F.col("doc_id") == 900002).collect()
-    if planted:  # may have been quality-filtered; if kept, it's scrubbed
-        assert "[EMAIL]" in planted[0].text and "[PHONE]" in planted[0].text
-        assert planted[0].n_chars == len(planted[0].text)
 
 
 def test_pipeline_manifest_counts_monotone_and_card(spark, pipe_run):

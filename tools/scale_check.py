@@ -161,18 +161,19 @@ def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
 def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
     """The WHOLE corpus-prep pipeline (corpus_pipeline.py) end-to-end
     at planted-truth scale: the same synthetic twin corpus as the LSH
-    leg flows through exact dedup -> quality -> MinHash-LSH dedup ->
-    decontamination -> PII scrub -> per-source cap -> shards + card as
-    ONE CLI run with checkpointed stage tables. Invariants: (a) the
-    run finishes with monotone non-increasing stage counts (the
-    pipeline itself raises on growth); (b) the emitted corpus
-    contains BOTH members of at most 2% of planted twin pairs (the
-    LSH banding miss rate bound — the dedup stage must actually
-    collapse clusters, not just run); (c) the dataset card's split
-    totals equal the emitted row count. The per-source cap is raised
-    to n_docs (policy knob, fixture-calibrated default 8 would
-    reduce any corpus to 160 docs) so the twin check stays
-    meaningful."""
+    leg flows through exact dedup -> quality -> fuzzy dedup (the
+    exact-Jaccard capped-posting-list path, dedup_corpus_emit — NOT
+    probabilistic MinHash banding) -> decontamination -> PII scrub ->
+    per-source cap -> shards + card as ONE CLI run with checkpointed
+    stage tables. Invariants: (a) the run finishes with monotone
+    non-increasing stage counts (the pipeline itself raises on
+    growth); (b) NO planted twin pair survives with both members —
+    the exact-Jaccard path is deterministic at j~0.92 >= 0.8, so
+    there is no banding miss rate to tolerate and any surviving pair
+    is a real dedup bug; (c) the dataset card's split totals equal
+    the emitted row count. The per-source cap is raised to n_docs
+    (policy knob, fixture-calibrated default 8 would reduce any
+    corpus to 160 docs) so the twin check stays meaningful."""
     import shutil
     import tempfile
 
@@ -214,7 +215,7 @@ def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
         card = _json.load(open(manifest["card_path"]))
         card_total = sum(r["n_docs"] for r in card["splits"])
         violations = 0
-        if both > 0.02 * n_twins:
+        if both > 0:  # deterministic exact-Jaccard path: no miss budget
             violations += 1
         if card_total != manifest["rows_out"]:
             violations += 1
