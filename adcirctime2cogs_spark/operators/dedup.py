@@ -255,6 +255,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_a", "doc_b", r4("jaccard").alias("jaccard"))
 
 
+@_register("dedup_prefix_jaccard", _JACCARD_PAIRS_SQL)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME result set as dedup_ngram_jaccard — exact
+    stop-filtered word-3-gram Jaccard >= 0.8 pairs — produced via
+    AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08) instead of full posting lists: order each doc's
+    shingles rarest-first (ascending doc frequency, shingle
+    tie-break — a per-doc window, no global rank/sort) and index only
+    the first n - ceil(t*n) + 1 of them. The prefix theorem makes the
+    reduction LOSSLESS at threshold t: any pair with Jaccard >= t
+    shares at least one shingle lying inside BOTH prefixes, so
+    candidates are a superset of the true pairs while the inverted
+    index shrinks ~5x at t = 0.8. Verification touches only
+    candidates, and each side's shingle array is the doc's OWN
+    row-local 3-gram set (bounded by document length, never another
+    document's data). Same DuckDB oracle as the exact posting path —
+    byte-identical output is the contract, pinned additionally by
+    tests/test_dedup.py's equality and candidate-superset checks."""
+    from pyspark.sql import Window as W
+
+    sh, stop, _ = _shingle_artifacts(spark, sf_dir)
+    shf = sh.select("doc_id", "sh").join(
+        F.broadcast(stop), "sh", "left_anti"
+    )
+    dfc = shf.groupBy("sh").agg(F.count("*").alias("dfc"))
+    w = W.partitionBy("doc_id")
+    ranked = shf.join(dfc, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w.orderBy("dfc", "sh")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    # integer-exact prefix length: n - ceil(0.8*n) + 1, with
+    # ceil(4n/5) = floor((4n+4)/5) so no float wobble at n % 5 == 0
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.floor((F.col("n") * 4 + 4) / 5) + 1
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = shf.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs"),
+        F.count("*").alias("n"),
+    )
+    c = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("shs_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("shs_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
 def _mh_sql_exprs() -> str:
     return ", ".join(
         f"min(({a} * h + {b}) % {MH_PRIME}) AS mh{j}"

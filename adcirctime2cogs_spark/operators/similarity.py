@@ -110,6 +110,122 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ColBERT-style late interaction: each vector is treated as N_SUB
+# contiguous SUB_DIM-dim token vectors; score(q, c) = sum over q's
+# sub-vectors of the max cosine against any of c's sub-vectors.
+N_SUB = 4
+SUB_DIM = EMB_DIM // N_SUB
+
+
+def _subvecs(emb: Column) -> Column:
+    """array<array<double>> of the N_SUB contiguous slices."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(emb, p * SUB_DIM + 1, SUB_DIM),
+                lambda x: x.cast("double"),
+            )
+            for p in range(N_SUB)
+        ]
+    )
+
+
+def _sum_arr(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v)
+
+
+_MAXSIM_SQL = f"""
+    WITH pos AS (SELECT unnest(range({N_SUB})) AS p),
+    q AS (
+      SELECT vec_id AS q_id, p,
+             list_transform(list_slice(embedding, p*{SUB_DIM}+1,
+                                       p*{SUB_DIM}+{SUB_DIM}),
+                            x -> CAST(x AS DOUBLE)) AS qs
+      FROM embeddings, pos WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, p,
+             list_transform(list_slice(embedding, p*{SUB_DIM}+1,
+                                       p*{SUB_DIM}+{SUB_DIM}),
+                            x -> CAST(x AS DOUBLE)) AS cs
+      FROM embeddings, pos
+    ),
+    sub AS (
+      SELECT q_id, c_id, q.p AS q_pos,
+             max(round(list_inner_product(qs, cs)
+                       / (sqrt(list_inner_product(qs, qs))
+                          * sqrt(list_inner_product(cs, cs))), 4)) AS best
+      FROM q JOIN c ON q_id != c_id
+      GROUP BY 1, 2, 3
+    ),
+    score AS (
+      SELECT q_id, c_id, round(sum(best), 4) AS maxsim
+      FROM sub GROUP BY 1, 2
+    )
+    SELECT q_id, c_id, maxsim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY maxsim DESC, c_id) AS rn
+      FROM score
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@_register("sim_maxsim_multivector", _MAXSIM_SQL)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector (late-interaction) top-k retrieval, the ColBERT
+    scoring shape: each embedding is read as N_SUB contiguous token
+    sub-vectors; score(q, c) = sum over q's sub-vectors of the max
+    cosine against any of c's sub-vectors; top-k candidates per probe.
+
+    Scale shape: the probe side ships as a broadcast of
+    N_QUERY_VECS rows; the candidate side streams ONE row per vector
+    (never exploded), and the entire N_SUB x N_SUB interaction matrix
+    evaluates row-locally inside nested higher-order functions
+    (aggregate -> array_max -> transform -> zip_with), all JVM
+    codegen — no shuffle until the per-probe top-k. Per-sub-pair
+    cosines round to 4dp on BOTH engines before the max so rank ties
+    break identically (the module's r4 convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        _subvecs(F.col("embedding")).alias("q_subs"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        _subvecs(F.col("embedding")).alias("c_subs"),
+    )
+
+    def sub_cos(qs: Column, cs: Column) -> Column:
+        d = _sum_arr(F.zip_with(qs, cs, lambda x, y: x * y))
+        nq = F.sqrt(_sum_arr(F.transform(qs, lambda x: x * x)))
+        nc = F.sqrt(_sum_arr(F.transform(cs, lambda x: x * x)))
+        return F.round(d / (nq * nc), 4)
+
+    score = F.round(
+        F.aggregate(
+            F.col("q_subs"),
+            F.lit(0.0),
+            lambda acc, qs: acc
+            + F.array_max(
+                F.transform(F.col("c_subs"), lambda cs: sub_cos(qs, cs))
+            ),
+        ),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", score.alias("maxsim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "maxsim")
+    )
+
+
 def _sign_bucket(emb: Column, offset: int = 0) -> Column:
     """Sign-pattern bucket of SIGN_BITS dims starting at ``offset`` (a
     fixed axis-aligned random-hyperplane LSH — deterministic and

@@ -175,3 +175,48 @@ def test_lsh_bucket_stats_no_over_cap_at_test_sf(spark, sf_dir):
     assert stats["pairs_dropped_to_star"] == 0
     assert stats["n_buckets"] > 0
     assert 2 <= stats["max_bucket"] <= stats["bucket_cap"]
+
+
+def test_prefix_jaccard_equals_exact_path(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: dedup_prefix_jaccard must return
+    byte-identical rows to the full posting-list dedup_ngram_jaccard
+    (same stop-filtered universe, same threshold, same rounding)."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_prefix_jaccard
+
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    pref = dedup_prefix_jaccard(spark, sf_dir)
+    assert exact.count() > 0, "fixture has no planted near-dup documents"
+    assert exact.exceptAll(pref).count() == 0
+    assert pref.exceptAll(exact).count() == 0
+
+
+def test_prefix_theorem_candidate_completeness():
+    """Pure-python randomized check of the guarantee the Spark plan
+    relies on: under ANY shared total order, every pair of sets with
+    Jaccard >= 0.8 shares an element inside BOTH prefixes of length
+    n - ceil(0.8*n) + 1 (Bayardo et al. WWW'07 / Xiao et al. WWW'08).
+    The Spark plan's order is (doc frequency, shingle); here it is the
+    natural int order — the theorem is order-agnostic."""
+    import random
+
+    rng = random.Random(7)
+    checked = 0
+    for _ in range(2000):
+        a = set(rng.sample(range(60), rng.randint(5, 40)))
+        b = set(a)
+        for _ in range(rng.randint(0, 6)):  # mutate a into b
+            if rng.random() < 0.5 and len(b) > 3:
+                b.discard(rng.choice(sorted(b)))
+            else:
+                b.add(rng.randrange(60))
+        c = len(a & b)
+        if c / len(a | b) < 0.8:
+            continue
+        checked += 1
+
+        def prefix(s):
+            n = len(s)
+            return set(sorted(s)[: n - (4 * n + 4) // 5 + 1])
+
+        assert prefix(a) & prefix(b), (sorted(a), sorted(b))
+    assert checked > 100, f"only {checked} high-jaccard pairs generated"

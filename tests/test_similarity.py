@@ -274,3 +274,51 @@ def test_pq_encode_and_adc_match_numpy(spark, sf_dir):
         assert [c for c, _ in got_q] == [c for _, c in order]
         for (c, a), (a_np, _) in zip(got_q, order):
             assert a == pytest.approx(a_np, abs=5e-4)
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    """The nested-HOF maxsim plan equals a numpy recomputation: slice
+    each embedding into N_SUB sub-vectors, per-sub-pair cosine rounded
+    to 4dp, max per query sub-vector, summed, top-k by (score desc,
+    c_id). Ids must match exactly; scores to one rounding unit."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        N_QUERY_VECS,
+        N_SUB,
+        SUB_DIM,
+        TOP_K,
+        sim_maxsim_multivector,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    subs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64).reshape(
+            N_SUB, SUB_DIM
+        )
+        for r in rows
+    }
+    expected = {}
+    for qid in range(N_QUERY_VECS):
+        qs = subs[qid]
+        qn = np.linalg.norm(qs, axis=1)
+        scores = []
+        for cid, cs in subs.items():
+            if cid == qid:
+                continue
+            m = (qs @ cs.T) / (qn[:, None] * np.linalg.norm(cs, axis=1))
+            scores.append((round(np.round(m, 4).max(axis=1).sum(), 4), cid))
+        for rank, (s, cid) in enumerate(
+            sorted(scores, key=lambda x: (-x[0], x[1]))[:TOP_K]
+        ):
+            expected[(qid, cid)] = s
+    got = sim_maxsim_multivector(spark, sf_dir).collect()
+    assert len(got) == N_QUERY_VECS * TOP_K
+    for r in got:
+        assert (r.q_id, r.c_id) in expected, (r.q_id, r.c_id)
+        assert abs(r.maxsim - expected[(r.q_id, r.c_id)]) <= 2e-4
