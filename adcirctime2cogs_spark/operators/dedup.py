@@ -255,6 +255,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_a", "doc_b", r4("jaccard").alias("jaccard"))
 
 
+def _stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with df > DF_CAP boilerplate shingles removed —
+    the universe both the posting-list and prefix-filter paths score
+    Jaccard over."""
+    sh, stop, _ = _shingle_artifacts(spark, sf_dir)
+    return sh.select("doc_id", "sh").join(F.broadcast(stop), "sh", "left_anti")
+
+
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from the prefix-filter
+    inverted index: each doc indexes only its n - ceil(0.8*n) + 1
+    rarest-first shingles (ascending doc frequency, shingle
+    tie-break). Lossless by the prefix theorem — tests pin that these
+    candidates are a SUPERSET of the exact path's >= 0.8 pairs."""
+    from pyspark.sql import Window as W
+
+    shf = _stop_filtered_shingles(spark, sf_dir)
+    dfc = shf.groupBy("sh").agg(F.count("*").alias("dfc"))
+    w = W.partitionBy("doc_id")
+    ranked = shf.join(dfc, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number().over(w.orderBy("dfc", "sh")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    # integer-exact prefix length: n - ceil(0.8*n) + 1, with
+    # ceil(4n/5) = floor((4n+4)/5) so no float wobble at n % 5 == 0
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.floor((F.col("n") * 4 + 4) / 5) + 1
+    )
+    return (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @_register("dedup_prefix_jaccard", _JACCARD_PAIRS_SQL)
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME result set as dedup_ngram_jaccard — exact
@@ -273,32 +312,8 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's data). Same DuckDB oracle as the exact posting path —
     byte-identical output is the contract, pinned additionally by
     tests/test_dedup.py's equality and candidate-superset checks."""
-    from pyspark.sql import Window as W
-
-    sh, stop, _ = _shingle_artifacts(spark, sf_dir)
-    shf = sh.select("doc_id", "sh").join(
-        F.broadcast(stop), "sh", "left_anti"
-    )
-    dfc = shf.groupBy("sh").agg(F.count("*").alias("dfc"))
-    w = W.partitionBy("doc_id")
-    ranked = shf.join(dfc, "sh").select(
-        "doc_id",
-        "sh",
-        F.row_number().over(w.orderBy("dfc", "sh")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-    # integer-exact prefix length: n - ceil(0.8*n) + 1, with
-    # ceil(4n/5) = floor((4n+4)/5) so no float wobble at n % 5 == 0
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.floor((F.col("n") * 4 + 4) / 5) + 1
-    )
-    cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _prefix_candidates(spark, sf_dir)
+    shf = _stop_filtered_shingles(spark, sf_dir)
     sets = shf.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("sh")).alias("shs"),
         F.count("*").alias("n"),

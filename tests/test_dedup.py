@@ -220,3 +220,22 @@ def test_prefix_theorem_candidate_completeness():
 
         assert prefix(a) & prefix(b), (sorted(a), sorted(b))
     assert checked > 100, f"only {checked} high-jaccard pairs generated"
+
+
+def test_prefix_candidates_superset_of_exact_pairs(spark, sf_dir):
+    """The prefix inverted index may only ADD candidates, never lose a
+    true pair: every exact >= 0.8 pair must appear in the candidate
+    table (the Spark-plan half of the prefix theorem; the pure-python
+    half is test_prefix_theorem_candidate_completeness)."""
+    from adcirctime2cogs_spark.operators.dedup import _prefix_candidates
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b) for r in _prefix_candidates(spark, sf_dir).collect()
+    }
+    assert exact, "fixture has no planted near-dup documents"
+    missed = exact - cand
+    assert not missed, f"prefix filter lost true pairs: {sorted(missed)[:5]}"
