@@ -263,12 +263,11 @@ def _stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", "sh").join(F.broadcast(stop), "sh", "left_anti")
 
 
-def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs from the prefix-filter
-    inverted index: each doc indexes only its n - ceil(0.8*n) + 1
-    rarest-first shingles (ascending doc frequency, shingle
-    tie-break). Lossless by the prefix theorem — tests pin that these
-    candidates are a SUPERSET of the exact path's >= 0.8 pairs."""
+def _prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filter inverted index: per doc, only its
+    n - ceil(0.8*n) + 1 rarest-first shingles (ascending doc
+    frequency, shingle tie-break) — roughly a 5x smaller index than
+    the full posting lists at t = 0.8."""
     from pyspark.sql import Window as W
 
     shf = _stop_filtered_shingles(spark, sf_dir)
@@ -282,9 +281,17 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer-exact prefix length: n - ceil(0.8*n) + 1, with
     # ceil(4n/5) = floor((4n+4)/5) so no float wobble at n % 5 == 0
-    prefix = ranked.filter(
+    return ranked.filter(
         F.col("rn") <= F.col("n") - F.floor((F.col("n") * 4 + 4) / 5) + 1
-    )
+    ).select("doc_id", "sh")
+
+
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from the prefix-filter
+    inverted index. Lossless by the prefix theorem — tests pin that
+    these candidates are a SUPERSET of the exact path's >= 0.8
+    pairs."""
+    prefix = _prefix_index(spark, sf_dir)
     return (
         prefix.select(F.col("doc_id").alias("doc_a"), "sh")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")

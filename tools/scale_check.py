@@ -309,6 +309,79 @@ def run_degenerate_bucket_leg(
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_prefix_filter_leg(spark, n_docs: int = 250_000) -> dict:
+    """Prefix filtering (dedup_prefix_jaccard) vs the full posting-list
+    path at planted-truth scale. The technique's 100 TB claim is that
+    an inverted index over only each doc's n - ceil(0.8*n) + 1
+    rarest-first shingles is (a) ~5x smaller, (b) generates no more
+    candidate pairs than the full posting lists, and (c) LOSES NOTHING:
+    output pairs byte-identical to dedup_ngram_jaccard and every
+    planted twin (j ~ 0.92) recovered. Violations are semantic only —
+    walls are informational (±30% ambient swing, BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        _prefix_candidates,
+        _prefix_index,
+        _shingle_artifacts,
+        dedup_ngram_jaccard,
+        dedup_prefix_jaccard,
+        evict_shingle_artifacts,
+    )
+
+    root = tempfile.mkdtemp(prefix="scale_prefix_")
+    twin_every = 100
+    try:
+        n_twins = synth_documents(spark, root, n_docs, twin_every=twin_every)
+        t0 = time.time()
+        exact = dedup_ngram_jaccard(spark, root)
+        n_exact = exact.count()
+        t_post = time.time() - t0
+        t0 = time.time()
+        pref = dedup_prefix_jaccard(spark, root)
+        n_pref = pref.count()
+        t_pref = time.time() - t0
+        mismatch = exact.exceptAll(pref).count() + pref.exceptAll(exact).count()
+        found = {(r.doc_a, r.doc_b) for r in pref.collect()}
+        twins_found = sum(
+            1
+            for b in range(0, n_docs, twin_every)
+            if (b, n_docs + b // twin_every) in found
+        )
+        sh, stop, inter = _shingle_artifacts(spark, root)
+        full_index = sh.join(stop, "sh", "left_anti").count()
+        prefix_index = _prefix_index(spark, root).count()
+        cand_full = inter.count()
+        cand_prefix = _prefix_candidates(spark, root).count()
+        violations = (
+            int(mismatch > 0)
+            + int(twins_found < n_twins)
+            + int(cand_prefix > cand_full)
+            + int(prefix_index >= full_index)
+        )
+        return {
+            "leg": f"prefix_filter_{n_docs}",
+            "pairs": n_exact,
+            "pairs_prefix": n_pref,
+            "output_mismatch_rows": mismatch,
+            "planted": n_twins,
+            "found_planted": twins_found,
+            "index_entries_full": full_index,
+            "index_entries_prefix": prefix_index,
+            "index_reduction": round(full_index / max(prefix_index, 1), 2),
+            "cand_pairs_full": cand_full,
+            "cand_pairs_prefix": cand_prefix,
+            "cand_reduction": round(cand_full / max(cand_prefix, 1), 2),
+            "wall_posting_sec": round(t_post, 2),
+            "wall_prefix_sec": round(t_pref, 2),
+            "violations": violations,
+        }
+    finally:
+        evict_shingle_artifacts(spark, root)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _hsofs_mesh(n: int, res: float, nx: int, ny: int, n_ts: int):
     """HSOFS-class synthetic mesh arrays: n^2 nodes on the raster's
     bbox, 2*(n-1)^2 CCW triangles (1-based), linear zeta per ts."""
@@ -1368,6 +1441,7 @@ def main() -> int:
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_pipeline_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
+            run_prefix_filter_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
