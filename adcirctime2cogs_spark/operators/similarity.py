@@ -142,28 +142,37 @@ def _sum_arr(a: Column) -> Column:
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v)
 
 
-_MAXSIM_SQL = f"""
-    WITH pos AS (SELECT unnest(range({N_SUB})) AS p),
-    q AS (
+# shared oracle fragments: the sub-vector CTEs and the maxsim scoring
+# over an arbitrary pair source — both the exhaustive query and the
+# LSH-shortlisted rerank derive from these so they cannot desync
+_SUBVEC_SQL = f"""pos AS (SELECT unnest(range({N_SUB})) AS p),
+    qsub AS (
       SELECT vec_id AS q_id, p,
              list_transform(list_slice(embedding, p*{SUB_DIM}+1,
                                        p*{SUB_DIM}+{SUB_DIM}),
                             x -> CAST(x AS DOUBLE)) AS qs
       FROM embeddings, pos WHERE vec_id < {N_QUERY_VECS}
     ),
-    c AS (
+    csub AS (
       SELECT vec_id AS c_id, p,
              list_transform(list_slice(embedding, p*{SUB_DIM}+1,
                                        p*{SUB_DIM}+{SUB_DIM}),
                             x -> CAST(x AS DOUBLE)) AS cs
       FROM embeddings, pos
-    ),
+    )"""
+
+
+def _maxsim_score_sql(pair_join: str) -> str:
+    """sub/score/top-k tail over a pair source expressed as the JOIN
+    clause between qsub and csub (the exhaustive query joins on
+    q_id != c_id; the rerank routes through the candidate table)."""
+    return f"""
     sub AS (
-      SELECT q_id, c_id, q.p AS q_pos,
+      SELECT qsub.q_id, csub.c_id, qsub.p AS q_pos,
              max(round(list_inner_product(qs, cs)
                        / (sqrt(list_inner_product(qs, qs))
                           * sqrt(list_inner_product(cs, cs))), 4)) AS best
-      FROM q JOIN c ON q_id != c_id
+      FROM {pair_join}
       GROUP BY 1, 2, 3
     ),
     score AS (
@@ -176,6 +185,14 @@ _MAXSIM_SQL = f"""
       FROM score
     ) WHERE rn <= {TOP_K}
     """
+
+
+_MAXSIM_SQL = (
+    "WITH "
+    + _SUBVEC_SQL
+    + ","
+    + _maxsim_score_sql("qsub JOIN csub ON qsub.q_id != csub.c_id")
+)
 
 
 @_register("sim_maxsim_multivector", _MAXSIM_SQL)
@@ -298,10 +315,45 @@ _MULTITABLE_BUCKET_CASE = (
 )
 
 
-@_register(
-    "sim_topk_bucketed",
-    f"""
-    WITH cb AS (
+def _multiprobe_candidates(emb: DataFrame) -> DataFrame:
+    """Deduped (q_id, c_id) candidate pairs from the multiprobe
+    multi-table sign-LSH: the probe fan-out (L x (SIGN_BITS+1) int
+    rows per query) broadcasts against the L-int-rows-per-vector
+    bucket table — ids only, arrays never ride the fan-out. Shared by
+    the cosine re-rank (sim_topk_bucketed) and the maxsim rerank."""
+    cb = _multitable_buckets(emb, "c_id")
+    probe_structs = []
+    for t in range(L_TABLES):
+        b = _sign_bucket(F.col("embedding"), t * SIGN_BITS)
+        for flip in [0] + [1 << i for i in range(SIGN_BITS)]:
+            probe_structs.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(flip)).alias("bucket"),
+                )
+            )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.array(*probe_structs)).alias("tb"),
+        )
+        .select(
+            "q_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+    )
+    return (
+        F.broadcast(q)
+        .join(cb, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+
+# the multiprobe candidate CTEs, shared by the bucketed cosine re-rank
+# and the maxsim rerank oracle (derived once so they cannot desync)
+_LSH_CAND_SQL = f"""cb AS (
       SELECT vec_id, tbl, {_MULTITABLE_BUCKET_CASE} AS bucket
       FROM embeddings, (SELECT unnest([{_TBL_LIST}]) AS tbl) t
     ),
@@ -314,7 +366,14 @@ _MULTITABLE_BUCKET_CASE = (
       SELECT DISTINCT q.q_id, c.vec_id AS c_id
       FROM qp q JOIN cb c ON c.tbl = q.tbl AND c.bucket = q.bucket
       WHERE q.q_id != c.vec_id
-    ),
+    )"""
+
+
+@_register(
+    "sim_topk_bucketed",
+    "WITH "
+    + _LSH_CAND_SQL
+    + f""",
     pairs AS (
       SELECT d.q_id, d.c_id,
              round({_COS_SQL.format(a="qe.embedding", b="ce.embedding")}, 4) AS cos_sim
@@ -347,34 +406,7 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per DEDUPED candidate pair. Arrays never ride the bucket
     fan-out and the distinct runs on (long, long) pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _multitable_buckets(emb, "c_id")
-    probe_structs = []
-    for t in range(L_TABLES):
-        b = _sign_bucket(F.col("embedding"), t * SIGN_BITS)
-        for flip in [0] + [1 << i for i in range(SIGN_BITS)]:
-            probe_structs.append(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b.bitwiseXOR(F.lit(flip)).alias("bucket"),
-                )
-            )
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode(F.array(*probe_structs)).alias("tb"),
-        )
-        .select(
-            "q_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-        )
-    )
-    cand = (
-        F.broadcast(q)
-        .join(cb, ["tbl", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
+    cand = _multiprobe_candidates(emb)
     qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -393,6 +425,78 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cos_sim")
+    )
+
+
+_MAXSIM_RERANK_SQL = (
+    "WITH "
+    + _LSH_CAND_SQL
+    + ",\n    "
+    + _SUBVEC_SQL
+    + ","
+    + _maxsim_score_sql(
+        "cand d JOIN qsub ON qsub.q_id = d.q_id"
+        " JOIN csub ON csub.c_id = d.c_id"
+    )
+)
+
+
+@_register("sim_maxsim_rerank", _MAXSIM_RERANK_SQL)
+def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late-interaction retrieval, the shape a maxsim system
+    actually ships at scale (coarse ANN shortlist, then the expensive
+    interaction score only on survivors): stage 1 is the multiprobe
+    multi-table sign-LSH candidate set (ids only — the same generator
+    as sim_topk_bucketed); stage 2 computes the ColBERT maxsim score
+    ONLY for candidate pairs and ranks top-k per probe.
+
+    Scale shape: the exhaustive sim_maxsim_multivector streams every
+    candidate row past every probe; here the interaction work is
+    bounded by the LSH candidate count (sub-linear in corpus size),
+    the candidate table carries (long, long) ids through the shuffle,
+    and sub-vector structs are fetched by key — probes broadcast,
+    candidates hash-join. The maxsim expression and rounding are the
+    shared kernel, so stage-2 scores are bit-identical to the
+    exhaustive path's for the same pair. Tradeoff pinned in tests:
+    recall@k vs the exhaustive maxsim top-k measured 0.52 at sf0.01 —
+    the sign buckets hash the FULL vector (a cosine proxy), so
+    maxsim's winners only partially coincide; production systems tune
+    this with more tables/probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = _multiprobe_candidates(emb)
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        _subvecs(F.col("embedding")).alias("q_subs"),
+    )
+    cs = emb.select(
+        F.col("vec_id").alias("c_id"),
+        _subvecs(F.col("embedding")).alias("c_subs"),
+    )
+
+    def sub_cos(qp: Column, cp: Column) -> Column:
+        d = _sum_arr(F.zip_with(qp["v"], cp["v"], lambda x, y: x * y))
+        return r4(d / (qp["n"] * cp["n"]))
+
+    score = r4(
+        F.aggregate(
+            F.col("q_subs"),
+            F.lit(0.0),
+            lambda acc, qp: acc
+            + F.array_max(
+                F.transform(F.col("c_subs"), lambda cp: sub_cos(qp, cp))
+            ),
+        )
+    )
+    pairs = (
+        cand.join(F.broadcast(qs), "q_id")
+        .join(cs, "c_id")
+        .select("q_id", "c_id", score.alias("maxsim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("maxsim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "maxsim")
     )
 
 

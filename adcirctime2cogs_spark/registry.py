@@ -64,11 +64,12 @@ _PRIORITY = [
     # into the parameterized source_cap_keepers kernel (rule 1:
     # modified queries must not ship with only local verification)
     "prep_source_cap",
-    # ...and the two NEW late-round-7 queries: the lossless
+    # ...and the three NEW late-round-7 queries: the lossless
     # prefix-filtered set-similarity join and the ColBERT-style
-    # multi-vector maxsim retrieval
+    # multi-vector maxsim pair (exhaustive + LSH-shortlisted rerank)
     "dedup_prefix_jaccard",
     "sim_maxsim_multivector",
+    "sim_maxsim_rerank",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -111,12 +112,12 @@ _PRIORITY = [
     "sim_topk_bruteforce",
     "sim_topk_bucketed",
     "sim_topk_ivf",
-    "sim_knn_join",
     # (text_bm25_topk / text_pii_redact / text_quality /
-    # vec_covariance_matrix / vec_matryoshka_truncate rotated back out
-    # when the scan-reduction pair, the modified prep_source_cap, and
-    # the prefix-jaccard + maxsim additions claimed their round-7
-    # slots — all r04-green and still in the all-oracle sweep)
+    # vec_covariance_matrix / vec_matryoshka_truncate / sim_knn_join
+    # rotated back out when the scan-reduction pair, the modified
+    # prep_source_cap, and the prefix-jaccard + maxsim + rerank
+    # additions claimed their round-7 slots — all r04-green and still
+    # in the all-oracle sweep)
 ]
 
 

@@ -322,3 +322,33 @@ def test_maxsim_matches_numpy(spark, sf_dir):
     for r in got:
         assert (r.q_id, r.c_id) in expected, (r.q_id, r.c_id)
         assert abs(r.maxsim - expected[(r.q_id, r.c_id)]) <= 2e-4
+
+
+def test_maxsim_rerank_consistent_with_exhaustive(spark, sf_medium_dir):
+    """The two-stage rerank must (a) return only LSH-candidate pairs,
+    (b) score every returned pair bit-identically to the exhaustive
+    maxsim kernel, and (c) hold a recall@k floor against the exhaustive
+    maxsim top-k. The floor is 0.4 (measured 0.52 at sf0.01), lower
+    than the 0.7 the cosine ANN paths clear: stage 1's sign buckets
+    hash the FULL vector, a proxy for full-vector cosine — maxsim's
+    winners only partially coincide, which is exactly the
+    shortlist-quality tradeoff a production late-interaction system
+    tunes with more tables/probes."""
+    from adcirctime2cogs_spark.operators import similarity as S
+    from adcirctime2cogs_spark.tables import load_table
+
+    sf_dir = sf_medium_dir
+    got = S.sim_maxsim_rerank(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = {
+        (r.q_id, r.c_id)
+        for r in S._multiprobe_candidates(emb).collect()
+    }
+    assert got and all((r.q_id, r.c_id) in cand for r in got)
+
+    exhaustive = S.sim_maxsim_multivector(spark, sf_dir)
+    ex_pairs = {(r.q_id, r.c_id): r.maxsim for r in exhaustive.collect()}
+    overlap = [r for r in got if (r.q_id, r.c_id) in ex_pairs]
+    assert len(overlap) / len(ex_pairs) >= 0.4  # recall@k floor
+    for r in overlap:  # shared kernel => identical doubles
+        assert r.maxsim == ex_pairs[(r.q_id, r.c_id)]
