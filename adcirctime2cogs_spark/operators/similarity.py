@@ -142,6 +142,27 @@ def _sum_arr(a: Column) -> Column:
     return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _maxsim_score(q_subs: Column, c_subs: Column) -> Column:
+    """The maxsim kernel over two _subvecs columns: sum over query
+    sub-vectors of the max per-sub-pair cosine (each r4-rounded before
+    the max), r4-rounded. ONE definition shared by the exhaustive and
+    reranked queries — mirroring the shared SQL fragments — so the
+    bit-identical-scores contract cannot desync on a one-sided edit."""
+
+    def sub_cos(qp: Column, cp: Column) -> Column:
+        d = _sum_arr(F.zip_with(qp["v"], cp["v"], lambda x, y: x * y))
+        return r4(d / (qp["n"] * cp["n"]))
+
+    return r4(
+        F.aggregate(
+            q_subs,
+            F.lit(0.0),
+            lambda acc, qp: acc
+            + F.array_max(F.transform(c_subs, lambda cp: sub_cos(qp, cp))),
+        )
+    )
+
+
 # shared oracle fragments: the sub-vector CTEs and the maxsim scoring
 # over an arbitrary pair source — both the exhaustive query and the
 # LSH-shortlisted rerank derive from these so they cannot desync
@@ -219,21 +240,7 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         _subvecs(F.col("embedding")).alias("c_subs"),
     )
-
-    def sub_cos(qp: Column, cp: Column) -> Column:
-        d = _sum_arr(F.zip_with(qp["v"], cp["v"], lambda x, y: x * y))
-        return r4(d / (qp["n"] * cp["n"]))
-
-    score = r4(
-        F.aggregate(
-            F.col("q_subs"),
-            F.lit(0.0),
-            lambda acc, qp: acc
-            + F.array_max(
-                F.transform(F.col("c_subs"), lambda cp: sub_cos(qp, cp))
-            ),
-        )
-    )
+    score = _maxsim_score(F.col("q_subs"), F.col("c_subs"))
     pairs = (
         F.broadcast(q)
         .crossJoin(c)
@@ -472,21 +479,7 @@ def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         _subvecs(F.col("embedding")).alias("c_subs"),
     )
-
-    def sub_cos(qp: Column, cp: Column) -> Column:
-        d = _sum_arr(F.zip_with(qp["v"], cp["v"], lambda x, y: x * y))
-        return r4(d / (qp["n"] * cp["n"]))
-
-    score = r4(
-        F.aggregate(
-            F.col("q_subs"),
-            F.lit(0.0),
-            lambda acc, qp: acc
-            + F.array_max(
-                F.transform(F.col("c_subs"), lambda cp: sub_cos(qp, cp))
-            ),
-        )
-    )
+    score = _maxsim_score(F.col("q_subs"), F.col("c_subs"))
     pairs = (
         cand.join(F.broadcast(qs), "q_id")
         .join(cs, "c_id")

@@ -325,6 +325,7 @@ def run_prefix_filter_leg(spark, n_docs: int = 250_000) -> dict:
         _prefix_candidates,
         _prefix_index,
         _shingle_artifacts,
+        _stop_filtered_shingles,
         dedup_ngram_jaccard,
         dedup_prefix_jaccard,
         evict_shingle_artifacts,
@@ -334,23 +335,32 @@ def run_prefix_filter_leg(spark, n_docs: int = 250_000) -> dict:
     twin_every = 100
     try:
         n_twins = synth_documents(spark, root, n_docs, twin_every=twin_every)
+        # pair sets are small (~n_twins rows); ONE collect per path
+        # serves the count, the mismatch diff, and the twin check —
+        # re-running the 250k-doc verification join per metric would
+        # multiply the leg's wall for nothing
         t0 = time.time()
-        exact = dedup_ngram_jaccard(spark, root)
-        n_exact = exact.count()
+        exact_rows = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup_ngram_jaccard(spark, root).collect()
+        }
         t_post = time.time() - t0
         t0 = time.time()
-        pref = dedup_prefix_jaccard(spark, root)
-        n_pref = pref.count()
+        pref_rows = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup_prefix_jaccard(spark, root).collect()
+        }
         t_pref = time.time() - t0
-        mismatch = exact.exceptAll(pref).count() + pref.exceptAll(exact).count()
-        found = {(r.doc_a, r.doc_b) for r in pref.collect()}
+        n_exact, n_pref = len(exact_rows), len(pref_rows)
+        mismatch = len(exact_rows ^ pref_rows)
+        found = {(a, b) for a, b, _ in pref_rows}
         twins_found = sum(
             1
             for b in range(0, n_docs, twin_every)
             if (b, n_docs + b // twin_every) in found
         )
-        sh, stop, inter = _shingle_artifacts(spark, root)
-        full_index = sh.join(stop, "sh", "left_anti").count()
+        _sh, _stop, inter = _shingle_artifacts(spark, root)
+        full_index = _stop_filtered_shingles(spark, root).count()
         prefix_index = _prefix_index(spark, root).count()
         cand_full = inter.count()
         cand_prefix = _prefix_candidates(spark, root).count()
