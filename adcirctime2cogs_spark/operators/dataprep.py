@@ -336,6 +336,56 @@ def prep_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Minority-language replication factors — the opposite move of
+# _MIX_RATES' dominant-language downsampling; languages absent here
+# keep a single copy.
+_OVERSAMPLE_REPS = {"de": 3, "fr": 2}
+
+_REPS_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _OVERSAMPLE_REPS.items())
+    + " ELSE 1 END"
+)
+
+
+@_register(
+    "prep_oversample",
+    f"""
+    SELECT doc_id, lang,
+           CAST(unnest(range({_REPS_CASE})) AS BIGINT) AS copy_idx,
+           round(1.0 / ({_REPS_CASE}), 4) AS weight
+    FROM documents
+    """,
+)
+def prep_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-class oversampling, the complement of
+    prep_mixture_sample's downsampling: each doc of an oversampled
+    language is replicated k times ((doc_id, copy_idx) rows, so
+    downstream shuffles/packing treat every copy as its own example)
+    with the inverse-replication weight that keeps weighted corpus
+    statistics unbiased. Row-local sequence fan-out — no RNG, no
+    shuffle, identical output under any partitioning; at 100 TB the
+    fan-out happens inside the scan's projection, never as a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _OVERSAMPLE_REPS.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), k - 1)).alias(
+            "copy_idx"
+        ),
+        r4(1.0 / k).alias("weight"),
+    )
+
+
 @_register(
     "prep_dataset_card",
     f"""

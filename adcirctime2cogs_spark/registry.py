@@ -70,6 +70,7 @@ _PRIORITY = [
     "dedup_prefix_jaccard",
     "sim_maxsim_multivector",
     "sim_maxsim_rerank",
+    "prep_oversample",
     # (3) stalest greens — the complete r03 cohort (4 rounds old; the
     # "no green older than 4 rounds" line).
     "micromesh_bbox",
@@ -111,13 +112,12 @@ _PRIORITY = [
     "dedup_survivors",
     "sim_topk_bruteforce",
     "sim_topk_bucketed",
-    "sim_topk_ivf",
     # (text_bm25_topk / text_pii_redact / text_quality /
-    # vec_covariance_matrix / vec_matryoshka_truncate / sim_knn_join
-    # rotated back out when the scan-reduction pair, the modified
-    # prep_source_cap, and the prefix-jaccard + maxsim + rerank
-    # additions claimed their round-7 slots — all r04-green and still
-    # in the all-oracle sweep)
+    # vec_covariance_matrix / vec_matryoshka_truncate / sim_knn_join /
+    # sim_topk_ivf rotated back out when the scan-reduction pair, the
+    # modified prep_source_cap, and the prefix-jaccard + maxsim +
+    # rerank + oversample additions claimed their round-7 slots — all
+    # r04-green and still in the all-oracle sweep)
 ]
 
 

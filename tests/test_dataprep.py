@@ -291,3 +291,40 @@ def test_bpe_encode_word_rank_greedy_order():
     assert bpe_encode_word("abcabc", ranks) == ["abc", "abc"]
     # no applicable merge: identity
     assert bpe_encode_word("xyz", {("q", "r"): 0}) == ["x", "y", "z"]
+
+
+def test_oversample_weighted_stats_unbiased(spark, sf_dir):
+    """Oversampling must be invisible to weighted statistics: per
+    language, sum(weight) over the replicated rows equals the original
+    doc count exactly (weights are r4(1/k) with k copies — bounded
+    rounding, so compare to 4dp), copy_idx enumerates 0..k-1 per doc,
+    and languages outside _OVERSAMPLE_REPS keep exactly one copy."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.operators.dataprep import (
+        _OVERSAMPLE_REPS,
+        prep_oversample,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    out = prep_oversample(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    orig = {r.lang: r.n for r in docs.groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()}
+    got = {
+        r.lang: (r.rows, r.w, r.max_idx)
+        for r in out.groupBy("lang")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("weight").alias("w"),
+            F.max("copy_idx").alias("max_idx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(orig)
+    for lang, n in orig.items():
+        k = _OVERSAMPLE_REPS.get(lang, 1)
+        rows, w, max_idx = got[lang]
+        assert rows == n * k
+        assert max_idx == k - 1
+        assert abs(w - n) < 1e-4 * rows + 1e-9
