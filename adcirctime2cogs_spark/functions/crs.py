@@ -75,9 +75,15 @@ def utm_central_meridian(zone) -> np.ndarray:
     return np.asarray(zone, dtype="float64") * 6.0 - 183.0
 
 
-def utm_forward(lon_deg, lat_deg, zone=None):
-    """EPSG:4326 -> UTM (easting_m, northing_m, zone). Southern
-    hemisphere northings carry the 10 000 km false northing."""
+def utm_forward(lon_deg, lat_deg, zone=None, southern=None):
+    """EPSG:4326 -> UTM (easting_m, northing_m, zone).
+
+    `southern` picks the 10 000 km false-northing convention: True
+    applies it to every point (327xx CRS), False to none (326xx CRS),
+    and None (the zone-autodetect path) falls back to per-point
+    latitude sign. A 327xx CRS is defined for cross-equator data —
+    the false northing belongs to the CRS, not the point — so EPSG
+    dispatch must pass the code's hemisphere explicitly."""
     lon = np.asarray(lon_deg, dtype="float64")
     lat = np.asarray(lat_deg, dtype="float64")
     zone = utm_zone(lon) if zone is None else np.broadcast_to(
@@ -103,7 +109,12 @@ def utm_forward(lon_deg, lat_deg, zone=None):
         eta += a * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
     easting = FALSE_EASTING + K0 * RECTIFYING_A * eta
     northing = K0 * RECTIFYING_A * xi
-    northing = np.where(lat < 0.0, northing + FALSE_NORTHING_SOUTH, northing)
+    if southern is None:
+        northing = np.where(
+            lat < 0.0, northing + FALSE_NORTHING_SOUTH, northing
+        )
+    elif southern:
+        northing = northing + FALSE_NORTHING_SOUTH
     return easting, northing, zone
 
 
@@ -386,10 +397,14 @@ def epsg_forward(epsg: int, lon_deg, lat_deg):
         return (np.asarray(lon_deg, dtype="float64"),
                 np.asarray(lat_deg, dtype="float64"))
     if 32601 <= epsg <= 32660:
-        e, n, _ = utm_forward(lon_deg, lat_deg, zone=epsg - 32600)
+        e, n, _ = utm_forward(
+            lon_deg, lat_deg, zone=epsg - 32600, southern=False
+        )
         return e, n
     if 32701 <= epsg <= 32760:
-        e, n, _ = utm_forward(lon_deg, lat_deg, zone=epsg - 32700)
+        e, n, _ = utm_forward(
+            lon_deg, lat_deg, zone=epsg - 32700, southern=True
+        )
         return e, n
     kind, kw = _EPSG_PARAMS.get(epsg, (None, None))
     if kind == "webmercator":

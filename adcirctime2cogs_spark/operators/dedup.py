@@ -567,6 +567,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter. 4 bands x 2 rows catches j >= 0.8 pairs with ~98%
     probability per band structure — the sf0.01 planted dups
     (j ~ 0.99) are all caught.
+
+    ORACLE CONTRACT (ADVICE r07): the registered _LSH_PAIRS_SQL
+    oracle enumerates ALL intra-bucket pairs, but over-cap buckets
+    (> LSH_BUCKET_CAP members) intentionally emit only the
+    two-representative star pairs, so oracle parity holds exactly
+    when lsh_bucket_stats(spark, sf_dir)["n_over_cap"] == 0. That is
+    true at every fixture SF (pinned in tests/test_dedup.py and
+    preconditioned in tests/test_oracle_parity.py); a sweep on data
+    with mass duplication must consult lsh_bucket_stats before
+    treating a mismatch as a regression.
     """
     sh, stop, _inter = _shingle_artifacts(spark, sf_dir)
     aggs = [

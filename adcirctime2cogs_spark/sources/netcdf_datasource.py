@@ -173,24 +173,46 @@ class _NetCDFStreamReader(SimpleDataSourceStreamReader):
         self.splitter = splitter
         self.range_decoder = range_decoder
 
+    @staticmethod
+    def _is_classic_nc3(p: str) -> bool:
+        """Signature probe: classic NetCDF-3 files begin 'CDF' + a
+        version byte in {1, 2, 5} (CDF-1/-2/-5). Anything else —
+        the \\x89HDF\\r\\n\\x1a\\n HDF5 superblock of NetCDF-4, or an
+        injected test fixture — is not classic."""
+        try:
+            with open(p, "rb") as fh:
+                magic = fh.read(4)
+        except OSError:
+            return False
+        return magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02", b"\x05")
+
     def _plan(self, p: str, length: int):
-        """Streaming split plan: contiguous same-record sub-splits are
-        MERGED back into one span, because the checkpoint offset is a
-        per-file SPLIT COUNT — if the planner's granularity changed
-        between a commit and its replay (e.g. the batch path's
-        node-range sub-splitting of large classic records), a resumed
-        stream would re-emit or skip rows. Merging keeps the classic
-        count at one split per record across planner versions; a
-        micro-batch decodes a record in one task, which is the right
-        trade for incremental file arrival anyway. NetCDF-4 chunk
-        splits are non-contiguous and pass through unmerged (their
-        count is a stable property of the file's chunk layout)."""
+        """Streaming split plan: for CLASSIC NetCDF-3 files only,
+        contiguous same-record sub-splits are MERGED back into one
+        span, because the checkpoint offset is a per-file SPLIT
+        COUNT — if the planner's granularity changed between a commit
+        and its replay (e.g. the batch path's node-range sub-splitting
+        of large classic records), a resumed stream would re-emit or
+        skip rows. Merging keeps the classic count at one split per
+        record across planner versions; a micro-batch decodes a record
+        in one task, which is the right trade for incremental file
+        arrival anyway.
+
+        NetCDF-4 (and injected-codec) splits pass through UNMERGED:
+        their count is a stable property of the file's chunk layout,
+        and adjacent compressed chunks of one record are often
+        byte-contiguous (the writer packs blobs back to back), so a
+        merged span would no longer match any chunk in the file's
+        index and nc4_range_decoder would refuse it (ADVICE r07). The
+        classic/NC4 routing is decided by the file signature, not the
+        splitter, so an injected splitter is never merged either."""
         from adcirctime2cogs_spark.sources.netcdf import plan_splits
 
+        splits = sorted(plan_splits(self.splitter, p, length, self.variable))
+        if not self._is_classic_nc3(p):
+            return splits
         merged: list[tuple[int, int, int]] = []
-        for t, off, nb in sorted(
-            plan_splits(self.splitter, p, length, self.variable)
-        ):
+        for t, off, nb in splits:
             if merged and merged[-1][0] == t and \
                     merged[-1][1] + merged[-1][2] == off:
                 merged[-1] = (t, merged[-1][1], merged[-1][2] + nb)

@@ -279,3 +279,33 @@ def test_polar_stereo_k0_pole_limit():
     assert np.isfinite(E) and np.isfinite(N)
     lon, lat = crs.polar_stereo_inverse(E, N, 90.0, 0.0)
     assert (lon, lat) == (pytest.approx(12.0), pytest.approx(88.0))
+
+
+def test_utm_false_northing_follows_epsg_code_not_latitude():
+    """A 327xx (southern) CRS applies the 10 000 km false northing to
+    EVERY point — including north of the equator — and a 326xx CRS to
+    none; only the zone-autodetect path keys on latitude sign. Pins
+    the cross-equator fix (ADVICE r07: epsg_forward(32733, 15, 0.5)
+    must give N ~ 10 055 265, not 55 265, and round-trip)."""
+    lon = np.array([15.0, 15.0])
+    lat = np.array([0.5, -0.5])
+    # southern code: FN on both sides of the equator
+    e_s, n_s = crs.epsg_forward(32733, lon, lat)
+    assert n_s[0] == pytest.approx(10_055_265.0, abs=1.0)
+    assert n_s[1] == pytest.approx(9_944_734.0, abs=2.0)
+    lon_b, lat_b = crs.epsg_inverse(32733, e_s, n_s)
+    assert lon_b == pytest.approx(lon)
+    assert lat_b == pytest.approx(lat)
+    # northern code: no FN even south of the equator (negative N)
+    e_n, n_n = crs.epsg_forward(32633, lon, lat)
+    assert n_n[0] == pytest.approx(55_265.0, abs=1.0)
+    assert n_n[1] == pytest.approx(-55_265.0, abs=1.0)
+    lon_b, lat_b = crs.epsg_inverse(32633, e_n, n_n)
+    assert lon_b == pytest.approx(lon)
+    assert lat_b == pytest.approx(lat)
+    # the two codes describe the same zone: constant 1e7 offset
+    assert np.allclose(n_s - n_n, 10_000_000.0)
+    # autodetect path unchanged: FN per point latitude sign
+    _, n_auto, _ = crs.utm_forward(lon, lat)
+    assert n_auto[0] == pytest.approx(55_265.0, abs=1.0)
+    assert n_auto[1] == pytest.approx(9_944_734.0, abs=2.0)

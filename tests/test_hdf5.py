@@ -521,3 +521,65 @@ def test_streaming_nc4_drops_to_cog_zero_injection(spark, tmp_path):
             assert np.allclose(a, b, equal_nan=True)
             compared += 1
     assert compared == len(stamps)
+
+
+def test_streaming_plan_never_merges_nc4_chunk_splits(tmp_path):
+    """ADVICE r07: adjacent uncompressed (or %8-sized deflate) chunks
+    of one record are byte-contiguous, and the stream planner's
+    classic-record merge would fuse them into a span that matches no
+    chunk in the file's index — nc4_range_decoder then refuses it.
+    The plan must route on the file SIGNATURE: NC4 splits pass through
+    unmerged and every planned split must decode."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        _default_range_decoder,
+        _default_splitter,
+    )
+    from adcirctime2cogs_spark.sources.netcdf_datasource import (
+        _NetCDFStreamReader,
+    )
+
+    import os
+
+    p = str(tmp_path / "chunky.nc")
+    # 3 records x 6 nodes, node_chunk=3 -> 2 chunks/record, each
+    # 1*3*8 = 24 bytes uncompressed: byte-contiguous in the heap.
+    _write_micromesh_nc4(p, compress=None, node_chunk=3)
+    length = os.path.getsize(p)
+
+    raw = sorted(_default_splitter(p, length, "zeta"))
+    assert len(raw) == 6  # 3 records x 2 chunks
+    # at least one same-record adjacent pair IS byte-contiguous —
+    # the precondition that made the old merge fire
+    assert any(
+        a[0] == b[0] and a[1] + a[2] == b[1]
+        for a, b in zip(raw, raw[1:])
+    )
+
+    rdr = _NetCDFStreamReader(
+        {"path": p, "variable": "zeta"},
+        _default_splitter,
+        _default_range_decoder,
+    )
+    assert not rdr._is_classic_nc3(p)
+    planned = rdr._plan(p, length)
+    assert planned == raw  # unmerged, decoder-addressable
+    decoded_nodes = set()
+    for t, off, nb in planned:
+        ts, node_ids, values = _default_range_decoder(
+            p, "zeta", int(t), int(off), int(nb)
+        )
+        assert len(node_ids) == len(values) == 3
+        if int(t) == 0:
+            decoded_nodes.update(int(n) for n in node_ids)
+    assert decoded_nodes == set(range(6))
+
+    # classic NetCDF-3 keeps the merge (count stays 1 split/record)
+    from tests import test_netcdf3 as t3
+
+    p3 = str(tmp_path / "classic.nc")
+    t3._write_micromesh_nc(p3)
+    assert rdr._is_classic_nc3(p3)
+    length3 = os.path.getsize(p3)
+    raw3 = sorted(_default_splitter(p3, length3, "zeta"))
+    planned3 = rdr._plan(p3, length3)
+    assert len(planned3) == len({t for t, _, _ in raw3})

@@ -22,8 +22,29 @@ EMPTY_OK = {
 }
 
 
+# Queries whose oracle is exact only under a measurable precondition;
+# when the precondition fails on a given dataset the divergence is BY
+# DESIGN (documented at the registration site), so the sweep skips
+# with the reason instead of reporting a false red (ADVICE r07).
+def _parity_precondition(spark, sf_dir, name):
+    if name == "dedup_minhash_lsh_pairs":
+        from adcirctime2cogs_spark.operators.dedup import lsh_bucket_stats
+
+        stats = lsh_bucket_stats(spark, sf_dir)
+        if stats["n_over_cap"] > 0:
+            return (
+                f"{stats['n_over_cap']} LSH buckets exceed "
+                f"LSH_BUCKET_CAP={stats['bucket_cap']} — star path "
+                "diverges from the all-pairs oracle by design"
+            )
+    return None
+
+
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
+    reason = _parity_precondition(spark, sf_dir, name)
+    if reason:
+        pytest.skip(reason)
     n = compare(spark, sf_dir, ALL_QUERIES[name], ALL_ORACLES[name])
     if name not in EMPTY_OK:
         assert n > 0, f"{name} returned 0 rows — vacuous oracle check"
