@@ -255,15 +255,18 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sign_bucket(emb: Column, offset: int = 0) -> Column:
-    """Sign-pattern bucket of SIGN_BITS dims starting at ``offset`` (a
-    fixed axis-aligned random-hyperplane LSH — deterministic and
-    engine-neutral; distinct offsets give independent hash tables)."""
+def _sign_bucket(emb: Column, offset: int = 0,
+                 n_bits: int = SIGN_BITS) -> Column:
+    """Sign-pattern bucket of ``n_bits`` dims starting at ``offset``
+    (a fixed axis-aligned random-hyperplane LSH — deterministic and
+    engine-neutral; distinct offsets give independent hash tables;
+    wider n_bits = finer buckets, the knob an index tunes to corpus
+    size)."""
     bits = [
         F.when(
             F.element_at(emb, offset + i + 1).cast("double") >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
-        for i in range(SIGN_BITS)
+        for i in range(n_bits)
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -271,12 +274,12 @@ def _sign_bucket(emb: Column, offset: int = 0) -> Column:
     return out
 
 
-def _sign_sql(e: str, offset: int = 0) -> str:
-    """DuckDB twin of _sign_bucket(emb, offset)."""
+def _sign_sql(e: str, offset: int = 0, n_bits: int = SIGN_BITS) -> str:
+    """DuckDB twin of _sign_bucket(emb, offset, n_bits)."""
     return " + ".join(
         f"(CASE WHEN CAST({e}[{offset + i + 1}] AS DOUBLE) >= 0"
         f" THEN {1 << i} ELSE 0 END)"
-        for i in range(SIGN_BITS)
+        for i in range(n_bits)
     )
 
 
@@ -435,9 +438,98 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _subvector_candidates(emb: DataFrame,
+                          n_bits: int = SIGN_BITS) -> DataFrame:
+    """Per-SUB-VECTOR sign-LSH candidates for late-interaction
+    (maxsim) retrieval: every embedding indexes under N_SUB bucket
+    keys — the sign pattern of each sub-vector's own first n_bits
+    dims — and a probe multiprobes each of ITS sub-vectors' buckets
+    plus the 1-bit flips. Any query sub-vector may match ANY
+    candidate sub-vector (maxsim's max ranges over all candidate
+    positions), so the join is on the bucket alone.
+
+    This is the late-interaction analogue of multiprobe: full-vector
+    sign buckets only weakly proxy maxsim's winners (per-sub-vector
+    alignment drives the score — the r07 rerank recalled 0.52 of the
+    exhaustive top-k), while bucketing each sub-space independently
+    recalls a winner whenever ANY of its aligned sub-pairs agrees on
+    n_bits signs (miss^(N_SUB^2) shape instead of miss). Measured at
+    sf0.01: recall 0.96 vs the exhaustive maxsim (pinned >= 0.9 in
+    tests/test_similarity.py).
+
+    Scale shape: ids only — the probe fan-out is
+    N_SUB x (n_bits + 1) ints per query and broadcasts; the candidate
+    index is <= N_SUB ints per vector; candidate volume per probe is
+    bounded by bucket occupancy n x N_SUB / 2^n_bits per probed
+    bucket, so n_bits is the index's corpus-size knob (the 1M-vector
+    leg runs the same plan at n_bits=16: sub-1% candidate fraction,
+    planted twins all recalled — tools/scale_check.py)."""
+    cb = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.explode(
+            F.array(*[
+                _sign_bucket(F.col("embedding"), p * SUB_DIM, n_bits)
+                for p in range(N_SUB)
+            ])
+        ).alias("bucket"),
+    ).distinct()
+    probe_buckets = []
+    for p in range(N_SUB):
+        b = _sign_bucket(F.col("embedding"), p * SUB_DIM, n_bits)
+        for flip in [0] + [1 << i for i in range(n_bits)]:
+            probe_buckets.append(b.bitwiseXOR(F.lit(flip)))
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.array(*probe_buckets)).alias("bucket"),
+        )
+        .distinct()
+    )
+    return (
+        F.broadcast(q)
+        .join(cb, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+
+def _subvector_cand_sql(n_bits: int = SIGN_BITS) -> str:
+    """DuckDB twin of _subvector_candidates (CTE named `cand`)."""
+    bucket_case = (
+        "CASE p "
+        + " ".join(
+            f"WHEN {p} THEN {_sign_sql('embedding', p * SUB_DIM, n_bits)}"
+            for p in range(N_SUB - 1)
+        )
+        + f" ELSE {_sign_sql('embedding', (N_SUB - 1) * SUB_DIM, n_bits)} END"
+    )
+    flips = ", ".join(
+        str(f) for f in [0] + [1 << i for i in range(n_bits)]
+    )
+    return f"""scb AS (
+      SELECT DISTINCT vec_id AS c_id, {bucket_case} AS bucket
+      FROM embeddings, (SELECT unnest(range({N_SUB})) AS p) sp
+    ),
+    sqp AS (
+      SELECT DISTINCT qb.q_id, xor(qb.bucket, fl.f) AS bucket
+      FROM (
+        SELECT vec_id AS q_id, {bucket_case} AS bucket
+        FROM embeddings, (SELECT unnest(range({N_SUB})) AS p) sp
+        WHERE vec_id < {N_QUERY_VECS}
+      ) qb, (SELECT unnest([{flips}]) AS f) fl
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.c_id
+      FROM sqp q JOIN scb c USING (bucket)
+      WHERE q.q_id != c.c_id
+    )"""
+
+
 _MAXSIM_RERANK_SQL = (
     "WITH "
-    + _LSH_CAND_SQL
+    + _subvector_cand_sql()
     + ",\n    "
     + _SUBVEC_SQL
     + ","
@@ -451,26 +543,39 @@ _MAXSIM_RERANK_SQL = (
 @_register("sim_maxsim_rerank", _MAXSIM_RERANK_SQL)
 def sim_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage late-interaction retrieval, the shape a maxsim system
-    actually ships at scale (coarse ANN shortlist, then the expensive
-    interaction score only on survivors): stage 1 is the multiprobe
-    multi-table sign-LSH candidate set (ids only — the same generator
-    as sim_topk_bucketed); stage 2 computes the ColBERT maxsim score
-    ONLY for candidate pairs and ranks top-k per probe.
+    actually ships at scale (coarse shortlist, then the expensive
+    interaction score only on survivors): stage 1 is the
+    PER-SUB-VECTOR multiprobe sign-LSH candidate set
+    (_subvector_candidates — each sub-space bucketed independently,
+    any query sub-vector matching any candidate sub-vector, the
+    late-interaction analogue of multiprobe); stage 2 computes the
+    ColBERT maxsim score ONLY for candidate pairs and ranks top-k per
+    probe.
 
     Scale shape: the exhaustive sim_maxsim_multivector streams every
     candidate row past every probe; here the interaction work is
-    bounded by the LSH candidate count (sub-linear in corpus size),
-    the candidate table carries (long, long) ids through the shuffle,
-    and sub-vector structs are fetched by key — probes broadcast,
-    candidates hash-join. The maxsim expression and rounding are the
-    shared kernel, so stage-2 scores are bit-identical to the
-    exhaustive path's for the same pair. Tradeoff pinned in tests:
-    recall@k vs the exhaustive maxsim top-k measured 0.52 at sf0.01 —
-    the sign buckets hash the FULL vector (a cosine proxy), so
-    maxsim's winners only partially coincide; production systems tune
-    this with more tables/probes."""
+    bounded by the LSH candidate count (bucket occupancy x probes,
+    tuned by the index's bit width), the candidate table carries
+    (long, long) ids through the shuffle, and sub-vector structs are
+    fetched by key — probes broadcast, candidates hash-join. The
+    maxsim expression and rounding are the shared kernel, so stage-2
+    scores are bit-identical to the exhaustive path's for the same
+    pair. Recall vs the exhaustive top-k measured 0.96 at sf0.01
+    (pinned >= 0.9 in tests/test_similarity.py) — the r07 full-vector
+    shortlist recalled only 0.52 because full-vector cosine is a weak
+    proxy for per-sub-vector alignment."""
+    return maxsim_rerank_plan(spark, sf_dir)
+
+
+def maxsim_rerank_plan(spark: SparkSession, sf_dir: str,
+                       n_bits: int = SIGN_BITS) -> DataFrame:
+    """The rerank plan with the index bit width exposed: the
+    registered query runs the fixture-scale default; the 1M-vector
+    corpus leg runs the identical plan at n_bits=16 (finer buckets
+    for a bigger corpus — the standard index-tuning knob), so the
+    scale evidence exercises the very operator users call."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = _multiprobe_candidates(emb)
+    cand = _subvector_candidates(emb, n_bits)
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         _subvecs(F.col("embedding")).alias("q_subs"),

@@ -325,15 +325,14 @@ def test_maxsim_matches_numpy(spark, sf_dir):
 
 
 def test_maxsim_rerank_consistent_with_exhaustive(spark, sf_medium_dir):
-    """The two-stage rerank must (a) return only LSH-candidate pairs,
-    (b) score every returned pair bit-identically to the exhaustive
-    maxsim kernel, and (c) hold a recall@k floor against the exhaustive
-    maxsim top-k. The floor is 0.4 (measured 0.52 at sf0.01), lower
-    than the 0.7 the cosine ANN paths clear: stage 1's sign buckets
-    hash the FULL vector, a proxy for full-vector cosine — maxsim's
-    winners only partially coincide, which is exactly the
-    shortlist-quality tradeoff a production late-interaction system
-    tunes with more tables/probes."""
+    """The two-stage rerank must (a) return only stage-1-candidate
+    pairs, (b) score every returned pair bit-identically to the
+    exhaustive maxsim kernel, and (c) hold recall@k >= 0.9 against the
+    exhaustive maxsim top-k at sf0.01 (measured 0.96). The r07
+    full-vector shortlist recalled only 0.52 — per-sub-vector sign
+    buckets (any query sub matching any candidate sub, multiprobed)
+    track maxsim's winners because the score IS per-sub-vector
+    alignment (VERDICT r07 item 1)."""
     from adcirctime2cogs_spark.operators import similarity as S
     from adcirctime2cogs_spark.tables import load_table
 
@@ -342,13 +341,13 @@ def test_maxsim_rerank_consistent_with_exhaustive(spark, sf_medium_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cand = {
         (r.q_id, r.c_id)
-        for r in S._multiprobe_candidates(emb).collect()
+        for r in S._subvector_candidates(emb).collect()
     }
     assert got and all((r.q_id, r.c_id) in cand for r in got)
 
     exhaustive = S.sim_maxsim_multivector(spark, sf_dir)
     ex_pairs = {(r.q_id, r.c_id): r.maxsim for r in exhaustive.collect()}
     overlap = [r for r in got if (r.q_id, r.c_id) in ex_pairs]
-    assert len(overlap) / len(ex_pairs) >= 0.4  # recall@k floor
+    assert len(overlap) / len(ex_pairs) >= 0.9  # recall@k floor
     for r in overlap:  # shared kernel => identical doubles
         assert r.maxsim == ex_pairs[(r.q_id, r.c_id)]

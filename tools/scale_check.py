@@ -825,6 +825,65 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_corpus_maxsim_leg(spark, n_vecs: int, n_bits: int = 16) -> dict:
+    """Late-interaction (maxsim) rerank at corpus scale: the SAME
+    two-stage plan the registered sim_maxsim_rerank runs, with the
+    per-sub-vector index widened to n_bits=16 for the bigger corpus
+    (the standard index-tuning knob; the fixture-scale default is
+    SIGN_BITS=6). Green =
+    (a) candidate volume is a sub-1% fraction of n_vecs per probe —
+        the stage-2 interaction work is bounded by bucket occupancy,
+        not corpus size,
+    (b) every probe's planted twin (cosine ~ 0.9999, so near-max
+        maxsim) survives stage 1 and lands in the top-5.
+    """
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERY_VECS,
+        _subvector_candidates,
+        maxsim_rerank_plan,
+    )
+    from adcirctime2cogs_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="scale_maxsim_")
+    try:
+        synth_embeddings(spark, out, n_vecs, dim=EMB_DIM,
+                         n_probes=N_QUERY_VECS)
+        emb = load_table(spark, out, "embeddings")
+        t0 = time.time()
+        n_cand = (
+            _subvector_candidates(emb, n_bits)
+            .groupBy("q_id").count().collect()
+        )
+        t_cand = time.time() - t0
+        max_frac = max(r["count"] for r in n_cand) / n_vecs
+        t0 = time.time()
+        top = maxsim_rerank_plan(spark, out, n_bits).collect()
+        t_rerank = time.time() - t0
+        found = {(r.q_id, r.c_id) for r in top}
+        hits = sum(
+            1 for q in range(N_QUERY_VECS) if (q, n_vecs + q) in found
+        )
+        return {
+            "leg": f"corpus_maxsim_{n_vecs}",
+            "n_vecs": n_vecs + N_QUERY_VECS,
+            "n_bits": n_bits,
+            "probes": N_QUERY_VECS,
+            "max_cand_per_probe": max(r["count"] for r in n_cand),
+            "max_cand_fraction": round(max_frac, 5),
+            "twin_hits": hits,
+            "wall_cand_sec": round(t_cand, 2),
+            "wall_rerank_sec": round(t_rerank, 2),
+            "violations": (0 if max_frac < 0.01 else 1)
+            + (0 if hits == N_QUERY_VECS else 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def synth_events(spark, out_dir: str, n_events: int, n_users: int) -> None:
     """Fixture-shaped events.parquet: n_events rows scattered uniformly
     over 30 days (xxhash64 column math — microsecond-random so an
@@ -1454,6 +1513,7 @@ def main() -> int:
             run_prefix_filter_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
+            run_corpus_maxsim_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
