@@ -970,6 +970,52 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_bucketed._no_plan_cache = True
 
 
+def _layout_once(spark: SparkSession, sf_dir: str, name: str,
+                 write_fn) -> str:
+    """Write-if-absent derived table layout, keyed on the fixture's
+    content version (registry._data_version): the layout lands once
+    per (sf_dir, data version) in a version-stamped warehouse dir and
+    every later invocation — and every other session sharing the
+    warehouse — reuses it, so the registered query measures the SCAN
+    it demonstrates (SARG/partition pruning), stays plan-cacheable,
+    and can't race: writers stage into a session-unique temp dir and
+    atomically rename; a loser whose rename finds the target already
+    present discards its copy. Superseded versions of the same layout
+    are removed best-effort (stale for every session by definition —
+    the version key is the data's own mtime probe)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from adcirctime2cogs_spark.registry import _data_version
+
+    tag = hashlib.md5(
+        f"{sf_dir}:{_data_version(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/{name}_{tag}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    try:
+        stale = os.listdir(warehouse)
+    except OSError:
+        stale = []
+    for old in stale:
+        if (old.startswith(f"{name}_") and old != f"{name}_{tag}"
+                and ".tmp-" not in old):
+            shutil.rmtree(os.path.join(warehouse, old), ignore_errors=True)
+    return path
+
+
 @_register(
     "scan_orc_pushdown",
     """
@@ -991,21 +1037,21 @@ def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan node — gated in tests/test_plans.py) so row groups whose
     min/max exclude the bound never decompress. At 100 TB the format
     choice is a table property, not a query rewrite: everything
-    downstream of the scan is identical to the parquet plan.
+    downstream of the scan is identical to the parquet plan. The ORC
+    copy is laid out ONCE per fixture version (_layout_once), so the
+    measured query is the pruned scan, not a re-layout (VERDICT r07).
 
     Reference parity: the reference reads NetCDF only
     (run/utilities/adcirc_dask_utilities.py:42); this is the §2B
     'scans: columnar formats' category widened beyond parquet/csv/json.
     """
-    import hashlib
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    path = _layout_once(
+        spark, sf_dir, "orc_lineitem",
+        lambda p: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+                "l_returnflag")
+        .write.orc(p),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = f"{warehouse}/orc_lineitem_{tag}"
-    li.write.mode("overwrite").orc(path)
     return (
         spark.read.orc(path)
         .filter(F.col("l_quantity") >= 40)
@@ -1016,11 +1062,6 @@ def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_orderkey").alias("min_orderkey"),
         )
     )
-
-
-# rewrites the ORC copy on every call — same staleness rule as
-# join_bucketed
-scan_orc_pushdown._no_plan_cache = True
 
 
 @_register(
@@ -1046,21 +1087,20 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives — 60% of the fact table is never opened, before any row
     predicate runs. The selective `boost > 0` filter on the dim is
     what qualifies it as a pruning source (Spark only injects DPP
-    when the build side has a selective predicate).
+    when the build side has a selective predicate). The partitioned
+    copy is laid out ONCE per fixture version (_layout_once), so the
+    measured query is the pruned scan, not a re-layout (VERDICT r07).
 
     Reference parity: no analogue (single-node xarray); §2B 'joins:
     partition-pruned' — the scan-reduction twin of join_bucketed's
     shuffle elimination.
     """
-    import hashlib
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
+    path = _layout_once(
+        spark, sf_dir, "dpp_orders",
+        lambda p: load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority").parquet(p),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    path = f"{warehouse}/dpp_orders_{tag}"
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     dim = spark.createDataFrame(
         [("1-URGENT", 1), ("2-HIGH", 1)], "p string, boost int"
     ).filter(F.col("boost") > 0)
@@ -1074,11 +1114,6 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_orderkey"),
         )
     )
-
-
-# rewrites the partitioned copy on every call — same staleness rule as
-# join_bucketed
-join_dpp_partitioned._no_plan_cache = True
 
 
 @_register(
