@@ -1465,7 +1465,10 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_sql() -> str:
+def _pq_adc_ctes() -> str:
+    """The ADC CTE chain (codes + per-probe distance tables + scored
+    pairs) shared by the registered ADC top-k and the PQ rerank
+    oracles — one builder so the scoring formula cannot desync."""
     subs_q = [_pq_sub_terms("q.emb", "a.cent", m) for m in range(PQ_M)]
     tq_cols = ", ".join(f"{t} AS d{m}" for m, t in enumerate(subs_q))
     return f"""{_pq_ctes()},
@@ -1483,7 +1486,11 @@ def _pq_adc_sql() -> str:
       JOIN tq t2 ON t2.j = enc.c2 AND t2.q_id = t0.q_id
       JOIN tq t3 ON t3.j = enc.c3 AND t3.q_id = t0.q_id
       WHERE enc.vec_id != t0.q_id
-    )
+    )"""
+
+
+def _pq_adc_sql() -> str:
+    return f"""{_pq_adc_ctes()}
     SELECT q_id, c_id, round(adc, 3) AS adc FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY adc, c_id) AS rn
@@ -1547,4 +1554,82 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", F.round(F.col("adc"), 3).alias("adc"))
+    )
+
+
+PQ_SHORTLIST = 100  # ADC survivors carried to the exact rerank
+
+
+def _pq_rerank_sql() -> str:
+    return f"""{_pq_adc_ctes()},
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                                              ORDER BY adc, c_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.q_id, s.c_id,
+             round({_COS_SQL.format(a="qe.embedding", b="ce.embedding")}, 4)
+               AS cos_sim
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.q_id
+      JOIN embeddings ce ON ce.vec_id = s.c_id
+    )
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+      FROM exact
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@_register("sim_topk_pq_rerank", _pq_rerank_sql())
+def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (IVF-)PQ serving shape end-to-end: the ADC scan
+    shortlists PQ_SHORTLIST candidates per probe by compressed-domain
+    distance (never touching candidate floats), then ONLY the
+    survivors are fetched and exactly cosine-reranked for the final
+    top-k — compressed scan breadth, exact-precision answers.
+
+    Scale shape: stage 1 is pq_adc_scored's map-side broadcast scan
+    (the same shared plan the registered ADC top-k uses) with a
+    per-probe top-PQ_SHORTLIST window; stage 2 touches
+    N_QUERY_VECS x PQ_SHORTLIST rows — the full-precision vectors are
+    read for the shortlist ONLY (a key-fetch join, probes broadcast),
+    which is the entire point of PQ at 100 TB: the float corpus
+    stays cold. Shortlist membership is deterministic across engines
+    (raw-double ADC order, lowest-id ties — the sim_topk_pq_adc
+    precedent) and the exact stage reuses the module's cosine and r4
+    conventions, so the DuckDB oracle matches hash-exactly. The
+    1M-vector corpus leg measures shortlist->exact twin recall on
+    this registered query (tools/scale_check.py run_corpus_pq_leg)."""
+    scored = pq_adc_scored(spark, sf_dir)
+    w1 = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id", "c_id",
+            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
     )

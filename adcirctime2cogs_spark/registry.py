@@ -41,83 +41,70 @@ _OPERATOR_MODULES = [
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-7 rotation.
-    # (1) modified or added this round: sample_reservoir's hash now
-    # reduces the key mod 2^32 BEFORE the Knuth multiply (overflow
-    # fix), dedup_minhash_lsh_pairs gained the bucket-cap candidate
-    # path, crs_reproject_conic is NEW (LCC + polar-stereo kernels,
-    # full-formula oracle), and mm_frame_sample was UPGRADED from
-    # rows-only to a real-AVI demux with an exact arithmetic oracle.
-    "sample_reservoir",
-    "dedup_minhash_lsh_pairs",
-    "crs_reproject_conic",
-    "mm_frame_sample",
-    # ...and the NEW product-quantization pair (encode + ADC scan),
-    # both fully oracled, never externally verified
-    "vec_pq_encode",
-    "sim_topk_pq_adc",
-    # ...and the NEW scan-reduction pair (ORC predicate pushdown,
-    # dynamic-partition-pruned join), added late in round 7
+    # Round-8 rotation.
+    # (1) modified or added this round: sim_maxsim_rerank's stage 1
+    # was rebuilt on per-sub-vector sign-LSH (new candidate CTE in
+    # the oracle too), sim_topk_pq_rerank is NEW (ADC shortlist ->
+    # exact cosine rerank, the production PQ serving shape), and the
+    # scan-reduction pair's construction moved to the write-once
+    # _layout_once fixture prep (plan-cacheable now; same SQL).
+    "sim_maxsim_rerank",
+    "sim_topk_pq_rerank",
     "scan_orc_pushdown",
     "join_dpp_partitioned",
-    # ...and prep_source_cap, whose body was refactored this round
-    # into the parameterized source_cap_keepers kernel (rule 1:
-    # modified queries must not ship with only local verification)
-    "prep_source_cap",
-    # ...and the three NEW late-round-7 queries: the lossless
-    # prefix-filtered set-similarity join and the ColBERT-style
-    # multi-vector maxsim pair (exhaustive + LSH-shortlisted rerank)
-    "dedup_prefix_jaccard",
-    "sim_maxsim_multivector",
-    "sim_maxsim_rerank",
-    "prep_oversample",
-    # (3) stalest greens — the complete r03 cohort (4 rounds old; the
-    # "no green older than 4 rounds" line).
-    "micromesh_bbox",
-    "raster_grid_gen",
-    "regrid_synthetic",
-    "regrid_multivar",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "sim_threshold_pairs",
-    "vec_centroid_per_label",
-    "vec_quantize_int8",
-    "text_tokens",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf_top",
-    "prep_decontaminate",
-    "prep_quality_filter",
-    "prep_mixture_sample",
-    "events_tumbling_window",
-    "events_session_window",
-    "events_time_weighted_avg",
-    "events_m4_downsample",
-    "udf_pandas_scalar",
-    "join_range",
-    "join_asof",
-    "agg_rollup",
-    "json_extract",
-    "subquery_correlated",
-    "array_funcs2",
-    "win_range_frame",
-    "join_skew_salted",
-    "join_lateral_topk",
-    # (3) then the stalest of the r04 cohort — the dedup/sim family
-    # the round-6 verdict called out, plus its text/prep neighbors.
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_survivors",
-    "sim_topk_bruteforce",
-    "sim_topk_bucketed",
-    # (text_bm25_topk / text_pii_redact / text_quality /
-    # vec_covariance_matrix / vec_matryoshka_truncate / sim_knn_join /
-    # sim_topk_ivf rotated back out when the scan-reduction pair, the
-    # modified prep_source_cap, and the prefix-jaccard + maxsim +
-    # rerank + oversample additions claimed their round-7 slots — all
-    # r04-green and still in the all-oracle sweep)
+    # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
+    # the 4-round policy line this round; recomputed from
+    # CORRECTNESS_r01-r07 this session).
+    "agg_approx_quantiles",
+    "agg_heavy_hitters",
+    "agg_rfm_segmentation",
+    "cdc_merge_apply",
+    "events_funnel",
+    "events_gap_fill_locf",
+    "events_pit_enrich",
+    "events_retention_cohorts",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_bucketed",
+    "join_relational_division",
+    "mining_basket_pairs",
+    "mm_binary_meta",
+    "prep_chunk_windows",
+    "prep_seeded_shuffle",
+    "scd2_intervals",
+    "sim_knn_join",
+    "sim_topk_ivf",
+    "subquery_scalar_select",
+    "text_bm25_topk",
+    "text_pii_redact",
+    "text_quality",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "udaf_grouped_pandas",
+    "udtf_expand_rows",
+    "vec_covariance_matrix",
+    "vec_matryoshka_truncate",
+    # (3) then the oldest of the r05 cohort — the production regrid
+    # chain first (the reference's own workload), then the TPC-H and
+    # dedup/text rows that would otherwise age to the policy line
+    # next round.
+    "micromesh_regrid",
+    "micromesh_weights",
+    "micromesh_domain_mask",
+    "regrid_synthetic_bench",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "dedup_corpus_emit",
+    "dedup_containment_pairs",
+    "text_bpe_pair_counts",
+    "events_sessionize_gap",
 ]
 
 
