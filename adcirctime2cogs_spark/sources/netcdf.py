@@ -15,12 +15,14 @@ two paths:
 Decoding is self-contained for BOTH NetCDF flavors: fort.* files are
 classic NetCDF-3, which sources/netcdf3.py reads with struct+numpy
 alone, and HDF5-backed NetCDF-4 decodes through the pure-Python HDF5
-subset in sources/hdf5.py (superblock v0/v2, v1-btree chunk index,
-deflate/shuffle filters, dimension scales) — so the default decoder,
-splitter, and range decoder all WORK in this container with no
-third-party NetCDF/HDF5 library. Only HDF5 layouts outside that
-subset (fractal-heap dense groups, v2 chunk indexes, szip) fall back
-to an import-try for xarray/h5py; custom codecs remain injectable.
+subset in sources/hdf5.py (superblock v0/v2/v3, v1-btree chunk index
+plus the v4-layout typed indexes — single chunk, implicit, fixed
+array, extensible array — deflate/shuffle filters, dimension
+scales) — so the default decoder, splitter, and range decoder all
+WORK in this container with no third-party NetCDF/HDF5 library. Only
+HDF5 layouts outside that subset (fractal-heap dense groups,
+v2-btree chunk indexes, paged index blocks, szip) fall back to an
+import-try for xarray/h5py; custom codecs remain injectable.
 """
 
 from __future__ import annotations

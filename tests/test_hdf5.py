@@ -583,3 +583,165 @@ def test_streaming_plan_never_merges_nc4_chunk_splits(tmp_path):
     raw3 = sorted(_default_splitter(p3, length3, "zeta"))
     planned3 = rdr._plan(p3, length3)
     assert len(planned3) == len({t for t, _, _ in raw3})
+
+
+# ------------------------------------------- "latest" layouts (r08)
+def test_lookup3_reproduces_published_self_test_vectors():
+    """The Jenkins lookup3 checksum (H5_checksum_lookup3) against the
+    vectors published in lookup3.c's own driver — an EXTERNAL anchor
+    for every v3-superblock / index-block checksum the writer emits."""
+    assert hdf5._lookup3(b"") == 0xDEADBEEF
+    assert hdf5._lookup3(b"Four score and seven years ago") == 0x17770551
+    assert hdf5._lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_superblock_v3_bytes_conform_to_spec(tmp_path):
+    """Hand-checked offsets of the 48-byte v3 superblock: signature,
+    version 3, offset/length sizes, base 0, EOF = file size, root
+    OHDR address, trailing lookup3 checksum of bytes 0..43."""
+    import os
+
+    p = str(tmp_path / "v3.nc")
+    _write_micromesh_nc4(p, layout="latest")
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89HDF\r\n\x1a\n"
+    assert raw[8] == 3                      # superblock version
+    assert raw[9] == 8 and raw[10] == 8     # offset/length sizes
+    assert raw[11] == 0                     # file consistency flags
+    assert struct.unpack("<Q", raw[12:20])[0] == 0          # base
+    assert struct.unpack("<Q", raw[20:28])[0] == hdf5.H5_UNDEF  # ext
+    assert struct.unpack("<Q", raw[28:36])[0] == os.path.getsize(p)
+    root = struct.unpack("<Q", raw[36:44])[0]
+    assert 48 <= root < len(raw)
+    assert struct.unpack("<I", raw[44:48])[0] == hdf5._lookup3(raw[:44])
+
+
+def test_v4_layout_message_and_index_headers(tmp_path):
+    """The v4 layout message carries the typed chunk index: version 4,
+    class 2, rank+1 u64 dims with the element size last (the v3
+    convention), index type, and the index header address — checked by
+    re-parsing zeta's message AND by reading the EAHD/FAHD headers the
+    addresses point at (signatures, creation parameters, real
+    checksums)."""
+    p = str(tmp_path / "v4.nc")
+    _write_micromesh_nc4(p, layout="latest", node_chunk=3, static_chunk=2)
+    f = hdf5.H5File(p)
+    raw = open(p, "rb").read()
+
+    zeta = f.datasets["zeta"]
+    assert zeta.layout.idx_type == 4        # extensible array
+    assert zeta.layout.chunk == (1, 3)
+    hd = raw[zeta.layout.addr:zeta.layout.addr + 72]
+    assert hd[:4] == b"EAHD" and hd[4] == 0
+    assert hd[5] == 1                       # client: filtered chunks
+    # element size: 8 (addr) + 2 (stored-size width for a 24-byte
+    # unfiltered chunk: 1 + (log2(24)+8)//8) + 4 (filter mask)
+    assert hd[6] == 14
+    assert (hd[7], hd[8], hd[9], hd[10], hd[11]) == (32, 4, 16, 4, 10)
+    assert struct.unpack("<I", hd[68:72])[0] == hdf5._lookup3(hd[:68])
+    iblk = struct.unpack("<Q", hd[60:68])[0]
+    assert raw[iblk:iblk + 4] == b"EAIB"
+
+    x = f.datasets["x"]
+    assert x.layout.idx_type == 3           # fixed array
+    fh = raw[x.layout.addr:x.layout.addr + 28]
+    assert fh[:4] == b"FAHD" and fh[4] == 0
+    assert struct.unpack("<Q", fh[8:16])[0] == 3  # ceil(6/2) entries
+    assert struct.unpack("<I", fh[24:28])[0] == hdf5._lookup3(fh[:24])
+    fadb = struct.unpack("<Q", fh[16:24])[0]
+    assert raw[fadb:fadb + 4] == b"FADB"
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(compress=None),
+    dict(node_chunk=2),
+    dict(node_chunk=3, compress=None),
+    dict(time_chunk=2),
+    dict(shuffle=True),
+    dict(static_chunk=2),
+    dict(static_chunk=2, compress=None),
+])
+def test_latest_roundtrip_matches_v1_decode(tmp_path, kw):
+    """Every dataset of a 'latest' file decodes bit-identically to the
+    same payload written with the v1-btree layout — across filters,
+    node/time chunking, and the fixed-array static-chunk path."""
+    p1 = str(tmp_path / "v1.nc")
+    p2 = str(tmp_path / "v3.nc")
+    _write_micromesh_nc4(p1, **{k: v for k, v in kw.items()
+                                if k != "static_chunk"})
+    _write_micromesh_nc4(p2, layout="latest", **kw)
+    f1, f2 = hdf5.H5File(p1), hdf5.H5File(p2)
+    assert set(f1.datasets) == set(f2.datasets)
+    for name in f1.datasets:
+        a, b = f1.read(name), f2.read(name)
+        assert np.array_equal(a, b, equal_nan=True), name
+
+
+def test_extensible_array_super_block_path(tmp_path):
+    """Past the index block's 6 direct data blocks (244 elements with
+    the default creation parameters), elements live in data blocks
+    reached through EASB super blocks — 600 single-chunk records force
+    the super-block walk on both writer and reader."""
+    n_t, n_n = 600, 5
+    big = np.arange(n_t * n_n, dtype="<f8").reshape(n_t, n_n)
+    p = str(tmp_path / "big.nc")
+    hdf5.write_netcdf4(
+        p,
+        dims={"time": None, "node": n_n},
+        variables={
+            "time": (("time",), np.arange(n_t, dtype="<f8"), {}),
+            "zeta": (("time", "node"), big, {}),
+        },
+        layout="latest",
+    )
+    raw = open(p, "rb").read()
+    assert raw.count(b"EASB") >= 1
+    f = hdf5.H5File(p)
+    assert np.array_equal(f.read("zeta"), big)
+    assert sum(1 for _ in f.chunks("zeta")) == n_t
+
+
+@pytest.mark.parametrize("compress", [6, None])
+def test_single_chunk_index(tmp_path, compress):
+    """chunk == shape -> Single Chunk index: the layout message itself
+    holds the chunk address (plus stored size + filter mask when
+    filtered); no index structure exists on disk."""
+    times, zeta, lon, lat, element = _micromesh_payload()
+    p = str(tmp_path / "single.nc")
+    hdf5.write_netcdf4(
+        p,
+        dims={"time": None, "node": 6},
+        variables={"time": (("time",), times, {}),
+                   "x": (("node",), lon, {}),
+                   "zeta": (("time", "node"), zeta, {})},
+        layout="latest", static_chunk=6, compress=compress,
+    )
+    f = hdf5.H5File(p)
+    assert f.datasets["x"].layout.idx_type == 1
+    assert np.array_equal(f.read("x"), lon)
+    raw = open(p, "rb").read()
+    assert b"FAHD" not in raw  # x needs no index structure
+
+
+def test_latest_splits_decode_identically_to_v1(spark, tmp_path):
+    """scan_netcdf_split's full distributed path — splitter + per-task
+    range decoder — produces identical rows from the v1-btree and the
+    'latest' (EA-indexed) writes of the same payload, closing SURVEY
+    O1 for h5py libver='latest' files."""
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_split
+
+    p1 = str(tmp_path / "v1.nc")
+    p2 = str(tmp_path / "v3.nc")
+    _write_micromesh_nc4(p1, node_chunk=3)
+    _write_micromesh_nc4(p2, node_chunk=3, layout="latest")
+
+    def snap(path):
+        df = scan_netcdf_split(spark, path, "zeta")
+        return sorted(
+            (str(r.ts), r.node_id, None if r.value is None else round(r.value, 9))
+            for r in df.collect()
+        )
+
+    rows1, rows2 = snap(p1), snap(p2)
+    assert rows1 == rows2 and len(rows1) == 18
