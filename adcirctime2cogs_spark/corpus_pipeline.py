@@ -6,8 +6,9 @@ reference's geospatial dataflow, run/adcircTime2cogs.py:121-240): one
 command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
-    exact_dedup -> quality -> fuzzy_dedup -> decontaminate ->
-    pii_scrub -> source_cap -> [mixture] -> split -> shards + card
+    exact_dedup -> quality -> fuzzy_dedup -> [embedding_dedup] ->
+    decontaminate -> pii_scrub -> source_cap -> [mixture] ->
+    [pq_index emit] -> split -> shards + card
 
 Every stage composes the SAME DataFrame kernels the registered,
 DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
@@ -45,14 +46,25 @@ STAGES = (
     "exact_dedup",
     "quality",
     "fuzzy_dedup",
+    "embedding_dedup",
     "decontaminate",
     "pii_scrub",
     "source_cap",
     "mixture",
+    "pq_index",
 )
 
-_DEFAULT_ON = {s: s != "mixture" for s in STAGES}  # mixture opt-in:
-# it intentionally downsamples the dominant language (lossy by design)
+# mixture is opt-in (it intentionally downsamples the dominant
+# language — lossy by design); the two embedding stages are opt-in
+# because they require an embeddings.parquet beside the documents
+# (vec_id == doc_id, the fixture convention dedup_embedding_cosine
+# pins): embedding_dedup filters semantic near-dups the text miners
+# can't see, and pq_index EMITS the 64x-compressed PQ code table for
+# the surviving corpus (an artifact, not a filter — rows tracked in
+# the manifest under its own entry).
+_DEFAULT_ON = {
+    s: s not in ("mixture", "embedding_dedup", "pq_index") for s in STAGES
+}
 
 
 def _write_stage(df: DataFrame, stage_dir: str) -> int:
@@ -99,6 +111,91 @@ def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
 
     keepers = dedup_corpus_emit(spark, stage_in_dir).select("doc_id")
     return _read_stage(spark, stage_in_dir).join(keepers, "doc_id", "semi")
+
+
+def _aligned_embeddings(spark: SparkSession, input_dir: str,
+                        docs: DataFrame) -> DataFrame:
+    """The input corpus's embeddings restricted to SURVIVING docs
+    (vec_id == doc_id — the convention the registered
+    dedup_embedding_cosine pins). Embeddings ride the ORIGINAL input
+    dir: stages rewrite documents.parquet only, so the vector table
+    is joined down, never copied forward."""
+    path = os.path.join(input_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        raise ValueError(
+            "an embedding stage is enabled but the input dir has no "
+            f"embeddings.parquet ({path})"
+        )
+    return spark.read.parquet(path).join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+
+
+def _embedding_dedup(spark: SparkSession, docs: DataFrame,
+                     input_dir: str) -> DataFrame:
+    """Semantic near-dup filter: drop docs whose embedding has cosine
+    >= the module threshold with a LOWER-id surviving embedding,
+    candidates blocked by the sign-LSH bucket — the exact kernel of
+    the registered dedup_embedding_cosine, run over survivors only.
+    This catches paraphrase-level duplicates the shingle miners can't
+    see; keep-lowest-id matches every other dedup stage."""
+    from adcirctime2cogs_spark.functions.numeric import r4
+    from adcirctime2cogs_spark.operators.dedup import _EMB_TAU
+    from adcirctime2cogs_spark.operators.similarity import (
+        _sign_bucket,
+        cosine,
+    )
+
+    emb = _aligned_embeddings(spark, input_dir, docs).withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    x = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"), "bucket")
+    y = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"), "bucket")
+    dup_ids = (
+        x.join(y, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return docs.join(
+        F.broadcast(dup_ids), docs.doc_id == dup_ids.dup_id, "left_anti"
+    ).select(*docs.columns)
+
+
+def _emit_pq_index(spark: SparkSession, docs: DataFrame, input_dir: str,
+                   work_dir: str, out_dir: str) -> int:
+    """Emit the surviving corpus's product-quantization index:
+    survivors' embeddings materialize under work_dir (the registered
+    vec_pq_encode kernel reads a table dir), the 4-symbol codes +
+    quantization error land at out_dir/pq_codes.parquet, and the
+    count returns for the manifest. 64x smaller than the float
+    vectors — the artifact an ANN-serving tier loads instead of the
+    embedding store (sim_topk_pq_adc / sim_topk_pq_rerank)."""
+    from adcirctime2cogs_spark.operators.similarity import (
+        PQ_K,
+        vec_pq_encode,
+    )
+
+    emb = _aligned_embeddings(spark, input_dir, docs)
+    stage_dir = os.path.join(work_dir, "pq_embeddings")
+    emb.write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "embeddings.parquet")
+    )
+    n_vecs = spark.read.parquet(
+        os.path.join(stage_dir, "embeddings.parquet")
+    ).count()
+    if n_vecs < PQ_K:
+        raise ValueError(
+            f"pq_index needs >= {PQ_K} surviving embeddings for the "
+            f"codebook, got {n_vecs}"
+        )
+    codes = vec_pq_encode(spark, stage_dir)
+    out_path = os.path.join(out_dir, "pq_codes.parquet")
+    codes.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path).count()
 
 
 def _decontaminate(docs: DataFrame) -> DataFrame:
@@ -217,8 +314,25 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
         if not enabled[stage]:
             continue
         t0 = time.time()
+        if stage == "pq_index":
+            # artifact emit, not a corpus filter: the code table lands
+            # in out_dir and the doc chain continues untouched
+            n_codes = _emit_pq_index(
+                spark, docs, input_dir, work_dir, out_dir
+            )
+            manifest["stages"].append(
+                {
+                    "stage": stage,
+                    "rows_out": n_codes,
+                    "artifact": os.path.join(out_dir, "pq_codes.parquet"),
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+            continue
         if stage == "fuzzy_dedup":
             out = _fuzzy_dedup(spark, cur_dir)
+        elif stage == "embedding_dedup":
+            out = _embedding_dedup(spark, docs, input_dir)
         elif stage == "source_cap":
             out = _source_cap(docs, cap=cfg.get("source_cap_n"))
         else:

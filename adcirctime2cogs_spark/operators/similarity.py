@@ -1392,13 +1392,21 @@ def _pq_anchors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     if memo is not None and memo[0] is spark:
         return memo[1]
     emb = load_table(spark, sf_dir, "embeddings")
+    # the PQ_K LOWEST ids, not `vec_id < PQ_K`: identical on the
+    # dense-id fixture the oracle states (`WHERE vec_id < 16`), but
+    # also correct on sparse-id tables like the corpus pipeline's
+    # filtered survivors, where ids 0..15 need not all exist
     rows = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .orderBy("vec_id")
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
         .select("embedding")
         .collect()
     )
     anchors = [[float(x) for x in r.embedding] for r in rows]
+    if len(anchors) < PQ_K:
+        raise ValueError(
+            f"PQ codebook needs >= {PQ_K} embeddings, got {len(anchors)}"
+        )
     _PQ_ANCHOR_MEMO[key] = (spark, anchors)
     return anchors
 

@@ -52,6 +52,11 @@ _PRIORITY = [
     "sim_topk_pq_rerank",
     "scan_orc_pushdown",
     "join_dpp_partitioned",
+    # ...and the PQ pair, whose shared codebook kernel changed this
+    # round (_pq_anchors now takes the PQ_K LOWEST ids so sparse-id
+    # corpora encode too — fixture-identical, but rule 1 applies)
+    "vec_pq_encode",
+    "sim_topk_pq_adc",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -103,8 +108,6 @@ _PRIORITY = [
     "tpch_q9_product_profit",
     "dedup_corpus_emit",
     "dedup_containment_pairs",
-    "text_bpe_pair_counts",
-    "events_sessionize_gap",
 ]
 
 

@@ -93,7 +93,7 @@ def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
     # built to survive quality, but the later source-cap stage (top-N
     # per source) may legitimately drop it before the final shards
     scrubbed = spark.read.parquet(
-        str(root / "work" / "05_pii_scrub" / "documents.parquet")
+        str(root / "work" / "06_pii_scrub" / "documents.parquet")
     )
     planted = scrubbed.filter(F.col("doc_id") == 900002).collect()
     assert planted, "planted PII doc must reach the scrub stage"
@@ -212,3 +212,104 @@ def test_cli_flags_drive_a_run(spark, tmp_path, capsys):
         s["stage"] in ("fuzzy_dedup", "decontaminate")
         for s in manifest["stages"]
     )
+
+
+def test_embedding_stages_filter_and_emit_pq_index(spark, tmp_path):
+    """The opt-in vector stages end-to-end: embedding_dedup drops a
+    PLANTED near-identical-embedding twin (keep-lowest-id, the
+    registered dedup_embedding_cosine kernel over survivors), and
+    pq_index emits the surviving corpus's PQ code table with one row
+    per surviving embedding — both carried in the manifest."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import PQ_M
+
+    root = tmp_path
+    inp = str(root / "input")
+    _planted_input(spark, inp)
+    docs = spark.read.parquet(os.path.join(inp, "documents.parquet"))
+    # embeddings aligned vec_id == doc_id; doc 900001 (the exact-dup
+    # plant, removed at stage 1) gets none — the alignment semi-join
+    # must tolerate docs without vectors. Plant doc 11's embedding on
+    # doc 13 (near-identical, same sign bucket) so embedding_dedup
+    # must drop 13 and keep 11.
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    e11 = emb.filter(F.col("vec_id") == 11).first().embedding
+    twin = spark.createDataFrame(
+        [(13, [v * 1.0001 for v in e11])],
+        "vec_id bigint, embedding array<float>",
+    )
+    (
+        emb.filter(F.col("vec_id").isin(list(ids - {13, 900001, 900002})))
+        .unionByName(twin)
+        .write.mode("overwrite")
+        .parquet(os.path.join(inp, "embeddings.parquet"))
+    )
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {
+            "decontaminate": False,
+            "embedding_dedup": True,
+            "pq_index": True,
+        },
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    by_stage = {s["stage"]: s for s in manifest["stages"]}
+    assert "embedding_dedup" in by_stage and "pq_index" in by_stage
+
+    ed_dir = next(
+        str(root / "work" / d) for d in os.listdir(str(root / "work"))
+        if d.endswith("_embedding_dedup")
+    )
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(ed_dir, "documents.parquet")
+        ).select("doc_id").collect()
+    }
+    assert 11 in kept and 13 not in kept  # planted twin dropped
+    assert by_stage["embedding_dedup"]["dropped"] >= 1
+
+    codes = spark.read.parquet(str(root / "out" / "pq_codes.parquet"))
+    assert set(codes.columns) == {
+        "vec_id", *(f"c{m}" for m in range(PQ_M)), "qerr",
+    }
+    n_final_with_emb = spark.read.parquet(
+        os.path.join(inp, "embeddings.parquet")
+    ).join(
+        spark.read.parquet(
+            os.path.join(ed_dir, "documents.parquet")
+        ).select(F.col("doc_id").alias("vec_id")),
+        "vec_id", "semi",
+    ).count()
+    # pq_index runs LAST over the final corpus: every surviving doc
+    # that has an embedding gets exactly one code row
+    assert by_stage["pq_index"]["rows_out"] == codes.count()
+    assert codes.count() <= n_final_with_emb
+    assert codes.select("vec_id").distinct().count() == codes.count()
+    # codes are valid symbols
+    row = codes.agg(
+        *(F.max(f"c{m}").alias(f"mx{m}") for m in range(PQ_M)),
+        *(F.min(f"c{m}").alias(f"mn{m}") for m in range(PQ_M)),
+    ).first()
+    assert all(0 <= row[f"mn{m}"] and row[f"mx{m}"] < 16
+               for m in range(PQ_M))
+
+
+def test_embedding_stage_without_embeddings_errors_clearly(spark, tmp_path):
+    inp = str(tmp_path / "input")
+    _planted_input(spark, inp)
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(tmp_path / "work"),
+        "out_dir": str(tmp_path / "out"),
+        "stages": {"decontaminate": False, "embedding_dedup": True},
+    }
+    with pytest.raises(ValueError, match="embeddings.parquet"):
+        run_corpus_pipeline(spark, cfg)
