@@ -251,15 +251,18 @@ def polar_stereo_k0(lat_ts_deg: float, a: float = WGS84_A,
 
 def polar_stereo_forward(lon_deg, lat_deg, lat_ts_deg, lon0_deg,
                          fe: float = 0.0, fn: float = 0.0,
-                         a: float = WGS84_A, f: float = WGS84_F):
+                         a: float = WGS84_A, f: float = WGS84_F,
+                         k0: float | None = None):
     """EPSG:4326 -> Polar Stereographic with standard parallel
     lat_ts (variant B; hemisphere follows lat_ts's sign). lat_ts at
-    +-90 degenerates to variant A with k0 = 1."""
+    +-90 degenerates to variant A with k0 = 1; an explicit k0 selects
+    variant A outright (EPSG 9810 — UPS is lat_ts=+-90, k0=0.994)."""
     lon = np.asarray(lon_deg, dtype="float64")
     lat = np.asarray(lat_deg, dtype="float64")
     e = _ecc(f)
     north = lat_ts_deg >= 0.0
-    k0 = polar_stereo_k0(lat_ts_deg, a, f)
+    if k0 is None:
+        k0 = polar_stereo_k0(lat_ts_deg, a, f)
     t = _ps_t(np.radians(lat), e, north)
     rho = (
         2.0 * a * k0 * t
@@ -273,13 +276,16 @@ def polar_stereo_forward(lon_deg, lat_deg, lat_ts_deg, lon0_deg,
 
 def polar_stereo_inverse(e_m, n_m, lat_ts_deg, lon0_deg,
                          fe: float = 0.0, fn: float = 0.0,
-                         a: float = WGS84_A, f: float = WGS84_F):
-    """Polar Stereographic (variant B) -> EPSG:4326."""
+                         a: float = WGS84_A, f: float = WGS84_F,
+                         k0: float | None = None):
+    """Polar Stereographic (variant B; explicit k0 = variant A) ->
+    EPSG:4326."""
     E = np.asarray(e_m, dtype="float64") - fe
     N = np.asarray(n_m, dtype="float64") - fn
     e = _ecc(f)
     north = lat_ts_deg >= 0.0
-    k0 = polar_stereo_k0(lat_ts_deg, a, f)
+    if k0 is None:
+        k0 = polar_stereo_k0(lat_ts_deg, a, f)
     rho = np.sqrt(E * E + N * N)
     tp = rho * np.sqrt(
         (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)
@@ -383,6 +389,12 @@ _EPSG_PARAMS = {
     # WGS84 Antarctic Polar Stereographic
     3413: ("ps", dict(lat_ts_deg=70.0, lon0_deg=-45.0)),
     # WGS84 NSIDC Sea Ice Polar Stereographic North
+    32661: ("ps", dict(lat_ts_deg=90.0, lon0_deg=0.0,
+                       fe=2_000_000.0, fn=2_000_000.0, k0=0.994)),
+    # WGS84 UPS North (Polar Stereographic variant A, EPSG 9810)
+    32761: ("ps", dict(lat_ts_deg=-90.0, lon0_deg=0.0,
+                       fe=2_000_000.0, fn=2_000_000.0, k0=0.994)),
+    # WGS84 UPS South
     5070: ("albers", dict(lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0,
                           lon0_deg=-96.0)),  # NAD83 CONUS Albers
 }
@@ -443,3 +455,49 @@ def epsg_inverse(epsg: int, e_m, n_m):
         f"EPSG:{epsg} not in the built-in kernel set "
         f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
     )
+
+
+# --------------------------------------------- parameterized dispatch
+# The reference's to_crs accepts ANY pyproj CRS
+# (run/adcircTime2cogs.py:44-46); beyond the EPSG registry codes
+# above, these dispatchers open each kernel FAMILY to user-supplied
+# parameter sets (any standard parallels, origins, false offsets,
+# variant-A k0, UTM zone/hemisphere) — everything the five families
+# express except datum shifts, which stay out of scope.
+_PROJ_FWD = {
+    "webmercator": lambda lon, lat, **kw: webmercator_forward(lon, lat),
+    "utm": lambda lon, lat, **kw: utm_forward(lon, lat, **kw)[:2],
+    "lcc": lcc_forward,
+    "ps": polar_stereo_forward,
+    "albers": albers_forward,
+}
+_PROJ_INV = {
+    "webmercator": lambda e, n, **kw: webmercator_inverse(e, n),
+    "utm": utm_inverse,
+    "lcc": lcc_inverse,
+    "ps": polar_stereo_inverse,
+    "albers": albers_inverse,
+}
+
+
+def proj_forward(kind: str, lon_deg, lat_deg, **params):
+    """EPSG:4326 -> a parameterized projection: kind picks the kernel
+    family ('webmercator' | 'utm' | 'lcc' | 'ps' | 'albers'), params
+    pass through to it. Unknown kinds/params raise immediately (plan
+    time when called through reproject_points_proj)."""
+    fwd = _PROJ_FWD.get(kind)
+    if fwd is None:
+        raise ValueError(
+            f"unknown projection kind {kind!r} (have {sorted(_PROJ_FWD)})"
+        )
+    return fwd(lon_deg, lat_deg, **params)
+
+
+def proj_inverse(kind: str, e_m, n_m, **params):
+    """Parameterized projection -> EPSG:4326."""
+    inv = _PROJ_INV.get(kind)
+    if inv is None:
+        raise ValueError(
+            f"unknown projection kind {kind!r} (have {sorted(_PROJ_INV)})"
+        )
+    return inv(e_m, n_m, **params)

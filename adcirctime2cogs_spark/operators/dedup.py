@@ -29,6 +29,7 @@ from adcirctime2cogs_spark.functions.text import (
     SIMHASH_BITS,
     normalized_text,
     shingles,
+    tokens_col,
 )
 from adcirctime2cogs_spark.tables import load_table
 
@@ -980,3 +981,114 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.7)
         .select("doc_a", "doc_b", r4(cont).alias("containment"))
     )
+
+
+# ----------------------------------------------- substring dedup
+SPAN_K = 12  # tokens per duplicated-substring window
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+w AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS w
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t) - {SPAN_K} + 2)) AS i
+    FROM tok WHERE len(t) >= {SPAN_K}
+  )
+),
+dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM w SEMI JOIN dup USING (w)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p > coalesce(
+             max(p) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) + {SPAN_K},
+             -1) THEN 1 ELSE 0 END AS flag
+  FROM cov
+),
+g AS (
+  SELECT doc_id, p,
+         sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM isl
+)
+SELECT doc_id, min(p) AS span_start, max(p) + {SPAN_K} AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, isl
+"""
+
+
+@_register("dedup_substring_spans", _SUBSTRING_SPANS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup (the Lee et al., ACL'22 'Deduplicating
+    Training Data' shape): find, per document, the maximal token spans
+    whose every SPAN_K-token window also appears in some OTHER
+    document — the repeated boilerplate a doc-level dedup can't see
+    because the surrounding text differs. Output
+    (doc_id, span_start, span_end, n_windows): token ranges
+    [start, end) a scrubbing pass would cut, with overlapping/touching
+    windows interval-merged per doc (gaps-and-islands over a running
+    max — one window pass, no self-join).
+
+    Plan shape for 100 TB: the window inventory is a single narrow
+    map pass (positions x K-token joins are row-local array math);
+    duplicated windows fall out of ONE groupBy on the window content
+    and flow semi-join-style back onto the inventory on the same key,
+    so Catalyst reuses the exchange; the island merge is a per-doc
+    window over only the COVERED positions (a tiny fraction of the
+    corpus). At scale the shuffle key would be a 128-bit content hash
+    instead of the window string — same plan, narrower exchange; the
+    string key keeps the DuckDB oracle byte-exact here.
+
+    Reference parity: no analogue (the reference has no text surface)
+    — north-star dedup family, BASELINE.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("t")
+    ).filter(F.size("t") >= SPAN_K)
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - SPAN_K),
+                lambda i: F.struct(
+                    i.cast("long").alias("p"),
+                    F.concat_ws(
+                        " ", *[F.col("t")[i + j] for j in range(SPAN_K)]
+                    ).alias("w"),
+                ),
+            )
+        ).alias("pw"),
+    ).select("doc_id", F.col("pw.p").alias("p"), F.col("pw.w").alias("w"))
+    dup = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w")
+    )
+    covered = wins.join(dup, "w", "semi").select("doc_id", "p")
+
+    from pyspark.sql import Window as W
+
+    prev = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = W.partitionBy("doc_id").orderBy("p")
+    flagged = covered.select(
+        "doc_id",
+        "p",
+        F.when(
+            F.col("p")
+            > F.coalesce(F.max("p").over(prev) + SPAN_K, F.lit(-1)),
+            1,
+        ).otherwise(0).alias("flag"),
+    )
+    grouped = flagged.withColumn("isl", F.sum("flag").over(run))
+    return grouped.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + SPAN_K).alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

@@ -232,6 +232,111 @@ def reproject_points(
     ).drop("_p")
 
 
+def reproject_points_proj(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    kind: str,
+    params: dict,
+    out_cols: tuple[str, str] = ("easting", "northing"),
+) -> DataFrame:
+    """to_crs parity for CRS BEYOND the EPSG registry codes: project
+    lon/lat through any of the five kernel families with a
+    user-supplied parameter set (standard parallels, origin, false
+    offsets, variant-A k0, UTM zone/hemisphere) — covering every
+    parameterization those families express, the way the reference's
+    pyproj to_crs accepts arbitrary CRS definitions (datum shifts
+    excepted, documented in functions/crs.py). Bad kinds/params raise
+    at plan time via a probe call, not per-row in executors."""
+    from adcirctime2cogs_spark.functions.crs import proj_forward
+
+    proj_forward(kind, 0.0, 45.0, **params)  # plan-time validation
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("e", T.DoubleType()),
+        T.StructField("n", T.DoubleType()),
+    ]))
+    def proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        from adcirctime2cogs_spark.functions.crs import proj_forward
+
+        e, n = proj_forward(kind, lon.to_numpy(), lat.to_numpy(), **params)
+        return pd.DataFrame({"e": e, "n": n})
+
+    out = df.withColumn("_p", proj(F.col(lon_col), F.col(lat_col)))
+    return out.withColumn(out_cols[0], F.col("_p.e")).withColumn(
+        out_cols[1], F.col("_p.n")
+    ).drop("_p")
+
+
+_UPS_ORACLE_SQL = """
+    WITH pt AS (
+      SELECT vec_id,
+             radians(CAST(vec_id % 360 - 180 AS DOUBLE)) AS dlam,
+             radians(CAST(60 + vec_id % 25 AS DOUBLE)) AS phi
+      FROM embeddings WHERE vec_id < 100
+    ), k AS (
+      SELECT sqrt(2.0 / 298.257223563
+                  - 1.0 / (298.257223563 * 298.257223563)) AS e,
+             6378137.0 AS a, 0.994 AS k0, 2000000.0 AS fe, 2000000.0 AS fn
+      FROM (SELECT 1)
+    ), kc AS (
+      SELECT *, sqrt(pow(1.0 + e, 1.0 + e) * pow(1.0 - e, 1.0 - e)) AS ec
+      FROM k
+    ), rho AS (
+      SELECT vec_id, dlam, fe, fn,
+        2.0 * a * k0 * (tan(pi() / 4.0 - phi / 2.0)
+          * pow((1.0 + e * sin(phi)) / (1.0 - e * sin(phi)), e / 2.0))
+          / ec AS rho_n,
+        2.0 * a * k0 * (tan(pi() / 4.0 - phi / 2.0)
+          / pow((1.0 + e * sin(-phi)) / (1.0 - e * sin(-phi)), e / 2.0))
+          / ec AS rho_s
+      FROM pt CROSS JOIN kc
+    )
+    SELECT vec_id,
+           round(fe + rho_n * sin(dlam), 4) AS ups_n_e,
+           round(fn - rho_n * cos(dlam), 4) AS ups_n_n,
+           round(fe + rho_s * sin(dlam), 4) AS ups_s_e,
+           round(fn + rho_s * cos(dlam), 4) AS ups_s_n
+    FROM rho
+"""
+
+
+@_register("crs_reproject_ups", _UPS_ORACLE_SQL)
+def crs_reproject_ups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal Polar Stereographic, BOTH hemispheres, routed through
+    the PARAMETERIZED reprojection operator (reproject_points_proj
+    with kind='ps' and an explicit variant-A k0 = 0.994 — EPSG 9810,
+    the UPS 32661/32761 definition, validated against the EPSG GN7-2
+    variant-A worked example in tests/test_crs.py). The same
+    synthetic points project north as (lon, lat) and south as
+    (lon, -lat); the oracle restates the full ellipsoidal t/rho
+    formulas in SQL. South's t uses the mirrored-latitude identity
+    tan(pi/4 - phi/2) / ((1+e*sin(-phi))/(1-e*sin(-phi)))^(e/2) —
+    algebraically the kernel's south branch at latitude -phi."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pts = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("vec_id") % 25 + 60).cast("double").alias("lat"),
+    ).withColumn("slat", -F.col("lat"))
+    ups = dict(lon0_deg=0.0, fe=2_000_000.0, fn=2_000_000.0, k0=0.994)
+    north = reproject_points_proj(
+        pts, "lon", "lat", "ps", dict(ups, lat_ts_deg=90.0),
+        out_cols=("ne", "nn"),
+    )
+    both = reproject_points_proj(
+        north, "lon", "slat", "ps", dict(ups, lat_ts_deg=-90.0),
+        out_cols=("se", "sn"),
+    )
+    return both.select(
+        "vec_id",
+        r4(F.col("ne")).alias("ups_n_e"),
+        r4(F.col("nn")).alias("ups_n_n"),
+        r4(F.col("se")).alias("ups_s_e"),
+        r4(F.col("sn")).alias("ups_s_n"),
+    )
+
+
 @_register(
     "crs_reproject",
     """

@@ -57,6 +57,11 @@ _PRIORITY = [
     # corpora encode too — fixture-identical, but rule 1 applies)
     "vec_pq_encode",
     "sim_topk_pq_adc",
+    # ...and the two NEW round-8 queries: substring-level dedup
+    # (duplicated token spans, Lee et al. ACL'22 shape) and UPS
+    # through the parameterized projection operator
+    "dedup_substring_spans",
+    "crs_reproject_ups",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -106,8 +111,6 @@ _PRIORITY = [
     "tpch_q6_revenue_forecast",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "dedup_corpus_emit",
-    "dedup_containment_pairs",
 ]
 
 

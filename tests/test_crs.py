@@ -309,3 +309,50 @@ def test_utm_false_northing_follows_epsg_code_not_latitude():
     _, n_auto, _ = crs.utm_forward(lon, lat)
     assert n_auto[0] == pytest.approx(55_265.0, abs=1.0)
     assert n_auto[1] == pytest.approx(9_944_734.0, abs=2.0)
+
+
+def test_ups_matches_epsg_variant_a_worked_example():
+    """EPSG GN7-2, Polar Stereographic variant A (UPS North, WGS84,
+    k0 = 0.994, FE = FN = 2 000 000): 73N 44E -> E 3320416.75,
+    N 632668.43 — the published worked example, and the roundtrip."""
+    E, N = crs.epsg_forward(32661, np.array([44.0]), np.array([73.0]))
+    assert E[0] == pytest.approx(3_320_416.75, abs=0.01)
+    assert N[0] == pytest.approx(632_668.43, abs=0.01)
+    lon, lat = crs.epsg_inverse(32661, E, N)
+    assert (lon[0], lat[0]) == (pytest.approx(44.0), pytest.approx(73.0))
+    # south: mirrored latitude, mirrored N about the false northing
+    E2, N2 = crs.epsg_forward(32761, np.array([44.0]), np.array([-73.0]))
+    assert E2[0] == pytest.approx(E[0])
+    assert N2[0] == pytest.approx(2 * 2_000_000.0 - N[0])
+    lon2, lat2 = crs.epsg_inverse(32761, E2, N2)
+    assert (lon2[0], lat2[0]) == (pytest.approx(44.0), pytest.approx(-73.0))
+
+
+def test_reproject_points_proj_arbitrary_parameters(spark):
+    """The parameterized operator accepts ANY kernel-family parameter
+    set — here an LCC with made-up parallels no EPSG code uses — and
+    matches the numpy kernel exactly; unknown kinds and bad params
+    raise at plan time."""
+    from adcirctime2cogs_spark.operators.udfs import reproject_points_proj
+
+    pts = spark.createDataFrame(
+        [(0, -96.0, 35.0), (1, -80.0, 40.0)],
+        "id long, lon double, lat double",
+    )
+    params = dict(lat1_deg=33.0, lat2_deg=41.5, lat0_deg=30.0,
+                  lon0_deg=-88.0, fe=1234.0, fn=5678.0)
+    got = {
+        r.id: (r.easting, r.northing)
+        for r in reproject_points_proj(
+            pts, "lon", "lat", "lcc", params
+        ).collect()
+    }
+    E, N = crs.lcc_forward(np.array([-96.0, -80.0]),
+                           np.array([35.0, 40.0]), **params)
+    assert got[0] == (pytest.approx(E[0]), pytest.approx(N[0]))
+    assert got[1] == (pytest.approx(E[1]), pytest.approx(N[1]))
+    with pytest.raises(ValueError, match="unknown projection kind"):
+        reproject_points_proj(pts, "lon", "lat", "mercator1sp", {})
+    with pytest.raises(TypeError):
+        reproject_points_proj(pts, "lon", "lat", "lcc",
+                              dict(params, bogus=1))

@@ -239,3 +239,56 @@ def test_prefix_candidates_superset_of_exact_pairs(spark, sf_dir):
     assert exact, "fixture has no planted near-dup documents"
     missed = exact - cand
     assert not missed, f"prefix filter lost true pairs: {sorted(missed)[:5]}"
+
+
+def test_substring_spans_semantics(spark, tmp_path):
+    """Hand-built corpus with a KNOWN shared 14-token run: the two
+    carrier docs must each report exactly one merged span covering the
+    run's window starts ([start, start+14) as token positions, 3
+    windows at K=12), and a doc whose only repeat is INTERNAL (same
+    window twice in one doc, nowhere else) must report nothing —
+    duplication is across documents."""
+    import os
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        SPAN_K,
+        dedup_substring_spans,
+    )
+
+    run = " ".join(f"dup{j}" for j in range(SPAN_K + 2))  # 14 tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{j}" for j in range(n))
+    docs = spark.createDataFrame(
+        [
+            # run at token positions 5..18
+            (0, uniq("a", 5) + " " + run + " " + uniq("b", 6)),
+            # run at token positions 0..13
+            (1, run + " " + uniq("c", 8)),
+            # internal repeat only: run appears twice in THIS doc but
+            # the windows also occur in docs 0/1 -> covered; so use a
+            # different internal-only phrase
+            (2, uniq("x", 3) + " "
+                + " ".join(f"self{j}" for j in range(SPAN_K))
+                + " " + uniq("y", 3) + " "
+                + " ".join(f"self{j}" for j in range(SPAN_K))),
+            (3, uniq("z", 30)),
+        ],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("t").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in dedup_substring_spans(spark, out).collect()
+    }
+    # doc 0: window starts 5, 6, 7 -> merged span [5, 7 + K) = [5, 19)
+    assert rows[0] == (5, 7 + SPAN_K, 3)
+    # doc 1: window starts 0, 1, 2 -> [0, 14)
+    assert rows[1] == (0, 2 + SPAN_K, 3)
+    # doc 2's repeat is within one document; doc 3 is unique
+    assert 2 not in rows and 3 not in rows
