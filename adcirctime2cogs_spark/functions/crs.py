@@ -395,6 +395,10 @@ _EPSG_PARAMS = {
     32761: ("ps", dict(lat_ts_deg=-90.0, lon0_deg=0.0,
                        fe=2_000_000.0, fn=2_000_000.0, k0=0.994)),
     # WGS84 UPS South
+    27700: ("bng", {}),
+    # OSGB36 British National Grid (datum shift + TM on Airy 1830;
+    # kernels defined below — the dict hook keeps the dispatch table
+    # single-sourced)
     5070: ("albers", dict(lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0,
                           lon0_deg=-96.0)),  # NAD83 CONUS Albers
 }
@@ -427,6 +431,8 @@ def epsg_forward(epsg: int, lon_deg, lat_deg):
         return polar_stereo_forward(lon_deg, lat_deg, **kw)
     if kind == "albers":
         return albers_forward(lon_deg, lat_deg, **kw)
+    if kind == "bng":
+        return bng_forward(lon_deg, lat_deg)
     raise ValueError(
         f"EPSG:{epsg} not in the built-in kernel set "
         f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
@@ -451,6 +457,8 @@ def epsg_inverse(epsg: int, e_m, n_m):
         return polar_stereo_inverse(e_m, n_m, **kw)
     if kind == "albers":
         return albers_inverse(e_m, n_m, **kw)
+    if kind == "bng":
+        return bng_inverse(e_m, n_m)
     raise ValueError(
         f"EPSG:{epsg} not in the built-in kernel set "
         f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
@@ -501,3 +509,189 @@ def proj_inverse(kind: str, e_m, n_m, **params):
             f"unknown projection kind {kind!r} (have {sorted(_PROJ_INV)})"
         )
     return inv(e_m, n_m, **params)
+
+
+# --------------------------------------- generalized TM + datum shift
+# The one to_crs capability the parameter dispatch above still lacked
+# is a DATUM CHANGE: a projected CRS on a non-WGS84 ellipsoid reached
+# through a Helmert transform (EPSG 9606 position vector). The
+# representative real-world case is EPSG:27700 (British National
+# Grid): WGS84 geodetic -> geocentric -> 7-parameter Helmert ->
+# OSGB36 geodetic on Airy 1830 -> transverse Mercator. All formulas
+# are the public EPSG / OS "A guide to coordinate systems in Great
+# Britain" methods.
+
+def tm_constants(a: float, f: float):
+    """Krueger third-flattening series constants for ANY ellipsoid:
+    (n, rectifying radius A, alpha[3], beta[3]) — the same n^3 series
+    the WGS84 module constants hold, as functions of the ellipsoid."""
+    n = f / (2.0 - f)
+    A = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
+        13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0,
+        61.0 * n**3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+        n**2 / 48.0 + n**3 / 15.0,
+        17.0 * n**3 / 480.0,
+    )
+    return n, A, alpha, beta
+
+
+def _tm_xi_eta(lon_deg, lat_deg, lon0_deg: float, n: float, alpha):
+    """Gauss-Krueger (xi, eta) on the unit rectifying circle."""
+    lam = np.radians(np.asarray(lon_deg, dtype="float64") - lon0_deg)
+    phi = np.radians(np.asarray(lat_deg, dtype="float64"))
+    e2sqrt = 2.0 * np.sqrt(n) / (1.0 + n)
+    with np.errstate(divide="ignore"):
+        t = np.sinh(
+            np.arctanh(np.sin(phi))
+            - e2sqrt * np.arctanh(e2sqrt * np.sin(phi))
+        )
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, c in enumerate(alpha, start=1):
+        xi += c * np.sin(2.0 * j * xi_p) * np.cosh(2.0 * j * eta_p)
+        eta += c * np.cos(2.0 * j * xi_p) * np.sinh(2.0 * j * eta_p)
+    return xi, eta
+
+
+def tm_forward(lon_deg, lat_deg, lat0_deg: float, lon0_deg: float,
+               k0: float, fe: float, fn: float,
+               a: float, f: float):
+    """Transverse Mercator on an arbitrary ellipsoid with a natural
+    origin (lat0, lon0): E = FE + k0*A*eta, N = FN + k0*A*(xi - xi0)
+    where xi0 is the rectifying latitude of the origin (the meridian
+    arc from the equator, in A units)."""
+    n, A, alpha, _ = tm_constants(a, f)
+    xi, eta = _tm_xi_eta(lon_deg, lat_deg, lon0_deg, n, alpha)
+    xi0, _ = _tm_xi_eta(np.array([lon0_deg]), np.array([lat0_deg]),
+                        lon0_deg, n, alpha)
+    return fe + k0 * A * eta, fn + k0 * A * (xi - xi0[0])
+
+
+def tm_inverse(e_m, n_m, lat0_deg: float, lon0_deg: float,
+               k0: float, fe: float, fn: float,
+               a: float, f: float):
+    """Transverse Mercator (arbitrary ellipsoid) -> geodetic."""
+    nn, A, alpha, beta = tm_constants(a, f)
+    xi0, _ = _tm_xi_eta(np.array([lon0_deg]), np.array([lat0_deg]),
+                        lon0_deg, nn, alpha)
+    xi = (np.asarray(n_m, dtype="float64") - fn) / (k0 * A) + xi0[0]
+    eta = (np.asarray(e_m, dtype="float64") - fe) / (k0 * A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, c in enumerate(beta, start=1):
+        xi_p -= c * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p -= c * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    e2sqrt = 2.0 * np.sqrt(nn) / (1.0 + nn)
+    phi = chi.copy()
+    for _ in range(8):
+        s = np.sin(phi)
+        t_target = np.sinh(
+            np.arcsinh(np.tan(chi)) + e2sqrt * np.arctanh(e2sqrt * s)
+        )
+        phi = np.arctan(t_target)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def geodetic_to_geocentric(lon_deg, lat_deg, a: float, f: float,
+                           h_m=0.0):
+    """Geodetic (h on the ellipsoid) -> ECEF cartesian (X, Y, Z)."""
+    lon = np.radians(np.asarray(lon_deg, dtype="float64"))
+    lat = np.radians(np.asarray(lat_deg, dtype="float64"))
+    e2 = 2.0 * f - f * f
+    nu = a / np.sqrt(1.0 - e2 * np.sin(lat) ** 2)
+    X = (nu + h_m) * np.cos(lat) * np.cos(lon)
+    Y = (nu + h_m) * np.cos(lat) * np.sin(lon)
+    Z = ((1.0 - e2) * nu + h_m) * np.sin(lat)
+    return X, Y, Z
+
+
+def geocentric_to_geodetic(X, Y, Z, a: float, f: float):
+    """ECEF cartesian -> geodetic (lon_deg, lat_deg), h discarded
+    (fixed-point latitude iteration, <1e-12 rad at crustal heights)."""
+    X = np.asarray(X, dtype="float64")
+    Y = np.asarray(Y, dtype="float64")
+    Z = np.asarray(Z, dtype="float64")
+    e2 = 2.0 * f - f * f
+    p = np.sqrt(X * X + Y * Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(10):
+        nu = a / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+        phi = np.arctan2(Z + e2 * nu * np.sin(phi), p)
+    return np.degrees(np.arctan2(Y, X)), np.degrees(phi)
+
+
+def helmert_transform(X, Y, Z, tx: float, ty: float, tz: float,
+                      rx_sec: float, ry_sec: float, rz_sec: float,
+                      s_ppm: float):
+    """7-parameter Helmert, POSITION VECTOR convention (EPSG 9606):
+    rotations in arc-seconds, scale in ppm.
+        X' = tx + (1+s)(   X - rz*Y + ry*Z)
+        Y' = ty + (1+s)( rz*X +   Y - rx*Z)
+        Z' = tz + (1+s)(-ry*X + rx*Y +   Z)
+    """
+    sec = np.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx_sec * sec, ry_sec * sec, rz_sec * sec
+    m = 1.0 + s_ppm * 1e-6
+    X = np.asarray(X, dtype="float64")
+    Y = np.asarray(Y, dtype="float64")
+    Z = np.asarray(Z, dtype="float64")
+    return (
+        tx + m * (X - rz * Y + ry * Z),
+        ty + m * (rz * X + Y - rx * Z),
+        tz + m * (-ry * X + rx * Y + Z),
+    )
+
+
+# Airy 1830 (the OSGB36 ellipsoid) and the published WGS84 -> OSGB36
+# small-Helmert (OS "A guide to coordinate systems in Great Britain",
+# position vector; ~3.5 m national accuracy by construction — the
+# transform's own published uncertainty, not an implementation limit)
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+_WGS84_TO_OSGB36 = dict(
+    tx=-446.448, ty=125.157, tz=-542.060,
+    rx_sec=-0.1502, ry_sec=-0.2470, rz_sec=-0.8421, s_ppm=20.4894,
+)
+# EPSG 27700 projection constants (TM, natural origin 49N 2W)
+_BNG = dict(lat0_deg=49.0, lon0_deg=-2.0, k0=0.9996012717,
+            fe=400_000.0, fn=-100_000.0, a=AIRY_A, f=AIRY_F)
+
+
+def bng_forward(lon_deg, lat_deg):
+    """EPSG:4326 -> EPSG:27700 (British National Grid): WGS84
+    geodetic -> geocentric -> Helmert -> OSGB36 geodetic (Airy) ->
+    transverse Mercator. The TM-on-Airy leg matches the OS worked
+    example to the millimetre (tests/test_crs.py); end-to-end
+    accuracy is bounded by the published Helmert's own ~3.5 m."""
+    X, Y, Z = geodetic_to_geocentric(lon_deg, lat_deg, WGS84_A, WGS84_F)
+    X, Y, Z = helmert_transform(X, Y, Z, **_WGS84_TO_OSGB36)
+    lon, lat = geocentric_to_geodetic(X, Y, Z, AIRY_A, AIRY_F)
+    return tm_forward(lon, lat, **_BNG)
+
+
+def bng_inverse(e_m, n_m):
+    """EPSG:27700 -> EPSG:4326. The inverse Helmert uses negated
+    parameters — exact only to second order (residual ~ s*t ~ 1 cm),
+    the standard convention and far inside the transform's own
+    ~3.5 m published accuracy."""
+    lon, lat = tm_inverse(e_m, n_m, **_BNG)
+    X, Y, Z = geodetic_to_geocentric(lon, lat, AIRY_A, AIRY_F)
+    neg = {k: -v for k, v in _WGS84_TO_OSGB36.items()}
+    X, Y, Z = helmert_transform(X, Y, Z, **neg)
+    return geocentric_to_geodetic(X, Y, Z, WGS84_A, WGS84_F)
+
+
+# register the late-defined kernels with the parameter dispatchers
+_PROJ_FWD["tm"] = tm_forward
+_PROJ_INV["tm"] = tm_inverse
+_PROJ_FWD["bng"] = lambda lon, lat, **kw: bng_forward(lon, lat)
+_PROJ_INV["bng"] = lambda e, n, **kw: bng_inverse(e, n)

@@ -337,6 +337,157 @@ def crs_reproject_ups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bng_oracle_sql() -> str:
+    """Full-formula EPSG:27700 oracle: WGS84 geodetic -> geocentric ->
+    position-vector Helmert -> OSGB36 geodetic on Airy 1830 (the
+    fixed-point latitude iteration UNROLLED, one CTE per step, exactly
+    the kernel's 10) -> Krueger-series transverse Mercator. DuckDB has
+    no hyperbolic builtins, so sinh/cosh/atanh appear as their
+    exp/ln compositions (ULP-level difference vs numpy, orders of
+    magnitude under the 4dp rounding bar)."""
+    sinh = "((exp({u}) - exp(-({u}))) / 2.0)"
+    cosh = "((exp({u}) + exp(-({u}))) / 2.0)"
+    atanh = "(0.5 * ln((1.0 + ({x})) / (1.0 - ({x}))))"
+    # the 10 unrolled geodetic-latitude iterations on Airy
+    iters = ""
+    prev = "i0"
+    for k in range(1, 11):
+        iters += f""", i{k} AS (
+      SELECT * REPLACE (atan2(
+          Z2 + e2a * (aa / sqrt(1.0 - e2a * sin(phi) * sin(phi)))
+             * sin(phi), p) AS phi)
+      FROM {prev}
+    )"""
+        prev = f"i{k}"
+    t_expr = sinh.format(
+        u="(" + atanh.format(x="sin(phir)") + " - es * "
+        + atanh.format(x="es * sin(phir)") + ")"
+    )
+    t0_expr = sinh.format(
+        u="(" + atanh.format(x="sin(radians(49.0))") + " - es * "
+        + atanh.format(x="es * sin(radians(49.0))") + ")"
+    )
+    series = " + ".join(
+        f"a{j} * sin({2 * j}.0 * xip) * "
+        + cosh.format(u=f"{2 * j}.0 * etap")
+        for j in (1, 2, 3)
+    )
+    eseries = " + ".join(
+        f"a{j} * cos({2 * j}.0 * xip) * "
+        + sinh.format(u=f"{2 * j}.0 * etap")
+        for j in (1, 2, 3)
+    )
+    xi0_series = " + ".join(
+        f"a{j} * sin({2 * j}.0 * atan2(t0, 1.0))" for j in (1, 2, 3)
+    )
+    return f"""
+    WITH pt AS (
+      SELECT vec_id,
+             CAST(vec_id % 9 - 7 AS DOUBLE) AS lon,
+             CAST(50 + vec_id % 10 AS DOUBLE) AS lat
+      FROM embeddings WHERE vec_id < 100
+    ), k AS (
+      SELECT 6378137.0 AS aw, 1.0 / 298.257223563 AS fw,
+             6377563.396 AS aa, 1.0 / 299.3249646 AS fa,
+             pi() / (180.0 * 3600.0) AS sec
+    ), k2 AS (
+      SELECT *, 2.0 * fw - fw * fw AS e2w, 2.0 * fa - fa * fa AS e2a,
+             fa / (2.0 - fa) AS nn,
+             1.0 + 20.4894 * 0.000001 AS m,
+             -0.1502 * sec AS rx, -0.2470 * sec AS ry,
+             -0.8421 * sec AS rz
+      FROM k
+    ), k3 AS (
+      SELECT *, aa / (1.0 + nn)
+                 * (1.0 + nn * nn / 4.0
+                    + nn * nn * nn * nn / 64.0) AS ar,
+             nn / 2.0 - 2.0 * nn * nn / 3.0
+                 + 5.0 * nn * nn * nn / 16.0 AS a1,
+             13.0 * nn * nn / 48.0 - 3.0 * nn * nn * nn / 5.0 AS a2,
+             61.0 * nn * nn * nn / 240.0 AS a3,
+             2.0 * sqrt(nn) / (1.0 + nn) AS es
+      FROM k2
+    ), g AS (
+      SELECT vec_id, k3.*,
+             (aw / sqrt(1.0 - e2w * sin(radians(lat)) * sin(radians(lat))))
+               * cos(radians(lat)) * cos(radians(lon)) AS X,
+             (aw / sqrt(1.0 - e2w * sin(radians(lat)) * sin(radians(lat))))
+               * cos(radians(lat)) * sin(radians(lon)) AS Y,
+             ((1.0 - e2w)
+              * (aw / sqrt(1.0 - e2w * sin(radians(lat))
+                           * sin(radians(lat)))))
+               * sin(radians(lat)) AS Z
+      FROM pt CROSS JOIN k3
+    ), h AS (
+      SELECT *, -446.448 + m * (X - rz * Y + ry * Z) AS X2,
+             125.157 + m * (rz * X + Y - rx * Z) AS Y2,
+             -542.060 + m * (-ry * X + rx * Y + Z) AS Z2
+      FROM g
+    ), i0 AS (
+      SELECT *, sqrt(X2 * X2 + Y2 * Y2) AS p,
+             atan2(Z2, sqrt(X2 * X2 + Y2 * Y2) * (1.0 - e2a)) AS phi
+      FROM h
+    ){iters}, tm AS (
+      SELECT *, radians(degrees(phi)) AS phir,
+             radians(degrees(atan2(Y2, X2)) - (-2.0)) AS lam
+      FROM {prev}
+    ), tt AS (
+      SELECT *, {t_expr} AS t, {t0_expr} AS t0 FROM tm
+    ), xe AS (
+      SELECT *, atan2(t, cos(lam)) AS xip,
+             {atanh.format(x="sin(lam) / sqrt(1.0 + t * t)")} AS etap
+      FROM tt
+    ), se AS (
+      SELECT *, xip + {series} AS xi,
+             etap + {eseries} AS eta,
+             atan2(t0, 1.0) + {xi0_series} AS xi0
+      FROM xe
+    )
+    SELECT vec_id,
+           round(400000.0 + 0.9996012717 * ar * eta, 4) AS bng_e,
+           round(-100000.0 + 0.9996012717 * ar * (xi - xi0), 4) AS bng_n
+    FROM se
+    """
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("e", T.DoubleType()),
+    T.StructField("n", T.DoubleType()),
+]))
+def _bng_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    from adcirctime2cogs_spark.functions.crs import bng_forward
+
+    e, n = bng_forward(lon.to_numpy(), lat.to_numpy())
+    return pd.DataFrame({"e": e, "n": n})
+
+
+@_register("crs_reproject_bng", _bng_oracle_sql())
+def crs_reproject_bng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATUM-SHIFTED reprojection, the to_crs capability the
+    parameter dispatch alone can't express: EPSG:4326 -> EPSG:27700
+    (British National Grid) via WGS84 geocentric conversion, the
+    published 7-parameter position-vector Helmert to OSGB36, and the
+    Krueger-series transverse Mercator on Airy 1830. The TM leg is
+    pinned to the OS worked example to the millimetre
+    (tests/test_crs.py); the oracle restates the ENTIRE pipeline in
+    SQL — geocentric conversion, Helmert, ten unrolled
+    latitude-iteration steps, and the n-series with its constants
+    derived from the ellipsoid literals, hyperbolics composed from
+    exp/ln."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pts = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 9 - 7).cast("double").alias("lon"),
+        (F.col("vec_id") % 10 + 50).cast("double").alias("lat"),
+    )
+    out = pts.withColumn("p", _bng_udf("lon", "lat"))
+    return out.select(
+        "vec_id",
+        r4(F.col("p.e")).alias("bng_e"),
+        r4(F.col("p.n")).alias("bng_n"),
+    )
+
+
 @_register(
     "crs_reproject",
     """

@@ -57,11 +57,13 @@ _PRIORITY = [
     # corpora encode too — fixture-identical, but rule 1 applies)
     "vec_pq_encode",
     "sim_topk_pq_adc",
-    # ...and the two NEW round-8 queries: substring-level dedup
-    # (duplicated token spans, Lee et al. ACL'22 shape) and UPS
-    # through the parameterized projection operator
+    # ...and the three NEW round-8 queries: substring-level dedup
+    # (duplicated token spans, Lee et al. ACL'22 shape), UPS through
+    # the parameterized projection operator, and the datum-shifted
+    # British National Grid pipeline (Helmert + TM on Airy)
     "dedup_substring_spans",
     "crs_reproject_ups",
+    "crs_reproject_bng",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -110,7 +112,6 @@ _PRIORITY = [
     "tpch_q4_order_priority",
     "tpch_q6_revenue_forecast",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 
 

@@ -356,3 +356,47 @@ def test_reproject_points_proj_arbitrary_parameters(spark):
     with pytest.raises(TypeError):
         reproject_points_proj(pts, "lon", "lat", "lcc",
                               dict(params, bogus=1))
+
+
+def test_bng_datum_pipeline_matches_os_worked_example():
+    """The TM-on-Airy leg against the OS 'A guide to coordinate
+    systems in Great Britain' worked example (OSGB36 geodetic
+    52d39m27.2531sN 1d43m4.5177sE -> E 651409.903 N 313177.270, to
+    the millimetre), then the full WGS84 datum pipeline: roundtrip to
+    1e-7 deg, a known central-London grid reference to the ~1 m the
+    published Helmert's own accuracy allows, and the Helmert inverse
+    consistency."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = crs.tm_forward(np.array([lon]), np.array([lat]), **crs._BNG)
+    assert E[0] == pytest.approx(651_409.903, abs=0.001)
+    assert N[0] == pytest.approx(313_177.270, abs=0.001)
+    lo, la = crs.tm_inverse(E, N, **crs._BNG)
+    assert lo[0] == pytest.approx(lon, abs=1e-9)
+    assert la[0] == pytest.approx(lat, abs=1e-9)
+
+    # full pipeline via EPSG dispatch: Charing Cross, London
+    E2, N2 = crs.epsg_forward(27700, np.array([-0.1276]),
+                              np.array([51.5072]))
+    assert E2[0] == pytest.approx(530_043.0, abs=5.0)
+    assert N2[0] == pytest.approx(180_358.0, abs=5.0)
+    lo2, la2 = crs.epsg_inverse(27700, E2, N2)
+    assert lo2[0] == pytest.approx(-0.1276, abs=1e-6)
+    assert la2[0] == pytest.approx(51.5072, abs=1e-6)
+
+    # Helmert: negated parameters invert to second order only — the
+    # residual is ~ s*t (20.5 ppm x ~450 m ~ 1 cm), the convention's
+    # own documented property, far inside the transform's ~3.5 m
+    # published accuracy
+    X, Y, Z = crs.geodetic_to_geocentric(
+        np.array([-0.1276]), np.array([51.5072]), crs.WGS84_A, crs.WGS84_F
+    )
+    X2, Y2, Z2 = crs.helmert_transform(X, Y, Z, **crs._WGS84_TO_OSGB36)
+    neg = {k: -v for k, v in crs._WGS84_TO_OSGB36.items()}
+    X3, Y3, Z3 = crs.helmert_transform(X2, Y2, Z2, **neg)
+    assert abs(X3[0] - X[0]) < 0.02
+    assert abs(Y3[0] - Y[0]) < 0.02
+    assert abs(Z3[0] - Z[0]) < 0.02
+    # and the shift is the right ORDER (hundreds of metres, not km)
+    d = ((X2 - X) ** 2 + (Y2 - Y) ** 2 + (Z2 - Z) ** 2) ** 0.5
+    assert 100.0 < d[0] < 1000.0
