@@ -472,15 +472,29 @@ def epsg_inverse(epsg: int, e_m, n_m):
 # parameter sets (any standard parallels, origins, false offsets,
 # variant-A k0, UTM zone/hemisphere) — everything the five families
 # express except datum shifts, which stay out of scope.
+def _no_params(fn, label: str):
+    """Wrap a parameterless kernel so stray params RAISE instead of
+    being silently swallowed — the plan-time-raise contract."""
+
+    def wrapped(x, y, **kw):
+        if kw:
+            raise TypeError(
+                f"{label} takes no parameters, got {sorted(kw)}"
+            )
+        return fn(x, y)
+
+    return wrapped
+
+
 _PROJ_FWD = {
-    "webmercator": lambda lon, lat, **kw: webmercator_forward(lon, lat),
+    "webmercator": _no_params(webmercator_forward, "webmercator"),
     "utm": lambda lon, lat, **kw: utm_forward(lon, lat, **kw)[:2],
     "lcc": lcc_forward,
     "ps": polar_stereo_forward,
     "albers": albers_forward,
 }
 _PROJ_INV = {
-    "webmercator": lambda e, n, **kw: webmercator_inverse(e, n),
+    "webmercator": _no_params(webmercator_inverse, "webmercator"),
     "utm": utm_inverse,
     "lcc": lcc_inverse,
     "ps": polar_stereo_inverse,
@@ -693,5 +707,5 @@ def bng_inverse(e_m, n_m):
 # register the late-defined kernels with the parameter dispatchers
 _PROJ_FWD["tm"] = tm_forward
 _PROJ_INV["tm"] = tm_inverse
-_PROJ_FWD["bng"] = lambda lon, lat, **kw: bng_forward(lon, lat)
-_PROJ_INV["bng"] = lambda e, n, **kw: bng_inverse(e, n)
+_PROJ_FWD["bng"] = _no_params(bng_forward, "bng")
+_PROJ_INV["bng"] = _no_params(bng_inverse, "bng")

@@ -1004,15 +1004,29 @@ def _layout_once(spark: SparkSession, sf_dir: str, name: str,
     try:
         os.rename(tmp, path)
     except OSError:
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            raise  # a real failure (permissions, bad fs), not a race
         shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    import time as _time
+
     try:
         stale = os.listdir(warehouse)
     except OSError:
         stale = []
     for old in stale:
-        if (old.startswith(f"{name}_") and old != f"{name}_{tag}"
-                and ".tmp-" not in old):
-            shutil.rmtree(os.path.join(warehouse, old), ignore_errors=True)
+        if not old.startswith(f"{name}_") or old == f"{name}_{tag}":
+            continue
+        full = os.path.join(warehouse, old)
+        if ".tmp-" in old:
+            # a crashed writer's staging dir: only reap once it is
+            # clearly abandoned (a live concurrent writer's tmp dir is
+            # minutes old at most)
+            try:
+                if _time.time() - os.path.getmtime(full) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(full, ignore_errors=True)
     return path
 
 

@@ -685,8 +685,21 @@ def _walk_ext_array(s: _Src, addr: int, grid, chunk, chunk_nbytes: int):
     # pointers — 2 * (sup_ptrs - 1) data blocks across the first
     # 2 * log2(sup_ptrs) super blocks
     n_iblk_sblks = next(
-        u for u, (nd, _, _, _) in enumerate(sblk_info) if nd >= sup_ptrs
+        (u for u, (nd, _, _, _) in enumerate(sblk_info)
+         if nd >= sup_ptrs),
+        None,
     )
+    if n_iblk_sblks is None:
+        # legal-but-unusual creation params where no super block ever
+        # reaches sup_blk_min_data_ptrs — out of the subset, and must
+        # surface as HDF5Error (PEP 479 would otherwise convert a bare
+        # next()'s StopIteration into RuntimeError inside this
+        # generator)
+        raise HDF5Error(
+            "extensible-array creation parameters outside the "
+            f"supported shape (no super block reaches {sup_ptrs} "
+            "data blocks)"
+        )
     n_iblk_dblks = sum(sblk_info[u][0] for u in range(n_iblk_sblks))
     n_iblk_sblk_addrs = nsblks - n_iblk_sblks
     iblk_size = (
@@ -1661,7 +1674,10 @@ def write_netcdf4(
         chunk_nbytes = d.dtype.itemsize
         for c in d.chunk:
             chunk_nbytes *= c
-        csl = min(8, 1 + ((chunk_nbytes - 1).bit_length() + 8) // 8)
+        # libhdf5's chunk_size_len: 1 + ((floor(log2(chunk_size)) + 8)
+        # / 8) — floor, not ceil: a real reader re-derives this width
+        # from the layout, so the writer must match it exactly
+        csl = min(8, 1 + ((chunk_nbytes.bit_length() - 1) + 8) // 8)
         esize = 8 if client == 0 else 8 + csl + 4
         nelmts = len(chunks)
 

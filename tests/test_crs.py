@@ -400,3 +400,12 @@ def test_bng_datum_pipeline_matches_os_worked_example():
     # and the shift is the right ORDER (hundreds of metres, not km)
     d = ((X2 - X) ** 2 + (Y2 - Y) ** 2 + (Z2 - Z) ** 2) ** 0.5
     assert 100.0 < d[0] < 1000.0
+
+
+def test_parameterless_kinds_reject_stray_params():
+    """'webmercator' and 'bng' take no parameters; a stray one must
+    raise (plan-time contract), never be silently swallowed."""
+    with pytest.raises(TypeError, match="webmercator takes no"):
+        crs.proj_forward("webmercator", 0.0, 45.0, lat_ts_deg=70.0)
+    with pytest.raises(TypeError, match="bng takes no"):
+        crs.proj_forward("bng", 0.0, 52.0, k0=1.0)

@@ -745,3 +745,32 @@ def test_latest_splits_decode_identically_to_v1(spark, tmp_path):
 
     rows1, rows2 = snap(p1), snap(p2)
     assert rows1 == rows2 and len(rows1) == 18
+
+
+def test_filtered_element_size_width_matches_libhdf5(tmp_path):
+    """The stored-size field width inside filtered EA/FA elements must
+    follow libhdf5's chunk_size_len = 1 + (floor(log2(chunk_bytes))
+    + 8) // 8 — FLOOR, not ceil: a real reader re-derives the width
+    from the layout, so e.g. a 200-byte chunk (between 2^7 and 2^8)
+    takes a 2-byte field, not 3. Pinned by writing a 25-node-chunk
+    deflated record var (1 x 25 x f8 = 200 bytes) and checking the
+    EAHD's self-described element size AND that decode round-trips."""
+    n_n = 25
+    zeta = np.arange(3 * n_n, dtype="<f8").reshape(3, n_n)
+    p = str(tmp_path / "w200.nc")
+    hdf5.write_netcdf4(
+        p,
+        dims={"time": None, "node": n_n},
+        variables={
+            "time": (("time",), np.array([0.0, 1.0, 2.0]), {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        layout="latest", node_chunk=25,
+    )
+    f = hdf5.H5File(p)
+    lay = f.datasets["zeta"].layout
+    raw = open(p, "rb").read()
+    hd = raw[lay.addr:lay.addr + 72]
+    assert hd[:4] == b"EAHD"
+    assert hd[6] == 8 + 2 + 4  # addr + 2-byte size (200 < 2^8*... ) + mask
+    assert np.array_equal(f.read("zeta"), zeta)
