@@ -986,8 +986,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- substring dedup
 SPAN_K = 12  # tokens per duplicated-substring window
 
-_SUBSTRING_SPANS_SQL = f"""
-WITH tok AS (
+# shared CTE chain: tokenized docs -> window inventory -> duplicated
+# windows -> covered positions -> merged spans. One fragment so the
+# span-listing and text-scrub oracles can never desynchronize.
+_SPAN_CTES = f"""tok AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 w AS (
@@ -1012,11 +1014,17 @@ g AS (
   SELECT doc_id, p,
          sum(flag) OVER (PARTITION BY doc_id ORDER BY p) AS isl
   FROM isl
+),
+spans AS (
+  SELECT doc_id, min(p) AS span_start, max(p) + {SPAN_K} AS span_end,
+         CAST(count(*) AS BIGINT) AS n_windows
+  FROM g GROUP BY doc_id, isl
+)"""
+
+_SUBSTRING_SPANS_SQL = (
+    "WITH " + _SPAN_CTES
+    + "\nSELECT doc_id, span_start, span_end, n_windows FROM spans"
 )
-SELECT doc_id, min(p) AS span_start, max(p) + {SPAN_K} AS span_end,
-       CAST(count(*) AS BIGINT) AS n_windows
-FROM g GROUP BY doc_id, isl
-"""
 
 
 @_register("dedup_substring_spans", _SUBSTRING_SPANS_SQL)
@@ -1092,3 +1100,75 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("p") + SPAN_K).alias("span_end"),
         F.count("*").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+_SUBSTRING_SCRUB_SQL = (
+    "WITH " + _SPAN_CTES
+    + f"""
+, ti AS (
+  SELECT doc_id, t[i] AS tk, i - 1 AS pos
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tok)
+),
+span_docs AS (SELECT DISTINCT doc_id FROM spans),
+counts AS (
+  SELECT doc_id, len(t) AS n FROM tok SEMI JOIN span_docs USING (doc_id)
+),
+kept AS (
+  SELECT ti.doc_id, tk, pos
+  FROM ti SEMI JOIN span_docs USING (doc_id)
+  ANTI JOIN spans s
+    ON s.doc_id = ti.doc_id
+   AND ti.pos >= s.span_start AND ti.pos < s.span_end
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       CAST(c.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM counts c LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
+@_register("text_substring_scrub", _SUBSTRING_SCRUB_SQL)
+def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub CONSUMER of dedup_substring_spans: for every doc with
+    at least one duplicated span, emit the text with the covered
+    token ranges cut (tokens re-joined on single spaces) and the
+    removed-token count — the Lee et al. ACL'22 treatment applied,
+    not just located.
+
+    Plan shape: the spans sub-plan is the substring miner's; the cut
+    itself is ROW-LOCAL — spans collect per doc (bounded by doc
+    length) and a higher-order filter with the element index drops
+    covered tokens inside the projection, so no per-token explode or
+    re-shuffle of the corpus ever happens. Docs with all tokens
+    covered legitimately emit an empty string (count mismatch
+    impossible: n_removed is derived from the same filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup_substring_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    kept = (
+        toks.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.size("t").alias("n"),
+            F.filter(
+                F.col("t"),
+                lambda x, i: ~F.exists(
+                    F.col("sp"),
+                    lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+                ),
+            ).alias("kt"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        F.concat_ws(" ", "kt").alias("clean_text"),
+        (F.col("n") - F.size("kt")).cast("bigint").alias("n_removed"),
+    )

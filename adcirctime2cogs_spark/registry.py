@@ -57,11 +57,13 @@ _PRIORITY = [
     # corpora encode too — fixture-identical, but rule 1 applies)
     "vec_pq_encode",
     "sim_topk_pq_adc",
-    # ...and the three NEW round-8 queries: substring-level dedup
-    # (duplicated token spans, Lee et al. ACL'22 shape), UPS through
-    # the parameterized projection operator, and the datum-shifted
-    # British National Grid pipeline (Helmert + TM on Airy)
+    # ...and the four NEW round-8 queries: substring-level dedup
+    # (duplicated token spans, Lee et al. ACL'22 shape) plus its
+    # scrub consumer, UPS through the parameterized projection
+    # operator, and the datum-shifted British National Grid pipeline
+    # (Helmert + TM on Airy)
     "dedup_substring_spans",
+    "text_substring_scrub",
     "crs_reproject_ups",
     "crs_reproject_bng",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
@@ -111,7 +113,6 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q6_revenue_forecast",
-    "tpch_q8_market_share",
 ]
 
 

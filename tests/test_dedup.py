@@ -292,3 +292,44 @@ def test_substring_spans_semantics(spark, tmp_path):
     assert rows[1] == (0, 2 + SPAN_K, 3)
     # doc 2's repeat is within one document; doc 3 is unique
     assert 2 not in rows and 3 not in rows
+
+
+def test_substring_scrub_cuts_exactly_the_spans(spark, tmp_path):
+    """The scrub consumer on the same hand-built corpus: carrier docs
+    lose exactly their duplicated run (tokens re-joined on single
+    spaces), internal-repeat and unique docs emit nothing, and a doc
+    whose EVERY token is covered emits an empty string."""
+    import os
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        SPAN_K,
+        text_substring_scrub,
+    )
+
+    run = " ".join(f"dup{j}" for j in range(SPAN_K + 2))
+    uniq = lambda tag, n: " ".join(f"{tag}{j}" for j in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, uniq("a", 5) + " " + run + " " + uniq("b", 6)),
+            (1, run + " " + uniq("c", 8)),
+            (2, run),  # the whole doc IS the duplicated run
+            (3, uniq("z", 30)),
+        ],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("t").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    out = str(tmp_path)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    rows = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in text_substring_scrub(spark, out).collect()
+    }
+    assert rows[0] == (uniq("a", 5) + " " + uniq("b", 6), SPAN_K + 2)
+    assert rows[1] == (uniq("c", 8), SPAN_K + 2)
+    assert rows[2] == ("", SPAN_K + 2)  # fully covered -> empty text
+    assert 3 not in rows  # unique doc: nothing to scrub
