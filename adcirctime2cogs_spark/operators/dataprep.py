@@ -605,3 +605,103 @@ def source_cap_keepers(
         .filter(F.col("rk") <= cap)
         .select("source", "doc_id", "n_chars", "rk")
     )
+
+
+# ------------------------------------------------ DSIR importance
+DSIR_BUCKETS = 1024  # hashed-unigram feature space
+
+
+_DSIR_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, {_bucket_sql('', 100)} AS bucket FROM documents
+),
+tk AS (
+  SELECT doc_id, bucket,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS feat
+  FROM (
+    SELECT doc_id, bucket,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM b
+  )
+),
+fc AS (
+  SELECT feat,
+         CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM tk GROUP BY feat
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM fc
+),
+lr AS (
+  SELECT feat,
+         ln((ct + 1.0) / (nt + {DSIR_BUCKETS}.0))
+           - ln((cr + 1.0) / (nr + {DSIR_BUCKETS}.0)) AS logratio
+  FROM fc CROSS JOIN tot
+)
+SELECT tk.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(logratio), 4) AS dsir_logw
+FROM tk JOIN lr USING (feat)
+WHERE tk.bucket < 90
+GROUP BY tk.doc_id
+"""
+
+
+@_register("prep_dsir_weights", _DSIR_SQL)
+def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23) weights: score every raw-pool document by how much
+    more likely its hashed-unigram features are under the TARGET
+    distribution than under the raw pool — the standard recipe for
+    steering a web-scale corpus toward a target domain. Target here =
+    the held-out eval bucket (the same content-stable md5 split every
+    prep query uses); features = unigram hashes into DSIR_BUCKETS
+    cells; both LMs are add-1 smoothed; a doc's log-weight is the sum
+    of its token occurrences' log-ratios (the unigram-LM view, with
+    multiplicity). Emits (doc_id, n_feats, dsir_logw); resampling =
+    ORDER BY dsir_logw + Gumbel noise at the caller.
+
+    Scale shape: one tokenize+hash map pass; ONE feature groupBy with
+    conditional partial aggregates (target and raw counted in the
+    same pass — never two corpus scans); the feature table is at most
+    DSIR_BUCKETS rows, so the totals fold into a single-row cross
+    join and the per-doc scoring join BROADCASTS the feature table
+    back onto the token stream: corpus-sized data shuffles exactly
+    once (the per-doc sum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        _bucket("", 100).alias("bucket"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id", "bucket",
+        (hash32(F.col("tok")) % DSIR_BUCKETS).alias("feat"),
+    )
+    fc = tk.groupBy("feat").agg(
+        F.sum((F.col("bucket") >= 90).cast("long")).alias("ct"),
+        F.sum((F.col("bucket") < 90).cast("long")).alias("cr"),
+    )
+    tot = fc.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lr = fc.crossJoin(F.broadcast(tot)).select(
+        "feat",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + float(DSIR_BUCKETS)))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(DSIR_BUCKETS)))
+        ).alias("logratio"),
+    )
+    return (
+        tk.filter(F.col("bucket") < 90)
+        .join(F.broadcast(lr), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            r4(F.sum("logratio")).alias("dsir_logw"),
+        )
+    )

@@ -66,6 +66,7 @@ _PRIORITY = [
     "text_substring_scrub",
     "crs_reproject_ups",
     "crs_reproject_bng",
+    "prep_dsir_weights",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -112,7 +113,6 @@ _PRIORITY = [
     "regrid_synthetic_bench",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
 ]
 
 

@@ -328,3 +328,40 @@ def test_oversample_weighted_stats_unbiased(spark, sf_dir):
         assert rows == n * k
         assert max_idx == k - 1
         assert abs(w - n) < 1e-4 * rows + 1e-9
+
+
+def test_dsir_weights_invariants(spark, sf_dir):
+    """DSIR weights: exactly the raw-pool (bucket < 90) docs are
+    scored, n_feats equals each doc's token count (occurrences, not
+    distinct — the unigram-LM view), and every weight is finite. The
+    ratio's numeric definition is pinned by the full-formula DuckDB
+    oracle in the parity sweep."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.operators.dataprep import (
+        _bucket,
+        prep_dsir_weights,
+    )
+    from adcirctime2cogs_spark.functions.text import tokens_col
+    from adcirctime2cogs_spark.tables import load_table
+
+    out = prep_dsir_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    raw_ids = {
+        r.doc_id
+        for r in docs.select("doc_id", _bucket("", 100).alias("b"))
+        .filter("b < 90").collect()
+    }
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == raw_ids
+    tok_counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens_col(F.col("text"))).alias("n")
+        ).collect()
+    }
+    import math
+
+    for r in rows:
+        assert r.n_feats == tok_counts[r.doc_id]
+        assert math.isfinite(r.dsir_logw)
