@@ -7,8 +7,8 @@ command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
     exact_dedup -> quality -> fuzzy_dedup -> [embedding_dedup] ->
-    decontaminate -> pii_scrub -> source_cap -> [mixture] ->
-    [pq_index emit] -> split -> shards + card
+    [substring_scrub] -> decontaminate -> pii_scrub -> source_cap ->
+    [mixture] -> [pq_index emit] -> split -> shards + card
 
 Every stage composes the SAME DataFrame kernels the registered,
 DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
@@ -47,6 +47,7 @@ STAGES = (
     "quality",
     "fuzzy_dedup",
     "embedding_dedup",
+    "substring_scrub",
     "decontaminate",
     "pii_scrub",
     "source_cap",
@@ -62,8 +63,13 @@ STAGES = (
 # can't see, and pq_index EMITS the 64x-compressed PQ code table for
 # the surviving corpus (an artifact, not a filter — rows tracked in
 # the manifest under its own entry).
+# substring_scrub is opt-in too: it REWRITES text (cuts duplicated
+# token spans, Lee et al. ACL'22), which a corpus owner must choose —
+# unlike the drop-only dedup stages it changes surviving documents.
 _DEFAULT_ON = {
-    s: s not in ("mixture", "embedding_dedup", "pq_index") for s in STAGES
+    s: s not in ("mixture", "embedding_dedup", "pq_index",
+                 "substring_scrub")
+    for s in STAGES
 }
 
 
@@ -196,6 +202,26 @@ def _emit_pq_index(spark: SparkSession, docs: DataFrame, input_dir: str,
     out_path = os.path.join(out_dir, "pq_codes.parquet")
     codes.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path).count()
+
+
+def _substring_scrub(spark: SparkSession, stage_in_dir: str) -> DataFrame:
+    """Cut cross-document duplicated token spans from surviving text
+    (the registered text_substring_scrub kernel over the materialized
+    stage): affected docs get the cleaned text with n_chars
+    recomputed, untouched docs pass through — strictly 1:1 rows."""
+    from adcirctime2cogs_spark.operators.dedup import text_substring_scrub
+
+    docs = _read_stage(spark, stage_in_dir)
+    scrub = text_substring_scrub(spark, stage_in_dir).select(
+        "doc_id", "clean_text"
+    )
+    others = [c for c in docs.columns if c not in ("text", "n_chars")]
+    new_text = F.coalesce(F.col("clean_text"), F.col("text"))
+    return docs.join(scrub, "doc_id", "left").select(
+        *others,
+        new_text.alias("text"),
+        F.length(new_text).cast("bigint").alias("n_chars"),
+    )
 
 
 def _decontaminate(docs: DataFrame) -> DataFrame:
@@ -331,6 +357,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             continue
         if stage == "fuzzy_dedup":
             out = _fuzzy_dedup(spark, cur_dir)
+        elif stage == "substring_scrub":
+            out = _substring_scrub(spark, cur_dir)
         elif stage == "embedding_dedup":
             out = _embedding_dedup(spark, docs, input_dir)
         elif stage == "source_cap":

@@ -93,7 +93,7 @@ def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
     # built to survive quality, but the later source-cap stage (top-N
     # per source) may legitimately drop it before the final shards
     scrubbed = spark.read.parquet(
-        str(root / "work" / "06_pii_scrub" / "documents.parquet")
+        str(root / "work" / "07_pii_scrub" / "documents.parquet")
     )
     planted = scrubbed.filter(F.col("doc_id") == 900002).collect()
     assert planted, "planted PII doc must reach the scrub stage"
@@ -313,3 +313,53 @@ def test_embedding_stage_without_embeddings_errors_clearly(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="embeddings.parquet"):
         run_corpus_pipeline(spark, cfg)
+
+
+def test_substring_scrub_stage_rewrites_not_drops(spark, tmp_path):
+    """The opt-in substring_scrub stage is a 1:1 text REWRITE: row
+    count unchanged, total characters can only shrink, and a planted
+    cross-doc duplicated run is cut from both carriers while their
+    rows survive."""
+    from adcirctime2cogs_spark.operators.dedup import SPAN_K
+
+    inp = str(tmp_path / "input")
+    run = " ".join(f"dupz{j}" for j in range(SPAN_K + 2))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    carriers = spark.createDataFrame(
+        [
+            (910001, "alpha beta " + run + " gamma delta"),
+            (910002, run + " epsilon zeta eta theta"),
+        ],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    docs.unionByName(carriers.select(*docs.columns)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(inp, "documents.parquet"))
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(tmp_path / "work"),
+        "out_dir": str(tmp_path / "out"),
+        # isolate the stage under test: quality would drop the tiny
+        # carrier docs before the scrub could touch them
+        "stages": {s: s in ("substring_scrub",)
+                   for s in run_corpus_pipeline.__globals__["STAGES"]},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    st = next(s for s in manifest["stages"]
+              if s["stage"] == "substring_scrub")
+    assert st["dropped"] == 0  # rewrite, never a drop
+    scrubbed = spark.read.parquet(
+        str(tmp_path / "work" / "05_substring_scrub" / "documents.parquet")
+    )
+    rows = {r.doc_id: r.text for r in scrubbed.filter(
+        F.col("doc_id") >= 910001).collect()}
+    assert rows[910001] == "alpha beta gamma delta"
+    assert rows[910002] == "epsilon zeta eta theta"
+    n_chars_ok = scrubbed.filter(
+        F.length("text") != F.col("n_chars")
+    ).count()
+    assert n_chars_ok == 0
