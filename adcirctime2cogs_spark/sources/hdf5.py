@@ -21,7 +21,10 @@ conventions (dimension scales, Unidata netcdf-c docs):
                   symbol table, continuation
     group (v0)  = symbol-table message -> v1 B-tree ('TREE' type 0)
                   -> 'SNOD' symbol nodes + 'HEAP' local heap (names)
-    group (v2)  = compact Link messages in the object header
+    group (v2)  = compact Link messages in the object header, or
+                  DENSE storage past 8 links ('FRHP' fractal heap of
+                  serialized Link messages + type-5 v2 B-tree name
+                  index of lookup3-hash records)
     chunk index = v1 B-tree ('TREE' type 1): key = stored size,
                   filter mask, chunk offsets; child = chunk address
                   — or, for v4 layout messages (superblock-v3
@@ -52,10 +55,12 @@ B-tree once driver-side and emits one (t_idx, chunk offset, stored
 bytes) task per chunk of the record variable — each task then reads
 ONLY its compressed chunk bytes.
 
-Out-of-scope (clear errors, not silent wrong answers): fractal-heap
-dense groups, v2-B-TREE chunk indexes (two or more unlimited dims —
-NetCDF-4 files have at most one), paged Fixed/Extensible Array data
-blocks, szip/user filters, datatypes beyond
+Out-of-scope (clear errors, not silent wrong answers): fractal heaps
+beyond one root direct block (indirect blocks, huge/tiny IDs,
+filtered heaps — dense groups with hundreds of links), multi-level
+dense-link B-trees, v2-B-TREE chunk indexes (two or more unlimited
+dims — NetCDF-4 files have at most one), paged Fixed/Extensible
+Array data blocks, szip/user filters, datatypes beyond
 fixed/float/string/reference/vlen.
 """
 
@@ -514,10 +519,70 @@ def _walk_group(s: _Src, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
             ver_flags = b[1]
             p = 2 + (8 if ver_flags & 1 else 0)
             fheap = _u64(b, p)
+            name_btree = _u64(b, p + 8)
             if fheap != H5_UNDEF:
-                raise HDF5Error(
-                    "dense (fractal-heap) groups are outside this subset"
-                )
+                out.update(_dense_group_links(s, fheap, name_btree))
+    return out
+
+
+def _dense_group_links(s: _Src, fheap_addr: int,
+                       btree_addr: int) -> dict[str, int]:
+    """Dense (fractal-heap) group storage — what libhdf5 'latest'
+    switches to past 8 links, i.e. every real multi-variable NetCDF-4
+    file written with libver='latest': the Link Info message points
+    at a fractal heap holding the serialized Link messages and a v2
+    B-tree (type 5, name index) of (name hash, heap ID) records.
+    Supported shape: root-direct-block heaps (current rows == 0) with
+    managed heap IDs and a depth-0 B-tree — the layout any
+    fixture-scale group gets; indirect heap blocks, huge/tiny IDs,
+    filtered heaps, and deeper trees raise clearly."""
+    frhp = s.read(fheap_addr, 146)
+    if frhp[:4] != b"FRHP" or frhp[4] != 0:
+        raise HDF5Error("bad fractal heap header")
+    heap_id_len = _u16(frhp, 5)
+    if _u16(frhp, 7):
+        raise HDF5Error("filtered fractal heaps are out of scope")
+    max_heap_bits = _u16(frhp, 128)
+    off_size = (max_heap_bits + 7) // 8
+    len_size = heap_id_len - 1 - off_size
+    block_size = _u64(frhp, 112)  # starting block size == root block
+    root_addr = _u64(frhp, 132)
+    if _u16(frhp, 140):  # current rows in root indirect block
+        raise HDF5Error(
+            "indirect fractal-heap blocks are out of scope "
+            "(root must be a direct block)"
+        )
+    blk = s.read(root_addr, block_size)
+    if blk[:4] != b"FHDB" or blk[4] != 0:
+        raise HDF5Error("bad fractal heap direct block")
+
+    hd = s.read(btree_addr, 38)
+    if hd[:4] != b"BTHD" or hd[4] != 0:
+        raise HDF5Error("bad v2 B-tree header")
+    rec_size = _u16(hd, 10)
+    depth = _u16(hd, 12)
+    root_nrec = _u16(hd, 24)
+    leaf_addr = _u64(hd, 16)
+    if depth:
+        raise HDF5Error("multi-level dense-link B-trees are out of scope")
+    leaf = s.read(leaf_addr, 6 + root_nrec * rec_size + 4)
+    if leaf[:4] != b"BTLF" or leaf[4] != 0:
+        raise HDF5Error("bad v2 B-tree leaf")
+    out: dict[str, int] = {}
+    for i in range(root_nrec):
+        rec = leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
+        hid = rec[4:4 + heap_id_len]  # after the 4-byte name hash
+        if (hid[0] >> 4) & 0x3 != 0:
+            raise HDF5Error("huge/tiny fractal heap IDs are out of scope")
+        off = int.from_bytes(hid[1:1 + off_size], "little")
+        ln = int.from_bytes(hid[1 + off_size:1 + off_size + len_size],
+                            "little")
+        # managed offsets are virtual-from-heap-start; the root direct
+        # block's virtual offset is 0 and its header occupies the
+        # first bytes of that space, so file position == block + off
+        name, ohdr = _parse_link(blk[off:off + ln])
+        if ohdr is not None:
+            out[name] = ohdr
     return out
 
 
@@ -1589,36 +1654,145 @@ def write_netcdf4(
 
     ds_msgs = {d.name: msgs_for(d) for d in wds}
 
-    # ---- root group: heap / btree / snod ---------------------------
+    # ---- root group -------------------------------------------------
+    # v1 layout: local heap + v1 B-tree + SNOD symbol table. latest:
+    # new-style groups — compact Link messages up to 8 links, then
+    # DENSE storage (fractal heap of serialized Link messages + a v2
+    # B-tree name index), the same 8-link threshold libhdf5 uses.
     names_sorted = sorted(d.name for d in wds)
-    heap_off: dict[str, int] = {}
-    heap_data = b"\x00" * 8
-    for nm in names_sorted:
-        heap_off[nm] = len(heap_data)
-        heap_data += _pad8b(nm.encode() + b"\x00")
+    n = len(names_sorted)
 
-    root_msgs = [
-        _v1_msg(
-            MSG_SYMBOL_TABLE, 16,
-            lambda addrs: struct.pack(
-                "<QQ", addrs["btree"], addrs["heap_hdr"]
-            ),
+    def _link_blob(nm: str, addrs) -> bytes:
+        # Link message v1, flags 0 (hard link, 1-byte name length)
+        enc = nm.encode()
+        return (struct.pack("<BBB", 1, 0, len(enc)) + enc
+                + struct.pack("<Q", addrs[f"ohdr:{nm}"]))
+
+    if latest and n <= 8:
+        root_msgs = [
+            _v1_msg(
+                MSG_LINK, 3 + len(nm.encode()) + 8,
+                (lambda addrs, nm=nm: _link_blob(nm, addrs)),
+            )
+            for nm in names_sorted
+        ]
+    elif latest:
+        root_msgs = [
+            _v1_msg(
+                MSG_LINK_INFO, 18,
+                lambda addrs: struct.pack(
+                    "<BBQQ", 0, 0, addrs["fheap"], addrs["lbtree"]
+                ),
+            )
+        ]
+        # pack the link blobs into one root direct block; heap IDs
+        # carry (virtual offset, length) with the 17-byte FHDB header
+        # occupying the start of the heap's managed space
+        MAX_HEAP_BITS, HID_LEN, WIDTH = 32, 7, 4
+        hdr_sz = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8 + 4  # cksum'd
+        sizes = [3 + len(nm.encode()) + 8 for nm in names_sorted]
+        need = hdr_sz + sum(sizes)
+        block_size = 512
+        while block_size < need:
+            block_size *= 2
+        if block_size > 65536:
+            raise HDF5Error(
+                "fixture writer: dense link payload exceeds one "
+                "direct block"
+            )
+        hid_off: dict[str, tuple[int, int]] = {}
+        pos_v = hdr_sz
+        for nm, sz in zip(names_sorted, sizes):
+            hid_off[nm] = (pos_v, sz)
+            pos_v += sz
+
+        def render_fheap(addrs):
+            b = b"FRHP" + struct.pack(
+                "<BHHBI", 0, HID_LEN, 0, 0x02, 4096
+            )
+            b += struct.pack(
+                "<QQQQQQQQQQQQ",
+                0, H5_UNDEF,                      # next huge id, btree
+                block_size - pos_v,               # free space
+                H5_UNDEF,                         # free-space manager
+                block_size, block_size,           # man space, alloc
+                pos_v,                            # dblock iterator
+                n, 0, 0, 0, 0,                    # n_man, huge/tiny
+            )
+            b += struct.pack(
+                "<HQQHHQH", WIDTH, block_size, 65536, MAX_HEAP_BITS,
+                1, addrs["fdblock"], 0,
+            )
+            return b + _cksum(b)
+
+        def render_fdblock(addrs):
+            b = bytearray(block_size)
+            head = b"FHDB" + struct.pack("<BQ", 0, addrs["fheap"])
+            head += (0).to_bytes((MAX_HEAP_BITS + 7) // 8, "little")
+            head += b"\x00\x00\x00\x00"  # checksum placeholder
+            b[:hdr_sz] = head
+            for nm in names_sorted:
+                off, sz = hid_off[nm]
+                b[off:off + sz] = _link_blob(nm, addrs)
+            ck = _cksum(bytes(b))  # whole block, cksum field zeroed
+            b[hdr_sz - 4:hdr_sz] = ck
+            return bytes(b)
+
+        REC_SZ = 4 + HID_LEN  # name hash + managed heap ID
+        recs = sorted(
+            (( _lookup3(nm.encode()), nm) for nm in names_sorted)
         )
-    ]
+
+        def render_lbtree_leaf(addrs):
+            b = b"BTLF" + struct.pack("<BB", 0, 5)
+            for h, nm in recs:
+                off, sz = hid_off[nm]
+                b += struct.pack("<IB", h, 0)  # hash, managed-type ID
+                b += off.to_bytes(4, "little") + sz.to_bytes(2, "little")
+            return b + _cksum(b)
+
+        def render_lbtree(addrs):
+            b = b"BTHD" + struct.pack(
+                "<BBIHHBBQHQ", 0, 5, 2048, REC_SZ, 0, 100, 40,
+                addrs["lbtree_leaf"], n, n,
+            )
+            return b + _cksum(b)
+
+        blobs.append(("fheap", 146, render_fheap))
+        blobs.append(("fdblock", block_size, render_fdblock))
+        blobs.append(("lbtree", 38, render_lbtree))
+        blobs.append(
+            ("lbtree_leaf", 6 + n * REC_SZ + 4, render_lbtree_leaf)
+        )
+    else:
+        root_msgs = [
+            _v1_msg(
+                MSG_SYMBOL_TABLE, 16,
+                lambda addrs: struct.pack(
+                    "<QQ", addrs["btree"], addrs["heap_hdr"]
+                ),
+            )
+        ]
     for k, v in (gatts or {}).items():
         enc = _attr_scalar(k, v)
         root_msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
 
     blobs.append(("root_ohdr", _ohdr_size(root_msgs),
                   lambda addrs: _render_ohdr_v1(root_msgs, addrs)))
-    blobs.append(("heap_hdr", 32, lambda addrs: (
-        b"HEAP" + struct.pack(
-            "<B3xQQQ", 0, len(heap_data), 1, addrs["heap_data"]
-        )
-    )))
-    blobs.append(("heap_data", len(heap_data), heap_data))
 
-    n = len(names_sorted)
+    heap_off: dict[str, int] = {}
+    heap_data = b"\x00" * 8
+    for nm in names_sorted:
+        heap_off[nm] = len(heap_data)
+        heap_data += _pad8b(nm.encode() + b"\x00")
+    if not latest:
+        blobs.append(("heap_hdr", 32, lambda addrs: (
+            b"HEAP" + struct.pack(
+                "<B3xQQQ", 0, len(heap_data), 1, addrs["heap_data"]
+            )
+        )))
+        blobs.append(("heap_data", len(heap_data), heap_data))
+
     btree_size = 24 + (1 + 1) * 8 + 1 * 8  # one SNOD child
 
     def render_btree(addrs):
@@ -1629,17 +1803,18 @@ def write_netcdf4(
             + struct.pack("<Q", heap_off[names_sorted[-1]])
         )
 
-    blobs.append(("btree", btree_size, render_btree))
+    if not latest:
+        blobs.append(("btree", btree_size, render_btree))
 
-    def render_snod(addrs):
-        out = b"SNOD" + struct.pack("<BxH", 1, n)
-        for nm in names_sorted:
-            out += struct.pack(
-                "<QQII16x", heap_off[nm], addrs[f"ohdr:{nm}"], 0, 0
-            )
-        return out
+        def render_snod(addrs):
+            out = b"SNOD" + struct.pack("<BxH", 1, n)
+            for nm in names_sorted:
+                out += struct.pack(
+                    "<QQII16x", heap_off[nm], addrs[f"ohdr:{nm}"], 0, 0
+                )
+            return out
 
-    blobs.append(("snod", 8 + n * 40, render_snod))
+        blobs.append(("snod", 8 + n * 40, render_snod))
 
     # ---- global heap ----------------------------------------------
     if gheap_objs:

@@ -19,10 +19,12 @@ subset in sources/hdf5.py (superblock v0/v2/v3, v1-btree chunk index
 plus the v4-layout typed indexes — single chunk, implicit, fixed
 array, extensible array — deflate/shuffle filters, dimension
 scales) — so the default decoder, splitter, and range decoder all
-WORK in this container with no third-party NetCDF/HDF5 library. Only
-HDF5 layouts outside that subset (fractal-heap dense groups,
-v2-btree chunk indexes, paged index blocks, szip) fall back to an
-import-try for xarray/h5py; custom codecs remain injectable.
+WORK in this container with no third-party NetCDF/HDF5 library —
+including dense (fractal-heap) groups, so multi-variable
+libver='latest' files decode too. Only HDF5 layouts outside the
+subset (multi-block fractal heaps, v2-btree chunk indexes, paged
+index blocks, szip) fall back to an import-try for xarray/h5py;
+custom codecs remain injectable.
 """
 
 from __future__ import annotations

@@ -197,10 +197,11 @@ def test_dimension_list_resolves_through_global_heap(tmp_path):
 def test_not_hdf5_and_out_of_subset_errors(tmp_path):
     with pytest.raises(hdf5.NotHDF5):
         hdf5.H5File(b"CDF\x01" + b"\x00" * 100)
-    # fractal-heap (dense) group: link info with a real heap address
+    # dense groups are SUPPORTED now (r08); a Link Info pointing at a
+    # bogus heap address must still fail loudly, not decode garbage
     p = str(tmp_path / "dense.h5")
     _write_minimal_v2_file(p, dense=True)
-    with pytest.raises(hdf5.HDF5Error, match="fractal-heap"):
+    with pytest.raises(hdf5.HDF5Error, match="short read|bad fractal heap"):
         hdf5.H5File(p)
 
 
@@ -774,3 +775,69 @@ def test_filtered_element_size_width_matches_libhdf5(tmp_path):
     assert hd[:4] == b"EAHD"
     assert hd[6] == 8 + 2 + 4  # addr + 2-byte size (200 < 2^8*... ) + mask
     assert np.array_equal(f.read("zeta"), zeta)
+
+
+def test_dense_group_bytes_conform_to_spec(tmp_path):
+    """Dense (fractal-heap) link storage, hand-decoded at spec offsets
+    independent of the reader: the root OHDR carries a Link Info
+    message pointing at a FRHP whose root is a single FHDB direct
+    block, and a type-5 v2 B-tree whose leaf records are (lookup3
+    name hash, 7-byte managed heap ID); every heap ID resolves to a
+    version-1 Link message naming a real object header. Exercised by
+    the standard 9-dataset micromesh fixture (past libhdf5's 8-link
+    compact threshold)."""
+    p = str(tmp_path / "dense.nc")
+    _write_micromesh_nc4(p, layout="latest")
+    raw = open(p, "rb").read()
+
+    frhp = raw.index(b"FRHP")
+    assert raw[frhp + 4] == 0                      # version
+    hid_len = struct.unpack("<H", raw[frhp + 5:frhp + 7])[0]
+    assert hid_len == 7                            # 1 + off(4) + len(2)
+    assert struct.unpack("<H", raw[frhp + 7:frhp + 9])[0] == 0  # filters
+    max_bits = struct.unpack("<H", raw[frhp + 128:frhp + 130])[0]
+    assert max_bits == 32
+    block_size = struct.unpack("<Q", raw[frhp + 112:frhp + 120])[0]
+    root = struct.unpack("<Q", raw[frhp + 132:frhp + 140])[0]
+    assert struct.unpack("<H", raw[frhp + 140:frhp + 142])[0] == 0
+    assert struct.unpack("<I", raw[frhp + 142:frhp + 146])[0] \
+        == hdf5._lookup3(raw[frhp:frhp + 142])
+    assert raw[root:root + 4] == b"FHDB"
+    assert struct.unpack("<Q", raw[root + 5:root + 13])[0] == frhp
+    # block checksum: lookup3 over the block with the field zeroed
+    # FHDB header: sig(4) ver(1) heap-addr(8) block-offset(4) cksum(4)
+    blk = bytearray(raw[root:root + block_size])
+    stored = struct.unpack("<I", blk[17:21])[0]
+    blk[17:21] = b"\x00" * 4
+    assert stored == hdf5._lookup3(bytes(blk))
+
+    bthd = raw.index(b"BTHD")
+    assert raw[bthd + 5] == 5                      # link-name index
+    rec_size = struct.unpack("<H", raw[bthd + 10:bthd + 12])[0]
+    assert rec_size == 4 + hid_len
+    assert struct.unpack("<H", raw[bthd + 12:bthd + 14])[0] == 0  # depth
+    leaf = struct.unpack("<Q", raw[bthd + 16:bthd + 24])[0]
+    nrec = struct.unpack("<H", raw[bthd + 24:bthd + 26])[0]
+    assert nrec == 9
+    assert raw[leaf:leaf + 4] == b"BTLF" and raw[leaf + 5] == 5
+
+    names = set()
+    prev_hash = -1
+    for i in range(nrec):
+        rec = raw[leaf + 6 + i * rec_size:leaf + 6 + (i + 1) * rec_size]
+        h = struct.unpack("<I", rec[:4])[0]
+        assert h >= prev_hash  # records sorted by name hash
+        prev_hash = h
+        assert rec[4] == 0  # managed heap ID, version 0
+        off = int.from_bytes(rec[5:9], "little")
+        ln = int.from_bytes(rec[9:11], "little")
+        blob = raw[root + off:root + off + ln]
+        assert blob[0] == 1  # Link message version
+        name_len = blob[2]
+        name = blob[3:3 + name_len].decode()
+        assert h == hdf5._lookup3(name.encode())
+        ohdr = struct.unpack("<Q", blob[3 + name_len:11 + name_len])[0]
+        assert raw[ohdr] == 1  # a v1 object header lives there
+        names.add(name)
+    assert names == {"time", "node", "nele", "nvertex", "x", "y",
+                     "depth", "element", "zeta"}
