@@ -666,13 +666,17 @@ def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity). Emits (doc_id, n_feats, dsir_logw); resampling =
     ORDER BY dsir_logw + Gumbel noise at the caller.
 
-    Scale shape: one tokenize+hash map pass; ONE feature groupBy with
-    conditional partial aggregates (target and raw counted in the
-    same pass — never two corpus scans); the feature table is at most
-    DSIR_BUCKETS rows, so the totals fold into a single-row cross
-    join and the per-doc scoring join BROADCASTS the feature table
-    back onto the token stream: corpus-sized data shuffles exactly
-    once (the per-doc sum)."""
+    Scale shape: the feature COUNTS come from one groupBy with
+    conditional partial aggregates (target and raw distributions in a
+    single aggregation, never one scan per side); the feature table
+    is at most DSIR_BUCKETS rows, so the totals fold into a
+    single-row cross join and the per-doc scoring join BROADCASTS the
+    feature table back onto the token stream — corpus-sized data
+    SHUFFLES exactly once (the per-doc sum). The tokenize+hash
+    projection itself is evaluated twice (once under the aggregate,
+    once under the scoring join — both narrow map work over the same
+    scan); a 100 TB run would checkpoint the token table between the
+    two, the corpus_pipeline stage-materialization pattern."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id",

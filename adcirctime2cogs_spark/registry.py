@@ -57,11 +57,11 @@ _PRIORITY = [
     # corpora encode too — fixture-identical, but rule 1 applies)
     "vec_pq_encode",
     "sim_topk_pq_adc",
-    # ...and the four NEW round-8 queries: substring-level dedup
+    # ...and the five NEW round-8 queries: substring-level dedup
     # (duplicated token spans, Lee et al. ACL'22 shape) plus its
     # scrub consumer, UPS through the parameterized projection
-    # operator, and the datum-shifted British National Grid pipeline
-    # (Helmert + TM on Airy)
+    # operator, the datum-shifted British National Grid pipeline
+    # (Helmert + TM on Airy), and DSIR importance-resampling weights
     "dedup_substring_spans",
     "text_substring_scrub",
     "crs_reproject_ups",

@@ -568,6 +568,11 @@ def _dense_group_links(s: _Src, fheap_addr: int,
     leaf = s.read(leaf_addr, 6 + root_nrec * rec_size + 4)
     if leaf[:4] != b"BTLF" or leaf[4] != 0:
         raise HDF5Error("bad v2 B-tree leaf")
+    if len_size <= 0:
+        raise HDF5Error(
+            f"fractal heap ID length {heap_id_len} inconsistent with "
+            f"{max_heap_bits}-bit heap offsets"
+        )
     out: dict[str, int] = {}
     for i in range(root_nrec):
         rec = leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
@@ -579,7 +584,15 @@ def _dense_group_links(s: _Src, fheap_addr: int,
                             "little")
         # managed offsets are virtual-from-heap-start; the root direct
         # block's virtual offset is 0 and its header occupies the
-        # first bytes of that space, so file position == block + off
+        # first bytes of that space, so file position == block + off.
+        # Bounds-check so a malformed record raises HDF5Error (the
+        # error type netcdf.py's library fallback catches), never an
+        # IndexError out of _parse_link on a truncated slice
+        if ln == 0 or off + ln > block_size:
+            raise HDF5Error(
+                f"fractal heap ID ({off}, {ln}) outside the root "
+                f"direct block of {block_size} bytes"
+            )
         name, ohdr = _parse_link(blk[off:off + ln])
         if ohdr is not None:
             out[name] = ohdr
@@ -1780,12 +1793,12 @@ def write_netcdf4(
     blobs.append(("root_ohdr", _ohdr_size(root_msgs),
                   lambda addrs: _render_ohdr_v1(root_msgs, addrs)))
 
-    heap_off: dict[str, int] = {}
-    heap_data = b"\x00" * 8
-    for nm in names_sorted:
-        heap_off[nm] = len(heap_data)
-        heap_data += _pad8b(nm.encode() + b"\x00")
     if not latest:
+        heap_off: dict[str, int] = {}
+        heap_data = b"\x00" * 8
+        for nm in names_sorted:
+            heap_off[nm] = len(heap_data)
+            heap_data += _pad8b(nm.encode() + b"\x00")
         blobs.append(("heap_hdr", 32, lambda addrs: (
             b"HEAP" + struct.pack(
                 "<B3xQQQ", 0, len(heap_data), 1, addrs["heap_data"]
