@@ -1374,6 +1374,29 @@ def _ohdr_size(msgs) -> int:
     return 16 + sum(8 + psize for _, psize, _ in msgs)
 
 
+def _render_ohdr_v2(msgs, addrs) -> bytes:
+    """v2 'OHDR' object header: 4-byte message headers (type u8,
+    size u16, flags u8), a 2-byte chunk-0 size field (flags bits
+    0-1 = 1), and a real lookup3 checksum over everything before it —
+    the header flavor libhdf5 'latest' writes."""
+    body = b""
+    for mtype, psize, body_fn in msgs:
+        raw = body_fn(addrs) if callable(body_fn) else body_fn
+        raw = raw + b"\x00" * (psize - len(raw))
+        body += struct.pack("<BHB", mtype, psize, 0) + raw
+    if len(body) > 0xFFFF:
+        raise HDF5Error(
+            "fixture writer: v2 object header message section exceeds "
+            "the 2-byte chunk-0 size field"
+        )
+    out = b"OHDR" + struct.pack("<BBH", 2, 0x01, len(body)) + body
+    return out + _cksum(out)
+
+
+def _ohdr_v2_size(msgs) -> int:
+    return 8 + sum(4 + psize for _, psize, _ in msgs) + 4
+
+
 def write_netcdf4(
     path: str,
     dims: dict,
@@ -1404,9 +1427,10 @@ def write_netcdf4(
     Array for fixed-shape chunked variables, Single Chunk when one
     chunk covers the dataset. static_chunk additionally chunks 1-D
     static variables (rows per chunk) so fixtures exercise the Fixed
-    Array path. Object headers stay v1 (legal in any file; the v2
-    OHDR reader is exercised by its own hand-encoded fixture). All
-    v2-style blocks carry real Jenkins-lookup3 checksums."""
+    Array path. Object headers are v2 'OHDR' (the latest flavor),
+    groups are new-style (compact Link messages to 8 links, dense
+    fractal-heap storage past that), and every v2-style block carries
+    a real Jenkins-lookup3 checksum."""
     if layout not in ("v1", "latest"):
         raise HDF5Error(f"unknown layout {layout!r}")
     latest = layout == "latest"
@@ -1790,8 +1814,10 @@ def write_netcdf4(
         enc = _attr_scalar(k, v)
         root_msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
 
-    blobs.append(("root_ohdr", _ohdr_size(root_msgs),
-                  lambda addrs: _render_ohdr_v1(root_msgs, addrs)))
+    ohdr_size = _ohdr_v2_size if latest else _ohdr_size
+    render_ohdr = _render_ohdr_v2 if latest else _render_ohdr_v1
+    blobs.append(("root_ohdr", ohdr_size(root_msgs),
+                  lambda addrs: render_ohdr(root_msgs, addrs)))
 
     if not latest:
         heap_off: dict[str, int] = {}
@@ -1849,8 +1875,8 @@ def write_netcdf4(
     # ---- dataset headers, then data --------------------------------
     for d in wds:
         blobs.append((
-            f"ohdr:{d.name}", _ohdr_size(ds_msgs[d.name]),
-            lambda addrs, d=d: _render_ohdr_v1(ds_msgs[d.name], addrs),
+            f"ohdr:{d.name}", ohdr_size(ds_msgs[d.name]),
+            lambda addrs, d=d: render_ohdr(ds_msgs[d.name], addrs),
         ))
     def emit_latest_index(d: _WDS, chunks) -> None:
         """Emit the v4 chunk-index blobs for one dataset: nothing for

@@ -837,7 +837,31 @@ def test_dense_group_bytes_conform_to_spec(tmp_path):
         name = blob[3:3 + name_len].decode()
         assert h == hdf5._lookup3(name.encode())
         ohdr = struct.unpack("<Q", blob[3 + name_len:11 + name_len])[0]
-        assert raw[ohdr] == 1  # a v1 object header lives there
+        assert raw[ohdr:ohdr + 5] == b"OHDR\x02"  # a v2 header lives there
         names.add(name)
     assert names == {"time", "node", "nele", "nvertex", "x", "y",
                      "depth", "element", "zeta"}
+
+
+def test_latest_object_headers_are_v2_with_real_checksums(tmp_path):
+    """'latest' files carry v2 'OHDR' object headers: version 2, a
+    2-byte chunk-0 size (flags bits 0-1 = 1), 4-byte message headers,
+    and a trailing lookup3 checksum over everything before it —
+    hand-decoded here independent of the reader."""
+    p = str(tmp_path / "v2ohdr.nc")
+    _write_micromesh_nc4(p, layout="latest")
+    raw = open(p, "rb").read()
+    root = struct.unpack("<Q", raw[36:44])[0]
+    for label, addr in (("root", root),):
+        assert raw[addr:addr + 4] == b"OHDR", label
+        assert raw[addr + 4] == 2
+        flags = raw[addr + 5]
+        assert flags & 0x03 == 0x01  # 2-byte size field
+        size0 = struct.unpack("<H", raw[addr + 6:addr + 8])[0]
+        end = addr + 8 + size0
+        assert struct.unpack("<I", raw[end:end + 4])[0] \
+            == hdf5._lookup3(raw[addr:end])
+    # every dataset header too (resolved through the dense group)
+    f = hdf5.H5File(p)
+    for name, d in f.datasets.items():
+        assert raw[d.addr:d.addr + 5] == b"OHDR\x02", name
