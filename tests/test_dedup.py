@@ -333,3 +333,78 @@ def test_substring_scrub_cuts_exactly_the_spans(spark, tmp_path):
     assert rows[1] == (uniq("c", 8), SPAN_K + 2)
     assert rows[2] == ("", SPAN_K + 2)  # fully covered -> empty text
     assert 3 not in rows  # unique doc: nothing to scrub
+
+
+def test_substring_spans_randomized_equivalence(spark, tmp_path):
+    """Randomized oracle: seeded corpora with planted shared runs of
+    varying lengths/positions (including overlapping and adjacent
+    plants) must produce exactly the spans a brute-force pure-Python
+    reference computes — the merge rule, cross-document-only
+    duplication, and window math all covered parametrically."""
+    import os
+    import random
+    from collections import defaultdict
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        SPAN_K,
+        dedup_substring_spans,
+    )
+
+    def brute(texts):
+        toks = {d: t.split() for d, t in texts.items()}
+        wins = defaultdict(set)
+        for d, t in toks.items():
+            for p in range(len(t) - SPAN_K + 1):
+                wins[" ".join(t[p:p + SPAN_K])].add(d)
+        spans = []
+        for d, t in sorted(toks.items()):
+            cur = None
+            for p in range(len(t) - SPAN_K + 1):
+                if len(wins[" ".join(t[p:p + SPAN_K])]) < 2:
+                    continue
+                if cur and p <= cur[2]:
+                    cur = (d, cur[1], p + SPAN_K, cur[3] + 1)
+                else:
+                    if cur:
+                        spans.append(cur)
+                    cur = (d, p, p + SPAN_K, 1)
+            if cur:
+                spans.append(cur)
+                cur = None
+        return sorted(spans)
+
+    for seed in (7, 11, 23):
+        rng = random.Random(seed)
+        n_docs = 30
+        texts = {}
+        for d in range(n_docs):
+            n = rng.randint(SPAN_K - 2, 60)  # some docs too short
+            texts[d] = " ".join(
+                f"w{d}x{j}" for j in range(n)  # unique per doc
+            )
+        # plant shared runs across random doc pairs
+        for r in range(8):
+            ln = rng.randint(SPAN_K, SPAN_K + 10)
+            run = " ".join(f"r{seed}p{r}t{j}" for j in range(ln))
+            for d in rng.sample(range(n_docs), rng.randint(2, 4)):
+                t = texts[d].split()
+                pos = rng.randint(0, len(t))
+                texts[d] = " ".join(t[:pos] + run.split() + t[pos:])
+        out = str(tmp_path / f"s{seed}")
+        spark.createDataFrame(
+            [(d, t) for d, t in texts.items()],
+            "doc_id bigint, text string",
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("t").alias("source"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in dedup_substring_spans(spark, out).collect()
+        )
+        want = brute(texts)
+        assert got == want, f"seed {seed}: {got[:3]} vs {want[:3]}"
+        assert want, f"seed {seed} planted nothing"

@@ -869,6 +869,86 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_substring_leg(spark, n_docs: int = 250_000,
+                      carrier_every: int = 50) -> dict:
+    """Substring-level dedup at corpus scale: a fixed 20-token
+    boilerplate run is appended to every carrier_every-th document of
+    a 250k corpus (~5k carriers), and the registered
+    dedup_substring_spans must (a) finish on the ~14M-window
+    inventory, and (b) report EXACTLY the analytic span on every
+    carrier — [n_tokens, n_tokens + 20) with 20 - SPAN_K + 1 windows
+    (boundary-straddling windows mix unique prefix tokens, so only
+    the run's interior duplicates). Twin near-dup docs also emit
+    spans (their whole shared text duplicates); those are counted,
+    not pinned."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        SPAN_K,
+        dedup_substring_spans,
+    )
+
+    # NOTE on the expected span: the run's interior windows duplicate
+    # for every carrier, giving span [n_tokens, n_tokens + run_len).
+    # A boundary-straddling window duplicates too whenever TWO
+    # carriers share the same base-text suffix token(s) before the
+    # run (1/vocab per pair — the birthday regime at 5k carriers), so
+    # a span may legitimately start a few windows earlier. The pin is
+    # therefore: every carrier has exactly one span that ENDS at the
+    # run's end and starts at or before the run (within the 12-token
+    # straddle region), with the window count consistent with it.
+    n_tokens, run_len = 60, SPAN_K + 8
+    run = " ".join(f"boiler{j}" for j in range(run_len))
+    out = tempfile.mkdtemp(prefix="scale_substr_")
+    try:
+        synth_documents(spark, out, n_docs)
+        docs = spark.read.parquet(f"{out}/documents.parquet")
+        is_carrier = (
+            (F.col("doc_id") % carrier_every == 3)
+            & (F.col("doc_id") < n_docs)
+        )
+        new_text = F.when(
+            is_carrier, F.concat(F.col("text"), F.lit(" " + run))
+        ).otherwise(F.col("text"))
+        docs.select(
+            "doc_id", new_text.alias("text"), "lang", "source",
+            F.length(new_text).cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{out}2/documents.parquet")
+        n_carriers = docs.filter(is_carrier).count()
+        t0 = time.time()
+        spans = dedup_substring_spans(spark, f"{out}2")
+        run_span = (
+            (F.col("doc_id") % carrier_every == 3)
+            & (F.col("doc_id") < n_docs)
+            & (F.col("span_end") == n_tokens + run_len)
+            & F.col("span_start").between(n_tokens - SPAN_K + 1, n_tokens)
+            & (F.col("n_windows")
+               == F.col("span_end") - F.col("span_start") - SPAN_K + 1)
+        )
+        agg = spans.agg(
+            F.count("*").alias("total"),
+            F.sum(run_span.cast("long")).alias("carrier_run_spans"),
+            F.sum((F.col("span_start") == n_tokens).cast("long")
+                  ).alias("exact_interior"),
+        ).first()
+        wall = time.time() - t0
+        hit = int(agg.carrier_run_spans or 0)
+        return {
+            "leg": f"substring_{n_docs}",
+            "n_docs": n_docs,
+            "carriers": n_carriers,
+            "carrier_run_spans": hit,
+            "exact_interior_spans": int(agg.exact_interior or 0),
+            "total_spans": int(agg.total),
+            "wall_sec": round(wall, 2),
+            "violations": int(hit != n_carriers),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(f"{out}2", ignore_errors=True)
+
+
 def run_corpus_maxsim_leg(spark, n_vecs: int, n_bits: int = 16) -> dict:
     """Late-interaction (maxsim) rerank at corpus scale: the SAME
     two-stage plan the registered sim_maxsim_rerank runs, with the
@@ -1555,6 +1635,7 @@ def main() -> int:
             run_corpus_pipeline_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
             run_prefix_filter_leg(spark, args.corpus_docs),
+            run_substring_leg(spark, args.corpus_docs),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
