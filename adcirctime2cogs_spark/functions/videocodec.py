@@ -54,29 +54,43 @@ def _dib_decode(data: bytes, w: int, h: int) -> np.ndarray:
     return bgr[::-1, :, ::-1].copy()  # back to top-down RGB
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames -> uncompressed AVI bytes
-    (with an idx1 index, like real writers emit)."""
+def encode_avi(frames: np.ndarray, fps: int = 10,
+               codec: str = "DIB", quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> AVI bytes (with an idx1
+    index, like real writers emit). codec='DIB' stores uncompressed
+    bottom-up BGR frames in '00db' chunks; codec='MJPG' stores each
+    frame as a baseline JPEG (functions/jpegcodec.py) in '00dc'
+    chunks with the MJPG fourcc in strh/strf — the Motion-JPEG
+    layout real capture tools produce."""
     frames = np.ascontiguousarray(frames, dtype="u1")
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError("encode_avi takes (n, h, w, 3) uint8 frames")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     n, h, w, _ = frames.shape
-    dib = [_dib_encode(f) for f in frames]
-    frame_bytes = len(dib[0]) if dib else 0
+    if codec == "MJPG":
+        from adcirctime2cogs_spark.functions.jpegcodec import encode_jpeg
+
+        dib = [encode_jpeg(f, quality=quality) for f in frames]
+    else:
+        dib = [_dib_encode(f) for f in frames]
+    frame_bytes = max((len(d) for d in dib), default=0)
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
         n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
     )
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
+    compression = struct.unpack("<I", b"MJPG")[0] if codec == "MJPG" else 0
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
                       frame_bytes, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       frame_bytes, 0, 0, 0, 0)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (
@@ -88,14 +102,15 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    movi_body = b"".join(chunk(b"00db", d) for d in dib)
+    frame_cid = b"00dc" if codec == "MJPG" else b"00db"
+    movi_body = b"".join(chunk(frame_cid, d) for d in dib)
     movi = lst(b"movi", movi_body)
     # idx1 offsets are relative to the start of the 'movi' list's kind
     # field (the convention real muxers use)
     idx_entries, off = [], 4
     for d in dib:
         idx_entries.append(struct.pack(
-            "<4sIII", b"00db", AVIIF_KEYFRAME, off, len(d)
+            "<4sIII", frame_cid, AVIIF_KEYFRAME, off, len(d)
         ))
         off += 8 + len(d) + (len(d) % 2)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
@@ -108,10 +123,11 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/AVI file")
     w = h = None
     scale, rate = 1, 10
+    compression = 0
     frames: list[bytes] = []
 
     def walk(pos: int, end: int):
-        nonlocal w, h, scale, rate
+        nonlocal w, h, scale, rate, compression
         end = min(end, len(data))
         while pos + 8 <= end:
             cid = data[pos:pos + 4]
@@ -136,8 +152,10 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                         "<IHHIII", data, body + 8
                     )
             elif cid == b"strf" and size >= 24:
-                _bs, bw, bh = struct.unpack_from("<Iii", data, body)
-                w, h = bw, abs(bh)
+                _bs, bw, bh, _pl, _bc, comp = struct.unpack_from(
+                    "<IiiHHI", data, body
+                )
+                w, h, compression = bw, abs(bh), comp
             elif cid in (b"00db", b"00dc"):
                 frames.append(data[body:body + size])
             pos = body + size + (size % 2)  # chunks pad to even
@@ -148,6 +166,17 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise ValueError(f"implausible frame dimensions {w}x{h}")
     fps = rate // scale if scale else rate
-    out = np.stack([_dib_decode(f, w, h) for f in frames]) if frames else \
-        np.empty((0, h, w, 3), dtype="u1")
+    mjpg = compression == struct.unpack("<I", b"MJPG")[0]
+    if mjpg:
+        from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
+
+        dec = [decode_jpeg(f) for f in frames]
+    elif compression != 0:
+        raise ValueError(
+            f"unsupported AVI compression fourcc 0x{compression:08X} "
+            "(have BI_RGB and MJPG)"
+        )
+    else:
+        dec = [_dib_decode(f, w, h) for f in frames]
+    out = np.stack(dec) if dec else np.empty((0, h, w, 3), dtype="u1")
     return out, int(fps)

@@ -481,3 +481,120 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "features": feats})
 
     return b.mapInPandas(extract, schema="doc_id long, features array<float>")
+
+
+# ------------------------------------------------- MJPEG (compressed)
+MJPEG_QUALITY = 90
+# IJG scaling at quality 90 (scale = 20): the DC quantizer for both
+# example tables is (16*20+50)//100 = (17*20+50)//100 = 3. The oracle
+# states the full decode chain with this literal.
+_MJPEG_QDC = 3
+
+_MJPEG_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, CAST(f.i AS INT) AS frame_idx,
+         CAST((doc_id + 11 * f.i) % 256 AS DOUBLE) AS r0,
+         CAST((doc_id * 2 + 5 * f.i) % 256 AS DOUBLE) AS g0,
+         CAST((doc_id * 3 + 17 * f.i) % 256 AS DOUBLE) AS b0
+  FROM docs CROSS JOIN range(7) f(i) WHERE f.i < nf
+),
+ycc AS (
+  SELECT *,
+         0.299 * r0 + 0.587 * g0 + 0.114 * b0 AS y,
+         128.0 - 0.168735892 * r0 - 0.331264108 * g0 + 0.5 * b0 AS cb,
+         128.0 + 0.5 * r0 - 0.418687589 * g0 - 0.081312411 * b0 AS cr
+  FROM fr
+),
+-- encode: flat block DC = (X - 128) * 8, half-up quantized by the
+-- DC quantizer; decode: dequantize, DC-only IDCT = coef / 8 + 128
+dq AS (
+  SELECT *,
+         floor((y - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS yq,
+         floor((cb - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS cbq,
+         floor((cr - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS crq
+  FROM ycc
+)
+SELECT doc_id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq + 1.402 * (crq - 128.0) + 0.5))) AS INT) AS red,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq - 0.344136286 * (cbq - 128.0)
+                  - 0.714136286 * (crq - 128.0) + 0.5))) AS INT) AS green,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq + 1.772 * (cbq - 128.0) + 0.5))) AS INT) AS blue,
+       1 AS flat
+FROM dq
+"""
+
+
+@_register("mm_mjpeg_frame_stats", _MJPEG_SQL)
+def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video end-to-end: per doc, a Motion-JPEG AVI of
+    flat-color frames is encoded executor-side (functions/jpegcodec +
+    the MJPG AVI layout), demuxed, and every frame JPEG-DECODED —
+    Huffman scan, dequantize, IDCT, YCbCr->RGB; the reported channel
+    values come from the decoded pixels and `flat` asserts the whole
+    decoded frame is one color. The oracle restates the EXACT
+    lossy pipeline for flat frames in closed form: a flat block's DCT
+    is DC-only ((X-128)*8), half-up-quantized by the quality-90 DC
+    quantizer, dequantized, DC-only-IDCT'd, and color-converted with
+    the same half-up rounding the codec uses (floor(x + 0.5), chosen
+    BECAUSE it has an exact SQL mirror). A hash match therefore
+    proves the compressed roundtrip's arithmetic, not just row
+    shapes. Plumbing is the mm_frame_sample pattern: one->many
+    mapInPandas, Arrow-batched, no collect."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, rs, gs, bs, flats = ([] for _ in range(8))
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                nf = 3 + d % 4
+                frames = np.empty((nf, h, w, 3), dtype="u1")
+                for f in range(nf):
+                    frames[f, :, :, 0] = (d + 11 * f) % 256
+                    frames[f, :, :, 1] = (d * 2 + 5 * f) % 256
+                    frames[f, :, :, 2] = (d * 3 + 17 * f) % 256
+                avi = encode_avi(frames, fps=VIDEO_FPS, codec="MJPG",
+                                 quality=MJPEG_QUALITY)
+                dec, _fps = decode_avi(avi)
+                for f in range(dec.shape[0]):
+                    fr = dec[f]
+                    ids.append(d)
+                    idxs.append(f)
+                    ws.append(fr.shape[1])
+                    hs.append(fr.shape[0])
+                    rs.append(int(fr[0, 0, 0]))
+                    gs.append(int(fr[0, 0, 1]))
+                    bs.append(int(fr[0, 0, 2]))
+                    flats.append(int((fr == fr[0, 0]).all()))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "width": ws,
+                "height": hs, "red": rs, "green": gs, "blue": bs,
+                "flat": flats,
+            })
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, width int, height int, "
+               "red int, green int, blue int, flat int",
+    )

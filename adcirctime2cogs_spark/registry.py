@@ -67,6 +67,10 @@ _PRIORITY = [
     "crs_reproject_ups",
     "crs_reproject_bng",
     "prep_dsir_weights",
+    # ...and the compressed-video closer: Motion-JPEG frames decoded
+    # end-to-end (baseline JPEG codec), oracled in closed form for
+    # flat frames — a hash match proves the lossy arithmetic itself
+    "mm_mjpeg_frame_stats",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -112,7 +116,6 @@ _PRIORITY = [
     "micromesh_domain_mask",
     "regrid_synthetic_bench",
     "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Baseline JPEG codec (functions/jpegcodec.py) and the MJPEG AVI
+container path: spec anchors hand-encoded independently of the
+encoder, analytic flat-field exactness, roundtrip quality floors, and
+subsampled-scan decoding."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adcirctime2cogs_spark.functions import jpegcodec as jc
+from adcirctime2cogs_spark.functions import videocodec as vc
+
+
+def test_dct_is_orthonormal():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 8))
+    assert np.allclose(jc._idct2(jc._dct2(x)), x, atol=1e-12)
+    # Parseval: energy preserved
+    assert np.isclose((jc._dct2(x) ** 2).sum(), (x ** 2).sum())
+    # DC basis: flat block -> single coefficient 8*mean? (orthonormal:
+    # DC coef = 8 * mean of block / ... = sum/8)
+    flat = np.full((8, 8), 12.0)
+    coef = jc._dct2(flat)
+    assert np.isclose(coef[0, 0], 12.0 * 8.0)
+    assert np.abs(coef).sum() == pytest.approx(coef[0, 0])
+
+
+def test_hand_encoded_minimal_jpeg_decodes():
+    """A one-block grayscale JPEG hand-assembled here byte by byte —
+    never touched by the encoder: quant table all 1s, a 1-entry DC
+    table (symbol 0 = code '0') and a 1-entry AC table (EOB = '0'),
+    scan bits 0b00 + 1-padding. All coefficients are zero, so the
+    decoded block must be exactly 128 gray."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    scan = b"\x3f"  # bits: 0 (DC cat 0), 0 (EOB), 111111 padding
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan \
+        + b"\xff\xd9"
+    out = jc.decode_jpeg(jpg)
+    assert out.shape == (8, 8)
+    assert np.all(out == 128)
+
+
+def test_hand_encoded_dc_value_decodes_exactly():
+    """Same stream with a nonzero DC: category 3, extend bits 0b101 =
+    5 -> DC coefficient 5, quant 1. IDCT of a DC-only block is flat
+    5/8 per pixel; +128 and rounding gives 129 everywhere."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: one symbol (category 3) with code '0'
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" \
+        + bytes([1] + [0] * 15) + b"\x03"
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    # bits: 0 (DC sym), 101 (value 5), 0 (EOB), pad 111 -> 0x57
+    scan = bytes([0b01010111])
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan \
+        + b"\xff\xd9"
+    out = jc.decode_jpeg(jpg)
+    # DC-only IDCT: value = coef * (1/8) per pixel -> 5/8 = 0.625
+    assert np.all(out == 129)  # round(128.625) = 129 everywhere
+
+
+def test_flat_fields_roundtrip_exactly():
+    for v in (0, 52, 128, 200, 255):
+        img = np.full((24, 16, 3), v, dtype=np.uint8)
+        out = jc.decode_jpeg(jc.encode_jpeg(img, quality=75))
+        assert np.abs(out.astype(int) - int(v)).max() <= 1, v
+
+
+def test_smooth_content_quality_floor():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                    ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+@st.composite
+def _rand_image(draw):
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rand_image())
+def test_roundtrip_any_shape_psnr_floor(img):
+    """Arbitrary shapes (incl. non-multiples of 8) survive encode ->
+    decode with the right dimensions and a PSNR floor appropriate to
+    worst-case content (uniform noise) at quality 90."""
+    out = jc.decode_jpeg(jc.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    if mse > 0:
+        assert 10 * np.log10(255.0 ** 2 / mse) > 20.0
+
+
+def test_subsampled_420_scan_decodes():
+    """A hand-built 4:2:0 stream (luma 2x2 per MCU, chroma 1x1):
+    DC-only blocks with analytic YCbCr -> the decoder must upsample
+    chroma and reproduce the flat color exactly. Our encoder never
+    writes 4:2:0, so this pins the sampling-factor path
+    independently. Luma DC diffs wobble +-1 across the four blocks
+    (the DC-category-0 symbol is kept out of the table), a 1/8-pixel
+    perturbation that rounds back to the same flat value."""
+    y0, cb0, cr0 = 140.0, 120.0, 140.0
+    exp = jc._ycbcr_to_rgb(np.full((16, 16, 3), 1.0) *
+                           np.array([y0, cb0, cr0]))
+
+    def dc(v):  # flat block value -> orthonormal DC coefficient
+        return int(round((v - 128.0) * 8.0))
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof_body = struct.pack(">BHHB", 8, 16, 16, 3) \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    # DC categories {7, 8, 1} with codes '0', '10', '110'; AC: EOB only
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 22) + b"\x00" \
+        + bytes([1, 1, 1] + [0] * 13) + bytes([7, 8, 1])
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    sos_body = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) \
+        + b"\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos_body)) + sos_body
+
+    class BW:
+        def __init__(self):
+            self.bits = ""
+
+        def put(self, code, n):
+            self.bits += format(code & ((1 << n) - 1), f"0{n}b")
+
+        def bytes(self):
+            b = self.bits + "1" * (-len(self.bits) % 8)
+            return bytes(int(b[i:i + 8], 2) for i in range(0, len(b), 8))
+
+    def put_val(bw, v):
+        cat = abs(v).bit_length()
+        bw.put({7: 0b0, 8: 0b10, 1: 0b110}[cat],
+               {7: 1, 8: 2, 1: 3}[cat])
+        bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+
+    bw = BW()
+    put_val(bw, dc(y0))          # luma block 1: full DC diff
+    bw.put(0, 1)                 # EOB
+    for d in (1, -1, 1):         # blocks 2-4: +-1 wobble
+        put_val(bw, d)
+        bw.put(0, 1)
+    put_val(bw, dc(cb0))         # chroma predictors are independent
+    bw.put(0, 1)
+    put_val(bw, dc(cr0))
+    bw.put(0, 1)
+
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos \
+        + bw.bytes() + b"\xff\xd9"
+    out = jc.decode_jpeg(jpg)
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out, exp)
+
+
+def test_error_paths():
+    with pytest.raises(jc.JPEGError, match="SOI"):
+        jc.decode_jpeg(b"\x00\x01")
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = bytearray(jc.encode_jpeg(img))
+    # flip SOF0 to SOF2 (progressive): must refuse clearly
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(jc.JPEGError, match="progressive|non-baseline"):
+        jc.decode_jpeg(bytes(good))
+    with pytest.raises(jc.JPEGError):
+        jc.encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_mjpeg_avi_roundtrip_and_fourcc():
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = np.stack([
+        np.stack([(yy * 5 + t * 11) % 256, (xx * 3) % 256,
+                  ((yy + xx) * 2 + t) % 256], axis=-1)
+        for t in range(5)
+    ]).astype(np.uint8)
+    avi = vc.encode_avi(frames, fps=8, codec="MJPG", quality=95)
+    # container carries the MJPG fourcc and 00dc (compressed) chunks
+    assert b"MJPG" in avi and b"00dc" in avi and b"00db" not in avi
+    out, fps = vc.decode_avi(avi)
+    assert fps == 8 and out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 2
+    # smaller than the uncompressed layout on smooth content
+    assert len(avi) < len(vc.encode_avi(frames, fps=8)) / 2
+    # unknown compression fourccs fail loudly
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(ValueError, match="unsupported AVI compression"):
+        vc.decode_avi(bad)
