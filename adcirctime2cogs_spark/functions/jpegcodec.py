@@ -313,19 +313,23 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
     padded[h:, :w] = ycc[h - 1:h, :]  # edge replicate
     padded[:, w:] = padded[:, w - 1:w]
 
-    # per component: quantized zigzag blocks in MCU (row-major) order
+    # per component: quantized zigzag blocks in MCU (row-major) order.
+    # All blocks DCT in ONE broadcast matmul (C @ blocks @ C.T over a
+    # (n, 8, 8) stack) — per-block arithmetic identical to the 2-D
+    # matmul, an order of magnitude less Python-loop overhead.
     comps: list[list[np.ndarray]] = []
     for c in range(3):
         q = qt[0] if c == 0 else qt[1]
         plane = padded[..., c] - 128.0
-        blocks = []
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                coef = _dct2(plane[by:by + 8, bx:bx + 8])
-                # half-up quantization (SQL-mirrorable, see decoder)
-                qz = np.floor(coef / q + 0.5).astype(np.int64)
-                blocks.append(qz.reshape(64)[_ZIGZAG])
-        comps.append(blocks)
+        stack = (
+            plane.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = _C @ stack @ _C.T
+        # half-up quantization (SQL-mirrorable, see decoder)
+        qz = np.floor(coefs / q + 0.5).astype(np.int64)
+        comps.append(list(qz.reshape(-1, 64)[:, _ZIGZAG]))
 
     # symbol streams (two-pass: count, build tables, then emit)
     def symbols(blocks):
@@ -364,8 +368,6 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
         return dc_syms, ac_syms, per_block
 
     dc_l, ac_l, blocks_l = symbols(comps[0])
-    dc_c, ac_c, blocks_c = (
-        [], [], [])
     dc_c1, ac_c1, blocks_cb = symbols(comps[1])
     dc_c2, ac_c2, blocks_cr = symbols(comps[2])
     dc_c = dc_c1 + dc_c2
@@ -432,7 +434,20 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
 # ---------------------------------------------------------- decoder
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 RGB (h, w, 3) (or (h, w) for a
-    single-component grayscale frame)."""
+    single-component grayscale frame). Handles interleaved and
+    sequential (one scan per component) baseline files, 0xFF fill
+    bytes before markers (T.81 B.1.1.2), and restart markers; every
+    malformed-input failure surfaces as JPEGError (a ValueError),
+    never a raw struct/index/key error."""
+    try:
+        return _decode_jpeg(data)
+    except JPEGError:
+        raise
+    except (struct.error, IndexError, KeyError) as exc:
+        raise JPEGError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JPEGError("no SOI marker")
     pos = 2
@@ -440,9 +455,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    state = None  # (planes, prev_dc, scanned component ids)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JPEGError(f"expected marker at {pos}")
+        while pos < len(data) and data[pos] == 0xFF and \
+                pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker (B.1.1.2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -461,6 +480,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.frombuffer(
                     body[q + 1:q + 65], dtype=np.uint8
                 ).astype(np.int64)[_UNZIGZAG].reshape(8, 8)
+                if tbl.size != 64:
+                    raise JPEGError("truncated DQT")
                 qt[tq] = tbl
                 q += 65
         elif marker == 0xC4:  # DHT
@@ -470,6 +491,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[q + 1:q + 17])
                 nv = sum(bits)
                 vals = list(body[q + 17:q + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise JPEGError("truncated DHT")
                 huff[(cls, tid)] = _HuffDecoder(bits, vals)
                 q += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
@@ -497,63 +520,124 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan, qt, huff, restart_interval
+            state, pos = _decode_scan(
+                data, pos, frame, scan, qt, huff, restart_interval,
+                state,
             )
+            fh, fw, comps = frame
+            if len(state[2]) == len(comps):
+                return _assemble(frame, state[0])
+    if frame is not None and state is not None:
+        raise JPEGError(
+            "stream ended before every component was scanned"
+        )
     raise JPEGError("no scan in stream")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+def _mcu_geometry(frame):
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    planes = {}
-    for cid, ch, cv, tq in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+    return hmax, vmax, -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
+                 state):
+    """Decode ONE scan (interleaved when it carries several
+    components, non-interleaved block order when it carries one) into
+    the shared component planes; returns the updated state and the
+    stream position of the next marker."""
+    fh, fw, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+    if state is None:
+        planes = {
+            cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+            for cid, ch, cv, tq in comps
+        }
+        state = (planes, {cid: 0 for cid, *_ in comps}, set())
+    planes, prev_dc, scanned = state
     by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    for cid, _, _ in scan:
+        if cid not in by_id:
+            raise JPEGError(f"scan names unknown component {cid}")
+        scanned.add(cid)
 
     r = _BitReader(data[pos:])
-    prev_dc = {cid: 0 for cid, *_ in comps}
-    n_done = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_done and \
-                    n_done % restart_interval == 0:
-                r.sync_restart()
-                prev_dc = {cid: 0 for cid, *_ in comps}
-            for cid, dct, act in scan:
-                ch, cv, tq = by_id[cid]
-                for v in range(cv):
-                    for u in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = huff[(0, dct)].decode(r)
-                        diff = _receive_extend(r, s)
-                        prev_dc[cid] += diff
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            rs = huff[(1, act)].decode(r)
-                            rr, cat = rs >> 4, rs & 0x0F
-                            if cat == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise JPEGError("AC index overflow")
-                            zz[k] = _receive_extend(r, cat)
-                            k += 1
-                        coef = (zz * qt[tq].reshape(64)[_ZIGZAG]
-                                )[_UNZIGZAG].reshape(8, 8)
-                        px = _idct2(coef) + 128.0
-                        y0 = (my * cv + v) * 8
-                        x0 = (mx * ch + u) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-            n_done += 1
 
+    def decode_block(cid, dct, act, tq):
+        zz = np.zeros(64, dtype=np.int64)
+        s = huff[(0, dct)].decode(r)
+        prev_dc[cid] += _receive_extend(r, s)
+        zz[0] = prev_dc[cid]
+        k = 1
+        while k < 64:
+            rs = huff[(1, act)].decode(r)
+            rr, cat = rs >> 4, rs & 0x0F
+            if cat == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise JPEGError("AC index overflow")
+            zz[k] = _receive_extend(r, cat)
+            k += 1
+        coef = (zz * qt[tq].reshape(64)[_ZIGZAG])[_UNZIGZAG].reshape(8, 8)
+        return _idct2(coef) + 128.0
+
+    n_done = 0
+
+    def maybe_restart():
+        nonlocal n_done
+        if restart_interval and n_done and \
+                n_done % restart_interval == 0:
+            r.sync_restart()
+            for c in prev_dc:
+                prev_dc[c] = 0
+        n_done += 1
+
+    if len(scan) > 1:  # interleaved: MCUs of hxv blocks per component
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for cid, dct, act in scan:
+                    ch, cv, tq = by_id[cid]
+                    for v in range(cv):
+                        for u in range(ch):
+                            px = decode_block(cid, dct, act, tq)
+                            y0 = (my * cv + v) * 8
+                            x0 = (mx * ch + u) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    else:  # non-interleaved: the component's own block raster
+        cid, dct, act = scan[0]
+        ch, cv, tq = by_id[cid]
+        bw = -(-(fw * ch) // (8 * hmax))
+        bh = -(-(fh * cv) // (8 * vmax))
+        for byi in range(bh):
+            for bxi in range(bw):
+                maybe_restart()
+                px = decode_block(cid, dct, act, tq)
+                planes[cid][byi * 8:byi * 8 + 8,
+                            bxi * 8:bxi * 8 + 8] = px
+
+    # bit reader consumed r.pos bytes of entropy data; the next
+    # marker starts at the first FF followed by a non-stuffing,
+    # non-restart byte at or after it
+    end = pos + r.pos
+    while end + 1 < len(data):
+        if data[end] == 0xFF and data[end + 1] not in (0x00,) and not (
+            0xD0 <= data[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    return (planes, prev_dc, scanned), end
+
+
+def _assemble(frame, planes):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     if len(comps) == 1:
         y = planes[comps[0][0]][:fh, :fw]
         return np.clip(np.floor(y + 0.5), 0, 255).astype(np.uint8)

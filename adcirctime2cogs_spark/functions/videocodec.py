@@ -170,7 +170,12 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     if mjpg:
         from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
 
-        dec = [decode_jpeg(f) for f in frames]
+        dec = []
+        for f in frames:
+            px = decode_jpeg(f)
+            if px.ndim == 2:  # grayscale frame: uphold the RGB contract
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            dec.append(px)
     elif compression != 0:
         raise ValueError(
             f"unsupported AVI compression fourcc 0x{compression:08X} "

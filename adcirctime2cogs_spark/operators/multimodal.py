@@ -8,9 +8,12 @@ parses headers and pixel rows, and resize really resamples pixels —
 so mm_image_decode and mm_resize carry DuckDB oracles (dims are
 arithmetic in doc_id, and the query only matches if the encode →
 decode → resample chain reproduces them). A PIL/cv2 cluster swaps
-`decode_image` for Image.open and nothing else changes. The video
-frame-sampler remains a structural stand-in (no container codec can
-read real video), exercising the one->many mapInPandas shape.
+`decode_image` for Image.open and nothing else changes. VIDEO is
+real too (r07/r08): functions/videocodec.py demuxes genuine AVI
+containers — uncompressed DIB frames and Motion-JPEG frames decoded
+by the pure-Python baseline JPEG codec (functions/jpegcodec.py) —
+and both mm_frame_sample and mm_mjpeg_frame_stats carry oracles that
+only match if the container walk and frame decode actually ran.
 """
 
 from __future__ import annotations

@@ -69,8 +69,11 @@ _PRIORITY = [
     "prep_dsir_weights",
     # ...and the compressed-video closer: Motion-JPEG frames decoded
     # end-to-end (baseline JPEG codec), oracled in closed form for
-    # flat frames — a hash match proves the lossy arithmetic itself
+    # flat frames — a hash match proves the lossy arithmetic itself.
+    # mm_frame_sample rides along per rule 1: its decode_avi kernel
+    # gained the strf-compression dispatch this round
     "mm_mjpeg_frame_stats",
+    "mm_frame_sample",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -115,7 +118,6 @@ _PRIORITY = [
     "micromesh_weights",
     "micromesh_domain_mask",
     "regrid_synthetic_bench",
-    "tpch_q2_min_cost_supplier",
 ]
 
 

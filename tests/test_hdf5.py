@@ -851,16 +851,14 @@ def test_latest_object_headers_are_v2_with_real_checksums(tmp_path):
     p = str(tmp_path / "v2ohdr.nc")
     _write_micromesh_nc4(p, layout="latest")
     raw = open(p, "rb").read()
-    root = struct.unpack("<Q", raw[36:44])[0]
-    for label, addr in (("root", root),):
-        assert raw[addr:addr + 4] == b"OHDR", label
-        assert raw[addr + 4] == 2
-        flags = raw[addr + 5]
-        assert flags & 0x03 == 0x01  # 2-byte size field
-        size0 = struct.unpack("<H", raw[addr + 6:addr + 8])[0]
-        end = addr + 8 + size0
-        assert struct.unpack("<I", raw[end:end + 4])[0] \
-            == hdf5._lookup3(raw[addr:end])
+    addr = struct.unpack("<Q", raw[36:44])[0]  # root OHDR
+    assert raw[addr:addr + 4] == b"OHDR"
+    assert raw[addr + 4] == 2
+    assert raw[addr + 5] & 0x03 == 0x01  # 2-byte size field
+    size0 = struct.unpack("<H", raw[addr + 6:addr + 8])[0]
+    end = addr + 8 + size0
+    assert struct.unpack("<I", raw[end:end + 4])[0] \
+        == hdf5._lookup3(raw[addr:end])
     # every dataset header too (resolved through the dense group)
     f = hdf5.H5File(p)
     for name, d in f.datasets.items():

@@ -208,3 +208,95 @@ def test_mjpeg_avi_roundtrip_and_fourcc():
     bad = avi.replace(b"MJPG", b"H264")
     with pytest.raises(ValueError, match="unsupported AVI compression"):
         vc.decode_avi(bad)
+
+
+def test_multi_scan_baseline_decodes():
+    """A legal 3-component baseline file with THREE sequential
+    single-component scans (T.81 allows 1-3 scans in baseline): all
+    zero coefficients must decode to true gray 128 across all
+    channels — the silent-garbage case a first-scan-only decoder
+    produced ([0, 255, 0])."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 3) \
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    scans = b""
+    for cid in (1, 2, 3):
+        scans += b"\xff\xda" + struct.pack(">H", 8) + b"\x01" \
+            + bytes([cid, 0x00]) + b"\x00\x3f\x00" + b"\x3f"
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + scans + b"\xff\xd9"
+    out = jc.decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3)
+    assert np.all(out == 128)
+    # a stream that ENDS with components unscanned errors clearly
+    partial = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac \
+        + scans[:len(scans) // 3] + b"\xff\xd9"
+    with pytest.raises(jc.JPEGError, match="before every component"):
+        jc.decode_jpeg(partial)
+
+
+def test_fill_bytes_and_typed_errors():
+    """0xFF fill bytes before markers (T.81 B.1.1.2) are legal; every
+    malformed input fails as JPEGError, never a raw
+    struct/Index/Key error (the contract the AVI layer catches)."""
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good = jc.encode_jpeg(img)
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert np.array_equal(jc.decode_jpeg(padded), jc.decode_jpeg(good))
+    for bad in (
+        b"\xff\xd8\xff\xdb\x00",                       # truncated seg len
+        b"\xff\xd8\xff\xdb" + struct.pack(">H", 67)
+        + b"\x00" + b"\x01" * 10,                      # truncated DQT
+        good.replace(b"\xff\xc4", b"\xff\xfe", 4),     # tables missing
+    ):
+        with pytest.raises(jc.JPEGError):
+            jc.decode_jpeg(bad)
+
+
+def test_grayscale_mjpeg_frames_upheld_to_rgb():
+    """A grayscale Motion-JPEG AVI (1-component JPEGs, what capture
+    tools emit for mono cameras) must still honor decode_avi's
+    (n, h, w, 3) contract — hand-muxed here so the repo encoder
+    (which always writes color) is not in the loop."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    gray_jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos \
+        + b"\x3f" + b"\xff\xd9"
+    assert jc.decode_jpeg(gray_jpg).ndim == 2  # 1-component source
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0x10, 1, 0, 1, 0,
+                       8, 8, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 1, 0, 0xFFFFFFFF, 0
+    ) + struct.pack("<4H", 0, 0, 8, 8)
+    strf = struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24,
+                       struct.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0)
+    avi = chunk(
+        b"RIFF",
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih)
+              + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", chunk(b"00dc", gray_jpg)),
+    )
+    frames, fps = vc.decode_avi(avi)
+    assert frames.shape == (1, 8, 8, 3)
+    assert np.all(frames == 128)
