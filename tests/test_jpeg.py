@@ -300,3 +300,32 @@ def test_grayscale_mjpeg_frames_upheld_to_rgb():
     frames, fps = vc.decode_avi(avi)
     assert frames.shape == (1, 8, 8, 3)
     assert np.all(frames == 128)
+
+
+def test_restart_markers_reset_dc_predictor():
+    """DRI + RSTn: an 8x16 grayscale image (two blocks, restart
+    interval 1) with an RST0 between the blocks. Both blocks encode
+    DC diff +8; with the predictor RESET at the restart the second
+    block decodes to the same value (DC 8 -> 129), while a decoder
+    that ignored the reset would accumulate (DC 16 -> 130)."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    # DC table: single symbol category 4, code '0'; AC: EOB only
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" \
+        + bytes([1] + [0] * 15) + b"\x04"
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" \
+        + bytes([1] + [0] * 15) + b"\x00"
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart every MCU
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" \
+        + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    # per block: '0' (DC cat 4) + '1000' (value 8) + '0' (EOB) = 6
+    # bits -> 0b010000 0 + pad '11' -> 0x43
+    blk = bytes([0b01000011])
+    scan = blk + b"\xff\xd0" + blk  # RST0 between the two MCUs
+    jpg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos \
+        + scan + b"\xff\xd9"
+    out = jc.decode_jpeg(jpg)
+    assert out.shape == (8, 16)
+    # DC 8 on quant 1 -> pixel 128 + 8/8 = 129 in BOTH blocks
+    assert np.all(out == 129)
