@@ -1641,3 +1641,170 @@ def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cos_sim")
     )
+
+
+def _ivfpq_sql() -> str:
+    """IVF-PQ oracle: the PQ ADC CTE chain restricted to IVF-probed
+    cells (the sim_topk_ivf coarse quantizer verbatim), shortlisted,
+    then exactly reranked — the composition of the two registered
+    index oracles with a semi-join in the middle."""
+    return f"""{_pq_adc_ctes()},
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % {CENT_MOD} = 1
+    ),
+    cscored AS (
+      SELECT e2.vec_id, c.cent_id,
+             round({_COS_SQL.format(a="e2.embedding", b="c.cent_emb")}, 4)
+               AS cs
+      FROM embeddings e2 CROSS JOIN cent c
+    ),
+    iassign AS (
+      SELECT vec_id AS c_id, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    iprobe AS (
+      SELECT vec_id AS q_id, cent_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM cscored WHERE vec_id < {N_QUERY_VECS}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    cellcand AS (
+      SELECT DISTINCT p.q_id, a.c_id
+      FROM iprobe p JOIN iassign a ON p.cell = a.cell
+      WHERE p.q_id != a.c_id
+    ),
+    adcf AS (SELECT adc.* FROM adc SEMI JOIN cellcand USING (q_id, c_id)),
+    short AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                                              ORDER BY adc, c_id) AS rn
+        FROM adcf
+      ) WHERE rn <= {PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.q_id, s.c_id,
+             round({_COS_SQL.format(a="qe.embedding", b="ce.embedding")}, 4)
+               AS cos_sim
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.q_id
+      JOIN embeddings ce ON ce.vec_id = s.c_id
+    )
+    SELECT q_id, c_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rn
+      FROM exact
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@_register("sim_topk_ivfpq", _ivfpq_sql())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production vector index, composed end to end:
+    IVF coarse quantization picks WHICH vectors get scanned (the
+    sim_topk_ivf cell rule — broadcast centroids, top-1 assignment,
+    nprobe probed cells per query), PQ ADC scores ONLY those cells'
+    members in the compressed domain (four table lookups per
+    candidate, floats untouched), the top-PQ_SHORTLIST survivors are
+    fetched and exactly cosine-reranked. This is what an IVF-PQ
+    serving tier (the billion-scale default) does per query.
+
+    Scale shape vs the flat ADC scan (sim_topk_pq_adc /
+    sim_topk_pq_rerank): the cell restriction makes the scan
+    SUB-LINEAR — candidates per probe are nprobe/nlist of the corpus
+    (nlist grows with n under the % {CENT_MOD} rule), while the flat
+    scan touches every code. Candidate ids come from an equi-join on
+    the cell key; codes are fetched by key for candidates only;
+    probes and their distance tables broadcast; exact vectors are
+    read for the shortlist alone."""
+    anchors = _pq_anchors(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir, anchors)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    cscored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cent_id",
+        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), "cent_id"
+    )
+    iassign = (
+        cscored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("c_id"),
+                F.col("cent_id").alias("cell"))
+    )
+    iprobe = (
+        cscored.filter(F.col("vec_id") < N_QUERY_VECS)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("cent_id").alias("cell"))
+    )
+    cellcand = (
+        F.broadcast(iprobe)
+        .join(iassign, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+    probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    for m in range(PQ_M):
+        probes = probes.withColumn(
+            f"t{m}",
+            F.array(*[
+                _pq_sub_dist(F.col("q_emb"), anchors[j], m)
+                for j in range(PQ_K)
+            ]),
+        )
+    scored = (
+        cellcand
+        .join(codes.select("vec_id", "c0", "c1", "c2", "c3"),
+              cellcand.c_id == codes.vec_id)
+        .join(F.broadcast(probes.drop("q_emb")), "q_id")
+        .select(
+            "q_id", "c_id",
+            (
+                F.element_at(F.col("t0"), F.col("c0") + 1)
+                + F.element_at(F.col("t1"), F.col("c1") + 1)
+                + F.element_at(F.col("t2"), F.col("c2") + 1)
+                + F.element_at(F.col("t3"), F.col("c3") + 1)
+            ).alias("adc"),
+        )
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    ce = emb.select(F.col("vec_id").alias("c_id"),
+                    F.col("embedding").alias("cv"))
+    pairs = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select("q_id", "c_id",
+                r4(cosine(F.col("qv"), F.col("cv"))).alias("cos_sim"))
+    )
+    w2 = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
+    )

@@ -74,6 +74,9 @@ _PRIORITY = [
     # gained the strf-compression dispatch this round
     "mm_mjpeg_frame_stats",
     "mm_frame_sample",
+    # ...and the composed production vector index: IVF cells
+    # restricting the PQ ADC scan, shortlist exact-reranked
+    "sim_topk_ivfpq",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -117,7 +120,6 @@ _PRIORITY = [
     "micromesh_regrid",
     "micromesh_weights",
     "micromesh_domain_mask",
-    "regrid_synthetic_bench",
 ]
 
 
