@@ -162,6 +162,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_topk_pq_adc": 1,         # broadcast probe-table ship
         "sim_topk_pq_rerank": 1,      # same ADC probe-table broadcast
         "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
+        "sim_topk_ivfpq": 2,          # same centroid broadcast pair
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast
