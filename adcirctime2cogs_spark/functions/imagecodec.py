@@ -103,7 +103,17 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_bmp(data), "bmp"
     if data[:2] in (b"P6", b"P5"):
         return decode_ppm(data), "ppm"
-    raise ValueError("unknown image format (not BMP or binary PPM/PGM)")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from adcirctime2cogs_spark.functions.pngcodec import decode_png
+
+        return decode_png(data), "png"
+    if data[:2] == b"\xff\xd8":
+        from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data), "jpeg"
+    raise ValueError(
+        "unknown image format (not BMP, binary PPM/PGM, PNG, or JPEG)"
+    )
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

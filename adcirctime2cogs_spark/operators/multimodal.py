@@ -601,3 +601,73 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx int, width int, height int, "
                "red int, green int, blue int, flat int",
     )
+
+
+_PNG_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 28 AS INT) AS width,
+         CAST(4 + doc_id % 21 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         CAST((doc_id * 7 + y.y * 13 + x.x * 3) % 256 AS BIGINT) AS r
+  FROM dims
+  CROSS JOIN range(25) y(y) CROSS JOIN range(33) x(x)
+  WHERE y.y < height AND x.x < width
+)
+SELECT doc_id, width, height,
+       CAST((doc_id * 7) % 256 AS INT) AS corner_red,
+       CAST(SUM(r) AS BIGINT) AS red_sum
+FROM px GROUP BY doc_id, width, height
+"""
+
+
+@_register("mm_png_roundtrip", _PNG_SQL)
+def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG end-to-end (functions/pngcodec.py): a deterministic RGB
+    image per doc is encoded with the Paeth scanline filter,
+    zlib-deflated, CRC'd — then DECODED (CRC verify, inflate,
+    unfilter) and the reported dims, corner pixel, and R-channel sum
+    come from the decoded array. PNG is lossless, so the oracle is
+    exact doc_id arithmetic; a hash match proves the whole filter/
+    inflate/unfilter chain reproduced every pixel. Compressed bytes
+    themselves are NOT compared — zlib output may differ across
+    library builds; pixels may not."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.pngcodec import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, corners, sums = ([] for _ in range(5))
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 28, 4 + d % 21
+                yy, xx = np.mgrid[0:h, 0:w]
+                r = (d * 7 + yy * 13 + xx * 3) % 256
+                g = (r + 85) % 256
+                b = (r + 170) % 256
+                img = np.stack([r, g, b], axis=-1).astype("u1")
+                arr = decode_png(encode_png(img, filter_type=4))
+                ids.append(d)
+                ws.append(arr.shape[1])
+                hs.append(arr.shape[0])
+                corners.append(int(arr[0, 0, 0]))
+                sums.append(int(arr[:, :, 0].astype("int64").sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "width": ws, "height": hs,
+                "corner_red": corners, "red_sum": sums,
+            })
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, corner_red int, "
+               "red_sum bigint",
+    )

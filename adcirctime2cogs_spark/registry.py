@@ -77,6 +77,9 @@ _PRIORITY = [
     # ...and the composed production vector index: IVF cells
     # restricting the PQ ADC scan, shortlist exact-reranked
     "sim_topk_ivfpq",
+    # ...and PNG, the lossless web format: filter/inflate/unfilter
+    # chain proven pixel-exact by doc_id arithmetic
+    "mm_png_roundtrip",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -119,7 +122,6 @@ _PRIORITY = [
     # next round.
     "micromesh_regrid",
     "micromesh_weights",
-    "micromesh_domain_mask",
 ]
 
 

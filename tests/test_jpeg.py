@@ -329,3 +329,82 @@ def test_restart_markers_reset_dc_predictor():
     assert out.shape == (8, 16)
     # DC 8 on quant 1 -> pixel 128 + 8/8 = 129 in BOTH blocks
     assert np.all(out == 129)
+
+
+# --------------------------------------------------------------- PNG
+from adcirctime2cogs_spark.functions import pngcodec as pngc  # noqa: E402
+
+
+def test_png_hand_built_sub_filter_decodes():
+    """A 2x2 RGB PNG hand-assembled byte by byte with the Sub filter:
+    filtered bytes are hand-computed deltas, CRCs real. The decoder
+    must reconstruct the exact pixels — an anchor independent of the
+    encoder."""
+    import zlib
+
+    px = np.array([[[10, 20, 30], [13, 24, 35]],
+                   [[110, 120, 130], [113, 124, 135]]], dtype=np.uint8)
+    # Sub filter: first pixel raw, second stores the delta (+3, +4, +5)
+    raw = bytes([1, 10, 20, 30, 3, 4, 5,
+                 1, 110, 120, 130, 3, 4, 5])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    png = pngc.PNG_SIG + chunk(b"IHDR", ihdr) \
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    assert np.array_equal(pngc.decode_png(png), px)
+    # corrupt one CRC: must refuse
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF
+    with pytest.raises(pngc.PNGError, match="CRC"):
+        pngc.decode_png(bytes(bad))
+
+
+def test_png_hand_built_palette_decodes():
+    """Color type 3: indices through a hand-built PLTE."""
+    import zlib
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = bytes([0, 0, 1, 0, 2, 2])  # two rows, filter 0, indices
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    png = pngc.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) \
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    out = pngc.decode_png(png)
+    exp = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [0, 0, 255]]], dtype=np.uint8)
+    assert np.array_equal(out, exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rand_image(), st.integers(0, 4))
+def test_png_roundtrip_any_shape_any_filter(img, ftype):
+    assert np.array_equal(
+        pngc.decode_png(pngc.encode_png(img, filter_type=ftype)), img
+    )
+
+
+def test_png_error_paths():
+    with pytest.raises(pngc.PNGError, match="signature"):
+        pngc.decode_png(b"JUNK")
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = pngc.encode_png(img)
+    # flip interlace byte inside IHDR (and fix the CRC so the check
+    # under test is the interlace gate, not the CRC)
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad = pngc.PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr \
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF) \
+        + good[8 + 12 + 13:]
+    with pytest.raises(pngc.PNGError, match="interlace"):
+        pngc.decode_png(bad)
