@@ -527,6 +527,31 @@ def run_nc4_ingest_leg(
         c4 = checksum(p4)
         t_ingest4 = time.time() - t0
         n_splits4 = len(hdf5.nc4_splitter(p4, 0, "zeta"))
+
+        # the same payload as a 'latest' file (superblock v3, v2
+        # OHDRs, extensible-array chunk index — what h5py
+        # libver='latest' writes): the r08 reader surface at the
+        # production node count, checksum-identical to both others
+        p5 = f"{work}/latest.nc"
+        t0 = time.time()
+        hdf5.write_netcdf4(
+            p5,
+            dims={"time": None, "node": n * n},
+            variables={
+                "time": (("time",), times,
+                         {"units": "seconds since 2000-01-01 00:00:00"}),
+                "zeta": (("time", "node"), zeta,
+                         {"_FillValue": np.float64(-99999.0)}),
+            },
+            compress=4,
+            node_chunk=node_chunk,
+            layout="latest",
+        )
+        t_write5 = time.time() - t0
+        t0 = time.time()
+        c5 = checksum(p5)
+        t_ingest5 = time.time() - t0
+        raw5 = open(p5, "rb").read(64)
         import os as _os
 
         return {
@@ -535,14 +560,18 @@ def run_nc4_ingest_leg(
             "n_ts": n_ts,
             "nc3_bytes": _os.path.getsize(p3),
             "nc4_bytes": _os.path.getsize(p4),
+            "nc4_latest_bytes": _os.path.getsize(p5),
             "nc4_splits": n_splits4,
             "rows": c3[0],
             "wall_write_nc3": round(t_write3, 2),
             "wall_write_nc4": round(t_write4, 2),
+            "wall_write_latest": round(t_write5, 2),
             "wall_ingest_nc3": round(t_ingest3, 2),
             "wall_ingest_nc4": round(t_ingest4, 2),
-            "violations": int(c3 != c4)
-            + int(n_splits4 != n_ts * -(-(n * n) // node_chunk)),
+            "wall_ingest_latest": round(t_ingest5, 2),
+            "violations": int(c3 != c4) + int(c3 != c5)
+            + int(n_splits4 != n_ts * -(-(n * n) // node_chunk))
+            + int(raw5[8] != 3),  # must really be a v3 superblock
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
