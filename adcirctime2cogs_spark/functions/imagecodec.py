@@ -1,5 +1,8 @@
 """Pure-Python image codecs (BMP 24-bit, binary PPM/PGM) — struct +
-numpy, no PIL/OpenCV.
+numpy, no PIL/OpenCV. decode_image also dispatches PNG
+(functions/pngcodec.py) and baseline JPEG (functions/jpegcodec.py)
+payloads by signature, so the multimodal kernels read all four
+common encodings.
 
 Both formats are fully public and trivial, which makes them the right
 substrate for the multimodal operators in this container: the Spark

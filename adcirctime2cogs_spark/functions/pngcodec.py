@@ -140,7 +140,17 @@ def encode_png(arr: np.ndarray, filter_type: int = 4,
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array: (h, w) for grayscale, (h, w, 3) for
-    truecolor/palette, (h, w, 4) for RGBA. CRCs are verified."""
+    truecolor/palette, (h, w, 4) for RGBA. CRCs are verified; every
+    malformed-input failure surfaces as PNGError (a ValueError)."""
+    try:
+        return _decode_png(data)
+    except PNGError:
+        raise
+    except (struct.error, IndexError, ValueError) as exc:
+        raise PNGError(f"malformed PNG stream: {exc!r}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIG:
         raise PNGError("no PNG signature")
     pos = 8
@@ -152,13 +162,20 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8:pos + 8 + ln]
         if len(body) != ln:
             raise PNGError(f"truncated {ctype!r} chunk")
-        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        crc_raw = data[pos + 8 + ln:pos + 12 + ln]
+        if len(crc_raw) != 4:
+            raise PNGError(f"truncated CRC on {ctype!r}")
+        crc = struct.unpack(">I", crc_raw)[0]
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
             raise PNGError(f"bad CRC on {ctype!r}")
         pos += 12 + ln
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PNGError(f"IHDR is {len(body)} bytes, not 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise PNGError(f"PLTE length {len(body)} not periodic")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body

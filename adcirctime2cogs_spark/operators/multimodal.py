@@ -611,7 +611,7 @@ WITH dims AS (
   FROM documents
 ),
 px AS (
-  SELECT doc_id, width, height,
+  SELECT doc_id, width, height, y.y AS y, x.x AS x,
          CAST((doc_id * 7 + y.y * 13 + x.x * 3) % 256 AS BIGINT) AS r
   FROM dims
   CROSS JOIN range(25) y(y) CROSS JOIN range(33) x(x)
@@ -619,7 +619,10 @@ px AS (
 )
 SELECT doc_id, width, height,
        CAST((doc_id * 7) % 256 AS INT) AS corner_red,
-       CAST(SUM(r) AS BIGINT) AS red_sum
+       CAST(SUM(r) AS BIGINT) AS red_sum,
+       CAST(SUM((y * width + x + 1)
+                * (r * 65536 + ((r + 85) % 256) * 256
+                   + (r + 170) % 256)) AS BIGINT) AS pix_checksum
 FROM px GROUP BY doc_id, width, height
 """
 
@@ -630,9 +633,12 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     image per doc is encoded with the Paeth scanline filter,
     zlib-deflated, CRC'd — then DECODED (CRC verify, inflate,
     unfilter) and the reported dims, corner pixel, and R-channel sum
-    come from the decoded array. PNG is lossless, so the oracle is
-    exact doc_id arithmetic; a hash match proves the whole filter/
-    inflate/unfilter chain reproduced every pixel. Compressed bytes
+    come from the decoded array, together with a POSITION-WEIGHTED
+    full-RGB checksum (sum over pixels of (y*w + x + 1) * packed_rgb)
+    that no channel swap, row reorder, or single-pixel corruption can
+    preserve. PNG is lossless, so the oracle is exact doc_id
+    arithmetic; a hash match proves the whole filter/inflate/unfilter
+    chain reproduced every pixel at its position. Compressed bytes
     themselves are NOT compared — zlib output may differ across
     library builds; pixels may not."""
     import numpy as np
@@ -646,7 +652,7 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs, corners, sums = ([] for _ in range(5))
+            ids, ws, hs, corners, sums, cks = ([] for _ in range(6))
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 5 + d % 28, 4 + d % 21
@@ -661,13 +667,19 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hs.append(arr.shape[0])
                 corners.append(int(arr[0, 0, 0]))
                 sums.append(int(arr[:, :, 0].astype("int64").sum()))
+                a64 = arr.astype("int64")
+                packed = (a64[:, :, 0] * 65536 + a64[:, :, 1] * 256
+                          + a64[:, :, 2]).reshape(-1)
+                weights = np.arange(1, packed.shape[0] + 1, dtype="int64")
+                cks.append(int(np.dot(weights, packed)))
             yield pd.DataFrame({
                 "doc_id": ids, "width": ws, "height": hs,
                 "corner_red": corners, "red_sum": sums,
+                "pix_checksum": cks,
             })
 
     return docs.mapInPandas(
         run,
         schema="doc_id long, width int, height int, corner_red int, "
-               "red_sum bigint",
+               "red_sum bigint, pix_checksum bigint",
     )

@@ -1507,16 +1507,11 @@ def _pq_adc_sql() -> str:
     """
 
 
-def pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, c_id, adc) for every (probe, database vector) pair — the
-    shared ADC scoring plan: per-probe 4 x 16 distance tables as array
-    literals shipped by one broadcast, every database vector scored as
-    four element_at lookups summed left-to-right. Used by the
-    registered top-k query and the corpus scale leg so the formula
-    can't drift between them."""
-    anchors = _pq_anchors(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir, anchors)
-    emb = load_table(spark, sf_dir, "embeddings")
+def _pq_probe_tables(emb: DataFrame, anchors) -> DataFrame:
+    """(q_id, t0..t3): each probe's PQ_M x PQ_K subspace distance
+    tables as array columns — the broadcast side every ADC consumer
+    (flat scan, PQ rerank, IVF-PQ) ships. One builder so the table
+    formula cannot drift between them."""
     probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1528,18 +1523,71 @@ def pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PQ_K)
             ]),
         )
+    return probes.drop("q_emb")
+
+
+def _pq_adc_expr() -> Column:
+    """The ADC lookup sum, left-to-right — the single definition of
+    the compressed distance every consumer aliases."""
     return (
-        codes.crossJoin(F.broadcast(probes.drop("q_emb")))
+        F.element_at(F.col("t0"), F.col("c0") + 1)
+        + F.element_at(F.col("t1"), F.col("c1") + 1)
+        + F.element_at(F.col("t2"), F.col("c2") + 1)
+        + F.element_at(F.col("t3"), F.col("c3") + 1)
+    )
+
+
+def _pq_exact_rerank(emb: DataFrame, scored: DataFrame) -> DataFrame:
+    """Shortlist the top PQ_SHORTLIST (adc, c_id) per probe out of a
+    scored (q_id, c_id, adc) table, fetch the survivors' full vectors,
+    and exactly cosine-rerank to the final top-k — the shared stage-2
+    of sim_topk_pq_rerank and sim_topk_ivfpq."""
+    w1 = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = (
+        short.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select(
+            "q_id", "c_id",
+            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cos_sim")
+    )
+
+
+def pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id, adc) for every (probe, database vector) pair — the
+    shared ADC scoring plan: per-probe 4 x 16 distance tables as array
+    literals shipped by one broadcast, every database vector scored as
+    four element_at lookups summed left-to-right. Used by the
+    registered top-k query and the corpus scale leg so the formula
+    can't drift between them."""
+    anchors = _pq_anchors(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir, anchors)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _pq_probe_tables(emb, anchors)
+    return (
+        codes.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            (
-                F.element_at(F.col("t0"), F.col("c0") + 1)
-                + F.element_at(F.col("t1"), F.col("c1") + 1)
-                + F.element_at(F.col("t2"), F.col("c2") + 1)
-                + F.element_at(F.col("t3"), F.col("c3") + 1)
-            ).alias("adc"),
+            _pq_adc_expr().alias("adc"),
         )
     )
 
@@ -1568,13 +1616,16 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SHORTLIST = 100  # ADC survivors carried to the exact rerank
 
 
-def _pq_rerank_sql() -> str:
-    return f"""{_pq_adc_ctes()},
+def _pq_rerank_tail_sql(adc_src: str) -> str:
+    """The shortlist -> exact-rerank -> top-k SQL tail over any scored
+    (q_id, c_id, adc) source CTE — shared by the flat PQ rerank and
+    IVF-PQ oracles so the tie-breaks and rounding cannot desync."""
+    return f""",
     short AS (
       SELECT q_id, c_id FROM (
         SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
                                               ORDER BY adc, c_id) AS rn
-        FROM adc
+        FROM {adc_src}
       ) WHERE rn <= {PQ_SHORTLIST}
     ),
     exact AS (
@@ -1591,6 +1642,10 @@ def _pq_rerank_sql() -> str:
       FROM exact
     ) WHERE rn <= {TOP_K}
     """
+
+
+def _pq_rerank_sql() -> str:
+    return _pq_adc_ctes() + _pq_rerank_tail_sql("adc")
 
 
 @_register("sim_topk_pq_rerank", _pq_rerank_sql())
@@ -1614,33 +1669,8 @@ def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     1M-vector corpus leg measures shortlist->exact twin recall on
     this registered query (tools/scale_check.py run_corpus_pq_leg)."""
     scored = pq_adc_scored(spark, sf_dir)
-    w1 = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
-    short = (
-        scored.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= PQ_SHORTLIST)
-        .select("q_id", "c_id")
-    )
     emb = load_table(spark, sf_dir, "embeddings")
-    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    ce = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    pairs = (
-        short.join(F.broadcast(qe), "q_id")
-        .join(ce, "c_id")
-        .select(
-            "q_id", "c_id",
-            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
-        )
-    )
-    w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "c_id", "cos_sim")
-    )
+    return _pq_exact_rerank(emb, scored)
 
 
 def _ivfpq_sql() -> str:
@@ -1678,28 +1708,8 @@ def _ivfpq_sql() -> str:
       FROM iprobe p JOIN iassign a ON p.cell = a.cell
       WHERE p.q_id != a.c_id
     ),
-    adcf AS (SELECT adc.* FROM adc SEMI JOIN cellcand USING (q_id, c_id)),
-    short AS (
-      SELECT q_id, c_id FROM (
-        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-                                              ORDER BY adc, c_id) AS rn
-        FROM adcf
-      ) WHERE rn <= {PQ_SHORTLIST}
-    ),
-    exact AS (
-      SELECT s.q_id, s.c_id,
-             round({_COS_SQL.format(a="qe.embedding", b="ce.embedding")}, 4)
-               AS cos_sim
-      FROM short s
-      JOIN embeddings qe ON qe.vec_id = s.q_id
-      JOIN embeddings ce ON ce.vec_id = s.c_id
-    )
-    SELECT q_id, c_id, cos_sim FROM (
-      SELECT *, row_number() OVER (PARTITION BY q_id
-                                   ORDER BY cos_sim DESC, c_id) AS rn
-      FROM exact
-    ) WHERE rn <= {TOP_K}
-    """
+    adcf AS (SELECT adc.* FROM adc SEMI JOIN cellcand USING (q_id, c_id))"""\
+        + _pq_rerank_tail_sql("adcf")
 
 
 @_register("sim_topk_ivfpq", _ivfpq_sql())
@@ -1757,54 +1767,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    for m in range(PQ_M):
-        probes = probes.withColumn(
-            f"t{m}",
-            F.array(*[
-                _pq_sub_dist(F.col("q_emb"), anchors[j], m)
-                for j in range(PQ_K)
-            ]),
-        )
     scored = (
         cellcand
         .join(codes.select("vec_id", "c0", "c1", "c2", "c3"),
               cellcand.c_id == codes.vec_id)
-        .join(F.broadcast(probes.drop("q_emb")), "q_id")
-        .select(
-            "q_id", "c_id",
-            (
-                F.element_at(F.col("t0"), F.col("c0") + 1)
-                + F.element_at(F.col("t1"), F.col("c1") + 1)
-                + F.element_at(F.col("t2"), F.col("c2") + 1)
-                + F.element_at(F.col("t3"), F.col("c3") + 1)
-            ).alias("adc"),
-        )
+        .join(F.broadcast(_pq_probe_tables(emb, anchors)), "q_id")
+        .select("q_id", "c_id", _pq_adc_expr().alias("adc"))
     )
-    w1 = W.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
-    short = (
-        scored.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= PQ_SHORTLIST)
-        .select("q_id", "c_id")
-    )
-    qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
-    ce = emb.select(F.col("vec_id").alias("c_id"),
-                    F.col("embedding").alias("cv"))
-    pairs = (
-        short.join(F.broadcast(qe), "q_id")
-        .join(ce, "c_id")
-        .select("q_id", "c_id",
-                r4(cosine(F.col("qv"), F.col("cv"))).alias("cos_sim"))
-    )
-    w2 = W.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("c_id")
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "c_id", "cos_sim")
-    )
+    return _pq_exact_rerank(emb, scored)

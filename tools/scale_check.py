@@ -551,7 +551,9 @@ def run_nc4_ingest_leg(
         t0 = time.time()
         c5 = checksum(p5)
         t_ingest5 = time.time() - t0
-        raw5 = open(p5, "rb").read(64)
+        n_splits5 = len(hdf5.nc4_splitter(p5, 0, "zeta"))
+        with open(p5, "rb") as fh5:
+            raw5 = fh5.read(64)
         import os as _os
 
         return {
@@ -571,6 +573,7 @@ def run_nc4_ingest_leg(
             "wall_ingest_latest": round(t_ingest5, 2),
             "violations": int(c3 != c4) + int(c3 != c5)
             + int(n_splits4 != n_ts * -(-(n * n) // node_chunk))
+            + int(n_splits5 != n_splits4)  # EA index must plan all chunks
             + int(raw5[8] != 3),  # must really be a v3 superblock
         }
     finally:
