@@ -567,12 +567,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
     def decode_block(cid, dct, act, tq):
         zz = np.zeros(64, dtype=np.int64)
         s = huff[(0, dct)].decode(r)
+        if s > 11:  # baseline DC categories are 0..11 (T.81 F.1.2.1)
+            raise JPEGError(f"invalid DC category {s}")
         prev_dc[cid] += _receive_extend(r, s)
         zz[0] = prev_dc[cid]
         k = 1
         while k < 64:
             rs = huff[(1, act)].decode(r)
             rr, cat = rs >> 4, rs & 0x0F
+            if cat > 10:  # baseline AC categories are 1..10
+                raise JPEGError(f"invalid AC category {cat}")
             if cat == 0:
                 if rr == 15:
                     k += 16

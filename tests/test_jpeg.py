@@ -421,3 +421,34 @@ def test_png_error_paths():
         + good[8 + 12 + 13:]
     with pytest.raises(pngc.PNGError, match="interlace"):
         pngc.decode_png(bad)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 12))
+def test_codec_fuzz_corruption_never_escapes_typed_errors(seed, n_flips):
+    """Byte-flip fuzzing across all three containers: corrupting a
+    valid PNG, JPEG, or MJPG AVI must either still decode (the flip
+    hit slack/unused bits) or raise the codec's typed ValueError —
+    never a raw struct/index/key/zlib error, an OOM-scale
+    allocation, or a hang. (CRCs make PNG reject almost everything;
+    JPEG/AVI tolerate more flips by design.)"""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    payloads = [
+        ("png", pngc.encode_png(img)),
+        ("jpeg", jc.encode_jpeg(img)),
+        ("avi", vc.encode_avi(img[None, ...], codec="MJPG")),
+    ]
+    for kind, good in payloads:
+        raw = bytearray(good)
+        for _ in range(n_flips):
+            raw[rng.integers(0, len(raw))] ^= int(rng.integers(1, 256))
+        try:
+            if kind == "png":
+                pngc.decode_png(bytes(raw))
+            elif kind == "jpeg":
+                jc.decode_jpeg(bytes(raw))
+            else:
+                vc.decode_avi(bytes(raw))
+        except ValueError:
+            pass  # typed rejection (PNGError/JPEGError are ValueErrors)
