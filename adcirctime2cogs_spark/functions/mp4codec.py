@@ -1,0 +1,292 @@
+"""Pure-Python MP4 / ISO-BMFF video container — struct only, no media
+library.
+
+Closes the compressed-container gap next to videocodec.py's AVI: the
+ISO base media file format (public ISO/IEC 14496-12) carrying
+Photo-JPEG video samples, each sample a complete baseline JPEG decoded
+by functions/jpegcodec.py. The reference has no media surface at all
+(its 704 lines are xarray/dask regridding); this is part of the
+training-data-pipeline extension, where crawled video arrives in MP4
+far more often than AVI. An ffmpeg-equipped cluster swaps
+``decode_mp4`` for its demuxer and nothing else changes.
+
+Box tree written here (non-faststart ordering: ftyp, mdat, moov):
+
+    ftyp            major 'isom', minor 0x200, compat ['isom','mp41']
+    mdat            concatenated JPEG sample bytes
+    moov
+      mvhd  (v0)    timescale 1000, duration
+      trak
+        tkhd (v0)   flags=3 (enabled+in-movie), track 1, w/h 16.16
+        mdia
+          mdhd (v0) timescale = fps (1 tick per frame), lang 'und'
+          hdlr      handler_type 'vide'
+          minf
+            vmhd (flags=1), dinf > dref > 'url ' (self-contained)
+            stbl
+              stsd  1 x VisualSampleEntry fourcc 'jpeg'
+              stts  1 run (n samples, delta 1)
+              stsc  chunk map — samples are grouped THREE per chunk
+                    (short last chunk gets its own run), so the reader
+                    must really walk first_chunk runs, not assume
+                    1 chunk
+              stsz  per-sample sizes
+              stco  per-chunk absolute file offsets
+
+The reader walks top-level boxes tolerantly (skips unknown boxes,
+honors 64-bit largesize), locates the video trak by hdlr type, and
+reconstructs per-sample byte ranges from the stsc/stco/stsz tables —
+the part of MP4 that actually has teeth. Samples decode via
+jpegcodec.decode_jpeg; fps comes from mdhd timescale / stts delta.
+Declared sizes past EOF raise ValueError (corruption, not a feature).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CHUNK_GROUP = 3  # samples per chunk the muxer writes (last may be short)
+
+
+def _box(kind: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + kind + body
+
+
+def _full(kind: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(kind, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> MP4 bytes (Photo-JPEG track).
+
+    Every sample is a standalone baseline JPEG (jpegcodec.encode_jpeg),
+    i.e. all keyframes — the Motion-JPEG-in-MP4 shape QuickTime calls
+    'jpeg'. Chunking is 3 samples per chunk so stsc/stco carry real
+    structure."""
+    from adcirctime2cogs_spark.functions.jpegcodec import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype="u1")
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("encode_mp4 takes (n, h, w, 3) uint8 frames")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n, h, w, _ = frames.shape
+    samples = [encode_jpeg(f, quality=quality) for f in frames]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    mdat_body = b"".join(samples)
+    mdat = _box(b"mdat", mdat_body)
+
+    # --- sample tables ---------------------------------------------
+    # VisualSampleEntry ('jpeg'): 6 reserved + data_reference_index,
+    # then the fixed visual fields (ISO 14496-12 §12.1.3).
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHIII", 0, 0, 0, 0, 0)      # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">III", 1, n, 1) if n else struct.pack(">I", 0))
+    # chunk map: full chunks of _CHUNK_GROUP, plus one short-run entry
+    n_full, rem = divmod(n, _CHUNK_GROUP)
+    stsc_entries = []
+    if n_full:
+        stsc_entries.append((1, _CHUNK_GROUP, 1))
+    if rem:
+        stsc_entries.append((n_full + 1, rem, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                 + b"".join(struct.pack(">III", *e) for e in stsc_entries))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    # absolute file offsets: mdat body starts right after ftyp + header
+    base = len(ftyp) + 8
+    offsets, pos = [], base
+    for i, s in enumerate(samples):
+        if i % _CHUNK_GROUP == 0:
+            offsets.append(pos)
+        pos += len(s)
+    stco = _full(b"stco", 0, 0, struct.pack(">I", len(offsets))
+                 + b"".join(struct.pack(">I", o) for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    # --- the rest of the moov spine --------------------------------
+    url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n,
+                                            0x55C4, 0))  # lang 'und'
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0,
+                                            n * 1000 // fps)
+                 + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000,
+                                            n * 1000 // fps)
+                 + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk(data: bytes, pos: int, end: int):
+    """Yield (kind, body_start, body_end) for each box in [pos, end)."""
+    end = min(end, len(data))
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        kind = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if body + 8 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", data, body)
+            body += 8
+        elif size == 0:  # box extends to EOF
+            size = end - pos
+        if pos + size > len(data):
+            raise ValueError(
+                f"box {kind!r} declares {size} bytes past EOF"
+            )
+        if size < 8:
+            raise ValueError(f"box {kind!r} declares impossible size {size}")
+        yield kind, body, pos + size
+        pos += size
+
+
+def _find(data: bytes, pos: int, end: int, kind: bytes):
+    for k, b, e in _walk(data, pos, end):
+        if k == kind:
+            return b, e
+    return None
+
+
+def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
+    """MP4 bytes -> ((n, h, w, 3) uint8 RGB frames, fps).
+
+    Walks moov/trak/mdia to the video stbl, rebuilds each sample's
+    byte range from stsc runs + stco offsets + stsz sizes, and JPEG-
+    decodes every sample. Grayscale JPEGs are expanded to RGB to keep
+    the (n, h, w, 3) contract."""
+    from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
+
+    head = _find(data, 0, len(data), b"ftyp")
+    if head is None or data[head[0]:head[0] + 4] not in (
+        b"isom", b"mp41", b"mp42", b"qt  ", b"avc1"
+    ):
+        raise ValueError("not an ISO-BMFF/MP4 file")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("missing moov box")
+
+    stbl_span = None
+    timescale, delta = 0, 1
+    for k, b, e in _walk(data, *moov):
+        if k != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(data, *mdia, b"mdhd")
+        if mdhd is not None:
+            ver = data[mdhd[0]]
+            off = mdhd[0] + 4 + (16 if ver == 1 else 8)
+            (timescale,) = struct.unpack_from(">I", data, off)
+        minf = _find(data, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl_span = _find(data, *minf, b"stbl")
+        break
+    if stbl_span is None:
+        raise ValueError("no video track (vide hdlr + stbl) found")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for k, b, e in _walk(data, *stbl_span):
+        tables[k] = (b, e)
+    for req in (b"stsd", b"stsc", b"stsz", b"stco"):
+        if req not in tables and not (req == b"stco" and b"co64" in tables):
+            raise ValueError(f"missing {req.decode()} sample table")
+
+    b, _e = tables[b"stsd"]
+    fourcc = data[b + 12:b + 16]
+    if fourcc not in (b"jpeg", b"mjpa", b"mjpb"):
+        raise ValueError(
+            f"unsupported sample format {fourcc!r} (have Photo-JPEG)"
+        )
+
+    b, _e = tables[b"stsz"]
+    uniform, count = struct.unpack_from(">II", data, b + 4)
+    if uniform:
+        sizes = [uniform] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", data, b + 12))
+
+    if b"co64" in tables:
+        b, _e = tables[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", data, b + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, b + 8))
+    else:
+        b, _e = tables[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", data, b + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, b + 8))
+
+    b, _e = tables[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", data, b + 4)
+    runs = [struct.unpack_from(">III", data, b + 8 + 12 * i)
+            for i in range(n_runs)]
+
+    if b"stts" in tables:
+        b, _e = tables[b"stts"]
+        (n_tt,) = struct.unpack_from(">I", data, b + 4)
+        if n_tt:
+            _cnt, delta = struct.unpack_from(">II", data, b + 8)
+
+    # stsc runs -> samples-per-chunk for every chunk index
+    spans: list[tuple[int, int]] = []  # (file_offset, size) per sample
+    si = 0
+    for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        for ci in range(first - 1, last):
+            pos = offsets[ci]
+            for _ in range(per_chunk):
+                if si >= count:
+                    break
+                spans.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+    if si != count:
+        raise ValueError(
+            f"stsc/stco map covers {si} samples, stsz declares {count}"
+        )
+
+    dec = []
+    for off, size in spans:
+        if off + size > len(data):
+            raise ValueError("sample range past EOF")
+        px = decode_jpeg(data[off:off + size])
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        dec.append(px)
+    fps = (timescale // delta) if delta else timescale
+    out = np.stack(dec) if dec else np.empty((0, 0, 0, 3), dtype="u1")
+    return out, int(fps)

@@ -683,3 +683,109 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, corner_red int, "
                "red_sum bigint, pix_checksum bigint",
     )
+
+
+_MP4_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + doc_id % 3) AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, h, CAST(f.i AS INT) AS frame_idx,
+         CAST((doc_id * 5 + 7 * f.i) % 256 AS DOUBLE) AS r0,
+         CAST((doc_id * 3 + 13 * f.i) % 256 AS DOUBLE) AS g0,
+         CAST((doc_id + 19 * f.i) % 256 AS DOUBLE) AS b0
+  FROM docs CROSS JOIN range(6) f(i) WHERE f.i < nf
+),
+ycc AS (
+  SELECT *,
+         0.299 * r0 + 0.587 * g0 + 0.114 * b0 AS y,
+         128.0 - 0.168735892 * r0 - 0.331264108 * g0 + 0.5 * b0 AS cb,
+         128.0 + 0.5 * r0 - 0.418687589 * g0 - 0.081312411 * b0 AS cr
+  FROM fr
+),
+dq AS (
+  SELECT *,
+         floor((y - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS yq,
+         floor((cb - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS cbq,
+         floor((cr - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
+           * {_MJPEG_QDC} / 8.0 + 128.0 AS crq
+  FROM ycc
+)
+SELECT doc_id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq + 1.402 * (crq - 128.0) + 0.5))) AS INT) AS red,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq - 0.344136286 * (cbq - 128.0)
+                  - 0.714136286 * (crq - 128.0) + 0.5))) AS INT) AS green,
+       CAST(GREATEST(0.0, LEAST(255.0,
+         floor(yq + 1.772 * (cbq - 128.0) + 0.5))) AS INT) AS blue,
+       1 AS flat
+FROM dq
+"""
+
+
+@_register("mm_mp4_frame_stats", _MP4_SQL)
+def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF end-to-end: per doc, a Photo-JPEG MP4 of flat
+    frames is MUXED executor-side (functions/mp4codec.py — ftyp/mdat/
+    moov with real stsc/stco/stsz chunk maps, 3 samples per chunk),
+    then DEMUXED (box walk, hdlr dispatch, sample-table
+    reconstruction) and every sample JPEG-decoded by the shared
+    baseline codec. Same closed-form flat-frame oracle family as
+    mm_mjpeg_frame_stats (the lossy arithmetic is the codec's; the
+    container differs), so a hash match proves the BMFF sample ranges
+    were reconstructed byte-exactly — a one-sample misalignment makes
+    every later JPEG fail to parse. Plumbing: one->many mapInPandas,
+    Arrow-batched, no collect; at 100 TB the per-doc demux is
+    embarrassingly parallel and shuffle-free."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.mp4codec import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, rs, gs, bs, flats = ([] for _ in range(8))
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
+                nf = 2 + d % 5
+                frames = np.empty((nf, h, w, 3), dtype="u1")
+                for f in range(nf):
+                    frames[f, :, :, 0] = (d * 5 + 7 * f) % 256
+                    frames[f, :, :, 1] = (d * 3 + 13 * f) % 256
+                    frames[f, :, :, 2] = (d + 19 * f) % 256
+                mp4 = encode_mp4(frames, fps=VIDEO_FPS,
+                                 quality=MJPEG_QUALITY)
+                dec, _fps = decode_mp4(mp4)
+                for f in range(dec.shape[0]):
+                    fr = dec[f]
+                    ids.append(d)
+                    idxs.append(f)
+                    ws.append(fr.shape[1])
+                    hs.append(fr.shape[0])
+                    rs.append(int(fr[0, 0, 0]))
+                    gs.append(int(fr[0, 0, 1]))
+                    bs.append(int(fr[0, 0, 2]))
+                    flats.append(int((fr == fr[0, 0]).all()))
+            yield pd.DataFrame({
+                "doc_id": ids, "frame_idx": idxs, "width": ws,
+                "height": hs, "red": rs, "green": gs, "blue": bs,
+                "flat": flats,
+            })
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, width int, height int, "
+               "red int, green int, blue int, flat int",
+    )
