@@ -919,3 +919,141 @@ def bpe_encode_word(word: str, ranks: dict) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+_NB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang, t AS tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+counts AS (
+  SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2
+),
+vv AS (SELECT count(DISTINCT tok) AS v FROM tok),
+ct AS (SELECT lang, sum(c) AS ct FROM counts GROUP BY 1),
+cls AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+linfo AS (
+  SELECT cls.lang,
+         ln(cls.n_docs * 1.0 / (SELECT n FROM nn)) AS lp0,
+         ln(ct.ct + (SELECT v FROM vv)) AS pen
+  FROM cls JOIN ct USING (lang)
+),
+ndoc AS (
+  SELECT d.doc_id, d.lang AS labeled_lang, count(t.tok) AS n_toks
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT t.doc_id, c.lang, sum(ln(c.c + 1.0)) AS s1
+  FROM tok t JOIN counts c ON t.tok = c.tok
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT nd.doc_id, nd.labeled_lang, li.lang,
+         round(li.lp0 + coalesce(s1.s1, 0.0) - nd.n_toks * li.pen, 4)
+           AS nb_score
+  FROM ndoc nd CROSS JOIN linfo li
+  LEFT JOIN s1 ON s1.doc_id = nd.doc_id AND s1.lang = li.lang
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY nb_score DESC, lang
+  ) AS rn
+  FROM scored
+)
+SELECT doc_id, labeled_lang, lang AS predicted_lang, nb_score,
+       CASE WHEN lang = labeled_lang THEN 1 ELSE 0 END AS hit
+FROM ranked WHERE rn = 1
+"""
+
+
+@_register("text_nb_classify", _NB_SQL)
+def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED text classifier: multinomial Naive Bayes with Laplace
+    smoothing, fit on the corpus's own (lang, token) counts and applied
+    back to every document — the classic cheap domain/language/quality
+    classifier a training-data pipeline fits on labeled seed data
+    (McCallum & Nigam 1998; the fasttext-classifier role).
+
+    Scale shape: the naive formulation scores against a vocab x classes
+    grid (billions of rows at web scale). This plan uses the algebraic
+    identity  sum_t ln((c+1)/(ct+V)) = sum_{t: c>0} ln(c+1)
+    - n_tokens * ln(ct+V),  so zero-count (class, token) pairs
+    CONTRIBUTE NOTHING and the only wide join is tokens x observed
+    counts on the token key — one shuffle, sized by the corpus, not by
+    vocab x classes. Class totals/priors/vocab size are one-row or
+    classes-row broadcasts (the text_bm25_topk pattern). Prediction is
+    a per-doc argmax window on the ROUNDED score (tie-break lang asc)
+    so the oracle comparison is float-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    vv = toks.agg(F.countDistinct("tok").alias("v"))
+    ct = counts.groupBy("lang").agg(F.sum("c").alias("ct"))
+    cls = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    nn = docs.agg(F.count("*").alias("n"))
+    linfo = (
+        cls.join(ct, "lang")
+        .join(F.broadcast(nn))
+        .join(F.broadcast(vv))
+        .select(
+            "lang",
+            F.log(F.col("n_docs") / F.col("n")).alias("lp0"),
+            F.log(F.col("ct") + F.col("v")).alias("pen"),
+        )
+    )
+    ndoc = (
+        docs.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(
+            toks.groupBy("doc_id").agg(F.count("*").alias("nt")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id", "labeled_lang",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("n_toks"),
+        )
+    )
+    s1 = (
+        toks.select("doc_id", "tok")
+        .join(counts.withColumnRenamed("lang", "clang"), "tok")
+        .groupBy("doc_id", "clang")
+        .agg(F.sum(F.log(F.col("c") + 1.0)).alias("s1"))
+        .withColumnRenamed("doc_id", "sdoc")
+    )
+    scored = (
+        ndoc.crossJoin(F.broadcast(linfo))
+        .join(
+            s1,
+            on=[F.col("doc_id") == F.col("sdoc"),
+                F.col("lang") == F.col("clang")],
+            how="left",
+        )
+        .select(
+            "doc_id", "labeled_lang", "lang",
+            r4(
+                F.col("lp0") + F.coalesce(F.col("s1"), F.lit(0.0))
+                - F.col("n_toks") * F.col("pen")
+            ).alias("nb_score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("nb_score").desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "labeled_lang",
+            F.col("lang").alias("predicted_lang"),
+            "nb_score",
+            F.when(F.col("lang") == F.col("labeled_lang"), 1)
+            .otherwise(0).alias("hit"),
+        )
+    )

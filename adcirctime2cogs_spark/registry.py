@@ -84,6 +84,10 @@ _PRIORITY = [
     # real stsc/stco/stsz chunk maps, sharing the MJPEG closed-form
     # flat-frame oracle family
     "mm_mp4_frame_stats",
+    # ...and the trained multinomial-NB classifier (Laplace smoothing,
+    # zero-count terms eliminated algebraically so no vocab x classes
+    # grid is ever materialized)
+    "text_nb_classify",
     # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
     # the 4-round policy line this round; recomputed from
     # CORRECTNESS_r01-r07 this session).
@@ -124,9 +128,9 @@ _PRIORITY = [
     # chain first (the reference's own workload), then the TPC-H and
     # dedup/text rows that would otherwise age to the policy line
     # next round.
-    # (micromesh_weights rotated out for the r08 mp4 addition — last
-    # green r05, back in the r09 window at the 4-round policy line)
-    "micromesh_regrid",
+    # (micromesh_regrid / micromesh_weights rotated out for the r08
+    # mp4 + NB additions — last green r05, back in the r09 window at
+    # the 4-round policy line)
 ]
 
 

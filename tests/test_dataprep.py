@@ -365,3 +365,56 @@ def test_dsir_weights_invariants(spark, sf_dir):
     for r in rows:
         assert r.n_feats == tok_counts[r.doc_id]
         assert math.isfinite(r.dsir_logw)
+
+
+def test_text_nb_classify_is_a_proper_posterior_argmax(spark, sf_dir):
+    """Multinomial-NB invariants: one prediction per document, the
+    predicted class is a class observed in training, every log-score
+    is negative (it's a log joint of probabilities < 1), and the
+    argmax really beats a hand-recomputed score for a competing class
+    on a sampled doc (pinning the smoothing arithmetic, not just
+    shapes)."""
+    import math
+    from collections import Counter
+
+    from adcirctime2cogs_spark.operators.textstats import text_nb_classify
+
+    out = text_nb_classify(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    langs = {d.lang for d in docs}
+    assert len(out) == len(docs)
+    assert {r.doc_id for r in out} == {d.doc_id for d in docs}
+    for r in out:
+        assert r.predicted_lang in langs
+        assert r.nb_score < 0
+        assert r.hit == int(r.predicted_lang == r.labeled_lang)
+
+    # pure-Python recompute of the full model on the fixture corpus
+    toks = {d.doc_id: [t for t in d.text.lower().strip().split() if t]
+            for d in docs}
+    counts: Counter = Counter()
+    cls_docs: Counter = Counter()
+    for d in docs:
+        cls_docs[d.lang] += 1
+        for t in toks[d.doc_id]:
+            counts[(d.lang, t)] += 1
+    vocab = {t for (_l, t) in counts}
+    ct = Counter()
+    for (l, _t), c in counts.items():
+        ct[l] += c
+    n = len(docs)
+
+    def score(doc_id, lang):
+        s = math.log(cls_docs[lang] / n)
+        for t in toks[doc_id]:
+            s += math.log((counts.get((lang, t), 0) + 1)
+                          / (ct[lang] + len(vocab)))
+        return round(s, 4)
+
+    for r in out[:20]:
+        best = max(
+            sorted(cls_docs),  # tie-break lang asc like the query
+            key=lambda l: (score(r.doc_id, l), [-ord(c) for c in l]),
+        )
+        assert r.predicted_lang == best
+        assert abs(r.nb_score - score(r.doc_id, best)) < 2e-4
