@@ -901,6 +901,72 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_nb_classifier_leg(spark, n_docs: int = 1_000_000) -> dict:
+    """Trained-classifier leg: text_nb_classify runs UNCHANGED on a
+    synthetic 1M-doc corpus whose texts are 70% class-specific vocab
+    (4 disjoint 200-word pools) / 30% shared noise — so a correctly
+    fit multinomial NB must recover the label almost always (the
+    Bayes-optimal rate here is ~1.0; the gate is accuracy >= 0.95).
+    Content is pure column arithmetic from doc_id (xxhash64 mixing,
+    no RNG, no driver rows); the classifier's one wide shuffle is the
+    tokens x counts join, so the wall scales with corpus tokens, not
+    vocab x classes."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.textstats import text_nb_classify
+
+    out = tempfile.mkdtemp(prefix="scale_nb_")
+    n_tokens, class_vocab, noise_vocab = 20, 200, 2000
+    try:
+        lang = F.concat(F.lit("l"), (F.col("id") % 4).cast("string"))
+
+        def word(j):
+            h = F.xxhash64(F.col("id"), j)
+            cls_w = F.concat(
+                F.lit("c"), (F.col("id") % 4).cast("string"), F.lit("_"),
+                F.pmod(h, F.lit(class_vocab)).cast("string"),
+            )
+            noise_w = F.concat(
+                F.lit("n"), F.pmod(h, F.lit(noise_vocab)).cast("string")
+            )
+            return F.when(
+                F.pmod(F.xxhash64(F.col("id"), j, F.lit(1)), F.lit(10)) < 7,
+                cls_w,
+            ).otherwise(noise_w)
+
+        text = F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(0), F.lit(n_tokens - 1)), word)
+        )
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            lang.alias("lang"),
+            F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+                "source"
+            ),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        t0 = time.time()
+        pred = text_nb_classify(spark, out)
+        stats = pred.agg(
+            F.count("*").alias("n"),
+            F.sum("hit").alias("hits"),
+        ).first()
+        wall = time.time() - t0
+        acc = (stats.hits or 0) / stats.n
+        return {
+            "leg": f"nb_classifier_{n_docs}",
+            "n_docs": stats.n,
+            "accuracy": round(acc, 4),
+            "wall_sec": round(wall, 2),
+            "violations": 0 if (stats.n == n_docs and acc >= 0.95) else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_substring_leg(spark, n_docs: int = 250_000,
                       carrier_every: int = 50) -> dict:
     """Substring-level dedup at corpus scale: a fixed 20-token
@@ -1668,6 +1734,7 @@ def main() -> int:
             run_degenerate_bucket_leg(spark),
             run_prefix_filter_leg(spark, args.corpus_docs),
             run_substring_leg(spark, args.corpus_docs),
+            run_nb_classifier_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
