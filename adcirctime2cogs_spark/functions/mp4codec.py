@@ -148,27 +148,60 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
 
 
 def _walk(data: bytes, pos: int, end: int):
-    """Yield (kind, body_start, body_end) for each box in [pos, end)."""
+    """Yield (kind, body_start, body_end) for each box in [pos, end).
+
+    Bounds are checked against the PARENT span (`end`), not just the
+    file, so a nested box cannot declare a body spanning into sibling
+    data; a largesize box must be >= 16 bytes (8-byte header + 8-byte
+    size), a plain box >= 8."""
     end = min(end, len(data))
     while pos + 8 <= end:
         (size,) = struct.unpack_from(">I", data, pos)
         kind = data[pos + 4:pos + 8]
         body = pos + 8
+        hdr = 8
         if size == 1:  # 64-bit largesize
             if body + 8 > end:
                 raise ValueError("truncated largesize box")
             (size,) = struct.unpack_from(">Q", data, body)
             body += 8
-        elif size == 0:  # box extends to EOF
+            hdr = 16
+        elif size == 0:  # box extends to the end of its container
             size = end - pos
-        if pos + size > len(data):
-            raise ValueError(
-                f"box {kind!r} declares {size} bytes past EOF"
-            )
-        if size < 8:
+        if size < hdr:
             raise ValueError(f"box {kind!r} declares impossible size {size}")
+        if pos + size > end:
+            raise ValueError(
+                f"box {kind!r} declares {size} bytes past its container"
+            )
         yield kind, body, pos + size
         pos += size
+
+
+def _count_field(data: bytes, span: tuple[int, int], kind: str,
+                 at: int = 4) -> int:
+    """Read a full-box 32-bit count field, bounds-checked against the
+    box body (typed error on truncation, never struct.error)."""
+    b, e = span
+    if b + at + 4 > e:
+        raise ValueError(f"truncated {kind} sample table")
+    (count,) = struct.unpack_from(">I", data, b + at)
+    return count
+
+
+def _table_entries(data: bytes, span: tuple[int, int], kind: str,
+                   skip: int, count: int, entry_bytes: int):
+    """Validate that `count` fixed-width entries fit inside a sample
+    table's body before unpacking — a corrupt count field must raise
+    the module's typed ValueError, never struct.error, and must never
+    read bytes belonging to a sibling box."""
+    b, e = span
+    if count < 0 or b + skip + count * entry_bytes > e:
+        raise ValueError(
+            f"{kind} declares {count} entries but its box holds "
+            f"{max(0, e - b - skip)} bytes"
+        )
+    return b + skip
 
 
 def _find(data: bytes, pos: int, end: int, kind: bytes):
@@ -234,38 +267,58 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
             f"unsupported sample format {fourcc!r} (have Photo-JPEG)"
         )
 
-    b, _e = tables[b"stsz"]
-    uniform, count = struct.unpack_from(">II", data, b + 4)
+    b, e = tables[b"stsz"]
+    uniform = _count_field(data, (b, e), "stsz", at=4)
+    count = _count_field(data, (b, e), "stsz", at=8)
     if uniform:
+        # no per-entry table to bound the count with — bound it by the
+        # file itself (count * uniform sample bytes must exist), which
+        # also stops a 4-byte count field from forcing a huge list
+        if count * uniform > len(data):
+            raise ValueError(
+                f"stsz declares {count} samples of {uniform} bytes, "
+                f"more than the file holds"
+            )
         sizes = [uniform] * count
     else:
-        sizes = list(struct.unpack_from(f">{count}I", data, b + 12))
+        off = _table_entries(data, (b, e), "stsz", 12, count, 4)
+        sizes = list(struct.unpack_from(f">{count}I", data, off))
 
     if b"co64" in tables:
-        b, _e = tables[b"co64"]
-        (n_chunks,) = struct.unpack_from(">I", data, b + 4)
-        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, b + 8))
+        span = tables[b"co64"]
+        n_chunks = _count_field(data, span, "co64")
+        off = _table_entries(data, span, "co64", 8, n_chunks, 8)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, off))
     else:
-        b, _e = tables[b"stco"]
-        (n_chunks,) = struct.unpack_from(">I", data, b + 4)
-        offsets = list(struct.unpack_from(f">{n_chunks}I", data, b + 8))
+        span = tables[b"stco"]
+        n_chunks = _count_field(data, span, "stco")
+        off = _table_entries(data, span, "stco", 8, n_chunks, 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, off))
 
-    b, _e = tables[b"stsc"]
-    (n_runs,) = struct.unpack_from(">I", data, b + 4)
-    runs = [struct.unpack_from(">III", data, b + 8 + 12 * i)
+    span = tables[b"stsc"]
+    n_runs = _count_field(data, span, "stsc")
+    off = _table_entries(data, span, "stsc", 8, n_runs, 12)
+    runs = [struct.unpack_from(">III", data, off + 12 * i)
             for i in range(n_runs)]
 
     if b"stts" in tables:
-        b, _e = tables[b"stts"]
-        (n_tt,) = struct.unpack_from(">I", data, b + 4)
+        span = tables[b"stts"]
+        n_tt = _count_field(data, span, "stts")
         if n_tt:
-            _cnt, delta = struct.unpack_from(">II", data, b + 8)
+            off = _table_entries(data, span, "stts", 8, n_tt, 8)
+            _cnt, delta = struct.unpack_from(">II", data, off)
 
-    # stsc runs -> samples-per-chunk for every chunk index
+    # stsc runs -> samples-per-chunk for every chunk index; run chunk
+    # indices are 1-based and must stay inside the stco table
     spans: list[tuple[int, int]] = []  # (file_offset, size) per sample
     si = 0
     for ri, (first, per_chunk, _sdi) in enumerate(runs):
         last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        if first < 1 or last > len(offsets) or first - 1 > last:
+            raise ValueError(
+                f"stsc run {ri} spans chunks [{first}, {last}] outside "
+                f"the {len(offsets)}-chunk stco table"
+            )
         for ci in range(first - 1, last):
             pos = offsets[ci]
             for _ in range(per_chunk):

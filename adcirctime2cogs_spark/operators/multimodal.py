@@ -493,20 +493,26 @@ MJPEG_QUALITY = 90
 # states the full decode chain with this literal.
 _MJPEG_QDC = 3
 
-_MJPEG_SQL = f"""
+def _flat_video_sql(dims_sql: str, r0: str, g0: str, b0: str,
+                    max_nf: int) -> str:
+    """Closed-form oracle for a flat-frame lossy-video query: the
+    container-specific parts are the per-doc dims/frame-count
+    arithmetic and the per-frame channel formulas; the encode->decode
+    chain (RGB->YCbCr, DC-only DCT quantized half-up by the quality-90
+    DC quantizer, dequantize, IDCT, YCbCr->RGB with the codec's
+    floor(x+0.5) rounding) is shared verbatim so a quantization fix
+    lands in every container's oracle at once."""
+    return f"""
 WITH docs AS (
-  SELECT doc_id,
-         8 * (1 + doc_id % 3) AS w,
-         8 * (1 + doc_id % 2) AS h,
-         3 + doc_id % 4 AS nf
+  SELECT doc_id, {dims_sql}
   FROM documents
 ),
 fr AS (
   SELECT doc_id, w, h, CAST(f.i AS INT) AS frame_idx,
-         CAST((doc_id + 11 * f.i) % 256 AS DOUBLE) AS r0,
-         CAST((doc_id * 2 + 5 * f.i) % 256 AS DOUBLE) AS g0,
-         CAST((doc_id * 3 + 17 * f.i) % 256 AS DOUBLE) AS b0
-  FROM docs CROSS JOIN range(7) f(i) WHERE f.i < nf
+         CAST(({r0}) % 256 AS DOUBLE) AS r0,
+         CAST(({g0}) % 256 AS DOUBLE) AS g0,
+         CAST(({b0}) % 256 AS DOUBLE) AS b0
+  FROM docs CROSS JOIN range({max_nf}) f(i) WHERE f.i < nf
 ),
 ycc AS (
   SELECT *,
@@ -540,46 +546,27 @@ FROM dq
 """
 
 
-@_register("mm_mjpeg_frame_stats", _MJPEG_SQL)
-def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPRESSED video end-to-end: per doc, a Motion-JPEG AVI of
-    flat-color frames is encoded executor-side (functions/jpegcodec +
-    the MJPG AVI layout), demuxed, and every frame JPEG-DECODED —
-    Huffman scan, dequantize, IDCT, YCbCr->RGB; the reported channel
-    values come from the decoded pixels and `flat` asserts the whole
-    decoded frame is one color. The oracle restates the EXACT
-    lossy pipeline for flat frames in closed form: a flat block's DCT
-    is DC-only ((X-128)*8), half-up-quantized by the quality-90 DC
-    quantizer, dequantized, DC-only-IDCT'd, and color-converted with
-    the same half-up rounding the codec uses (floor(x + 0.5), chosen
-    BECAUSE it has an exact SQL mirror). A hash match therefore
-    proves the compressed roundtrip's arithmetic, not just row
-    shapes. Plumbing is the mm_frame_sample pattern: one->many
-    mapInPandas, Arrow-batched, no collect."""
+def _flat_video_stats(docs: DataFrame, synth_dims, synth_colors,
+                      encode, decode) -> DataFrame:
+    """Shared Spark side of the flat-frame lossy-video queries: per
+    doc, synthesize flat frames from doc_id arithmetic, run them
+    through a REAL encode->decode container+codec chain, and report
+    the decoded dims/channels plus a whole-frame flatness assert.
+    One->many mapInPandas, Arrow-batched, no collect; per-doc work is
+    embarrassingly parallel and shuffle-free at any corpus size."""
     import numpy as np
-
-    from adcirctime2cogs_spark.functions.videocodec import (
-        decode_avi,
-        encode_avi,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, ws, hs, rs, gs, bs, flats = ([] for _ in range(8))
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
-                nf = 3 + d % 4
+                w, h, nf = synth_dims(d)
                 frames = np.empty((nf, h, w, 3), dtype="u1")
                 for f in range(nf):
-                    frames[f, :, :, 0] = (d + 11 * f) % 256
-                    frames[f, :, :, 1] = (d * 2 + 5 * f) % 256
-                    frames[f, :, :, 2] = (d * 3 + 17 * f) % 256
-                avi = encode_avi(frames, fps=VIDEO_FPS, codec="MJPG",
-                                 quality=MJPEG_QUALITY)
-                dec, _fps = decode_avi(avi)
+                    frames[f, :, :, 0], frames[f, :, :, 1], \
+                        frames[f, :, :, 2] = synth_colors(d, f)
+                dec, _fps = decode(encode(frames))
                 for f in range(dec.shape[0]):
                     fr = dec[f]
                     ids.append(d)
@@ -600,6 +587,50 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, frame_idx int, width int, height int, "
                "red int, green int, blue int, flat int",
+    )
+
+
+_MJPEG_SQL = _flat_video_sql(
+    dims_sql="8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h, "
+             "3 + doc_id % 4 AS nf",
+    r0="doc_id + 11 * f.i",
+    g0="doc_id * 2 + 5 * f.i",
+    b0="doc_id * 3 + 17 * f.i",
+    max_nf=7,
+)
+
+
+@_register("mm_mjpeg_frame_stats", _MJPEG_SQL)
+def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video end-to-end: per doc, a Motion-JPEG AVI of
+    flat-color frames is encoded executor-side (functions/jpegcodec +
+    the MJPG AVI layout), demuxed, and every frame JPEG-DECODED —
+    Huffman scan, dequantize, IDCT, YCbCr->RGB; the reported channel
+    values come from the decoded pixels and `flat` asserts the whole
+    decoded frame is one color. The oracle restates the EXACT
+    lossy pipeline for flat frames in closed form: a flat block's DCT
+    is DC-only ((X-128)*8), half-up-quantized by the quality-90 DC
+    quantizer, dequantized, DC-only-IDCT'd, and color-converted with
+    the same half-up rounding the codec uses (floor(x + 0.5), chosen
+    BECAUSE it has an exact SQL mirror). A hash match therefore
+    proves the compressed roundtrip's arithmetic, not just row
+    shapes. Spark side + oracle tail shared with mm_mp4_frame_stats
+    via _flat_video_stats/_flat_video_sql — only the container and
+    the doc_id arithmetic differ."""
+    from adcirctime2cogs_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    return _flat_video_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        synth_dims=lambda d: (8 * (1 + d % 3), 8 * (1 + d % 2), 3 + d % 4),
+        synth_colors=lambda d, f: (
+            (d + 11 * f) % 256, (d * 2 + 5 * f) % 256, (d * 3 + 17 * f) % 256
+        ),
+        encode=lambda fr: encode_avi(fr, fps=VIDEO_FPS, codec="MJPG",
+                                     quality=MJPEG_QUALITY),
+        decode=decode_avi,
     )
 
 
@@ -685,49 +716,14 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MP4_SQL = f"""
-WITH docs AS (
-  SELECT doc_id,
-         8 * (1 + doc_id % 4) AS w,
-         8 * (1 + doc_id % 3) AS h,
-         2 + doc_id % 5 AS nf
-  FROM documents
-),
-fr AS (
-  SELECT doc_id, w, h, CAST(f.i AS INT) AS frame_idx,
-         CAST((doc_id * 5 + 7 * f.i) % 256 AS DOUBLE) AS r0,
-         CAST((doc_id * 3 + 13 * f.i) % 256 AS DOUBLE) AS g0,
-         CAST((doc_id + 19 * f.i) % 256 AS DOUBLE) AS b0
-  FROM docs CROSS JOIN range(6) f(i) WHERE f.i < nf
-),
-ycc AS (
-  SELECT *,
-         0.299 * r0 + 0.587 * g0 + 0.114 * b0 AS y,
-         128.0 - 0.168735892 * r0 - 0.331264108 * g0 + 0.5 * b0 AS cb,
-         128.0 + 0.5 * r0 - 0.418687589 * g0 - 0.081312411 * b0 AS cr
-  FROM fr
-),
-dq AS (
-  SELECT *,
-         floor((y - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
-           * {_MJPEG_QDC} / 8.0 + 128.0 AS yq,
-         floor((cb - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
-           * {_MJPEG_QDC} / 8.0 + 128.0 AS cbq,
-         floor((cr - 128.0) * 8.0 / {_MJPEG_QDC} + 0.5)
-           * {_MJPEG_QDC} / 8.0 + 128.0 AS crq
-  FROM ycc
+_MP4_SQL = _flat_video_sql(
+    dims_sql="8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h, "
+             "2 + doc_id % 5 AS nf",
+    r0="doc_id * 5 + 7 * f.i",
+    g0="doc_id * 3 + 13 * f.i",
+    b0="doc_id + 19 * f.i",
+    max_nf=6,
 )
-SELECT doc_id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(GREATEST(0.0, LEAST(255.0,
-         floor(yq + 1.402 * (crq - 128.0) + 0.5))) AS INT) AS red,
-       CAST(GREATEST(0.0, LEAST(255.0,
-         floor(yq - 0.344136286 * (cbq - 128.0)
-                  - 0.714136286 * (crq - 128.0) + 0.5))) AS INT) AS green,
-       CAST(GREATEST(0.0, LEAST(255.0,
-         floor(yq + 1.772 * (cbq - 128.0) + 0.5))) AS INT) AS blue,
-       1 AS flat
-FROM dq
-"""
 
 
 @_register("mm_mp4_frame_stats", _MP4_SQL)
@@ -741,51 +737,23 @@ def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_mjpeg_frame_stats (the lossy arithmetic is the codec's; the
     container differs), so a hash match proves the BMFF sample ranges
     were reconstructed byte-exactly — a one-sample misalignment makes
-    every later JPEG fail to parse. Plumbing: one->many mapInPandas,
-    Arrow-batched, no collect; at 100 TB the per-doc demux is
-    embarrassingly parallel and shuffle-free."""
-    import numpy as np
-
+    every later JPEG fail to parse. Spark side + oracle tail shared
+    with mm_mjpeg_frame_stats via _flat_video_stats/_flat_video_sql —
+    only the container and the doc_id arithmetic differ; at 100 TB
+    the per-doc demux is embarrassingly parallel and shuffle-free."""
     from adcirctime2cogs_spark.functions.mp4codec import (
         decode_mp4,
         encode_mp4,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, ws, hs, rs, gs, bs, flats = ([] for _ in range(8))
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
-                nf = 2 + d % 5
-                frames = np.empty((nf, h, w, 3), dtype="u1")
-                for f in range(nf):
-                    frames[f, :, :, 0] = (d * 5 + 7 * f) % 256
-                    frames[f, :, :, 1] = (d * 3 + 13 * f) % 256
-                    frames[f, :, :, 2] = (d + 19 * f) % 256
-                mp4 = encode_mp4(frames, fps=VIDEO_FPS,
-                                 quality=MJPEG_QUALITY)
-                dec, _fps = decode_mp4(mp4)
-                for f in range(dec.shape[0]):
-                    fr = dec[f]
-                    ids.append(d)
-                    idxs.append(f)
-                    ws.append(fr.shape[1])
-                    hs.append(fr.shape[0])
-                    rs.append(int(fr[0, 0, 0]))
-                    gs.append(int(fr[0, 0, 1]))
-                    bs.append(int(fr[0, 0, 2]))
-                    flats.append(int((fr == fr[0, 0]).all()))
-            yield pd.DataFrame({
-                "doc_id": ids, "frame_idx": idxs, "width": ws,
-                "height": hs, "red": rs, "green": gs, "blue": bs,
-                "flat": flats,
-            })
-
-    return docs.mapInPandas(
-        run,
-        schema="doc_id long, frame_idx int, width int, height int, "
-               "red int, green int, blue int, flat int",
+    return _flat_video_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        synth_dims=lambda d: (8 * (1 + d % 4), 8 * (1 + d % 3), 2 + d % 5),
+        synth_colors=lambda d, f: (
+            (d * 5 + 7 * f) % 256, (d * 3 + 13 * f) % 256,
+            (d + 19 * f) % 256,
+        ),
+        encode=lambda fr: encode_mp4(fr, fps=VIDEO_FPS,
+                                     quality=MJPEG_QUALITY),
+        decode=decode_mp4,
     )

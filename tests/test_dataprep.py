@@ -412,9 +412,8 @@ def test_text_nb_classify_is_a_proper_posterior_argmax(spark, sf_dir):
         return round(s, 4)
 
     for r in out[:20]:
-        best = max(
-            sorted(cls_docs),  # tie-break lang asc like the query
-            key=lambda l: (score(r.doc_id, l), [-ord(c) for c in l]),
-        )
+        # min over (-score, lang) = score desc, lang asc — the exact
+        # tie-break the query's row_number ordering applies
+        best = min(cls_docs, key=lambda l: (-score(r.doc_id, l), l))
         assert r.predicted_lang == best
         assert abs(r.nb_score - score(r.doc_id, best)) < 2e-4

@@ -67,16 +67,89 @@ def test_mp4_box_structure():
     assert n_chunks == 3
 
 
-def test_mp4_trailing_largesize_box_parses():
-    """A 64-bit largesize box (size field == 1) must be walked, not
-    choke the top-level scan — real writers emit these for >4 GiB
-    mdats."""
-    data = mp4codec.encode_mp4(_frames(2, 8, 8), fps=5)
-    body = b"\x00" * 16
-    free = struct.pack(">I", 1) + b"free" + struct.pack(
-        ">Q", 16 + len(body)) + body
-    out, fps = mp4codec.decode_mp4(data + free)
-    assert out.shape[0] == 2 and fps == 5
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _rebuild(data, pos, end, leaf_fn):
+    """Re-serialize the box tree in [pos, end), passing each leaf box
+    through leaf_fn(kind, body) -> (kind, body) — the test-side mux
+    surgeon for forcing co64/largesize layouts the encoder doesn't
+    emit."""
+    out = []
+    for kind, b, e in mp4codec._walk(data, pos, end):
+        if kind in _CONTAINERS:
+            body = _rebuild(data, b, e, leaf_fn)
+        else:
+            kind, body = leaf_fn(kind, data[b:e])
+        out.append(struct.pack(">I", len(body) + 8) + kind + body)
+    return b"".join(out)
+
+
+def test_mp4_largesize_mdat_decodes_and_corrupt_largesize_rejected():
+    """Drive decode THROUGH a 64-bit largesize mdat (the >4 GiB-file
+    layout): rewrite the mdat header from 4-byte to largesize form,
+    shift every stco chunk offset by the 8 inserted bytes, and the
+    demux must still produce identical frames. A largesize below the
+    16-byte header minimum must raise the typed error."""
+    data = mp4codec.encode_mp4(_frames(4, 8, 16), fps=5)
+    ref, _ = mp4codec.decode_mp4(data)
+    boxes = {k: (b, e) for k, b, e in mp4codec._walk(data, 0, len(data))}
+    mb, me = boxes[b"mdat"]
+    mdat64 = (struct.pack(">I", 1) + b"mdat"
+              + struct.pack(">Q", 16 + (me - mb)) + data[mb:me])
+
+    def shift_stco(kind, body):
+        if kind != b"stco":
+            return kind, body
+        (n,) = struct.unpack_from(">I", body, 4)
+        offs = struct.unpack_from(f">{n}I", body, 8)
+        return kind, body[:8] + b"".join(
+            struct.pack(">I", o + 8) for o in offs
+        )
+
+    moov_b, moov_e = boxes[b"moov"]
+    moov = struct.pack(">I", moov_e - moov_b + 8) + b"moov" + _rebuild(
+        data, moov_b, moov_e, shift_stco
+    )
+    rebuilt = data[:mb - 8] + mdat64 + moov
+    out, fps = mp4codec.decode_mp4(rebuilt)
+    assert fps == 5 and np.array_equal(out, ref)
+    # an impossible largesize (12 < 16-byte header) must be rejected,
+    # and the walker must really visit a trailing largesize box
+    free = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16)
+    walked = [k for k, _b, _e in
+              mp4codec._walk(data + free, 0, len(data) + len(free))]
+    assert walked[-1] == b"free"
+    bad = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 12)
+    with pytest.raises(ValueError):
+        list(mp4codec._walk(data + bad, 0, len(data) + len(bad)))
+
+
+def test_mp4_co64_layout_decodes():
+    """stco swapped for a 64-bit co64 table (same offsets, 8-byte
+    entries) must decode identically — the co64 read path is real,
+    not dead code."""
+    data = mp4codec.encode_mp4(_frames(5, 8, 8), fps=7)
+    ref, _ = mp4codec.decode_mp4(data)
+
+    def to_co64(kind, body):
+        if kind != b"stco":
+            return kind, body
+        (n,) = struct.unpack_from(">I", body, 4)
+        offs = struct.unpack_from(f">{n}I", body, 8)
+        return b"co64", body[:8] + b"".join(
+            struct.pack(">Q", o) for o in offs
+        )
+
+    boxes = {k: (b, e) for k, b, e in mp4codec._walk(data, 0, len(data))}
+    moov_b, moov_e = boxes[b"moov"]
+    new_moov_body = _rebuild(data, moov_b, moov_e, to_co64)
+    rebuilt = (data[:moov_b - 8]
+               + struct.pack(">I", len(new_moov_body) + 8) + b"moov"
+               + new_moov_body)
+    assert b"co64" in rebuilt and b"stco" not in rebuilt
+    out, fps = mp4codec.decode_mp4(rebuilt)
+    assert fps == 7 and np.array_equal(out, ref)
 
 
 def test_mp4_empty_and_errors():
@@ -102,6 +175,30 @@ def test_mp4_empty_and_errors():
     bad = good.replace(b"jpeg", b"avc1")
     with pytest.raises(ValueError):
         mp4codec.decode_mp4(bad)
+
+
+def test_mp4_corrupt_sample_tables_raise_typed_errors():
+    """Targeted corruption of each sample-table count/index field must
+    produce the module's ValueError — never struct.error, IndexError,
+    or a silent giant allocation (the uniform-stsz DoS shape)."""
+    good = mp4codec.encode_mp4(_frames(7, 8, 8), fps=5)
+
+    def patched(tag, at, fmt, *vals):
+        buf = bytearray(good)
+        struct.pack_into(fmt, buf, good.find(tag) + at, *vals)
+        return bytes(buf)
+
+    cases = [
+        patched(b"stsz", 12, ">I", 100_000),       # entry count > box
+        patched(b"stsz", 8, ">II", 1, 0xFFFFFFFF),  # uniform-size DoS
+        patched(b"stsc", 12, ">I", 50),            # run outside stco
+        patched(b"stsc", 12, ">I", 0),             # 1-based index 0
+        patched(b"stco", 8, ">I", 100_000),        # chunk count > box
+        patched(b"stts", 8, ">I", 100_000),        # stts count > box
+    ]
+    for bad in cases:
+        with pytest.raises(ValueError):
+            mp4codec.decode_mp4(bad)
 
 
 @settings(max_examples=150, deadline=None)

@@ -955,7 +955,7 @@ def run_nb_classifier_leg(spark, n_docs: int = 1_000_000) -> dict:
             F.sum("hit").alias("hits"),
         ).first()
         wall = time.time() - t0
-        acc = (stats.hits or 0) / stats.n
+        acc = (stats.hits or 0) / stats.n if stats.n else 0.0
         return {
             "leg": f"nb_classifier_{n_docs}",
             "n_docs": stats.n,
