@@ -426,18 +426,21 @@ def test_png_error_paths():
 @settings(max_examples=60, deadline=None)
 @given(st.integers(0, 2**31 - 1), st.integers(1, 12))
 def test_codec_fuzz_corruption_never_escapes_typed_errors(seed, n_flips):
-    """Byte-flip fuzzing across all three containers: corrupting a
-    valid PNG, JPEG, or MJPG AVI must either still decode (the flip
-    hit slack/unused bits) or raise the codec's typed ValueError —
-    never a raw struct/index/key/zlib error, an OOM-scale
-    allocation, or a hang. (CRCs make PNG reject almost everything;
-    JPEG/AVI tolerate more flips by design.)"""
+    """Byte-flip fuzzing across all four containers: corrupting a
+    valid PNG, JPEG, MJPG AVI, or Photo-JPEG MP4 must either still
+    decode (the flip hit slack/unused bits) or raise the codec's
+    typed ValueError — never a raw struct/index/key/zlib error, an
+    OOM-scale allocation, or a hang. (CRCs make PNG reject almost
+    everything; JPEG/AVI/MP4 tolerate more flips by design.)"""
+    from adcirctime2cogs_spark.functions import mp4codec as m4
+
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     payloads = [
         ("png", pngc.encode_png(img)),
         ("jpeg", jc.encode_jpeg(img)),
         ("avi", vc.encode_avi(img[None, ...], codec="MJPG")),
+        ("mp4", m4.encode_mp4(np.repeat(img[None, ...], 4, axis=0))),
     ]
     for kind, good in payloads:
         raw = bytearray(good)
@@ -448,6 +451,8 @@ def test_codec_fuzz_corruption_never_escapes_typed_errors(seed, n_flips):
                 pngc.decode_png(bytes(raw))
             elif kind == "jpeg":
                 jc.decode_jpeg(bytes(raw))
+            elif kind == "mp4":
+                m4.decode_mp4(bytes(raw))
             else:
                 vc.decode_avi(bytes(raw))
         except ValueError:
