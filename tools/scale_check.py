@@ -967,6 +967,52 @@ def run_nb_classifier_leg(spark, n_docs: int = 1_000_000) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_media_leg(spark, n_docs: int = 50_000) -> dict:
+    """Multimodal throughput leg: mm_mp4_frame_stats runs UNCHANGED on
+    a synthetic n_docs corpus — every doc is MUXED into a Photo-JPEG
+    MP4 (JPEG encode per frame), DEMUXED (box walk + sample-table
+    reconstruction) and JPEG-decoded, all executor-side in Arrow
+    batches with zero shuffles. Checked analytically: the frame count
+    must be sum(2 + d%5) exactly and every decoded frame must be flat
+    (one color) — a single mis-sliced sample byte range breaks JPEG
+    parsing and the count. Reports frames/sec; the plan is map-only,
+    so 100 TB of crawled video scales by adding executors."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.multimodal import (
+        mm_mp4_frame_stats,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_media_")
+    try:
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.lit(1).cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        expect = sum(2 + d % 5 for d in range(n_docs))
+        t0 = time.time()
+        stats = mm_mp4_frame_stats(spark, out).agg(
+            F.count("*").alias("frames"),
+            F.sum((F.col("flat") == 0).cast("long")).alias("nonflat"),
+        ).first()
+        wall = time.time() - t0
+        return {
+            "leg": f"media_mp4_{n_docs}",
+            "n_docs": n_docs,
+            "frames": stats.frames,
+            "frames_per_sec": round(stats.frames / wall, 1) if wall else 0,
+            "wall_sec": round(wall, 2),
+            "violations": 0 if (stats.frames == expect
+                                and not stats.nonflat) else 1,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_substring_leg(spark, n_docs: int = 250_000,
                       carrier_every: int = 50) -> dict:
     """Substring-level dedup at corpus scale: a fixed 20-token
@@ -1735,6 +1781,7 @@ def main() -> int:
             run_prefix_filter_leg(spark, args.corpus_docs),
             run_substring_leg(spark, args.corpus_docs),
             run_nb_classifier_leg(spark),
+            run_media_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
