@@ -6,9 +6,10 @@ reference's geospatial dataflow, run/adcircTime2cogs.py:121-240): one
 command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
-    exact_dedup -> quality -> fuzzy_dedup -> [embedding_dedup] ->
-    [substring_scrub] -> decontaminate -> pii_scrub -> source_cap ->
-    [mixture] -> [pq_index emit] -> split -> shards + card
+    exact_dedup -> quality -> [lang_filter] -> fuzzy_dedup ->
+    [embedding_dedup] -> [substring_scrub] -> decontaminate ->
+    pii_scrub -> source_cap -> [mixture] -> [pq_index emit] ->
+    split -> shards + card
 
 Every stage composes the SAME DataFrame kernels the registered,
 DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
@@ -45,6 +46,7 @@ from pyspark.sql import functions as F
 STAGES = (
     "exact_dedup",
     "quality",
+    "lang_filter",
     "fuzzy_dedup",
     "embedding_dedup",
     "substring_scrub",
@@ -68,7 +70,7 @@ STAGES = (
 # unlike the drop-only dedup stages it changes surviving documents.
 _DEFAULT_ON = {
     s: s not in ("mixture", "embedding_dedup", "pq_index",
-                 "substring_scrub")
+                 "substring_scrub", "lang_filter")
     for s in STAGES
 }
 
@@ -101,6 +103,24 @@ def _quality(docs: DataFrame) -> DataFrame:
     from adcirctime2cogs_spark.operators.dataprep import quality_verdict
 
     return quality_verdict(docs).filter("keep").select(*docs.columns)
+
+
+def _lang_filter(spark: SparkSession, stage_in_dir: str) -> DataFrame:
+    """Language-consistency filter (the CCNet-style LID gate): fit the
+    registered multinomial-NB classifier on the surviving corpus's own
+    (lang, token) counts and DROP documents whose predicted language
+    disagrees with their label — mislabeled or code-switched docs that
+    would pollute per-language mixtures. Composes the same
+    text_nb_classify kernel the DuckDB oracle pins; the keep set is a
+    semi-join, so the stage is one classifier pass + one id join."""
+    from adcirctime2cogs_spark.operators.textstats import text_nb_classify
+
+    keep = (
+        text_nb_classify(spark, stage_in_dir)
+        .filter(F.col("hit") == 1)
+        .select("doc_id")
+    )
+    return _read_stage(spark, stage_in_dir).join(keep, "doc_id", "semi")
 
 
 def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
@@ -357,6 +377,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             continue
         if stage == "fuzzy_dedup":
             out = _fuzzy_dedup(spark, cur_dir)
+        elif stage == "lang_filter":
+            out = _lang_filter(spark, cur_dir)
         elif stage == "substring_scrub":
             out = _substring_scrub(spark, cur_dir)
         elif stage == "embedding_dedup":

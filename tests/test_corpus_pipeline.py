@@ -93,7 +93,7 @@ def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
     # built to survive quality, but the later source-cap stage (top-N
     # per source) may legitimately drop it before the final shards
     scrubbed = spark.read.parquet(
-        str(root / "work" / "07_pii_scrub" / "documents.parquet")
+        str(root / "work" / "08_pii_scrub" / "documents.parquet")
     )
     planted = scrubbed.filter(F.col("doc_id") == 900002).collect()
     assert planted, "planted PII doc must reach the scrub stage"
@@ -353,7 +353,7 @@ def test_substring_scrub_stage_rewrites_not_drops(spark, tmp_path):
               if s["stage"] == "substring_scrub")
     assert st["dropped"] == 0  # rewrite, never a drop
     scrubbed = spark.read.parquet(
-        str(tmp_path / "work" / "05_substring_scrub" / "documents.parquet")
+        str(tmp_path / "work" / "06_substring_scrub" / "documents.parquet")
     )
     rows = {r.doc_id: r.text for r in scrubbed.filter(
         F.col("doc_id") >= 910001).collect()}
@@ -363,3 +363,43 @@ def test_substring_scrub_stage_rewrites_not_drops(spark, tmp_path):
         F.length("text") != F.col("n_chars")
     ).count()
     assert n_chars_ok == 0
+
+
+def test_lang_filter_stage_drops_classifier_misses(spark, tmp_path):
+    """The opt-in lang_filter stage: run with every OTHER filter off so
+    the stage's input is the raw corpus, and pin that it keeps exactly
+    the docs the registered classifier marks hit==1 on that corpus —
+    the stage must be a pure semi-join against the oracle-pinned
+    kernel, not a second implementation."""
+    from adcirctime2cogs_spark.corpus_pipeline import (
+        STAGES,
+        run_corpus_pipeline,
+    )
+    from adcirctime2cogs_spark.operators.textstats import text_nb_classify
+
+    root = tmp_path
+    _planted_input(spark, str(root / "input"))
+    cfg = {
+        "input_dir": str(root / "input"),
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {**{s: False for s in STAGES}, "lang_filter": True},
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    (stage,) = manifest["stages"]
+    assert stage["stage"] == "lang_filter"
+    expected = {
+        r.doc_id
+        for r in text_nb_classify(spark, str(root / "input"))
+        .filter("hit = 1").select("doc_id").collect()
+    }
+    survived = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(root / "work" / "03_lang_filter" / "documents.parquet")
+        ).select("doc_id").collect()
+    }
+    assert survived == expected
+    assert stage["rows_out"] == len(expected)
+    assert stage["dropped"] == manifest["rows_in"] - len(expected)
