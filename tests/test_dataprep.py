@@ -5,6 +5,7 @@ denylist scrub for one document."""
 import hashlib
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.operators.dataprep import (
@@ -417,3 +418,58 @@ def test_text_nb_classify_is_a_proper_posterior_argmax(spark, sf_dir):
         best = min(cls_docs, key=lambda l: (-score(r.doc_id, l), l))
         assert r.predicted_lang == best
         assert abs(r.nb_score - score(r.doc_id, best)) < 2e-4
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_text_nb_classify_matches_reference_on_random_corpora(
+    spark, tmp_path, seed
+):
+    """Randomized-corpus pin: on a corpus with random token soup and
+    random labels (no signal at all — the adversarial case for
+    argmax/tie-break bugs), the Spark classifier must agree with the
+    pure-Python reference model on EVERY document's prediction and
+    rounded score."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.textstats import text_nb_classify
+
+    rng = np.random.default_rng(seed)
+    langs = ["de", "en", "es", "fr"]
+    rows = []
+    for d in range(60):
+        n_tok = int(rng.integers(1, 15))
+        toks = [f"t{rng.integers(0, 30)}" for _ in range(n_tok)]
+        rows.append((d, " ".join(toks), langs[rng.integers(0, 4)], "s", 1))
+    sdf = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    )
+    corpus = str(tmp_path / "corpus")
+    sdf.write.mode("overwrite").parquet(f"{corpus}/documents.parquet")
+    out = {r.doc_id: r for r in text_nb_classify(spark, corpus).collect()}
+
+    toks = {d: t.split() for d, t, _l, _s, _n in rows}
+    label = {d: l for d, _t, l, _s, _n in rows}
+    counts, cls_docs, ct = Counter(), Counter(), Counter()
+    for d, _t, l, _s, _n in rows:
+        cls_docs[l] += 1
+        for t in toks[d]:
+            counts[(l, t)] += 1
+            ct[l] += 1
+    vocab = len({t for (_l, t) in counts})
+
+    def score(d, l):
+        s = math.log(cls_docs[l] / len(rows))
+        for t in toks[d]:
+            s += math.log((counts.get((l, t), 0) + 1) / (ct[l] + vocab))
+        return round(s, 4)
+
+    assert set(out) == set(toks)
+    for d in toks:
+        best = min(cls_docs, key=lambda l: (-score(d, l), l))
+        assert out[d].predicted_lang == best, (d, seed)
+        assert abs(out[d].nb_score - score(d, best)) < 2e-4
+        assert out[d].hit == int(best == label[d])
