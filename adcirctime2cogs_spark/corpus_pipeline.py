@@ -123,6 +123,15 @@ def _lang_filter(spark: SparkSession, stage_in_dir: str) -> DataFrame:
     return _read_stage(spark, stage_in_dir).join(keep, "doc_id", "semi")
 
 
+def _evict_lang_filter_artifacts(spark: SparkSession, stage_dir: str) -> None:
+    """Drop the persisted NB model tables for a transient stage dir
+    once its checkpoint is written (the _fuzzy_dedup eviction
+    discipline)."""
+    from adcirctime2cogs_spark.operators.textstats import evict_nb_artifacts
+
+    evict_nb_artifacts(spark, stage_dir)
+
+
 def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
     """Near-dup clusters -> canonical keepers, via the registered
     dedup_corpus_emit chain (shingles -> capped posting-list
@@ -396,6 +405,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             out = fn(docs)
         stage_dir = os.path.join(work_dir, f"{i:02d}_{stage}")
         n = _write_stage(out, stage_dir)
+        if stage == "lang_filter":
+            _evict_lang_filter_artifacts(spark, cur_dir)
         if stage == "fuzzy_dedup":
             # the dedup kernels memoize persisted shingle artifacts
             # keyed on the stage dir; every run checkpoints under a

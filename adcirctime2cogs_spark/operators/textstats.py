@@ -971,6 +971,65 @@ FROM ranked WHERE rn = 1
 """
 
 
+_NB_MODEL_MEMO: dict = {}  # (session id, sf_dir, mtime) -> (counts, ndoc)
+
+
+def _nb_model_artifacts(spark: SparkSession, sf_dir: str):
+    """The NB classifier's shared intermediates, persisted once per
+    (session, corpus, data version): `counts` — the fitted model's
+    (lang, tok, c) table — and `ndoc` — the per-doc (doc_id,
+    labeled_lang, n_toks) frame. Without them the declarative plan
+    re-scans the corpus seven times (counts feeds vocab-size, class
+    totals AND the scoring join; ndoc feeds priors, the total-doc
+    count AND the score assembly — Catalyst duplicates each subtree);
+    with them, training + scoring touch the corpus exactly three
+    times: counts build, scoring join, per-doc projection. Same memo
+    + eviction discipline as dedup's _shingle_artifacts (keyed on the
+    documents file's mtime; superseded entries unpersisted)."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = (id(spark), sf_dir, mtime)
+    memo = _NB_MODEL_MEMO.get(key)
+    # the id() key can collide across session lifetimes — verify the
+    # memoized entry really belongs to THIS live session (the same
+    # guard _shingle_artifacts carries)
+    if memo is not None and memo[0] is spark:
+        return memo[1], memo[2]
+    for old_key in [k for k in _NB_MODEL_MEMO if k[:2] == key[:2]]:
+        for df in _NB_MODEL_MEMO.pop(old_key)[1:]:
+            df.unpersist()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c")).persist()
+    ndoc = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.size(
+            F.filter(tokens_col(F.lower(F.col("text"))), lambda x: x != "")
+        ).alias("n_toks"),
+    ).persist()
+    _NB_MODEL_MEMO[key] = (spark, counts, ndoc)
+    return counts, ndoc
+
+
+def evict_nb_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist the memoized NB model tables for a corpus dir —
+    pipeline stages that classify a transient stage directory call
+    this so per-run model tables don't pin cluster memory for the
+    session."""
+    for key in [k for k in _NB_MODEL_MEMO
+                if k[0] == id(spark) and k[1] == sf_dir]:
+        for df in _NB_MODEL_MEMO.pop(key)[1:]:
+            df.unpersist()
+
+
 @_register("text_nb_classify", _NB_SQL)
 def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED text classifier: multinomial Naive Bayes with Laplace
@@ -994,30 +1053,24 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-    vv = toks.agg(F.countDistinct("tok").alias("v"))
+    counts, ndoc = _nb_model_artifacts(spark, sf_dir)
+    # every model global derives from the PERSISTED counts/ndoc
+    # artifacts, not from extra corpus passes: vocab size and class
+    # token totals are aggregates of the (lang, tok, c) model table,
+    # class priors come from the per-doc frame the scorer needs anyway
+    vv = counts.agg(F.countDistinct("tok").alias("v"))
     ct = counts.groupBy("lang").agg(F.sum("c").alias("ct"))
-    cls = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    nn = docs.agg(F.count("*").alias("n"))
+    cls = ndoc.groupBy("labeled_lang").agg(F.count("*").alias("n_docs"))
+    nn = cls.agg(F.sum("n_docs").alias("n"))
     linfo = (
-        cls.join(ct, "lang")
+        cls.withColumnRenamed("labeled_lang", "lang")
+        .join(ct, "lang")
         .join(F.broadcast(nn))
         .join(F.broadcast(vv))
         .select(
             "lang",
             F.log(F.col("n_docs") / F.col("n")).alias("lp0"),
             F.log(F.col("ct") + F.col("v")).alias("pen"),
-        )
-    )
-    ndoc = (
-        docs.select("doc_id", F.col("lang").alias("labeled_lang"))
-        .join(
-            toks.groupBy("doc_id").agg(F.count("*").alias("nt")),
-            "doc_id", "left",
-        )
-        .select(
-            "doc_id", "labeled_lang",
-            F.coalesce(F.col("nt"), F.lit(0)).alias("n_toks"),
         )
     )
     s1 = (

@@ -964,6 +964,11 @@ def run_nb_classifier_leg(spark, n_docs: int = 1_000_000) -> dict:
             "violations": 0 if (stats.n == n_docs and acc >= 0.95) else 1,
         }
     finally:
+        from adcirctime2cogs_spark.operators.textstats import (
+            evict_nb_artifacts,
+        )
+
+        evict_nb_artifacts(spark, out)
         shutil.rmtree(out, ignore_errors=True)
 
 
