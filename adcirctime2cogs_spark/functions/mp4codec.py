@@ -58,31 +58,10 @@ def _full(kind: bytes, version: int, flags: int, body: bytes) -> bytes:
     return _box(kind, struct.pack(">I", (version << 24) | flags) + body)
 
 
-def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames -> MP4 bytes (Photo-JPEG track).
-
-    Every sample is a standalone baseline JPEG (jpegcodec.encode_jpeg),
-    i.e. all keyframes — the Motion-JPEG-in-MP4 shape QuickTime calls
-    'jpeg'. Chunking is 3 samples per chunk so stsc/stco carry real
-    structure."""
-    from adcirctime2cogs_spark.functions.jpegcodec import encode_jpeg
-
-    frames = np.ascontiguousarray(frames, dtype="u1")
-    if frames.ndim != 4 or frames.shape[-1] != 3:
-        raise ValueError("encode_mp4 takes (n, h, w, 3) uint8 frames")
-    if fps <= 0:
-        raise ValueError("fps must be positive")
-    n, h, w, _ = frames.shape
-    samples = [encode_jpeg(f, quality=quality) for f in frames]
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
-    mdat_body = b"".join(samples)
-    mdat = _box(b"mdat", mdat_body)
-
-    # --- sample tables ---------------------------------------------
-    # VisualSampleEntry ('jpeg'): 6 reserved + data_reference_index,
-    # then the fixed visual fields (ISO 14496-12 §12.1.3).
-    sample_entry = _box(
+def _visual_sample_entry(w: int, h: int) -> bytes:
+    """VisualSampleEntry ('jpeg'): 6 reserved + data_reference_index,
+    then the fixed visual fields (ISO 14496-12 §12.1.3)."""
+    return _box(
         b"jpeg",
         b"\x00" * 6 + struct.pack(">H", 1)
         + struct.pack(">HHIII", 0, 0, 0, 0, 0)      # pre_defined/reserved
@@ -93,6 +72,37 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
         + b"\x00" * 32                                # compressorname
         + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
     )
+
+
+def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90,
+               fragmented: bool = False) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames -> MP4 bytes (Photo-JPEG track).
+
+    Every sample is a standalone baseline JPEG (jpegcodec.encode_jpeg),
+    i.e. all keyframes — the Motion-JPEG-in-MP4 shape QuickTime calls
+    'jpeg'. Chunking is 3 samples per chunk so stsc/stco carry real
+    structure. fragmented=True writes the fMP4/CMAF layout instead:
+    empty sample tables in moov + mvex/trex defaults, then one
+    moof(mfhd/traf(tfhd/trun)) + mdat pair per 3-sample fragment with
+    default-base-is-moof addressing — the shape DASH segments and
+    crawled streaming video arrive in."""
+    from adcirctime2cogs_spark.functions.jpegcodec import encode_jpeg
+
+    frames = np.ascontiguousarray(frames, dtype="u1")
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError("encode_mp4 takes (n, h, w, 3) uint8 frames")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n, h, w, _ = frames.shape
+    samples = [encode_jpeg(f, quality=quality) for f in frames]
+    if fragmented:
+        return _encode_fmp4(samples, fps, w, h)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    mdat_body = b"".join(samples)
+    mdat = _box(b"mdat", mdat_body)
+
+    sample_entry = _visual_sample_entry(w, h)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
     stts = _full(b"stts", 0, 0,
                  struct.pack(">III", 1, n, 1) if n else struct.pack(">I", 0))
@@ -145,6 +155,70 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
                  + b"\x00" * 24 + struct.pack(">I", 2))
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def _encode_fmp4(samples: list, fps: int, w: int, h: int) -> bytes:
+    """Fragmented-MP4 writer: ftyp('iso5') + moov(empty stbl + mvex/
+    trex) + per-fragment moof/mdat with tfhd default-base-is-moof and
+    a data-offset + sample-size trun."""
+    n = len(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isom" + b"iso5" + b"mp41")
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _visual_sample_entry(w, h))
+    empty = b"".join(
+        _full(kind, 0, 0, struct.pack(">I", 0))
+        for kind in (b"stts", b"stsc", b"stco")
+    )
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stbl = _box(b"stbl", stsd + empty + stsz)
+    url = _full(b"url ", 0, 1, b"")
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, 0,
+                                            0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0, 0)
+                 + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                 + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    # trex: track 1, sample_description_index 1, default duration 1
+    # tick (mdhd timescale = fps -> 1 tick per frame), size/flags 0
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+    out = [ftyp, moov]
+    for seq, i in enumerate(range(0, n, _CHUNK_GROUP), start=1):
+        group = samples[i:i + _CHUNK_GROUP]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(b"tfhd", 0, 0x020000,        # default-base-is-moof
+                     struct.pack(">I", 1))
+        # trun flags: data-offset-present | sample-size-present
+        trun_body = (struct.pack(">I", len(group))
+                     + struct.pack(">i", 0)       # patched below
+                     + b"".join(struct.pack(">I", len(x)) for x in group))
+        trun = _full(b"trun", 0, 0x000201, trun_body)
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # data_offset: moof start -> mdat body (moof + 8-byte header)
+        moof = bytearray(moof)
+        struct.pack_into(">i", moof, len(moof) - 4 * len(group) - 4,
+                         len(moof) + 8)
+        out.append(bytes(moof))
+        out.append(_box(b"mdat", b"".join(group)))
+    return b"".join(out)
 
 
 def _walk(data: bytes, pos: int, end: int):
@@ -211,6 +285,97 @@ def _find(data: bytes, pos: int, end: int, kind: bytes):
     return None
 
 
+def _trex_default_duration(data: bytes, moov: tuple[int, int]):
+    mvex = _find(data, *moov, b"mvex")
+    if mvex is None:
+        return None
+    trex = _find(data, *mvex, b"trex")
+    if trex is None or trex[1] - trex[0] < 24:
+        return None
+    (_tid, _sdi, dur) = struct.unpack_from(">III", data, trex[0] + 4)
+    return dur
+
+
+def _fragment_spans(data: bytes) -> list:
+    """Walk every top-level moof and rebuild (offset, size) sample
+    spans from tfhd/trun — default-base-is-moof and explicit
+    base-data-offset addressing, per-sample or default sample sizes.
+    Same typed-error discipline as the classic sample tables."""
+    spans: list = []
+    for kind, b, e in _walk(data, 0, len(data)):
+        if kind != b"moof":
+            continue
+        moof_start = b - 8
+        traf = _find(data, b, e, b"traf")
+        if traf is None:
+            raise ValueError("moof without traf")
+        tfhd = _find(data, *traf, b"tfhd")
+        if tfhd is None or tfhd[1] - tfhd[0] < 8:
+            raise ValueError("traf without tfhd")
+        (tf_flags,) = struct.unpack_from(">I", data, tfhd[0])
+        tf_flags &= 0xFFFFFF
+        pos = tfhd[0] + 8
+        base = moof_start if tf_flags & 0x020000 else None
+        if tf_flags & 0x1:                       # base-data-offset
+            if pos + 8 > tfhd[1]:
+                raise ValueError("truncated tfhd base-data-offset")
+            (base,) = struct.unpack_from(">Q", data, pos)
+            pos += 8
+        default_size = None
+        if tf_flags & 0x2:                       # sample-description-index
+            pos += 4
+        if tf_flags & 0x8:                       # default-sample-duration
+            pos += 4
+        if tf_flags & 0x10:                      # default-sample-size
+            if pos + 4 > tfhd[1]:
+                raise ValueError("truncated tfhd default-sample-size")
+            (default_size,) = struct.unpack_from(">I", data, pos)
+        if base is None:
+            raise ValueError(
+                "tfhd carries neither base-data-offset nor "
+                "default-base-is-moof"
+            )
+        trun = _find(data, *traf, b"trun")
+        if trun is None or trun[1] - trun[0] < 8:
+            raise ValueError("traf without trun")
+        (tr_flags,) = struct.unpack_from(">I", data, trun[0])
+        tr_flags &= 0xFFFFFF  # version byte unused (v0/v1 share the layout we read)
+        n_samples = _count_field(data, trun, "trun", at=4)
+        pos = trun[0] + 8
+        if not tr_flags & 0x1:
+            raise ValueError("trun without data-offset is unsupported")
+        if pos + 4 > trun[1]:
+            raise ValueError("truncated trun data-offset")
+        (data_offset,) = struct.unpack_from(">i", data, pos)
+        pos += 4
+        if tr_flags & 0x4:                       # first-sample-flags
+            pos += 4
+        per = (4 * bool(tr_flags & 0x100) + 4 * bool(tr_flags & 0x200)
+               + 4 * bool(tr_flags & 0x400) + 4 * bool(tr_flags & 0x800))
+        if n_samples < 0 or pos + n_samples * per > trun[1]:
+            raise ValueError(
+                f"trun declares {n_samples} samples but its box holds "
+                f"{max(0, trun[1] - pos)} bytes"
+            )
+        cursor = base + data_offset
+        for i in range(n_samples):
+            row = pos + i * per
+            off = row
+            if tr_flags & 0x100:
+                off += 4
+            if tr_flags & 0x200:
+                (size,) = struct.unpack_from(">I", data, off)
+            elif default_size is not None:
+                size = default_size
+            else:
+                raise ValueError(
+                    "no sample size in trun and no tfhd default"
+                )
+            spans.append((cursor, size))
+            cursor += size
+    return spans
+
+
 def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     """MP4 bytes -> ((n, h, w, 3) uint8 RGB frames, fps).
 
@@ -270,6 +435,22 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     b, e = tables[b"stsz"]
     uniform = _count_field(data, (b, e), "stsz", at=4)
     count = _count_field(data, (b, e), "stsz", at=8)
+    if count == 0 and not uniform:
+        # empty sample tables: the fragmented (fMP4/DASH) layout — or
+        # a genuinely empty classic file, which yields zero fragments
+        spans = _fragment_spans(data)
+        delta = _trex_default_duration(data, moov) or 1
+        dec = []
+        for off, size in spans:
+            if off + size > len(data):
+                raise ValueError("fragment sample range past EOF")
+            px = decode_jpeg(data[off:off + size])
+            if px.ndim == 2:
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            dec.append(px)
+        fps = (timescale // delta) if delta else timescale
+        out = np.stack(dec) if dec else np.empty((0, 0, 0, 3), dtype="u1")
+        return out, int(fps)
     if uniform:
         # no per-entry table to bound the count with — bound it by the
         # file itself (count * uniform sample bytes must exist), which

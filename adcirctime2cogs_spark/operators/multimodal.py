@@ -566,7 +566,7 @@ def _flat_video_stats(docs: DataFrame, synth_dims, synth_colors,
                 for f in range(nf):
                     frames[f, :, :, 0], frames[f, :, :, 1], \
                         frames[f, :, :, 2] = synth_colors(d, f)
-                dec, _fps = decode(encode(frames))
+                dec, _fps = decode(encode(frames, d))
                 for f in range(dec.shape[0]):
                     fr = dec[f]
                     ids.append(d)
@@ -628,8 +628,8 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_colors=lambda d, f: (
             (d + 11 * f) % 256, (d * 2 + 5 * f) % 256, (d * 3 + 17 * f) % 256
         ),
-        encode=lambda fr: encode_avi(fr, fps=VIDEO_FPS, codec="MJPG",
-                                     quality=MJPEG_QUALITY),
+        encode=lambda fr, _d: encode_avi(fr, fps=VIDEO_FPS, codec="MJPG",
+                                         quality=MJPEG_QUALITY),
         decode=decode_avi,
     )
 
@@ -753,7 +753,11 @@ def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d * 5 + 7 * f) % 256, (d * 3 + 13 * f) % 256,
             (d + 19 * f) % 256,
         ),
-        encode=lambda fr: encode_mp4(fr, fps=VIDEO_FPS,
-                                     quality=MJPEG_QUALITY),
+        # odd docs take the fragmented (moof/traf/trun) layout, even
+        # docs the classic stbl layout — one oracle proves BOTH
+        # container walks reconstruct sample ranges byte-exactly
+        encode=lambda fr, d: encode_mp4(fr, fps=VIDEO_FPS,
+                                        quality=MJPEG_QUALITY,
+                                        fragmented=bool(d % 2)),
         decode=decode_mp4,
     )

@@ -441,6 +441,8 @@ def test_codec_fuzz_corruption_never_escapes_typed_errors(seed, n_flips):
         ("jpeg", jc.encode_jpeg(img)),
         ("avi", vc.encode_avi(img[None, ...], codec="MJPG")),
         ("mp4", m4.encode_mp4(np.repeat(img[None, ...], 4, axis=0))),
+        ("mp4", m4.encode_mp4(np.repeat(img[None, ...], 4, axis=0),
+                              fragmented=True)),
     ]
     for kind, good in payloads:
         raw = bytearray(good)

@@ -26,23 +26,50 @@ def _frames(n, h, w, seed=7):
     return rng.integers(0, 256, size=(n, h, w, 3), dtype="u1")
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     n=st.integers(1, 8),
     h=st.integers(8, 24),
     w=st.integers(8, 24),
     fps=st.integers(1, 60),
     seed=st.integers(0, 2**31 - 1),
+    fragmented=st.booleans(),
 )
-def test_mp4_container_is_transparent(n, h, w, fps, seed):
-    """decode(encode_mp4(frames)) == [decode_jpeg(encode_jpeg(f))]:
-    whatever the lossy codec does, the container adds nothing — which
-    only holds if every stsc/stco/stsz sample range is byte-exact."""
+def test_mp4_container_is_transparent(n, h, w, fps, seed, fragmented):
+    """decode(encode_mp4(frames)) == [decode_jpeg(encode_jpeg(f))] for
+    BOTH layouts: whatever the lossy codec does, the container adds
+    nothing — which only holds if every sample byte range (stsc/stco/
+    stsz classic, tfhd/trun fragmented) is byte-exact."""
     frames = _frames(n, h, w, seed)
-    out, r = mp4codec.decode_mp4(mp4codec.encode_mp4(frames, fps=fps))
+    data = mp4codec.encode_mp4(frames, fps=fps, fragmented=fragmented)
+    out, r = mp4codec.decode_mp4(data)
     assert r == fps
     ref = np.stack([decode_jpeg(encode_jpeg(f, quality=90)) for f in frames])
     assert np.array_equal(out, ref)
+
+
+def test_fmp4_structure_and_corruption():
+    """Fragmented layout: 7 frames -> 3 moof/mdat pairs after an
+    empty-stbl moov; corrupting the trun sample count or stripping
+    tfhd's base addressing must raise the typed error."""
+    data = mp4codec.encode_mp4(_frames(7, 8, 8), fps=5, fragmented=True)
+    kinds = [k for k, _b, _e in mp4codec._walk(data, 0, len(data))]
+    assert kinds == [b"ftyp", b"moov", b"moof", b"mdat", b"moof",
+                     b"mdat", b"moof", b"mdat"]
+    ref, _ = mp4codec.decode_mp4(mp4codec.encode_mp4(_frames(7, 8, 8),
+                                                     fps=5))
+    out, fps = mp4codec.decode_mp4(data)
+    assert fps == 5 and np.array_equal(out, ref)
+    # trun count larger than the box -> typed error
+    bad = bytearray(data)
+    struct.pack_into(">I", bad, data.find(b"trun") + 8, 100_000)
+    with pytest.raises(ValueError):
+        mp4codec.decode_mp4(bytes(bad))
+    # tfhd with neither base-data-offset nor default-base-is-moof
+    bad2 = bytearray(data)
+    struct.pack_into(">I", bad2, data.find(b"tfhd") + 4, 0)
+    with pytest.raises(ValueError):
+        mp4codec.decode_mp4(bytes(bad2))
 
 
 def test_mp4_box_structure():
