@@ -127,8 +127,16 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90,
     stco = _full(b"stco", 0, 0, struct.pack(">I", len(offsets))
                  + b"".join(struct.pack(">I", o) for o in offsets))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _moov_spine(stbl, w, h, fps, n_samples=n,
+                       duration_ticks=n * 1000 // fps)
+    return ftyp + mdat + moov
 
-    # --- the rest of the moov spine --------------------------------
+
+def _moov_spine(stbl: bytes, w: int, h: int, fps: int, n_samples: int,
+                duration_ticks: int, extra: bytes = b"") -> bytes:
+    """The moov tree both writers share: trak(tkhd/mdia(mdhd/hdlr/
+    minf(vmhd/dinf/<stbl>))) under mvhd, plus optional trailing boxes
+    (mvex for the fragmented layout)."""
     url = _full(b"url ", 0, 1, b"")  # flag 1: data in this file
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
     dinf = _box(b"dinf", dref)
@@ -136,11 +144,11 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90,
     minf = _box(b"minf", vmhd + dinf + stbl)
     hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
                  + b"\x00" * 12 + b"VideoHandler\x00")
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n,
-                                            0x55C4, 0))  # lang 'und'
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps,
+                                            n_samples, 0x55C4, 0))  # 'und'
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0,
-                                            n * 1000 // fps)
+                                            duration_ticks)
                  + b"\x00" * 8
                  + struct.pack(">hhhh", 0, 0, 0, 0)
                  + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
@@ -148,13 +156,12 @@ def encode_mp4(frames: np.ndarray, fps: int = 10, quality: int = 90,
                  + struct.pack(">II", w << 16, h << 16))
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000,
-                                            n * 1000 // fps)
+                                            duration_ticks)
                  + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
                  + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                                0x40000000)
                  + b"\x00" * 24 + struct.pack(">I", 2))
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    return _box(b"moov", mvhd + trak + extra)
 
 
 def _encode_fmp4(samples: list, fps: int, w: int, h: int) -> bytes:
@@ -172,32 +179,11 @@ def _encode_fmp4(samples: list, fps: int, w: int, h: int) -> bytes:
     )
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
     stbl = _box(b"stbl", stsd + empty + stsz)
-    url = _full(b"url ", 0, 1, b"")
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
-    dinf = _box(b"dinf", dref)
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
-                 + b"\x00" * 12 + b"VideoHandler\x00")
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, 0,
-                                            0x55C4, 0))
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIIII", 0, 0, 1, 0, 0)
-                 + b"\x00" * 8
-                 + struct.pack(">hhhh", 0, 0, 0, 0)
-                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
-                               0x40000000)
-                 + struct.pack(">II", w << 16, h << 16))
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
-                 + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
-                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
-                               0x40000000)
-                 + b"\x00" * 24 + struct.pack(">I", 2))
     # trex: track 1, sample_description_index 1, default duration 1
     # tick (mdhd timescale = fps -> 1 tick per frame), size/flags 0
     trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0))
-    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    moov = _moov_spine(stbl, w, h, fps, n_samples=0, duration_ticks=0,
+                       extra=_box(b"mvex", trex))
 
     out = [ftyp, moov]
     for seq, i in enumerate(range(0, n, _CHUNK_GROUP), start=1):
@@ -296,84 +282,126 @@ def _trex_default_duration(data: bytes, moov: tuple[int, int]):
     return dur
 
 
-def _fragment_spans(data: bytes) -> list:
+def _fragment_spans(data: bytes, track_id: int | None) -> tuple:
     """Walk every top-level moof and rebuild (offset, size) sample
-    spans from tfhd/trun — default-base-is-moof and explicit
-    base-data-offset addressing, per-sample or default sample sizes.
-    Same typed-error discipline as the classic sample tables."""
+    spans from tfhd/trun — ALL trafs matching the video track and ALL
+    truns per traf, default-base-is-moof and explicit base-data-offset
+    addressing, per-sample or default sample sizes. Returns
+    (spans, sample_duration_or_None). Same typed-error discipline as
+    the classic sample tables: bounded counts, no negative or past-EOF
+    ranges, no unbounded allocations."""
     spans: list = []
+    duration = None
     for kind, b, e in _walk(data, 0, len(data)):
         if kind != b"moof":
             continue
+        # moof may carry a 64-bit largesize header (16 bytes): detect
+        # it so default-base-is-moof addressing points at the true
+        # box start, not 8 bytes in
         moof_start = b - 8
-        traf = _find(data, b, e, b"traf")
-        if traf is None:
-            raise ValueError("moof without traf")
-        tfhd = _find(data, *traf, b"tfhd")
-        if tfhd is None or tfhd[1] - tfhd[0] < 8:
-            raise ValueError("traf without tfhd")
-        (tf_flags,) = struct.unpack_from(">I", data, tfhd[0])
-        tf_flags &= 0xFFFFFF
-        pos = tfhd[0] + 8
-        base = moof_start if tf_flags & 0x020000 else None
-        if tf_flags & 0x1:                       # base-data-offset
-            if pos + 8 > tfhd[1]:
-                raise ValueError("truncated tfhd base-data-offset")
-            (base,) = struct.unpack_from(">Q", data, pos)
-            pos += 8
-        default_size = None
-        if tf_flags & 0x2:                       # sample-description-index
+        if (b >= 16 and data[b - 16:b - 12] == b"\x00\x00\x00\x01"
+                and data[b - 12:b - 8] == b"moof"):
+            moof_start = b - 16
+        for tk, tb, te in _walk(data, b, e):
+            if tk != b"traf":
+                continue
+            tfhd = _find(data, tb, te, b"tfhd")
+            if tfhd is None or tfhd[1] - tfhd[0] < 8:
+                raise ValueError("traf without tfhd")
+            (tf_flags,) = struct.unpack_from(">I", data, tfhd[0])
+            tf_flags &= 0xFFFFFF
+            pos = tfhd[0] + 4
+            (tf_track,) = struct.unpack_from(">I", data, pos)
             pos += 4
-        if tf_flags & 0x8:                       # default-sample-duration
-            pos += 4
-        if tf_flags & 0x10:                      # default-sample-size
-            if pos + 4 > tfhd[1]:
-                raise ValueError("truncated tfhd default-sample-size")
-            (default_size,) = struct.unpack_from(">I", data, pos)
-        if base is None:
-            raise ValueError(
-                "tfhd carries neither base-data-offset nor "
-                "default-base-is-moof"
-            )
-        trun = _find(data, *traf, b"trun")
-        if trun is None or trun[1] - trun[0] < 8:
-            raise ValueError("traf without trun")
-        (tr_flags,) = struct.unpack_from(">I", data, trun[0])
-        tr_flags &= 0xFFFFFF  # version byte unused (v0/v1 share the layout we read)
-        n_samples = _count_field(data, trun, "trun", at=4)
-        pos = trun[0] + 8
-        if not tr_flags & 0x1:
-            raise ValueError("trun without data-offset is unsupported")
-        if pos + 4 > trun[1]:
-            raise ValueError("truncated trun data-offset")
-        (data_offset,) = struct.unpack_from(">i", data, pos)
-        pos += 4
-        if tr_flags & 0x4:                       # first-sample-flags
-            pos += 4
-        per = (4 * bool(tr_flags & 0x100) + 4 * bool(tr_flags & 0x200)
-               + 4 * bool(tr_flags & 0x400) + 4 * bool(tr_flags & 0x800))
-        if n_samples < 0 or pos + n_samples * per > trun[1]:
-            raise ValueError(
-                f"trun declares {n_samples} samples but its box holds "
-                f"{max(0, trun[1] - pos)} bytes"
-            )
-        cursor = base + data_offset
-        for i in range(n_samples):
-            row = pos + i * per
-            off = row
-            if tr_flags & 0x100:
-                off += 4
-            if tr_flags & 0x200:
-                (size,) = struct.unpack_from(">I", data, off)
-            elif default_size is not None:
-                size = default_size
-            else:
+            if track_id is not None and tf_track != track_id:
+                continue  # another track's fragment (e.g. audio)
+            base = moof_start if tf_flags & 0x020000 else None
+            if tf_flags & 0x1:                   # base-data-offset
+                if pos + 8 > tfhd[1]:
+                    raise ValueError("truncated tfhd base-data-offset")
+                (base,) = struct.unpack_from(">Q", data, pos)
+                pos += 8
+            default_size = None
+            if tf_flags & 0x2:                   # sample-description-index
+                pos += 4
+            if tf_flags & 0x8:                   # default-sample-duration
+                if pos + 4 > tfhd[1]:
+                    raise ValueError("truncated tfhd default duration")
+                (tf_dur,) = struct.unpack_from(">I", data, pos)
+                if duration is None and tf_dur:
+                    duration = tf_dur
+                pos += 4
+            if tf_flags & 0x10:                  # default-sample-size
+                if pos + 4 > tfhd[1]:
+                    raise ValueError("truncated tfhd default-sample-size")
+                (default_size,) = struct.unpack_from(">I", data, pos)
+            if base is None:
                 raise ValueError(
-                    "no sample size in trun and no tfhd default"
+                    "tfhd carries neither base-data-offset nor "
+                    "default-base-is-moof"
                 )
-            spans.append((cursor, size))
-            cursor += size
-    return spans
+            for rk, rb, re_ in _walk(data, tb, te):
+                if rk != b"trun":
+                    continue
+                trun = (rb, re_)
+                if trun[1] - trun[0] < 8:
+                    raise ValueError("truncated trun")
+                (tr_flags,) = struct.unpack_from(">I", data, trun[0])
+                tr_flags &= 0xFFFFFF
+                n_samples = _count_field(data, trun, "trun", at=4)
+                pos = trun[0] + 8
+                if not tr_flags & 0x1:
+                    raise ValueError(
+                        "trun without data-offset is unsupported"
+                    )
+                if pos + 4 > trun[1]:
+                    raise ValueError("truncated trun data-offset")
+                (data_offset,) = struct.unpack_from(">i", data, pos)
+                pos += 4
+                if tr_flags & 0x4:               # first-sample-flags
+                    pos += 4
+                per = (4 * bool(tr_flags & 0x100)
+                       + 4 * bool(tr_flags & 0x200)
+                       + 4 * bool(tr_flags & 0x400)
+                       + 4 * bool(tr_flags & 0x800))
+                if n_samples < 0 or pos + n_samples * per > trun[1]:
+                    raise ValueError(
+                        f"trun declares {n_samples} samples but its box "
+                        f"holds {max(0, trun[1] - pos)} bytes"
+                    )
+                if per == 0 and n_samples * max(default_size or 0, 1) > \
+                        len(data):
+                    # no per-sample rows to bound the count with — the
+                    # declared bytes must exist in the file (the
+                    # uniform-stsz guard's fragmented twin)
+                    raise ValueError(
+                        f"trun declares {n_samples} default-size "
+                        f"samples, more than the file holds"
+                    )
+                cursor = base + data_offset
+                for i in range(n_samples):
+                    row = pos + i * per
+                    off = row
+                    if tr_flags & 0x100:         # per-sample duration
+                        (sd,) = struct.unpack_from(">I", data, row)
+                        if duration is None and sd:
+                            duration = sd
+                        off += 4
+                    if tr_flags & 0x200:
+                        (size,) = struct.unpack_from(">I", data, off)
+                    elif default_size is not None:
+                        size = default_size
+                    else:
+                        raise ValueError(
+                            "no sample size in trun and no tfhd default"
+                        )
+                    if cursor < 0 or cursor + size > len(data):
+                        raise ValueError(
+                            "fragment sample range outside the file"
+                        )
+                    spans.append((cursor, size))
+                    cursor += size
+    return spans, duration
 
 
 def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
@@ -396,6 +424,7 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
 
     stbl_span = None
     timescale, delta = 0, 1
+    video_track_id = None
     for k, b, e in _walk(data, *moov):
         if k != b"trak":
             continue
@@ -405,6 +434,11 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
         hdlr = _find(data, *mdia, b"hdlr")
         if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
             continue
+        tkhd = _find(data, b, e, b"tkhd")
+        if tkhd is not None and tkhd[1] - tkhd[0] >= 24:
+            ver = data[tkhd[0]]
+            off = tkhd[0] + 4 + (16 if ver == 1 else 8)
+            (video_track_id,) = struct.unpack_from(">I", data, off)
         mdhd = _find(data, *mdia, b"mdhd")
         if mdhd is not None:
             ver = data[mdhd[0]]
@@ -437,13 +471,13 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     count = _count_field(data, (b, e), "stsz", at=8)
     if count == 0 and not uniform:
         # empty sample tables: the fragmented (fMP4/DASH) layout — or
-        # a genuinely empty classic file, which yields zero fragments
-        spans = _fragment_spans(data)
-        delta = _trex_default_duration(data, moov) or 1
+        # a genuinely empty classic file, which yields zero fragments.
+        # Sample duration preference: trun/tfhd per-fragment values,
+        # then the trex default, then 1 tick per frame
+        spans, frag_delta = _fragment_spans(data, video_track_id)
+        delta = frag_delta or _trex_default_duration(data, moov) or 1
         dec = []
         for off, size in spans:
-            if off + size > len(data):
-                raise ValueError("fragment sample range past EOF")
             px = decode_jpeg(data[off:off + size])
             if px.ndim == 2:
                 px = np.repeat(px[:, :, None], 3, axis=2)

@@ -1011,8 +1011,16 @@ def _nb_model_artifacts(spark: SparkSession, sf_dir: str):
     ndoc = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        F.size(
-            F.filter(tokens_col(F.lower(F.col("text"))), lambda x: x != "")
+        # NULL text must count as 0 tokens (the oracle's LEFT-JOIN
+        # semantics): size() yields NULL/-1 on NULL input depending on
+        # the legacy flag, so clamp both away
+        F.greatest(
+            F.lit(0),
+            F.coalesce(
+                F.size(F.filter(tokens_col(F.lower(F.col("text"))),
+                                lambda x: x != "")),
+                F.lit(0),
+            ),
         ).alias("n_toks"),
     ).persist()
     _NB_MODEL_MEMO[key] = (spark, counts, ndoc)

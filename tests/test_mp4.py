@@ -243,3 +243,63 @@ def test_mp4_decoder_rejects_garbage(junk, prefix):
         mp4codec.decode_mp4(prefix + junk)
     except ValueError:
         pass
+
+
+def test_fmp4_multi_traf_multi_trun_and_default_size():
+    """A hand-built DASH-shaped fragment: an audio traf (track 2) the
+    reader must SKIP, then the video traf carrying TWO truns — the
+    first with per-sample sizes, the second using the tfhd
+    default-sample-size — all under one moof. Every sample must land
+    byte-exactly; repeated with the moof under a 64-bit largesize
+    header, which shifts the default-base-is-moof base."""
+    frames = _frames(3, 8, 8, seed=11)
+    samples = [encode_jpeg(f, quality=90) for f in frames]
+    base_file = mp4codec.encode_mp4(frames, fps=5, fragmented=True)
+    boxes = list(mp4codec._walk(base_file, 0, len(base_file)))
+    moov_b, moov_e = next((b, e) for k, b, e in boxes if k == b"moov")
+    head = base_file[:moov_e]  # ftyp + moov (empty stbl + mvex)
+
+    def build_moof(extra_base_shift):
+        mfhd = mp4codec._full(b"mfhd", 0, 0, struct.pack(">I", 1))
+        # audio traf: track 2, has its own trun the reader must ignore
+        a_tfhd = mp4codec._full(b"tfhd", 0, 0x020000, struct.pack(">I", 2))
+        a_trun = mp4codec._full(b"trun", 0, 0x000201,
+                                struct.pack(">Ii", 1, 0)
+                                + struct.pack(">I", 4))
+        a_traf = mp4codec._box(b"traf", a_tfhd + a_trun)
+        # video traf: tfhd carries default-sample-size for trun 2
+        v_tfhd = mp4codec._full(
+            b"tfhd", 0, 0x020010,
+            struct.pack(">II", 1, len(samples[2])),
+        )
+        trun1 = mp4codec._full(b"trun", 0, 0x000201,
+                               struct.pack(">Ii", 2, 0)
+                               + struct.pack(">II", len(samples[0]),
+                                             len(samples[1])))
+        trun2 = mp4codec._full(b"trun", 0, 0x000001,
+                               struct.pack(">Ii", 1, 0))
+        v_traf = mp4codec._box(b"traf", v_tfhd + trun1 + trun2)
+        moof = bytearray(mp4codec._box(b"moof", mfhd + a_traf + v_traf))
+        # patch the three data_offsets (moof-start relative)
+        mdat_body = len(moof) + extra_base_shift + 8
+        p1 = bytes(moof).find(b"trun")          # audio trun
+        struct.pack_into(">i", moof, p1 + 12, mdat_body)
+        p2 = bytes(moof).find(b"trun", p1 + 1)  # video trun 1
+        struct.pack_into(">i", moof, p2 + 12, mdat_body)
+        p3 = bytes(moof).find(b"trun", p2 + 1)  # video trun 2
+        struct.pack_into(">i", moof, p3 + 12,
+                         mdat_body + len(samples[0]) + len(samples[1]))
+        return bytes(moof)
+
+    mdat = mp4codec._box(b"mdat", b"".join(samples))
+    ref = np.stack([decode_jpeg(s) for s in samples])
+
+    out, fps = mp4codec.decode_mp4(head + build_moof(0) + mdat)
+    assert fps == 5 and np.array_equal(out, ref)
+
+    # same fragment under a largesize moof header (+8-byte header)
+    moof = build_moof(8)
+    large = (struct.pack(">I", 1) + b"moof"
+             + struct.pack(">Q", len(moof) + 8) + moof[8:])
+    out2, _ = mp4codec.decode_mp4(head + large + mdat)
+    assert np.array_equal(out2, ref)
