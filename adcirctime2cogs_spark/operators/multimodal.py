@@ -552,9 +552,15 @@ def _flat_video_stats(docs: DataFrame, synth_dims, synth_colors,
     doc, synthesize flat frames from doc_id arithmetic, run them
     through a REAL encode->decode container+codec chain, and report
     the decoded dims/channels plus a whole-frame flatness assert.
-    One->many mapInPandas, Arrow-batched, no collect; per-doc work is
-    embarrassingly parallel and shuffle-free at any corpus size."""
+    One->many mapInPandas, Arrow-batched, no collect. The doc-id frame
+    is repartitioned to the session default parallelism first: the
+    kernel is CPU-bound (per-frame JPEG/zlib work), so parallelism
+    must come from the cluster, not from however few splits the
+    (projected, doc_id-only) input happened to have — the shuffle
+    moves only ids, negligible at any corpus size."""
     import numpy as np
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -679,7 +685,12 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        # CPU-bound zlib/filter kernel: parallelism from the cluster,
+        # not the input split count (ids only — negligible shuffle)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
