@@ -40,6 +40,25 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id frame for the CPU-bound media kernels, repartitioned to
+    the session default parallelism ONLY when the input is
+    under-split: the codec work (JPEG/zlib/PCM per doc) is CPU-bound,
+    so a small or poorly-split documents table must not pin tens of
+    thousands of codec calls to a handful of tasks — but a well-split
+    corpus keeps its natural granularity (no coalescing into giant
+    tasks that retry expensively). The moved rows are ids only, so
+    the conditional shuffle is negligible at any corpus size. Note:
+    the partition probe is taken at plan-construction time; on an
+    elastic cluster warmed up after session start, defaultParallelism
+    may undercount — fixed local[32] here."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    target = spark.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the payload as a real BinaryType column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -102,7 +121,7 @@ def image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,7 +209,7 @@ def video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/videocodec.py), generated executor-side."""
     from adcirctime2cogs_spark.functions.videocodec import encode_avi
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -552,15 +571,11 @@ def _flat_video_stats(docs: DataFrame, synth_dims, synth_colors,
     doc, synthesize flat frames from doc_id arithmetic, run them
     through a REAL encode->decode container+codec chain, and report
     the decoded dims/channels plus a whole-frame flatness assert.
-    One->many mapInPandas, Arrow-batched, no collect. The doc-id frame
-    is repartitioned to the session default parallelism first: the
-    kernel is CPU-bound (per-frame JPEG/zlib work), so parallelism
-    must come from the cluster, not from however few splits the
-    (projected, doc_id-only) input happened to have — the shuffle
-    moves only ids, negligible at any corpus size."""
+    One->many mapInPandas, Arrow-batched, no collect; callers feed it
+    the _doc_ids frame, which conditionally repartitions an
+    under-split input so the CPU-bound codec work parallelizes across
+    the cluster rather than the input's split count."""
     import numpy as np
-
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -629,7 +644,7 @@ def mm_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _flat_video_stats(
-        load_table(spark, sf_dir, "documents").select("doc_id"),
+        _doc_ids(spark, sf_dir),
         synth_dims=lambda d: (8 * (1 + d % 3), 8 * (1 + d % 2), 3 + d % 4),
         synth_colors=lambda d, f: (
             (d + 11 * f) % 256, (d * 2 + 5 * f) % 256, (d * 3 + 17 * f) % 256
@@ -685,12 +700,7 @@ def mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
     )
 
-    docs = (
-        load_table(spark, sf_dir, "documents").select("doc_id")
-        # CPU-bound zlib/filter kernel: parallelism from the cluster,
-        # not the input split count (ids only — negligible shuffle)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _doc_ids(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -751,14 +761,15 @@ def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every later JPEG fail to parse. Spark side + oracle tail shared
     with mm_mjpeg_frame_stats via _flat_video_stats/_flat_video_sql —
     only the container and the doc_id arithmetic differ; at 100 TB
-    the per-doc demux is embarrassingly parallel and shuffle-free."""
+    the per-doc demux is embarrassingly parallel (one id-only
+    conditional repartition, then a single map stage)."""
     from adcirctime2cogs_spark.functions.mp4codec import (
         decode_mp4,
         encode_mp4,
     )
 
     return _flat_video_stats(
-        load_table(spark, sf_dir, "documents").select("doc_id"),
+        _doc_ids(spark, sf_dir),
         synth_dims=lambda d: (8 * (1 + d % 4), 8 * (1 + d % 3), 2 + d % 5),
         synth_colors=lambda d, f: (
             (d * 5 + 7 * f) % 256, (d * 3 + 13 * f) % 256,

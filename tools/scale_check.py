@@ -977,11 +977,13 @@ def run_media_leg(spark, n_docs: int = 50_000) -> dict:
     a synthetic n_docs corpus — every doc is MUXED into a Photo-JPEG
     MP4 (JPEG encode per frame), DEMUXED (box walk + sample-table
     reconstruction) and JPEG-decoded, all executor-side in Arrow
-    batches with zero shuffles. Checked analytically: the frame count
-    must be sum(2 + d%5) exactly and every decoded frame must be flat
-    (one color) — a single mis-sliced sample byte range breaks JPEG
-    parsing and the count. Reports frames/sec; the plan is map-only,
-    so 100 TB of crawled video scales by adding executors."""
+    batches (one id-only conditional repartition, then a single map
+    stage). Checked analytically: the frame count must be
+    sum(2 + d%5) exactly and every decoded frame must be flat (one
+    color) — a single mis-sliced sample byte range breaks JPEG
+    parsing and the count. Reports frames/sec; the heavy work is a
+    map stage, so 100 TB of crawled video scales by adding
+    executors."""
     import shutil
     import tempfile
 
