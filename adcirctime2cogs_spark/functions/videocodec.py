@@ -133,11 +133,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
             cid = data[pos:pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             body = pos + 8
-            # a declared size past EOF is corruption, not a feature —
-            # raise the typed error rather than unpack off the end
-            if body + size > len(data):
+            # a declared size past the enclosing LIST (or EOF at top
+            # level) is corruption, not a feature — raise the typed
+            # error rather than read a sibling's bytes
+            if body + size > end:
                 raise ValueError(
-                    f"chunk {cid!r} declares {size} bytes past EOF"
+                    f"chunk {cid!r} declares {size} bytes past its "
+                    f"container"
                 )
             if cid == b"LIST":
                 walk(body + 4, body + size)  # skip the 4-byte kind
