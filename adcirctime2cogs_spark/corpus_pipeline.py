@@ -230,7 +230,13 @@ def _emit_pq_index(spark: SparkSession, docs: DataFrame, input_dir: str,
     codes = vec_pq_encode(spark, stage_dir)
     out_path = os.path.join(out_dir, "pq_codes.parquet")
     codes.write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path).count()
+    n = spark.read.parquet(out_path).count()
+    # the encode materialized a layout keyed to this run's stage dir;
+    # the exported pq_codes.parquet above is the durable artifact
+    from adcirctime2cogs_spark.tables import drop_layouts
+
+    drop_layouts(spark, stage_dir)
+    return n
 
 
 def _substring_scrub(spark: SparkSession, stage_in_dir: str) -> DataFrame:

@@ -702,6 +702,22 @@ _IVF_SQL = f"""
     """
 
 
+def _ivf_scored(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cent_id, cs): every vector scored against
+    the broadcast centroid table (vec_id % CENT_MOD == 1) by rounded
+    cosine — THE assignment rule, written once so the materialized
+    inverted file, the probe-side assignment, and the oracle CTEs
+    cannot drift apart."""
+    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    return emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cent_id",
+        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+    )
+
+
 def _ivf_cells_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF coarse-quantizer assignment (vec_id -> cell)
     MATERIALIZED once per (sf_dir, data version) via
@@ -714,22 +730,17 @@ def _ivf_cells_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adcirctime2cogs_spark.tables import layout_once
 
     def build(out_path: str) -> None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cent_emb"),
-        )
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cent_id",
-            r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
-        )
+        scored = _ivf_scored(load_table(spark, sf_dir, "embeddings"))
         w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id")
         (scored.withColumn("rn", F.row_number().over(w))
          .filter(F.col("rn") == 1)
          .select("vec_id", F.col("cent_id").alias("cell"))
          .write.parquet(out_path))
 
-    path = layout_once(spark, sf_dir, "ivf_cells", build)
+    path = layout_once(
+        spark, sf_dir, "ivf_cells", build,
+        code_ver=f"ivf-top1-r4cos-v1:{CENT_MOD}",
+    )
     return spark.read.parquet(path)
 
 
@@ -746,15 +757,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells adapt to the data distribution where sign-LSH cells are fixed
     axis-aligned half-spaces."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
-    )
+    scored = _ivf_scored(emb)
     w_assign = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cent_id")
     # database-side assignment comes from the materialized inverted
     # file (built once per data version); the embedding rides along by
@@ -1454,15 +1457,13 @@ def _pq_sub_dist(emb: Column, anchor: list[float], m: int) -> Column:
     return _sqdist(sub, lit)
 
 
-def _pq_codes(spark: SparkSession, sf_dir: str,
-              anchors: list[list[float]] | None = None) -> DataFrame:
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, c0..c3, e0..e3): per-subspace nearest-anchor code and
     its squared distance. Anchors = the PQ_K lowest vec_ids' own
     subvectors — the same deterministic-init convention as
     vec_kmeans_lloyd (a production codebook would Lloyd-train each
     subspace; assignment and ADC are identical either way)."""
-    if anchors is None:
-        anchors = _pq_anchors(spark, sf_dir)
+    anchors = _pq_anchors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     out = emb.select("vec_id", "embedding")
     for m in range(PQ_M):
@@ -1503,6 +1504,7 @@ def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "pq_codes",
         lambda p: _pq_codes(spark, sf_dir)
         .drop("embedding").write.parquet(p),
+        code_ver=f"pq-lowid-anchors-v1:{PQ_M}:{PQ_K}:{PQ_SUB}",
     )
     return spark.read.parquet(path)
 
@@ -1515,11 +1517,14 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than float32) plus the total quantization error.
 
     Scale shape: the codebook is tiny driver state (16 anchors)
-    folded into literal columns, so encoding is a map-only pass over
-    the vectors — zero shuffle, the profile that PQ-compresses a
-    100 TB embedding store. The oracle re-derives codes and errors in
-    SQL with the same left-folded per-subspace distances and
-    lowest-index tie-break."""
+    folded into literal columns, so the ENCODE ITSELF is a map-only
+    zero-shuffle pass — and it runs ONCE per data version: the first
+    call materializes the code table through tables.layout_once (the
+    index-build job a production tier schedules), and this query —
+    like every other PQ consumer — then scans the 64x-smaller
+    artifact. The oracle re-derives codes and errors in SQL with the
+    same left-folded per-subspace distances and lowest-index
+    tie-break."""
     codes = _pq_codes_table(spark, sf_dir)
     qerr = F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3")
     return codes.select(
@@ -1790,14 +1795,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
 
-    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-    )
-    cscored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cent_id",
-        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
-    )
+    cscored = _ivf_scored(emb).drop("embedding")
     w_assign = W.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), "cent_id"
     )

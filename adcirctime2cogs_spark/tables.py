@@ -189,19 +189,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _src_hash(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 def layout_once(spark: SparkSession, sf_dir: str, name: str,
-                 write_fn) -> str:
+                write_fn, code_ver: str = "") -> str:
     """Write-if-absent derived table layout, keyed on the fixture's
-    content version (registry._data_version): the layout lands once
-    per (sf_dir, data version) in a version-stamped warehouse dir and
-    every later invocation — and every other session sharing the
-    warehouse — reuses it, so the registered query measures the SCAN
-    it demonstrates (SARG/partition pruning), stays plan-cacheable,
-    and can't race: writers stage into a session-unique temp dir and
-    atomically rename; a loser whose rename finds the target already
-    present discards its copy. Superseded versions of the same layout
-    are removed best-effort (stale for every session by definition —
-    the version key is the data's own mtime probe)."""
+    content version (registry._data_version) AND the caller's
+    code_ver: the layout lands once per (sf_dir, data version, code
+    version) in a version-stamped warehouse dir and every later
+    invocation — and every other session sharing the warehouse —
+    reuses it, so the registered query measures the SCAN it
+    demonstrates, stays plan-cacheable, and can't race: writers stage
+    into a session-unique temp dir and atomically rename; a loser
+    whose rename finds the target already present discards its copy.
+
+    Pass a code_ver that names the GENERATING RULE (e.g. the PQ
+    constants) — without it, editing the builder silently serves
+    tables written by the old code on any warm warehouse.
+
+    Superseded versions of the same (name, source) are reaped
+    best-effort only after a one-hour grace period: a concurrent
+    session may still be scanning the old version's files mid-query
+    (its plan resolved before the data changed), so immediate
+    deletion would fail that session's in-flight action."""
     import hashlib
     import os
     import shutil
@@ -209,13 +223,15 @@ def layout_once(spark: SparkSession, sf_dir: str, name: str,
 
     from adcirctime2cogs_spark.registry import _data_version
 
-    # two-part tag: <sf_dir hash>_<data-version hash>. The stale sweep
+    # two-part tag: <sf_dir hash>-<version hash>. The stale sweep
     # below must only reap SUPERSEDED VERSIONS OF THE SAME SOURCE DIR —
     # with an opaque combined hash, a scale leg running on a tempdir
     # corpus would wipe the fixture's layout (and vice versa) just by
     # sharing the layout name
-    src = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    ver = hashlib.md5(str(_data_version(sf_dir)).encode()).hexdigest()[:8]
+    src = _src_hash(sf_dir)
+    ver = hashlib.md5(
+        f"{_data_version(sf_dir)}:{code_ver}".encode()
+    ).hexdigest()[:8]
     tag = f"{src}-{ver}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
@@ -231,27 +247,53 @@ def layout_once(spark: SparkSession, sf_dir: str, name: str,
         if not os.path.exists(f"{path}/_SUCCESS"):
             raise  # a real failure (permissions, bad fs), not a race
         shutil.rmtree(tmp, ignore_errors=True)  # another writer won
+    import re as _re
     import time as _time
 
     try:
         stale = os.listdir(warehouse)
     except OSError:
         stale = []
+    legacy = _re.compile(rf"^{_re.escape(name)}_[0-9a-f]{{12}}$")
     for old in stale:
         # same layout name AND same source dir, different version —
-        # anything else (other sources, other layouts) is live
-        if (not old.startswith(f"{name}_{src}-")
-                or old == f"{name}_{tag}"):
+        # plus pre-two-part-tag legacy dirs (name_<12hex>), which no
+        # current code path can ever address again. Other sources and
+        # other layouts are live.
+        if old == f"{name}_{tag}":
+            continue
+        if not (old.startswith(f"{name}_{src}-") or legacy.match(old)):
             continue
         full = os.path.join(warehouse, old)
-        if ".tmp-" in old:
-            # a crashed writer's staging dir: only reap once it is
-            # clearly abandoned (a live concurrent writer's tmp dir is
-            # minutes old at most)
-            try:
-                if _time.time() - os.path.getmtime(full) < 3600:
-                    continue
-            except OSError:
+        # grace period for EVERYTHING reaped here: crashed writers'
+        # tmp dirs AND superseded versions a concurrent session may
+        # still be scanning
+        try:
+            if _time.time() - os.path.getmtime(full) < 3600:
                 continue
+        except OSError:
+            continue
         shutil.rmtree(full, ignore_errors=True)
     return path
+
+
+def drop_layouts(spark: SparkSession, sf_dir: str) -> None:
+    """Remove EVERY layout_once artifact derived from sf_dir — the
+    cleanup hook for ephemeral corpora (scale legs' tempdirs), whose
+    layouts no later run can ever address (a fresh mkdtemp hashes to
+    a new source tag) and which would otherwise accrete in the
+    warehouse forever."""
+    import os
+    import shutil
+
+    src = _src_hash(sf_dir)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    try:
+        entries = os.listdir(warehouse)
+    except OSError:
+        return
+    for e in entries:
+        if f"_{src}-" in e:
+            shutil.rmtree(os.path.join(warehouse, e), ignore_errors=True)

@@ -83,9 +83,10 @@ def test_ivf_ann_broadcasts_centroids_and_probes(spark, sf_dir):
 
     plan = _plan(sim_topk_ivf(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the centroid cross join is the intentional broadcast NLJ; the
-    # scored subtree appears under both assign and probe branches -> 2
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # exactly ONE intentional broadcast NLJ remains: the probe-side
+    # centroid scoring; database-side assignment reads the
+    # materialized inverted file (ivf_cells layout), never re-scores
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin [cell" in plan  # probe-cell equi-join
 
 def test_embedding_dedup_blocks_and_anti_joins(spark, sf_dir):
@@ -161,8 +162,10 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_maxsim_multivector": 1,  # broadcast probe ship (maxsim)
         "sim_topk_pq_adc": 1,         # broadcast probe-table ship
         "sim_topk_pq_rerank": 1,      # same ADC probe-table broadcast
-        "sim_topk_ivf": 2,            # centroid broadcast under 2 branches
-        "sim_topk_ivfpq": 2,          # same centroid broadcast pair
+        "sim_topk_ivf": 1,            # centroid broadcast (probe branch;
+                                      # assignment reads the materialized
+                                      # inverted file)
+        "sim_topk_ivfpq": 1,          # same single probe-side broadcast
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast

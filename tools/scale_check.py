@@ -898,6 +898,11 @@ def run_corpus_pq_leg(spark, n_vecs: int) -> dict:
             + (0 if rr_hits >= shortlist_ok else 1),
         }
     finally:
+        from adcirctime2cogs_spark.tables import drop_layouts
+
+        # the PQ queries materialized pq_codes for this tempdir corpus
+        # in the shared warehouse; no later run can address it
+        drop_layouts(spark, out)
         shutil.rmtree(out, ignore_errors=True)
 
 
