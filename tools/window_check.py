@@ -1,10 +1,9 @@
 """Reproduce the external harness's check for JUST the verified window.
 
 The driver hash-compares only the FIRST 50 registry entries at sf0.01;
-the full all-oracle sweep (tests/test_oracle_parity.py, or the
-driver-contract loop in .claude/skills/verify) takes ~7 minutes, while
-the window — the part that actually lands in CORRECTNESS_r{N}.json —
-runs in ~2. Use this for fast pre-round validation after a rotation or
+the full all-oracle sweep (tests/test_oracle_parity.py) takes ~7
+minutes, while the window — the part that actually lands in
+CORRECTNESS_r{N}.json — runs in ~2. Use this for fast pre-round validation after a rotation or
 an oracle edit:
 
     python tools/window_check.py            # sf0.01, window only
