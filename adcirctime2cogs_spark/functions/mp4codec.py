@@ -289,9 +289,35 @@ def _fragment_spans(data: bytes, track_id: int | None) -> tuple:
     addressing, per-sample or default sample sizes. Returns
     (spans, sample_duration_or_None). Same typed-error discipline as
     the classic sample tables: bounded counts, no negative or past-EOF
-    ranges, no unbounded allocations."""
+    ranges, no unbounded allocations.
+
+    When the caller could not identify the video track (no tkhd, or a
+    truncated one), feeding EVERY traf to the JPEG decoder would turn
+    a multiplexed file's audio samples into a confusing JPEG parse
+    error. Instead: if all trafs agree on one track id, that id is
+    the track; if they differ, raise a typed 'cannot identify video
+    track' error."""
     spans: list = []
     duration = None
+    if track_id is None:
+        seen: set = set()
+        for kind, b, e in _walk(data, 0, len(data)):
+            if kind != b"moof":
+                continue
+            for tk, tb, te in _walk(data, b, e):
+                if tk != b"traf":
+                    continue
+                tfhd = _find(data, tb, te, b"tfhd")
+                if tfhd is None or tfhd[1] - tfhd[0] < 8:
+                    raise ValueError("traf without tfhd")
+                seen.add(struct.unpack_from(">I", data, tfhd[0] + 4)[0])
+        if len(seen) > 1:
+            raise ValueError(
+                "cannot identify video track: no usable tkhd and the "
+                f"fragments carry {len(seen)} distinct track ids"
+            )
+        if seen:
+            track_id = seen.pop()
     for kind, b, e in _walk(data, 0, len(data)):
         if kind != b"moof":
             continue
@@ -413,11 +439,16 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     the (n, h, w, 3) contract."""
     from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
 
+    # ftyp presence is the ISO-BMFF signature; the brand VALUES are
+    # deliberately not allowlisted. Real crawled fMP4/DASH content
+    # carries major brands like iso5/iso6/dash (our own writer lists
+    # iso5 only under compatible_brands), so a major-brand allowlist
+    # rejects exactly the files this module exists to read. The box
+    # walk + hdlr 'vide' + stsd fourcc checks below are the actual
+    # structural validation.
     head = _find(data, 0, len(data), b"ftyp")
-    if head is None or data[head[0]:head[0] + 4] not in (
-        b"isom", b"mp41", b"mp42", b"qt  ", b"avc1"
-    ):
-        raise ValueError("not an ISO-BMFF/MP4 file")
+    if head is None:
+        raise ValueError("not an ISO-BMFF/MP4 file (no ftyp box)")
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("missing moov box")

@@ -18,6 +18,7 @@ only match if the container walk and frame decode actually ran.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,6 +41,70 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+def _size_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Byte-size session conf as an int; accepts plain numbers and the
+    'k/m/g' suffix forms Spark allows, falls back on anything else."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:
+        return default
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
+        if raw.endswith(suf):
+            return int(float(raw[: -len(suf)])) * mult.get(suf[0], 1)
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
+def _scan_split_estimate(spark: SparkSession, path: str) -> int:
+    """Driver-side estimate of how many input splits the parquet scan
+    of ``path`` gets — the same maxSplitBytes + sequential-packing
+    arithmetic FileSourceScan runs (files sorted size-descending, each
+    split into <= maxSplitBytes chunks, chunks packed with an
+    openCostInBytes pad per file) — computed from the file listing
+    alone. This replaces a ``df.rdd.getNumPartitions()`` probe, which
+    forced a DataFrame->RDD conversion on every plan build: an extra
+    analysis pass, unsupported under Spark Connect, and invisible to
+    AQE. The listing is the same driver-side metadata the scan itself
+    reads, so this costs a handful of stats, no Spark job."""
+    sizes: list[int] = []
+    try:
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                sizes = [
+                    e.stat().st_size
+                    for e in it
+                    if e.is_file() and not e.name.startswith((".", "_"))
+                ]
+        elif os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+    except OSError:
+        return 1
+    if not sizes:
+        return 1
+    max_pb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    core_count = max(1, spark.sparkContext.defaultParallelism)
+    bytes_per_core = (sum(sizes) + len(sizes) * open_cost) // core_count
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    chunks: list[int] = []
+    for s in sorted(sizes, reverse=True):
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        chunks.append(s)
+    parts, cur = 0, 0
+    for c in chunks:
+        padded = c + open_cost
+        if cur and cur + padded > max_split:
+            parts += 1
+            cur = 0
+        cur += padded
+    return parts + (1 if cur else 0)
+
+
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id frame for the CPU-bound media kernels, repartitioned to
     the session default parallelism ONLY when the input is
@@ -48,13 +113,17 @@ def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of codec calls to a handful of tasks — but a well-split
     corpus keeps its natural granularity (no coalescing into giant
     tasks that retry expensively). The moved rows are ids only, so
-    the conditional shuffle is negligible at any corpus size. Note:
-    the partition probe is taken at plan-construction time; on an
-    elastic cluster warmed up after session start, defaultParallelism
-    may undercount — fixed local[32] here."""
+    the conditional shuffle is negligible at any corpus size.
+
+    The under-split probe is _scan_split_estimate — pure driver-side
+    listing arithmetic, no DataFrame->RDD conversion (tests pin it
+    equal to the scan's actual partition count on the fixture dirs,
+    so the decision — and therefore every consumer's plan — is
+    unchanged from the .rdd probe it replaced)."""
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     target = spark.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < target:
+    path = os.path.join(sf_dir, "documents.parquet")
+    if _scan_split_estimate(spark, path) < target:
         ids = ids.repartition(target)
     return ids
 

@@ -282,11 +282,21 @@ def drop_layouts(spark: SparkSession, sf_dir: str) -> None:
     cleanup hook for ephemeral corpora (scale legs' tempdirs), whose
     layouts no later run can ever address (a fresh mkdtemp hashes to
     a new source tag) and which would otherwise accrete in the
-    warehouse forever."""
+    warehouse forever.
+
+    The match is anchored to the full layout_once dir shape
+    (<name>_<src>-<8 hex ver>[.tmp-<8 hex>]) — a bare '_{src}-'
+    substring test would also rmtree any unrelated warehouse entry
+    that happens to embed the 8-hex pattern (e.g. another layout
+    family's tag segment), with no grace period or _SUCCESS check."""
     import os
+    import re
     import shutil
 
     src = _src_hash(sf_dir)
+    shape = re.compile(
+        rf"^[A-Za-z0-9_]+_{src}-[0-9a-f]{{8}}(\.tmp-[0-9a-f]{{8}})?$"
+    )
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
@@ -295,5 +305,5 @@ def drop_layouts(spark: SparkSession, sf_dir: str) -> None:
     except OSError:
         return
     for e in entries:
-        if f"_{src}-" in e:
+        if shape.match(e):
             shutil.rmtree(os.path.join(warehouse, e), ignore_errors=True)

@@ -177,6 +177,19 @@ def test_lsh_bucket_stats_no_over_cap_at_test_sf(spark, sf_dir):
     assert 2 <= stats["max_bucket"] <= stats["bucket_cap"]
 
 
+def test_lsh_bucket_stats_no_over_cap_at_driver_sf(spark, sf_medium_dir):
+    """Same pin at sf0.01 — the scale the EXTERNAL driver window
+    hash-checks the oracle at. If a fixture regeneration ever produced
+    an over-cap bucket here, the driver would report a false red (its
+    window has no lsh_bucket_stats guard), so this assert is the early
+    tripwire."""
+    from adcirctime2cogs_spark.operators.dedup import lsh_bucket_stats
+
+    stats = lsh_bucket_stats(spark, sf_medium_dir)
+    assert stats["n_over_cap"] == 0
+    assert stats["pairs_dropped_to_star"] == 0
+
+
 def test_prefix_jaccard_equals_exact_path(spark, sf_dir):
     """Prefix filtering is LOSSLESS: dedup_prefix_jaccard must return
     byte-identical rows to the full posting-list dedup_ngram_jaccard

@@ -303,3 +303,67 @@ def test_fmp4_multi_traf_multi_trun_and_default_size():
              + struct.pack(">Q", len(moof) + 8) + moof[8:])
     out2, _ = mp4codec.decode_mp4(head + large + mdat)
     assert np.array_equal(out2, ref)
+
+
+def test_mp4_foreign_major_brands_accepted_and_missing_ftyp_rejected():
+    """Round-9 advice fix: real crawled fMP4/DASH carries major brands
+    like iso5/iso6/dash — the decoder must not allowlist brand VALUES
+    (structure, not branding, is the validation). A file with no ftyp
+    box at all is still rejected with the typed error."""
+    frames = _frames(2, 8, 8, seed=3)
+    ref, _ = mp4codec.decode_mp4(mp4codec.encode_mp4(frames, fps=4))
+    for brand in (b"iso5", b"iso6", b"dash", b"msdh", b"XXXX"):
+        for fragmented in (False, True):
+            data = bytearray(mp4codec.encode_mp4(frames, fps=4,
+                                                 fragmented=fragmented))
+            assert data[4:8] == b"ftyp"
+            data[8:12] = brand
+            out, fps = mp4codec.decode_mp4(bytes(data))
+            assert fps == 4 and np.array_equal(out, ref)
+    # strip the ftyp box entirely -> typed rejection
+    data = mp4codec.encode_mp4(frames, fps=4)
+    (ftyp_len,) = struct.unpack_from(">I", data, 0)
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4codec.decode_mp4(data[ftyp_len:])
+
+
+def _hide_tkhd(data: bytes) -> bytes:
+    """Rename every tkhd box to 'free' so the decoder cannot learn the
+    video track id from the movie header."""
+    out = bytearray(data)
+    pos = 0
+    while True:
+        pos = out.find(b"tkhd", pos)
+        if pos < 0:
+            return bytes(out)
+        out[pos:pos + 4] = b"free"
+        pos += 4
+
+
+def test_fmp4_without_tkhd_single_track_decodes():
+    """Advice fix: with no usable tkhd, a single-track fragmented file
+    must still decode — all trafs agree on one track id, so that id
+    IS the video track."""
+    frames = _frames(3, 8, 8, seed=5)
+    data = mp4codec.encode_mp4(frames, fps=6, fragmented=True)
+    ref, _ = mp4codec.decode_mp4(data)
+    out, fps = mp4codec.decode_mp4(_hide_tkhd(data))
+    assert fps == 6 and np.array_equal(out, ref)
+
+
+def test_fmp4_without_tkhd_multi_track_raises_typed_error():
+    """Advice fix: with no usable tkhd AND trafs carrying distinct
+    track ids (a muxed audio+video file), the decoder must raise the
+    typed 'cannot identify video track' error instead of feeding audio
+    samples to the JPEG decoder."""
+    frames = _frames(4, 8, 8, seed=9)
+    data = bytearray(_hide_tkhd(
+        mp4codec.encode_mp4(frames, fps=6, fragmented=True)
+    ))
+    # retag the SECOND fragment's tfhd as track 2
+    first = data.find(b"tfhd")
+    second = data.find(b"tfhd", first + 1)
+    assert second > 0
+    struct.pack_into(">I", data, second + 8, 2)
+    with pytest.raises(ValueError, match="cannot identify video track"):
+        mp4codec.decode_mp4(bytes(data))
