@@ -1172,3 +1172,180 @@ def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "kt").alias("clean_text"),
         (F.col("n") - F.size("kt")).cast("bigint").alias("n_removed"),
     )
+
+
+# --- Semantic dedup (SemDeDup shape: Abbas et al. 2023, arXiv:2303.09540) --
+#
+# Cluster the embedding space, then search for near-duplicate SEMANTICS
+# only WITHIN a cluster: the cluster bounds the quadratic (cell size is
+# ~CENT_MOD by construction, so candidate pairs cost n * cell_size, not
+# n^2), and the keeper rule is the paper's: order each cell's members by
+# similarity-to-centroid ascending and drop an item iff some EARLIER
+# member is a near-duplicate of it — so each duplicate group's survivor
+# is its member FARTHEST from the centroid (the most "edge-of-cluster",
+# least redundant exemplar). The cell assignment is the IVF coarse
+# quantizer already materialized once per data version by
+# tables.layout_once (similarity._ivf_cells_table) — SemDeDup rides the
+# same offline index the ANN serving path uses.
+
+SEM_TAU = 0.4  # within-cell semantic-duplicate cosine threshold
+
+
+def _semdedup_assign_sql() -> str:
+    """Shared oracle CTEs: centroids -> full scoring -> top-1 cell
+    assignment carrying cs (rounded cosine to the OWN cell centroid,
+    the SemDeDup ordering key). Mirrors similarity._IVF_SQL's assign
+    so the materialized inverted file and this oracle cannot drift."""
+    from adcirctime2cogs_spark.operators.similarity import CENT_MOD, _COS_SQL
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cent_emb
+      FROM embeddings WHERE vec_id % {CENT_MOD} = 1
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             round({_COS_SQL.format(a="e.embedding", b="c.cent_emb")}, 4) AS cs
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cent_id AS cell, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )"""
+
+
+def _semdedup_pairs_sql() -> str:
+    from adcirctime2cogs_spark.operators.similarity import _COS_SQL
+
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""{_semdedup_assign_sql()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+           round({cos}, 4) AS cos_sim
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round({cos}, 4) >= {SEM_TAU}
+    """
+
+
+def _semdedup_keepers_sql() -> str:
+    from adcirctime2cogs_spark.operators.similarity import _COS_SQL
+
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""{_semdedup_assign_sql()},
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id != b.vec_id
+      WHERE round({cos}, 4) >= {SEM_TAU}
+        AND (a.cs < b.cs OR (a.cs = b.cs AND a.vec_id < b.vec_id))
+    )
+    SELECT s.vec_id, s.cell, s.cs AS cent_sim
+    FROM assign s
+    WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.dup_id = s.vec_id)
+    """
+
+
+def _semdedup_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cell, cs): each vector joined to its
+    MATERIALIZED IVF cell (layout_once artifact — built once per data
+    version, never re-derived here) plus the rounded cosine to its own
+    cell centroid, recovered by a broadcast equi-join on the (tiny)
+    centroid table — one map-side pass, no re-scoring against all
+    centroids."""
+    from adcirctime2cogs_spark.operators.similarity import (
+        CENT_MOD,
+        _ivf_cells_table,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    return (
+        _ivf_cells_table(spark, sf_dir)
+        .join(emb, "vec_id")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "vec_id", "embedding", "cell",
+            r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+        )
+    )
+
+
+@_register("dedup_semantic_pairs", _semdedup_pairs_sql())
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1: within-cell semantic-duplicate pairs at
+    cosine >= SEM_TAU.
+
+    100 TB shape: the ONLY join fan-out is the per-cell self-join —
+    cell sizes are bounded (~CENT_MOD members by the coarse-quantizer
+    construction), so candidates cost n * cell_size rather than n^2,
+    and the cell assignment itself is a pre-built layout_once artifact
+    (no corpus x centroid re-scan at query time). Complements
+    dedup_embedding_cosine: data-adaptive distance cells vs fixed
+    axis-aligned sign-LSH half-spaces."""
+    from adcirctime2cogs_spark.operators.similarity import cosine
+
+    scored = _semdedup_scored(spark, sf_dir)
+    a = scored.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "cell"
+    )
+    b = scored.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "cell"
+    )
+    cos = r4(cosine(F.col("ea"), F.col("eb")))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= SEM_TAU)
+        .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
+    )
+
+
+@_register("dedup_semantic_keepers", _semdedup_keepers_sql())
+def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 2: survivors under the paper's keeper rule —
+    within each cell, order members by (cent_sim ASC, vec_id) and drop
+    an item iff ANY earlier member is a near-duplicate (cosine >=
+    SEM_TAU); the survivor of each duplicate group is therefore the
+    member farthest from the centroid. The EXISTS-earlier formulation
+    is exactly the paper's triu-max test (dropped items still disqualify
+    later ones), so no sequential per-cell scan is needed: a directed
+    within-cell join + DISTINCT dropped-ids + broadcast anti-join.
+
+    100 TB shape: same bounded within-cell fan-out as the pairs query;
+    the dropped-id set is duplication-sized (small relative to n), so
+    the anti-join broadcasts."""
+    scored = _semdedup_scored(spark, sf_dir)
+    a = scored.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "cell", F.col("cs").alias("cs_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        "cell", F.col("cs").alias("cs_b"),
+    )
+    from adcirctime2cogs_spark.operators.similarity import cosine
+
+    earlier = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
+        .filter(earlier)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            F.broadcast(dropped),
+            scored.vec_id == dropped.dup_id,
+            "left_anti",
+        )
+        .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
+    )

@@ -421,3 +421,96 @@ def test_substring_spans_randomized_equivalence(spark, tmp_path):
         want = brute(texts)
         assert got == want, f"seed {seed}: {got[:3]} vs {want[:3]}"
         assert want, f"seed {seed} planted nothing"
+
+
+def test_semdedup_planted_twins_within_cell_bound_and_keeper_rule(
+    spark, tmp_path
+):
+    """SemDeDup corpus leg (round-9): 1500 synthetic vectors with 40
+    planted semantic twins. Proves (1) recall — every planted twin
+    pair is found; (2) the candidate space is WITHIN-CELL, not
+    all-pairs (the enumerated candidate count is a small fraction of
+    n*(n-1)/2); (3) the keeper rule matches a local numpy
+    reimplementation of the paper's ordering exactly (farthest-from-
+    centroid survivor, EXISTS-earlier drop test)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        SEM_TAU,
+        dedup_semantic_keepers,
+        dedup_semantic_pairs,
+    )
+    from adcirctime2cogs_spark.operators.similarity import CENT_MOD
+    from adcirctime2cogs_spark.tables import drop_layouts
+
+    rng = np.random.default_rng(42)
+    n, dim, n_twins = 1500, 64, 40
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    planted = []
+    for k in range(n_twins):
+        a, b = 3 * k, 3 * k + 1  # distinct, interleaved with centroids
+        vecs[b] = vecs[a] + 0.01 * rng.normal(size=dim).astype("float32")
+        planted.append((a, b))
+    corpus = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(corpus)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(os.path.join(corpus, "embeddings.parquet"))
+
+    try:
+        pairs = {
+            (r.vec_a, r.vec_b)
+            for r in dedup_semantic_pairs(spark, corpus).collect()
+        }
+        for a, b in planted:
+            assert (a, b) in pairs, f"planted twin ({a},{b}) missed"
+
+        # numpy ground truth of assignment + keeper rule
+        v64 = vecs.astype("float64")
+        norms = np.sqrt((v64 * v64).sum(axis=1))
+        cent_ids = np.array([i for i in range(n) if i % CENT_MOD == 1])
+        cs_all = (v64 @ v64[cent_ids].T) / np.outer(norms, norms[cent_ids])
+
+        def half_up4(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+        cs_r = half_up4(cs_all)
+        # top-1 by (cs desc, cent_id asc): argmax on rounded scores,
+        # ties to the LOWEST centroid id (argmax picks first maximum)
+        best = cs_r.argmax(axis=1)
+        cell = cent_ids[best]
+        cent_sim = cs_r[np.arange(n), best]
+
+        # candidate bound: within-cell pairs << all pairs
+        _, counts = np.unique(cell, return_counts=True)
+        within = int((counts * (counts - 1) // 2).sum())
+        assert within < 0.05 * n * (n - 1) / 2
+
+        # keeper rule: drop i iff an EARLIER member of its cell (by
+        # cent_sim asc, id asc) has cosine >= SEM_TAU with it
+        dropped = set()
+        for c in np.unique(cell):
+            members = np.where(cell == c)[0]
+            order = members[np.lexsort((members, cent_sim[members]))]
+            for i, mi in enumerate(order):
+                for mj in order[:i]:
+                    cos = half_up4(
+                        v64[mi] @ v64[mj] / (norms[mi] * norms[mj])
+                    )
+                    if cos >= SEM_TAU:
+                        dropped.add(int(mi))
+                        break
+        keepers = {
+            r.vec_id for r in dedup_semantic_keepers(spark, corpus).collect()
+        }
+        assert keepers == set(range(n)) - dropped
+        # a planted pair never survives intact (its closer-to-centroid
+        # member is dropped; BOTH may drop when a chain to an earlier
+        # accidental near-dup exists — the paper's rule permits that)
+        for a, b in planted:
+            assert not (a in keepers and b in keepers)
+    finally:
+        drop_layouts(spark, corpus)
