@@ -374,10 +374,113 @@ def albers_inverse(e_m, n_m, lat1_deg, lat2_deg, lat0_deg, lon0_deg,
     return np.degrees(theta / n) + lon0_deg, np.degrees(phi)
 
 
+# ------------------------------------ Lambert Azimuthal Equal Area
+# EPSG method 9820 (oblique aspect) — the ETRS89-LAEA 3035 method the
+# EU's INSPIRE gridded datasets use. Shares the authalic-latitude
+# machinery (_aea_q) with Albers.
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101  # NAD83 / ETRS89 ellipsoid
+
+
+def laea_constants(lat0_deg: float, a: float = WGS84_A,
+                   f: float = WGS84_F):
+    """(qp, beta0, Rq, D) for an oblique LAEA with natural-origin
+    latitude lat0 (EPSG 9820)."""
+    e = _ecc(f)
+    p0 = np.radians(lat0_deg)
+    qp = _aea_q(np.pi / 2.0, e)
+    q0 = _aea_q(p0, e)
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    d = a * _lcc_m(p0, e) / (rq * np.cos(beta0))
+    return float(qp), float(beta0), float(rq), float(d)
+
+
+def laea_forward(lon_deg, lat_deg, lat0_deg, lon0_deg,
+                 fe: float = 0.0, fn: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+    """EPSG:4326 -> Lambert Azimuthal Equal Area (E_m, N_m), EPSG
+    method 9820 — oblique aspect, or the polar aspect when lat0 is
+    exactly +-90 (where the oblique constants' D degenerates 0/0)."""
+    lon = np.asarray(lon_deg, dtype="float64")
+    lat = np.asarray(lat_deg, dtype="float64")
+    e = _ecc(f)
+    if abs(lat0_deg) == 90.0:
+        qp = _aea_q(np.pi / 2.0, e)
+        q = _aea_q(np.radians(lat), e)
+        north = lat0_deg > 0.0
+        rho = a * np.sqrt(np.maximum(qp - q if north else qp + q, 0.0))
+        dlam = np.radians(lon - lon0_deg)
+        E = fe + rho * np.sin(dlam)
+        N = fn - rho * np.cos(dlam) if north else fn + rho * np.cos(dlam)
+        return E, N
+    qp, beta0, rq, d = laea_constants(lat0_deg, a, f)
+    beta = np.arcsin(np.clip(_aea_q(np.radians(lat), e) / qp, -1.0, 1.0))
+    dlam = np.radians(lon - lon0_deg)
+    b = rq * np.sqrt(
+        2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
+               + np.cos(beta0) * np.cos(beta) * np.cos(dlam))
+    )
+    E = fe + b * d * np.cos(beta) * np.sin(dlam)
+    N = fn + (b / d) * (np.cos(beta0) * np.sin(beta)
+                        - np.sin(beta0) * np.cos(beta) * np.cos(dlam))
+    return E, N
+
+
+def laea_inverse(e_m, n_m, lat0_deg, lon0_deg,
+                 fe: float = 0.0, fn: float = 0.0,
+                 a: float = WGS84_A, f: float = WGS84_F):
+    """Lambert Azimuthal Equal Area -> EPSG:4326 (lon_deg, lat_deg),
+    EPSG method 9820 inverse (oblique, or polar at lat0 = +-90): the
+    authalic latitude comes back through the same fixed-point
+    iteration Albers uses."""
+    E = np.asarray(e_m, dtype="float64") - fe
+    N = np.asarray(n_m, dtype="float64") - fn
+    e = _ecc(f)
+    if abs(lat0_deg) == 90.0:
+        qp = _aea_q(np.pi / 2.0, e)
+        north = lat0_deg > 0.0
+        rho = np.sqrt(E * E + N * N)
+        qprime = qp - (rho / a) ** 2 if north else (rho / a) ** 2 - qp
+        lam = np.arctan2(E, -N) if north else np.arctan2(E, N)
+        lam = np.where(rho == 0.0, 0.0, lam)
+    else:
+        qp, beta0, rq, d = laea_constants(lat0_deg, a, f)
+        rho = np.sqrt((E / d) ** 2 + (d * N) ** 2)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore"):
+            sin_bp = np.cos(c) * np.sin(beta0) + (
+                d * N * np.sin(c) * np.cos(beta0) / rho
+            )
+        # rho = 0 is the natural origin itself
+        sin_bp = np.where(rho == 0.0, np.sin(beta0), sin_bp)
+        lam = np.arctan2(
+            E * np.sin(c),
+            d * rho * np.cos(beta0) * np.cos(c)
+            - d * d * N * np.sin(beta0) * np.sin(c),
+        )
+        lam = np.where(rho == 0.0, 0.0, lam)
+        qprime = qp * np.clip(sin_bp, -1.0, 1.0)
+    phi = np.arcsin(np.clip(qprime / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi))
+        corr = (
+            qprime / (1.0 - e * e)
+            - s / (1.0 - (e * s) ** 2)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+        phi = phi + denom * corr
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
 # --------------------------------------------------- EPSG dispatch
 # Parameter sets for the projected CRS a met/ocean raster pipeline
 # actually targets (all public EPSG registry definitions). UTM zones
-# (326xx north / 327xx south) are synthesized on demand.
+# (326xx north / 327xx south WGS84, 258xx ETRS89, 269xx NAD83 — the
+# GRS80-datum series run the generalized TM kernel) are synthesized
+# on demand.
 _EPSG_PARAMS = {
     3857: ("webmercator", {}),
     3978: ("lcc", dict(lat1_deg=49.0, lat2_deg=77.0, lat0_deg=49.0,
@@ -401,7 +504,51 @@ _EPSG_PARAMS = {
     # single-sourced)
     5070: ("albers", dict(lat1_deg=29.5, lat2_deg=45.5, lat0_deg=23.0,
                           lon0_deg=-96.0)),  # NAD83 CONUS Albers
+    3035: ("laea", dict(lat0_deg=52.0, lon0_deg=10.0,
+                        fe=4_321_000.0, fn=3_210_000.0,
+                        a=GRS80_A, f=GRS80_F)),
+    # ETRS89-extended / LAEA Europe (EPSG 9820 oblique, GRS80)
+    3572: ("laea", dict(lat0_deg=90.0, lon0_deg=-150.0,
+                        a=WGS84_A, f=WGS84_F)),
+    # WGS84 / North Pole LAEA Alaska (polar aspect of the same kernel)
+    # NAD83 state-plane SPCS83 meter-based samples (GRS80): the LCC 2SP
+    # and TM state families the registry's 26xxx/32xxx blocks repeat
+    # with per-state parameters
+    32118: ("lcc", dict(lat1_deg=41.0 + 2.0 / 60.0,
+                        lat2_deg=40.0 + 40.0 / 60.0,
+                        lat0_deg=40.0 + 10.0 / 60.0, lon0_deg=-74.0,
+                        fe=300_000.0, fn=0.0, a=GRS80_A, f=GRS80_F)),
+    # NAD83 / New York Long Island
+    26985: ("lcc", dict(lat1_deg=39.45, lat2_deg=38.3,
+                        lat0_deg=37.0 + 40.0 / 60.0, lon0_deg=-77.0,
+                        fe=400_000.0, fn=0.0, a=GRS80_A, f=GRS80_F)),
+    # NAD83 / Maryland
+    26929: ("tm", dict(lat0_deg=30.5, lon0_deg=-(85.0 + 50.0 / 60.0),
+                       k0=0.99996, fe=200_000.0, fn=0.0,
+                       a=GRS80_A, f=GRS80_F)),
+    # NAD83 / Alabama East (SPCS83 TM)
 }
+
+# GRS80-datum UTM series: (first code, zone offset, hemisphere-south).
+# ETRS89 (25828-25838, Europe zones 28-38) and NAD83 (26901-26923,
+# zones 1-23) — parameter-table data over the generalized TM kernel,
+# identical shape to the WGS84 326xx/327xx ranges.
+_UTM_GRS80_SERIES = (
+    (25828, 25838, 25800),
+    (26901, 26923, 26900),
+)
+
+
+def _utm_grs80_params(epsg: int) -> dict | None:
+    for lo, hi, base in _UTM_GRS80_SERIES:
+        if lo <= epsg <= hi:
+            zone = epsg - base
+            return dict(
+                lat0_deg=0.0, lon0_deg=float(zone * 6 - 183),
+                k0=0.9996, fe=500_000.0, fn=0.0,
+                a=GRS80_A, f=GRS80_F,
+            )
+    return None
 
 
 def epsg_forward(epsg: int, lon_deg, lat_deg):
@@ -422,6 +569,9 @@ def epsg_forward(epsg: int, lon_deg, lat_deg):
             lon_deg, lat_deg, zone=epsg - 32700, southern=True
         )
         return e, n
+    grs80 = _utm_grs80_params(epsg)
+    if grs80 is not None:
+        return tm_forward(lon_deg, lat_deg, **grs80)
     kind, kw = _EPSG_PARAMS.get(epsg, (None, None))
     if kind == "webmercator":
         return webmercator_forward(lon_deg, lat_deg)
@@ -431,11 +581,17 @@ def epsg_forward(epsg: int, lon_deg, lat_deg):
         return polar_stereo_forward(lon_deg, lat_deg, **kw)
     if kind == "albers":
         return albers_forward(lon_deg, lat_deg, **kw)
+    if kind == "laea":
+        return laea_forward(lon_deg, lat_deg, **kw)
+    if kind == "tm":
+        return tm_forward(lon_deg, lat_deg, **kw)
     if kind == "bng":
         return bng_forward(lon_deg, lat_deg)
     raise ValueError(
         f"EPSG:{epsg} not in the built-in kernel set "
-        f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
+        f"(have 4326, 3857, UTM 326xx/327xx WGS84 + 258xx/269xx GRS80, "
+        f"{sorted(_EPSG_PARAMS)}; kernel families: webmercator, utm/tm, "
+        f"lcc, ps, albers, laea, bng)"
     )
 
 
@@ -448,6 +604,9 @@ def epsg_inverse(epsg: int, e_m, n_m):
         return utm_inverse(e_m, n_m, epsg - 32600)
     if 32701 <= epsg <= 32760:
         return utm_inverse(e_m, n_m, epsg - 32700, southern=True)
+    grs80 = _utm_grs80_params(epsg)
+    if grs80 is not None:
+        return tm_inverse(e_m, n_m, **grs80)
     kind, kw = _EPSG_PARAMS.get(epsg, (None, None))
     if kind == "webmercator":
         return webmercator_inverse(e_m, n_m)
@@ -457,11 +616,17 @@ def epsg_inverse(epsg: int, e_m, n_m):
         return polar_stereo_inverse(e_m, n_m, **kw)
     if kind == "albers":
         return albers_inverse(e_m, n_m, **kw)
+    if kind == "laea":
+        return laea_inverse(e_m, n_m, **kw)
+    if kind == "tm":
+        return tm_inverse(e_m, n_m, **kw)
     if kind == "bng":
         return bng_inverse(e_m, n_m)
     raise ValueError(
         f"EPSG:{epsg} not in the built-in kernel set "
-        f"(have 4326, 3857, UTM 326xx/327xx, {sorted(_EPSG_PARAMS)})"
+        f"(have 4326, 3857, UTM 326xx/327xx WGS84 + 258xx/269xx GRS80, "
+        f"{sorted(_EPSG_PARAMS)}; kernel families: webmercator, utm/tm, "
+        f"lcc, ps, albers, laea, bng)"
     )
 
 
@@ -492,6 +657,10 @@ _PROJ_FWD = {
     "lcc": lcc_forward,
     "ps": polar_stereo_forward,
     "albers": albers_forward,
+    "laea": laea_forward,
+    # tm_forward is defined later in the module (generalized-TM
+    # section); bind late so import order stays one-pass
+    "tm": lambda lon, lat, **kw: tm_forward(lon, lat, **kw),
 }
 _PROJ_INV = {
     "webmercator": _no_params(webmercator_inverse, "webmercator"),
@@ -499,12 +668,15 @@ _PROJ_INV = {
     "lcc": lcc_inverse,
     "ps": polar_stereo_inverse,
     "albers": albers_inverse,
+    "laea": laea_inverse,
+    "tm": lambda e, n, **kw: tm_inverse(e, n, **kw),
 }
 
 
 def proj_forward(kind: str, lon_deg, lat_deg, **params):
     """EPSG:4326 -> a parameterized projection: kind picks the kernel
-    family ('webmercator' | 'utm' | 'lcc' | 'ps' | 'albers'), params
+    family ('webmercator' | 'utm' | 'lcc' | 'ps' | 'albers' |
+    'laea' | 'tm'), params
     pass through to it. Unknown kinds/params raise immediately (plan
     time when called through reproject_points_proj)."""
     fwd = _PROJ_FWD.get(kind)

@@ -337,6 +337,79 @@ def crs_reproject_ups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAEA_ORACLE_SQL = """
+    WITH pt AS (
+      SELECT vec_id,
+             CAST(vec_id % 50 - 10 AS DOUBLE) AS lon,
+             CAST(35 + vec_id % 31 AS DOUBLE) AS lat
+      FROM embeddings WHERE vec_id < 100
+    ), k AS (
+      SELECT 6378137.0 AS a,
+             sqrt(2.0 / 298.257222101
+                  - 1.0 / (298.257222101 * 298.257222101)) AS e,
+             radians(52.0) AS p0, radians(10.0) AS lam0,
+             4321000.0 AS fe, 3210000.0 AS fn
+      FROM (SELECT 1)
+    ), k2 AS (
+      SELECT *,
+        (1.0 - e * e) * (1.0 / (1.0 - e * e)
+          - (1.0 / (2.0 * e)) * ln((1.0 - e) / (1.0 + e))) AS qp,
+        (1.0 - e * e) * (sin(p0) / (1.0 - e * e * sin(p0) * sin(p0))
+          - (1.0 / (2.0 * e))
+            * ln((1.0 - e * sin(p0)) / (1.0 + e * sin(p0)))) AS q0,
+        cos(p0) / sqrt(1.0 - e * e * sin(p0) * sin(p0)) AS m0
+      FROM k
+    ), k3 AS (
+      SELECT *, asin(q0 / qp) AS b0, a * sqrt(qp / 2.0) AS rq FROM k2
+    ), k4 AS (
+      SELECT *, a * m0 / (rq * cos(b0)) AS dd FROM k3
+    ), s AS (
+      SELECT vec_id, fe, fn, b0, rq, dd,
+        asin(((1.0 - e * e)
+          * (sin(radians(lat))
+               / (1.0 - e * e * sin(radians(lat)) * sin(radians(lat)))
+             - (1.0 / (2.0 * e))
+               * ln((1.0 - e * sin(radians(lat)))
+                    / (1.0 + e * sin(radians(lat)))))) / qp) AS b,
+        radians(lon) - lam0 AS dlam
+      FROM pt CROSS JOIN k4
+    ), g AS (
+      SELECT *, rq * sqrt(2.0 / (1.0 + sin(b0) * sin(b)
+                                 + cos(b0) * cos(b) * cos(dlam))) AS bb
+      FROM s
+    )
+    SELECT vec_id,
+           round(fe + bb * dd * cos(b) * sin(dlam), 4) AS laea_e,
+           round(fn + (bb / dd) * (cos(b0) * sin(b)
+                 - sin(b0) * cos(b) * cos(dlam)), 4) AS laea_n
+    FROM g
+"""
+
+
+@_register("crs_reproject_laea", _LAEA_ORACLE_SQL)
+def crs_reproject_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETRS89-extended LAEA Europe (EPSG:3035, method 9820 oblique on
+    GRS80) through the registered EPSG dispatcher — the INSPIRE grid
+    CRS, and the round-9 externally-verified representative of the
+    registry's GRS80-datum parameter rows (258xx/269xx UTM, SPCS83
+    LCC/TM state planes share the same kernels + table, pinned by
+    worked examples in tests/test_crs.py). The oracle restates the
+    full authalic-latitude forward (q, qp, beta, Rq, D, B) in SQL;
+    the kernel matches the EPSG GN7-2 worked example to 0.1 mm."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    pts = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 50 - 10).cast("double").alias("lon"),
+        (F.col("vec_id") % 31 + 35).cast("double").alias("lat"),
+    )
+    out = reproject_points(pts, "lon", "lat", 3035, out_cols=("le", "ln_"))
+    return out.select(
+        "vec_id",
+        r4(F.col("le")).alias("laea_e"),
+        r4(F.col("ln_")).alias("laea_n"),
+    )
+
+
 def _bng_oracle_sql() -> str:
     """Full-formula EPSG:27700 oracle: WGS84 geodetic -> geocentric ->
     position-vector Helmert -> OSGB36 geodetic on Airy 1830 (the

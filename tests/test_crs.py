@@ -234,6 +234,13 @@ def test_epsg_dispatch_roundtrips_every_registered_code():
         5070: ((-125, -66), (24, 50)),
         32617: ((-84, -78), (0, 80)),
         32722: ((-54, -48), (-80, 0)),
+        3035: ((-10, 40), (34, 70)),
+        3572: ((-180, 180), (55, 88)),
+        25832: ((6, 12), (36, 84)),
+        26912: ((-114, -108), (20, 84)),
+        32118: ((-75, -71.8), (40, 41.5)),
+        26985: ((-79.5, -75), (37.8, 39.8)),
+        26929: ((-87, -84.8), (30.5, 35)),
     }
     rng = np.random.default_rng(22)
     for code, (lo_r, la_r) in domains.items():
@@ -242,7 +249,13 @@ def test_epsg_dispatch_roundtrips_every_registered_code():
         E, N = crs.epsg_forward(code, lon, lat)
         lon2, lat2 = crs.epsg_inverse(code, E, N)
         dlon = (np.asarray(lon2) - lon + 180.0) % 360.0 - 180.0
-        tol = 1e-8 if 32000 < code < 33000 else 1e-11  # UTM series trunc
+        # TM-family codes carry the Krueger n^3-series truncation
+        tm_series = (
+            32000 < code < 33000
+            or 25828 <= code <= 25838
+            or 26901 <= code <= 26929  # GRS80 UTM + Alabama East TM
+        )
+        tol = 1e-8 if tm_series else 1e-11
         assert np.abs(dlon).max() < tol, code
         assert np.abs(lat2 - lat).max() < tol, code
     with pytest.raises(ValueError, match="EPSG:9999"):
@@ -409,3 +422,103 @@ def test_parameterless_kinds_reject_stray_params():
         crs.proj_forward("webmercator", 0.0, 45.0, lat_ts_deg=70.0)
     with pytest.raises(TypeError, match="bng takes no"):
         crs.proj_forward("bng", 0.0, 52.0, k0=1.0)
+
+
+def test_laea_matches_epsg_worked_example():
+    """EPSG GN7-2 Lambert Azimuthal Equal Area (method 9820) worked
+    example — ETRS89-LAEA (EPSG:3035 parameters): latitude 50 N,
+    longitude 5 E -> E 3962799.45, N 2999718.85. Pinned to 0.01 m."""
+    E, N = crs.epsg_forward(3035, 5.0, 50.0)
+    assert abs(float(E) - 3962799.45) < 0.01
+    assert abs(float(N) - 2999718.85) < 0.01
+    lon, lat = crs.epsg_inverse(3035, float(E), float(N))
+    assert abs(float(lon) - 5.0) < 1e-9
+    assert abs(float(lat) - 50.0) < 1e-9
+
+
+def test_laea_is_equal_area():
+    """The defining invariant: the forward map's Jacobian determinant
+    must equal the ellipsoidal area element everywhere (scale factor
+    product = 1), for BOTH the oblique (3035) and polar (3572)
+    aspects — checked by finite differences against the ellipsoid's
+    M*N*cos(phi) element."""
+    e2 = 2.0 * crs.GRS80_F - crs.GRS80_F**2
+    rng = np.random.default_rng(9)
+    for code, lat_range, a_ax, ee2 in (
+        (3035, (35.0, 68.0), crs.GRS80_A, e2),
+        (3572, (56.0, 84.0), crs.WGS84_A,
+         2.0 * crs.WGS84_F - crs.WGS84_F**2),
+    ):
+        lon = rng.uniform(-25.0, 35.0, 50)
+        lat = rng.uniform(*lat_range, 50)
+        h = 1e-5
+        E0, N0 = crs.epsg_forward(code, lon, lat)
+        E1, N1 = crs.epsg_forward(code, lon + h, lat)
+        E2, N2 = crs.epsg_forward(code, lon, lat + h)
+        hr = np.radians(h)
+        jac = np.abs(
+            (E1 - E0) * (N2 - N0) - (E2 - E0) * (N1 - N0)
+        ) / (hr * hr)
+        s = np.sin(np.radians(lat))
+        m_rad = a_ax * (1.0 - ee2) / (1.0 - ee2 * s * s) ** 1.5
+        n_rad = a_ax / np.sqrt(1.0 - ee2 * s * s)
+        element = m_rad * n_rad * np.cos(np.radians(lat))
+        assert np.abs(jac / element - 1.0).max() < 1e-4, code
+
+
+def test_grs80_utm_series_matches_wgs84_to_sub_mm():
+    """ETRS89 (258xx) and NAD83 (269xx) UTM are the SAME projection on
+    a GRS80 ellipsoid whose flattening differs from WGS84's in the
+    10th decimal: eastings/northings must agree with the WGS84 326xx
+    kernel to < 1 mm, while NOT being bit-identical (proving the
+    GRS80 constants actually flow through)."""
+    lon = np.linspace(6.5, 11.5, 40)
+    lat = np.linspace(-70.0, 70.0, 40)
+    e1, n1 = crs.epsg_forward(25832, lon, lat)
+    e2, n2 = crs.epsg_forward(32632, lon, lat)
+    assert np.abs(e1 - e2).max() < 1e-3
+    assert np.abs(n1 - n2).max() < 1e-3
+    assert not np.array_equal(n1, n2)
+    # NAD83 zone 12 likewise
+    lon = np.linspace(-113.0, -109.0, 40)
+    e3, n3 = crs.epsg_forward(26912, lon, lat)
+    e4, n4 = crs.epsg_forward(32612, lon, lat)
+    assert np.abs(e3 - e4).max() < 1e-3
+    assert np.abs(n3 - n4).max() < 1e-3
+
+
+def test_state_plane_natural_origins_and_tm_scale():
+    """SPCS83 parameter rows: each zone's grid origin must land at
+    (FE, FN) exactly, and the Alabama East TM central meridian must
+    carry its defining k0 = 0.99996 (measured by finite-difference
+    scale along the meridian at the latitude of origin)."""
+    for code, lon0, lat0, fe, fn in (
+        (32118, -74.0, 40.0 + 10.0 / 60.0, 300_000.0, 0.0),
+        (26985, -77.0, 37.0 + 40.0 / 60.0, 400_000.0, 0.0),
+        (26929, -(85.0 + 50.0 / 60.0), 30.5, 200_000.0, 0.0),
+    ):
+        E, N = crs.epsg_forward(code, lon0, lat0)
+        assert abs(float(E) - fe) < 1e-6, code
+        assert abs(float(N) - fn) < 1e-6, code
+    # TM scale on the central meridian == k0
+    h = 1e-6
+    lat = 30.5
+    _, n0 = crs.epsg_forward(26929, -(85.0 + 50.0 / 60.0), lat)
+    _, n1 = crs.epsg_forward(26929, -(85.0 + 50.0 / 60.0), lat + h)
+    s = np.sin(np.radians(lat))
+    e2 = 2.0 * crs.GRS80_F - crs.GRS80_F**2
+    m_rad = crs.GRS80_A * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+    k = (float(n1) - float(n0)) / (np.radians(h) * m_rad)
+    assert abs(k - 0.99996) < 1e-7
+
+
+def test_epsg_unsupported_code_error_names_families():
+    """The unsupported-code error must tell the user what IS there:
+    code ranges and the kernel family list."""
+    with pytest.raises(ValueError) as ei:
+        crs.epsg_forward(31370, 4.0, 51.0)  # Belgian Lambert 72
+    msg = str(ei.value)
+    for frag in ("EPSG:31370", "258xx/269xx", "laea", "albers", "lcc"):
+        assert frag in msg
+    with pytest.raises(ValueError, match="EPSG:31370"):
+        crs.epsg_inverse(31370, 0.0, 0.0)
