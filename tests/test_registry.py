@@ -49,3 +49,56 @@ def test_plan_cache_exempts_self_invalidating_queries(spark, sf_dir):
     # never serve a previously returned (now stale-listing) plan
     assert a is not b
     assert b.count() > 0  # and the fresh plan is readable end to end
+
+
+def test_no_oracled_query_ages_past_policy():
+    """Machine-check of the rotation arithmetic (VERDICT r08 item 8):
+    given the CORRECTNESS_r{N}.json history on disk and the CURRENT
+    _PRIORITY, (a) every oracled query whose last external hash-green
+    is >= 4 rounds old by the COMING round must be in the window now,
+    and (b) every oracled query the driver has never verified must be
+    in the window now (rule 2). Keeps the staleness bookkeeping out of
+    session memory."""
+    import glob
+    import json
+    import re
+
+    last_green: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", f)
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        doc = json.load(open(f))
+        qdict = doc.get("queries", doc)
+        if not isinstance(qdict, dict):
+            continue
+        for name, res in qdict.items():
+            ok = res if isinstance(res, bool) else (
+                isinstance(res, dict)
+                and bool(res.get("match") or res.get("ok")
+                         or res.get("hash_match"))
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    assert rounds, "no CORRECTNESS files found"
+    coming = max(rounds) + 1
+    window = set(registry._PRIORITY)
+    oracles = registry.all_oracles()
+    overdue = sorted(
+        n for n, r in last_green.items()
+        if n in oracles and coming - r >= 4 and n not in window
+    )
+    assert not overdue, (
+        f"oracled queries stale past the 4-round policy and NOT in the "
+        f"window: {overdue}"
+    )
+    never = sorted(
+        n for n in set(registry.all_queries()) & set(oracles)
+        if n not in last_green and n not in window
+    )
+    assert not never, (
+        f"never-externally-verified oracled queries NOT in the window: "
+        f"{never}"
+    )
