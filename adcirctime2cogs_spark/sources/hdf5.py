@@ -55,13 +55,19 @@ B-tree once driver-side and emits one (t_idx, chunk offset, stored
 bytes) task per chunk of the record variable — each task then reads
 ONLY its compressed chunk bytes.
 
-Out-of-scope (clear errors, not silent wrong answers): fractal heaps
-beyond one root direct block (indirect blocks, huge/tiny IDs,
-filtered heaps — dense groups with hundreds of links), multi-level
-dense-link B-trees, v2-B-TREE chunk indexes (two or more unlimited
-dims — NetCDF-4 files have at most one), paged Fixed/Extensible
-Array data blocks, szip/user filters, datatypes beyond
-fixed/float/string/reference/vlen.
+Fractal heaps (dense group links AND dense attributes — where
+'latest' puts attributes past max_compact=8, e.g. the 15+ global
+attributes of real ADCIRC output) decode with root direct OR root
+indirect blocks and deflate-filtered blocks (_FractalHeap).
+
+Out-of-scope (clear errors, not silent wrong answers): nested
+indirect fractal-heap blocks (heaps past the direct-row span —
+gigabytes of link/attribute payload), huge/tiny heap IDs,
+non-deflate heap filters, multi-level dense-index B-trees,
+v2-B-TREE chunk indexes (two or more unlimited dims — NetCDF-4
+files have at most one), paged Fixed/Extensible Array data blocks,
+szip/user filters, datatypes beyond fixed/float/string/reference/
+vlen.
 """
 
 from __future__ import annotations
@@ -88,6 +94,7 @@ MSG_LAYOUT = 0x08
 MSG_GROUP_INFO = 0x0A
 MSG_FILTERS = 0x0B
 MSG_ATTRIBUTE = 0x0C
+MSG_ATTR_INFO = 0x15
 MSG_CONTINUATION = 0x10
 MSG_SYMBOL_TABLE = 0x11
 
@@ -525,6 +532,206 @@ def _walk_group(s: _Src, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
     return out
 
 
+class _FractalHeap:
+    """Managed-object reads from an HDF5 fractal heap (the storage
+    behind dense group links and dense attributes in libhdf5 'latest'
+    files). Supported geometry: root DIRECT block, or a root INDIRECT
+    block whose doubling-table rows are all direct rows — i.e. any
+    heap whose data fits under max_direct_block_size * width *
+    max_direct_rows (gigabytes; attribute/link payloads are KB) —
+    with optional deflate-filtered direct blocks. Nested indirect
+    blocks, huge/tiny IDs, and non-deflate heap filters raise clear
+    typed errors."""
+
+    def __init__(self, s: _Src, addr: int):
+        self._s = s
+        hd = s.read(addr, 146)
+        if hd[:4] != b"FRHP" or hd[4] != 0:
+            raise HDF5Error("bad fractal heap header")
+        self.addr = addr
+        self.heap_id_len = _u16(hd, 5)
+        filt_len = _u16(hd, 7)
+        self.checksummed = bool(hd[9] & 0x02)
+        self.width = _u16(hd, 110)
+        self.start_size = _u64(hd, 112)
+        self.max_direct = _u64(hd, 120)
+        self.max_heap_bits = _u16(hd, 128)
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = self.heap_id_len - 1 - self.off_size
+        if self.len_size <= 0:
+            raise HDF5Error(
+                f"fractal heap ID length {self.heap_id_len} inconsistent "
+                f"with {self.max_heap_bits}-bit heap offsets"
+            )
+        self.root_addr = _u64(hd, 132)
+        self.cur_rows = _u16(hd, 140)
+        self.filtered = filt_len > 0
+        self.root_filtered_size = 0
+        self.root_filter_mask = 0
+        if self.filtered:
+            # the filtered-root size/mask pair is only stored when the
+            # root IS a direct block; a root indirect block carries
+            # per-child stored sizes in its own entries instead
+            if self.cur_rows == 0:
+                tail = s.read(addr + 142, 12 + filt_len)
+                self.root_filtered_size = _u64(tail, 0)
+                self.root_filter_mask = _u32(tail, 8)
+                info = tail[12:12 + filt_len]
+            else:
+                info = s.read(addr + 142, filt_len)
+            filters = _parse_filters(info)
+            bad = [fid for fid, _ in filters if fid != FILTER_DEFLATE]
+            if bad:
+                raise HDF5Error(
+                    f"fractal heap filter ids {bad} are out of scope "
+                    f"(deflate only)"
+                )
+        if not self.start_size or (self.max_direct < self.start_size):
+            raise HDF5Error("bad fractal heap doubling table")
+        import math
+
+        self.max_direct_rows = (
+            int(math.log2(self.max_direct) - math.log2(self.start_size)) + 2
+        )
+        self._hdr_size = (
+            4 + 1 + 8 + self.off_size + (4 if self.checksummed else 0)
+        )
+
+    def _row_size(self, r: int) -> int:
+        return self.start_size if r < 2 else self.start_size << (r - 1)
+
+    def _read_direct(self, addr: int, nominal: int, virt: int,
+                     stored: int | None) -> bytes:
+        if addr == H5_UNDEF:
+            raise HDF5Error(
+                f"fractal heap ID points into an unallocated direct "
+                f"block at virtual offset {virt}"
+            )
+        if self.filtered:
+            try:
+                raw = zlib.decompress(self._s.read(addr, stored))
+            except zlib.error as exc:
+                raise HDF5Error(
+                    f"corrupt filtered fractal-heap block: {exc}"
+                ) from exc
+            if len(raw) != nominal:
+                raise HDF5Error(
+                    f"filtered fractal-heap block inflated to {len(raw)} "
+                    f"bytes, expected {nominal}"
+                )
+        else:
+            raw = self._s.read(addr, nominal)
+        if raw[:4] != b"FHDB" or raw[4] != 0:
+            raise HDF5Error("bad fractal heap direct block")
+        if _u64(raw, 5) != self.addr:
+            raise HDF5Error("fractal heap direct block points elsewhere")
+        blk_off = int.from_bytes(raw[13:13 + self.off_size], "little")
+        if blk_off != virt:
+            raise HDF5Error(
+                f"fractal heap direct block at virtual {blk_off}, "
+                f"expected {virt}"
+            )
+        return raw
+
+    def _root_indirect_entry(self, idx: int) -> tuple[int, int | None]:
+        """(child address, stored size if filtered) for entry idx of
+        the root indirect block."""
+        entry_sz = 8 + (12 if self.filtered else 0)
+        head_sz = 4 + 1 + 8 + self.off_size
+        base = self.root_addr + head_sz + idx * entry_sz
+        raw = self._s.read(self.root_addr, head_sz)
+        if raw[:4] != b"FHIB" or raw[4] != 0:
+            raise HDF5Error("bad fractal heap indirect block")
+        if _u64(raw, 5) != self.addr:
+            raise HDF5Error("fractal heap indirect block points elsewhere")
+        ent = self._s.read(base, entry_sz)
+        addr = _u64(ent, 0)
+        stored = _u64(ent, 8) if self.filtered else None
+        return addr, stored
+
+    def get(self, off: int, ln: int) -> bytes:
+        """Managed object bytes at virtual heap offset `off`."""
+        if self.cur_rows == 0:
+            # root is one direct block of the starting size; virtual
+            # offset 0 is the block start (its header occupies the
+            # first bytes of the managed space)
+            if ln == 0 or off + ln > self.start_size:
+                raise HDF5Error(
+                    f"fractal heap ID ({off}, {ln}) outside the root "
+                    f"direct block of {self.start_size} bytes"
+                )
+            blk = self._read_direct(
+                self.root_addr, self.start_size, 0,
+                self.root_filtered_size or None,
+            )
+            return blk[off:off + ln]
+        # root indirect block: walk the doubling table row-major
+        virt = 0
+        for r in range(self.cur_rows):
+            size = self._row_size(r)
+            span = self.width * size
+            if off < virt + span:
+                if r >= self.max_direct_rows:
+                    raise HDF5Error(
+                        "nested indirect fractal-heap blocks are out of "
+                        "scope (heap exceeds the direct-row span)"
+                    )
+                col = (off - virt) // size
+                blk_virt = virt + col * size
+                if ln == 0 or off - blk_virt + ln > size:
+                    raise HDF5Error(
+                        f"fractal heap ID ({off}, {ln}) crosses its "
+                        f"direct block of {size} bytes"
+                    )
+                addr, stored = self._root_indirect_entry(
+                    r * self.width + col
+                )
+                blk = self._read_direct(addr, size, blk_virt, stored)
+                rel = off - blk_virt
+                return blk[rel:rel + ln]
+            virt += span
+        raise HDF5Error(
+            f"fractal heap ID offset {off} beyond the root indirect "
+            f"block's {self.cur_rows} rows"
+        )
+
+    def managed_id(self, hid: bytes) -> tuple[int, int]:
+        """(offset, length) from a managed heap ID; huge/tiny raise."""
+        if (hid[0] >> 4) & 0x3 != 0:
+            raise HDF5Error("huge/tiny fractal heap IDs are out of scope")
+        off = int.from_bytes(hid[1:1 + self.off_size], "little")
+        ln = int.from_bytes(
+            hid[1 + self.off_size:1 + self.off_size + self.len_size],
+            "little",
+        )
+        return off, ln
+
+
+def _v2_btree_records(s: _Src, addr: int, expect_type: int):
+    """Depth-0 v2 B-tree leaf records: (record bytes, ...) in leaf
+    order. Used for both the dense-link name index (type 5) and the
+    dense-attribute name index (type 8); deeper trees raise."""
+    hd = s.read(addr, 38)
+    if hd[:4] != b"BTHD" or hd[4] != 0:
+        raise HDF5Error("bad v2 B-tree header")
+    btype = hd[5]
+    if btype != expect_type:
+        raise HDF5Error(
+            f"v2 B-tree type {btype}, expected {expect_type}"
+        )
+    rec_size = _u16(hd, 10)
+    depth = _u16(hd, 12)
+    root_nrec = _u16(hd, 24)
+    leaf_addr = _u64(hd, 16)
+    if depth:
+        raise HDF5Error("multi-level dense-index B-trees are out of scope")
+    leaf = s.read(leaf_addr, 6 + root_nrec * rec_size + 4)
+    if leaf[:4] != b"BTLF" or leaf[4] != 0:
+        raise HDF5Error("bad v2 B-tree leaf")
+    for i in range(root_nrec):
+        yield leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
+
+
 def _dense_group_links(s: _Src, fheap_addr: int,
                        btree_addr: int) -> dict[str, int]:
     """Dense (fractal-heap) group storage — what libhdf5 'latest'
@@ -532,70 +739,47 @@ def _dense_group_links(s: _Src, fheap_addr: int,
     file written with libver='latest': the Link Info message points
     at a fractal heap holding the serialized Link messages and a v2
     B-tree (type 5, name index) of (name hash, heap ID) records.
-    Supported shape: root-direct-block heaps (current rows == 0) with
-    managed heap IDs and a depth-0 B-tree — the layout any
-    fixture-scale group gets; indirect heap blocks, huge/tiny IDs,
-    filtered heaps, and deeper trees raise clearly."""
-    frhp = s.read(fheap_addr, 146)
-    if frhp[:4] != b"FRHP" or frhp[4] != 0:
-        raise HDF5Error("bad fractal heap header")
-    heap_id_len = _u16(frhp, 5)
-    if _u16(frhp, 7):
-        raise HDF5Error("filtered fractal heaps are out of scope")
-    max_heap_bits = _u16(frhp, 128)
-    off_size = (max_heap_bits + 7) // 8
-    len_size = heap_id_len - 1 - off_size
-    block_size = _u64(frhp, 112)  # starting block size == root block
-    root_addr = _u64(frhp, 132)
-    if _u16(frhp, 140):  # current rows in root indirect block
-        raise HDF5Error(
-            "indirect fractal-heap blocks are out of scope "
-            "(root must be a direct block)"
-        )
-    blk = s.read(root_addr, block_size)
-    if blk[:4] != b"FHDB" or blk[4] != 0:
-        raise HDF5Error("bad fractal heap direct block")
-
-    hd = s.read(btree_addr, 38)
-    if hd[:4] != b"BTHD" or hd[4] != 0:
-        raise HDF5Error("bad v2 B-tree header")
-    rec_size = _u16(hd, 10)
-    depth = _u16(hd, 12)
-    root_nrec = _u16(hd, 24)
-    leaf_addr = _u64(hd, 16)
-    if depth:
-        raise HDF5Error("multi-level dense-link B-trees are out of scope")
-    leaf = s.read(leaf_addr, 6 + root_nrec * rec_size + 4)
-    if leaf[:4] != b"BTLF" or leaf[4] != 0:
-        raise HDF5Error("bad v2 B-tree leaf")
-    if len_size <= 0:
-        raise HDF5Error(
-            f"fractal heap ID length {heap_id_len} inconsistent with "
-            f"{max_heap_bits}-bit heap offsets"
-        )
+    The heap may be root-direct or root-indirect and deflate-filtered
+    (_FractalHeap); huge/tiny IDs and deeper B-trees raise clearly."""
+    heap = _FractalHeap(s, fheap_addr)
     out: dict[str, int] = {}
-    for i in range(root_nrec):
-        rec = leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
-        hid = rec[4:4 + heap_id_len]  # after the 4-byte name hash
-        if (hid[0] >> 4) & 0x3 != 0:
-            raise HDF5Error("huge/tiny fractal heap IDs are out of scope")
-        off = int.from_bytes(hid[1:1 + off_size], "little")
-        ln = int.from_bytes(hid[1 + off_size:1 + off_size + len_size],
-                            "little")
-        # managed offsets are virtual-from-heap-start; the root direct
-        # block's virtual offset is 0 and its header occupies the
-        # first bytes of that space, so file position == block + off.
-        # Bounds-check so a malformed record raises HDF5Error (the
-        # error type netcdf.py's library fallback catches), never an
-        # IndexError out of _parse_link on a truncated slice
-        if ln == 0 or off + ln > block_size:
-            raise HDF5Error(
-                f"fractal heap ID ({off}, {ln}) outside the root "
-                f"direct block of {block_size} bytes"
-            )
-        name, ohdr = _parse_link(blk[off:off + ln])
+    for rec in _v2_btree_records(s, btree_addr, 5):
+        hid = rec[4:4 + heap.heap_id_len]  # after the 4-byte name hash
+        off, ln = heap.managed_id(hid)
+        # bounds are re-checked inside get() so a malformed record
+        # raises HDF5Error (the error type netcdf.py's library
+        # fallback catches), never an IndexError out of _parse_link
+        name, ohdr = _parse_link(heap.get(off, ln))
         if ohdr is not None:
             out[name] = ohdr
+    return out
+
+
+def _dense_attributes(s: _Src, msg_body: bytes) -> list[tuple[str, object]]:
+    """Dense attribute storage (Attribute Info message 0x15) — where
+    libhdf5 'latest' moves attributes past max_compact (default 8),
+    e.g. the 15+ global attributes of a real ADCIRC output file: a
+    fractal heap of serialized Attribute messages plus a v2 B-tree
+    (type 8, name index) whose records carry an 8-byte heap ID,
+    message flags, creation order, and name hash."""
+    flags = msg_body[1]
+    p = 2 + (2 if flags & 0x01 else 0)
+    fheap_addr = _u64(msg_body, p)
+    name_btree = _u64(msg_body, p + 8)
+    if fheap_addr == H5_UNDEF or name_btree == H5_UNDEF:
+        return []
+    heap = _FractalHeap(s, fheap_addr)
+    if heap.heap_id_len != 8:
+        raise HDF5Error(
+            f"dense-attribute heap ID length {heap.heap_id_len}, "
+            f"expected 8"
+        )
+    out: list[tuple[str, object]] = []
+    for rec in _v2_btree_records(s, name_btree, 8):
+        off, ln = heap.managed_id(rec[0:8])
+        if rec[8] & 0x03:
+            raise HDF5Error("shared dense attribute messages unsupported")
+        out.append(_parse_attribute(heap.get(off, ln), s))
     return out
 
 
@@ -940,6 +1124,8 @@ class H5File:
             if t == MSG_ATTRIBUTE:
                 k, v = _parse_attribute(b, self._s)
                 attrs[k] = v
+            elif t == MSG_ATTR_INFO:
+                attrs.update(_dense_attributes(self._s, b))
         if top:
             self.root_attrs = attrs
         for name, child_addr in _walk_group(self._s, msgs).items():
@@ -974,6 +1160,8 @@ class H5File:
             elif t == MSG_ATTRIBUTE:
                 k, v = _parse_attribute(b, self._s)
                 attrs[k] = v
+            elif t == MSG_ATTR_INFO:
+                attrs.update(_dense_attributes(self._s, b))
         if dtype is None or layout is None:
             raise HDF5Error(f"dataset {name!r} missing datatype/layout")
         return H5Dataset(name, addr, shape, maxshape, dtype, layout,
@@ -1397,6 +1585,227 @@ def _ohdr_v2_size(msgs) -> int:
     return 8 + sum(4 + psize for _, psize, _ in msgs) + 4
 
 
+def _deflate_filter_pipeline_v1() -> bytes:
+    """Version-1 I/O filter pipeline message body: deflate level 6 —
+    the filter info a filtered fractal heap carries in its header."""
+    return (
+        struct.pack("<BB6x", 1, 1)
+        + struct.pack("<HHHH", FILTER_DEFLATE, 0, 1, 1)
+        + struct.pack("<I", 6) + b"\x00" * 4
+    )
+
+
+def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
+                       force_indirect: bool = False, filt: bool = False,
+                       width: int = 4, start_block: int = 512,
+                       max_direct: int = 65536):
+    """Fixture-writer twin of _FractalHeap: append the FRHP header,
+    direct block(s), and — when forced or when the payload spans
+    blocks — the root indirect block to `blobs`. `objects` is a list
+    of (size, bytes | callable(addrs) -> bytes); returns the managed
+    (virtual offset, size) heap ID pair per object, in order.
+
+    Geometry mirrors the reader's supported envelope: 32-bit max heap
+    offsets, checksummed direct blocks, doubling-table rows of `width`
+    blocks (rows 0/1 at start_block, row r at start_block*2^(r-1)),
+    optional deflate-filtered blocks. Filtered blocks are written as
+    level-0 (stored) zlib streams so their on-disk sizes are a pure
+    function of the nominal block size — blob layout needs sizes
+    before content exists; the reader inflates any valid stream."""
+    import math
+
+    MAX_HEAP_BITS = 32
+    off_size = 4
+    hdr_sz = 4 + 1 + 8 + off_size + 4
+    sizes = [sz for sz, _ in objects]
+    filt_info = _deflate_filter_pipeline_v1() if filt else b""
+    max_direct_rows = (
+        int(math.log2(max_direct) - math.log2(start_block)) + 2
+    )
+
+    def row_size(r: int) -> int:
+        return start_block if r < 2 else start_block << (r - 1)
+
+    def slot(k: int) -> tuple[int, int]:
+        r, c = divmod(k, width)
+        if r >= max_direct_rows:
+            raise HDF5Error(
+                "fixture writer: heap payload exceeds the direct-row span"
+            )
+        v = sum(width * row_size(rr) for rr in range(r)) + c * row_size(r)
+        return v, row_size(r)
+
+    need = hdr_sz + sum(sizes)
+    single = not force_indirect
+    if single:
+        block0 = start_block
+        while block0 < need:
+            block0 *= 2
+        single = block0 <= max_direct
+
+    # blocks: slot index -> (virtual offset, nominal size,
+    #                        [(in-block offset, object index)])
+    blocks: dict[int, tuple[int, int, list]] = {}
+    ids: list[tuple[int, int]] = []
+    if single:
+        start_size = block0
+        items: list = []
+        blocks[0] = (0, block0, items)
+        pos = hdr_sz
+        for idx, sz in enumerate(sizes):
+            ids.append((pos, sz))
+            items.append((pos, idx))
+            pos += sz
+        cur_rows = 0
+    else:
+        start_size = start_block
+        k, cur = -1, None
+        for idx, sz in enumerate(sizes):
+            while True:
+                if cur is not None:
+                    virt, bsz, items = blocks[cur]
+                    pos = items[-1][0] + sizes[items[-1][1]] if items \
+                        else hdr_sz
+                    if pos + sz <= bsz:
+                        break
+                k += 1
+                virt, bsz = slot(k)
+                if hdr_sz + sz <= bsz:
+                    cur = k
+                    blocks[k] = (virt, bsz, [])
+                else:
+                    cur = None  # slot stays unallocated; try bigger rows
+            virt, bsz, items = blocks[cur]
+            pos = items[-1][0] + sizes[items[-1][1]] if items else hdr_sz
+            ids.append((virt + pos, sz))
+            items.append((pos, idx))
+        cur_rows = max(blocks) // width + 1
+
+    def stored_len(bsz: int) -> int:
+        return len(zlib.compress(b"\x00" * bsz, 0)) if filt else bsz
+
+    def render_db(addrs, virt=0, bsz=0, items=()):
+        b = bytearray(bsz)
+        head = b"FHDB" + struct.pack("<BQ", 0, addrs[f"{prefix}frhp"])
+        head += int(virt).to_bytes(off_size, "little")
+        head += b"\x00\x00\x00\x00"  # checksum placeholder
+        b[:hdr_sz] = head
+        for off, idx in items:
+            payload = objects[idx][1]
+            raw = payload(addrs) if callable(payload) else payload
+            if len(raw) > objects[idx][0]:
+                raise HDF5Error(
+                    f"fixture writer: heap object {idx} rendered "
+                    f"{len(raw)} bytes into a {objects[idx][0]}-byte slot"
+                )
+            b[off:off + len(raw)] = raw
+        b[hdr_sz - 4:hdr_sz] = _cksum(bytes(b))
+        out = bytes(b)
+        return zlib.compress(out, 0) if filt else out
+
+    for kk, (virt, bsz, items) in sorted(blocks.items()):
+        blobs.append((
+            f"{prefix}db{kk}", stored_len(bsz),
+            (lambda addrs, v=virt, s_=bsz, it=tuple(items):
+             render_db(addrs, v, s_, it)),
+        ))
+
+    root_key = f"{prefix}fhib" if cur_rows else f"{prefix}db0"
+    if cur_rows:
+        n_entries = cur_rows * width
+        entry_sz = 8 + (12 if filt else 0)
+
+        def render_fhib(addrs):
+            b = b"FHIB" + struct.pack("<BQ", 0, addrs[f"{prefix}frhp"])
+            b += (0).to_bytes(off_size, "little")
+            for k in range(n_entries):
+                if k in blocks:
+                    b += struct.pack("<Q", addrs[f"{prefix}db{k}"])
+                    if filt:
+                        b += struct.pack(
+                            "<QI", stored_len(blocks[k][1]), 0
+                        )
+                else:
+                    b += struct.pack("<Q", H5_UNDEF)
+                    if filt:
+                        b += struct.pack("<QI", 0, 0)
+            return b + _cksum(b)
+
+        blobs.append((
+            f"{prefix}fhib",
+            4 + 1 + 8 + off_size + n_entries * entry_sz + 4,
+            render_fhib,
+        ))
+
+    man_space = sum(
+        width * row_size(r) for r in range(cur_rows)
+    ) if cur_rows else start_size
+    alloc = sum(b[1] for b in blocks.values())
+    used_total = sum(
+        (it[-1][0] + sizes[it[-1][1]]) if it else hdr_sz
+        for _v, _s, it in blocks.values()
+    )
+
+    def render_frhp(addrs):
+        b = b"FRHP" + struct.pack(
+            "<BHHBI", 0, hid_len, len(filt_info), 0x02, 4096
+        )
+        b += struct.pack(
+            "<QQQQQQQQQQQQ",
+            0, H5_UNDEF,                  # next huge id, huge btree
+            alloc - used_total,           # free space
+            H5_UNDEF,                     # free-space manager
+            man_space, alloc,             # managed space, allocated
+            used_total,                   # direct block iterator
+            len(objects), 0, 0, 0, 0,     # n_managed, huge/tiny
+        )
+        b += struct.pack(
+            "<HQQHHQH", width, start_size, max_direct, MAX_HEAP_BITS,
+            max(1, cur_rows), addrs[root_key], cur_rows,
+        )
+        if filt and cur_rows == 0:
+            b += struct.pack("<QI", stored_len(start_size), 0)
+        b += filt_info
+        return b + _cksum(b)
+
+    frhp_size = 146 + len(filt_info) + (
+        12 if filt and cur_rows == 0 else 0
+    )
+    blobs.append((f"{prefix}frhp", frhp_size, render_frhp))
+    return ids
+
+
+def _emit_v2_btree(blobs, prefix: str, btype: int, rec_size: int,
+                   records) -> None:
+    """Depth-0 v2 B-tree (header + one leaf). `records` is a list of
+    bytes | callable(addrs) -> bytes, already in record order."""
+    n = len(records)
+
+    def render_leaf(addrs):
+        b = b"BTLF" + struct.pack("<BB", 0, btype)
+        for r in records:
+            b += r(addrs) if callable(r) else r
+        return b + _cksum(b)
+
+    def render_head(addrs):
+        b = b"BTHD" + struct.pack(
+            "<BBIHHBBQHQ", 0, btype, 2048, rec_size, 0, 100, 40,
+            addrs[f"{prefix}leaf"], n, n,
+        )
+        return b + _cksum(b)
+
+    blobs.append((f"{prefix}leaf", 6 + n * rec_size + 4, render_leaf))
+    blobs.append((f"{prefix}head", 38, render_head))
+
+
+def _attr_msg_name(body: bytes) -> str:
+    """Attribute name out of an encoded v1 attribute-message body (the
+    writer's own _attr_scalar format) — needed for dense-storage name
+    hashes without threading names separately."""
+    nsize = _u16(body, 2)
+    return body[8:8 + nsize].split(b"\x00")[0].decode()
+
+
 def write_netcdf4(
     path: str,
     dims: dict,
@@ -1408,6 +1817,8 @@ def write_netcdf4(
     time_chunk: int = 1,
     layout: str = "v1",
     static_chunk: int | None = None,
+    heap_indirect: bool = False,
+    heap_filter: bool = False,
 ) -> None:
     """Write a NetCDF-4 (HDF5) file.
 
@@ -1429,8 +1840,13 @@ def write_netcdf4(
     static variables (rows per chunk) so fixtures exercise the Fixed
     Array path. Object headers are v2 'OHDR' (the latest flavor),
     groups are new-style (compact Link messages to 8 links, dense
-    fractal-heap storage past that), and every v2-style block carries
-    a real Jenkins-lookup3 checksum."""
+    fractal-heap storage past that), attributes go DENSE past 8 per
+    object (fractal heap + type-8 name index, libhdf5's max_compact
+    default), and every v2-style block carries a real Jenkins-lookup3
+    checksum. heap_indirect forces every fractal heap to a root
+    INDIRECT block over 512-byte direct rows; heap_filter deflates
+    heap direct blocks — the two 'latest' layouts attribute-heavy
+    real files exercise."""
     if layout not in ("v1", "latest"):
         raise HDF5Error(f"unknown layout {layout!r}")
     latest = layout == "latest"
@@ -1575,6 +1991,51 @@ def write_netcdf4(
     blobs: list[tuple[str, int, object]] = []  # (key, size, render_fn)
     chunk_store: dict[str, list[tuple[tuple, bytes]]] = {}
 
+    def _attach_attrs(msgs, obj_key: str, encs, extra) -> None:
+        """Attach attributes to an object header: compact MSG_ATTRIBUTE
+        messages up to 8 attributes, DENSE storage (fractal heap +
+        type-8 v2 B-tree name index, one Attribute Info message) past
+        that under layout='latest' — libhdf5's max_compact default.
+        `encs` are encoded static bodies; `extra` carries
+        (name, size, render_fn) for address-dependent attributes
+        (DIMENSION_LIST)."""
+        if not (latest and len(encs) + len(extra) > 8):
+            for enc in encs:
+                msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
+            for _nm, sz, fn in extra:
+                msgs.append(_v1_msg(MSG_ATTRIBUTE, sz, fn))
+            return
+        names = [_attr_msg_name(e) for e in encs]
+        names += [nm for nm, _sz, _fn in extra]
+        objects = [(len(e), e) for e in encs]
+        objects += [(sz, fn) for _nm, sz, fn in extra]
+        ids = _emit_fractal_heap(
+            blobs, f"attr:{obj_key}:", objects, hid_len=8,
+            force_indirect=heap_indirect, filt=heap_filter,
+        )
+
+        def attr_rec(off: int, ln: int, corder: int, nm: str) -> bytes:
+            hid = (b"\x00" + off.to_bytes(4, "little")
+                   + ln.to_bytes(3, "little"))
+            return hid + b"\x00" + struct.pack(
+                "<II", corder, _lookup3(nm.encode())
+            )
+
+        recs = [
+            rec for _h, rec in sorted(
+                (_lookup3(nm.encode()), attr_rec(off, ln, i, nm))
+                for i, (nm, (off, ln)) in enumerate(zip(names, ids))
+            )
+        ]
+        _emit_v2_btree(blobs, f"attr:{obj_key}:bt:", 8, 17, recs)
+        msgs.append(_v1_msg(
+            MSG_ATTR_INFO, 18,
+            lambda addrs, ok=obj_key: struct.pack(
+                "<BBQQ", 0, 0,
+                addrs[f"attr:{ok}:frhp"], addrs[f"attr:{ok}:bt:head"],
+            ),
+        ))
+
     def msgs_for(d: _WDS):
         msgs = [
             _v1_msg(MSG_DATASPACE, len(_enc_ds(d.shape, d.maxshape)),
@@ -1663,8 +2124,7 @@ def write_netcdf4(
                 return struct.pack("<BBQQ", 3, 1, addr, nbytes)
 
             msgs.append(_v1_msg(MSG_LAYOUT, 18, lay))
-        for enc in d.atts:
-            msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
+        extra = []
         if d.dimlist:
             rank = len(d.dimlist)
             dlsize = (
@@ -1686,7 +2146,8 @@ def write_netcdf4(
                 return _enc_attr("DIMENSION_LIST", _DT_VLEN_REF,
                                  _enc_ds((rank,)), data)
 
-            msgs.append(_v1_msg(MSG_ATTRIBUTE, dlsize, dlattr))
+            extra.append(("DIMENSION_LIST", dlsize, dlattr))
+        _attach_attrs(msgs, d.name, d.atts, extra)
         return msgs
 
     ds_msgs = {d.name: msgs_for(d) for d in wds}
@@ -1718,89 +2179,40 @@ def write_netcdf4(
             _v1_msg(
                 MSG_LINK_INFO, 18,
                 lambda addrs: struct.pack(
-                    "<BBQQ", 0, 0, addrs["fheap"], addrs["lbtree"]
+                    "<BBQQ", 0, 0,
+                    addrs["links:frhp"], addrs["links:bt:head"],
                 ),
             )
         ]
-        # pack the link blobs into one root direct block; heap IDs
-        # carry (virtual offset, length) with the 17-byte FHDB header
-        # occupying the start of the heap's managed space
-        MAX_HEAP_BITS, HID_LEN, WIDTH = 32, 7, 4
-        hdr_sz = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8 + 4  # cksum'd
-        sizes = [3 + len(nm.encode()) + 8 for nm in names_sorted]
-        need = hdr_sz + sum(sizes)
-        block_size = 512
-        while block_size < need:
-            block_size *= 2
-        if block_size > 65536:
-            raise HDF5Error(
-                "fixture writer: dense link payload exceeds one "
-                "direct block"
-            )
-        hid_off: dict[str, tuple[int, int]] = {}
-        pos_v = hdr_sz
-        for nm, sz in zip(names_sorted, sizes):
-            hid_off[nm] = (pos_v, sz)
-            pos_v += sz
-
-        def render_fheap(addrs):
-            b = b"FRHP" + struct.pack(
-                "<BHHBI", 0, HID_LEN, 0, 0x02, 4096
-            )
-            b += struct.pack(
-                "<QQQQQQQQQQQQ",
-                0, H5_UNDEF,                      # next huge id, btree
-                block_size - pos_v,               # free space
-                H5_UNDEF,                         # free-space manager
-                block_size, block_size,           # man space, alloc
-                pos_v,                            # dblock iterator
-                n, 0, 0, 0, 0,                    # n_man, huge/tiny
-            )
-            b += struct.pack(
-                "<HQQHHQH", WIDTH, block_size, 65536, MAX_HEAP_BITS,
-                1, addrs["fdblock"], 0,
-            )
-            return b + _cksum(b)
-
-        def render_fdblock(addrs):
-            b = bytearray(block_size)
-            head = b"FHDB" + struct.pack("<BQ", 0, addrs["fheap"])
-            head += (0).to_bytes((MAX_HEAP_BITS + 7) // 8, "little")
-            head += b"\x00\x00\x00\x00"  # checksum placeholder
-            b[:hdr_sz] = head
-            for nm in names_sorted:
-                off, sz = hid_off[nm]
-                b[off:off + sz] = _link_blob(nm, addrs)
-            ck = _cksum(bytes(b))  # whole block, cksum field zeroed
-            b[hdr_sz - 4:hdr_sz] = ck
-            return bytes(b)
-
-        REC_SZ = 4 + HID_LEN  # name hash + managed heap ID
-        recs = sorted(
-            (( _lookup3(nm.encode()), nm) for nm in names_sorted)
+        # heap IDs carry (virtual offset, length); the generic emitter
+        # packs the link blobs into a root direct block, or — under
+        # heap_indirect / when they outgrow one block — into direct
+        # blocks under a root indirect block, optionally deflated
+        HID_LEN = 7  # 1 flag + 4 offset + 2 length
+        link_objs = [
+            (3 + len(nm.encode()) + 8,
+             (lambda addrs, nm=nm: _link_blob(nm, addrs)))
+            for nm in names_sorted
+        ]
+        link_ids = _emit_fractal_heap(
+            blobs, "links:", link_objs, hid_len=HID_LEN,
+            force_indirect=heap_indirect, filt=heap_filter,
         )
 
-        def render_lbtree_leaf(addrs):
-            b = b"BTLF" + struct.pack("<BB", 0, 5)
-            for h, nm in recs:
-                off, sz = hid_off[nm]
-                b += struct.pack("<IB", h, 0)  # hash, managed-type ID
-                b += off.to_bytes(4, "little") + sz.to_bytes(2, "little")
-            return b + _cksum(b)
+        def link_rec(nm: str, off: int, sz: int) -> bytes:
+            return (struct.pack("<IB", _lookup3(nm.encode()), 0)
+                    + off.to_bytes(4, "little")
+                    + sz.to_bytes(2, "little"))
 
-        def render_lbtree(addrs):
-            b = b"BTHD" + struct.pack(
-                "<BBIHHBBQHQ", 0, 5, 2048, REC_SZ, 0, 100, 40,
-                addrs["lbtree_leaf"], n, n,
+        # the name index sorts by NUMERIC hash (not record bytes —
+        # the hash field is little-endian)
+        recs = [
+            rec for _h, rec in sorted(
+                (_lookup3(nm.encode()), link_rec(nm, *hid))
+                for nm, hid in zip(names_sorted, link_ids)
             )
-            return b + _cksum(b)
-
-        blobs.append(("fheap", 146, render_fheap))
-        blobs.append(("fdblock", block_size, render_fdblock))
-        blobs.append(("lbtree", 38, render_lbtree))
-        blobs.append(
-            ("lbtree_leaf", 6 + n * REC_SZ + 4, render_lbtree_leaf)
-        )
+        ]
+        _emit_v2_btree(blobs, "links:bt:", 5, 4 + HID_LEN, recs)
     else:
         root_msgs = [
             _v1_msg(
@@ -1810,9 +2222,10 @@ def write_netcdf4(
                 ),
             )
         ]
-    for k, v in (gatts or {}).items():
-        enc = _attr_scalar(k, v)
-        root_msgs.append(_v1_msg(MSG_ATTRIBUTE, len(enc), enc))
+    _attach_attrs(
+        root_msgs, "/",
+        [_attr_scalar(k, v) for k, v in (gatts or {}).items()], [],
+    )
 
     ohdr_size = _ohdr_v2_size if latest else _ohdr_size
     render_ohdr = _render_ohdr_v2 if latest else _render_ohdr_v1

@@ -863,3 +863,185 @@ def test_latest_object_headers_are_v2_with_real_checksums(tmp_path):
     f = hdf5.H5File(p)
     for name, d in f.datasets.items():
         assert raw[d.addr:d.addr + 5] == b"OHDR\x02", name
+
+
+# ----------------------------- round-9: fractal heap general geometry
+def _write_attr_heavy(path, n_vars=10, n_gatts=12, var_attrs=9,
+                      gatt_len=8, **kw):
+    """A 'latest' file past BOTH dense thresholds: > 8 links in the
+    root group and > 8 attributes on every variable and on the root."""
+    dims = {"node": 8}
+    variables = {}
+    for i in range(n_vars):
+        atts = {f"a{j:02d}": np.float64(i * 100 + j)
+                for j in range(var_attrs)}
+        variables[f"v{i:02d}"] = (("node",), np.arange(8.0) + i, atts)
+    gatts = {f"g{j:02d}": "x" * gatt_len + str(j) for j in range(n_gatts)}
+    hdf5.write_netcdf4(path, dims=dims, variables=variables, gatts=gatts,
+                       compress=None, layout="latest", **kw)
+
+
+def _assert_attr_heavy_decodes(f, n_vars=10, n_gatts=12, var_attrs=9):
+    assert sorted(n for n in f.datasets if n.startswith("v")) == [
+        f"v{i:02d}" for i in range(n_vars)
+    ]
+    assert sorted(f.root_attrs) == [f"g{j:02d}" for j in range(n_gatts)]
+    for i in (0, n_vars - 1):
+        d = f.datasets[f"v{i:02d}"]
+        got = {k: v for k, v in d.attrs.items() if k.startswith("a")}
+        assert got == {
+            f"a{j:02d}": i * 100 + j for j in range(var_attrs)
+        }, (i, got)
+
+
+def test_dense_attributes_root_and_variables(tmp_path):
+    """Past 8 attributes per object, 'latest' files store them DENSE
+    (Attribute Info message 0x15 -> fractal heap + type-8 v2 B-tree) —
+    the layout attribute-heavy real files (15+ ADCIRC gatts) get. All
+    attribute values must come back exactly, including the vlen
+    DIMENSION_LIST riding in the same heap."""
+    p = str(tmp_path / "dense_attr.nc")
+    _write_attr_heavy(p)
+    raw = open(p, "rb").read()
+    # spec-level: an Attribute Info message exists and the dense
+    # B-tree is a type-8 name index
+    assert raw.count(b"FRHP") >= 2  # links heap + >=1 attribute heap
+    bthd = raw.index(b"BTHD")
+    types = set()
+    while True:
+        types.add(raw[bthd + 5])
+        bthd = raw.find(b"BTHD", bthd + 1)
+        if bthd < 0:
+            break
+    assert types == {5, 8}  # link name index + attribute name index
+    _assert_attr_heavy_decodes(hdf5.H5File(p))
+
+
+def test_fractal_heap_root_indirect_multiblock(tmp_path):
+    """heap_indirect forces a root INDIRECT block ('FHIB') over
+    512-byte direct rows; enough attribute payload spans multiple
+    direct blocks across doubling-table rows (row 2 doubles the block
+    size). Decode must equal the root-direct layout exactly."""
+    p = str(tmp_path / "indirect.nc")
+    # ~24 gatts x ~120 bytes ~ 3 KB of heap payload -> blocks in rows
+    # 0/1 (512 B) and row 2 (1024 B) of a width-4 table
+    _write_attr_heavy(p, n_gatts=24, gatt_len=80, heap_indirect=True)
+    raw = open(p, "rb").read()
+    assert raw.count(b"FHIB") >= 2  # links heap + attr heaps
+    f = hdf5.H5File(p)
+    _assert_attr_heavy_decodes(f, n_gatts=24)
+    assert f.root_attrs["g17"] == "x" * 80 + "17"
+    # byte-level FRHP: current rows nonzero, starting block 512
+    frhp = raw.index(b"FRHP")
+    assert struct.unpack_from("<Q", raw, frhp + 112)[0] == 512
+    assert struct.unpack_from("<H", raw, frhp + 140)[0] >= 1
+
+
+def test_fractal_heap_filtered_direct_blocks(tmp_path):
+    """heap_filter deflates every heap direct block: the FRHP header
+    carries a nonzero I/O-filter encoded length and a deflate
+    pipeline, direct-block bytes on disk are zlib streams (no literal
+    'FHDB' signature at the recorded address), and decode is
+    unchanged. A corrupted stored stream must raise HDF5Error, not
+    zlib.error."""
+    import zlib as _zlib
+
+    p = str(tmp_path / "filtered.nc")
+    _write_attr_heavy(p, heap_filter=True)
+    raw = open(p, "rb").read()
+    frhp = raw.index(b"FRHP")
+    filt_len = struct.unpack_from("<H", raw, frhp + 7)[0]
+    assert filt_len > 0
+    # root direct block: address at 132, stored size after cur-rows
+    root = struct.unpack_from("<Q", raw, frhp + 132)[0]
+    stored = struct.unpack_from("<Q", raw, frhp + 142)[0]
+    assert raw[root:root + 4] != b"FHDB"  # compressed on disk
+    assert _zlib.decompress(raw[root:root + stored])[:4] == b"FHDB"
+    _assert_attr_heavy_decodes(hdf5.H5File(p))
+
+    bad = bytearray(raw)
+    bad[root + 8] ^= 0xFF
+    pb = str(tmp_path / "filtered_bad.nc")
+    open(pb, "wb").write(bytes(bad))
+    with pytest.raises(hdf5.HDF5Error):
+        hdf5.H5File(pb)
+
+
+def test_fractal_heap_indirect_and_filtered_compose(tmp_path):
+    p = str(tmp_path / "both.nc")
+    _write_attr_heavy(p, n_gatts=24, gatt_len=80,
+                      heap_indirect=True, heap_filter=True)
+    raw = open(p, "rb").read()
+    assert raw.count(b"FHIB") >= 2
+    _assert_attr_heavy_decodes(hdf5.H5File(p), n_gatts=24)
+
+
+def test_fractal_heap_typed_errors(tmp_path):
+    """Out-of-scope / malformed heap structures raise HDF5Error with
+    the documented messages, never raw struct/zlib/IndexError: a
+    huge/tiny heap ID flag, a v2 B-tree of the wrong type, and a
+    truncated direct block."""
+    p = str(tmp_path / "err.nc")
+    _write_attr_heavy(p)
+    raw = open(p, "rb").read()
+    # flip the first BTLF type-5 record's heap-ID flag byte to 'huge'
+    bthd = raw.index(b"BTHD")
+    while raw[bthd + 5] != 5:
+        bthd = raw.index(b"BTHD", bthd + 1)
+    leaf = struct.unpack_from("<Q", raw, bthd + 16)[0]
+    bad = bytearray(raw)
+    bad[leaf + 6 + 4] = 0x10  # managed -> huge
+    pb = str(tmp_path / "huge.nc")
+    open(pb, "wb").write(bytes(bad))
+    with pytest.raises(hdf5.HDF5Error, match="huge/tiny"):
+        hdf5.H5File(pb)
+    # retag the type-5 B-tree as type 6 -> typed mismatch error
+    bad2 = bytearray(raw)
+    bad2[bthd + 5] = 6
+    pb2 = str(tmp_path / "btype.nc")
+    open(pb2, "wb").write(bytes(bad2))
+    with pytest.raises(hdf5.HDF5Error, match="type 6, expected 5"):
+        hdf5.H5File(pb2)
+
+
+def test_micromesh_latest_attr_heavy_pipeline(spark, tmp_path):
+    """End-to-end: the micromesh fort.63 shape written 'latest' with
+    15 ADCIRC-like global attributes (past max_compact -> dense) and
+    indirect+filtered heaps still decodes IDENTICALLY to the plain v1
+    file through the distributed scan."""
+    from adcirctime2cogs_spark.sources.netcdf import scan_netcdf_distributed
+
+    gatts = {k: f"meta-{k}" for k in (
+        "model", "version", "grid", "agrid", "rundes", "runid", "title",
+        "institution", "source", "history", "references", "comments",
+        "host", "convention", "contact",
+    )}
+    p1 = str(tmp_path / "v1.nc")
+    p2 = str(tmp_path / "latest.nc")
+    times, zeta, lon, lat, element = _micromesh_payload()
+    for path, kw in ((p1, dict(layout="v1")),
+                     (p2, dict(layout="latest", heap_indirect=True,
+                               heap_filter=True))):
+        hdf5.write_netcdf4(
+            path,
+            dims={"time": None, "node": len(lon),
+                  "nele": len(element), "nvertex": 3},
+            variables={
+                "time": (("time",), times,
+                         {"units": f"seconds since {mm.T1} UTC"}),
+                "x": (("node",), lon, {}),
+                "y": (("node",), lat, {}),
+                "zeta": (("time", "node"), zeta,
+                         {"_FillValue": np.float64(FILL), "units": "m"}),
+            },
+            gatts=gatts,
+            **kw,
+        )
+    a = scan_netcdf_distributed(spark, p1, "zeta").orderBy(
+        "ts", "node_id"
+    ).collect()
+    b = scan_netcdf_distributed(spark, p2, "zeta").orderBy(
+        "ts", "node_id"
+    ).collect()
+    assert a == b and len(a) > 0
+    assert hdf5.H5File(p2).root_attrs["agrid"] == "meta-agrid"
