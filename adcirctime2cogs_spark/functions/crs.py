@@ -379,6 +379,24 @@ def albers_inverse(e_m, n_m, lat1_deg, lat2_deg, lat0_deg, lon0_deg,
 # EU's INSPIRE gridded datasets use. Shares the authalic-latitude
 # machinery (_aea_q) with Albers.
 
+
+def _authalic_phi(qprime, e: float):
+    """Authalic q -> geodetic latitude by the EPSG fixed-point
+    iteration (the block albers_inverse also runs; albers keeps its
+    pre-existing inline copy until that kernel's next externally
+    re-verified round — window-rotation rule 1)."""
+    phi = np.arcsin(np.clip(qprime / 2.0, -1.0, 1.0))
+    for _ in range(8):
+        s = np.sin(phi)
+        denom = (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi))
+        corr = (
+            qprime / (1.0 - e * e)
+            - s / (1.0 - (e * s) ** 2)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+        phi = phi + denom * corr
+    return phi
+
 GRS80_A = 6378137.0
 GRS80_F = 1.0 / 298.257222101  # NAD83 / ETRS89 ellipsoid
 
@@ -462,16 +480,7 @@ def laea_inverse(e_m, n_m, lat0_deg, lon0_deg,
         )
         lam = np.where(rho == 0.0, 0.0, lam)
         qprime = qp * np.clip(sin_bp, -1.0, 1.0)
-    phi = np.arcsin(np.clip(qprime / 2.0, -1.0, 1.0))
-    for _ in range(8):
-        s = np.sin(phi)
-        denom = (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi))
-        corr = (
-            qprime / (1.0 - e * e)
-            - s / (1.0 - (e * s) ** 2)
-            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
-        )
-        phi = phi + denom * corr
+    phi = _authalic_phi(qprime, e)
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
 
 

@@ -1194,8 +1194,13 @@ SEM_TAU = 0.4  # within-cell semantic-duplicate cosine threshold
 def _semdedup_assign_sql() -> str:
     """Shared oracle CTEs: centroids -> full scoring -> top-1 cell
     assignment carrying cs (rounded cosine to the OWN cell centroid,
-    the SemDeDup ordering key). Mirrors similarity._IVF_SQL's assign
-    so the materialized inverted file and this oracle cannot drift."""
+    the SemDeDup ordering key). Restates the assignment rule
+    similarity._ivf_cells_table materializes; drift between the two
+    is caught by the oracle gate itself, not by textual sharing —
+    the Spark side reads the MATERIALIZED cells, so if the IVF rule
+    ever changed without this CTE following, every semantic-dedup
+    hash comparison (driver window + the two-scale in-repo sweep)
+    would go red on the next run."""
     from adcirctime2cogs_spark.operators.similarity import CENT_MOD, _COS_SQL
 
     return f"""

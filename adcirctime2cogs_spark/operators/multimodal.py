@@ -60,15 +60,20 @@ def _size_conf(spark: SparkSession, key: str, default: int) -> int:
 
 def _scan_split_estimate(spark: SparkSession, path: str) -> int:
     """Driver-side estimate of how many input splits the parquet scan
-    of ``path`` gets — the same maxSplitBytes + sequential-packing
-    arithmetic FileSourceScan runs (files sorted size-descending, each
-    split into <= maxSplitBytes chunks, chunks packed with an
-    openCostInBytes pad per file) — computed from the file listing
-    alone. This replaces a ``df.rdd.getNumPartitions()`` probe, which
-    forced a DataFrame->RDD conversion on every plan build: an extra
-    analysis pass, unsupported under Spark Connect, and invisible to
-    AQE. The listing is the same driver-side metadata the scan itself
-    reads, so this costs a handful of stats, no Spark job."""
+    of ``path`` gets — FilePartition's arithmetic replicated exactly:
+    zero-length files dropped, maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalPadded / minPartitionNum)), every file
+    cut into <= maxSplitBytes chunks, ALL chunks sorted length-
+    descending globally, then packed sequentially where a partition
+    closes when currentSize + chunk > maxSplitBytes and the
+    openCostInBytes pad is added AFTER the close test (the pad
+    inflates occupancy, it does not participate in the fit check).
+    This replaces a ``df.rdd.getNumPartitions()`` probe, which forced
+    a DataFrame->RDD conversion (a full plan translation) on every
+    plan build. The listing is the same driver-side metadata the scan
+    itself reads, so this costs a handful of stats, no Spark job.
+    Parity with the scan's real partition count is pinned across
+    file-count and conf shapes in tests/test_tables.py."""
     sizes: list[int] = []
     try:
         if os.path.isdir(path):
@@ -82,26 +87,36 @@ def _scan_split_estimate(spark: SparkSession, path: str) -> int:
             sizes = [os.path.getsize(path)]
     except OSError:
         return 1
+    sizes = [s for s in sizes if s > 0]
     if not sizes:
         return 1
     max_pb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-    core_count = max(1, spark.sparkContext.defaultParallelism)
-    bytes_per_core = (sum(sizes) + len(sizes) * open_cost) // core_count
-    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    try:
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        try:
+            min_pn = int(
+                spark.conf.get("spark.sql.leafNodeDefaultParallelism")
+            )
+        except Exception:
+            min_pn = spark.sparkContext.defaultParallelism
+    min_pn = max(1, min_pn)
+    total_padded = sum(sizes) + len(sizes) * open_cost
+    max_split = min(max_pb, max(open_cost, total_padded // min_pn))
     chunks: list[int] = []
-    for s in sorted(sizes, reverse=True):
+    for s in sizes:
         while s > max_split:
             chunks.append(max_split)
             s -= max_split
-        chunks.append(s)
+        if s:
+            chunks.append(s)
     parts, cur = 0, 0
-    for c in chunks:
-        padded = c + open_cost
-        if cur and cur + padded > max_split:
+    for c in sorted(chunks, reverse=True):
+        if cur + c > max_split and cur > 0:
             parts += 1
             cur = 0
-        cur += padded
+        cur += c + open_cost
     return parts + (1 if cur else 0)
 
 

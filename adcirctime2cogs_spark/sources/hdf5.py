@@ -569,17 +569,20 @@ class _FractalHeap:
         self.root_filtered_size = 0
         self.root_filter_mask = 0
         if self.filtered:
-            # the filtered-root size/mask pair is only stored when the
-            # root IS a direct block; a root indirect block carries
-            # per-child stored sizes in its own entries instead
-            if self.cur_rows == 0:
-                tail = s.read(addr + 142, 12 + filt_len)
-                self.root_filtered_size = _u64(tail, 0)
-                self.root_filter_mask = _u32(tail, 8)
-                info = tail[12:12 + filt_len]
-            else:
-                info = s.read(addr + 142, filt_len)
-            filters = _parse_filters(info)
+            # libhdf5's header codec stores the filtered-root
+            # size/mask pair UNCONDITIONALLY when the filter encoded
+            # length is nonzero (H5HFcache header deserialize) — for
+            # a root indirect block the size field is simply unused
+            # (per-child stored sizes live in the FHIB entries)
+            tail = s.read(addr + 142, 12 + filt_len)
+            self.root_filtered_size = _u64(tail, 0)
+            self.root_filter_mask = _u32(tail, 8)
+            filters = _parse_filters(tail[12:12 + filt_len])
+            if self.cur_rows == 0 and not self.root_filtered_size:
+                raise HDF5Error(
+                    "filtered fractal heap: zero stored size for the "
+                    "root direct block"
+                )
             bad = [fid for fid, _ in filters if fid != FILTER_DEFLATE]
             if bad:
                 raise HDF5Error(
@@ -593,9 +596,7 @@ class _FractalHeap:
         self.max_direct_rows = (
             int(math.log2(self.max_direct) - math.log2(self.start_size)) + 2
         )
-        self._hdr_size = (
-            4 + 1 + 8 + self.off_size + (4 if self.checksummed else 0)
-        )
+        self._fhib_checked = False
 
     def _row_size(self, r: int) -> int:
         return self.start_size if r < 2 else self.start_size << (r - 1)
@@ -635,16 +636,22 @@ class _FractalHeap:
 
     def _root_indirect_entry(self, idx: int) -> tuple[int, int | None]:
         """(child address, stored size if filtered) for entry idx of
-        the root indirect block."""
+        the root indirect block. The FHIB header is validated once
+        per heap, not per fetch — a dense group/attribute walk calls
+        this for every object."""
         entry_sz = 8 + (12 if self.filtered else 0)
         head_sz = 4 + 1 + 8 + self.off_size
-        base = self.root_addr + head_sz + idx * entry_sz
-        raw = self._s.read(self.root_addr, head_sz)
-        if raw[:4] != b"FHIB" or raw[4] != 0:
-            raise HDF5Error("bad fractal heap indirect block")
-        if _u64(raw, 5) != self.addr:
-            raise HDF5Error("fractal heap indirect block points elsewhere")
-        ent = self._s.read(base, entry_sz)
+        if not self._fhib_checked:
+            raw = self._s.read(self.root_addr, head_sz)
+            if raw[:4] != b"FHIB" or raw[4] != 0:
+                raise HDF5Error("bad fractal heap indirect block")
+            if _u64(raw, 5) != self.addr:
+                raise HDF5Error(
+                    "fractal heap indirect block points elsewhere"
+                )
+            self._fhib_checked = True
+        ent = self._s.read(self.root_addr + head_sz + idx * entry_sz,
+                           entry_sz)
         addr = _u64(ent, 0)
         stored = _u64(ent, 8) if self.filtered else None
         return addr, stored
@@ -662,7 +669,7 @@ class _FractalHeap:
                 )
             blk = self._read_direct(
                 self.root_addr, self.start_size, 0,
-                self.root_filtered_size or None,
+                self.root_filtered_size if self.filtered else None,
             )
             return blk[off:off + ln]
         # root indirect block: walk the doubling table row-major
@@ -1763,14 +1770,17 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
             "<HQQHHQH", width, start_size, max_direct, MAX_HEAP_BITS,
             max(1, cur_rows), addrs[root_key], cur_rows,
         )
-        if filt and cur_rows == 0:
-            b += struct.pack("<QI", stored_len(start_size), 0)
+        if filt:
+            # stored unconditionally when filters are present (the
+            # libhdf5 header codec's behavior); meaningful only for a
+            # root DIRECT block — zero otherwise
+            b += struct.pack(
+                "<QI", stored_len(start_size) if cur_rows == 0 else 0, 0
+            )
         b += filt_info
         return b + _cksum(b)
 
-    frhp_size = 146 + len(filt_info) + (
-        12 if filt and cur_rows == 0 else 0
-    )
+    frhp_size = 146 + len(filt_info) + (12 if filt else 0)
     blobs.append((f"{prefix}frhp", frhp_size, render_frhp))
     return ids
 

@@ -89,3 +89,34 @@ def test_size_conf_suffix_forms(spark):
     assert _size_conf(spark, "x.test.bytes", 0) == 1 << 30
     spark.conf.set("x.test.bytes", "not-a-size")
     assert _size_conf(spark, "x.test.bytes", 7) == 7
+
+
+def test_scan_split_estimate_parity_across_confs(spark, tmp_path):
+    """Review-fix pin: the estimate must track FilePartition's exact
+    arithmetic — pad AFTER the close test, global length-descending
+    chunk order, zero-length files dropped — across adversarial
+    maxPartitionBytes/openCostInBytes combinations where the earlier
+    pad-inside-the-test version over-counted (e.g. two files of
+    500k/300k under a 1 MiB split with 200 KiB open cost must pack
+    into ONE partition)."""
+    out = str(tmp_path / "mix.parquet")
+    spark.range(0, 400_000).repartition(5).write.parquet(out)
+    keys = ("spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes")
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for max_pb, oc in (
+            (1 << 20, 200 << 10),
+            (256 << 10, 4 << 20),
+            (150 << 10, 1 << 10),
+            (128 << 20, 4 << 20),
+            (64 << 10, 0),
+        ):
+            spark.conf.set(keys[0], str(max_pb))
+            spark.conf.set(keys[1], str(oc))
+            est = _scan_split_estimate(spark, out)
+            actual = spark.read.parquet(out).rdd.getNumPartitions()
+            assert est == actual, (max_pb, oc, est, actual)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
