@@ -60,14 +60,18 @@ Fractal heaps (dense group links AND dense attributes — where
 attributes of real ADCIRC output) decode with root direct OR root
 indirect blocks and deflate-filtered blocks (_FractalHeap).
 
+Dense-index v2 B-trees decode at depth 0 (one leaf) and depth 1 (a
+root internal node over leaves — hundreds to tens of thousands of
+links/attributes).
+
 Out-of-scope (clear errors, not silent wrong answers): nested
 indirect fractal-heap blocks (heaps past the direct-row span —
 gigabytes of link/attribute payload), huge/tiny heap IDs,
-non-deflate heap filters, multi-level dense-index B-trees,
-v2-B-TREE chunk indexes (two or more unlimited dims — NetCDF-4
-files have at most one), paged Fixed/Extensible Array data blocks,
-szip/user filters, datatypes beyond fixed/float/string/reference/
-vlen.
+non-deflate heap filters, v2 B-trees with two or more internal
+levels, v2-B-TREE chunk indexes (two or more unlimited dims —
+NetCDF-4 files have at most one), paged Fixed/Extensible Array
+data blocks, szip/user filters, datatypes beyond fixed/float/
+string/reference/vlen.
 """
 
 from __future__ import annotations
@@ -714,10 +718,20 @@ class _FractalHeap:
         return off, ln
 
 
+def _v2_btree_max_leaf_nrec(node_size: int, rec_size: int) -> int:
+    """Leaf record capacity: node bytes minus the 10-byte leaf
+    overhead (sig 4 + version 1 + type 1 + checksum 4)."""
+    return (node_size - 10) // rec_size
+
+
 def _v2_btree_records(s: _Src, addr: int, expect_type: int):
-    """Depth-0 v2 B-tree leaf records: (record bytes, ...) in leaf
-    order. Used for both the dense-link name index (type 5) and the
-    dense-attribute name index (type 8); deeper trees raise."""
+    """v2 B-tree records in tree order, for the dense-link name index
+    (type 5) and the dense-attribute name index (type 8). Depth 0
+    (one leaf) and depth 1 (a root internal 'BTIN' node over leaves —
+    what libhdf5 builds for groups/objects with hundreds of links or
+    attributes; ~185 link records per 2048-byte leaf) are decoded;
+    two or more internal levels (tens of thousands of links) raise
+    clearly."""
     hd = s.read(addr, 38)
     if hd[:4] != b"BTHD" or hd[4] != 0:
         raise HDF5Error("bad v2 B-tree header")
@@ -726,17 +740,61 @@ def _v2_btree_records(s: _Src, addr: int, expect_type: int):
         raise HDF5Error(
             f"v2 B-tree type {btype}, expected {expect_type}"
         )
+    node_size = _u32(hd, 6)
     rec_size = _u16(hd, 10)
     depth = _u16(hd, 12)
     root_nrec = _u16(hd, 24)
-    leaf_addr = _u64(hd, 16)
-    if depth:
-        raise HDF5Error("multi-level dense-index B-trees are out of scope")
-    leaf = s.read(leaf_addr, 6 + root_nrec * rec_size + 4)
-    if leaf[:4] != b"BTLF" or leaf[4] != 0:
-        raise HDF5Error("bad v2 B-tree leaf")
-    for i in range(root_nrec):
-        yield leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
+    root_addr = _u64(hd, 16)
+    if depth > 1:
+        raise HDF5Error(
+            "v2 B-trees deeper than one internal level are out of scope"
+        )
+
+    def leaf_recs(leaf_addr: int, nrec: int):
+        leaf = s.read(leaf_addr, 6 + nrec * rec_size + 4)
+        if leaf[:4] != b"BTLF" or leaf[4] != 0:
+            raise HDF5Error("bad v2 B-tree leaf")
+        for i in range(nrec):
+            yield leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
+
+    if depth == 0:
+        yield from leaf_recs(root_addr, root_nrec)
+        return
+    # depth 1: root internal node = records 0..N-1 then N+1 child
+    # pointers of (address, child record count) — the count field is
+    # as wide as the leaf capacity requires (libhdf5's minimum-bytes
+    # encoding)
+    max_leaf = _v2_btree_max_leaf_nrec(node_size, rec_size)
+    cnt_size = 1 if max_leaf < 256 else (2 if max_leaf < 65536 else 4)
+    ptr_size = 8 + cnt_size
+    node = s.read(
+        root_addr,
+        6 + root_nrec * rec_size + (root_nrec + 1) * ptr_size + 4,
+    )
+    if node[:4] != b"BTIN" or node[4] != 0:
+        raise HDF5Error("bad v2 B-tree internal node")
+    if node[5] != expect_type:
+        raise HDF5Error("v2 B-tree internal node of the wrong type")
+    recs = [
+        node[6 + i * rec_size:6 + (i + 1) * rec_size]
+        for i in range(root_nrec)
+    ]
+    ptrs = []
+    base = 6 + root_nrec * rec_size
+    for i in range(root_nrec + 1):
+        p = base + i * ptr_size
+        caddr = _u64(node, p)
+        cnt = int.from_bytes(node[p + 8:p + 8 + cnt_size], "little")
+        if cnt > max_leaf:
+            raise HDF5Error(
+                f"v2 B-tree child claims {cnt} records, leaf capacity "
+                f"{max_leaf}"
+            )
+        ptrs.append((caddr, cnt))
+    for i, (caddr, cnt) in enumerate(ptrs):
+        yield from leaf_recs(caddr, cnt)
+        if i < root_nrec:
+            yield recs[i]
 
 
 def _dense_group_links(s: _Src, fheap_addr: int,
@@ -1787,24 +1845,84 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
 
 def _emit_v2_btree(blobs, prefix: str, btype: int, rec_size: int,
                    records) -> None:
-    """Depth-0 v2 B-tree (header + one leaf). `records` is a list of
-    bytes | callable(addrs) -> bytes, already in record order."""
-    n = len(records)
+    """v2 B-tree over `records` (bytes | callable(addrs) -> bytes,
+    already in record order): one leaf while they fit (depth 0), a
+    root internal 'BTIN' node over several leaves past the 2048-byte
+    leaf capacity (depth 1) — the layout libhdf5 builds for hundreds
+    of links/attributes. Separator records between leaves are
+    promoted into the internal node exactly as a B-tree requires."""
+    import math
 
-    def render_leaf(addrs):
-        b = b"BTLF" + struct.pack("<BB", 0, btype)
-        for r in records:
+    node_size = 2048
+    n = len(records)
+    max_leaf = _v2_btree_max_leaf_nrec(node_size, rec_size)
+
+    def render_leaf(recs):
+        def render(addrs):
+            b = b"BTLF" + struct.pack("<BB", 0, btype)
+            for r in recs:
+                b += r(addrs) if callable(r) else r
+            return b + _cksum(b)
+
+        return render
+
+    if n <= max_leaf:
+        def render_head(addrs):
+            b = b"BTHD" + struct.pack(
+                "<BBIHHBBQHQ", 0, btype, node_size, rec_size, 0, 100, 40,
+                addrs[f"{prefix}leaf"], n, n,
+            )
+            return b + _cksum(b)
+
+        blobs.append(
+            (f"{prefix}leaf", 6 + n * rec_size + 4, render_leaf(records))
+        )
+        blobs.append((f"{prefix}head", 38, render_head))
+        return
+
+    # depth 1: L leaves, L-1 separator records promoted to the root
+    n_leaves = math.ceil(n / (max_leaf + 1))
+    while math.ceil((n - (n_leaves - 1)) / n_leaves) > max_leaf:
+        n_leaves += 1
+    in_leaves = n - (n_leaves - 1)
+    base, extra = divmod(in_leaves, n_leaves)
+    leaves, seps = [], []
+    idx = 0
+    for i in range(n_leaves):
+        cnt = base + (1 if i < extra else 0)
+        leaves.append(records[idx:idx + cnt])
+        idx += cnt
+        if i < n_leaves - 1:
+            seps.append(records[idx])
+            idx += 1
+    cnt_size = 1 if max_leaf < 256 else (2 if max_leaf < 65536 else 4)
+    for i, lr in enumerate(leaves):
+        blobs.append((
+            f"{prefix}leaf{i}", 6 + len(lr) * rec_size + 4,
+            render_leaf(lr),
+        ))
+
+    def render_root(addrs):
+        b = b"BTIN" + struct.pack("<BB", 0, btype)
+        for r in seps:
             b += r(addrs) if callable(r) else r
+        for i, lr in enumerate(leaves):
+            b += struct.pack("<Q", addrs[f"{prefix}leaf{i}"])
+            b += len(lr).to_bytes(cnt_size, "little")
         return b + _cksum(b)
+
+    root_size = (
+        6 + len(seps) * rec_size + n_leaves * (8 + cnt_size) + 4
+    )
+    blobs.append((f"{prefix}root", root_size, render_root))
 
     def render_head(addrs):
         b = b"BTHD" + struct.pack(
-            "<BBIHHBBQHQ", 0, btype, 2048, rec_size, 0, 100, 40,
-            addrs[f"{prefix}leaf"], n, n,
+            "<BBIHHBBQHQ", 0, btype, node_size, rec_size, 1, 100, 40,
+            addrs[f"{prefix}root"], len(seps), n,
         )
         return b + _cksum(b)
 
-    blobs.append((f"{prefix}leaf", 6 + n * rec_size + 4, render_leaf))
     blobs.append((f"{prefix}head", 38, render_head))
 
 

@@ -1045,3 +1045,60 @@ def test_micromesh_latest_attr_heavy_pipeline(spark, tmp_path):
     ).collect()
     assert a == b and len(a) > 0
     assert hdf5.H5File(p2).root_attrs["agrid"] == "meta-agrid"
+
+
+def test_v2_btree_depth1_hundreds_of_links_and_attrs(tmp_path):
+    """Past ~185 link records (2048-byte leaf / 11-byte record) the
+    name index grows a root internal 'BTIN' node over several leaves
+    — same for ~120+ dense attributes at 17-byte records. 200
+    variables + 140 root attributes force depth 1 in BOTH index
+    types; every link and attribute must resolve, and the header must
+    record depth=1 with the separator/leaf arithmetic intact."""
+    p = str(tmp_path / "depth1.nc")
+    dims = {"node": 4}
+    variables = {
+        f"v{i:03d}": (("node",), np.arange(4.0) + i, {})
+        for i in range(200)
+    }
+    gatts = {f"g{j:03d}": np.float64(j * 3) for j in range(140)}
+    hdf5.write_netcdf4(p, dims=dims, variables=variables, gatts=gatts,
+                       compress=None, layout="latest")
+    raw = open(p, "rb").read()
+    assert b"BTIN" in raw
+    # header-level: at least one BTHD with depth == 1
+    depths = set()
+    pos = raw.find(b"BTHD")
+    while pos >= 0:
+        depths.add(struct.unpack_from("<H", raw, pos + 12)[0])
+        pos = raw.find(b"BTHD", pos + 1)
+    assert depths == {0, 1} or depths == {1}
+    f = hdf5.H5File(p)
+    assert sorted(n for n in f.datasets if n.startswith("v")) == [
+        f"v{i:03d}" for i in range(200)
+    ]
+    assert len(f.root_attrs) == 140
+    assert f.root_attrs["g077"] == 231.0
+    # data integrity through the depth-1 link walk
+    assert np.array_equal(f.read("v123"), np.arange(4.0) + 123)
+
+
+def test_v2_btree_depth2_raises(tmp_path):
+    """Two internal levels stay out of scope with a typed error: a
+    depth-1 file retagged to depth 2 must raise, not misparse."""
+    p = str(tmp_path / "d2.nc")
+    dims = {"node": 4}
+    variables = {
+        f"v{i:03d}": (("node",), np.arange(4.0), {}) for i in range(200)
+    }
+    hdf5.write_netcdf4(p, dims=dims, variables=variables, gatts={},
+                       compress=None, layout="latest")
+    raw = bytearray(open(p, "rb").read())
+    pos = raw.find(b"BTHD")
+    while pos >= 0:
+        if struct.unpack_from("<H", raw, pos + 12)[0] == 1:
+            struct.pack_into("<H", raw, pos + 12, 2)
+        pos = raw.find(b"BTHD", pos + 1)
+    pb = str(tmp_path / "d2bad.nc")
+    open(pb, "wb").write(bytes(raw))
+    with pytest.raises(hdf5.HDF5Error, match="deeper than one"):
+        hdf5.H5File(pb)

@@ -1105,6 +1105,85 @@ def run_substring_leg(spark, n_docs: int = 250_000,
         shutil.rmtree(f"{out}2", ignore_errors=True)
 
 
+def run_semdedup_leg(spark, n_vecs: int) -> dict:
+    """SemDeDup at corpus scale (round 9): the within-cell semantic
+    dedup must (a) recover every planted twin pair inside its IVF
+    cell, (b) keep exactly one member of each twin pair, and (c) owe
+    its cost to the CLUSTER-BOUNDED candidate space — the leg records
+    the enumerated within-cell pair count against the quadratic
+    all-pairs bound (cell sizes ~CENT_MOD by construction, so
+    candidates scale as n * cell_size, the shape that survives a
+    100x corpus)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_semantic_keepers,
+        dedup_semantic_pairs,
+    )
+    from adcirctime2cogs_spark.operators.similarity import (
+        N_QUERY_VECS,
+        _ivf_cells_table,
+    )
+    from adcirctime2cogs_spark.tables import drop_layouts
+
+    out = tempfile.mkdtemp(prefix="scale_semdedup_")
+    try:
+        synth_embeddings(spark, out, n_vecs, n_probes=N_QUERY_VECS)
+        twins = {(q, n_vecs + q) for q in range(N_QUERY_VECS)}
+        t0 = time.time()
+        pairs = {
+            (r.vec_a, r.vec_b)
+            for r in dedup_semantic_pairs(spark, out).collect()
+        }
+        wall_pairs = time.time() - t0
+        t0 = time.time()
+        keepers = {
+            r.vec_id for r in dedup_semantic_keepers(spark, out).collect()
+        }
+        wall_keepers = time.time() - t0
+        twin_hits = sum(1 for t in twins if t in pairs)
+        both_kept = sum(
+            1 for a, b in twins if a in keepers and b in keepers
+        )
+        cells = (
+            _ivf_cells_table(spark, out)
+            .groupBy("cell").count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                .alias("cand"),
+                F.max("count").alias("max_cell"),
+                F.count("*").alias("n_cells"),
+            )
+            .first()
+        )
+        n_total = n_vecs + N_QUERY_VECS
+        all_pairs = n_total * (n_total - 1) / 2
+        cand_frac = float(cells.cand) / all_pairs
+        return {
+            "leg": f"semdedup_{n_vecs}",
+            "n_vecs": n_total,
+            "planted_twins": len(twins),
+            "twin_pairs_found": twin_hits,
+            "twin_pairs_surviving_intact": both_kept,
+            "pairs_total": len(pairs),
+            "n_keepers": len(keepers),
+            "n_cells": int(cells.n_cells),
+            "max_cell": int(cells.max_cell),
+            "within_cell_candidates": int(cells.cand),
+            "candidate_fraction_of_all_pairs": round(cand_frac, 8),
+            "wall_pairs_sec": round(wall_pairs, 2),
+            "wall_keepers_sec": round(wall_keepers, 2),
+            "violations": (
+                (len(twins) - twin_hits) + both_kept
+                + (1 if cand_frac > 0.01 else 0)
+            ),
+        }
+    finally:
+        drop_layouts(spark, out)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_corpus_maxsim_leg(spark, n_vecs: int, n_bits: int = 16) -> dict:
     """Late-interaction (maxsim) rerank at corpus scale: the SAME
     two-stage plan the registered sim_maxsim_rerank runs, with the
@@ -1796,6 +1875,7 @@ def main() -> int:
             run_media_leg(spark),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
+            run_semdedup_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
