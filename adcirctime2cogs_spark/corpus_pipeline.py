@@ -49,6 +49,7 @@ STAGES = (
     "lang_filter",
     "fuzzy_dedup",
     "embedding_dedup",
+    "semdedup",
     "substring_scrub",
     "decontaminate",
     "pii_scrub",
@@ -68,8 +69,13 @@ STAGES = (
 # substring_scrub is opt-in too: it REWRITES text (cuts duplicated
 # token spans, Lee et al. ACL'22), which a corpus owner must choose —
 # unlike the drop-only dedup stages it changes surviving documents.
+# semdedup is the third opt-in embedding stage: cluster-bounded
+# SemDeDup keepers (farthest-from-centroid survivor per duplicate
+# group) — a different keeper POLICY than embedding_dedup's
+# keep-lowest-id, so a corpus owner picks one (enabling both is
+# legal; semdedup then sees only embedding_dedup's survivors).
 _DEFAULT_ON = {
-    s: s not in ("mixture", "embedding_dedup", "pq_index",
+    s: s not in ("mixture", "embedding_dedup", "semdedup", "pq_index",
                  "substring_scrub", "lang_filter")
     for s in STAGES
 }
@@ -198,6 +204,33 @@ def _embedding_dedup(spark: SparkSession, docs: DataFrame,
     return docs.join(
         F.broadcast(dup_ids), docs.doc_id == dup_ids.dup_id, "left_anti"
     ).select(*docs.columns)
+
+
+def _semdedup(spark: SparkSession, docs: DataFrame, input_dir: str,
+              work_dir: str) -> tuple[DataFrame, str]:
+    """SemDeDup stage (Abbas et al. 2023 shape, the registered
+    dedup_semantic_keepers kernel): survivors' embeddings materialize
+    under work_dir (the kernel reads a table dir and builds its IVF
+    cell index once via layout_once), the keeper set — one
+    farthest-from-centroid member per within-cell duplicate group —
+    semi-joins the doc chain. Returns (filtered docs, the embedding
+    stage dir) so the caller can drop the run's cell-index layouts
+    AFTER the stage output materializes (the keeper plan reads
+    them lazily)."""
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_semantic_keepers,
+    )
+
+    emb = _aligned_embeddings(spark, input_dir, docs)
+    stage_dir = os.path.join(work_dir, "semdedup_embeddings")
+    emb.write.mode("overwrite").parquet(
+        os.path.join(stage_dir, "embeddings.parquet")
+    )
+    keepers = dedup_semantic_keepers(spark, stage_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    out = docs.join(keepers, "doc_id", "semi").select(*docs.columns)
+    return out, stage_dir
 
 
 def _emit_pq_index(spark: SparkSession, docs: DataFrame, input_dir: str,
@@ -398,6 +431,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             out = _substring_scrub(spark, cur_dir)
         elif stage == "embedding_dedup":
             out = _embedding_dedup(spark, docs, input_dir)
+        elif stage == "semdedup":
+            out, sem_dir = _semdedup(spark, docs, input_dir, work_dir)
         elif stage == "source_cap":
             out = _source_cap(docs, cap=cfg.get("source_cap_n"))
         else:
@@ -413,6 +448,13 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
         n = _write_stage(out, stage_dir)
         if stage == "lang_filter":
             _evict_lang_filter_artifacts(spark, cur_dir)
+        if stage == "semdedup":
+            # the keeper plan has executed (stage output is on disk);
+            # this run's cell-index layouts are addressable by no
+            # later run (fresh work_dir) — drop them now
+            from adcirctime2cogs_spark.tables import drop_layouts
+
+            drop_layouts(spark, sem_dir)
         if stage == "fuzzy_dedup":
             # the dedup kernels memoize persisted shingle artifacts
             # keyed on the stage dir; every run checkpoints under a

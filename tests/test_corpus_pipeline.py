@@ -18,6 +18,17 @@ from adcirctime2cogs_spark.corpus_pipeline import (
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+
+def _stage_dir(root, suffix: str) -> str:
+    """Resolve a stage checkpoint dir by its stage-name suffix — the
+    numeric prefix is the enumerate index over STAGES and shifts
+    whenever a stage is inserted."""
+    work = os.path.join(str(root), "work")
+    return next(
+        os.path.join(work, d) for d in os.listdir(work)
+        if d.endswith("_" + suffix)
+    )
+
 def _planted_input(spark, out_dir: str) -> None:
     """sf0.001 documents plus two planted defects: an exact duplicate
     of doc 7 under a fresh id, and a PII-bearing doc."""
@@ -75,7 +86,7 @@ def pipe_run(spark, tmp_path_factory):
 def test_pipeline_removes_planted_exact_dup(spark, pipe_run):
     root, _, manifest = pipe_run
     stage_out = spark.read.parquet(
-        str(root / "work" / "01_exact_dedup" / "documents.parquet")
+        os.path.join(_stage_dir(root, "exact_dedup"), "documents.parquet")
     )
     ids = {r.doc_id for r in stage_out.select("doc_id").collect()}
     assert 7 in ids  # keep-first: the lower id survives
@@ -93,7 +104,7 @@ def test_pipeline_scrubs_pii_from_text(spark, pipe_run):
     # built to survive quality, but the later source-cap stage (top-N
     # per source) may legitimately drop it before the final shards
     scrubbed = spark.read.parquet(
-        str(root / "work" / "08_pii_scrub" / "documents.parquet")
+        os.path.join(_stage_dir(root, "pii_scrub"), "documents.parquet")
     )
     planted = scrubbed.filter(F.col("doc_id") == 900002).collect()
     assert planted, "planted PII doc must reach the scrub stage"
@@ -353,7 +364,7 @@ def test_substring_scrub_stage_rewrites_not_drops(spark, tmp_path):
               if s["stage"] == "substring_scrub")
     assert st["dropped"] == 0  # rewrite, never a drop
     scrubbed = spark.read.parquet(
-        str(tmp_path / "work" / "06_substring_scrub" / "documents.parquet")
+        os.path.join(_stage_dir(tmp_path, "substring_scrub"), "documents.parquet")
     )
     rows = {r.doc_id: r.text for r in scrubbed.filter(
         F.col("doc_id") >= 910001).collect()}
@@ -397,9 +408,67 @@ def test_lang_filter_stage_drops_classifier_misses(spark, tmp_path):
     survived = {
         r.doc_id
         for r in spark.read.parquet(
-            str(root / "work" / "03_lang_filter" / "documents.parquet")
+            os.path.join(_stage_dir(root, "lang_filter"), "documents.parquet")
         ).select("doc_id").collect()
     }
     assert survived == expected
     assert stage["rows_out"] == len(expected)
     assert stage["dropped"] == manifest["rows_in"] - len(expected)
+
+
+def test_semdedup_stage_drops_planted_semantic_twin(spark, tmp_path):
+    """The opt-in SemDeDup stage: a planted near-identical-embedding
+    pair (docs 11/13, same IVF cell by construction) must lose
+    exactly one member under the farthest-from-centroid keeper rule,
+    the stage manifest must carry the drop, and the run's cell-index
+    layouts must be reaped from the warehouse afterwards."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.tables import _src_hash
+
+    root = tmp_path
+    inp = str(root / "input")
+    _planted_input(spark, inp)
+    docs = spark.read.parquet(os.path.join(inp, "documents.parquet"))
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    e11 = emb.filter(F.col("vec_id") == 11).first().embedding
+    twin = spark.createDataFrame(
+        [(13, [v * 1.0001 for v in e11])],
+        "vec_id bigint, embedding array<float>",
+    )
+    (
+        emb.filter(F.col("vec_id").isin(list(ids - {13, 900001, 900002})))
+        .unionByName(twin)
+        .write.mode("overwrite")
+        .parquet(os.path.join(inp, "embeddings.parquet"))
+    )
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {"decontaminate": False, "semdedup": True},
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    by_stage = {s["stage"]: s for s in manifest["stages"]}
+    assert by_stage["semdedup"]["dropped"] >= 1
+    sd_dir = next(
+        str(root / "work" / d) for d in os.listdir(str(root / "work"))
+        if d.endswith("_semdedup")
+    )
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(
+            os.path.join(sd_dir, "documents.parquet")
+        ).select("doc_id").collect()
+    }
+    assert (11 in kept) != (13 in kept)  # exactly one twin survives
+    # the run's cell-index layouts were dropped from the warehouse
+    sem_dir = str(root / "work" / "semdedup_embeddings")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    src = _src_hash(sem_dir)
+    leftovers = [e for e in os.listdir(wh) if f"_{src}-" in e]
+    assert leftovers == []
