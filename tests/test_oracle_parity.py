@@ -19,6 +19,11 @@ ALL_ORACLES = registry.all_oracles()
 EMPTY_OK = {
     "tpch_q7_volume_shipping",  # 2-nation 2-year trade: no qualifying
     # lineitem among sf0.001's 600 rows; non-empty from sf0.01 up
+    "setop_except",  # the mirror case: customers-without-suppliers
+    # nations exist only at sf0.001 (10 supplier nations); from
+    # sf0.01 up the supplier table covers all 25 nations and the
+    # EXCEPT is legitimately empty — the non-vacuous semantics stay
+    # pinned by the sf0.001 sweep, where it returns 15 rows
 }
 
 
