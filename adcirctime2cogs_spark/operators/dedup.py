@@ -1354,3 +1354,130 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
     )
+
+
+def _semdedup_scored_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of _semdedup_scored: the IVF cell assignment
+    computed by ONE Arrow-batched numpy matmul per partition against
+    the broadcast centroid matrix, instead of the materialized-table
+    route whose build scores each vector against each centroid with
+    interpreted higher-order functions. Same assignment RULE (top-1
+    by cosine rounded to 4 dp, centroid-id tie-break — ties resolved
+    to the LOWEST centroid id exactly like the row_number ordering),
+    arithmetic in float64 BLAS — so values can differ from the
+    registered path only where two r4-rounded cosines collide at the
+    1e-4 boundary, which the cross-validation test measures (exact
+    set equality on the fixtures). 100 TB shape: centroids ship once
+    per executor (k x dim floats), assignment is O(n*k) inside BLAS,
+    no shuffle until the within-cell join."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.operators.similarity import CENT_MOD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % CENT_MOD == 1)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype="int64")
+    order = np.argsort(cent_ids)
+    cent_ids = cent_ids[order]
+    cmat = np.array(
+        [cent_rows[i].embedding for i in order], dtype="float64"
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cent_ids, cmat, cnorm))
+
+    out_schema = (
+        "vec_id long, embedding array<float>, cell long, cs double"
+    )
+
+    # rows per matmul chunk: bounds each worker's transient at
+    # ~CHUNK x nlist x 8 B x 2 (scores + the norm-product divisor) —
+    # ~250 MB at 15k cells — instead of an Arrow-batch-sized outer
+    # product (10k x 15k x 3 arrays ~ 3.6 GB PER WORKER, which
+    # global-OOMed a 128 GB box at 32 workers on the 1M leg)
+    CHUNK = 1024
+
+    def assign(batches):
+        import pandas as pd
+
+        ids, mat, nrm = bc.value
+        mat_t = mat.T
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype="float64")
+            if len(v) == 0:
+                continue
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            best = np.empty(len(v), dtype="int64")
+            best_cs = np.empty(len(v), dtype="float64")
+            for lo in range(0, len(v), CHUNK):
+                hi = min(lo + CHUNK, len(v))
+                # same op shape as the slow path's dot/(na*nb): one
+                # division by the norm PRODUCT, then half-up 4-dp
+                cs = (v[lo:hi] @ mat_t) / (
+                    vnorm[lo:hi, None] * nrm[None, :]
+                )
+                cs = np.sign(cs) * np.floor(np.abs(cs) * 1e4 + 0.5) / 1e4
+                # top-1 by (cs desc, cent_id asc): argmax returns the
+                # FIRST maximum and ids are ascending — the tie-break
+                b = cs.argmax(axis=1)
+                best[lo:hi] = b
+                best_cs[lo:hi] = cs[np.arange(hi - lo), b]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "cell": ids[best],
+                "cs": best_cs,
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, out_schema
+    )
+
+
+@_register("dedup_semantic_keepers_scale")  # rows-only: BLAS fold order
+def dedup_semantic_keepers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keepers on the BLAS assignment path — the PRODUCTION
+    variant of dedup_semantic_keepers, whose deterministic oracle-able
+    centroid rule makes the one-time cell build O(n*nlist) in
+    interpreted higher-order functions (documented boundary in
+    tools/scale_check.run_semdedup_leg). Here assignment is a numpy
+    matmul behind mapInPandas, so a 1M x 15k-cell build is seconds of
+    BLAS instead of hours. Registered rows-only: matmul accumulation
+    order can flip an r4-rounded cosine at the 1e-4 boundary vs the
+    sequential-fold oracle, so values are pinned by the exact
+    cross-validation test against dedup_semantic_keepers at fixture
+    scales (tests/test_dedup.py) and the 1M-vector leg, not by a
+    DuckDB hash."""
+    scored = _semdedup_scored_fast(spark, sf_dir)
+    a = scored.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "cell", F.col("cs").alias("cs_a"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        "cell", F.col("cs").alias("cs_b"),
+    )
+    from adcirctime2cogs_spark.operators.similarity import cosine
+
+    earlier = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
+        .filter(earlier)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            F.broadcast(dropped),
+            scored.vec_id == dropped.dup_id,
+            "left_anti",
+        )
+        .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
+    )

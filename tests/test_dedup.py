@@ -514,3 +514,42 @@ def test_semdedup_planted_twins_within_cell_bound_and_keeper_rule(
             assert not (a in keepers and b in keepers)
     finally:
         drop_layouts(spark, corpus)
+
+
+def test_semdedup_scale_path_matches_oracle_path(spark, sf_dir,
+                                                 sf_medium_dir):
+    """The BLAS assignment path (mapInPandas matmul against the
+    broadcast centroid matrix) must reproduce the registered
+    materialized-table path EXACTLY on the fixtures — same cells,
+    same rounded centroid similarities, same keeper set. Divergence
+    is only possible where two r4-rounded cosines collide at the
+    1e-4 boundary; equality here pins that the fixture data has no
+    such collision and that the tie-break (lowest centroid id)
+    matches the row_number ordering."""
+    from adcirctime2cogs_spark.operators.dedup import (
+        _semdedup_scored,
+        _semdedup_scored_fast,
+        dedup_semantic_keepers,
+        dedup_semantic_keepers_scale,
+    )
+
+    for sf in (sf_dir, sf_medium_dir):
+        slow = {
+            (r.vec_id, r.cell, r.cs)
+            for r in _semdedup_scored(spark, sf)
+            .select("vec_id", "cell", "cs").collect()
+        }
+        fast = {
+            (r.vec_id, r.cell, r.cs)
+            for r in _semdedup_scored_fast(spark, sf)
+            .select("vec_id", "cell", "cs").collect()
+        }
+        assert slow == fast, (
+            f"{sf}: assignment differs on "
+            f"{len(slow ^ fast)} (vec, cell, cs) triples"
+        )
+        k_slow = {tuple(r) for r in dedup_semantic_keepers(spark, sf)
+                  .collect()}
+        k_fast = {tuple(r) for r in
+                  dedup_semantic_keepers_scale(spark, sf).collect()}
+        assert k_slow == k_fast

@@ -1141,6 +1141,10 @@ def run_semdedup_leg(spark, n_vecs: int) -> dict:
     )
     from adcirctime2cogs_spark.tables import drop_layouts
 
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_semantic_keepers_scale,
+    )
+
     out = tempfile.mkdtemp(prefix="scale_semdedup_")
     try:
         synth_embeddings(spark, out, n_vecs, n_probes=N_QUERY_VECS)
@@ -1156,6 +1160,16 @@ def run_semdedup_leg(spark, n_vecs: int) -> dict:
             r.vec_id for r in dedup_semantic_keepers(spark, out).collect()
         }
         wall_keepers = time.time() - t0
+        # the BLAS assignment path (rows-only registered scale
+        # variant) must agree on the keeper set at this scale too,
+        # and its wall shows what the production path costs where
+        # the oracle-able build is the boundary
+        t0 = time.time()
+        k_fast = {
+            r.vec_id
+            for r in dedup_semantic_keepers_scale(spark, out).collect()
+        }
+        wall_fast = time.time() - t0
         twin_hits = sum(1 for t in twins if t in pairs)
         both_kept = sum(
             1 for a, b in twins if a in keepers and b in keepers
@@ -1188,13 +1202,57 @@ def run_semdedup_leg(spark, n_vecs: int) -> dict:
             "candidate_fraction_of_all_pairs": round(cand_frac, 8),
             "wall_pairs_sec": round(wall_pairs, 2),
             "wall_keepers_sec": round(wall_keepers, 2),
+            "wall_keepers_blas_sec": round(wall_fast, 2),
+            "blas_keeper_set_equal": k_fast == keepers,
             "violations": (
+                (0 if k_fast == keepers else 1) +
                 (len(twins) - twin_hits) + both_kept
                 + (1 if cand_frac > 0.01 else 0)
             ),
         }
     finally:
         drop_layouts(spark, out)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_semdedup_scale_leg(spark, n_vecs: int) -> dict:
+    """The BLAS SemDeDup path (dedup_semantic_keepers_scale) at FULL
+    corpus size — the production variant whose mapInPandas matmul
+    assignment removes the O(n*nlist) interpreted-cosine build that
+    caps run_semdedup_leg at 100k. Planted twins must not survive
+    intact; wall is the whole keeper computation (assignment + the
+    cluster-bounded within-cell verify) at ~15k data-derived cells."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_semantic_keepers_scale,
+    )
+    from adcirctime2cogs_spark.operators.similarity import N_QUERY_VECS
+
+    out = tempfile.mkdtemp(prefix="scale_semdedup_blas_")
+    try:
+        synth_embeddings(spark, out, n_vecs, n_probes=N_QUERY_VECS)
+        twins = [(q, n_vecs + q) for q in range(N_QUERY_VECS)]
+        t0 = time.time()
+        keepers = {
+            r.vec_id
+            for r in dedup_semantic_keepers_scale(spark, out).collect()
+        }
+        wall = time.time() - t0
+        both_kept = sum(
+            1 for a, b in twins if a in keepers and b in keepers
+        )
+        return {
+            "leg": f"semdedup_blas_{n_vecs}",
+            "n_vecs": n_vecs + N_QUERY_VECS,
+            "planted_twins": len(twins),
+            "twin_pairs_surviving_intact": both_kept,
+            "n_keepers": len(keepers),
+            "wall_sec": round(wall, 2),
+            "violations": both_kept,
+        }
+    finally:
         shutil.rmtree(out, ignore_errors=True)
 
 
@@ -1890,6 +1948,7 @@ def main() -> int:
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_semdedup_leg(spark, min(args.corpus_vecs, 100_000)),
+            run_semdedup_scale_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
