@@ -57,21 +57,23 @@ ONLY its compressed chunk bytes.
 
 Fractal heaps (dense group links AND dense attributes — where
 'latest' puts attributes past max_compact=8, e.g. the 15+ global
-attributes of real ADCIRC output) decode with root direct OR root
-indirect blocks and deflate-filtered blocks (_FractalHeap).
+attributes of real ADCIRC output) decode with root direct, root
+indirect, AND nested indirect blocks (payloads past the root
+block's direct-row span recurse through child indirect blocks per
+the doubling table) with deflate-filtered direct blocks
+(_FractalHeap).
 
-Dense-index v2 B-trees decode at depth 0 (one leaf) and depth 1 (a
-root internal node over leaves — hundreds to tens of thousands of
-links/attributes).
+Dense-index v2 B-trees decode at ANY depth — the recursive walk
+sizes internal-node child pointers with libhdf5's minimum-bytes
+count encoding (_v2_btree_node_info), so one leaf, a root internal
+node over leaves, and multi-level trees (tens of thousands of
+links/attributes) all resolve.
 
-Out-of-scope (clear errors, not silent wrong answers): nested
-indirect fractal-heap blocks (heaps past the direct-row span —
-gigabytes of link/attribute payload), huge/tiny heap IDs,
-non-deflate heap filters, v2 B-trees with two or more internal
-levels, v2-B-TREE chunk indexes (two or more unlimited dims —
-NetCDF-4 files have at most one), paged Fixed/Extensible Array
-data blocks, szip/user filters, datatypes beyond fixed/float/
-string/reference/vlen.
+Out-of-scope (clear errors, not silent wrong answers): huge/tiny
+heap IDs, non-deflate heap filters, v2-B-TREE chunk indexes (two
+or more unlimited dims — NetCDF-4 files have at most one), paged
+Fixed/Extensible Array data blocks, szip/user filters, datatypes
+beyond fixed/float/string/reference/vlen.
 """
 
 from __future__ import annotations
@@ -539,13 +541,13 @@ def _walk_group(s: _Src, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
 class _FractalHeap:
     """Managed-object reads from an HDF5 fractal heap (the storage
     behind dense group links and dense attributes in libhdf5 'latest'
-    files). Supported geometry: root DIRECT block, or a root INDIRECT
-    block whose doubling-table rows are all direct rows — i.e. any
-    heap whose data fits under max_direct_block_size * width *
-    max_direct_rows (gigabytes; attribute/link payloads are KB) —
-    with optional deflate-filtered direct blocks. Nested indirect
-    blocks, huge/tiny IDs, and non-deflate heap filters raise clear
-    typed errors."""
+    files). Supported geometry: root DIRECT block, root INDIRECT
+    block, and NESTED indirect blocks (doubling-table rows past
+    max_direct_rows recurse into child indirect blocks, the layout
+    heaps grow into once the payload outlives the root block's
+    direct-row span), with optional deflate-filtered direct blocks.
+    Huge/tiny IDs and non-deflate heap filters raise clear typed
+    errors."""
 
     def __init__(self, s: _Src, addr: int):
         self._s = s
@@ -600,7 +602,7 @@ class _FractalHeap:
         self.max_direct_rows = (
             int(math.log2(self.max_direct) - math.log2(self.start_size)) + 2
         )
-        self._fhib_checked = False
+        self._fhib_checked: set[int] = set()
 
     def _row_size(self, r: int) -> int:
         return self.start_size if r < 2 else self.start_size << (r - 1)
@@ -638,27 +640,96 @@ class _FractalHeap:
             )
         return raw
 
-    def _root_indirect_entry(self, idx: int) -> tuple[int, int | None]:
-        """(child address, stored size if filtered) for entry idx of
-        the root indirect block. The FHIB header is validated once
-        per heap, not per fetch — a dense group/attribute walk calls
-        this for every object."""
-        entry_sz = 8 + (12 if self.filtered else 0)
+    def _iblock_nrows(self, covered: int) -> int:
+        """Rows of an indirect block covering `covered` bytes of
+        virtual space (H5HF__dtable_size_to_rows): log2(covered) -
+        (log2(start_size) + log2(width)) + 1. Doubling-table row
+        spans are width * row_size(r), so `covered` is always an
+        exact power-of-two multiple of width * start_size."""
+        first_row_bits = (
+            (self.start_size.bit_length() - 1)
+            + (self.width.bit_length() - 1)
+        )
+        return (covered.bit_length() - 1) - first_row_bits + 1
+
+    def _iblock_entry(self, iblk_addr: int, nrows: int, virt: int,
+                      idx: int) -> tuple[int, int | None]:
+        """(child address, stored size if filtered-direct) for entry
+        idx of the indirect block at iblk_addr. Direct-row entries
+        carry (address[, stored size + filter mask]); indirect-row
+        entries (rows past max_direct_rows) carry the child indirect
+        block's address only — heap filters apply to direct blocks.
+        Headers are validated once per block, not per fetch — a dense
+        group/attribute walk calls this for every object."""
         head_sz = 4 + 1 + 8 + self.off_size
-        if not self._fhib_checked:
-            raw = self._s.read(self.root_addr, head_sz)
+        if iblk_addr not in self._fhib_checked:
+            raw = self._s.read(iblk_addr, head_sz)
             if raw[:4] != b"FHIB" or raw[4] != 0:
                 raise HDF5Error("bad fractal heap indirect block")
             if _u64(raw, 5) != self.addr:
                 raise HDF5Error(
                     "fractal heap indirect block points elsewhere"
                 )
-            self._fhib_checked = True
-        ent = self._s.read(self.root_addr + head_sz + idx * entry_sz,
-                           entry_sz)
-        addr = _u64(ent, 0)
-        stored = _u64(ent, 8) if self.filtered else None
-        return addr, stored
+            blk_off = int.from_bytes(
+                raw[13:13 + self.off_size], "little"
+            )
+            if blk_off != virt:
+                raise HDF5Error(
+                    f"fractal heap indirect block at virtual "
+                    f"{blk_off}, expected {virt}"
+                )
+            self._fhib_checked.add(iblk_addr)
+        dir_sz = 8 + (12 if self.filtered else 0)
+        n_direct = min(nrows, self.max_direct_rows) * self.width
+        if idx < n_direct:
+            p = head_sz + idx * dir_sz
+            ent = self._s.read(iblk_addr + p, dir_sz)
+            addr = _u64(ent, 0)
+            stored = _u64(ent, 8) if self.filtered else None
+            return addr, stored
+        p = head_sz + n_direct * dir_sz + (idx - n_direct) * 8
+        return _u64(self._s.read(iblk_addr + p, 8), 0), None
+
+    def _locate(self, off: int, ln: int, iblk_addr: int, nrows: int,
+                base: int) -> bytes:
+        """Managed object bytes at virtual offset `off` under the
+        indirect block at iblk_addr covering rows 0..nrows-1 of the
+        doubling table rebased at `base` — recursing through nested
+        indirect rows (rows past max_direct_rows, where real libhdf5
+        heaps land once the payload outgrows the root block's
+        direct-row span)."""
+        virt = base
+        for r in range(nrows):
+            size = self._row_size(r)
+            span = self.width * size
+            if off < virt + span:
+                col = (off - virt) // size
+                blk_virt = virt + col * size
+                addr, stored = self._iblock_entry(
+                    iblk_addr, nrows, base, r * self.width + col
+                )
+                if r < self.max_direct_rows:
+                    if ln == 0 or off - blk_virt + ln > size:
+                        raise HDF5Error(
+                            f"fractal heap ID ({off}, {ln}) crosses "
+                            f"its direct block of {size} bytes"
+                        )
+                    blk = self._read_direct(addr, size, blk_virt, stored)
+                    rel = off - blk_virt
+                    return blk[rel:rel + ln]
+                if addr == H5_UNDEF:
+                    raise HDF5Error(
+                        f"fractal heap ID points into an unallocated "
+                        f"child indirect block at virtual {blk_virt}"
+                    )
+                return self._locate(
+                    off, ln, addr, self._iblock_nrows(size), blk_virt
+                )
+            virt += span
+        raise HDF5Error(
+            f"fractal heap ID offset {off} beyond the indirect "
+            f"block's {nrows} rows"
+        )
 
     def get(self, off: int, ln: int) -> bytes:
         """Managed object bytes at virtual heap offset `off`."""
@@ -676,35 +747,7 @@ class _FractalHeap:
                 self.root_filtered_size if self.filtered else None,
             )
             return blk[off:off + ln]
-        # root indirect block: walk the doubling table row-major
-        virt = 0
-        for r in range(self.cur_rows):
-            size = self._row_size(r)
-            span = self.width * size
-            if off < virt + span:
-                if r >= self.max_direct_rows:
-                    raise HDF5Error(
-                        "nested indirect fractal-heap blocks are out of "
-                        "scope (heap exceeds the direct-row span)"
-                    )
-                col = (off - virt) // size
-                blk_virt = virt + col * size
-                if ln == 0 or off - blk_virt + ln > size:
-                    raise HDF5Error(
-                        f"fractal heap ID ({off}, {ln}) crosses its "
-                        f"direct block of {size} bytes"
-                    )
-                addr, stored = self._root_indirect_entry(
-                    r * self.width + col
-                )
-                blk = self._read_direct(addr, size, blk_virt, stored)
-                rel = off - blk_virt
-                return blk[rel:rel + ln]
-            virt += span
-        raise HDF5Error(
-            f"fractal heap ID offset {off} beyond the root indirect "
-            f"block's {self.cur_rows} rows"
-        )
+        return self._locate(off, ln, self.root_addr, self.cur_rows, 0)
 
     def managed_id(self, hid: bytes) -> tuple[int, int]:
         """(offset, length) from a managed heap ID; huge/tiny raise."""
@@ -724,14 +767,49 @@ def _v2_btree_max_leaf_nrec(node_size: int, rec_size: int) -> int:
     return (node_size - 10) // rec_size
 
 
+def _limit_enc_size(limit: int) -> int:
+    """Minimum bytes to store values 0..limit (H5VM_limit_enc_size)."""
+    return ((max(limit, 1).bit_length() - 1) // 8) + 1
+
+
+def _v2_btree_node_info(node_size: int, rec_size: int, depth: int):
+    """Per-depth node capacities for a v2 B-tree, mirroring libhdf5's
+    H5B2__hdr_init arithmetic — needed to size internal-node child
+    pointers, which carry the child's record count in
+    `_limit_enc_size(leaf capacity)` bytes (the leaf holds the most
+    records of any node type) plus, above depth 1, the child
+    SUBTREE's total record count in `_limit_enc_size(cumulative
+    capacity at the child's depth)` bytes.
+
+    Returns (max_nrec, cum_max_nrec, cum_size, nrec_size) where the
+    three lists are indexed by node depth 0..depth."""
+    max_nrec = [(node_size - 10) // rec_size]
+    cum = [max_nrec[0]]
+    cum_size = [0]
+    nrec_size = _limit_enc_size(max_nrec[0])
+    for d in range(1, depth + 1):
+        ptr = 8 + nrec_size + (cum_size[d - 1] if d > 1 else 0)
+        mn = (node_size - (10 + ptr)) // (rec_size + ptr)
+        if mn <= 0:
+            raise HDF5Error(
+                f"v2 B-tree node size {node_size} cannot hold an "
+                f"internal node at depth {d}"
+            )
+        max_nrec.append(mn)
+        cum.append((mn + 1) * cum[d - 1] + mn)
+        cum_size.append(_limit_enc_size(cum[d]))
+    return max_nrec, cum, cum_size, nrec_size
+
+
 def _v2_btree_records(s: _Src, addr: int, expect_type: int):
     """v2 B-tree records in tree order, for the dense-link name index
-    (type 5) and the dense-attribute name index (type 8). Depth 0
-    (one leaf) and depth 1 (a root internal 'BTIN' node over leaves —
-    what libhdf5 builds for groups/objects with hundreds of links or
-    attributes; ~185 link records per 2048-byte leaf) are decoded;
-    two or more internal levels (tens of thousands of links) raise
-    clearly."""
+    (type 5), the dense-attribute name index (type 8), and the
+    huge-object index (types 1/2). Any depth decodes: depth 0 is one
+    leaf, depth 1 a root 'BTIN' internal node over leaves (~185 link
+    records per 2048-byte leaf — hundreds to ~19k links), depth d a
+    recursive descent where each internal node's child pointers are
+    (address, child node record count[, child subtree total above
+    depth 1]) with libhdf5's minimum-bytes count encoding."""
     hd = s.read(addr, 38)
     if hd[:4] != b"BTHD" or hd[4] != 0:
         raise HDF5Error("bad v2 B-tree header")
@@ -745,56 +823,48 @@ def _v2_btree_records(s: _Src, addr: int, expect_type: int):
     depth = _u16(hd, 12)
     root_nrec = _u16(hd, 24)
     root_addr = _u64(hd, 16)
-    if depth > 1:
-        raise HDF5Error(
-            "v2 B-trees deeper than one internal level are out of scope"
-        )
-
-    def leaf_recs(leaf_addr: int, nrec: int):
-        leaf = s.read(leaf_addr, 6 + nrec * rec_size + 4)
-        if leaf[:4] != b"BTLF" or leaf[4] != 0:
-            raise HDF5Error("bad v2 B-tree leaf")
-        for i in range(nrec):
-            yield leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
-
-    if depth == 0:
-        yield from leaf_recs(root_addr, root_nrec)
-        return
-    # depth 1: root internal node = records 0..N-1 then N+1 child
-    # pointers of (address, child record count) — the count field is
-    # as wide as the leaf capacity requires (libhdf5's minimum-bytes
-    # encoding)
-    max_leaf = _v2_btree_max_leaf_nrec(node_size, rec_size)
-    cnt_size = 1 if max_leaf < 256 else (2 if max_leaf < 65536 else 4)
-    ptr_size = 8 + cnt_size
-    node = s.read(
-        root_addr,
-        6 + root_nrec * rec_size + (root_nrec + 1) * ptr_size + 4,
+    max_nrec, _cum, cum_size, nrec_size = _v2_btree_node_info(
+        node_size, rec_size, depth
     )
-    if node[:4] != b"BTIN" or node[4] != 0:
-        raise HDF5Error("bad v2 B-tree internal node")
-    if node[5] != expect_type:
-        raise HDF5Error("v2 B-tree internal node of the wrong type")
-    recs = [
-        node[6 + i * rec_size:6 + (i + 1) * rec_size]
-        for i in range(root_nrec)
-    ]
-    ptrs = []
-    base = 6 + root_nrec * rec_size
-    for i in range(root_nrec + 1):
-        p = base + i * ptr_size
-        caddr = _u64(node, p)
-        cnt = int.from_bytes(node[p + 8:p + 8 + cnt_size], "little")
-        if cnt > max_leaf:
-            raise HDF5Error(
-                f"v2 B-tree child claims {cnt} records, leaf capacity "
-                f"{max_leaf}"
-            )
-        ptrs.append((caddr, cnt))
-    for i, (caddr, cnt) in enumerate(ptrs):
-        yield from leaf_recs(caddr, cnt)
-        if i < root_nrec:
-            yield recs[i]
+
+    def walk(node_addr: int, nrec: int, d: int):
+        if d == 0:
+            leaf = s.read(node_addr, 6 + nrec * rec_size + 4)
+            if leaf[:4] != b"BTLF" or leaf[4] != 0:
+                raise HDF5Error("bad v2 B-tree leaf")
+            if leaf[5] != expect_type:
+                raise HDF5Error("v2 B-tree leaf of the wrong type")
+            for i in range(nrec):
+                yield leaf[6 + i * rec_size:6 + (i + 1) * rec_size]
+            return
+        # internal node: records 0..N-1 then N+1 child pointers
+        ptr_size = 8 + nrec_size + (cum_size[d - 1] if d > 1 else 0)
+        node = s.read(
+            node_addr, 6 + nrec * rec_size + (nrec + 1) * ptr_size + 4
+        )
+        if node[:4] != b"BTIN" or node[4] != 0:
+            raise HDF5Error("bad v2 B-tree internal node")
+        if node[5] != expect_type:
+            raise HDF5Error("v2 B-tree internal node of the wrong type")
+        recs = [
+            node[6 + i * rec_size:6 + (i + 1) * rec_size]
+            for i in range(nrec)
+        ]
+        base = 6 + nrec * rec_size
+        for i in range(nrec + 1):
+            p = base + i * ptr_size
+            caddr = _u64(node, p)
+            cnt = int.from_bytes(node[p + 8:p + 8 + nrec_size], "little")
+            if cnt > max_nrec[d - 1]:
+                raise HDF5Error(
+                    f"v2 B-tree child claims {cnt} records, depth-"
+                    f"{d - 1} capacity {max_nrec[d - 1]}"
+                )
+            yield from walk(caddr, cnt, d - 1)
+            if i < nrec:
+                yield recs[i]
+
+    yield from walk(root_addr, root_nrec, depth)
 
 
 def _dense_group_links(s: _Src, fheap_addr: int,
@@ -1691,14 +1761,49 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
     def row_size(r: int) -> int:
         return start_block if r < 2 else start_block << (r - 1)
 
-    def slot(k: int) -> tuple[int, int]:
-        r, c = divmod(k, width)
-        if r >= max_direct_rows:
-            raise HDF5Error(
-                "fixture writer: heap payload exceeds the direct-row span"
-            )
-        v = sum(width * row_size(rr) for rr in range(r)) + c * row_size(r)
-        return v, row_size(r)
+    def iblock_nrows(covered: int) -> int:
+        """Rows of a child indirect block covering `covered` bytes
+        (H5HF__dtable_size_to_rows)."""
+        first_row_bits = (
+            (start_block.bit_length() - 1) + (width.bit_length() - 1)
+        )
+        return (covered.bit_length() - 1) - first_row_bits + 1
+
+    def row_base(r: int) -> int:
+        return sum(width * row_size(rr) for rr in range(r))
+
+    # iblock_meta: owner key ("" = root) -> (base virtual offset,
+    # nrows, parent owner, parent entry idx); filled lazily as the
+    # slot generator descends into indirect rows
+    iblock_meta: dict[str, tuple[int, int, str, int]] = {}
+
+    def direct_slots():
+        """(virt, size, owner, entry idx, root row) for every direct-
+        block slot of the doubling table in virtual order — recursing
+        into child indirect blocks once root rows pass
+        max_direct_rows, exactly the layout real heaps grow into when
+        the payload outlives the root block's direct-row span."""
+        import itertools
+
+        def walk(owner, base, rows, root_row=None):
+            for r in rows:
+                size = row_size(r)
+                for c in range(width):
+                    v = base + row_base(r) + c * size
+                    idx = r * width + c
+                    rr = r if root_row is None else root_row
+                    if r < max_direct_rows:
+                        yield v, size, owner, idx, rr
+                    else:
+                        child = f"{owner}/{idx}"
+                        iblock_meta[child] = (
+                            v, iblock_nrows(size), owner, idx
+                        )
+                        yield from walk(
+                            child, v, range(iblock_nrows(size)), rr
+                        )
+
+        yield from walk("", 0, itertools.count())
 
     need = hdr_sz + sum(sizes)
     single = not force_indirect
@@ -1708,14 +1813,15 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
             block0 *= 2
         single = block0 <= max_direct
 
-    # blocks: slot index -> (virtual offset, nominal size,
-    #                        [(in-block offset, object index)])
-    blocks: dict[int, tuple[int, int, list]] = {}
+    # blocks: (owner, entry idx) -> (virtual offset, nominal size,
+    #                                [(in-block offset, object index)])
+    blocks: dict[tuple[str, int], tuple[int, int, list]] = {}
     ids: list[tuple[int, int]] = []
+    root_rows_touched = 0
     if single:
         start_size = block0
         items: list = []
-        blocks[0] = (0, block0, items)
+        blocks[("", 0)] = (0, block0, items)
         pos = hdr_sz
         for idx, sz in enumerate(sizes):
             ids.append((pos, sz))
@@ -1724,7 +1830,8 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
         cur_rows = 0
     else:
         start_size = start_block
-        k, cur = -1, None
+        slots = direct_slots()
+        cur: tuple[str, int] | None = None
         for idx, sz in enumerate(sizes):
             while True:
                 if cur is not None:
@@ -1733,18 +1840,18 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
                         else hdr_sz
                     if pos + sz <= bsz:
                         break
-                k += 1
-                virt, bsz = slot(k)
+                virt, bsz, owner, eidx, root_r = next(slots)
+                root_rows_touched = max(root_rows_touched, root_r + 1)
                 if hdr_sz + sz <= bsz:
-                    cur = k
-                    blocks[k] = (virt, bsz, [])
+                    cur = (owner, eidx)
+                    blocks[cur] = (virt, bsz, [])
                 else:
                     cur = None  # slot stays unallocated; try bigger rows
             virt, bsz, items = blocks[cur]
             pos = items[-1][0] + sizes[items[-1][1]] if items else hdr_sz
             ids.append((virt + pos, sz))
             items.append((pos, idx))
-        cur_rows = max(blocks) // width + 1
+        cur_rows = root_rows_touched
 
     def stored_len(bsz: int) -> int:
         return len(zlib.compress(b"\x00" * bsz, 0)) if filt else bsz
@@ -1768,39 +1875,73 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
         out = bytes(b)
         return zlib.compress(out, 0) if filt else out
 
-    for kk, (virt, bsz, items) in sorted(blocks.items()):
+    db_key: dict[tuple[str, int], str] = {}
+    for seq, (kk, (virt, bsz, items)) in enumerate(sorted(blocks.items())):
+        db_key[kk] = f"{prefix}db{seq}"
         blobs.append((
-            f"{prefix}db{kk}", stored_len(bsz),
+            f"{prefix}db{seq}", stored_len(bsz),
             (lambda addrs, v=virt, s_=bsz, it=tuple(items):
              render_db(addrs, v, s_, it)),
         ))
 
-    root_key = f"{prefix}fhib" if cur_rows else f"{prefix}db0"
+    root_key = f"{prefix}fhib" if cur_rows else db_key[("", 0)]
     if cur_rows:
-        n_entries = cur_rows * width
-        entry_sz = 8 + (12 if filt else 0)
+        # indirect blocks actually needed: every owner of an allocated
+        # direct block plus its ancestors (the slot generator registers
+        # children it merely passed through — those render as UNDEF
+        # entries of their parent, not as blocks)
+        needed = {""}
+        for owner, _eidx in blocks:
+            while owner:
+                needed.add(owner)
+                owner = iblock_meta[owner][2]
+        ib_key = {"": f"{prefix}fhib"}
+        for seq, owner in enumerate(sorted(o for o in needed if o)):
+            ib_key[owner] = f"{prefix}ib{seq}"
 
-        def render_fhib(addrs):
-            b = b"FHIB" + struct.pack("<BQ", 0, addrs[f"{prefix}frhp"])
-            b += (0).to_bytes(off_size, "little")
-            for k in range(n_entries):
-                if k in blocks:
-                    b += struct.pack("<Q", addrs[f"{prefix}db{k}"])
-                    if filt:
-                        b += struct.pack(
-                            "<QI", stored_len(blocks[k][1]), 0
-                        )
-                else:
-                    b += struct.pack("<Q", H5_UNDEF)
-                    if filt:
-                        b += struct.pack("<QI", 0, 0)
-            return b + _cksum(b)
+        dir_entry_sz = 8 + (12 if filt else 0)
 
-        blobs.append((
-            f"{prefix}fhib",
-            4 + 1 + 8 + off_size + n_entries * entry_sz + 4,
-            render_fhib,
-        ))
+        def emit_iblock(owner: str, base_virt: int, nrows: int) -> None:
+            n_direct = min(nrows, max_direct_rows) * width
+            n_indirect = max(0, nrows - max_direct_rows) * width
+
+            def render_ib(addrs, owner=owner, base_virt=base_virt,
+                          n_direct=n_direct, n_indirect=n_indirect):
+                b = b"FHIB" + struct.pack(
+                    "<BQ", 0, addrs[f"{prefix}frhp"]
+                )
+                b += base_virt.to_bytes(off_size, "little")
+                for k in range(n_direct):
+                    blk = blocks.get((owner, k))
+                    if blk is not None:
+                        b += struct.pack("<Q", addrs[db_key[(owner, k)]])
+                        if filt:
+                            b += struct.pack(
+                                "<QI", stored_len(blk[1]), 0
+                            )
+                    else:
+                        b += struct.pack("<Q", H5_UNDEF)
+                        if filt:
+                            b += struct.pack("<QI", 0, 0)
+                for k in range(n_direct, n_direct + n_indirect):
+                    child = f"{owner}/{k}"
+                    if child in needed:
+                        b += struct.pack("<Q", addrs[ib_key[child]])
+                    else:
+                        b += struct.pack("<Q", H5_UNDEF)
+                return b + _cksum(b)
+
+            blobs.append((
+                ib_key[owner],
+                4 + 1 + 8 + off_size + n_direct * dir_entry_sz
+                + n_indirect * 8 + 4,
+                render_ib,
+            ))
+
+        emit_iblock("", 0, cur_rows)
+        for owner in sorted(o for o in needed if o):
+            base_virt, nrows, _parent, _eidx = iblock_meta[owner]
+            emit_iblock(owner, base_virt, nrows)
 
     man_space = sum(
         width * row_size(r) for r in range(cur_rows)
@@ -1844,18 +1985,35 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
 
 
 def _emit_v2_btree(blobs, prefix: str, btype: int, rec_size: int,
-                   records) -> None:
+                   records, node_size: int = 2048) -> None:
     """v2 B-tree over `records` (bytes | callable(addrs) -> bytes,
-    already in record order): one leaf while they fit (depth 0), a
-    root internal 'BTIN' node over several leaves past the 2048-byte
-    leaf capacity (depth 1) — the layout libhdf5 builds for hundreds
-    of links/attributes. Separator records between leaves are
-    promoted into the internal node exactly as a B-tree requires."""
+    already in record order) at WHATEVER depth the record count
+    demands: one leaf while they fit (depth 0), a root internal
+    'BTIN' node over leaves past the leaf capacity (depth 1 — the
+    layout libhdf5 builds for hundreds of links/attributes), and
+    recursive internal levels above that (depth 2+ — tens of
+    thousands of links/attributes). Separator records between
+    siblings are promoted into the parent exactly as a B-tree
+    requires; child-pointer count fields use libhdf5's minimum-bytes
+    encoding (`_v2_btree_node_info`). node_size is a creation
+    parameter recorded in the header (libhdf5's default is 2048);
+    smaller values are legal files that force depth at small record
+    counts."""
+    import itertools
     import math
 
-    node_size = 2048
     n = len(records)
-    max_leaf = _v2_btree_max_leaf_nrec(node_size, rec_size)
+    # smallest depth whose cumulative capacity holds all records
+    depth = 0
+    while True:
+        max_nrec, cum, cum_size, nrec_size = _v2_btree_node_info(
+            node_size, rec_size, depth
+        )
+        if cum[depth] >= n or n == 0:
+            break
+        depth += 1
+
+    counter = itertools.count()
 
     def render_leaf(recs):
         def render(addrs):
@@ -1866,60 +2024,59 @@ def _emit_v2_btree(blobs, prefix: str, btype: int, rec_size: int,
 
         return render
 
-    if n <= max_leaf:
-        def render_head(addrs):
-            b = b"BTHD" + struct.pack(
-                "<BBIHHBBQHQ", 0, btype, node_size, rec_size, 0, 100, 40,
-                addrs[f"{prefix}leaf"], n, n,
+    def build(recs, d) -> tuple[str, int, int]:
+        """Emit the subtree holding `recs` rooted at a depth-d node;
+        returns (blob key, records in the node itself, records in the
+        whole subtree)."""
+        key = f"{prefix}n{next(counter)}"
+        if d == 0:
+            blobs.append(
+                (key, 6 + len(recs) * rec_size + 4, render_leaf(recs))
             )
+            return key, len(recs), len(recs)
+        cap = cum[d - 1]
+        # m >= 2: an internal node always holds at least one separator
+        # record (guaranteed anyway when the tree depth is minimal for
+        # the record count — kept explicit for safety)
+        m = max(2, math.ceil((len(recs) + 1) / (cap + 1)))
+        while math.ceil((len(recs) - (m - 1)) / m) > cap:
+            m += 1
+        in_children = len(recs) - (m - 1)
+        base, extra = divmod(in_children, m)
+        children, seps = [], []
+        idx = 0
+        for i in range(m):
+            cnt = base + (1 if i < extra else 0)
+            children.append(build(recs[idx:idx + cnt], d - 1))
+            idx += cnt
+            if i < m - 1:
+                seps.append(recs[idx])
+                idx += 1
+        ptr_size = 8 + nrec_size + (cum_size[d - 1] if d > 1 else 0)
+
+        def render_node(addrs, seps=seps, children=children, d=d):
+            b = b"BTIN" + struct.pack("<BB", 0, btype)
+            for r in seps:
+                b += r(addrs) if callable(r) else r
+            for ckey, cnode, ctotal in children:
+                b += struct.pack("<Q", addrs[ckey])
+                b += cnode.to_bytes(nrec_size, "little")
+                if d > 1:
+                    b += ctotal.to_bytes(cum_size[d - 1], "little")
             return b + _cksum(b)
 
-        blobs.append(
-            (f"{prefix}leaf", 6 + n * rec_size + 4, render_leaf(records))
-        )
-        blobs.append((f"{prefix}head", 38, render_head))
-        return
-
-    # depth 1: L leaves, L-1 separator records promoted to the root
-    n_leaves = math.ceil(n / (max_leaf + 1))
-    while math.ceil((n - (n_leaves - 1)) / n_leaves) > max_leaf:
-        n_leaves += 1
-    in_leaves = n - (n_leaves - 1)
-    base, extra = divmod(in_leaves, n_leaves)
-    leaves, seps = [], []
-    idx = 0
-    for i in range(n_leaves):
-        cnt = base + (1 if i < extra else 0)
-        leaves.append(records[idx:idx + cnt])
-        idx += cnt
-        if i < n_leaves - 1:
-            seps.append(records[idx])
-            idx += 1
-    cnt_size = 1 if max_leaf < 256 else (2 if max_leaf < 65536 else 4)
-    for i, lr in enumerate(leaves):
         blobs.append((
-            f"{prefix}leaf{i}", 6 + len(lr) * rec_size + 4,
-            render_leaf(lr),
+            key, 6 + len(seps) * rec_size + m * ptr_size + 4,
+            render_node,
         ))
+        return key, m - 1, len(recs)
 
-    def render_root(addrs):
-        b = b"BTIN" + struct.pack("<BB", 0, btype)
-        for r in seps:
-            b += r(addrs) if callable(r) else r
-        for i, lr in enumerate(leaves):
-            b += struct.pack("<Q", addrs[f"{prefix}leaf{i}"])
-            b += len(lr).to_bytes(cnt_size, "little")
-        return b + _cksum(b)
-
-    root_size = (
-        6 + len(seps) * rec_size + n_leaves * (8 + cnt_size) + 4
-    )
-    blobs.append((f"{prefix}root", root_size, render_root))
+    root_key, root_nrec, _total = build(records, depth)
 
     def render_head(addrs):
         b = b"BTHD" + struct.pack(
-            "<BBIHHBBQHQ", 0, btype, node_size, rec_size, 1, 100, 40,
-            addrs[f"{prefix}root"], len(seps), n,
+            "<BBIHHBBQHQ", 0, btype, node_size, rec_size, depth, 100, 40,
+            addrs[root_key], root_nrec, n,
         )
         return b + _cksum(b)
 

@@ -976,6 +976,31 @@ def test_fractal_heap_indirect_and_filtered_compose(tmp_path):
     _assert_attr_heavy_decodes(hdf5.H5File(p), n_gatts=24)
 
 
+def test_fractal_heap_nested_indirect(tmp_path):
+    """Payloads past the root block's direct-row span (width 4 x
+    rows 512..65536 = ~512 KB) spill into CHILD indirect blocks —
+    row >= max_direct_rows entries of the root FHIB point at nested
+    FHIBs whose own rows restart the doubling table. 10k float
+    attributes (~700 KB with headers) force exactly that; every
+    object must resolve through the recursive walk, plain and
+    deflate-filtered."""
+    for filt in (False, True):
+        p = str(tmp_path / f"nest{int(filt)}.nc")
+        gatts = {f"g{j:05d}": np.float64(j) for j in range(10_000)}
+        hdf5.write_netcdf4(
+            p, dims={"node": 4},
+            variables={"v": (("node",), np.arange(4.0), {})},
+            gatts=gatts, compress=None, layout="latest",
+            heap_filter=filt,
+        )
+        raw = open(p, "rb").read()
+        assert raw.count(b"FHIB") >= 2  # root + nested child
+        f = hdf5.H5File(p)
+        assert len(f.root_attrs) == 10_000
+        assert f.root_attrs["g00000"] == 0.0
+        assert f.root_attrs["g09999"] == 9999.0
+
+
 def test_fractal_heap_typed_errors(tmp_path):
     """Out-of-scope / malformed heap structures raise HDF5Error with
     the documented messages, never raw struct/zlib/IndexError: a
@@ -1082,9 +1107,62 @@ def test_v2_btree_depth1_hundreds_of_links_and_attrs(tmp_path):
     assert np.array_equal(f.read("v123"), np.arange(4.0) + 123)
 
 
-def test_v2_btree_depth2_raises(tmp_path):
-    """Two internal levels stay out of scope with a typed error: a
-    depth-1 file retagged to depth 2 must raise, not misparse."""
+def test_v2_btree_depth2_ten_thousand_attrs(tmp_path):
+    """Past ~9.5k dense-attribute records (the cumulative capacity of
+    a depth-1 tree at 2048-byte nodes / 17-byte records) the name
+    index grows a SECOND internal level — the shape libhdf5 builds
+    for attribute counts in the tens of thousands. All 10,000 root
+    attributes must resolve through the recursive walk."""
+    p = str(tmp_path / "depth2.nc")
+    dims = {"node": 4}
+    variables = {"v": (("node",), np.arange(4.0), {})}
+    gatts = {f"g{j:05d}": np.float64(j) for j in range(10_000)}
+    hdf5.write_netcdf4(p, dims=dims, variables=variables, gatts=gatts,
+                       compress=None, layout="latest")
+    raw = open(p, "rb").read()
+    depths = set()
+    pos = raw.find(b"BTHD")
+    while pos >= 0:
+        depths.add(struct.unpack_from("<H", raw, pos + 12)[0])
+        pos = raw.find(b"BTHD", pos + 1)
+    assert 2 in depths
+    f = hdf5.H5File(p)
+    assert len(f.root_attrs) == 10_000
+    assert f.root_attrs["g04242"] == 4242.0
+    assert f.root_attrs["g09999"] == 9999.0
+
+
+def test_v2_btree_depth3_small_node_size():
+    """Depth generalizes past 2: node size is a creation parameter
+    recorded in the header, so a 128-byte-node tree over 4-byte
+    records reaches three internal levels by 3000 records (cum
+    capacities 29 / 269 / 2159 / 17279). Every record must come back
+    in exact tree order, and internal child pointers above depth 1
+    must carry the subtree-total field at libhdf5's minimum width."""
+    recs = [struct.pack("<I", i) for i in range(3000)]
+    blobs = []
+    hdf5._emit_v2_btree(blobs, "t:", 5, 4, recs, node_size=128)
+    addrs, pos = {}, 0
+    for key, size, _ in blobs:
+        addrs[key] = pos
+        pos += size
+    out = bytearray(pos)
+    for key, size, render in blobs:
+        raw = render(addrs) if callable(render) else render
+        assert len(raw) == size, key
+        out[addrs[key]:addrs[key] + size] = raw
+    head = addrs["t:head"]
+    assert struct.unpack_from("<H", out, head + 12)[0] == 3  # depth
+    s = hdf5._Src(bytes(out))
+    got = list(hdf5._v2_btree_records(s, head, 5))
+    assert got == recs
+
+
+def test_v2_btree_retagged_depth_raises(tmp_path):
+    """A corrupt header depth (a depth-1 file retagged to depth 2)
+    must surface as a typed HDF5Error from the recursive walk — the
+    mis-sized child pointers land on non-node bytes — never as a
+    silent misparse or an untyped crash."""
     p = str(tmp_path / "d2.nc")
     dims = {"node": 4}
     variables = {
@@ -1100,5 +1178,5 @@ def test_v2_btree_depth2_raises(tmp_path):
         pos = raw.find(b"BTHD", pos + 1)
     pb = str(tmp_path / "d2bad.nc")
     open(pb, "wb").write(bytes(raw))
-    with pytest.raises(hdf5.HDF5Error, match="deeper than one"):
+    with pytest.raises(hdf5.HDF5Error):
         hdf5.H5File(pb)
