@@ -69,11 +69,19 @@ count encoding (_v2_btree_node_info), so one leaf, a root internal
 node over leaves, and multi-level trees (tens of thousands of
 links/attributes) all resolve.
 
-Out-of-scope (clear errors, not silent wrong answers): huge/tiny
-heap IDs, non-deflate heap filters, v2-B-TREE chunk indexes (two
-or more unlimited dims — NetCDF-4 files have at most one), paged
-Fixed/Extensible Array data blocks, szip/user filters, datatypes
-beyond fixed/float/string/reference/vlen.
+Fractal heap IDs decode in all three flavors: managed (block
+offset + length), tiny (payload embedded in the ID), and huge
+(objects past the heap's max managed size — e.g. multi-KB history
+attributes — via the type-1/2 huge-object v2 B-tree or embedded
+(address, length) when the ID is wide enough, libhdf5's
+H5HF__huge_init rule).
+
+Out-of-scope (clear errors, not silent wrong answers): extended
+tiny heap IDs (ID length > 17), non-deflate heap filters,
+v2-B-TREE chunk indexes (two or more unlimited dims — NetCDF-4
+files have at most one), paged Fixed/Extensible Array data
+blocks, szip/user filters, datatypes beyond fixed/float/
+string/reference/vlen.
 """
 
 from __future__ import annotations
@@ -546,8 +554,10 @@ class _FractalHeap:
     max_direct_rows recurse into child indirect blocks, the layout
     heaps grow into once the payload outlives the root block's
     direct-row span), with optional deflate-filtered direct blocks.
-    Huge/tiny IDs and non-deflate heap filters raise clear typed
-    errors."""
+    IDs resolve in all three flavors through fetch(): managed, tiny
+    (payload in the ID), and huge (huge-object v2 B-tree or embedded
+    address). Extended tiny IDs and non-deflate heap filters raise
+    clear typed errors."""
 
     def __init__(self, s: _Src, addr: int):
         self._s = s
@@ -558,6 +568,9 @@ class _FractalHeap:
         self.heap_id_len = _u16(hd, 5)
         filt_len = _u16(hd, 7)
         self.checksummed = bool(hd[9] & 0x02)
+        self.max_man_obj = _u32(hd, 10)
+        self.huge_btree = _u64(hd, 22)
+        self._huge_recs: dict[int, tuple] | None = None
         self.width = _u16(hd, 110)
         self.start_size = _u64(hd, 112)
         self.max_direct = _u64(hd, 120)
@@ -750,15 +763,100 @@ class _FractalHeap:
         return self._locate(off, ln, self.root_addr, self.cur_rows, 0)
 
     def managed_id(self, hid: bytes) -> tuple[int, int]:
-        """(offset, length) from a managed heap ID; huge/tiny raise."""
+        """(offset, length) from a managed heap ID."""
         if (hid[0] >> 4) & 0x3 != 0:
-            raise HDF5Error("huge/tiny fractal heap IDs are out of scope")
+            raise HDF5Error("not a managed fractal heap ID")
         off = int.from_bytes(hid[1:1 + self.off_size], "little")
         ln = int.from_bytes(
             hid[1 + self.off_size:1 + self.off_size + self.len_size],
             "little",
         )
         return off, ln
+
+    def _huge(self, hid: bytes) -> bytes:
+        """Huge-object bytes (objects past the heap's max managed
+        size, e.g. a multi-KB 'history' attribute under dense
+        storage). Whether the ID embeds (address, length) directly or
+        keys into the huge-object v2 B-tree is a pure function of the
+        ID length vs the field widths — libhdf5's H5HF__huge_init
+        rule — so both reader and writer derive it identically. The
+        default 8-byte dense-storage IDs always go through the B-tree
+        (type 1 records, or type 2 with per-object filter fields when
+        the heap is filtered)."""
+        id_body = self.heap_id_len - 1
+        direct = id_body >= (8 + 8 + 4 + 8 if self.filtered else 8 + 8)
+        if direct:
+            obj_addr = _u64(hid, 1)
+            stored = _u64(hid, 9)
+            if not self.filtered:
+                return self._s.read(obj_addr, stored)
+            mem = _u64(hid, 21)
+            raw = zlib.decompress(self._s.read(obj_addr, stored))
+            if len(raw) != mem:
+                raise HDF5Error(
+                    f"filtered huge object inflated to {len(raw)} "
+                    f"bytes, expected {mem}"
+                )
+            return raw
+        if self.huge_btree == H5_UNDEF:
+            raise HDF5Error(
+                "huge fractal-heap ID but the heap has no huge-object "
+                "B-tree"
+            )
+        if self._huge_recs is None:
+            btype = 2 if self.filtered else 1
+            recs: dict[int, tuple] = {}
+            for rec in _v2_btree_records(self._s, self.huge_btree, btype):
+                if self.filtered:
+                    # address, stored length, filter mask, memory
+                    # size, huge object ID
+                    recs[_u64(rec, 28)] = (
+                        _u64(rec, 0), _u64(rec, 8), _u64(rec, 20)
+                    )
+                else:
+                    recs[_u64(rec, 16)] = (_u64(rec, 0), _u64(rec, 8),
+                                           None)
+            self._huge_recs = recs
+        want = int.from_bytes(hid[1:1 + min(id_body, 8)], "little")
+        hit = self._huge_recs.get(want)
+        if hit is None:
+            raise HDF5Error(
+                f"huge object id {want} not in the huge-object B-tree"
+            )
+        obj_addr, stored, mem = hit
+        raw = self._s.read(obj_addr, stored)
+        if self.filtered:
+            raw = zlib.decompress(raw)
+            if len(raw) != mem:
+                raise HDF5Error(
+                    f"filtered huge object inflated to {len(raw)} "
+                    f"bytes, expected {mem}"
+                )
+        return raw
+
+    def fetch(self, hid: bytes) -> bytes:
+        """Object bytes for ANY fractal heap ID: managed (offset into
+        the block structure), tiny (payload embedded in the ID
+        itself), or huge (past max_man_obj; via the huge-object
+        B-tree or embedded address per _huge)."""
+        if hid[0] >> 6:
+            raise HDF5Error(
+                f"fractal heap ID version {hid[0] >> 6}, expected 0"
+            )
+        typ = (hid[0] >> 4) & 0x3
+        if typ == 0:
+            return self.get(*self.managed_id(hid))
+        if typ == 1:
+            return self._huge(hid)
+        if typ == 2:
+            if self.heap_id_len - 1 > 16:
+                raise HDF5Error(
+                    "extended tiny fractal-heap IDs (ID length > 17) "
+                    "are out of scope"
+                )
+            ln = (hid[0] & 0x0F) + 1
+            return bytes(hid[1:1 + ln])
+        raise HDF5Error("fractal heap ID type 3 is reserved")
 
 
 def _v2_btree_max_leaf_nrec(node_size: int, rec_size: int) -> int:
@@ -874,17 +972,17 @@ def _dense_group_links(s: _Src, fheap_addr: int,
     file written with libver='latest': the Link Info message points
     at a fractal heap holding the serialized Link messages and a v2
     B-tree (type 5, name index) of (name hash, heap ID) records.
-    The heap may be root-direct or root-indirect and deflate-filtered
-    (_FractalHeap); huge/tiny IDs and deeper B-trees raise clearly."""
+    The heap may be root-direct, root-indirect, or nested-indirect
+    and deflate-filtered, and IDs may be managed/tiny/huge
+    (_FractalHeap.fetch); the B-tree decodes at any depth."""
     heap = _FractalHeap(s, fheap_addr)
     out: dict[str, int] = {}
     for rec in _v2_btree_records(s, btree_addr, 5):
         hid = rec[4:4 + heap.heap_id_len]  # after the 4-byte name hash
-        off, ln = heap.managed_id(hid)
-        # bounds are re-checked inside get() so a malformed record
+        # bounds are re-checked inside fetch() so a malformed record
         # raises HDF5Error (the error type netcdf.py's library
         # fallback catches), never an IndexError out of _parse_link
-        name, ohdr = _parse_link(heap.get(off, ln))
+        name, ohdr = _parse_link(heap.fetch(hid))
         if ohdr is not None:
             out[name] = ohdr
     return out
@@ -911,10 +1009,9 @@ def _dense_attributes(s: _Src, msg_body: bytes) -> list[tuple[str, object]]:
         )
     out: list[tuple[str, object]] = []
     for rec in _v2_btree_records(s, name_btree, 8):
-        off, ln = heap.managed_id(rec[0:8])
         if rec[8] & 0x03:
             raise HDF5Error("shared dense attribute messages unsupported")
-        out.append(_parse_attribute(heap.get(off, ln), s))
+        out.append(_parse_attribute(heap.fetch(rec[0:8]), s))
     return out
 
 
@@ -1733,20 +1830,25 @@ def _deflate_filter_pipeline_v1() -> bytes:
 def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
                        force_indirect: bool = False, filt: bool = False,
                        width: int = 4, start_block: int = 512,
-                       max_direct: int = 65536):
+                       max_direct: int = 65536, max_man_obj: int = 4096):
     """Fixture-writer twin of _FractalHeap: append the FRHP header,
-    direct block(s), and — when forced or when the payload spans
-    blocks — the root indirect block to `blobs`. `objects` is a list
-    of (size, bytes | callable(addrs) -> bytes); returns the managed
-    (virtual offset, size) heap ID pair per object, in order.
+    direct block(s), indirect block(s), huge-object blobs and their
+    v2 B-tree to `blobs`. `objects` is a list of (size, bytes |
+    callable(addrs) -> bytes); returns the heap ID BYTES per object,
+    in order — managed (offset, length), tiny (payload embedded in
+    the ID, libhdf5's rule for objects under hid_len - 1 bytes), or
+    huge (objects past max_man_obj, tracked in a type-1 — type-2
+    when filtered — v2 B-tree, matching the indirect-ID rule the
+    reader derives from hid_len).
 
     Geometry mirrors the reader's supported envelope: 32-bit max heap
     offsets, checksummed direct blocks, doubling-table rows of `width`
     blocks (rows 0/1 at start_block, row r at start_block*2^(r-1)),
-    optional deflate-filtered blocks. Filtered blocks are written as
-    level-0 (stored) zlib streams so their on-disk sizes are a pure
-    function of the nominal block size — blob layout needs sizes
-    before content exists; the reader inflates any valid stream."""
+    nested indirect blocks past the root's direct-row span, optional
+    deflate-filtered blocks. Filtered blocks are written as level-0
+    (stored) zlib streams so their on-disk sizes are a pure function
+    of the nominal size — blob layout needs sizes before content
+    exists; the reader inflates any valid stream."""
     import math
 
     MAX_HEAP_BITS = 32
@@ -1754,6 +1856,80 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
     hdr_sz = 4 + 1 + 8 + off_size + 4
     sizes = [sz for sz, _ in objects]
     filt_info = _deflate_filter_pipeline_v1() if filt else b""
+
+    # ---- object routing: tiny / huge / managed ----------------------
+    id_body = hid_len - 1
+    # short-form tiny only (libhdf5 switches to the 2-byte extended
+    # length encoding past a 16-byte ID body — out of the reader's
+    # scope, so the writer never emits it)
+    tiny_max = id_body if id_body <= 16 else 0
+    route: list[str] = []
+    for sz, payload in objects:
+        if sz > max_man_obj:
+            route.append("huge")
+        elif 0 < sz <= tiny_max and not callable(payload):
+            route.append("tiny")
+        else:
+            route.append("managed")
+    if "huge" in route and (
+        id_body >= (8 + 8 + 4 + 8 if filt else 8 + 8)
+    ):
+        raise HDF5Error(
+            "fixture writer: direct huge IDs (wide hid_len) not emitted"
+        )
+
+    def pad_id(b: bytes) -> bytes:
+        return b + b"\x00" * (hid_len - len(b))
+
+    ids_by_idx: dict[int, bytes] = {}
+    huge_idx = [i for i, r in enumerate(route) if r == "huge"]
+    tiny_size = 0
+    for i, r in enumerate(route):
+        if r == "tiny":
+            data = objects[i][1]
+            ids_by_idx[i] = pad_id(
+                bytes([0x20 | (len(data) - 1)]) + bytes(data)
+            )
+            tiny_size += sizes[i]
+
+    def stored_huge(n: int) -> int:
+        return len(zlib.compress(b"\x00" * n, 0)) if filt else n
+
+    huge_id_size = min(id_body, 8)
+    for seq, i in enumerate(huge_idx):
+        hugeid = seq + 1
+        payload = objects[i][1]
+
+        def render_huge(addrs, payload=payload):
+            raw = payload(addrs) if callable(payload) else bytes(payload)
+            return zlib.compress(raw, 0) if filt else raw
+
+        blobs.append(
+            (f"{prefix}huge{seq}", stored_huge(sizes[i]), render_huge)
+        )
+        ids_by_idx[i] = pad_id(
+            b"\x10" + hugeid.to_bytes(huge_id_size, "little")
+        )
+    if huge_idx:
+        def huge_rec(seq, i):
+            def render(addrs):
+                b = struct.pack(
+                    "<QQ", addrs[f"{prefix}huge{seq}"],
+                    stored_huge(sizes[i]),
+                )
+                if filt:
+                    b += struct.pack("<IQ", 0, sizes[i])
+                return b + struct.pack("<Q", seq + 1)
+
+            return render
+
+        _emit_v2_btree(
+            blobs, f"{prefix}hugebt:", 2 if filt else 1,
+            36 if filt else 24,
+            [huge_rec(seq, i) for seq, i in enumerate(huge_idx)],
+        )
+
+    managed_only = [i for i, r in enumerate(route) if r == "managed"]
     max_direct_rows = (
         int(math.log2(max_direct) - math.log2(start_block)) + 2
     )
@@ -1805,8 +1981,14 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
 
         yield from walk("", 0, itertools.count())
 
-    need = hdr_sz + sum(sizes)
-    single = not force_indirect
+    len_size = hid_len - 1 - off_size
+
+    def managed_hid(off: int, ln: int) -> bytes:
+        return (b"\x00" + off.to_bytes(off_size, "little")
+                + ln.to_bytes(len_size, "little"))
+
+    need = hdr_sz + sum(sizes[i] for i in managed_only)
+    single = not force_indirect or not managed_only
     if single:
         block0 = start_block
         while block0 < need:
@@ -1816,23 +1998,23 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
     # blocks: (owner, entry idx) -> (virtual offset, nominal size,
     #                                [(in-block offset, object index)])
     blocks: dict[tuple[str, int], tuple[int, int, list]] = {}
-    ids: list[tuple[int, int]] = []
     root_rows_touched = 0
     if single:
         start_size = block0
         items: list = []
         blocks[("", 0)] = (0, block0, items)
         pos = hdr_sz
-        for idx, sz in enumerate(sizes):
-            ids.append((pos, sz))
+        for idx in managed_only:
+            ids_by_idx[idx] = managed_hid(pos, sizes[idx])
             items.append((pos, idx))
-            pos += sz
+            pos += sizes[idx]
         cur_rows = 0
     else:
         start_size = start_block
         slots = direct_slots()
         cur: tuple[str, int] | None = None
-        for idx, sz in enumerate(sizes):
+        for idx in managed_only:
+            sz = sizes[idx]
             while True:
                 if cur is not None:
                     virt, bsz, items = blocks[cur]
@@ -1849,7 +2031,7 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
                     cur = None  # slot stays unallocated; try bigger rows
             virt, bsz, items = blocks[cur]
             pos = items[-1][0] + sizes[items[-1][1]] if items else hdr_sz
-            ids.append((virt + pos, sz))
+            ids_by_idx[idx] = managed_hid(virt + pos, sz)
             items.append((pos, idx))
         cur_rows = root_rows_touched
 
@@ -1952,18 +2134,24 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
         for _v, _s, it in blocks.values()
     )
 
+    huge_size = sum(sizes[i] for i in huge_idx)
+    n_tiny = sum(1 for r in route if r == "tiny")
+
     def render_frhp(addrs):
         b = b"FRHP" + struct.pack(
-            "<BHHBI", 0, hid_len, len(filt_info), 0x02, 4096
+            "<BHHBI", 0, hid_len, len(filt_info), 0x02, max_man_obj
         )
         b += struct.pack(
             "<QQQQQQQQQQQQ",
-            0, H5_UNDEF,                  # next huge id, huge btree
+            len(huge_idx) + 1 if huge_idx else 0,   # next huge id
+            addrs[f"{prefix}hugebt:head"] if huge_idx else H5_UNDEF,
             alloc - used_total,           # free space
             H5_UNDEF,                     # free-space manager
             man_space, alloc,             # managed space, allocated
             used_total,                   # direct block iterator
-            len(objects), 0, 0, 0, 0,     # n_managed, huge/tiny
+            len(managed_only),            # n_managed
+            huge_size, len(huge_idx),     # huge size / count
+            tiny_size, n_tiny,            # tiny size / count
         )
         b += struct.pack(
             "<HQQHHQH", width, start_size, max_direct, MAX_HEAP_BITS,
@@ -1981,7 +2169,7 @@ def _emit_fractal_heap(blobs, prefix: str, objects, *, hid_len: int,
 
     frhp_size = 146 + len(filt_info) + (12 if filt else 0)
     blobs.append((f"{prefix}frhp", frhp_size, render_frhp))
-    return ids
+    return [ids_by_idx[i] for i in range(len(objects))]
 
 
 def _emit_v2_btree(blobs, prefix: str, btype: int, rec_size: int,
@@ -2299,17 +2487,15 @@ def write_netcdf4(
             force_indirect=heap_indirect, filt=heap_filter,
         )
 
-        def attr_rec(off: int, ln: int, corder: int, nm: str) -> bytes:
-            hid = (b"\x00" + off.to_bytes(4, "little")
-                   + ln.to_bytes(3, "little"))
+        def attr_rec(hid: bytes, corder: int, nm: str) -> bytes:
             return hid + b"\x00" + struct.pack(
                 "<II", corder, _lookup3(nm.encode())
             )
 
         recs = [
             rec for _h, rec in sorted(
-                (_lookup3(nm.encode()), attr_rec(off, ln, i, nm))
-                for i, (nm, (off, ln)) in enumerate(zip(names, ids))
+                (_lookup3(nm.encode()), attr_rec(hid, i, nm))
+                for i, (nm, hid) in enumerate(zip(names, ids))
             )
         ]
         _emit_v2_btree(blobs, f"attr:{obj_key}:bt:", 8, 17, recs)
@@ -2484,16 +2670,14 @@ def write_netcdf4(
             force_indirect=heap_indirect, filt=heap_filter,
         )
 
-        def link_rec(nm: str, off: int, sz: int) -> bytes:
-            return (struct.pack("<IB", _lookup3(nm.encode()), 0)
-                    + off.to_bytes(4, "little")
-                    + sz.to_bytes(2, "little"))
+        def link_rec(nm: str, hid: bytes) -> bytes:
+            return struct.pack("<I", _lookup3(nm.encode())) + hid
 
         # the name index sorts by NUMERIC hash (not record bytes —
         # the hash field is little-endian)
         recs = [
             rec for _h, rec in sorted(
-                (_lookup3(nm.encode()), link_rec(nm, *hid))
+                (_lookup3(nm.encode()), link_rec(nm, hid))
                 for nm, hid in zip(names_sorted, link_ids)
             )
         ]

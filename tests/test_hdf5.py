@@ -1001,11 +1001,89 @@ def test_fractal_heap_nested_indirect(tmp_path):
         assert f.root_attrs["g09999"] == 9999.0
 
 
+def test_huge_heap_ids_for_oversized_attributes(tmp_path):
+    """An attribute past the heap's max managed object size (4096) —
+    the multi-KB 'history' global attribute every long-running ADCIRC
+    reanalysis accumulates — gets a HUGE heap ID: the object lives in
+    its own blob tracked by a type-1 v2 B-tree (type-2 with
+    per-object filter fields when the heap is deflated). Both flavors
+    must round-trip next to ordinary managed attributes."""
+    big = "x" * 9000 + "END"
+    for filt in (False, True):
+        p = str(tmp_path / f"huge{int(filt)}.nc")
+        gatts = {f"g{j:02d}": np.float64(j) for j in range(12)}
+        gatts["history"] = big
+        hdf5.write_netcdf4(
+            p, dims={"node": 4},
+            variables={"v": (("node",), np.arange(4.0), {})},
+            gatts=gatts, compress=None, layout="latest",
+            heap_filter=filt,
+        )
+        raw = open(p, "rb").read()
+        # a huge-object B-tree header of the right type exists
+        btypes = set()
+        pos = raw.find(b"BTHD")
+        while pos >= 0:
+            btypes.add(raw[pos + 5])
+            pos = raw.find(b"BTHD", pos + 1)
+        assert (2 if filt else 1) in btypes
+        f = hdf5.H5File(p)
+        assert f.root_attrs["history"] == big
+        assert f.root_attrs["g07"] == 7.0
+        assert len(f.root_attrs) == 13
+
+
+def test_tiny_and_direct_huge_heap_ids():
+    """Spec-level ID coverage the NetCDF mapping never produces but
+    real heaps can: TINY IDs embed the payload in the ID itself
+    (objects under hid_len - 1 bytes), and DIRECT huge IDs embed
+    (address, length) once the ID is wide enough (hid_len - 1 >= 16
+    unfiltered). Both must decode through fetch()."""
+    # tiny: writer routes a 5-byte object into the ID
+    objs = [(5, b"tiny!"), (40, b"m" * 40)]
+    blobs = []
+    ids = hdf5._emit_fractal_heap(blobs, "t:", objs, hid_len=8)
+    addrs, pos = {}, 0
+    for key, size, _ in blobs:
+        addrs[key] = pos
+        pos += size
+    out = bytearray(pos)
+    for key, size, render in blobs:
+        raw = render(addrs) if callable(render) else render
+        assert len(raw) == size, key
+        out[addrs[key]:addrs[key] + size] = raw
+    assert ids[0][0] == 0x20 | (5 - 1)  # tiny, length 5
+    assert ids[1][0] == 0x00            # managed
+    heap = hdf5._FractalHeap(hdf5._Src(bytes(out)), addrs["t:frhp"])
+    assert heap.fetch(ids[0]) == b"tiny!"
+    assert heap.fetch(ids[1]) == b"m" * 40
+    # direct huge: hand-build a 20-byte-ID header + raw object; the
+    # reader derives direct-ness from the ID width alone
+    payload = b"H" * 5000
+    blobs2 = []
+    hdf5._emit_fractal_heap(blobs2, "d:", [(40, b"m" * 40)], hid_len=20)
+    # retag the header's ID length to 20 is already set; append payload
+    addrs2, pos2 = {}, 0
+    for key, size, _ in blobs2:
+        addrs2[key] = pos2
+        pos2 += size
+    obj_at = pos2
+    buf = bytearray(pos2 + len(payload))
+    for key, size, render in blobs2:
+        raw = render(addrs2) if callable(render) else render
+        buf[addrs2[key]:addrs2[key] + size] = raw
+    buf[obj_at:] = payload
+    heap2 = hdf5._FractalHeap(hdf5._Src(bytes(buf)), addrs2["d:frhp"])
+    hid = bytes([0x10]) + struct.pack("<QQ", obj_at, len(payload))
+    hid += b"\x00" * (20 - len(hid))
+    assert heap2.fetch(hid) == payload
+
+
 def test_fractal_heap_typed_errors(tmp_path):
     """Out-of-scope / malformed heap structures raise HDF5Error with
     the documented messages, never raw struct/zlib/IndexError: a
-    huge/tiny heap ID flag, a v2 B-tree of the wrong type, and a
-    truncated direct block."""
+    huge heap ID in a heap with no huge-object B-tree, a v2 B-tree
+    of the wrong type, and a truncated direct block."""
     p = str(tmp_path / "err.nc")
     _write_attr_heavy(p)
     raw = open(p, "rb").read()
@@ -1018,7 +1096,7 @@ def test_fractal_heap_typed_errors(tmp_path):
     bad[leaf + 6 + 4] = 0x10  # managed -> huge
     pb = str(tmp_path / "huge.nc")
     open(pb, "wb").write(bytes(bad))
-    with pytest.raises(hdf5.HDF5Error, match="huge/tiny"):
+    with pytest.raises(hdf5.HDF5Error, match="no huge-object B-tree"):
         hdf5.H5File(pb)
     # retag the type-5 B-tree as type 6 -> typed mismatch error
     bad2 = bytearray(raw)
