@@ -76,12 +76,17 @@ attributes — via the type-1/2 huge-object v2 B-tree or embedded
 (address, length) when the ID is wide enough, libhdf5's
 H5HF__huge_init rule).
 
+Fixed/Extensible Array chunk indexes decode PAGED data blocks too
+(datasets past 2^10 chunks — the index layout multi-TB files
+carry): FA blocks hold a page-init bitmap then 1024-element pages
+with per-page checksums; paged EA blocks keep their bitmaps in the
+parent super block.
+
 Out-of-scope (clear errors, not silent wrong answers): extended
 tiny heap IDs (ID length > 17), non-deflate heap filters,
 v2-B-TREE chunk indexes (two or more unlimited dims — NetCDF-4
-files have at most one), paged Fixed/Extensible Array data
-blocks, szip/user filters, datatypes beyond fixed/float/
-string/reference/vlen.
+files have at most one), szip/user filters, datatypes beyond
+fixed/float/string/reference/vlen.
 """
 
 from __future__ import annotations
@@ -1131,8 +1136,38 @@ def _walk_fixed_array(s: _Src, addr: int, grid, chunk, chunk_nbytes: int):
     dblk_addr = _u64(hd, 16)
     if dblk_addr == H5_UNDEF:
         return
-    if nelmts > (1 << page_bits):
-        raise HDF5Error("paged fixed-array data blocks are out of scope")
+    page_nelmts = 1 << page_bits
+    if nelmts > page_nelmts:
+        # paged data block (datasets past 2^page_bits chunks — the
+        # shape multi-TB files take): the block holds only the prefix,
+        # a page-initialized bitmap and its checksum; the pages follow
+        # contiguously, each `page_nelmts` elements (the last one
+        # truncated) plus a 4-byte checksum
+        npages = -(-nelmts // page_nelmts)
+        bm_len = (npages + 7) // 8
+        head = s.read(dblk_addr, 14 + bm_len + 4)
+        if head[:4] != b"FADB" or head[4] != 0:
+            raise HDF5Error("bad fixed-array data block")
+        bitmap = head[14:14 + bm_len]
+        pos = dblk_addr + 14 + bm_len + 4
+        for pg in range(npages):
+            n_i = min(page_nelmts, nelmts - pg * page_nelmts)
+            if bitmap[pg >> 3] & (1 << (pg & 7)):
+                body = s.read(pos, n_i * esize + 4)
+                for j in range(n_i):
+                    a, nb, mask = _idx_element(
+                        body, j * esize, client, esize
+                    )
+                    if a == H5_UNDEF:
+                        continue
+                    yield (
+                        _linear_offsets(
+                            pg * page_nelmts + j, grid, chunk
+                        ),
+                        a, (chunk_nbytes if nb is None else nb), mask,
+                    )
+            pos += n_i * esize + 4
+        return
     body = s.read(dblk_addr, 14 + nelmts * esize + 4)
     if body[:4] != b"FADB" or body[4] != 0:
         raise HDF5Error("bad fixed-array data block")
@@ -1214,32 +1249,44 @@ def _walk_ext_array(s: _Src, addr: int, grid, chunk, chunk_nbytes: int):
     for g in grid:
         nelmts *= g
 
-    sblk_cache: dict[int, list[int]] = {}
+    page_nelmts = 1 << page_bits
+    # sblk_cache: u -> (data block addresses, page-init bitmap bytes)
+    sblk_cache: dict[int, tuple[list[int], bytes]] = {}
     dblk_cache: dict[int, bytes] = {}
+    page_cache: dict[tuple[int, int], bytes] = {}
+
+    def sblk(u: int) -> tuple[list[int], bytes]:
+        cached = sblk_cache.get(u)
+        if cached is None:
+            nd, ne = sblk_info[u][0], sblk_info[u][1]
+            npg = ne // page_nelmts if ne > page_nelmts else 0
+            if npg and ne % page_nelmts:
+                raise HDF5Error(
+                    f"extensible-array data block of {ne} elements not "
+                    f"a multiple of the {page_nelmts}-element page"
+                )
+            bm_len = (nd * npg + 7) // 8
+            sa = sblk_addrs[u - n_iblk_sblks]
+            if sa == H5_UNDEF:
+                cached = ([H5_UNDEF] * nd, b"\x00" * bm_len)
+            else:
+                # super block: prefix, block offset, page bitmap (only
+                # when its data blocks are paged), dblk addresses
+                sb = s.read(sa, 14 + off_size + bm_len + nd * 8 + 4)
+                if sb[:4] != b"EASB" or sb[4] != 0:
+                    raise HDF5Error("bad extensible-array super block")
+                base = 14 + off_size + bm_len
+                cached = (
+                    [_u64(sb, base + 8 * k) for k in range(nd)],
+                    sb[14 + off_size:base],
+                )
+            sblk_cache[u] = cached
+        return cached
 
     def dblk_address(dblk_no: int, u: int) -> int:
         if dblk_no < n_iblk_dblks:
             return dblk_addrs[dblk_no]
-        cached = sblk_cache.get(u)
-        if cached is None:
-            sa = sblk_addrs[u - n_iblk_sblks]
-            if sa == H5_UNDEF:
-                cached = [H5_UNDEF] * sblk_info[u][0]
-            else:
-                nd, ne = sblk_info[u][0], sblk_info[u][1]
-                if ne > (1 << page_bits):
-                    raise HDF5Error(
-                        "paged extensible-array data blocks are out of "
-                        "scope"
-                    )
-                sb = s.read(sa, 14 + off_size + nd * 8 + 4)
-                if sb[:4] != b"EASB" or sb[4] != 0:
-                    raise HDF5Error("bad extensible-array super block")
-                cached = [
-                    _u64(sb, 14 + off_size + 8 * k) for k in range(nd)
-                ]
-            sblk_cache[u] = cached
-        return cached[dblk_no - sblk_info[u][3]]
+        return sblk(u)[0][dblk_no - sblk_info[u][3]]
 
     def element(idx: int):
         if idx < idx_elmts:
@@ -1252,12 +1299,44 @@ def _walk_ext_array(s: _Src, addr: int, grid, chunk, chunk_nbytes: int):
         da = dblk_address(dblk_no, u)
         if da == H5_UNDEF:
             return H5_UNDEF, None, 0
-        body = dblk_cache.get(dblk_no)
-        if body is None:
-            if ne > (1 << page_bits):
+        if ne > page_nelmts:
+            # paged data block (record variables past ~131k chunks
+            # with the library's creation parameters): the block holds
+            # only prefix + block offset + checksum; `page_nelmts`-
+            # element pages follow, each with its own checksum, and
+            # the page-init bitmap lives in the parent super block
+            if dblk_no < n_iblk_dblks:
                 raise HDF5Error(
-                    "paged extensible-array data blocks are out of scope"
+                    "paged extensible-array data block referenced from "
+                    "the index block"
                 )
+            within_dblk = within % ne
+            pg = within_dblk // page_nelmts
+            local_dblk = dblk_no - sblk_info[u][3]
+            bit = local_dblk * (ne // page_nelmts) + pg
+            bm = sblk(u)[1]
+            if not (bm[bit >> 3] & (1 << (bit & 7))):
+                return H5_UNDEF, None, 0
+            page = page_cache.get((dblk_no, pg))
+            if page is None:
+                if dblk_no not in dblk_cache:
+                    head = s.read(da, 14)
+                    if head[:4] != b"EADB" or head[4] != 0:
+                        raise HDF5Error(
+                            "bad extensible-array data block"
+                        )
+                    dblk_cache[dblk_no] = head
+                base = da + 14 + off_size + 4
+                page = s.read(
+                    base + pg * (page_nelmts * esize + 4),
+                    page_nelmts * esize,
+                )
+                page_cache[(dblk_no, pg)] = page
+            return _idx_element(
+                page, (within_dblk % page_nelmts) * esize, client, esize
+            )
+        body = dblk_cache.get(dblk_no)
+        if body is None or len(body) == 14:
             body = s.read(da, 14 + off_size + ne * esize + 4)
             if body[:4] != b"EADB" or body[4] != 0:
                 raise HDF5Error("bad extensible-array data block")
@@ -2800,15 +2879,44 @@ def write_netcdf4(
             return  # single chunk: no index structure
         if d.maxshape[0] != H5_UNDEF:
             # ---- Fixed Array ----
-            if nelmts > (1 << _FA_PAGE_BITS):
-                raise HDF5Error("fixture writer: paged FADB out of scope")
-
             def render_fahd(addrs, d=d, esize=esize, nelmts=nelmts):
                 b = b"FAHD" + struct.pack(
                     "<BBBBQQ", 0, client, esize, _FA_PAGE_BITS, nelmts,
                     addrs[f"fadb:{d.name}"],
                 )
                 return b + _cksum(b)
+
+            blobs.append((f"cidx:{d.name}", 28, render_fahd))
+            fa_page = 1 << _FA_PAGE_BITS
+            if nelmts > fa_page:
+                # paged: prefix + all-initialized page bitmap +
+                # checksum, then pages of `fa_page` elements (last
+                # truncated), each with its own checksum
+                npages = -(-nelmts // fa_page)
+                bm_len = (npages + 7) // 8
+                full = bytes([0xFF]) * (npages // 8)
+                if npages % 8:
+                    full += bytes([(1 << (npages % 8)) - 1])
+
+                def render_fadb_paged(addrs, d=d, nelmts=nelmts,
+                                      npages=npages, full=full):
+                    b = b"FADB" + struct.pack(
+                        "<BBQ", 0, client, addrs[f"cidx:{d.name}"]
+                    )
+                    b += full
+                    b += _cksum(b)
+                    for pg in range(npages):
+                        n_i = min(fa_page, nelmts - pg * fa_page)
+                        pb = b"".join(
+                            elt(addrs, pg * fa_page + j)
+                            for j in range(n_i)
+                        )
+                        b += pb + _cksum(pb)
+                    return b
+
+                size = 14 + bm_len + 4 + nelmts * esize + npages * 4
+                blobs.append((f"fadb:{d.name}", size, render_fadb_paged))
+                return
 
             def render_fadb(addrs, d=d, nelmts=nelmts):
                 b = b"FADB" + struct.pack(
@@ -2818,7 +2926,6 @@ def write_netcdf4(
                     b += elt(addrs, i)
                 return b + _cksum(b)
 
-            blobs.append((f"cidx:{d.name}", 28, render_fahd))
             blobs.append(
                 (f"fadb:{d.name}", 14 + nelmts * esize + 4, render_fadb)
             )
@@ -2847,8 +2954,7 @@ def write_netcdf4(
         sblks_used = sorted(
             {u for no, u, _, _ in dblks if no >= n_iblk_dblks}
         )
-        if any(ne > (1 << _EA_PAGE_BITS) for _, _, _, ne in dblks):
-            raise HDF5Error("fixture writer: paged EADB out of scope")
+        ea_page = 1 << _EA_PAGE_BITS
 
         def render_eahd(addrs, d=d, esize=esize, nelmts=nelmts):
             dblk_bytes = sum(
@@ -2897,17 +3003,29 @@ def write_netcdf4(
         ))
         for u in sblks_used:
             nd, ne, start_idx, start_dblk = sblk_info[u]
+            npg = ne // ea_page if ne > ea_page else 0
+            bm_len = (nd * npg + 7) // 8
 
             def render_easb(addrs, d=d, u=u, nd=nd, start_idx=start_idx,
-                            start_dblk=start_dblk):
-                in_sblk = {no: (no, uu, st, nne)
-                           for no, uu, st, nne in dblks if uu == u}
+                            start_dblk=start_dblk, npg=npg,
+                            bm_len=bm_len):
+                in_sblk = {no for no, uu, _st, _ne in dblks if uu == u}
                 b = b"EASB" + struct.pack(
                     "<BBQ", 0, client, addrs[f"cidx:{d.name}"]
                 )
                 b += (_EA_IDX_ELMTS + start_idx).to_bytes(
                     off_size, "little"
                 )
+                if npg:
+                    # page-init bitmap: every page of every allocated
+                    # data block is initialized
+                    bits = bytearray(bm_len)
+                    for k in range(nd):
+                        if start_dblk + k in in_sblk:
+                            for pg in range(npg):
+                                bit = k * npg + pg
+                                bits[bit >> 3] |= 1 << (bit & 7)
+                    b += bytes(bits)
                 for k in range(nd):
                     no = start_dblk + k
                     b += struct.pack(
@@ -2918,24 +3036,39 @@ def write_netcdf4(
                 return b + _cksum(b)
 
             blobs.append((
-                f"easb:{d.name}:{u}", 14 + off_size + nd * 8 + 4,
+                f"easb:{d.name}:{u}",
+                14 + off_size + bm_len + nd * 8 + 4,
                 render_easb,
             ))
         for no, u, start, ne in dblks:
+            npg = ne // ea_page if ne > ea_page else 0
 
-            def render_eadb(addrs, d=d, start=start, ne=ne):
+            def render_eadb(addrs, d=d, start=start, ne=ne, npg=npg):
                 b = b"EADB" + struct.pack(
                     "<BBQ", 0, client, addrs[f"cidx:{d.name}"]
                 )
                 b += (_EA_IDX_ELMTS + start).to_bytes(off_size, "little")
-                for i in range(start, start + ne):
-                    b += elt(addrs, _EA_IDX_ELMTS + i)
-                return b + _cksum(b)
+                if not npg:
+                    for i in range(start, start + ne):
+                        b += elt(addrs, _EA_IDX_ELMTS + i)
+                    return b + _cksum(b)
+                # paged: prefix + checksum, then full pages each with
+                # their own checksum
+                b += _cksum(b)
+                for pg in range(npg):
+                    pb = b"".join(
+                        elt(addrs, _EA_IDX_ELMTS + start
+                            + pg * ea_page + j)
+                        for j in range(ea_page)
+                    )
+                    b += pb + _cksum(pb)
+                return b
 
-            blobs.append((
-                f"eadb:{d.name}:{no}", 14 + off_size + ne * esize + 4,
-                render_eadb,
-            ))
+            size = (
+                14 + off_size + ne * esize + 4 if not npg
+                else 14 + off_size + 4 + ne * esize + npg * 4
+            )
+            blobs.append((f"eadb:{d.name}:{no}", size, render_eadb))
 
     for d in wds:
         if d.chunk and latest:

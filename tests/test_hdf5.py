@@ -1001,6 +1001,59 @@ def test_fractal_heap_nested_indirect(tmp_path):
         assert f.root_attrs["g09999"] == 9999.0
 
 
+def test_fixed_array_paged_data_block(tmp_path):
+    """Past 2^10 chunks the Fixed Array data block pages: prefix +
+    page-init bitmap + checksum, then 1024-element pages each with
+    their own checksum. 1300 static chunks (static_chunk=2 over 2600
+    rows) must decode identically to the unpaged v1 twin — the index
+    layout any multi-TB fixed-shape dataset carries."""
+    data = np.arange(2600.0)
+    p = str(tmp_path / "fap.nc")
+    hdf5.write_netcdf4(p, dims={"node": 2600},
+                       variables={"depth": (("node",), data, {})},
+                       compress=None, layout="latest", static_chunk=2)
+    f = hdf5.H5File(p)
+    assert np.array_equal(f.read("depth"), data)
+    # paged structure really present: FAHD says 1300 > 1024 elements
+    raw = open(p, "rb").read()
+    fahd = raw.index(b"FAHD")
+    nelmts = struct.unpack_from("<Q", raw, fahd + 8)[0]
+    page_bits = raw[fahd + 7]
+    assert nelmts == 1300 and nelmts > (1 << page_bits)
+    # compressed chunks page identically
+    p2 = str(tmp_path / "fapz.nc")
+    hdf5.write_netcdf4(p2, dims={"node": 2600},
+                       variables={"depth": (("node",), data, {})},
+                       compress=6, layout="latest", static_chunk=2)
+    assert np.array_equal(hdf5.H5File(p2).read("depth"), data)
+
+
+def test_extensible_array_paged_data_block(tmp_path):
+    """Record variables past ~131k chunks (the library's creation
+    parameters: 4 index elements + super blocks up to u=12 hold
+    131,060) spill into PAGED Extensible Array data blocks — 2048-
+    element blocks split into 1024-element pages whose init bitmap
+    lives in the parent super block. 132k one-record chunks must
+    round-trip, covering the u=13 paged super block; this is the
+    index shape a year-long high-frequency ADCIRC run carries."""
+    t = np.arange(132_000.0)
+    zeta = (t * 2.0).reshape(-1, 1)
+    p = str(tmp_path / "eap.nc")
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 1},
+        variables={
+            "time": (("time",), t,
+                     {"units": "seconds since 2000-01-01"}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        compress=None, layout="latest",
+    )
+    f = hdf5.H5File(p)
+    got = f.read("zeta")
+    assert got.shape == (132_000, 1)
+    assert np.array_equal(got, zeta)  # tail lives in the paged block
+
+
 def test_huge_heap_ids_for_oversized_attributes(tmp_path):
     """An attribute past the heap's max managed object size (4096) —
     the multi-KB 'history' global attribute every long-running ADCIRC
