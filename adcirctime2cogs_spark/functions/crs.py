@@ -536,6 +536,18 @@ _EPSG_PARAMS = {
                        k0=0.99996, fe=200_000.0, fn=0.0,
                        a=GRS80_A, f=GRS80_F)),
     # NAD83 / Alabama East (SPCS83 TM)
+    3338: ("albers", dict(lat1_deg=55.0, lat2_deg=65.0, lat0_deg=50.0,
+                          lon0_deg=-154.0, a=GRS80_A, f=GRS80_F)),
+    # NAD83 / Alaska Albers
+    3577: ("albers", dict(lat1_deg=-18.0, lat2_deg=-36.0, lat0_deg=0.0,
+                          lon0_deg=132.0, a=GRS80_A, f=GRS80_F)),
+    # GDA94 / Australian Albers
+    2193: ("tm", dict(lat0_deg=0.0, lon0_deg=173.0, k0=0.9996,
+                      fe=1_600_000.0, fn=10_000_000.0,
+                      a=GRS80_A, f=GRS80_F)),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    3995: ("ps", dict(lat_ts_deg=71.0, lon0_deg=0.0)),
+    # WGS84 / Arctic Polar Stereographic
 }
 
 # GRS80-datum UTM series: (first code, zone offset, hemisphere-south).

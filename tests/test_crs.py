@@ -522,3 +522,87 @@ def test_epsg_unsupported_code_error_names_families():
         assert frag in msg
     with pytest.raises(ValueError, match="EPSG:31370"):
         crs.epsg_inverse(31370, 0.0, 0.0)
+
+
+def test_pacific_rim_rows_origins_roundtrip_and_invariants():
+    """The r09-added rows over existing kernels: Alaska Albers
+    (3338), Australian Albers (3577), NZTM 2000 (2193), and Arctic
+    Polar Stereographic (3995). Each natural origin must land at
+    (FE, FN) exactly; forward/inverse must round-trip across the
+    zone of use; the Albers rows must preserve area (equal-area
+    property measured on a small geodesic quad); NZTM's central
+    meridian must carry k0 = 0.9996; and 3995 must agree with the
+    generic PS kernel at its defining parallel."""
+    # exact natural origins
+    for code, lon0, lat0, fe, fn in (
+        (3338, -154.0, 50.0, 0.0, 0.0),
+        (3577, 132.0, 0.0, 0.0, 0.0),
+        (2193, 173.0, 0.0, 1_600_000.0, 10_000_000.0),
+    ):
+        E, N = crs.epsg_forward(code, lon0, lat0)
+        assert abs(float(E) - fe) < 1e-6, code
+        assert abs(float(N) - fn) < 1e-6, code
+    # round-trips across each zone of use
+    cases = {
+        3338: (np.array([-170.0, -150.0, -141.0]),
+               np.array([54.0, 61.5, 70.0])),
+        3577: (np.array([115.0, 133.0, 153.0]),
+               np.array([-40.0, -25.0, -11.0])),
+        2193: (np.array([167.0, 173.0, 178.5]),
+               np.array([-46.5, -41.0, -34.5])),
+        3995: (np.array([-120.0, 0.0, 45.0, 179.0]),
+               np.array([62.0, 71.0, 80.0, 88.0])),
+    }
+    for code, (lons, lats) in cases.items():
+        E, N = crs.epsg_forward(code, lons, lats)
+        lon2, lat2 = crs.epsg_inverse(code, E, N)
+        assert np.allclose(lon2, lons, atol=1e-9), code
+        assert np.allclose(lat2, lats, atol=1e-9), code
+    # Albers rows preserve area: a 0.1-degree quad's projected area
+    # must match the ellipsoidal authalic area to relative 1e-6
+    for code, lon_c, lat_c in ((3338, -150.0, 60.0),
+                               (3577, 140.0, -28.0)):
+        d = 0.05
+        lons = np.array([lon_c - d, lon_c + d, lon_c + d, lon_c - d])
+        lats = np.array([lat_c - d, lat_c - d, lat_c + d, lat_c + d])
+        E, N = crs.epsg_forward(code, lons, lats)
+        area = 0.5 * abs(
+            sum(E[i] * N[(i + 1) % 4] - E[(i + 1) % 4] * N[i]
+                for i in range(4))
+        )
+        # authalic-sphere reference area of the same quad
+        e2 = 2.0 * crs.GRS80_F - crs.GRS80_F**2
+        e1 = np.sqrt(e2)
+        qp = (1.0 - e2) * (
+            1.0 / (1.0 - e2) + np.log((1.0 + e1) / (1.0 - e1))
+            / (2.0 * e1)
+        )
+
+        def q_of(lat):
+            s = np.sin(np.radians(lat))
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                + np.log((1.0 + e1 * s) / (1.0 - e1 * s)) / (2.0 * e1)
+            )
+
+        ref = (
+            crs.GRS80_A**2 / 2.0
+            * (q_of(lat_c + d) - q_of(lat_c - d))
+            * np.radians(2.0 * d)
+        )
+        assert abs(area - ref) / ref < 1e-6, code
+    # NZTM central-meridian scale == k0
+    h = 1e-6
+    _, n0 = crs.epsg_forward(2193, 173.0, -41.0)
+    _, n1 = crs.epsg_forward(2193, 173.0, -41.0 + h)
+    s = np.sin(np.radians(-41.0))
+    e2 = 2.0 * crs.GRS80_F - crs.GRS80_F**2
+    m_rad = crs.GRS80_A * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+    k = (float(n1) - float(n0)) / (np.radians(h) * m_rad)
+    assert abs(k - 0.9996) < 1e-7
+    # 3995 == the generic PS kernel with lat_ts 71 N, lon0 0
+    E, N = crs.epsg_forward(3995, 30.0, 75.0)
+    E2, N2 = crs.polar_stereo_forward(30.0, 75.0, lat_ts_deg=71.0,
+                                      lon0_deg=0.0)
+    assert abs(float(E) - float(E2)) < 1e-9
+    assert abs(float(N) - float(N2)) < 1e-9
