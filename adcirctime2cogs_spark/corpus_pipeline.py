@@ -6,10 +6,10 @@ reference's geospatial dataflow, run/adcircTime2cogs.py:121-240): one
 command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
-    exact_dedup -> quality -> [lang_filter] -> fuzzy_dedup ->
-    [embedding_dedup] -> [substring_scrub] -> decontaminate ->
-    pii_scrub -> source_cap -> [mixture] -> [pq_index emit] ->
-    split -> shards + card
+    exact_dedup -> quality -> [repetition_filter] -> [lang_filter] ->
+    fuzzy_dedup -> [embedding_dedup] -> [substring_scrub] ->
+    decontaminate -> pii_scrub -> source_cap -> [mixture] ->
+    [pq_index emit] -> split -> shards + card
 
 Every stage composes the SAME DataFrame kernels the registered,
 DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 STAGES = (
     "exact_dedup",
     "quality",
+    "repetition_filter",
     "lang_filter",
     "fuzzy_dedup",
     "embedding_dedup",
@@ -74,9 +75,14 @@ STAGES = (
 # group) — a different keeper POLICY than embedding_dedup's
 # keep-lowest-id, so a corpus owner picks one (enabling both is
 # legal; semdedup then sees only embedding_dedup's survivors).
+# repetition_filter (the Gopher word-n-gram repetition gate,
+# textstats.repetition_filter) is opt-in: its published thresholds
+# target natural prose, and a corpus owner tunes them per corpus —
+# on the synthetic word-soup fixture the defaults would drop nearly
+# everything, which is correct behavior but not a default.
 _DEFAULT_ON = {
     s: s not in ("mixture", "embedding_dedup", "semdedup", "pq_index",
-                 "substring_scrub", "lang_filter")
+                 "substring_scrub", "lang_filter", "repetition_filter")
     for s in STAGES
 }
 
@@ -109,6 +115,23 @@ def _quality(docs: DataFrame) -> DataFrame:
     from adcirctime2cogs_spark.operators.dataprep import quality_verdict
 
     return quality_verdict(docs).filter("keep").select(*docs.columns)
+
+
+def _repetition_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021 table A1,
+    transplanted to word n-grams — textstats.repetition_stats): drops
+    documents over the dup-token / top-2-gram / dup-5-gram character
+    ceilings. Drop-only semi-join, same shape as _quality."""
+    from adcirctime2cogs_spark.operators.textstats import (
+        repetition_filter,
+    )
+
+    keep = (
+        repetition_filter(docs.select("doc_id", "text"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi")
 
 
 def _lang_filter(spark: SparkSession, stage_in_dir: str) -> DataFrame:
@@ -439,6 +462,7 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             fn = {
                 "exact_dedup": _exact_dedup,
                 "quality": _quality,
+                "repetition_filter": _repetition_filter,
                 "decontaminate": _decontaminate,
                 "pii_scrub": _pii_scrub,
                 "mixture": _mixture,

@@ -1118,3 +1118,169 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).alias("hit"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+# table A1 — the published pre-training quality gate this engine's
+# corpus pipeline feeds). All word-n-gram based: the fixture corpus
+# is single-line, so line/paragraph variants would be degenerate
+# here; the n-gram family is the part that transfers to any corpus.
+#
+# Registration note (round-rotation rule): the r09 external window is
+# full (46 forced-stale + 4 new entries), so `repetition_stats` ships
+# library-level this round with _REPETITION_SQL as its ready oracle
+# and pytest/DuckDB parity pinned in tests/test_dataprep.py; round 10
+# wraps it with @_register and a window slot.
+_REPETITION_NS_TOP = (2, 3, 4)
+_REPETITION_NS_DUP = (5, 6, 7, 8, 9, 10)
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars,
+         round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+           AS dup_token_frac
+  FROM toks
+),
+pos AS (
+  SELECT doc_id, n_chars, t, len(t) AS nt,
+         unnest(range(1, len(t) + 1)) AS p
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, n_chars, ns.n,
+         array_to_string(t[p:p + ns.n - 1], ' ') AS g
+  FROM pos, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+  WHERE p + ns.n - 1 <= nt
+),
+counts AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars, n, g, count(*) AS cnt
+  FROM grams GROUP BY doc_id, n, g
+),
+mets AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars,
+         max(CASE WHEN n = 2 THEN cnt * length(g) END) AS top2,
+         max(CASE WHEN n = 3 THEN cnt * length(g) END) AS top3,
+         max(CASE WHEN n = 4 THEN cnt * length(g) END) AS top4,
+         sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(g) END) AS dup5,
+         sum(CASE WHEN n = 6 AND cnt >= 2 THEN cnt * length(g) END) AS dup6,
+         sum(CASE WHEN n = 7 AND cnt >= 2 THEN cnt * length(g) END) AS dup7,
+         sum(CASE WHEN n = 8 AND cnt >= 2 THEN cnt * length(g) END) AS dup8,
+         sum(CASE WHEN n = 9 AND cnt >= 2 THEN cnt * length(g) END) AS dup9,
+         sum(CASE WHEN n = 10 AND cnt >= 2 THEN cnt * length(g) END) AS dup10
+  FROM counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.dup_token_frac,
+  round(least(CAST(coalesce(m.top2, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top2_char_frac,
+  round(least(CAST(coalesce(m.top3, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top3_char_frac,
+  round(least(CAST(coalesce(m.top4, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top4_char_frac,
+  round(least(CAST(coalesce(m.dup5, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup5_char_frac,
+  round(least(CAST(coalesce(m.dup6, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup6_char_frac,
+  round(least(CAST(coalesce(m.dup7, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup7_char_frac,
+  round(least(CAST(coalesce(m.dup8, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup8_char_frac,
+  round(least(CAST(coalesce(m.dup9, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup9_char_frac,
+  round(least(CAST(coalesce(m.dup10, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup10_char_frac
+FROM base b LEFT JOIN mets m USING (doc_id)
+"""
+
+
+def repetition_stats(docs: DataFrame,
+                     top_ns: tuple = _REPETITION_NS_TOP,
+                     dup_ns: tuple = _REPETITION_NS_DUP) -> DataFrame:
+    """Per-document word-n-gram repetition metrics over (doc_id,
+    text): dup_token_frac (1 - distinct/total tokens, row-local),
+    top{n}_char_frac for n in top_ns (characters covered by the
+    single heaviest n-gram — count x gram length, including inner
+    separators — over total chars, capped at 1), and dup{n}_char_frac
+    for n in dup_ns (characters covered by ALL occurrences of
+    duplicated n-grams, uncorrected for overlap, capped at 1). The
+    exact definitions are pinned so the DuckDB twin
+    (_REPETITION_SQL) is bit-stable under r4 rounding.
+
+    Scale shape (100 TB): ONE generate-explode pass emits every
+    (n, gram) for all n in a single array concat (no per-n scans);
+    the only wide shuffle is the (doc_id, n, gram) hash-agg, which is
+    combine-heavy map-side; the per-doc metric agg and the final join
+    both key on doc_id, so AQE coalesces them onto the same
+    partitioning. Per-doc state is bounded by document length —
+    nothing global, no skew beyond document size itself."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("t"),
+    )
+    base = toks.select(
+        "doc_id", "n_chars", "t",
+        r4(1.0 - F.size(F.array_distinct("t"))
+           / F.greatest(F.size("t"), F.lit(1))).alias("dup_token_frac"),
+    )
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n} + 1), "
+            f"i -> struct({n} AS n, array_join(slice(t, i, {n}), ' ') "
+            f"AS g)) ELSE array() END"
+        )
+        for n in ns
+    ]
+    grams = base.select(
+        "doc_id", "n_chars",
+        F.explode(F.concat(*gram_arrays)).alias("ng"),
+    ).select("doc_id", "n_chars", F.col("ng.n").alias("n"),
+             F.col("ng.g").alias("g"))
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("cnt") * F.length("g")))
+            .alias(f"top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2),
+                         F.col("cnt") * F.length("g")))
+            .alias(f"dup{n}")
+        )
+    mets = counts.groupBy("doc_id").agg(*aggs)
+    out = base.select("doc_id", "n_chars", "dup_token_frac").join(
+        mets, "doc_id", "left"
+    )
+    cols = [F.col("doc_id"), F.col("dup_token_frac")]
+    for kind, nn in (("top", top_ns), ("dup", dup_ns)):
+        for n in nn:
+            cols.append(
+                r4(F.least(
+                    F.coalesce(F.col(f"{kind}{n}"), F.lit(0))
+                    .cast("double")
+                    / F.greatest(F.col("n_chars"), F.lit(1)),
+                    F.lit(1.0),
+                )).alias(f"{kind}{n}_char_frac")
+            )
+    return out.select(*cols)
+
+
+def repetition_filter(docs: DataFrame,
+                      max_dup_token_frac: float = 0.4,
+                      max_top2_char_frac: float = 0.20,
+                      max_dup5_char_frac: float = 0.15) -> DataFrame:
+    """Gopher-style keep/drop gate over repetition_stats: keeps
+    documents under all three repetition ceilings (the paper's
+    dup-line thresholds transplanted to the word-n-gram metrics that
+    exist for single-line corpora). Returns (doc_id, keep) so the
+    corpus pipeline can semi-join survivors without recomputing."""
+    s = repetition_stats(docs)
+    return s.select(
+        "doc_id",
+        ((F.col("dup_token_frac") <= max_dup_token_frac)
+         & (F.col("top2_char_frac") <= max_top2_char_frac)
+         & (F.col("dup5_char_frac") <= max_dup5_char_frac))
+        .cast("int").alias("keep"),
+    )

@@ -472,3 +472,61 @@ def test_semdedup_stage_drops_planted_semantic_twin(spark, tmp_path):
     src = _src_hash(sem_dir)
     leftovers = [e for e in os.listdir(wh) if f"_{src}-" in e]
     assert leftovers == []
+
+
+def test_repetition_filter_stage_matches_operator(spark, tmp_path):
+    """The opt-in repetition_filter stage: with every other filter
+    off, survivors must be exactly the keep==1 set of the library
+    operator (textstats.repetition_filter) on the raw corpus — a pure
+    semi-join against the pinned kernel, no second implementation —
+    and a planted pathological repeater must be among the dropped."""
+    import os
+
+    from pyspark.sql import Row
+
+    from adcirctime2cogs_spark.corpus_pipeline import (
+        STAGES,
+        run_corpus_pipeline,
+    )
+    from adcirctime2cogs_spark.operators.textstats import (
+        repetition_filter,
+    )
+
+    root = tmp_path
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = spark.createDataFrame([Row(
+        doc_id=10_000_001, text="spam ham " * 200 + "spam ham",
+        lang="en", source="src0", n_chars=9 * 201,
+    )]).select(*base.columns)
+    os.makedirs(str(root / "input"), exist_ok=True)
+    base.unionByName(planted).write.mode("overwrite").parquet(
+        os.path.join(str(root / "input"), "documents.parquet")
+    )
+    cfg = {
+        "input_dir": str(root / "input"),
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {**{s: False for s in STAGES},
+                   "repetition_filter": True},
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    (stage,) = manifest["stages"]
+    assert stage["stage"] == "repetition_filter"
+    docs_in = spark.read.parquet(
+        os.path.join(str(root / "input"), "documents.parquet")
+    )
+    expected = {
+        r.doc_id
+        for r in repetition_filter(docs_in.select("doc_id", "text"))
+        .filter("keep = 1").collect()
+    }
+    survived = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(
+            _stage_dir(root, "repetition_filter"), "documents.parquet"
+        )).select("doc_id").collect()
+    }
+    assert survived == expected
+    assert 10_000_001 not in survived
+    assert stage["rows_out"] == len(expected)

@@ -473,3 +473,61 @@ def test_text_nb_classify_matches_reference_on_random_corpora(
         assert out[d].predicted_lang == best, (d, seed)
         assert abs(out[d].nb_score - score(d, best)) < 2e-4
         assert out[d].hit == int(best == label[d])
+
+
+# ---------------------------------------------------- repetition stats
+def test_repetition_stats_hand_example(spark):
+    """Known-answer doc: 'a b a b c' -> 5 tokens / 3 distinct ->
+    dup_token_frac 0.4; heaviest 2-gram 'a b' covers 2 x 3 = 6 of 9
+    chars -> 0.6667; no duplicated 5-gram -> 0. A fully-repeated doc
+    saturates the caps at 1."""
+    from adcirctime2cogs_spark.operators.textstats import (
+        repetition_filter, repetition_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y " * 49 + "x y"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert abs(r1.dup_token_frac - 0.4) < 1e-9
+    assert abs(r1.top2_char_frac - round(6 / 9, 4)) < 1e-9
+    assert r1.dup5_char_frac == 0.0
+    # doc 2: 100 tokens of x/y; every 5-gram duplicated -> the dup
+    # cap binds; the heaviest 2-gram 'x y' covers 50 x 3 of 199 chars
+    r2 = rows[2]
+    assert r2.dup_token_frac == round(1 - 2 / 100, 4)
+    assert r2.dup5_char_frac == 1.0
+    assert abs(r2.top2_char_frac - round(150 / 199, 4)) < 1e-9
+    # doc 3: single token -> no n-grams at all, zeros not nulls
+    r3 = rows[3]
+    assert r3.dup_token_frac == 0.0
+    assert r3.top2_char_frac == 0.0 and r3.dup10_char_frac == 0.0
+    keep = {r.doc_id: r.keep for r in repetition_filter(docs).collect()}
+    assert keep == {1: 0, 2: 0, 3: 1}
+
+
+def test_repetition_stats_matches_duckdb_oracle(spark, sf_dir):
+    """Pre-registration parity gate (the r10 window slot will run
+    exactly this comparison through the driver): the Spark plan and
+    _REPETITION_SQL must hash-match on the real documents fixture
+    after r4 rounding."""
+    import duckdb
+
+    from adcirctime2cogs_spark.functions.numeric import expand_round_sql
+    from adcirctime2cogs_spark.operators.textstats import (
+        _REPETITION_SQL, repetition_stats)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = repetition_stats(docs).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.sql(
+        expand_round_sql(_REPETITION_SQL) + " ORDER BY doc_id"
+    ).fetchall()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert list(g) == pytest.approx(list(w), abs=1e-9), g.doc_id
