@@ -1284,3 +1284,93 @@ def repetition_filter(docs: DataFrame,
          & (F.col("dup5_char_frac") <= max_dup5_char_frac))
         .cast("int").alias("keep"),
     )
+
+
+# ------------------------------------------------------------------
+# Bigram-LM fluency scoring (the CCNet-style perplexity filter shape,
+# Wenzek et al. 2020 — trained here on the corpus itself, the same
+# self-fit stance as text_unigram_logprob). Registration deferred to
+# round 10 with the repetition family above; _BIGRAM_SQL is the ready
+# oracle and tests/test_dataprep.py pins DuckDB parity today.
+
+_BIGRAM_K = 0.5  # add-k smoothing
+
+_BIGRAM_SQL = """
+WITH arr AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[p] AS w1, t[p + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p FROM arr)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT tok) AS vs
+  FROM (SELECT unnest(t) AS tok FROM arr)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c2 + 0.5) / (c1 + 0.5 * (SELECT vs FROM v)))), 4)
+         AS avg_logprob,
+       round(exp(-avg(ln((c2 + 0.5)
+                         / (c1 + 0.5 * (SELECT vs FROM v))))), 4)
+         AS ppl_proxy
+FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+def bigram_logprob(docs: DataFrame, k: float = _BIGRAM_K) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k-
+    smoothed bigram LM fit on the corpus itself, plus exp(-avg) as a
+    perplexity proxy — the next fluency signal up from
+    text_unigram_logprob and the distributable core of the CCNet
+    perplexity filter (swap the self-fit counts for a reference
+    corpus's and nothing else changes). P(w2|w1) = (C(w1,w2) + k) /
+    (C(w1) + k*V) with C(w1) = bigram-context count and V = corpus
+    unigram vocabulary. Documents under 2 tokens have no bigrams and
+    are omitted (nothing to score).
+
+    Scale shape (100 TB): bigrams are built ROW-LOCALLY from the
+    token array (no positional self-join); the wide aggs are the
+    (w1, w2) count and its (w1) re-agg — both combine-heavy and
+    vocabulary-sized, not corpus-sized; V is a one-row aggregate
+    broadcast into the probability projection (the scalar-subquery
+    shape, no driver collect); scoring is two hash joins keyed on the
+    bigram/context and one per-doc re-agg."""
+    arr = docs.select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("t")
+    )
+    pairs = arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, "
+            "size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+            "ELSE array() END"
+        )).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsize = (
+        arr.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vs"))
+    )
+    lp = (
+        c2.join(c1, "w1")
+        .join(F.broadcast(vsize))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c2") + k) / (F.col("c1") + k * F.col("vs")))
+            .alias("lp"),
+        )
+    )
+    per_doc = pairs.join(lp, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("alp"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams",
+        r4("alp").alias("avg_logprob"),
+        r4(F.exp(-F.col("alp"))).alias("ppl_proxy"),
+    )

@@ -531,3 +531,43 @@ def test_repetition_stats_matches_duckdb_oracle(spark, sf_dir):
     assert len(got) == len(want) and len(got) > 0
     for g, w in zip(got, want):
         assert list(g) == pytest.approx(list(w), abs=1e-9), g.doc_id
+
+
+def test_bigram_logprob_hand_example_and_duckdb_parity(spark, sf_dir):
+    """bigram LM: on corpus {'a b', 'a b a b', 'solo'}, C(a,b)=3,
+    C(b,a)=1, contexts C(a)=3, C(b)=1, V=3 (vocabulary includes the
+    unscored single-token doc) -> lp(a,b) = ln(3.5/4.5), lp(b,a) =
+    ln(1.5/2.5). Then full-fixture DuckDB parity of the ready r10
+    oracle."""
+    import math
+
+    import duckdb
+
+    from adcirctime2cogs_spark.functions.numeric import expand_round_sql
+    from adcirctime2cogs_spark.operators.textstats import (
+        _BIGRAM_SQL, bigram_logprob)
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a b"), (3, "solo")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    lp_ab = math.log(3.5 / 4.5)
+    lp_ba = math.log(1.5 / 2.5)
+    assert rows[1].n_bigrams == 1
+    assert abs(rows[1].avg_logprob
+               - math.floor(lp_ab * 1e4 + 0.5) / 1e4) < 1e-9
+    want2 = (2 * lp_ab + lp_ba) / 3.0
+    assert rows[2].n_bigrams == 3
+    assert abs(rows[2].avg_logprob
+               - math.floor(want2 * 1e4 + 0.5) / 1e4) < 1e-9
+    assert 3 not in rows  # single token: no bigrams to score
+    # fixture-scale parity with the stored oracle
+    fix = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = bigram_logprob(fix).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(
+        expand_round_sql(_BIGRAM_SQL) + " ORDER BY doc_id").fetchall()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert list(g) == pytest.approx(list(w), abs=1e-9), g.doc_id

@@ -1052,6 +1052,15 @@ def test_extensible_array_paged_data_block(tmp_path):
     got = f.read("zeta")
     assert got.shape == (132_000, 1)
     assert np.array_equal(got, zeta)  # tail lives in the paged block
+    # split planning at 132k chunks: the driver-side chunk index the
+    # distributed scan partitions on must enumerate every chunk once,
+    # fast, through the paged walk
+    import time
+
+    t0 = time.time()
+    idx = hdf5.NC4File(p).chunk_index("zeta")
+    assert len(idx) == 132_000
+    assert time.time() - t0 < 20.0
 
 
 def test_huge_heap_ids_for_oversized_attributes(tmp_path):
