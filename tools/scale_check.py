@@ -158,6 +158,102 @@ def run_corpus_lsh_leg(spark, n_docs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_textfilter_leg(spark, n_docs: int) -> dict:
+    """The round-10 registration candidates at corpus scale: Gopher
+    word-n-gram repetition metrics (textstats.repetition_stats — one
+    generate-explode over all nine n values, one (doc_id, n, gram)
+    hash-agg) and add-k bigram-LM scoring (textstats.bigram_logprob —
+    vocabulary-sized count tables, one-row vocab broadcast) over a
+    synthetic corpus with one planted pathological repeater. Checks:
+    every document scored, every fraction in [0, 1], the plant
+    saturates the duplicated-5-gram cap while the organic corpus
+    stays an order of magnitude under it, and the plant's bigram
+    perplexity is far below the corpus mean (its bigrams are the two
+    most predictable in the vocabulary)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.textstats import (
+        bigram_logprob,
+        repetition_stats,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_textfilter_")
+    plant_id = 10_000_000_000
+    try:
+        n_twins = synth_documents(spark, out, n_docs)
+        plant_text = "spam ham " * 200 + "spam ham"
+        spark.createDataFrame(
+            [(plant_id, plant_text, "en", "src0", len(plant_text))],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("append").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        total = n_docs + n_twins + 1
+        docs = spark.read.parquet(
+            os.path.join(out, "documents.parquet")
+        ).select("doc_id", "text")
+
+        t0 = time.time()
+        rs = repetition_stats(docs)
+        frac_cols = [c for c in rs.columns if c.endswith("_frac")]
+        bad = None
+        for c in frac_cols:
+            term = (
+                F.col(c).isNull() | (F.col(c) < 0.0) | (F.col(c) > 1.0)
+            )
+            bad = term if bad is None else (bad | term)
+        s = rs.agg(
+            F.count("*").alias("n"),
+            F.sum(bad.cast("long")).alias("viol"),
+            F.max(F.when(F.col("doc_id") == plant_id,
+                         F.col("dup5_char_frac"))).alias("plant_dup5"),
+            F.avg(F.when(F.col("doc_id") != plant_id,
+                         F.col("dup5_char_frac"))).alias("organic_dup5"),
+        ).first()
+        wall_rep = time.time() - t0
+
+        t0 = time.time()
+        bl = bigram_logprob(docs)
+        b = bl.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("ppl_proxy") <= 0.0).cast("long")
+                  + F.col("avg_logprob").isNull().cast("long")
+                  ).alias("viol"),
+            F.max(F.when(F.col("doc_id") == plant_id,
+                         F.col("ppl_proxy"))).alias("plant_ppl"),
+            F.avg(F.when(F.col("doc_id") != plant_id,
+                         F.col("ppl_proxy"))).alias("organic_ppl"),
+        ).first()
+        wall_bi = time.time() - t0
+
+        def val(x, missing):
+            return missing if x is None else float(x)
+
+        violations = int(s.viol or 0) + int(b.viol or 0)
+        violations += 0 if s.n == total and b.n == total else 1
+        violations += 0 if val(s.plant_dup5, 0.0) == 1.0 else 1
+        violations += 0 if val(s.organic_dup5, 1.0) < 0.1 else 1
+        violations += (
+            0 if val(b.plant_ppl, 1e9)
+            < 0.1 * val(b.organic_ppl, 0.0) else 1
+        )
+        return {
+            "leg": f"textfilter_{n_docs}",
+            "n_docs": total,
+            "plant_dup5": float(s.plant_dup5 or 0),
+            "organic_dup5": round(float(s.organic_dup5 or 0), 4),
+            "plant_ppl": float(b.plant_ppl or 0),
+            "organic_ppl": round(float(b.organic_ppl or 0), 2),
+            "wall_sec_repetition": round(wall_rep, 2),
+            "wall_sec_bigram": round(wall_bi, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
     """The WHOLE corpus-prep pipeline (corpus_pipeline.py) end-to-end
     at planted-truth scale: the same synthetic twin corpus as the LSH
@@ -1940,6 +2036,7 @@ def main() -> int:
         for res in (
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_pipeline_leg(spark, args.corpus_docs),
+            run_textfilter_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
             run_prefix_filter_leg(spark, args.corpus_docs),
             run_substring_leg(spark, args.corpus_docs),
