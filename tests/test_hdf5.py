@@ -315,6 +315,45 @@ def test_scan_split_default_codecs_nc4(spark, tmp_path, node_chunk):
             (va != va and vb != vb)
 
 
+def test_scan_split_paged_extensible_array(spark, tmp_path, monkeypatch):
+    """The full distributed split scan over a PAGED Extensible Array
+    index: page size shrunk to 2^6 elements (a legal creation
+    parameter, recorded in the header the reader honors — small
+    enough that the u=4 super block's 128-element data blocks page,
+    large enough that index-block-referenced data blocks stay
+    unpaged, as libhdf5's parameters always guarantee) so a
+    300-record file exercises the same code path a >131k-chunk file
+    takes at the default parameters, kept test-sized. Split union
+    must equal the whole-file scan."""
+    from adcirctime2cogs_spark.sources.netcdf import (
+        scan_netcdf_distributed,
+        scan_netcdf_split,
+    )
+
+    monkeypatch.setattr(hdf5, "_EA_PAGE_BITS", 6)
+    p = str(tmp_path / "paged.nc")
+    t = np.arange(300.0)
+    zeta = np.arange(300.0 * 3).reshape(300, 3) / 7.0
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 3},
+        variables={
+            "time": (("time",), t,
+                     {"units": "seconds since 2000-01-01"}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        compress=6, layout="latest",
+    )
+    hdf5._nc4_cached.cache_clear()  # page size differs from any
+    # previously cached parse of another fixture at this path
+    whole = scan_netcdf_distributed(spark, p, "zeta")
+    split = scan_netcdf_split(spark, p, "zeta")
+    key = lambda r: (str(r.ts), r.node_id)  # noqa: E731
+    a = sorted(((key(r), r.value) for r in whole.collect()))
+    b = sorted(((key(r), r.value) for r in split.collect()))
+    assert len(a) == 900
+    assert a == b
+
+
 def test_nc4_and_nc3_decode_identically(spark, tmp_path):
     """The SAME micromesh content written as CDF-1 and as NetCDF-4
     yields bit-identical rows through the default decoders — format
