@@ -1481,3 +1481,64 @@ def dedup_semantic_keepers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
     )
+
+
+# ------------------------------------------------------------------
+# D4 prototypicality pruning (Tirumala et al. 2023): SemDeDup's
+# published companion — after semantic dedup, DROP the most
+# PROTOTYPICAL fraction of each cluster (the members closest to their
+# centroid carry the least marginal information; the diverse edge
+# survives). Rides the same materialized IVF cell assignment and
+# centroid-similarity scoring as dedup_semantic_* above.
+# Registration deferred to round 10 with the text-filter queue (the
+# r09 window is at capacity); _d4_prune_sql() is the ready oracle and
+# tests/test_dedup.py pins DuckDB parity today.
+
+D4_PRUNE_Q = 0.2  # fraction of each cell to drop, most-central first
+
+
+def _d4_prune_sql(q: float = D4_PRUNE_Q) -> str:
+    return f"""{_semdedup_assign_sql()},
+    ranked AS (
+      SELECT vec_id, cell, cs,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY cs DESC, vec_id) AS proto_rank,
+             count(*) OVER (PARTITION BY cell) AS cn
+      FROM assign
+    )
+    SELECT vec_id, cell, cs AS cent_sim, proto_rank
+    FROM ranked
+    WHERE proto_rank > CAST(ceil({q} * cn) AS BIGINT)
+    """
+
+
+def d4_prototype_prune(spark: SparkSession, sf_dir: str,
+                       q: float = D4_PRUNE_Q) -> DataFrame:
+    """Survivors of D4 prototypicality pruning: within each IVF cell,
+    rank members by cosine-to-own-centroid DESC (vec_id tie-break)
+    and drop the top ceil(q * cell_size) — the prototype core — so
+    each cell keeps its diverse boundary. Returns (vec_id, cell,
+    cent_sim, proto_rank).
+
+    100 TB shape: the scoring input is the layout_once cell artifact
+    plus one broadcast centroid join (no corpus x centroid rescan);
+    the only added work over dedup_semantic_keepers is a per-cell
+    window, and cells are bounded (~CENT_MOD members) so the window
+    never sees a skewed partition."""
+    from pyspark.sql import Window as W
+
+    scored = _semdedup_scored(spark, sf_dir)
+    w = W.partitionBy("cell").orderBy(F.col("cs").desc(), "vec_id")
+    ranked = scored.select(
+        "vec_id", "cell", "cs",
+        F.row_number().over(w).alias("proto_rank"),
+        F.count(F.lit(1)).over(W.partitionBy("cell")).alias("cn"),
+    )
+    return (
+        ranked.filter(
+            F.col("proto_rank")
+            > F.ceil(F.lit(q) * F.col("cn")).cast("bigint")
+        )
+        .select("vec_id", "cell", F.col("cs").alias("cent_sim"),
+                "proto_rank")
+    )

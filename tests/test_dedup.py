@@ -553,3 +553,48 @@ def test_semdedup_scale_path_matches_oracle_path(spark, sf_dir,
         k_fast = {tuple(r) for r in
                   dedup_semantic_keepers_scale(spark, sf).collect()}
         assert k_slow == k_fast
+
+
+def test_d4_prototype_prune_matches_duckdb_and_properties(spark, sf_dir):
+    """The r10-queued D4 pruning (drop the most-central ceil(q*cn) of
+    each IVF cell): DuckDB parity with the ready oracle on the real
+    embeddings fixture, plus the structural properties — per cell
+    exactly ceil(q*cn) members are gone, the survivors are the LOWER
+    cent_sim tail under the (cs DESC, vec_id) order, and survivor
+    ranks start past the dropped prefix."""
+    import math
+
+    import duckdb
+    import pytest
+
+    from adcirctime2cogs_spark.functions.numeric import expand_round_sql
+    from adcirctime2cogs_spark.operators.dedup import (
+        D4_PRUNE_Q,
+        _d4_prune_sql,
+        d4_prototype_prune,
+    )
+    from adcirctime2cogs_spark.operators.similarity import _ivf_cells_table
+
+    got = d4_prototype_prune(spark, sf_dir).orderBy("vec_id").collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    want = con.sql(
+        expand_round_sql(_d4_prune_sql()) + " ORDER BY vec_id"
+    ).fetchall()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert list(g) == pytest.approx(list(w), abs=1e-9), g.vec_id
+    # structural: each cell lost exactly ceil(q * cn), and every
+    # survivor's rank exceeds that prefix
+    cells = {}
+    for r in _ivf_cells_table(spark, sf_dir).collect():
+        cells[r.cell] = cells.get(r.cell, 0) + 1
+    surv_by_cell = {}
+    for r in got:
+        surv_by_cell.setdefault(r.cell, []).append(r)
+    for cell, cn in cells.items():
+        cut = math.ceil(D4_PRUNE_Q * cn)
+        surv = surv_by_cell.get(cell, [])
+        assert len(surv) == cn - cut, cell
+        assert all(r.proto_rank > cut for r in surv), cell
