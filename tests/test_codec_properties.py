@@ -202,3 +202,67 @@ def test_hdf5_reader_rejects_garbage(junk, prefix):
         pass
     except RecursionError:
         pass  # pathological self-referencing B-tree/continuation loops
+
+
+@given(
+    n_rec=st.integers(1, 6),
+    n_node=st.integers(1, 30),
+    layout=st.sampled_from(["v1", "latest"]),
+    compress=st.sampled_from([None, 6]),
+    shuffle=st.booleans(),
+    time_chunk=st.integers(1, 3),
+    node_chunk=st.sampled_from([None, 2, 7]),
+    static_chunk=st.sampled_from([None, 3]),
+    n_gatts=st.sampled_from([0, 3, 12, 40]),
+    big_attr=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_netcdf4_roundtrip_any_layout(tmp_path_factory, n_rec, n_node,
+                                      layout, compress, shuffle,
+                                      time_chunk, node_chunk,
+                                      static_chunk, n_gatts, big_attr,
+                                      seed):
+    """Property sweep of the NetCDF-4 writer/reader pair across the
+    layout matrix: both metadata generations, deflate/shuffle on and
+    off, record/column/static chunking, attribute counts spanning
+    compact (<=8) and dense fractal-heap storage, and an oversized
+    history attribute that forces a HUGE heap ID when dense. Values,
+    dims, and every attribute must round-trip exactly whatever the
+    combination."""
+    from adcirctime2cogs_spark.sources import hdf5
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_rec, dtype="float64") * 30.0
+    zeta = rng.normal(size=(n_rec, n_node))
+    depth = rng.normal(size=n_node)
+    gatts = {f"g{i:03d}": np.float64(i * 2) for i in range(n_gatts)}
+    if big_attr:
+        gatts["history"] = "h" * 5000
+    p = str(tmp_path_factory.mktemp("h5prop") / "f.nc")
+    hdf5.write_netcdf4(
+        p,
+        dims={"time": None, "node": n_node},
+        variables={
+            "time": (("time",), t,
+                     {"units": "seconds since 2024-01-01"}),
+            "depth": (("node",), depth, {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        gatts=gatts,
+        compress=compress,
+        shuffle=shuffle and compress is not None,
+        time_chunk=time_chunk,
+        node_chunk=node_chunk,
+        layout=layout,
+        static_chunk=static_chunk if layout == "latest" else None,
+    )
+    f = hdf5.H5File(p)
+    assert np.array_equal(f.read("zeta"), zeta)
+    assert np.array_equal(f.read("depth"), depth)
+    assert np.array_equal(f.read("time"), t)
+    got_g = {k: v for k, v in f.root_attrs.items() if k.startswith("g")}
+    assert got_g == gatts if not big_attr else \
+        got_g == {k: v for k, v in gatts.items() if k != "history"}
+    if big_attr:
+        assert f.root_attrs["history"] == "h" * 5000
