@@ -40,15 +40,19 @@ _OPERATOR_MODULES = [
 # the driver has NEVER hash-verified; (3) the remaining slots refresh
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
-# Round-10 rotation queue (pre-planned this round because the r09
-# window is at capacity): register textstats.repetition_stats (as
+# Registration queue (pre-planned this round because the r09 window
+# is at capacity): textstats.repetition_stats (as
 # text_repetition_stats, oracle _REPETITION_SQL),
 # textstats.bigram_logprob (as text_bigram_logprob, oracle
 # _BIGRAM_SQL), and dedup.d4_prototype_prune (as dedup_d4_prune,
 # oracle _d4_prune_sql()) — all fully built, DuckDB-parity-pinned in
 # tests/test_dataprep.py / test_dedup.py, the text pair scale-proven
-# by scale_check's textfilter leg — then lead the window with them
-# (rule 2) plus the r06-stale cohort (rule 3).
+# by scale_check's textfilter leg. STAGGERING (simulated from the
+# CORRECTNESS history this round, assuming each round's window goes
+# green): the r06-green cohort forces 49 of r10's 50 slots, so r10
+# registers ONLY text_repetition_stats; r11 has ~6 free slots and
+# registers text_bigram_logprob + dedup_d4_prune. Registering all
+# three in r10 would break test_no_oracled_query_ages_past_policy.
 _PRIORITY = [
     # Round-9 rotation. The r05-green cohort (46 queries) hits the
     # 4-round policy line this round and fills rules 2-3 entirely, so
