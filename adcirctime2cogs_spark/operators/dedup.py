@@ -1542,3 +1542,186 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str,
         .select("vec_id", "cell", F.col("cs").alias("cent_sim"),
                 "proto_rank")
     )
+
+
+# ------------------------------------------------------------------
+# Incremental fuzzy dedup — the GROWING-corpus shape. A 100 TB corpus
+# is never re-deduped from scratch when a crawl increment lands: the
+# base corpus's LSH bands, stop-filtered shingles, per-doc set sizes,
+# and frozen stop-shingle set are materialized ONCE per base version
+# (tables.layout_once, same discipline as the PQ/IVF serving
+# artifacts), and each increment shingles only its OWN documents,
+# probes the persisted band table, and verifies candidates by a
+# by-id shingle fetch. The base documents table itself is never
+# re-read — increments work even with the raw base text in cold
+# storage (pinned by test).
+#
+# Contract: with the stop set FROZEN at the base version (the
+# production stance — stop shingles are recomputed at compaction, not
+# per increment), the output equals dedup_minhash_lsh_pairs over the
+# concatenated corpus restricted to pairs touching the new batch,
+# whenever (a) no shingle crosses the DF_CAP boundary due to the new
+# batch (incremental_stop_drift == 0) and (b) no LSH bucket exceeds
+# LSH_BUCKET_CAP (lsh_bucket_stats.n_over_cap == 0, true at all
+# fixture scales). Library surface (two-directory signature — the
+# registry contract is single-dir); equivalence pinned in
+# tests/test_dedup.py.
+
+MH_INC_VER = "inc-v1"
+
+# (session id, base_dir) -> (documents mtime, layout path): lets a
+# session keep serving increments after the base text moved to cold
+# storage (layout_once needs the text to re-derive the version key;
+# the resolved path doesn't)
+_INC_LAYOUT_MEMO: dict = {}
+
+
+def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
+    """Materialize the base corpus's incremental-dedup artifacts once
+    per (base_dir, data version): bands/, shingles/ (stop-filtered),
+    sizes/, stop/ under one atomically-published layout dir. The
+    resolved path is memoized per (session, base_dir, text mtime); if
+    the base text is gone (cold storage), the memoized path keeps
+    serving — a fresh session then needs the recorded layout path
+    (dedup_incremental_pairs' base_layout parameter, the catalog
+    contract)."""
+    from adcirctime2cogs_spark.tables import layout_once
+
+    key = (id(spark), base_dir)
+    try:
+        mtime = os.path.getmtime(
+            os.path.join(base_dir, "documents.parquet")
+        )
+    except OSError:
+        hit = _INC_LAYOUT_MEMO.get(key)
+        if hit is not None:
+            return hit[1]
+        raise
+    hit = _INC_LAYOUT_MEMO.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+
+    def build(tmp: str) -> None:
+        docs = load_table(spark, base_dir, "documents")
+        sh = shingles(docs)
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("dfc"))
+            .filter(F.col("dfc") > DF_CAP)
+            .select("sh")
+        )
+        stop.write.parquet(f"{tmp}/stop")
+        stop_w = spark.read.parquet(f"{tmp}/stop")
+        kept = sh.join(F.broadcast(stop_w), "sh", "left_anti")
+        kept.select("doc_id", "sh").write.parquet(f"{tmp}/shingles")
+        kept.groupBy("doc_id").agg(F.count("*").alias("n")).write.parquet(
+            f"{tmp}/sizes"
+        )
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME)
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(MH_COEFS)
+        ]
+        _lsh_bands(sh.groupBy("doc_id").agg(*aggs)).write.parquet(
+            f"{tmp}/bands"
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    path = layout_once(
+        spark, base_dir, "mh_incremental", build, code_ver=MH_INC_VER
+    )
+    _INC_LAYOUT_MEMO[key] = (mtime, path)
+    return path
+
+
+def incremental_stop_drift(spark: SparkSession, base_dir: str,
+                           new_dir: str) -> int:
+    """Validity probe for the frozen-stop-set contract: the number of
+    shingles whose doc frequency is <= DF_CAP in the base corpus but
+    > DF_CAP over base + increment. Zero means the incremental output
+    is exactly the from-scratch rerun's; nonzero is the signal to
+    compact (re-materialize the base layout over the merged corpus)."""
+    base = _minhash_base_layout(spark, base_dir)
+    b_sh = spark.read.parquet(f"{base}/shingles")
+    n_sh = shingles(load_table(spark, new_dir, "documents"))
+    union_df = (
+        b_sh.select("sh").unionByName(n_sh.select("sh"))
+        .groupBy("sh").agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") > DF_CAP)
+    )
+    stop = spark.read.parquet(f"{base}/stop")
+    return union_df.join(F.broadcast(stop), "sh", "left_anti").count()
+
+
+def dedup_incremental_pairs(spark: SparkSession, base_dir: str,
+                            new_dir: str,
+                            jaccard_min: float = 0.5,
+                            base_layout: str | None = None) -> DataFrame:
+    """Near-dup pairs TOUCHING the new batch (new-vs-base and
+    new-vs-new), verified at word-3-gram Jaccard >= jaccard_min:
+    (doc_a, doc_b, jaccard r4). doc_ids must be disjoint between base
+    and increment (the growing-corpus invariant).
+
+    100 TB shape: per increment the work is one shingle pass over the
+    NEW documents, one band join probing the persisted base band
+    table (bucket-key equi-join — only colliding buckets move), one
+    by-id shingle fetch for the candidate pairs, and a candidate-
+    sized verify agg. Nothing rescans base text or re-signs base
+    docs. base_layout passes a previously recorded layout path
+    directly (the catalog contract for cold-storage bases in a fresh
+    session)."""
+    base = base_layout or _minhash_base_layout(spark, base_dir)
+    b_bands = spark.read.parquet(f"{base}/bands")
+    b_sh = spark.read.parquet(f"{base}/shingles")
+    b_sizes = spark.read.parquet(f"{base}/sizes")
+    stop = spark.read.parquet(f"{base}/stop")
+
+    ndocs = load_table(spark, new_dir, "documents")
+    nsh_all = shingles(ndocs)
+    nsh = nsh_all.join(F.broadcast(stop), "sh", "left_anti")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME)
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEFS)
+    ]
+    n_bands = _lsh_bands(nsh_all.groupBy("doc_id").agg(*aggs))
+
+    all_bands = b_bands.unionByName(n_bands)
+    cand = (
+        n_bands.select(
+            F.col("doc_id").alias("id_n"), "band", "bkey"
+        )
+        .join(all_bands.select(
+            F.col("doc_id").alias("id_o"), "band", "bkey"
+        ), ["band", "bkey"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("doc_a"),
+            F.greatest("id_n", "id_o").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    sh_all = b_sh.unionByName(nsh.select("doc_id", "sh"))
+    sizes_all = b_sizes.unionByName(
+        nsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    )
+    sa = sh_all.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh_all.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    za = sizes_all.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("na"))
+    zb = sizes_all.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(jac >= jaccard_min)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )

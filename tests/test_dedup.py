@@ -598,3 +598,86 @@ def test_d4_prototype_prune_matches_duckdb_and_properties(spark, sf_dir):
         surv = surv_by_cell.get(cell, [])
         assert len(surv) == cn - cut, cell
         assert all(r.proto_rank > cut for r in surv), cell
+
+
+def test_incremental_pairs_match_from_scratch_rerun(spark, tmp_path):
+    """The growing-corpus path: near-dups of a NEW batch against a
+    persisted base layout must equal the from-scratch LSH rerun over
+    the concatenated corpus restricted to pairs touching the batch —
+    and must keep working after the base documents table is moved to
+    'cold storage' (the layout, not the raw text, is the serving
+    artifact)."""
+    import os
+    import shutil
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_incremental_pairs,
+        dedup_minhash_lsh_pairs,
+        incremental_stop_drift,
+    )
+
+    base_dir = str(tmp_path / "base")
+    new_dir = str(tmp_path / "new")
+    union_dir = str(tmp_path / "union")
+    os.makedirs(base_dir)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+
+    # new batch: 3 one-token-mutated twins of base docs + 2 fresh docs
+    twins = (
+        base.orderBy("doc_id").limit(3)
+        .select(
+            (F.col("doc_id") + 9_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("zqx "),
+                F.expr("substring(text, instr(text, ' ') + 1)"),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    fresh = spark.createDataFrame(
+        [(9_500_000 + i,
+          " ".join(f"uniq{i}tok{j}" for j in range(40)),
+          "en", "src0", 400) for i in range(2)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    newdocs = twins.unionByName(fresh)
+    os.makedirs(new_dir)
+    newdocs.write.parquet(os.path.join(new_dir, "documents.parquet"))
+    os.makedirs(union_dir)
+    base.unionByName(newdocs).write.parquet(
+        os.path.join(union_dir, "documents.parquet")
+    )
+
+    assert incremental_stop_drift(spark, base_dir, new_dir) == 0
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_incremental_pairs(spark, base_dir, new_dir)
+        .collect()
+    }
+    new_ids = {r.doc_id for r in newdocs.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh_pairs(spark, union_dir).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == want
+    # every planted twin was found against its base original
+    twin_pairs = {p for p in got if p[1] >= 9_000_000 and
+                  p[0] == p[1] - 9_000_000}
+    assert len(twin_pairs) == 3
+    # fresh docs are near-dups of nothing
+    assert not any(p[0] >= 9_500_000 or p[1] >= 9_500_000 for p in got)
+
+    # cold storage: the raw base text gone, the persisted layout
+    # keeps serving increments
+    shutil.move(os.path.join(base_dir, "documents.parquet"),
+                str(tmp_path / "cold"))
+    again = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_incremental_pairs(spark, base_dir, new_dir)
+        .collect()
+    }
+    assert again == got
