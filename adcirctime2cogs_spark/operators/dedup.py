@@ -1567,7 +1567,7 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str,
 # registry contract is single-dir); equivalence pinned in
 # tests/test_dedup.py.
 
-MH_INC_VER = "inc-v1"
+MH_INC_VER = "inc-v2"  # v2: + hashes/ subtable (incremental exact dedup)
 
 # (session id, base_dir) -> (documents mtime, layout path): lets a
 # session keep serving increments after the base text moved to cold
@@ -1625,6 +1625,9 @@ def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
         _lsh_bands(sh.groupBy("doc_id").agg(*aggs)).write.parquet(
             f"{tmp}/bands"
         )
+        docs.select(
+            "doc_id", F.xxhash64("text").alias("h")
+        ).write.parquet(f"{tmp}/hashes")
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
     path = layout_once(
@@ -1632,6 +1635,30 @@ def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
     )
     _INC_LAYOUT_MEMO[key] = (mtime, path)
     return path
+
+
+def dedup_incremental_exact(spark: SparkSession, base_dir: str,
+                            new_dir: str,
+                            base_layout: str | None = None) -> DataFrame:
+    """Exact-duplicate gate for a crawl increment — the first filter a
+    batch hits before fuzzy dedup: (doc_id, dup_of) for every NEW
+    document whose text content hash already exists in the base (or
+    earlier in the batch, dup_of = the lowest matching doc_id;
+    xxhash64, the same keep-lowest convention as dedup_exact). The
+    base side is the persisted hashes/ subtable of the incremental
+    layout — one id+hash column pair per base doc, no text re-read."""
+    base = base_layout or _minhash_base_layout(spark, base_dir)
+    b_h = spark.read.parquet(f"{base}/hashes")
+    n_h = load_table(spark, new_dir, "documents").select(
+        "doc_id", F.xxhash64("text").alias("h")
+    )
+    all_h = b_h.unionByName(n_h)
+    first = all_h.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
+    return (
+        n_h.join(first, "h")
+        .filter(F.col("doc_id") != F.col("dup_of"))
+        .select("doc_id", "dup_of")
+    )
 
 
 def incremental_stop_drift(spark: SparkSession, base_dir: str,

@@ -681,3 +681,40 @@ def test_incremental_pairs_match_from_scratch_rerun(spark, tmp_path):
         .collect()
     }
     assert again == got
+
+
+def test_incremental_exact_gate(spark, tmp_path):
+    """dedup_incremental_exact: a new batch with one byte-identical
+    copy of a base doc, one within-batch duplicate pair, and one
+    fresh doc flags exactly the copies with keep-lowest dup_of — via
+    the persisted hash subtable, not a base re-read."""
+    import os
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        dedup_incremental_exact,
+    )
+
+    base_dir = str(tmp_path / "base")
+    new_dir = str(tmp_path / "new")
+    os.makedirs(base_dir)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.parquet(os.path.join(base_dir, "documents.parquet"))
+    victim = base.orderBy("doc_id").limit(1).collect()[0]
+    newdocs = spark.createDataFrame(
+        [
+            (9_000_001, victim.text, "en", "src0", victim.n_chars),
+            (9_000_002, "twice told tale " * 5, "en", "src0", 80),
+            (9_000_003, "twice told tale " * 5, "en", "src0", 80),
+            (9_000_004, "a genuinely new document body", "en", "src0", 29),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    os.makedirs(new_dir)
+    newdocs.write.parquet(os.path.join(new_dir, "documents.parquet"))
+    got = {
+        r.doc_id: r.dup_of
+        for r in dedup_incremental_exact(spark, base_dir, new_dir)
+        .collect()
+    }
+    assert got == {9_000_001: victim.doc_id, 9_000_003: 9_000_002}

@@ -254,6 +254,125 @@ def run_textfilter_leg(spark, n_docs: int) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_incremental_dedup_leg(spark, n_docs: int) -> dict:
+    """The growing-corpus dedup path at scale: a synthetic base
+    corpus's incremental layout (LSH bands + stop-filtered shingles +
+    sizes + frozen stop set) is built once, then a 1% crawl increment
+    (half planted one-token twins of base docs, half fresh docs) is
+    deduped against it WITHOUT re-reading the base text. Checks: the
+    incremental pair set exactly matches the from-scratch LSH rerun
+    over the concatenated corpus restricted to batch-touching pairs,
+    every planted twin is recalled, fresh docs pair with nothing, and
+    the increment runs well under the full rerun (the point of the
+    layout)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import (
+        _minhash_base_layout,
+        dedup_incremental_pairs,
+        dedup_minhash_lsh_pairs,
+    )
+
+    root = tempfile.mkdtemp(prefix="scale_incdedup_")
+    base_dir = os.path.join(root, "base")
+    new_dir = os.path.join(root, "new")
+    union_dir = os.path.join(root, "union")
+    n_twin = max(1, n_docs // 200)
+    n_fresh = max(1, n_docs // 200)
+    try:
+        os.makedirs(base_dir)
+        synth_documents(spark, base_dir, n_docs, twin_every=n_docs + 1)
+        base = spark.read.parquet(
+            os.path.join(base_dir, "documents.parquet")
+        )
+        twins = (
+            base.filter(F.col("doc_id") % 200 == 50).limit(n_twin)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("zqx "),
+                    F.expr("substring(text, instr(text, ' ') + 1)"),
+                ).alias("text"),
+                "lang", "source", F.col("n_chars"),
+            )
+        )
+        fresh = spark.range(n_fresh).select(
+            (F.col("id") + 17_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda j: F.concat(
+                    F.lit("f"),
+                    F.pmod(F.xxhash64(F.col("id") + 17_000_000, j),
+                           F.lit(999_983)).cast("string"),
+                ),
+            )).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("srcF").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+        newdocs = twins.unionByName(fresh)
+        os.makedirs(new_dir)
+        newdocs.write.parquet(os.path.join(new_dir, "documents.parquet"))
+        os.makedirs(union_dir)
+        base.unionByName(
+            spark.read.parquet(os.path.join(new_dir, "documents.parquet"))
+        ).write.parquet(os.path.join(union_dir, "documents.parquet"))
+
+        t0 = time.time()
+        _minhash_base_layout(spark, base_dir)
+        t_layout = time.time() - t0
+
+        t0 = time.time()
+        inc = dedup_incremental_pairs(spark, base_dir, new_dir)
+        s = inc.agg(
+            F.count("*").alias("n"),
+            F.sum(((F.col("doc_b") >= 10_000_000)
+                   & (F.col("doc_b") < 17_000_000)
+                   & (F.col("doc_a") == F.col("doc_b") - 10_000_000))
+                  .cast("long")).alias("twin_hits"),
+            F.sum(((F.col("doc_a") >= 17_000_000)
+                   | (F.col("doc_b") >= 17_000_000))
+                  .cast("long")).alias("fresh_pairs"),
+        ).first()
+        t_inc = time.time() - t0
+
+        t0 = time.time()
+        touching = (F.col("doc_a") >= 10_000_000) | (
+            F.col("doc_b") >= 10_000_000
+        )
+        n_full = (
+            dedup_minhash_lsh_pairs(spark, union_dir)
+            .filter(touching).count()
+        )
+        t_full = time.time() - t0
+
+        violations = 0
+        violations += 0 if int(s.twin_hits or 0) == n_twin else 1
+        violations += 0 if int(s.fresh_pairs or 0) == 0 else 1
+        violations += 0 if int(s.n) == n_full else 1
+        return {
+            "leg": f"incremental_dedup_{n_docs}",
+            "n_base": n_docs,
+            "n_increment": n_twin + n_fresh,
+            "pairs": int(s.n),
+            "twin_recall": round(int(s.twin_hits or 0) / n_twin, 4),
+            "wall_sec_layout_once": round(t_layout, 2),
+            "wall_sec_increment": round(t_inc, 2),
+            "wall_sec_full_rerun": round(t_full, 2),
+            "violations": violations,
+        }
+    finally:
+        from adcirctime2cogs_spark.operators.dedup import (
+            evict_shingle_artifacts,
+        )
+        from adcirctime2cogs_spark.tables import drop_layouts
+
+        evict_shingle_artifacts(spark, union_dir)
+        drop_layouts(spark, base_dir)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
     """The WHOLE corpus-prep pipeline (corpus_pipeline.py) end-to-end
     at planted-truth scale: the same synthetic twin corpus as the LSH
@@ -2037,6 +2156,7 @@ def main() -> int:
             run_corpus_lsh_leg(spark, args.corpus_docs),
             run_corpus_pipeline_leg(spark, args.corpus_docs),
             run_textfilter_leg(spark, args.corpus_docs),
+            run_incremental_dedup_leg(spark, args.corpus_docs),
             run_degenerate_bucket_leg(spark),
             run_prefix_filter_leg(spark, args.corpus_docs),
             run_substring_leg(spark, args.corpus_docs),
