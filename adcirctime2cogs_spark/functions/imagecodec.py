@@ -126,3 +126,87 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype("int64"), h - 1)
     cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype("int64"), w - 1)
     return arr[rows][:, cols].copy()
+
+
+# ------------------------------------------------------------------
+# Perceptual hashing (pHash): the DCT low-frequency signature behind
+# embedding-free image near-dup detection in multimodal training-data
+# pipelines. Pure numpy — grayscale, box-filter resample, orthonormal
+# 2-D DCT-II, median-threshold bits.
+
+def to_gray(arr: np.ndarray) -> np.ndarray:
+    """Rec.601 luma as float64 (H, W); grayscale inputs pass through."""
+    a = arr.astype("float64")
+    if a.ndim == 2:
+        return a
+    if a.shape[2] == 1:
+        return a[:, :, 0]
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def resize_area(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter (area-average) resample of a 2-D float array — the
+    stable choice for perceptual hashing: every source pixel
+    contributes, so a one-pixel shift or re-encode noise moves the
+    average by O(1/area) instead of flipping a sampled pixel the way
+    nearest-neighbor can. Fractional source extents are handled by
+    edge-weighted cumulative sums (exact area weighting)."""
+    h, w = arr.shape
+    # exact area average via the 2-D integral image evaluated at
+    # fractional box edges (linear interpolation of cumsum is exact
+    # for piecewise-constant pixels)
+    integ = np.zeros((h + 1, w + 1), dtype="float64")
+    integ[1:, 1:] = np.cumsum(np.cumsum(arr, axis=0), axis=1)
+
+    def edges(n_out: int, n_in: int) -> np.ndarray:
+        return np.linspace(0.0, float(n_in), n_out + 1)
+
+    def interp_axis(m: np.ndarray, pos: np.ndarray, axis: int):
+        base = np.minimum(pos.astype("int64"), m.shape[axis] - 1)
+        frac = pos - base
+        lo = np.take(m, base, axis=axis)
+        hi = np.take(m, np.minimum(base + 1, m.shape[axis] - 1),
+                     axis=axis)
+        shape = [1, 1]
+        shape[axis] = len(pos)
+        return lo + (hi - lo) * frac.reshape(shape)
+
+    re_ = edges(out_h, h)
+    ce = edges(out_w, w)
+    g = interp_axis(interp_axis(integ, re_, 0), ce, 1)
+    boxes = (g[1:, 1:] - g[:-1, 1:] - g[1:, :-1] + g[:-1, :-1])
+    area = np.outer(np.diff(re_), np.diff(ce))
+    return boxes / area
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n)."""
+    k = np.arange(n, dtype="float64")[:, None]
+    x = np.arange(n, dtype="float64")[None, :]
+    m = np.cos(np.pi * (x + 0.5) * k / n) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(arr: np.ndarray, grid: int = 32, keep: int = 8) -> int:
+    """64-bit perceptual hash: grayscale -> area-resample to
+    grid x grid -> orthonormal 2-D DCT-II -> the keep x keep
+    low-frequency block, bit k (row-major) = 1 iff coefficient >
+    median of the block EXCLUDING the DC term. Uniform brightness
+    shifts move only the DC coefficient, so they leave the hash
+    untouched; mild re-encode noise perturbs coefficients by far
+    less than the median gap on natural images."""
+    g = resize_area(to_gray(arr), grid, grid)
+    d = _dct_mat(grid)
+    coef = d @ g @ d.T
+    block = coef[:keep, :keep].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

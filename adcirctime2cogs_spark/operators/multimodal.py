@@ -867,3 +867,131 @@ def mm_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         fragmented=bool(d % 2)),
         decode=decode_mp4,
     )
+
+
+PHASH_HAM_MAX = 8     # verify ceiling: JPEG q70-95 re-encodes of the
+                      # low-frequency fixture images measure 0; the
+                      # adversarial wraparound gradient measures <= 8;
+                      # the sf0.1 fixture's closest NON-dup pair sits
+                      # at 10 (measured over all 5000 ids), so the
+                      # ceiling separates cleanly
+PHASH_TWIN_MOD = 10   # doc_id % 10 == 3 gets a JPEG re-encoded twin
+PHASH_TWIN_OFFSET = 5_000_000
+
+
+def _synth_image_lowfreq(doc_id: int):
+    """pHash fixture image: an 8x-upsampled random 6x8 RGB grid —
+    low-frequency (JPEG-stable at any sane quality) yet spectrally
+    DISTINCT per doc (min pairwise hash distance 10 over 5000 ids,
+    measured). The shared-gradient _synth_image family is
+    deliberately NOT used here: its members differ by near-uniform
+    brightness shifts, which perceptual hashing correctly treats as
+    duplicates."""
+    import numpy as np
+
+    rng = np.random.default_rng((doc_id * 2654435761) % (2 ** 32))
+    small = rng.integers(30, 226, (6, 8, 3))
+    return np.repeat(np.repeat(small, 8, axis=0), 8, axis=1).astype(
+        "uint8"
+    )
+
+
+def phash_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): every doc's low-frequency fixture image as
+    BMP/PPM (the image_docs convention) plus, for doc_id %
+    PHASH_TWIN_MOD == 3, a TWIN row at doc_id + PHASH_TWIN_OFFSET
+    holding the SAME image re-encoded as quality-95 JPEG — the real
+    near-dup class (identical content, different codec and loss)
+    perceptual hashing exists to catch."""
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        encode_bmp,
+        encode_ppm,
+    )
+    from adcirctime2cogs_spark.functions.jpegcodec import encode_jpeg
+
+    docs = _doc_ids(spark, sf_dir)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                img = _synth_image_lowfreq(d)
+                ids.append(d)
+                payloads.append(
+                    encode_bmp(img) if d % 2 == 0 else encode_ppm(img)
+                )
+                if d % PHASH_TWIN_MOD == 3:
+                    ids.append(d + PHASH_TWIN_OFFSET)
+                    payloads.append(encode_jpeg(img, quality=95))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register("mm_image_phash_pairs")  # rows-only: a 32x32 DCT is not
+# SQL-expressible; planted-recall and exactness pinned in pytest
+def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free image near-dup pairs by 64-bit perceptual hash
+    (imagecodec.phash64): decode whatever codec each payload carries
+    (BMP/PPM/JPEG), hash in the same Arrow batch, band the hash into
+    four 16-bit keys (pigeonhole: any pair within hamming distance 3
+    shares a band; re-encode twins measure 0-8), bucket-join the
+    bands, and verify candidates JVM-side with bit_count(ph_a ^
+    ph_b) <= PHASH_HAM_MAX. Returns (doc_a, doc_b, hamming).
+
+    100 TB shape: hashing is one mapInPandas pass (numpy DCT per
+    image, 8 bytes of state out); the only shuffle is the 16-bit-key
+    bucket join — the image-domain twin of the MinHash band join,
+    with the same bounded-bucket behavior; verification is a
+    codegen'd bit_count, never Python."""
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        decode_image,
+        phash64,
+    )
+    from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
+
+    imgs = phash_image_docs(spark, sf_dir)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, phs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] == b"\xff\xd8":
+                    arr = decode_jpeg(raw)
+                else:
+                    arr, _fmt = decode_image(raw)
+                ids.append(doc_id)
+                # two's-complement into a signed 64-bit column
+                h = phash64(arr)
+                phs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "ph": pd.array(phs, dtype="int64")}
+            )
+
+    ph = imgs.mapInPandas(hashes, schema="doc_id long, ph long")
+    bands = ph.select(
+        "doc_id", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(ph >> {16 * b}) & 65535").alias("bkey"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "ph", "bk.band", "bk.bkey")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ph").alias("ph_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("ph").alias("ph_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    return (
+        cand.filter(ham <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )

@@ -249,3 +249,60 @@ def test_audio_decode_kernel_matches_synth(spark, sf_dir):
         assert r.sample_rate == mm.AUDIO_RATE
         assert r.n_samples == 256 + (d * 13) % 1024
         assert r.duration_ms == r.n_samples * 1000 // mm.AUDIO_RATE
+
+
+def test_phash_kernels_stability_and_discrimination():
+    """phash64 invariants: exact under uniform brightness shift (only
+    the DC coefficient moves), within PHASH_HAM_MAX under JPEG
+    re-encode at q >= 70 on the adversarial synthetic gradient, and
+    far apart (> 20 bits) for unrelated images."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        hamming64,
+        phash64,
+    )
+    from adcirctime2cogs_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from adcirctime2cogs_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        _synth_image,
+    )
+
+    img = _synth_image(5)
+    h0 = phash64(img)
+    shifted = np.clip(img.astype("int64") + 9, 0, 255).astype("uint8")
+    assert hamming64(h0, phash64(shifted)) == 0
+    for q in (95, 85, 70):
+        rt = decode_jpeg(encode_jpeg(img, quality=q))
+        assert hamming64(h0, phash64(rt)) <= PHASH_HAM_MAX, q
+    other = _synth_image(6)
+    assert hamming64(h0, phash64(other)) > 20
+
+
+def test_phash_pairs_find_exactly_the_planted_twins(spark, sf_dir):
+    """mm_image_phash_pairs on the fixture: output is EXACTLY the
+    planted (doc_id, doc_id + offset) JPEG-twin pairs — every twin
+    recalled through its band collision, zero chance collisions
+    surviving the hamming verify."""
+    from adcirctime2cogs_spark.operators.multimodal import (
+        PHASH_TWIN_MOD,
+        PHASH_TWIN_OFFSET,
+        _doc_ids,
+        mm_image_phash_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm_image_phash_pairs(spark, sf_dir).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + PHASH_TWIN_OFFSET)
+        for r in _doc_ids(spark, sf_dir).collect()
+        if r.doc_id % PHASH_TWIN_MOD == 3
+    }
+    assert planted, "fixture has no planted twin ids"
+    assert set(got) == planted
+    assert all(h <= 10 for h in got.values())
