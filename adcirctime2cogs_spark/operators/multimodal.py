@@ -995,3 +995,126 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(ham <= PHASH_HAM_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+AUDIO_FP_HAM_MAX = 5       # twins: half-volume 0 bits, 8-bit requant
+                           # <= 4; unrelated clips >= 8 (2000-doc sweep)
+AUDIO_FP_TWIN_MOD = 10     # doc_id % 10 == 4 gets a -6 dB twin
+AUDIO_FP_TWIN_OFFSET = 6_000_000
+
+
+def _synth_audio_notes(doc_id: int):
+    """Audio-fingerprint fixture clip: eight doc_id-seeded sinusoid
+    NOTES with random frequency, amplitude, phase, and onset/offset
+    windows — the temporal structure real audio has and the
+    fingerprint's time axis needs (a constant-spectrum tone mix
+    collapses the hash to its 8 frequency-profile bits; these clips
+    measured min pairwise distance 8 over 2000 ids). The
+    mm_audio_decode sawtooth generator is deliberately NOT used: its
+    clips differ only by phase, which fingerprinting correctly treats
+    as duplicates."""
+    import numpy as np
+
+    rng = np.random.default_rng((doc_id * 40503 + 11) % (2 ** 32))
+    n = 4096
+    t = np.arange(n) / AUDIO_RATE
+    x = np.zeros(n)
+    for _ in range(8):
+        f = rng.uniform(50, 3200)
+        a = rng.uniform(0.2, 1.0)
+        ph = rng.uniform(0, 2 * np.pi)
+        s0, s1 = sorted(rng.integers(0, n, 2))
+        if s1 - s0 < 256:
+            s1 = min(n, s0 + 256)
+        seg = np.zeros(n)
+        seg[s0:s1] = 1.0
+        x += a * np.sin(2 * np.pi * f * t + ph) * seg
+    m = float(np.max(np.abs(x)))
+    return (x / max(m, 1e-9) * 0.7 * 32767).astype("int16")
+
+
+def fp_audio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): every doc's note clip as a real PCM WAV
+    plus, for doc_id % AUDIO_FP_TWIN_MOD == 4, a TWIN at doc_id +
+    AUDIO_FP_TWIN_OFFSET holding the SAME clip at half volume,
+    re-encoded — the gain-changed duplicate class audio
+    fingerprinting exists to catch."""
+    from adcirctime2cogs_spark.functions.audiocodec import encode_wav
+
+    docs = _doc_ids(spark, sf_dir)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                clip = _synth_audio_notes(d)
+                ids.append(d)
+                payloads.append(encode_wav(clip, AUDIO_RATE))
+                if d % AUDIO_FP_TWIN_MOD == 4:
+                    half = np.clip(
+                        clip.astype("float64") * 0.5, -32768, 32767
+                    ).astype("int16")
+                    ids.append(d + AUDIO_FP_TWIN_OFFSET)
+                    payloads.append(encode_wav(half, AUDIO_RATE))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register("mm_audio_fp_pairs")  # rows-only: an FFT + DCT hash is not
+# SQL-expressible; planted-recall and exactness pinned in pytest
+def mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by 64-bit spectrogram fingerprint
+    (audiocodec.audio_fingerprint64): decode each WAV, fingerprint in
+    the same Arrow batch, band into four 16-bit keys, bucket-join,
+    verify candidates JVM-side with bit_count(fp_a ^ fp_b) <=
+    AUDIO_FP_HAM_MAX. Returns (doc_a, doc_b, hamming) — the audio
+    twin of mm_image_phash_pairs, same bounded band-join scale
+    shape."""
+    from adcirctime2cogs_spark.functions.audiocodec import (
+        audio_fingerprint64,
+        decode_wav,
+    )
+
+    clips = fp_audio_docs(spark, sf_dir)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                h = audio_fingerprint64(samples, rate)
+                ids.append(doc_id)
+                fps.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "fp": pd.array(fps, dtype="int64")}
+            )
+
+    fp = clips.mapInPandas(hashes, schema="doc_id long, fp long")
+    bands = fp.select(
+        "doc_id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(fp >> {16 * b}) & 65535").alias("bkey"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.bkey")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("fp").alias("fp_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("fp").alias("fp_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        cand.filter(ham <= AUDIO_FP_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )

@@ -306,3 +306,55 @@ def test_phash_pairs_find_exactly_the_planted_twins(spark, sf_dir):
     assert planted, "fixture has no planted twin ids"
     assert set(got) == planted
     assert all(h <= 10 for h in got.values())
+
+
+def test_audio_fingerprint_margins():
+    """audio_fingerprint64 invariants on the note fixtures: identical
+    under half-volume re-encode (RMS normalization), within the
+    ceiling under 8-bit requantization, and well past it for
+    unrelated clips."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.audiocodec import (
+        audio_fingerprint64,
+    )
+    from adcirctime2cogs_spark.functions.imagecodec import hamming64
+    from adcirctime2cogs_spark.operators.multimodal import (
+        AUDIO_FP_HAM_MAX,
+        _synth_audio_notes,
+    )
+
+    clip = _synth_audio_notes(12)
+    h0 = audio_fingerprint64(clip)
+    half = np.clip(clip.astype("float64") * 0.5, -32768, 32767).astype(
+        "int16"
+    )
+    assert hamming64(h0, audio_fingerprint64(half)) == 0
+    req = ((clip.astype("int64") >> 8) << 8).astype("int16")
+    assert hamming64(h0, audio_fingerprint64(req)) <= AUDIO_FP_HAM_MAX
+    other = _synth_audio_notes(13)
+    assert hamming64(h0, audio_fingerprint64(other)) > AUDIO_FP_HAM_MAX
+
+
+def test_audio_fp_pairs_find_exactly_the_planted_twins(spark, sf_dir):
+    """mm_audio_fp_pairs on the fixture: output is EXACTLY the
+    planted half-volume twin pairs."""
+    from adcirctime2cogs_spark.operators.multimodal import (
+        AUDIO_FP_TWIN_MOD,
+        AUDIO_FP_TWIN_OFFSET,
+        _doc_ids,
+        mm_audio_fp_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm_audio_fp_pairs(spark, sf_dir).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + AUDIO_FP_TWIN_OFFSET)
+        for r in _doc_ids(spark, sf_dir).collect()
+        if r.doc_id % AUDIO_FP_TWIN_MOD == 4
+    }
+    assert planted, "fixture has no planted twin ids"
+    assert set(got) == planted
+    assert all(h == 0 for h in got.values())
