@@ -1118,3 +1118,137 @@ def mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(ham <= AUDIO_FP_HAM_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+VIDEO_FP_HAM_MAX = 8      # per-frame ceiling (same DCT hash as images)
+VIDEO_FP_MATCH_FRAC = 0.8  # fraction of sampled positions that must match
+VIDEO_FP_TWIN_MOD = 10     # doc_id % 10 == 6 gets an MJPEG-q95 twin
+VIDEO_FP_TWIN_OFFSET = 7_000_000
+VIDEO_FP_FRAMES = 6
+
+
+def _synth_clip_lowfreq(doc_id: int):
+    """Video-fingerprint fixture clip: an 8x-upsampled random 6x8 RGB
+    grid random-walking over VIDEO_FP_FRAMES frames — temporally
+    coherent (like real video), spectrally distinct per doc (min
+    first-frame hash distance 10 over 500 ids, measured), and
+    JPEG-stable. The shared-gradient _synth_frames family is
+    deliberately NOT used (same degeneracy note as the image/audio
+    fingerprint fixtures)."""
+    import numpy as np
+
+    rng = np.random.default_rng((doc_id * 977 + 3) % (2 ** 32))
+    small = rng.integers(30, 226, (6, 8, 3)).astype("float64")
+    frames = []
+    for _f in range(VIDEO_FP_FRAMES):
+        drift = rng.integers(-40, 41, (6, 8, 3)).astype("float64")
+        small = np.clip(small + drift * 0.5, 10, 245)
+        frames.append(np.repeat(np.repeat(small, 8, axis=0), 8, axis=1))
+    return np.stack(frames).astype("uint8")
+
+
+def fp_video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): every doc's clip as a real AVI —
+    uncompressed DIB for even ids, Motion-JPEG for odd (codec
+    coverage) — plus, for doc_id % VIDEO_FP_TWIN_MOD == 6, a TWIN at
+    doc_id + VIDEO_FP_TWIN_OFFSET holding the SAME frames re-encoded
+    as MJPEG quality 95: the transcoded-duplicate class video
+    fingerprinting exists to catch."""
+    from adcirctime2cogs_spark.functions.videocodec import encode_avi
+
+    docs = _doc_ids(spark, sf_dir)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                clip = _synth_clip_lowfreq(d)
+                ids.append(d)
+                payloads.append(encode_avi(
+                    clip, VIDEO_FPS,
+                    codec="DIB" if d % 2 == 0 else "MJPG", quality=95,
+                ))
+                if d % VIDEO_FP_TWIN_MOD == 6:
+                    ids.append(d + VIDEO_FP_TWIN_OFFSET)
+                    payloads.append(encode_avi(
+                        clip, VIDEO_FPS, codec="MJPG", quality=95,
+                    ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+@_register("mm_video_phash_pairs")  # rows-only, like its image/audio
+# siblings; planted-recall and exactness pinned in pytest
+def mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs by per-frame perceptual hash: demux each
+    AVI (DIB or Motion-JPEG), sample every VIDEO_STRIDE-th frame,
+    phash64 each sampled frame in the same Arrow batch, band each
+    (frame position, hash) into four 16-bit keys, bucket-join on
+    (position, band, key), then verify candidate CLIP pairs by the
+    fraction of sampled positions within VIDEO_FP_HAM_MAX bits —
+    near-dup iff match_frac >= VIDEO_FP_MATCH_FRAC. Returns (doc_a,
+    doc_b, n_positions, match_frac). Completes the image/audio/video
+    near-dup triad on the same banded-hash scale shape: per-clip
+    state is a handful of 8-byte hashes, the only shuffles are the
+    band join and the per-pair verify agg."""
+    from adcirctime2cogs_spark.functions.imagecodec import phash64
+    from adcirctime2cogs_spark.functions.videocodec import decode_avi
+
+    clips = fp_video_docs(spark, sf_dir)
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, phs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _fps = decode_avi(bytes(payload))
+                for i in range(0, len(frames), VIDEO_STRIDE):
+                    h = phash64(frames[i])
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    phs.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.array(fidx, dtype="int32"),
+                "ph": pd.array(phs, dtype="int64"),
+            })
+
+    ph = clips.mapInPandas(
+        hashes, schema="doc_id long, frame_idx int, ph long"
+    )
+    bands = ph.select(
+        "doc_id", "frame_idx", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(ph >> {16 * b}) & 65535").alias("bkey"),
+            )
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "frame_idx", "ph", "bk.band", "bk.bkey")
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     "frame_idx", "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     "frame_idx", "band", "bkey")
+    cand = (
+        a.join(b, ["frame_idx", "band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), "frame_idx",
+                   F.col("ph").alias("ph_a"))
+    pb = ph.select(F.col("doc_id").alias("doc_b"), "frame_idx",
+                   F.col("ph").alias("ph_b"))
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    per_pos = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "frame_idx"])
+        .select("doc_a", "doc_b",
+                (ham <= VIDEO_FP_HAM_MAX).cast("int").alias("hit"))
+    )
+    agg = per_pos.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        (F.sum("hit") / F.count(F.lit(1))).alias("match_frac"),
+    )
+    return agg.filter(F.col("match_frac") >= VIDEO_FP_MATCH_FRAC)

@@ -358,3 +358,28 @@ def test_audio_fp_pairs_find_exactly_the_planted_twins(spark, sf_dir):
     assert planted, "fixture has no planted twin ids"
     assert set(got) == planted
     assert all(h == 0 for h in got.values())
+
+
+def test_video_phash_pairs_find_exactly_the_planted_twins(spark, sf_dir):
+    """mm_video_phash_pairs on the fixture: output is EXACTLY the
+    planted MJPEG-transcode twin pairs, each matching at every
+    sampled position."""
+    from adcirctime2cogs_spark.operators.multimodal import (
+        VIDEO_FP_TWIN_MOD,
+        VIDEO_FP_TWIN_OFFSET,
+        _doc_ids,
+        mm_video_phash_pairs,
+    )
+
+    rows = mm_video_phash_pairs(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): (r.n_positions, r.match_frac)
+           for r in rows}
+    planted = {
+        (r.doc_id, r.doc_id + VIDEO_FP_TWIN_OFFSET)
+        for r in _doc_ids(spark, sf_dir).collect()
+        if r.doc_id % VIDEO_FP_TWIN_MOD == 6
+    }
+    assert planted, "fixture has no planted twin ids"
+    assert set(got) == planted
+    for n_pos, frac in got.values():
+        assert n_pos == 3 and frac == 1.0
