@@ -215,13 +215,16 @@ def test_hdf5_reader_rejects_garbage(junk, prefix):
     static_chunk=st.sampled_from([None, 3]),
     n_gatts=st.sampled_from([0, 3, 12, 40]),
     big_attr=st.booleans(),
+    heap_indirect=st.booleans(),
+    heap_filter=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=30, deadline=None)
 def test_netcdf4_roundtrip_any_layout(tmp_path_factory, n_rec, n_node,
                                       layout, compress, shuffle,
                                       time_chunk, node_chunk,
                                       static_chunk, n_gatts, big_attr,
+                                      heap_indirect, heap_filter,
                                       seed):
     """Property sweep of the NetCDF-4 writer/reader pair across the
     layout matrix: both metadata generations, deflate/shuffle on and
@@ -256,6 +259,8 @@ def test_netcdf4_roundtrip_any_layout(tmp_path_factory, n_rec, n_node,
         node_chunk=node_chunk,
         layout=layout,
         static_chunk=static_chunk if layout == "latest" else None,
+        heap_indirect=heap_indirect and layout == "latest",
+        heap_filter=heap_filter and layout == "latest",
     )
     f = hdf5.H5File(p)
     assert np.array_equal(f.read("zeta"), zeta)

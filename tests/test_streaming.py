@@ -806,3 +806,59 @@ def test_versioned_table_compaction_reduces_files(spark, tmp_path):
     versions = [n for n in os.listdir(str(tmp_path / "t"))
                 if n.startswith("v")]
     assert len(versions) <= 2  # GC kept only `keep`
+
+
+def test_ingest_with_cross_batch_dedup(spark, tmp_path):
+    """The corpus front door: two drops arrive in separate stream
+    runs; the second drop's byte-identical copy of a first-drop doc
+    (and a within-batch duplicate pair) must land in the reject log
+    with keep-lowest dup_of, never in the corpus — the ledger, not
+    watermark state, carries dedup across arbitrary gaps."""
+    import os
+
+    from adcirctime2cogs_spark.streaming.ingest import (
+        start_ingest_with_dedup,
+    )
+
+    drop = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(drop)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha body", "en", "s", 10),
+         (2, "beta body", "en", "s", 9),
+         (3, "alpha body", "en", "s", 10)],  # within-drop dup of 1
+        schema,
+    )
+    batch1.write.parquet(os.path.join(drop, "d1"))
+    q = start_ingest_with_dedup(spark, drop + "/*", out, ck)
+    q.awaitTermination(120)
+    batch2 = spark.createDataFrame(
+        [(10, "beta body", "en", "s", 9),     # cross-drop dup of 2
+         (11, "gamma body", "en", "s", 10)],
+        schema,
+    )
+    batch2.write.parquet(os.path.join(drop, "d2"))
+    q2 = start_ingest_with_dedup(spark, drop + "/*", out, ck)
+    q2.awaitTermination(120)
+
+    corpus = {
+        r.doc_id for r in
+        spark.read.parquet(os.path.join(out, "corpus.parquet")).collect()
+    }
+    assert corpus == {1, 2, 11}
+    rejects = {
+        r.doc_id: r.dup_of for r in
+        spark.read.parquet(os.path.join(out, "rejects.parquet")).collect()
+    }
+    assert rejects == {3: 1, 10: 2}
+    ledger = spark.read.parquet(os.path.join(out, "hashes.parquet"))
+    assert ledger.count() == 3  # one row per accepted doc
+    # effectively-once: a third run with no new drops changes nothing
+    q3 = start_ingest_with_dedup(spark, drop + "/*", out, ck)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(
+        os.path.join(out, "corpus.parquet")
+    ).count() == 3
