@@ -383,3 +383,26 @@ def test_video_phash_pairs_find_exactly_the_planted_twins(spark, sf_dir):
     assert set(got) == planted
     for n_pos, frac in got.values():
         assert n_pos == 3 and frac == 1.0
+
+
+def test_hash_kernels_degenerate_inputs():
+    """phash64 / resize_area / audio_fingerprint64 must stay total on
+    degenerate inputs: 1x1 and single-row/column images, constant and
+    silent signals — a corpus front door sees all of these."""
+    import numpy as np
+
+    from adcirctime2cogs_spark.functions.audiocodec import (
+        audio_fingerprint64,
+    )
+    from adcirctime2cogs_spark.functions.imagecodec import (
+        phash64,
+        resize_area,
+    )
+
+    for shape in ((1, 1, 3), (1, 17, 3), (5, 1, 3), (2, 2, 3)):
+        assert isinstance(phash64(np.zeros(shape, dtype="uint8")), int)
+    assert isinstance(audio_fingerprint64(np.zeros(10, dtype="int16")),
+                      int)
+    assert isinstance(audio_fingerprint64(np.zeros(0, dtype="int16")),
+                      int)
+    assert np.allclose(resize_area(np.ones((1, 1)), 4, 4), 1.0)
