@@ -14,7 +14,12 @@ must be DURABLE and unbounded-in-time but tiny-per-doc: one
 dedup.dedup_incremental_exact reads. foreachBatch gives the batch-
 exact semantics (each micro-batch joins the ledger as a static table,
 then appends to it), and Spark's checkpoint gives effectively-once
-processing of each drop.
+processing of each drop. The standard multi-sink foreachBatch caveat
+applies: a crash BETWEEN the corpus append and the ledger append
+replays the batch with a partial ledger, so a production deployment
+either writes the three tables transactionally (one table-format
+commit) or makes the appends idempotent on (batch_id, doc_id); the
+ledger-join semantics themselves need no change.
 
 Scale shape (100 TB corpus front door): the per-batch work is one
 hash projection over the batch plus one join against the hash ledger
