@@ -709,3 +709,88 @@ def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("logratio")).alias("dsir_logw"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Token-budget source mixing — how production mixtures are actually
+# specified: each domain gets a TOKEN budget (not a doc-count cap or
+# a sampling rate), and docs fill it in a deterministic pseudo-random
+# order until the budget is crossed. Complements prep_mixture_sample
+# (hash-rate thinning) and prep_source_cap (doc-count cap).
+# Registration deferred with the r10/r11 queue (registry comment);
+# _TOKEN_BUDGET_SQL is the ready oracle, parity pinned in
+# tests/test_dataprep.py.
+
+TOKEN_BUDGET = 1500   # tokens per source (fixture-calibrated: keeps
+                      # a nontrivial strict subset at every SF)
+_MIX_SALTS = 8
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cb
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cb AS BIGINT) AS cum_before
+FROM c WHERE cb < {TOKEN_BUDGET}
+"""
+
+
+def token_budget_keepers(docs: DataFrame,
+                         budget: int = TOKEN_BUDGET,
+                         salts: int = _MIX_SALTS) -> DataFrame:
+    """Keep each source's deterministic-hash-order prefix of documents
+    whose tokens-so-far (exclusive) are under `budget` — every source
+    contributes at least one doc, and the kept token mass first
+    crosses the budget on its last doc. Returns (doc_id, source,
+    n_tokens, cum_before).
+
+    Skew shape (the prep_source_cap discipline): a naive per-source
+    running sum makes a hot domain one giant sorted task, so phase 1
+    computes the running sum within (source, doc_id % salts) groups
+    and drops docs whose LOCAL prefix already exceeds the budget —
+    sound because a doc's global prefix sum is >= its salt-local one
+    (the global hash order interleaves the salt groups) — and phase 2
+    re-runs the exact window over the survivors, whose count per
+    source is bounded by ~salts * budget/avg_tokens regardless of
+    domain size. Ordering (md5(doc_id), doc_id) is total, so the
+    result equals the naive single-window form — which is what the
+    oracle runs."""
+    t = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+        .alias("hk"),
+        F.pmod("doc_id", F.lit(salts)).alias("salt"),
+    )
+    w_local = (
+        W.partitionBy("source", "salt")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    phase1 = t.withColumn(
+        "lcb", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    ).filter(F.col("lcb") < budget)
+    w_glob = (
+        W.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        phase1.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w_glob), F.lit(0)),
+        )
+        .filter(F.col("cum_before") < budget)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    )

@@ -45,14 +45,17 @@ _OPERATOR_MODULES = [
 # text_repetition_stats, oracle _REPETITION_SQL),
 # textstats.bigram_logprob (as text_bigram_logprob, oracle
 # _BIGRAM_SQL), and dedup.d4_prototype_prune (as dedup_d4_prune,
-# oracle _d4_prune_sql()) — all fully built, DuckDB-parity-pinned in
-# tests/test_dataprep.py / test_dedup.py, the text pair scale-proven
-# by scale_check's textfilter leg. STAGGERING (simulated from the
-# CORRECTNESS history this round, assuming each round's window goes
-# green): the r06-green cohort forces 49 of r10's 50 slots, so r10
-# registers ONLY text_repetition_stats; r11 has ~6 free slots and
-# registers text_bigram_logprob + dedup_d4_prune. Registering all
-# three in r10 would break test_no_oracled_query_ages_past_policy.
+# oracle _d4_prune_sql()), and dataprep.token_budget_keepers (as
+# prep_token_budget_mix, oracle _TOKEN_BUDGET_SQL) — all fully
+# built, DuckDB-parity-pinned in tests/test_dataprep.py /
+# test_dedup.py, the text pair scale-proven by scale_check's
+# textfilter leg. STAGGERING (simulated from the CORRECTNESS history
+# this round, assuming each round's window goes green): the
+# r06-green cohort forces 49 of r10's 50 slots, so r10 registers
+# ONLY text_repetition_stats; r11 has ~6 free slots and registers
+# text_bigram_logprob + dedup_d4_prune + prep_token_budget_mix.
+# Registering them all in r10 would break
+# test_no_oracled_query_ages_past_policy.
 _PRIORITY = [
     # Round-9 rotation. The r05-green cohort (46 queries) hits the
     # 4-round policy line this round and fills rules 2-3 entirely, so

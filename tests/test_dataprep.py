@@ -571,3 +571,48 @@ def test_bigram_logprob_hand_example_and_duckdb_parity(spark, sf_dir):
     assert len(got) == len(want) and len(got) > 0
     for g, w in zip(got, want):
         assert list(g) == pytest.approx(list(w), abs=1e-9), g.doc_id
+
+
+def test_token_budget_keepers_matches_duckdb_and_prefix_property(
+        spark, sf_dir):
+    """The r10/r11-queued token-budget mix: DuckDB parity of the
+    skew-safe two-phase form against the naive-window oracle on the
+    real fixture, plus the prefix property — per source the kept set
+    is exactly the hash-order prefix whose exclusive running sum is
+    under budget, every source contributes, and the first dropped doc
+    would have crossed it."""
+    import duckdb
+
+    from adcirctime2cogs_spark.operators.dataprep import (
+        TOKEN_BUDGET,
+        _TOKEN_BUDGET_SQL,
+        token_budget_keepers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    got = token_budget_keepers(docs).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = con.sql(_TOKEN_BUDGET_SQL + " ORDER BY doc_id").fetchall()
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert list(g) == list(w), g.doc_id
+    # properties
+    n_sources = docs.select("source").distinct().count()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) == n_sources  # every source contributes
+    total_docs = docs.count()
+    assert len(got) < total_docs  # the budget actually binds
+    for src, rows in by_source.items():
+        assert all(r.cum_before < TOKEN_BUDGET for r in rows)
+        # the prefix crosses the budget on (or after) its last doc:
+        # with one more doc the exclusive sum would be >= budget
+        # unless the source ran out of docs entirely
+        kept_tokens = sum(r.n_tokens for r in rows)
+        src_docs = docs.filter(F.col("source") == src).count()
+        assert kept_tokens >= TOKEN_BUDGET or len(rows) == src_docs
