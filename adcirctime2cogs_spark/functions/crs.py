@@ -520,6 +520,18 @@ _EPSG_PARAMS = {
     3572: ("laea", dict(lat0_deg=90.0, lon0_deg=-150.0,
                         a=WGS84_A, f=WGS84_F)),
     # WGS84 / North Pole LAEA Alaska (polar aspect of the same kernel)
+    3573: ("laea", dict(lat0_deg=90.0, lon0_deg=-100.0,
+                        a=WGS84_A, f=WGS84_F)),
+    # WGS84 / North Pole LAEA Canada
+    3574: ("laea", dict(lat0_deg=90.0, lon0_deg=-40.0,
+                        a=WGS84_A, f=WGS84_F)),
+    # WGS84 / North Pole LAEA Atlantic
+    3575: ("laea", dict(lat0_deg=90.0, lon0_deg=10.0,
+                        a=WGS84_A, f=WGS84_F)),
+    # WGS84 / North Pole LAEA Europe
+    3576: ("laea", dict(lat0_deg=90.0, lon0_deg=90.0,
+                        a=WGS84_A, f=WGS84_F)),
+    # WGS84 / North Pole LAEA Russia
     # NAD83 state-plane SPCS83 meter-based samples (GRS80): the LCC 2SP
     # and TM state families the registry's 26xxx/32xxx blocks repeat
     # with per-state parameters

@@ -606,3 +606,41 @@ def test_pacific_rim_rows_origins_roundtrip_and_invariants():
                                       lon0_deg=0.0)
     assert abs(float(E) - float(E2)) < 1e-9
     assert abs(float(N) - float(N2)) < 1e-9
+
+
+def test_north_pole_laea_family():
+    """The 3573-3576 North Pole LAEA rows (Canada/Atlantic/Europe/
+    Russia): each is the polar LAEA aspect rotated to its central
+    meridian — the pole maps to the origin, a point ON the central
+    meridian maps to due grid-south of it (E == 0, N < 0), all four
+    agree with the generic kernel, are mutually consistent under
+    meridian rotation, and round-trip across the zone of use."""
+    for code, lon0 in ((3573, -100.0), (3574, -40.0),
+                       (3575, 10.0), (3576, 90.0)):
+        E, N = crs.epsg_forward(code, lon0, 90.0)
+        assert abs(float(E)) < 1e-6 and abs(float(N)) < 1e-6, code
+        E, N = crs.epsg_forward(code, lon0, 60.0)
+        assert abs(float(E)) < 1e-6 and float(N) < -3_000_000, code
+        # generic-kernel agreement
+        E2, N2 = crs.laea_forward(lon0 + 30.0, 70.0, lat0_deg=90.0,
+                                  lon0_deg=lon0)
+        E3, N3 = crs.epsg_forward(code, lon0 + 30.0, 70.0)
+        assert abs(float(E2) - float(E3)) < 1e-9
+        assert abs(float(N2) - float(N3)) < 1e-9
+        # round-trip
+        lons = np.array([lon0 - 120.0, lon0, lon0 + 89.0])
+        lats = np.array([55.0, 72.0, 89.0])
+        E, N = crs.epsg_forward(code, lons, lats)
+        lon_b, lat_b = crs.epsg_inverse(code, E, N)
+        # longitudes compare modulo 360 (the +-180 seam)
+        assert np.allclose((lon_b - lons + 180.0) % 360.0 - 180.0,
+                           0.0, atol=1e-9), code
+        assert np.allclose(lat_b, lats, atol=1e-9), code
+    # meridian rotation consistency: the same geodetic point in 3574
+    # vs 3575 differs by a pure rotation of (10 - -40) = 50 degrees
+    # about the pole — radii must match exactly
+    E4, N4 = crs.epsg_forward(3574, 5.0, 65.0)
+    E5, N5 = crs.epsg_forward(3575, 5.0, 65.0)
+    r4_ = float(E4) ** 2 + float(N4) ** 2
+    r5_ = float(E5) ** 2 + float(N5) ** 2
+    assert abs(r4_ - r5_) / r4_ < 1e-12
