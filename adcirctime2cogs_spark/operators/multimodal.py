@@ -897,12 +897,14 @@ def _synth_image_lowfreq(doc_id: int):
 
 
 def phash_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, payload): every doc's low-frequency fixture image as
-    BMP/PPM (the image_docs convention) plus, for doc_id %
-    PHASH_TWIN_MOD == 3, a TWIN row at doc_id + PHASH_TWIN_OFFSET
-    holding the SAME image re-encoded as quality-95 JPEG — the real
-    near-dup class (identical content, different codec and loss)
-    perceptual hashing exists to catch."""
+    """(doc_id, payload): every doc's low-frequency fixture image in
+    a rotating lossless container (BMP / PPM / GIF by doc_id % 3 —
+    the GIF leg drives the LZW decode through the registered query)
+    plus, for doc_id % PHASH_TWIN_MOD == 3, a TWIN row at doc_id +
+    PHASH_TWIN_OFFSET holding the SAME image re-encoded as
+    quality-95 JPEG — the real near-dup class (identical content,
+    different codec and loss) perceptual hashing exists to catch."""
+    from adcirctime2cogs_spark.functions.gifcodec import encode_gif
     from adcirctime2cogs_spark.functions.imagecodec import (
         encode_bmp,
         encode_ppm,
@@ -917,9 +919,8 @@ def phash_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 img = _synth_image_lowfreq(d)
                 ids.append(d)
-                payloads.append(
-                    encode_bmp(img) if d % 2 == 0 else encode_ppm(img)
-                )
+                enc = (encode_bmp, encode_ppm, encode_gif)[d % 3]
+                payloads.append(enc(img))
                 if d % PHASH_TWIN_MOD == 3:
                     ids.append(d + PHASH_TWIN_OFFSET)
                     payloads.append(encode_jpeg(img, quality=95))
