@@ -1149,12 +1149,15 @@ def _synth_clip_lowfreq(doc_id: int):
 
 
 def fp_video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, payload): every doc's clip as a real AVI —
-    uncompressed DIB for even ids, Motion-JPEG for odd (codec
-    coverage) — plus, for doc_id % VIDEO_FP_TWIN_MOD == 6, a TWIN at
-    doc_id + VIDEO_FP_TWIN_OFFSET holding the SAME frames re-encoded
-    as MJPEG quality 95: the transcoded-duplicate class video
-    fingerprinting exists to catch."""
+    """(doc_id, payload): every doc's clip in a rotating container —
+    uncompressed-DIB AVI, Motion-JPEG AVI, or looping animated GIF by
+    doc_id % 3 (container coverage: the GIF leg drives the animated
+    LZW decode through the registered query) — plus, for doc_id %
+    VIDEO_FP_TWIN_MOD == 6, a TWIN at doc_id + VIDEO_FP_TWIN_OFFSET
+    holding the SAME frames re-encoded as MJPEG quality 95: the
+    transcoded-duplicate class video fingerprinting exists to
+    catch."""
+    from adcirctime2cogs_spark.functions.gifcodec import encode_gif
     from adcirctime2cogs_spark.functions.videocodec import encode_avi
 
     docs = _doc_ids(spark, sf_dir)
@@ -1165,10 +1168,16 @@ def fp_video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 clip = _synth_clip_lowfreq(d)
                 ids.append(d)
-                payloads.append(encode_avi(
-                    clip, VIDEO_FPS,
-                    codec="DIB" if d % 2 == 0 else "MJPG", quality=95,
-                ))
+                if d % 3 == 2:
+                    # per-frame local palettes: the random-walk frames
+                    # do not share frame 0's color set
+                    payloads.append(encode_gif(clip, local_tables=True))
+                else:
+                    payloads.append(encode_avi(
+                        clip, VIDEO_FPS,
+                        codec="DIB" if d % 3 == 0 else "MJPG",
+                        quality=95,
+                    ))
                 if d % VIDEO_FP_TWIN_MOD == 6:
                     ids.append(d + VIDEO_FP_TWIN_OFFSET)
                     payloads.append(encode_avi(
@@ -1193,6 +1202,7 @@ def mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup triad on the same banded-hash scale shape: per-clip
     state is a handful of 8-byte hashes, the only shuffles are the
     band join and the per-pair verify agg."""
+    from adcirctime2cogs_spark.functions.gifcodec import decode_gif
     from adcirctime2cogs_spark.functions.imagecodec import phash64
     from adcirctime2cogs_spark.functions.videocodec import decode_avi
 
@@ -1202,7 +1212,11 @@ def mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, fidx, phs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames, _fps = decode_avi(bytes(payload))
+                raw = bytes(payload)
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif(raw)
+                else:
+                    frames, _fps = decode_avi(raw)
                 for i in range(0, len(frames), VIDEO_STRIDE):
                     h = phash64(frames[i])
                     ids.append(doc_id)
