@@ -1131,7 +1131,7 @@ def text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full (46 forced-stale + 4 new entries), so `repetition_stats` ships
 # library-level this round with _REPETITION_SQL as its ready oracle
 # and pytest/DuckDB parity pinned in tests/test_dataprep.py; round 10
-# wraps it with @_register and a window slot.
+# registered it as text_repetition_stats (below, window slot 1).
 _REPETITION_NS_TOP = (2, 3, 4)
 _REPETITION_NS_DUP = (5, 6, 7, 8, 9, 10)
 
@@ -1175,15 +1175,15 @@ mets AS (
   FROM counts GROUP BY doc_id
 )
 SELECT b.doc_id, b.dup_token_frac,
-  round(least(CAST(coalesce(m.top2, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top2_char_frac,
-  round(least(CAST(coalesce(m.top3, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top3_char_frac,
-  round(least(CAST(coalesce(m.top4, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS top4_char_frac,
-  round(least(CAST(coalesce(m.dup5, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup5_char_frac,
-  round(least(CAST(coalesce(m.dup6, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup6_char_frac,
-  round(least(CAST(coalesce(m.dup7, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup7_char_frac,
-  round(least(CAST(coalesce(m.dup8, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup8_char_frac,
-  round(least(CAST(coalesce(m.dup9, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup9_char_frac,
-  round(least(CAST(coalesce(m.dup10, 0) AS DOUBLE) / b.n_chars, 1.0), 4) AS dup10_char_frac
+  round(least(CAST(coalesce(m.top2, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS top2_char_frac,
+  round(least(CAST(coalesce(m.top3, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS top3_char_frac,
+  round(least(CAST(coalesce(m.top4, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS top4_char_frac,
+  round(least(CAST(coalesce(m.dup5, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup5_char_frac,
+  round(least(CAST(coalesce(m.dup6, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup6_char_frac,
+  round(least(CAST(coalesce(m.dup7, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup7_char_frac,
+  round(least(CAST(coalesce(m.dup8, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup8_char_frac,
+  round(least(CAST(coalesce(m.dup9, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup9_char_frac,
+  round(least(CAST(coalesce(m.dup10, 0) AS DOUBLE) / greatest(b.n_chars, 1), 1.0), 4) AS dup10_char_frac
 FROM base b LEFT JOIN mets m USING (doc_id)
 """
 
@@ -1284,6 +1284,16 @@ def repetition_filter(docs: DataFrame,
          & (F.col("dup5_char_frac") <= max_dup5_char_frac))
         .cast("int").alias("keep"),
     )
+
+
+@_register("text_repetition_stats", _REPETITION_SQL)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query shape of repetition_stats over the documents
+    table (Gopher table-A1 repetition metrics, Rae et al. 2021).
+    Registered in round 10 per the rotation queue noted in registry.py
+    — built and DuckDB-parity-pinned since round 9
+    (tests/test_dataprep.py)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------------

@@ -40,101 +40,92 @@ _OPERATOR_MODULES = [
 # the driver has NEVER hash-verified; (3) the remaining slots refresh
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
-# Registration queue (pre-planned this round because the r09 window
-# is at capacity): textstats.repetition_stats (as
-# text_repetition_stats, oracle _REPETITION_SQL),
-# textstats.bigram_logprob (as text_bigram_logprob, oracle
-# _BIGRAM_SQL), and dedup.d4_prototype_prune (as dedup_d4_prune,
-# oracle _d4_prune_sql()), and dataprep.token_budget_keepers (as
-# prep_token_budget_mix, oracle _TOKEN_BUDGET_SQL) — all fully
-# built, DuckDB-parity-pinned in tests/test_dataprep.py /
-# test_dedup.py, the text pair scale-proven by scale_check's
-# textfilter leg. STAGGERING (simulated from the CORRECTNESS history
-# this round, assuming each round's window goes green): the
-# r06-green cohort forces 49 of r10's 50 slots, so r10 registers
-# ONLY text_repetition_stats; r11 has ~6 free slots and registers
-# text_bigram_logprob + dedup_d4_prune + prep_token_budget_mix.
-# Registering them all in r10 would break
+# Registration queue: textstats.bigram_logprob (as
+# text_bigram_logprob, oracle _BIGRAM_SQL), dedup.d4_prototype_prune
+# (as dedup_d4_prune, oracle _d4_prune_sql()), and
+# dataprep.token_budget_keepers (as prep_token_budget_mix, oracle
+# _TOKEN_BUDGET_SQL) — all fully built and DuckDB-parity-pinned in
+# tests/test_dataprep.py / test_dedup.py. STAGGERING (recomputed from
+# CORRECTNESS_r01-r09): the r06-green cohort (49 queries) forces 49 of
+# r10's 50 slots, so r10 registered ONLY text_repetition_stats; r11
+# has free slots (the r07-green cohort is 44) and registers the three
+# above. Registering them all in r10 would have broken
 # test_no_oracled_query_ages_past_policy.
 _PRIORITY = [
-    # Round-9 rotation. The r05-green cohort (46 queries) hits the
-    # 4-round policy line this round and fills rules 2-3 entirely, so
-    # rule 1's budget was capped at 4 by construction and this round's
-    # code was planned around that cap (VERDICT r08 next-round #1).
+    # Round-10 rotation, defined by the policy test the moment
+    # CORRECTNESS_r09.json landed: the COMPLETE r06-green cohort (49
+    # queries) hits the 4-round staleness line and fills rules 2-3.
     #
-    # (1) added this round: the SemDeDup pair (within-cell semantic
-    # dedup over the materialized IVF cells) and the LAEA reprojection
-    # (EPSG:3035 through the dispatcher, representative of the new
-    # GRS80 parameter rows)...
-    "dedup_semantic_pairs",
-    "dedup_semantic_keepers",
-    "crs_reproject_laea",
-    # ...and modified this round: decode_mp4 dropped its ftyp brand
-    # allowlist and gained no-tkhd track inference (advice fixes), so
-    # the MP4 query re-verifies externally per rule 1.
-    # NOTE on the _doc_ids probe change (operators/multimodal.py): the
-    # under-split probe switched from df.rdd.getNumPartitions() to
-    # driver-side listing arithmetic. That helper feeds 8 media
-    # queries, but the change is DECISION-IDENTICAL — pinned by
-    # tests/test_tables.py (estimate == actual scan split count on
-    # every fixture layout, single- and multi-file), so consumer plans
-    # are byte-for-byte what r08 hash-verified; mm_mp4_frame_stats
-    # stands in-window for the family while the 46-query stale cohort
-    # takes precedence over re-verifying provably-unchanged plans.
-    "mm_mp4_frame_stats",
-    # (2) never-verified: none besides the three new above.
-    # (3) stalest greens — the COMPLETE r05 cohort (46 queries, at the
-    # 4-round policy line; recomputed from CORRECTNESS_r01-r08 this
-    # session and machine-checked by
-    # tests/test_registry.py::test_no_oracled_query_ages_past_policy).
-    # The production regrid chain leads (the reference's own
-    # workload), then alphabetical.
-    "micromesh_weights",
-    "micromesh_regrid",
-    "micromesh_domain_mask",
-    "regrid_synthetic_bench",
-    "agg_boolean_flags",
-    "cdc_rollup_refresh",
-    "dedup_containment_pairs",
-    "dedup_corpus_emit",
-    "events_anomaly_zscore",
-    "events_dedup_first",
-    "events_feature_rollup",
-    "events_gaps_islands",
-    "events_markov_transitions",
-    "events_multires_rollup",
-    "events_running_distinct",
-    "events_sessionize_gap",
-    "events_sliding_window",
-    "join_interval_overlap",
-    "json_variant_agg",
-    "prep_dataset_card",
-    "prep_denylist_scrub",
-    "prep_repetition_filter",
-    "text_blocked_editdist",
-    "text_bpe_pair_counts",
-    "text_pack_sequences",
-    "text_profile",
-    "text_train_test_split",
-    "text_unigram_logprob",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_pred",
-    "tpch_q20_excess_stock",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "udf_pandas_iter",
-    "udtf_python_native",
+    # (2) never-externally-verified: text_repetition_stats, newly
+    # registered this round from the r09 queue (operators/textstats.py
+    # _REPETITION_SQL; its oracle's n_chars zero-guard was aligned to
+    # the kernel per ADVICE r09 before first registration).
+    "text_repetition_stats",
+    # (3) stalest greens — the COMPLETE r06 cohort (49 queries,
+    # alphabetical; recomputed from CORRECTNESS_r01-r09 and
+    # machine-checked by test_no_oracled_query_ages_past_policy).
+    # agg_distinct additionally carries this round's determinism fix
+    # (VERDICT r09 #4), so its re-verification lands in-window.
+    #
+    # Rule-1 note for this round's SemDeDup cell-cap change (VERDICT
+    # r09 #3): dedup_semantic_pairs/keepers gained a per-cell
+    # candidate bound. They cannot ALSO occupy window slots (the stale
+    # cohort fills all 49 remaining), but they are 1-round-fresh
+    # (hash-green in r09), the cap is inert below its threshold —
+    # pinned by a result-equivalence test on the registered fixture
+    # path plus an adversarial planted-cell test in tests/test_dedup.py
+    # — and the in-repo two-scale DuckDB sweep re-verifies their
+    # oracles every pytest run. Same treatment as r09's
+    # decision-identical _doc_ids probe note.
+    "agg_corr_covar",
+    "agg_cube",
+    "agg_distinct",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_stats",
+    "agg_unpivot",
+    "array_explode_agg",
+    "array_ops",
+    "crs_reproject",
+    "date_trunc_agg",
+    "events_histogram_quantile_rollup",
+    "filter_predicates",
+    "join_anti",
+    "join_asof_forward",
+    "join_asof_union_window",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "join_sort_merge",
+    "join_star_revenue",
+    "join_theta_nl",
+    "map_struct_ops",
+    "mm_audio_decode",
+    "mm_audio_frames",
+    "mm_image_decode",
+    "mm_resize",
+    "q1_pricing_summary",
+    "scalar_conditional",
+    "scalar_math",
+    "scalar_path_parse",
+    "scalar_string_date",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sort_limit",
+    "stream_session_flush",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_rollup",
+    "string_funcs2",
+    "subquery_in",
+    "topk_per_group",
+    "vec_kmeans_lloyd",
+    "win_distribution",
+    "win_lag_lead",
+    "win_rank",
+    "win_running",
 ]
 
 
