@@ -230,7 +230,11 @@ def decode_gif(data: bytes) -> np.ndarray:
     in this package keeps."""
     try:
         return _decode_gif(data)
-    except (struct.error, IndexError) as exc:
+    except GIFError:
+        raise
+    except (struct.error, IndexError, ValueError) as exc:
+        # ValueError covers np.frombuffer on a buffer truncated inside
+        # a color table ("buffer is smaller than requested size")
         raise GIFError(f"truncated or corrupt GIF: {exc}") from exc
 
 

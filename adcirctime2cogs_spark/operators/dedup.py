@@ -1569,10 +1569,14 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str,
 
 MH_INC_VER = "inc-v2"  # v2: + hashes/ subtable (incremental exact dedup)
 
-# (session id, base_dir) -> (documents mtime, layout path): lets a
-# session keep serving increments after the base text moved to cold
+# (application id, base_dir) -> (documents mtime, layout path): lets
+# a session keep serving increments after the base text moved to cold
 # storage (layout_once needs the text to re-derive the version key;
-# the resolved path doesn't)
+# the resolved path doesn't). Keyed on applicationId, NOT id(spark):
+# CPython can reuse a garbage-collected session's id, which would let
+# the cold-storage fallback (the OSError path, where the mtime check
+# is skipped) serve a stale path recorded by a dead session
+# (ADVICE r09).
 _INC_LAYOUT_MEMO: dict = {}
 
 
@@ -1580,14 +1584,15 @@ def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
     """Materialize the base corpus's incremental-dedup artifacts once
     per (base_dir, data version): bands/, shingles/ (stop-filtered),
     sizes/, stop/ under one atomically-published layout dir. The
-    resolved path is memoized per (session, base_dir, text mtime); if
+    resolved path is memoized per (applicationId, base_dir, text
+    mtime); if
     the base text is gone (cold storage), the memoized path keeps
     serving — a fresh session then needs the recorded layout path
     (dedup_incremental_pairs' base_layout parameter, the catalog
     contract)."""
     from adcirctime2cogs_spark.tables import layout_once
 
-    key = (id(spark), base_dir)
+    key = (spark.sparkContext.applicationId, base_dir)
     try:
         mtime = os.path.getmtime(
             os.path.join(base_dir, "documents.parquet")

@@ -929,22 +929,99 @@ def phash_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(encode, schema="doc_id long, payload binary")
 
 
+def _mih_band_specs(max_ham: int) -> list[tuple[int, int]]:
+    """(bit offset, width) of m = ceil((max_ham + 1) / 2) near-equal
+    bands over a 64-bit hash — the band count at which radius-1
+    probing covers the full verify ceiling (see
+    _mih_candidate_pairs)."""
+    m = (max_ham + 2) // 2
+    base, rem = divmod(64, m)
+    specs, off = [], 0
+    for i in range(m):
+        w = base + (1 if i < rem else 0)
+        specs.append((off, w))
+        off += w
+    return specs
+
+
+def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
+                         max_ham: int,
+                         part_cols: tuple = ()) -> DataFrame:
+    """Candidate near-dup pairs by multi-index hashing (Norouzi,
+    Punjani & Fleet, CVPR 2012) over a signed-64-bit hash column:
+    split the hash into m = ceil((max_ham + 1) / 2) near-equal bands;
+    by pigeonhole any pair within max_ham bits differs by
+    floor(max_ham / m) <= 1 bits in SOME band, so probing the
+    radius-1 Hamming ball of every band key on ONE join side
+    guarantees a band collision for every pair the verify step could
+    accept — candidate recall covers the FULL verify ceiling. (The
+    plain 4x16 banding this replaces only guaranteed distance 3
+    while the verify ceilings accept 5-8; ADVICE r09.)
+
+    Join shape: the probe side explodes 64 + m (band, key) rows per
+    hash (the exact key plus one single-bit flip per band bit); the
+    build side explodes m exact keys. Both stay codegen'd integer
+    expressions. Returns distinct (doc_a, doc_b, ha, hb) with
+    doc_a < doc_b; part_cols (e.g. a frame index) become extra
+    equi-join keys.
+
+    100 TB shape: probe amplification is a constant ~69 rows x 12
+    bytes per hash — linear, map-side, no extra shuffle beyond the
+    one band-key bucket join. Band keys stay wide (21-22 bits at
+    ceiling 5, 12-13 bits at ceiling 8), so expected bucket sizes
+    stay n / 2^w; the asymmetric probe (ball on one side only) keeps
+    build buckets exact-key-sized instead of ball-sized."""
+    part = list(part_cols)
+
+    def key_sql(o: int, w: int) -> str:
+        return f"(shiftrightunsigned({hash_col}, {o}) & {(1 << w) - 1})"
+
+    exact, probe = [], []
+    for band, (o, w) in enumerate(_mih_band_specs(max_ham)):
+        k = key_sql(o, w)
+        exact.append(F.struct(F.lit(band).alias("band"),
+                              F.expr(k).alias("bkey")))
+        probe.append(F.struct(F.lit(band).alias("band"),
+                              F.expr(k).alias("bkey")))
+        probe.extend(
+            F.struct(F.lit(band).alias("band"),
+                     F.expr(f"{k} ^ {1 << j}").alias("bkey"))
+            for j in range(w)
+        )
+    a = hashes.select(
+        F.col("doc_id").alias("doc_a"), *part,
+        F.col(hash_col).alias("ha"),
+        F.explode(F.array(*probe)).alias("bk"),
+    ).select("doc_a", *part, "ha", "bk.band", "bk.bkey")
+    b = hashes.select(
+        F.col("doc_id").alias("doc_b"), *part,
+        F.col(hash_col).alias("hb"),
+        F.explode(F.array(*exact)).alias("bk"),
+    ).select("doc_b", *part, "hb", "bk.band", "bk.bkey")
+    return (
+        a.join(b, part + ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+
+
 @_register("mm_image_phash_pairs")  # rows-only: a 32x32 DCT is not
 # SQL-expressible; planted-recall and exactness pinned in pytest
 def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-free image near-dup pairs by 64-bit perceptual hash
     (imagecodec.phash64): decode whatever codec each payload carries
-    (BMP/PPM/JPEG), hash in the same Arrow batch, band the hash into
-    four 16-bit keys (pigeonhole: any pair within hamming distance 3
-    shares a band; re-encode twins measure 0-8), bucket-join the
-    bands, and verify candidates JVM-side with bit_count(ph_a ^
-    ph_b) <= PHASH_HAM_MAX. Returns (doc_a, doc_b, hamming).
+    (BMP/PPM/JPEG), hash in the same Arrow batch, generate candidates
+    by multi-index hashing with radius-1 ball probing — guaranteed to
+    surface EVERY pair within PHASH_HAM_MAX bits, the full verify
+    ceiling (see _mih_candidate_pairs) — and verify candidates
+    JVM-side with bit_count(ph_a ^ ph_b) <= PHASH_HAM_MAX. Returns
+    (doc_a, doc_b, hamming).
 
     100 TB shape: hashing is one mapInPandas pass (numpy DCT per
-    image, 8 bytes of state out); the only shuffle is the 16-bit-key
-    bucket join — the image-domain twin of the MinHash band join,
-    with the same bounded-bucket behavior; verification is a
-    codegen'd bit_count, never Python."""
+    image, 8 bytes of state out); the only shuffle is the band-key
+    bucket join — the image-domain twin of the MinHash band join;
+    verification is a codegen'd bit_count, never Python."""
     from adcirctime2cogs_spark.functions.imagecodec import (
         decode_image,
         phash64,
@@ -971,27 +1048,8 @@ def mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     ph = imgs.mapInPandas(hashes, schema="doc_id long, ph long")
-    bands = ph.select(
-        "doc_id", "ph",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(ph >> {16 * b}) & 65535").alias("bkey"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("doc_id", "ph", "bk.band", "bk.bkey")
-    a = bands.select(F.col("doc_id").alias("doc_a"),
-                     F.col("ph").alias("ph_a"), "band", "bkey")
-    b = bands.select(F.col("doc_id").alias("doc_b"),
-                     F.col("ph").alias("ph_b"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
-    )
-    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    cand = _mih_candidate_pairs(ph, "ph", PHASH_HAM_MAX)
+    ham = F.expr("bit_count(ha ^ hb)")
     return (
         cand.filter(ham <= PHASH_HAM_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
@@ -1069,7 +1127,9 @@ def fp_audio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs by 64-bit spectrogram fingerprint
     (audiocodec.audio_fingerprint64): decode each WAV, fingerprint in
-    the same Arrow batch, band into four 16-bit keys, bucket-join,
+    the same Arrow batch, generate candidates by multi-index hashing
+    (radius-1 probing — guaranteed recall through the full
+    AUDIO_FP_HAM_MAX verify ceiling, see _mih_candidate_pairs),
     verify candidates JVM-side with bit_count(fp_a ^ fp_b) <=
     AUDIO_FP_HAM_MAX. Returns (doc_a, doc_b, hamming) — the audio
     twin of mm_image_phash_pairs, same bounded band-join scale
@@ -1094,27 +1154,8 @@ def mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     fp = clips.mapInPandas(hashes, schema="doc_id long, fp long")
-    bands = fp.select(
-        "doc_id", "fp",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(fp >> {16 * b}) & 65535").alias("bkey"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("doc_id", "fp", "bk.band", "bk.bkey")
-    a = bands.select(F.col("doc_id").alias("doc_a"),
-                     F.col("fp").alias("fp_a"), "band", "bkey")
-    b = bands.select(F.col("doc_id").alias("doc_b"),
-                     F.col("fp").alias("fp_b"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    ham = F.expr("bit_count(fp_a ^ fp_b)")
+    cand = _mih_candidate_pairs(fp, "fp", AUDIO_FP_HAM_MAX)
+    ham = F.expr("bit_count(ha ^ hb)")
     return (
         cand.filter(ham <= AUDIO_FP_HAM_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
@@ -1193,9 +1234,11 @@ def fp_video_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs by per-frame perceptual hash: demux each
     AVI (DIB or Motion-JPEG), sample every VIDEO_STRIDE-th frame,
-    phash64 each sampled frame in the same Arrow batch, band each
-    (frame position, hash) into four 16-bit keys, bucket-join on
-    (position, band, key), then verify candidate CLIP pairs by the
+    phash64 each sampled frame in the same Arrow batch, generate
+    candidates per frame position by multi-index hashing keyed on
+    (position, band, key) — radius-1 probing covers the full
+    per-frame VIDEO_FP_HAM_MAX ceiling (see _mih_candidate_pairs) —
+    then verify candidate CLIP pairs by the
     fraction of sampled positions within VIDEO_FP_HAM_MAX bits —
     near-dup iff match_frac >= VIDEO_FP_MATCH_FRAC. Returns (doc_a,
     doc_b, n_positions, match_frac). Completes the image/audio/video
@@ -1231,23 +1274,9 @@ def mm_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = clips.mapInPandas(
         hashes, schema="doc_id long, frame_idx int, ph long"
     )
-    bands = ph.select(
-        "doc_id", "frame_idx", "ph",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(ph >> {16 * b}) & 65535").alias("bkey"),
-            )
-            for b in range(4)
-        ])).alias("bk"),
-    ).select("doc_id", "frame_idx", "ph", "bk.band", "bk.bkey")
-    a = bands.select(F.col("doc_id").alias("doc_a"),
-                     "frame_idx", "band", "bkey")
-    b = bands.select(F.col("doc_id").alias("doc_b"),
-                     "frame_idx", "band", "bkey")
     cand = (
-        a.join(b, ["frame_idx", "band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _mih_candidate_pairs(ph, "ph", VIDEO_FP_HAM_MAX,
+                             part_cols=("frame_idx",))
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -331,8 +331,10 @@ def test_gif_lzw_table_overflow_and_animation():
 
 @given(st.binary(min_size=0, max_size=256))
 def test_gif_decoder_rejects_garbage(junk):
-    """Garbage after a GIF signature raises the codec's typed error,
-    never IndexError/struct.error."""
+    """Garbage after a GIF signature raises the codec's typed error —
+    GIFError exactly, never bare IndexError/struct.error/ValueError
+    (ADVICE r09: a buffer truncated inside a color table used to
+    escape as np.frombuffer's plain ValueError)."""
     from adcirctime2cogs_spark.functions.gifcodec import (
         GIFError,
         decode_gif,
@@ -340,5 +342,24 @@ def test_gif_decoder_rejects_garbage(junk):
 
     try:
         decode_gif(b"GIF89a" + junk)
-    except (GIFError, ValueError):
+    except GIFError:
         pass
+
+
+def test_gif_truncated_color_table_raises_typed_error():
+    """The exact ADVICE r09 case: a GIF cut mid-global-color-table
+    makes np.frombuffer raise ValueError; decode_gif must surface it
+    as GIFError."""
+    import pytest
+
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    full = encode_gif(_pal_image(rng, 8, 8, 64))
+    truncated = full[:13 + 10]  # header + 10 of 192 palette bytes
+    with pytest.raises(GIFError):
+        decode_gif(truncated)

@@ -385,6 +385,62 @@ def test_video_phash_pairs_find_exactly_the_planted_twins(spark, sf_dir):
         assert n_pos == 3 and frac == 1.0
 
 
+def test_mih_candidates_cover_full_verify_ceiling(spark):
+    """_mih_candidate_pairs must surface EVERY pair within the verify
+    ceiling — including the ADVICE r09 killer for the old 4x16
+    banding: differing bits spread one (or two) per 16-bit band, so
+    no contiguous 16-bit key collides. Deterministic adversarial
+    spreads plus seeded random flips, at both deployed ceilings
+    (audio 5, image/video 8)."""
+    import random
+
+    from adcirctime2cogs_spark.operators.multimodal import (
+        _mih_candidate_pairs,
+    )
+
+    def signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rng = random.Random(20260816)
+    cases = []
+    for ceiling in (5, 8):
+        # one-per-old-band spreads (distance 4/5) and two-per-old-band
+        # (distance 8): zero collisions under contiguous 16-bit bands
+        spreads = [[0, 16, 32, 48], [0, 8, 16, 32, 48]]
+        if ceiling == 8:
+            spreads.append([0, 8, 16, 24, 32, 40, 48, 56])
+        for s in spreads:
+            if len(s) <= ceiling:
+                cases.append((ceiling, s))
+        for _ in range(12):
+            d = rng.randint(1, ceiling)
+            cases.append((ceiling, rng.sample(range(64), d)))
+    for ceiling in (5, 8):
+        rows, expected = [], set()
+        base_id = 0
+        for c, bits in cases:
+            if c != ceiling:
+                continue
+            h0 = rng.getrandbits(64)
+            h1 = h0
+            for b in bits:
+                h1 ^= 1 << b
+            rows.append((base_id, signed(h0)))
+            rows.append((base_id + 1, signed(h1)))
+            expected.add((base_id, base_id + 1))
+            base_id += 2
+        df = spark.createDataFrame(rows, "doc_id long, h long")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in _mih_candidate_pairs(df, "h", ceiling).collect()
+        }
+        missed = expected - got
+        assert not missed, (
+            f"ceiling {ceiling}: planted within-ceiling pairs missed "
+            f"by MIH candidates: {sorted(missed)}"
+        )
+
+
 def test_hash_kernels_degenerate_inputs():
     """phash64 / resize_area / audio_fingerprint64 must stay total on
     degenerate inputs: 1x1 and single-row/column images, constant and
