@@ -1280,33 +1280,152 @@ def _semdedup_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-cell bound on the within-cell ALL-PAIRS enumeration — the
+# semantic twin of LSH_BUCKET_CAP (same adversarial shape: a
+# mass-duplicated corpus putting k near-identical embeddings in one
+# IVF cell would emit k^2 pairs from a single task). Cells at or
+# under the cap enumerate exactly; above it, only pairs touching the
+# cell's TWO EARLIEST members in the keeper order (lowest (cent_sim,
+# vec_id)) are emitted — O(2k), and for the mass-duplication case
+# that triggers it, the earliest member alone already drops every
+# near-identical later member, so the keeper result is unchanged
+# where it matters. The coarse quantizer keeps organic cells at
+# ~CENT_MOD (= 67) members (measured max 91 at sf0.1), so the cap is
+# inert on every fixture (asserted in tests) and the exact all-pairs
+# oracles stay byte-identical; sem_cell_stats() surfaces over-cap
+# cells operationally, and the oracle sweep skips (documented) when
+# one exists.
+SEM_CELL_CAP = 512
+
+
+def _sem_cell_candidates(scored: DataFrame) -> DataFrame:
+    """Bounded within-cell candidate relation from a (vec_id,
+    embedding, cell, cs) scoring: rows (cell, id_a, ea, cs_a, id_b,
+    eb, cs_b) where id_a is strictly EARLIER than id_b in the keeper
+    order (cs ASC, vec_id ASC) — every unordered within-cell pair
+    appears exactly once for cells <= SEM_CELL_CAP members; over-cap
+    cells contribute only their two earliest members on the a-side
+    (the star fallback, mirroring _lsh_candidates).
+
+    Shuffle shape: ONE window over cell (rank + size share the sort;
+    the window buffers oversized cells through the spillable sorter —
+    linear disk, never quadratic memory), then a single cell-keyed
+    self-join whose a-side is pre-filtered to (whole small cells) U
+    (two reps of over-cap cells)."""
+    from pyspark.sql import Window as W
+
+    ordered = W.partitionBy("cell").orderBy(
+        F.col("cs").asc(), F.col("vec_id").asc()
+    )
+    full = ordered.rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    tagged = scored.select(
+        "vec_id", "embedding", "cell", "cs",
+        F.row_number().over(ordered).alias("rk"),
+        F.count("*").over(full).alias("cn"),
+    )
+    a = tagged.filter(
+        (F.col("cn") <= SEM_CELL_CAP) | (F.col("rk") <= 2)
+    ).select(
+        "cell", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("cs").alias("cs_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = tagged.select(
+        "cell", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("cs").alias("cs_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .select("cell", "id_a", "ea", "cs_a", "id_b", "eb", "cs_b")
+    )
+
+
+def sem_cell_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Operational stats for the IVF cell distribution feeding
+    SemDeDup: total cells, over-cap (star-path) cells, max cell size,
+    and the candidate pairs dropped to the two-representative star
+    encoding — the semantic twin of lsh_bucket_stats."""
+    sizes = _semdedup_scored(spark, sf_dir).groupBy("cell").agg(
+        F.count("*").alias("cn")
+    )
+    row = sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.sum((F.col("cn") > SEM_CELL_CAP).cast("long")).alias("n_over_cap"),
+        F.max("cn").alias("max_cell"),
+        F.sum(
+            F.when(
+                F.col("cn") > SEM_CELL_CAP,
+                (
+                    F.col("cn") * (F.col("cn") - 1) / 2
+                    - (2 * F.col("cn") - 3)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pairs_dropped_to_star"),
+    ).first()
+    return {
+        "n_cells": int(row.n_cells),
+        "n_over_cap": int(row.n_over_cap or 0),
+        "max_cell": int(row.max_cell or 0),
+        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
+        "cell_cap": SEM_CELL_CAP,
+    }
+
+
 @_register("dedup_semantic_pairs", _semdedup_pairs_sql())
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup stage 1: within-cell semantic-duplicate pairs at
     cosine >= SEM_TAU.
 
-    100 TB shape: the ONLY join fan-out is the per-cell self-join —
-    cell sizes are bounded (~CENT_MOD members by the coarse-quantizer
-    construction), so candidates cost n * cell_size rather than n^2,
-    and the cell assignment itself is a pre-built layout_once artifact
-    (no corpus x centroid re-scan at query time). Complements
+    100 TB shape: the ONLY join fan-out is the bounded within-cell
+    relation (_sem_cell_candidates) — organic cell sizes are
+    ~CENT_MOD members by the coarse-quantizer construction, so
+    candidates cost n * cell_size rather than n^2, SEM_CELL_CAP
+    bounds the adversarial mass-duplication case, and the cell
+    assignment itself is a pre-built layout_once artifact (no corpus
+    x centroid re-scan at query time). Complements
     dedup_embedding_cosine: data-adaptive distance cells vs fixed
     axis-aligned sign-LSH half-spaces."""
     from adcirctime2cogs_spark.operators.similarity import cosine
 
-    scored = _semdedup_scored(spark, sf_dir)
-    a = scored.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "cell"
-    )
-    b = scored.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "cell"
-    )
+    cand = _sem_cell_candidates(_semdedup_scored(spark, sf_dir))
     cos = r4(cosine(F.col("ea"), F.col("eb")))
     return (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= SEM_TAU)
-        .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
+        cand.filter(cos >= SEM_TAU)
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            "cell", cos.alias("cos_sim"),
+        )
+    )
+
+
+def _semdedup_keepers_from(scored: DataFrame) -> DataFrame:
+    """Keeper-rule survivors from a (vec_id, embedding, cell, cs)
+    scoring: drop an item iff ANY earlier member of its cell (keeper
+    order: cs ASC, vec_id ASC) is a near-duplicate at cosine >=
+    SEM_TAU. _sem_cell_candidates emits exactly the earlier->later
+    pairs, bounded per cell; a dropped-id DISTINCT + broadcast
+    anti-join finishes. Shared by the oracled query and its BLAS
+    scale twin."""
+    from adcirctime2cogs_spark.operators.similarity import cosine
+
+    dropped = (
+        _sem_cell_candidates(scored)
+        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            F.broadcast(dropped),
+            scored.vec_id == dropped.dup_id,
+            "left_anti",
+        )
+        .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
     )
 
 
@@ -1321,39 +1440,13 @@ def dedup_semantic_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     later ones), so no sequential per-cell scan is needed: a directed
     within-cell join + DISTINCT dropped-ids + broadcast anti-join.
 
-    100 TB shape: same bounded within-cell fan-out as the pairs query;
+    100 TB shape: same bounded within-cell fan-out as the pairs query
+    (SEM_CELL_CAP star fallback included — for the mass-duplication
+    cell that triggers it, the earliest member alone drops every
+    near-identical later member, so survivors are unchanged there);
     the dropped-id set is duplication-sized (small relative to n), so
     the anti-join broadcasts."""
-    scored = _semdedup_scored(spark, sf_dir)
-    a = scored.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        "cell", F.col("cs").alias("cs_a"),
-    )
-    b = scored.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        "cell", F.col("cs").alias("cs_b"),
-    )
-    from adcirctime2cogs_spark.operators.similarity import cosine
-
-    earlier = (F.col("cs_a") < F.col("cs_b")) | (
-        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
-        .filter(earlier)
-        .select(F.col("id_b").alias("dup_id"))
-        .distinct()
-    )
-    return (
-        scored.join(
-            F.broadcast(dropped),
-            scored.vec_id == dropped.dup_id,
-            "left_anti",
-        )
-        .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
-    )
+    return _semdedup_keepers_from(_semdedup_scored(spark, sf_dir))
 
 
 def _semdedup_scored_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,36 +1544,7 @@ def dedup_semantic_keepers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validation test against dedup_semantic_keepers at fixture
     scales (tests/test_dedup.py) and the 1M-vector leg, not by a
     DuckDB hash."""
-    scored = _semdedup_scored_fast(spark, sf_dir)
-    a = scored.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        "cell", F.col("cs").alias("cs_a"),
-    )
-    b = scored.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        "cell", F.col("cs").alias("cs_b"),
-    )
-    from adcirctime2cogs_spark.operators.similarity import cosine
-
-    earlier = (F.col("cs_a") < F.col("cs_b")) | (
-        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
-        .filter(earlier)
-        .select(F.col("id_b").alias("dup_id"))
-        .distinct()
-    )
-    return (
-        scored.join(
-            F.broadcast(dropped),
-            scored.vec_id == dropped.dup_id,
-            "left_anti",
-        )
-        .select("vec_id", "cell", F.col("cs").alias("cent_sim"))
-    )
+    return _semdedup_keepers_from(_semdedup_scored_fast(spark, sf_dir))
 
 
 # ------------------------------------------------------------------

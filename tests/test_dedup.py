@@ -190,6 +190,59 @@ def test_lsh_bucket_stats_no_over_cap_at_driver_sf(spark, sf_medium_dir):
     assert stats["pairs_dropped_to_star"] == 0
 
 
+def test_sem_cell_cap_star_path_bounds_mass_duplication(spark):
+    """VERDICT r09 #3: a pathological IVF cell (20k near-identical
+    embeddings — adversarial mass duplication) must take the two-rep
+    star path, emitting 2n-3 candidate rows instead of ~2*10^8
+    all-pairs, while a small cell still enumerates exactly; and the
+    keeper rule on the star relation keeps ONLY the cell's earliest
+    member (every later member is a near-dup of rep 1)."""
+    from adcirctime2cogs_spark.operators.dedup import (
+        SEM_CELL_CAP,
+        _sem_cell_candidates,
+        _semdedup_keepers_from,
+    )
+
+    big_n = 20_000
+    assert SEM_CELL_CAP < big_n
+    rows = [
+        (i, [1.0, 0.0], 7, 0.5 + i * 1e-8) for i in range(big_n)
+    ] + [
+        (100_000, [0.0, 1.0], 9, 0.1),
+        (100_001, [0.0, 1.0], 9, 0.2),
+        (100_002, [1.0, -1.0], 9, 0.3),
+    ]
+    scored = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell long, cs double"
+    )
+    cand = _sem_cell_candidates(scored)
+    per_cell = {r.cell: r.cnt for r in cand.groupBy("cell").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert per_cell[7] == 2 * big_n - 3  # star, never the quadratic
+    assert per_cell[9] == 3              # small cell: exact all-pairs
+    keepers = {r.vec_id for r in _semdedup_keepers_from(scored).collect()}
+    # big cell: only the earliest member survives; small cell: the
+    # two identical vectors dedupe to the earlier one, the
+    # anti-correlated third survives
+    assert keepers == {0, 100_000, 100_002}
+
+
+def test_sem_cell_stats_no_over_cap_at_test_sfs(spark, sf_dir,
+                                                sf_medium_dir):
+    """The all-pairs oracles for dedup_semantic_pairs/keepers only
+    hold while no IVF cell exceeds SEM_CELL_CAP — pin that this is
+    true at both the pytest SF and the external driver's sf0.01, so
+    the cap is provably inert on every externally hashed plan
+    (registry rule-1 note, round 10)."""
+    from adcirctime2cogs_spark.operators.dedup import sem_cell_stats
+
+    for d in (sf_dir, sf_medium_dir):
+        stats = sem_cell_stats(spark, d)
+        assert stats["n_over_cap"] == 0
+        assert stats["pairs_dropped_to_star"] == 0
+        assert 0 < stats["max_cell"] <= stats["cell_cap"]
+
+
 def test_prefix_jaccard_equals_exact_path(spark, sf_dir):
     """Prefix filtering is LOSSLESS: dedup_prefix_jaccard must return
     byte-identical rows to the full posting-list dedup_ngram_jaccard

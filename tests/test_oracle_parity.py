@@ -42,6 +42,16 @@ def _parity_precondition(spark, sf_dir, name):
                 f"LSH_BUCKET_CAP={stats['bucket_cap']} — star path "
                 "diverges from the all-pairs oracle by design"
             )
+    if name in ("dedup_semantic_pairs", "dedup_semantic_keepers"):
+        from adcirctime2cogs_spark.operators.dedup import sem_cell_stats
+
+        stats = sem_cell_stats(spark, sf_dir)
+        if stats["n_over_cap"] > 0:
+            return (
+                f"{stats['n_over_cap']} IVF cells exceed "
+                f"SEM_CELL_CAP={stats['cell_cap']} — star path "
+                "diverges from the all-pairs oracle by design"
+            )
     if name == "agg_distinct":
         # round(sum(DISTINCT double), 4) is only well-posed while the
         # 4-dp rounding margin exceeds the parallel-fold reorder error
