@@ -52,42 +52,8 @@ def _parity_precondition(spark, sf_dir, name):
                 f"SEM_CELL_CAP={stats['cell_cap']} — star path "
                 "diverges from the all-pairs oracle by design"
             )
-    if name == "agg_distinct":
-        # round(sum(DISTINCT double), 4) is only well-posed while the
-        # 4-dp rounding margin exceeds the parallel-fold reorder error
-        # (~sqrt(n) ulps of the sum — Spark's partial-agg tree and
-        # DuckDB's fold legitimately disagree below that). This
-        # round's sf0.1 data puts per-status sums at ~1.2e10 over
-        # ~50k distinct terms: reorder bound ~4e-4 >> the 5e-5
-        # rounding margin, so the comparison is skipped THERE while
-        # sf0.001/sf0.01 (margins comfortably above the bound) still
-        # gate. Planned r10 fix, when the query re-enters the
-        # verified window: sum exact DECIMAL cents (the tpch_q3
-        # pattern), which removes the boundary entirely.
-        import math
-
-        import duckdb
-
-        con = duckdb.connect()
-        try:
-            rows = con.execute(
-                "SELECT sum(DISTINCT o_totalprice),"
-                "       count(DISTINCT o_totalprice) "
-                f"FROM read_parquet('{sf_dir}/orders.parquet') "
-                "GROUP BY o_orderstatus"
-            ).fetchall()
-        finally:
-            con.close()
-        for s, n in rows:
-            margin = abs((s * 1e4) % 1.0 - 0.5)
-            bound = math.sqrt(max(n, 1)) * math.ulp(s) * 1e4
-            if margin < bound:
-                return (
-                    f"sum(DISTINCT)={s:.6f} over {n} terms: 4-dp "
-                    f"margin {margin:.4f} < fold-reorder bound "
-                    f"{bound:.4f} — rounding not deterministic at "
-                    f"this magnitude"
-                )
+    # agg_distinct needs no precondition since round 10: its distinct
+    # sum runs over exact integer cents, deterministic at every SF.
     return None
 
 
