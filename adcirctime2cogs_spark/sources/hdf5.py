@@ -82,10 +82,12 @@ carry): FA blocks hold a page-init bitmap then 1024-element pages
 with per-page checksums; paged EA blocks keep their bitmaps in the
 parent super block.
 
-Out-of-scope (clear errors, not silent wrong answers): extended
-tiny heap IDs (ID length > 17), non-deflate heap filters,
-v2-B-TREE chunk indexes (two or more unlimited dims — NetCDF-4
-files have at most one), szip/user filters, datatypes beyond
+Out-of-scope (typed UnsupportedHDF5Feature errors, not silent
+wrong answers): extended tiny heap IDs (ID length > 17),
+non-deflate heap filters, v2-B-TREE chunk indexes (two or more
+unlimited dims — NetCDF-4 files have at most one), szip/CCSDS-121
+and user-registered chunk filters (the decoded filter subset is
+deflate=1, shuffle=2, fletcher32=3), datatypes beyond
 fixed/float/string/reference/vlen.
 """
 
@@ -119,6 +121,8 @@ MSG_SYMBOL_TABLE = 0x11
 
 FILTER_DEFLATE = 1
 FILTER_SHUFFLE = 2
+FILTER_FLETCHER32 = 3
+FILTER_SZIP = 4
 
 # Chunk-index creation parameters for "latest" layouts — the
 # library's defaults for dataset chunk indexes (H5D earray/farray
@@ -140,6 +144,42 @@ class HDF5Error(ValueError):
 
 class NotHDF5(ValueError):
     """Bytes are not an HDF5 file (no signature)."""
+
+
+class UnsupportedHDF5Feature(HDF5Error):
+    """Valid HDF5, but using a feature OUTSIDE the built-in decoded
+    subset (see the module docstring's out-of-scope list — e.g. the
+    szip/CCSDS-121 compression filter). Distinct from the corrupt-
+    file HDF5Error so callers can route "convert offline with
+    h5repack/nccopy, or inject a decoder" guidance instead of "bad
+    file" (VERDICT r09 #5)."""
+
+
+def _fletcher32(data: bytes) -> int:
+    """libhdf5's H5_checksum_fletcher32: Fletcher over big-endian
+    16-bit words in 360-word blocks (fold to 16 bits after each
+    block), odd trailing byte high-padded. Vectorized per block: with
+    starting sums (s1, s2) and block prefix sums p_j,
+    sum2' = s2 + t*s1 + sum(p_j) and sum1' = s1 + p_t."""
+    n2 = len(data) // 2
+    words = np.frombuffer(data, ">u2", count=n2).astype("uint64")
+    sum1 = sum2 = 0
+    for lo in range(0, n2, 360):
+        blk = words[lo:lo + 360]
+        csum = blk.cumsum()
+        sum2 += len(blk) * sum1 + int(csum.sum())
+        sum1 += int(csum[-1])
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    for _ in range(2):  # reduce any residual carry to 16 bits
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
 
 
 # ---------------------------------------------------------------- I/O
@@ -1499,14 +1539,37 @@ class H5File:
             if fid == FILTER_DEFLATE:
                 raw = zlib.decompress(raw)
             elif fid == FILTER_SHUFFLE:
+                # element-aligned portion unshuffled; H5Zshuffle
+                # copies any leftover tail bytes through unchanged
+                # (arises when fletcher32 precedes shuffle: the
+                # 4-byte checksum rides along unaligned)
                 esize = cvals[0] if cvals else d.dtype.itemsize
                 n = len(raw) // esize
+                body = np.frombuffer(raw, "u1", count=n * esize)
                 raw = (
-                    np.frombuffer(raw, "u1")
-                    .reshape(esize, n).T.tobytes()
+                    body.reshape(esize, n).T.tobytes()
+                    + raw[n * esize:]
                 )
+            elif fid == FILTER_FLETCHER32:
+                if len(raw) < 4:
+                    raise HDF5Error(
+                        "fletcher32 chunk shorter than its checksum"
+                    )
+                body, stored = raw[:-4], _u32(raw, len(raw) - 4)
+                if _fletcher32(body) != stored:
+                    raise HDF5Error(
+                        f"fletcher32 checksum mismatch on chunk "
+                        f"(stored {stored:#010x})"
+                    )
+                raw = body
             else:
-                raise HDF5Error(f"unsupported filter id {fid}")
+                what = " (szip/CCSDS-121)" if fid == FILTER_SZIP else ""
+                raise UnsupportedHDF5Feature(
+                    f"chunk filter id {fid}{what} is outside the "
+                    "built-in decoded subset (deflate=1, shuffle=2, "
+                    "fletcher32=3) — convert offline with h5repack "
+                    "-f GZIP=1 / nccopy, or inject a decoder"
+                )
         return np.frombuffer(raw, dtype=d.dtype).reshape(d.layout.chunk)
 
     def read(self, name: str) -> np.ndarray:
@@ -2365,6 +2428,8 @@ def write_netcdf4(
     gatts: dict | None = None,
     compress: int | None = 6,
     shuffle: bool = False,
+    fletcher32: bool = False,
+    extra_filter: tuple[int, tuple[int, ...]] | None = None,
     node_chunk: int | None = None,
     time_chunk: int = 1,
     layout: str = "v1",
@@ -2380,8 +2445,14 @@ def write_netcdf4(
     variable (e.g. `time`). Record variables (first dim unlimited) are
     chunked (time_chunk records × node_chunk columns, default 1 × the
     full row — netcdf-c's usual unlimited layout; time_chunk > 1
-    reproduces nccopy-rechunked files) with optional shuffle+deflate;
-    everything else is contiguous.
+    reproduces nccopy-rechunked files) with an optional
+    fletcher32+shuffle+deflate pipeline in netcdf-c's filter order
+    (checksum first on write, so it is verified last on read);
+    everything else is contiguous. extra_filter appends one
+    (filter_id, cd_values) entry to the pipeline WITHOUT transforming
+    the chunk bytes — the fixture knob for exercising the
+    unsupported-filter gate (e.g. a szip-tagged file whose read must
+    raise UnsupportedHDF5Feature before touching chunk data).
 
     layout="latest" writes the h5py libver='latest' METADATA layout:
     superblock v3 (checksummed) and version-4 data layout messages
@@ -2492,10 +2563,14 @@ def write_netcdf4(
 
     # ---- per-dataset message lists ---------------------------------
     filters = []
+    if fletcher32:
+        filters.append((FILTER_FLETCHER32, ()))
     if shuffle:
         filters.append((FILTER_SHUFFLE, ()))
     if compress is not None:
         filters.append((FILTER_DEFLATE, (int(compress),)))
+    if extra_filter is not None:
+        filters.append(extra_filter)
 
     def enc_filters(esize: int) -> bytes:
         out = struct.pack("<BB6x", 1, len(filters))
@@ -2531,10 +2606,15 @@ def write_netcdf4(
                 full[tuple(slice(0, s) for s in piece.shape)] = piece
                 piece = full
             raw = piece.tobytes()
+            if fletcher32:
+                raw += struct.pack("<I", _fletcher32(raw))
             if shuffle:
+                esize = d.dtype.itemsize
+                n = len(raw) // esize
+                body = np.frombuffer(raw, "u1", count=n * esize)
                 raw = (
-                    np.frombuffer(raw, "u1")
-                    .reshape(-1, d.dtype.itemsize).T.tobytes()
+                    body.reshape(n, esize).T.tobytes()
+                    + raw[n * esize:]
                 )
             if compress is not None:
                 raw = zlib.compress(raw, int(compress))

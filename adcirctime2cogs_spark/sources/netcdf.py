@@ -57,17 +57,26 @@ def _default_decoder(path: str, content: bytes, variable: str):
             return hdf5.decode_adcirc_nc4(path, content, variable)
         except hdf5.HDF5Error as h5err:
             # out-of-subset layout: try the library fallback. Keep the
-            # message — `except ... as` unbinds the variable at block
+            # exception — `except ... as` unbinds the variable at block
             # exit, so referencing h5err below would UnboundLocalError.
-            h5_msg = str(h5err)
+            h5_exc = h5err
         try:
             import io
 
             import xarray as xr  # noqa: F401
         except ImportError as exc:
+            if isinstance(h5_exc, hdf5.UnsupportedHDF5Feature):
+                # valid HDF5 using a documented out-of-scope feature
+                # (e.g. the szip filter): surface the TYPED error with
+                # its supported-subset listing, not a library lament
+                # (VERDICT r09 #5)
+                raise hdf5.UnsupportedHDF5Feature(
+                    f"{h5_exc} [file {path!r}; no xarray/netCDF4 "
+                    "fallback in this environment]"
+                ) from h5_exc
             raise NotImplementedError(
                 f"{not_classic}; and the HDF5 layout is outside the "
-                f"built-in subset ({h5_msg}) with no xarray/netCDF4 in "
+                f"built-in subset ({h5_exc}) with no xarray/netCDF4 in "
                 "this environment — inject a decoder or convert offline "
                 "with netcdf_to_parquet on a codec-equipped host."
             ) from exc

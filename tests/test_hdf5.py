@@ -194,6 +194,114 @@ def test_dimension_list_resolves_through_global_heap(tmp_path):
     assert g >= 0 and buf.find(b"GCOL", g + 4) == -1
 
 
+def test_fletcher32_roundtrip_and_corruption(tmp_path):
+    """The fletcher32 checksum filter (id 3) decodes for real: plain,
+    and under the full netcdf-c pipeline order fletcher->shuffle->
+    deflate (where the 4-byte checksum rides through shuffle as the
+    unaligned tail). A flipped data byte must fail the checksum
+    loudly, not decode garbage."""
+    rng = np.random.default_rng(13)
+    zeta = rng.normal(size=(4, 9)).astype("f8")
+    for kw in (dict(compress=None), dict(compress=6, shuffle=True)):
+        p = str(tmp_path / f"f32_{kw.get('compress')}.nc")
+        hdf5.write_netcdf4(
+            p, dims={"time": None, "node": 9},
+            variables={
+                "time": (("time",), np.arange(4.0), {}),
+                "zeta": (("time", "node"), zeta, {}),
+            },
+            fletcher32=True, **kw,
+        )
+        assert np.array_equal(hdf5.NC4File(p).read_var("zeta"), zeta), kw
+    # corruption: fletcher-only chunks are raw row bytes + checksum —
+    # flip one payload byte in place on disk
+    p = str(tmp_path / "f32_corrupt.nc")
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 9},
+        variables={
+            "time": (("time",), np.arange(4.0), {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        fletcher32=True, compress=None,
+    )
+    blob = bytearray(open(p, "rb").read())
+    row = zeta[2].tobytes()
+    at = bytes(blob).index(row)
+    blob[at + 5] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(hdf5.HDF5Error, match="fletcher32 checksum"):
+        hdf5.NC4File(p).read_var("zeta")
+
+
+def test_fletcher32_checksum_block_fold_and_odd_tail():
+    """_fletcher32 invariants pinned against the H5checksum.c
+    algorithm shape: 16-bit big-endian word assembly (byte order
+    matters), the odd trailing byte high-padded (so it changes the
+    sum), and block folding that keeps >360-word buffers equal to a
+    word-at-a-time reference implementation."""
+    def reference(data: bytes) -> int:
+        s1 = s2 = 0
+        n2 = len(data) // 2
+        for i in range(n2):
+            s1 += (data[2 * i] << 8) | data[2 * i + 1]
+            s2 += s1
+            if i % 360 == 359 or i == n2 - 1:
+                s1 = (s1 & 0xFFFF) + (s1 >> 16)
+                s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        if len(data) % 2:
+            s1 += data[-1] << 8
+            s2 += s1
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        return (s2 << 16) | s1
+
+    rng = np.random.default_rng(99)
+    for n in (0, 1, 2, 3, 719, 720, 721, 5000):
+        data = rng.integers(0, 256, n, dtype="u1").tobytes()
+        assert hdf5._fletcher32(data) == reference(data), n
+    assert hdf5._fletcher32(b"\x01\x02") != hdf5._fletcher32(b"\x02\x01")
+    assert hdf5._fletcher32(b"\x01\x02") != hdf5._fletcher32(b"\x01\x02\x00")
+
+
+def test_szip_filter_raises_typed_unsupported_error(tmp_path):
+    """VERDICT r09 #5: a szip-filtered (filter id 4) NetCDF-4 file
+    must raise the TYPED UnsupportedHDF5Feature naming the supported
+    filter subset — both from the HDF5 layer and end-to-end through
+    the default decoder's fallback gate — never a bare 'no xarray'
+    NotImplementedError or a silent wrong answer."""
+    rng = np.random.default_rng(3)
+    zeta = rng.normal(size=(3, 7)).astype("f8")
+    p = str(tmp_path / "szip.nc")
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 7},
+        variables={
+            "time": (("time",), np.arange(3.0), {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        compress=None,
+        # realistic H5Zszip client data: options mask, pixels/block,
+        # bits/pixel, pixels/scanline
+        extra_filter=(hdf5.FILTER_SZIP, (141, 32, 64, 7)),
+    )
+    with pytest.raises(hdf5.UnsupportedHDF5Feature, match="szip"):
+        hdf5.NC4File(p).read_var("zeta")
+    with pytest.raises(hdf5.UnsupportedHDF5Feature,
+                       match="deflate=1, shuffle=2, fletcher32=3"):
+        hdf5.NC4File(p).read_var("zeta")
+    try:
+        import xarray  # noqa: F401
+        has_xarray = True
+    except ImportError:
+        has_xarray = False
+    if not has_xarray:
+        from adcirctime2cogs_spark.sources.netcdf import _default_decoder
+
+        with pytest.raises(hdf5.UnsupportedHDF5Feature, match="szip"):
+            _default_decoder(p, open(p, "rb").read(), "zeta")
+
+
 def test_not_hdf5_and_out_of_subset_errors(tmp_path):
     with pytest.raises(hdf5.NotHDF5):
         hdf5.H5File(b"CDF\x01" + b"\x00" * 100)
