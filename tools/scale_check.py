@@ -944,6 +944,183 @@ def run_production_e2e_leg(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_production_multivar_leg(
+    spark,
+    n: int = 800,
+    res: float = 0.005,
+    nx: int = 2500,
+    ny: int = 2300,
+    n_ts: int = 2,
+) -> dict:
+    """VERDICT r09 #7: measure the engine's headline structural win
+    over the reference — N variables on ONE regrid shuffle — with
+    real numbers. The reference's CLI takes a single inputVariable
+    and reruns the ENTIRE job per variable
+    (run/adcircTime2cogs.py:266): scenario A reproduces that shape
+    faithfully by running the complete single-variable pipeline TWICE
+    through pipeline.run_pipeline (each pass pays its own weights
+    build + regrid + COG + sidecars + zip). Scenario B is the
+    engine's multi-variable plan: weights built ONCE, both variables
+    regridded in one join+aggregation (plans/regrid.regrid_multi —
+    extra variables are extra sum(w*v) aggregates on the same
+    shuffle), then the same two COG sets + sidecars + zips. The wide
+    (ts, node, zeta, vel) table is assembled by an equi-join of the
+    two ingested single-variable tables and that join is INSIDE
+    scenario B's timed wall (at production scale the ingest would be
+    wide to begin with, so this is the conservative accounting).
+
+    Green = scenario B's COG rasters match scenario A's cell-for-cell
+    (<= 1e-9; same 3-term barycentric sums, order-of-fold tolerance
+    only) and the ratio wall_two_single / wall_multi exceeds 1."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.pipeline import run_pipeline
+    from adcirctime2cogs_spark.plans.grid import (
+        bounding_box,
+        grid_spec_from_bbox,
+        raster_cells,
+    )
+    from adcirctime2cogs_spark.plans.regrid import regrid_multi
+    from adcirctime2cogs_spark.plans.weights import build_weights
+    from adcirctime2cogs_spark.sinks.cog import write_cogs
+    from adcirctime2cogs_spark.sinks.geotiff import read_geotiff
+    from adcirctime2cogs_spark.sinks.sidecar import (
+        archive_output,
+        write_mosaic_sidecars,
+    )
+    from adcirctime2cogs_spark.sources import netcdf3 as nc3
+    from adcirctime2cogs_spark.sources.mesh import load_mesh, load_timeseries
+    from adcirctime2cogs_spark.sources.netcdf import adcirc_nc_to_tables
+
+    work = tempfile.mkdtemp(prefix="scale_multivar_")
+    try:
+        lon, lat, element, times, zeta, _box = _hsofs_mesh(
+            n, res, nx, ny, n_ts
+        )
+        # second linear field with different coefficients, so a
+        # variable mix-up between the two aggregates cannot cancel out
+        vel = (
+            -2.0 * lon + 3.0 * lat + 5.0
+            + 10.0 * np.arange(n_ts, dtype="float64")[:, None]
+        )
+        nc_path = f"{work}/fort.63.nc"
+        nc3.write_classic(
+            nc_path,
+            dims=[("time", None), ("node", n * n),
+                  ("nele", len(element)), ("nvertex", 3)],
+            variables=[
+                {"name": "time", "dims": ["time"], "data": times,
+                 "atts": {"units": "seconds since 2000-01-01 00:00:00"}},
+                {"name": "x", "dims": ["node"], "data": lon},
+                {"name": "y", "dims": ["node"], "data": lat},
+                {"name": "depth", "dims": ["node"],
+                 "data": np.full(n * n, 100.0)},
+                {"name": "element", "dims": ["nele", "nvertex"],
+                 "data": element},
+                {"name": "zeta", "dims": ["time", "node"], "data": zeta,
+                 "atts": {"_FillValue": -99999.0, "units": "m"}},
+                {"name": "vel", "dims": ["time", "node"], "data": vel,
+                 "atts": {"_FillValue": -99999.0, "units": "m s-1"}},
+            ],
+            gatts={"model": "ADCIRC", "grid": "multivar synthetic"},
+        )
+        tables = {}
+        for var in ("zeta", "vel"):
+            tables[var] = f"{work}/tables_{var}"
+            adcirc_nc_to_tables(spark, nc_path, tables[var], var)
+
+        # ---- scenario A: the reference's shape — one full
+        # single-variable pipeline run per variable -----------------
+        t0 = time.time()
+        results = {}
+        for var in ("zeta", "vel"):
+            results[var] = run_pipeline(
+                spark, tables[var], f"{work}/out_single",
+                f"{work}/final_single_{var}", var, res,
+            )
+        wall_two_single = time.time() - t0
+
+        # ---- scenario B: weights once, both variables on one
+        # shuffle, same sinks ----------------------------------------
+        t0 = time.time()
+        nodes, elements = load_mesh(spark, tables["zeta"])
+        ts_zeta = load_timeseries(spark, tables["zeta"], "zeta")
+        ts_vel = load_timeseries(spark, tables["vel"], "vel")
+        wide = (
+            ts_zeta.withColumnRenamed("value", "zeta")
+            .join(ts_vel.withColumnRenamed("value", "vel"),
+                  ["ts", "node_id"])
+        )
+        spec = grid_spec_from_bbox(bounding_box(nodes), res)
+        cells = raster_cells(spark, spec)
+        weights = build_weights(
+            cells, nodes, elements, bin_size=res * 4.0
+        ).cache()
+        weights.count()
+        broadcast_ts = wide.count() * 24 < 64 * 1024 * 1024
+        multi = regrid_multi(
+            weights, wide, ["zeta", "vel"], broadcast_ts=broadcast_ts
+        ).cache()
+        multi.count()  # THE one shuffle both variables share
+        archives = 0
+        for var in ("zeta", "vel"):
+            cog_dir = f"{work}/out_multi/{var}"
+            write_cogs(
+                multi.select("ts", "cell_id", "grid_row", "grid_col",
+                             F.col(var).alias("value")),
+                spec, cog_dir, prefix=var,
+            ).collect()
+            write_mosaic_sidecars(cog_dir, f"{var}_mosaic")
+            archives += int(bool(
+                archive_output(cog_dir, f"{work}/final_multi_{var}")
+            ))
+        multi.unpersist()
+        weights.unpersist()
+        wall_multi = time.time() - t0
+
+        # ---- verify: scenario B rasters == scenario A rasters ------
+        violations = 0
+        checked = 0
+        for var in ("zeta", "vel"):
+            a_cogs = sorted(_glob.glob(f"{results[var].cog_dir}/{var}.*"))
+            b_dir = f"{work}/out_multi/{var}"
+            for a_path in a_cogs:
+                b_path = os.path.join(b_dir, os.path.basename(a_path))
+                if not os.path.exists(b_path):
+                    violations += 1
+                    continue
+                arr_a, _ = read_geotiff(a_path)
+                arr_b, _ = read_geotiff(b_path)
+                same_mask = np.isnan(arr_a) == np.isnan(arr_b)
+                violations += int((~same_mask).sum())
+                ok = same_mask & ~np.isnan(arr_a)
+                checked += int(ok.sum())
+                violations += int(
+                    (np.abs(arr_a[ok] - arr_b[ok]) > 1e-9).sum()
+                )
+        ratio = wall_two_single / wall_multi if wall_multi else 0.0
+        return {
+            "leg": "production_multivar_regrid",
+            "n_nodes": n * n,
+            "n_ts": n_ts,
+            "pixels_per_ts": (ny - 1) * (nx - 1),
+            "n_variables": 2,
+            "wall_two_single_runs": round(wall_two_single, 2),
+            "wall_multi_one_shuffle": round(wall_multi, 2),
+            "single_over_multi_ratio": round(ratio, 2),
+            "cells_checked": checked,
+            "violations": violations
+            + int(archives != 2)
+            + int(ratio <= 1.0),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def synth_embeddings(spark, out_dir: str, n_vecs: int, dim: int = 32,
                      n_probes: int = 5) -> None:
     """Fixture-shaped embeddings.parquet: n_vecs deterministic
@@ -2147,6 +2324,7 @@ def main() -> int:
         for res in (
             run_production_e2e_leg(spark),
             run_nc4_ingest_leg(spark),
+            run_production_multivar_leg(spark),
         ):
             print(json.dumps(res))
             if res["violations"]:
