@@ -794,108 +794,3 @@ def token_budget_keepers(docs: DataFrame,
         .filter(F.col("cum_before") < budget)
         .select("doc_id", "source", "n_tokens", "cum_before")
     )
-
-
-# ------------------------------------------------------------------
-# Benchmark decontamination — the published pre-training hygiene
-# stage (GPT-3 appendix C / PaLM: drop or flag training documents
-# sharing word n-grams with any evaluation document) that every
-# serious corpus pipeline runs before a training mix ships. The eval
-# set here is the deterministic doc_id % DECON_EVAL_MOD ==
-# DECON_EVAL_REM slice of the corpus (the same self-contained fixture
-# stance as the IVF centroid rule); in production it is the benchmark
-# suite, tiny relative to the corpus by construction. Built
-# library-level in round 10; registration queued with the r11 window
-# batch (registry comment) — _DECON_SQL is the ready oracle, parity
-# pinned in tests/test_dataprep.py.
-
-DECON_N = 4          # word n-gram size (4 separates the fixture:
-                     # 28-2263 contaminated train docs per SF, never
-                     # zero and never everything)
-DECON_EVAL_MOD = 23
-DECON_EVAL_REM = 7
-
-_DECON_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-pos AS (
-  SELECT doc_id, t, len(t) AS nt, unnest(range(1, len(t) + 1)) AS p
-  FROM toks
-),
-grams AS (
-  SELECT doc_id, array_to_string(t[p:p + {DECON_N - 1}], ' ') AS g
-  FROM pos WHERE p + {DECON_N - 1} <= nt
-),
-ev AS (
-  SELECT DISTINCT g FROM grams
-  WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
-),
-hits AS (
-  SELECT gr.doc_id, count(DISTINCT gr.g) AS ns
-  FROM grams gr JOIN ev USING (g)
-  WHERE gr.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_REM}
-  GROUP BY gr.doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(h.ns, 0) AS BIGINT) AS n_shared,
-       CAST(coalesce(h.ns, 0) > 0 AS INT) AS contaminated
-FROM (SELECT doc_id FROM documents
-      WHERE doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_REM}) d
-LEFT JOIN hits h USING (doc_id)
-"""
-
-
-def decontaminate_ngrams(docs: DataFrame,
-                         n: int = DECON_N,
-                         eval_mod: int = DECON_EVAL_MOD,
-                         eval_rem: int = DECON_EVAL_REM,
-                         broadcast_eval: bool = True) -> DataFrame:
-    """Per-TRAIN-document benchmark contamination over (doc_id, text):
-    n_shared = distinct word n-grams the doc shares with ANY eval-set
-    document, contaminated = (n_shared > 0). Every train doc is
-    returned (clean docs with 0), so the pipeline can either hard-drop
-    or threshold.
-
-    Scale shape (100 TB): ONE generate-explode per side; eval grams
-    collapse to a DISTINCT 8-byte xxhash64 table built once —
-    benchmark suites are tiny relative to the corpus by construction,
-    so it broadcasts (broadcast_eval=False falls back to a shuffled
-    semi-join for pathologically large eval sets); the only wide
-    shuffle is the per-doc hash-agg of broadcast-join survivors,
-    which is contamination-sized, not corpus-sized. Gram identity is
-    the 64-bit hash on the Spark side vs the string in the oracle —
-    a same-doc gram-pair collision (~2^-64 per pair) would undercount
-    n_shared by one; the two-scale sweep would surface it."""
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"CASE WHEN size(t) >= {n} THEN "
-            f"transform(sequence(1, size(t) - {n} + 1), "
-            f"i -> xxhash64(array_join(slice(t, i, {n}), ' '))) "
-            f"ELSE array() END"
-        )).alias("gh"),
-    )
-    is_eval = F.pmod(F.col("doc_id"), F.lit(eval_mod)) == eval_rem
-    ev = grams.filter(is_eval).select("gh").distinct()
-    if broadcast_eval:
-        ev = F.broadcast(ev)
-    hits = (
-        grams.filter(~is_eval)
-        .join(ev, "gh")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("gh").alias("ns"))
-    )
-    return (
-        docs.filter(~is_eval)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("ns"), F.lit(0)).cast("long")
-            .alias("n_shared"),
-            (F.coalesce(F.col("ns"), F.lit(0)) > 0).cast("int")
-            .alias("contaminated"),
-        )
-    )

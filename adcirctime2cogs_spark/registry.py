@@ -42,16 +42,14 @@ _OPERATOR_MODULES = [
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 # Registration queue: textstats.bigram_logprob (as
 # text_bigram_logprob, oracle _BIGRAM_SQL), dedup.d4_prototype_prune
-# (as dedup_d4_prune, oracle _d4_prune_sql()),
+# (as dedup_d4_prune, oracle _d4_prune_sql()), and
 # dataprep.token_budget_keepers (as prep_token_budget_mix, oracle
-# _TOKEN_BUDGET_SQL), and dataprep.decontaminate_ngrams (as
-# prep_decontaminate, oracle _DECON_SQL; built round 10) — all fully
-# built and DuckDB-parity-pinned in tests/test_dataprep.py /
-# test_dedup.py. STAGGERING (recomputed from CORRECTNESS_r01-r09):
-# the r06-green cohort (49 queries) forces 49 of r10's 50 slots, so
-# r10 registered ONLY text_repetition_stats; r11's forced cohort is
-# the 44 r07-greens, leaving room to register the four above.
-# Registering them all in r10 would have broken
+# _TOKEN_BUDGET_SQL) — all fully built and DuckDB-parity-pinned in
+# tests/test_dataprep.py / test_dedup.py. STAGGERING (recomputed from
+# CORRECTNESS_r01-r09): the r06-green cohort (49 queries) forces 49 of
+# r10's 50 slots, so r10 registered ONLY text_repetition_stats; r11's
+# forced cohort is the 44 r07-greens, leaving room to register the
+# three above. Registering them all in r10 would have broken
 # test_no_oracled_query_ages_past_policy.
 _PRIORITY = [
     # Round-10 rotation, defined by the policy test the moment

@@ -616,59 +616,3 @@ def test_token_budget_keepers_matches_duckdb_and_prefix_property(
         kept_tokens = sum(r.n_tokens for r in rows)
         src_docs = docs.filter(F.col("source") == src).count()
         assert kept_tokens >= TOKEN_BUDGET or len(rows) == src_docs
-
-
-# ------------------------------------------------- decontamination
-def test_decontaminate_hand_example(spark):
-    """Planted contamination semantics: a train doc sharing one
-    4-gram with an eval doc is flagged with n_shared == 1, a clean
-    train doc returns 0, eval docs never appear, and a repeated
-    shared gram counts once (distinct grams, not occurrences)."""
-    from adcirctime2cogs_spark.operators.dataprep import (
-        decontaminate_ngrams,
-    )
-
-    # doc 7 is the eval doc (7 % 23 == 7)
-    docs = spark.createDataFrame(
-        [
-            (7, "alpha beta gamma delta epsilon"),
-            # shares "beta gamma delta epsilon" once, repeated twice
-            (1, "x beta gamma delta epsilon y beta gamma delta epsilon"),
-            (2, "totally different words here now"),
-        ],
-        "doc_id long, text string",
-    )
-    rows = {r.doc_id: r for r in decontaminate_ngrams(docs).collect()}
-    assert set(rows) == {1, 2}
-    # doc 1 contains "beta gamma delta epsilon" twice; it is the only
-    # gram also present in the eval doc, so distinct-shared == 1
-    assert rows[1].n_shared == 1 and rows[1].contaminated == 1
-    assert rows[2].n_shared == 0 and rows[2].contaminated == 0
-
-
-def test_decontaminate_matches_duckdb_oracle(spark, sf_dir,
-                                             sf_medium_dir):
-    """Pre-registration parity gate for the r11 window slot: the
-    Spark plan and _DECON_SQL hash-match on the documents fixture at
-    both local sweep scales, and the flagged fraction is non-trivial
-    (neither zero nor everything)."""
-    from adcirctime2cogs_spark.operators.dataprep import (
-        _DECON_SQL,
-        decontaminate_ngrams,
-    )
-    from adcirctime2cogs_spark.tables import load_table as _lt
-    from tests.oracle_util import compare
-
-    for d in (sf_dir, sf_medium_dir):
-        n = compare(
-            spark, d,
-            lambda s, dd: decontaminate_ngrams(_lt(s, dd, "documents")),
-            _DECON_SQL,
-        )
-        assert n > 0
-        flagged = (
-            decontaminate_ngrams(_lt(spark, d, "documents"))
-            .agg(F.sum("contaminated"), F.count("*"))
-            .first()
-        )
-        assert 0 < flagged[0] < flagged[1], d
