@@ -697,28 +697,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents whose embedding has cosine >= 0.4 with a lower-id
     embedding (within the same sign-LSH block) are dropped.
 
-    The 100 TB shape: candidate pairs come from a sign-bucket equi-join
-    (sub-quadratic, like sim_topk_bucketed), the verify is exact cosine
-    on candidates only, and the survivors fall out of a left-anti join
+    The 100 TB shape: candidate pairs come from the
+    SIGN_BUCKET_CAP-bounded sign-bucket relation (sub-quadratic like
+    sim_topk_bucketed, with the mass-duplication star fallback — and
+    keep-lowest-id survives it unchanged: the bucket's lowest id is
+    always a representative), the verify is exact cosine on
+    candidates only, and the survivors fall out of a left-anti join
     against the (tiny, high-duplication) dropped-id set — the documents
     table itself never self-joins. The reference has no dedup at all
     (north-star scope, BASELINE.json)."""
-    from adcirctime2cogs_spark.operators.similarity import _sign_bucket, cosine
+    from adcirctime2cogs_spark.operators.similarity import (
+        _sign_bucket,
+        _sign_bucket_candidates,
+        cosine,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    x = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
-    )
-    y = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
-    )
     dup_ids = (
-        x.join(y, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _sign_bucket_candidates(emb)
         .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
-        .select(F.col("id_b").alias("dup_id"))
+        .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
     docs = load_table(spark, sf_dir, "documents")

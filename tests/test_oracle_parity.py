@@ -52,6 +52,18 @@ def _parity_precondition(spark, sf_dir, name):
                 f"SEM_CELL_CAP={stats['cell_cap']} — star path "
                 "diverges from the all-pairs oracle by design"
             )
+    if name in ("sim_threshold_pairs", "dedup_embedding_cosine"):
+        from adcirctime2cogs_spark.operators.similarity import (
+            sign_bucket_stats,
+        )
+
+        stats = sign_bucket_stats(spark, sf_dir)
+        if stats["n_over_cap"] > 0:
+            return (
+                f"{stats['n_over_cap']} sign-LSH buckets exceed "
+                f"SIGN_BUCKET_CAP={stats['bucket_cap']} — star path "
+                "diverges from the all-pairs oracle by design"
+            )
     # agg_distinct needs no precondition since round 10: its distinct
     # sum runs over exact integer cents, deterministic at every SF.
     return None

@@ -351,3 +351,43 @@ def test_maxsim_rerank_consistent_with_exhaustive(spark, sf_medium_dir):
     assert len(overlap) / len(ex_pairs) >= 0.9  # recall@k floor
     for r in overlap:  # shared kernel => identical doubles
         assert r.maxsim == ex_pairs[(r.q_id, r.c_id)]
+
+
+def test_sign_bucket_cap_star_path_and_inertness(spark, sf_dir,
+                                                 sf_medium_dir):
+    """Round-10 completion of the bucket-cap audit: a planted over-cap
+    sign bucket (5k identical-bucket vectors) takes the two-lowest-id
+    star path (2n-3 candidate rows, never the quadratic), a small
+    bucket still enumerates exactly, and the cap is provably inert on
+    the fixtures the external window hashes (no over-cap buckets at
+    either sweep scale)."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.operators.similarity import (
+        SIGN_BUCKET_CAP,
+        _sign_bucket_candidates,
+        sign_bucket_stats,
+    )
+
+    big_n = 5000
+    assert SIGN_BUCKET_CAP < big_n
+    rows = [(i, [1.0, 0.0], 3) for i in range(big_n)] + [
+        (9_000_000, [0.5, 0.5], 8),
+        (9_000_001, [0.5, 0.5], 8),
+        (9_000_002, [0.5, -0.5], 8),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, bucket long"
+    )
+    per_bucket = {
+        r.bucket: r.cnt
+        for r in _sign_bucket_candidates(emb)
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_bucket[3] == 2 * big_n - 3
+    assert per_bucket[8] == 3
+    for d in (sf_dir, sf_medium_dir):
+        stats = sign_bucket_stats(spark, d)
+        assert stats["n_over_cap"] == 0
+        assert stats["pairs_dropped_to_star"] == 0
+        assert 0 < stats["max_bucket"] <= stats["bucket_cap"]
