@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.tables import load_table
@@ -929,6 +930,12 @@ def phash_image_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(encode, schema="doc_id long, payload binary")
 
 
+# Per-(band, key) bound on the MIH build side — see
+# _mih_candidate_pairs. Fixture media buckets are single-digit; the
+# cap exists for the mass-duplicated buckets real crawls have.
+MIH_BUCKET_CAP = 1024
+
+
 def _mih_band_specs(max_ham: int) -> list[tuple[int, int]]:
     """(bit offset, width) of m = ceil((max_ham + 1) / 2) near-equal
     bands over a 64-bit hash — the band count at which radius-1
@@ -970,7 +977,17 @@ def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
     one band-key bucket join. Band keys stay wide (21-22 bits at
     ceiling 5, 12-13 bits at ceiling 8), so expected bucket sizes
     stay n / 2^w; the asymmetric probe (ball on one side only) keeps
-    build buckets exact-key-sized instead of ball-sized."""
+    build buckets exact-key-sized instead of ball-sized. The build
+    side of each (band, key) bucket is additionally bounded at
+    MIH_BUCKET_CAP members (two-lowest-id star fallback above it —
+    the media twin of LSH_BUCKET_CAP/SEM_CELL_CAP/SIGN_BUCKET_CAP):
+    a mass-duplicated corpus (every logo/blank-image crawl has one)
+    puts k identical hashes in one bucket and would otherwise emit
+    k^2 candidates from a single task. Within an over-cap bucket the
+    full-recall guarantee narrows to pairs touching the two
+    representatives — exactly what near-identical mass duplication
+    needs; fixture buckets never exceed single digits (tests pin the
+    planted-twin sets exactly)."""
     part = list(part_cols)
 
     def key_sql(o: int, w: int) -> str:
@@ -993,15 +1010,30 @@ def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
         F.col(hash_col).alias("ha"),
         F.explode(F.array(*probe)).alias("bk"),
     ).select("doc_a", *part, "ha", "bk.band", "bk.bkey")
-    b = hashes.select(
-        F.col("doc_id").alias("doc_b"), *part,
-        F.col(hash_col).alias("hb"),
-        F.explode(F.array(*exact)).alias("bk"),
-    ).select("doc_b", *part, "hb", "bk.band", "bk.bkey")
+    bw = W.partitionBy(*part, "band", "bkey").orderBy("doc_b")
+    bfull = bw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    b = (
+        hashes.select(
+            F.col("doc_id").alias("doc_b"), *part,
+            F.col(hash_col).alias("hb"),
+            F.explode(F.array(*exact)).alias("bk"),
+        )
+        .select("doc_b", *part, "hb", "bk.band", "bk.bkey")
+        .withColumn("rk", F.row_number().over(bw))
+        .withColumn("cn", F.count("*").over(bfull))
+        .filter((F.col("cn") <= MIH_BUCKET_CAP) | (F.col("rk") <= 2))
+        .drop("rk", "cn")
+    )
+    lo, hi = F.least("doc_a", "doc_b"), F.greatest("doc_a", "doc_b")
+    first = F.col("doc_a") < F.col("doc_b")
     return (
         a.join(b, part + ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            lo.alias("doc_a"), hi.alias("doc_b"),
+            F.when(first, F.col("ha")).otherwise(F.col("hb")).alias("ha"),
+            F.when(first, F.col("hb")).otherwise(F.col("ha")).alias("hb"),
+        )
         .distinct()
     )
 

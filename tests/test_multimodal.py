@@ -441,6 +441,33 @@ def test_mih_candidates_cover_full_verify_ceiling(spark):
         )
 
 
+def test_mih_bucket_cap_bounds_mass_duplication(spark):
+    """A mass-duplicated media corpus (5k identical hashes — every
+    crawl's logo/blank-image bucket) must take the two-lowest-id star
+    path on the MIH build side: candidate count stays O(k), never the
+    quadratic, and every member still pairs with a representative."""
+    from pyspark.sql import functions as F
+
+    from adcirctime2cogs_spark.operators.multimodal import (
+        MIH_BUCKET_CAP,
+        _mih_candidate_pairs,
+    )
+
+    big_n = 5000
+    assert MIH_BUCKET_CAP < big_n
+    rows = [(i, 0x0123456789ABCDEF) for i in range(big_n)]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    cand = _mih_candidate_pairs(df, "h", 8)
+    n = cand.count()
+    # two-rep star after pair normalization: (0, m) for all m plus
+    # (1, m) for m >= 2 -> 2k - 3 distinct pairs
+    assert n == 2 * big_n - 3
+    reps_cover = cand.filter(
+        (F.col("doc_a") > 1) & (F.col("doc_b") > 1)
+    ).count()
+    assert reps_cover == 0  # every pair touches a representative
+
+
 def test_hash_kernels_degenerate_inputs():
     """phash64 / resize_area / audio_fingerprint64 must stay total on
     degenerate inputs: 1x1 and single-row/column images, constant and
