@@ -533,33 +533,24 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
     Surfaces the candidate pairs "dropped" to the two-representative
     star encoding: sum over over-cap buckets of
     (bn*(bn-1)/2 - (2*bn - 3))."""
+    from adcirctime2cogs_spark.operators.starcap import star_group_stats
+
     sh, stop, _ = _shingle_artifacts(spark, sf_dir)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
         for j, (a, b) in enumerate(MH_COEFS)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    sizes_b = _lsh_bands(sig).groupBy("band", "bkey").agg(F.count("*").alias("bn"))
-    row = sizes_b.agg(
-        F.count("*").alias("n_buckets"),
-        F.sum((F.col("bn") > LSH_BUCKET_CAP).cast("long")).alias("n_over_cap"),
-        F.max("bn").alias("max_bucket"),
-        F.sum(
-            F.when(
-                F.col("bn") > LSH_BUCKET_CAP,
-                (
-                    F.col("bn") * (F.col("bn") - 1) / 2
-                    - (2 * F.col("bn") - 3)
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("pairs_dropped_to_star"),
-    ).first()
+    sizes_b = _lsh_bands(sig).groupBy("band", "bkey").agg(
+        F.count("*").alias("cn")
+    )
+    g = star_group_stats(sizes_b, LSH_BUCKET_CAP)
     return {
-        "n_buckets": int(row.n_buckets),
-        "n_over_cap": int(row.n_over_cap or 0),
-        "max_bucket": int(row.max_bucket or 0),
-        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
-        "bucket_cap": LSH_BUCKET_CAP,
+        "n_buckets": g["n_groups"],
+        "n_over_cap": g["n_over_cap"],
+        "max_bucket": g["max_group"],
+        "pairs_dropped_to_star": g["pairs_dropped_to_star"],
+        "bucket_cap": g["cap"],
     }
 
 
@@ -1305,42 +1296,21 @@ def _sem_cell_candidates(scored: DataFrame) -> DataFrame:
     order (cs ASC, vec_id ASC) — every unordered within-cell pair
     appears exactly once for cells <= SEM_CELL_CAP members; over-cap
     cells contribute only their two earliest members on the a-side
-    (the star fallback, mirroring _lsh_candidates).
+    (the shared star fallback, operators/starcap.py)."""
+    from adcirctime2cogs_spark.operators.starcap import bounded_star_pairs
 
-    Shuffle shape: ONE window over cell (rank + size share the sort;
-    the window buffers oversized cells through the spillable sorter —
-    linear disk, never quadratic memory), then a single cell-keyed
-    self-join whose a-side is pre-filtered to (whole small cells) U
-    (two reps of over-cap cells)."""
-    from pyspark.sql import Window as W
-
-    ordered = W.partitionBy("cell").orderBy(
-        F.col("cs").asc(), F.col("vec_id").asc()
+    pairs = bounded_star_pairs(
+        scored, "cell", ["cs", "vec_id"], SEM_CELL_CAP,
+        id_col="vec_id", payload_cols=("embedding", "cs"),
     )
-    full = ordered.rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    tagged = scored.select(
-        "vec_id", "embedding", "cell", "cs",
-        F.row_number().over(ordered).alias("rk"),
-        F.count("*").over(full).alias("cn"),
-    )
-    a = tagged.filter(
-        (F.col("cn") <= SEM_CELL_CAP) | (F.col("rk") <= 2)
-    ).select(
-        "cell", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("cs").alias("cs_a"),
-        F.col("rk").alias("rk_a"),
-    )
-    b = tagged.select(
-        "cell", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("cs").alias("cs_b"),
-        F.col("rk").alias("rk_b"),
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("rk_a") < F.col("rk_b"))
-        .select("cell", "id_a", "ea", "cs_a", "id_b", "eb", "cs_b")
+    return pairs.select(
+        "cell",
+        F.col("vec_id_a").alias("id_a"),
+        F.col("embedding_a").alias("ea"),
+        F.col("cs_a"),
+        F.col("vec_id_b").alias("id_b"),
+        F.col("embedding_b").alias("eb"),
+        F.col("cs_b"),
     )
 
 
@@ -1348,30 +1318,20 @@ def sem_cell_stats(spark: SparkSession, sf_dir: str) -> dict:
     """Operational stats for the IVF cell distribution feeding
     SemDeDup: total cells, over-cap (star-path) cells, max cell size,
     and the candidate pairs dropped to the two-representative star
-    encoding — the semantic twin of lsh_bucket_stats."""
+    encoding — the semantic twin of lsh_bucket_stats (shared formula,
+    operators/starcap.py)."""
+    from adcirctime2cogs_spark.operators.starcap import star_group_stats
+
     sizes = _semdedup_scored(spark, sf_dir).groupBy("cell").agg(
         F.count("*").alias("cn")
     )
-    row = sizes.agg(
-        F.count("*").alias("n_cells"),
-        F.sum((F.col("cn") > SEM_CELL_CAP).cast("long")).alias("n_over_cap"),
-        F.max("cn").alias("max_cell"),
-        F.sum(
-            F.when(
-                F.col("cn") > SEM_CELL_CAP,
-                (
-                    F.col("cn") * (F.col("cn") - 1) / 2
-                    - (2 * F.col("cn") - 3)
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("pairs_dropped_to_star"),
-    ).first()
+    g = star_group_stats(sizes, SEM_CELL_CAP)
     return {
-        "n_cells": int(row.n_cells),
-        "n_over_cap": int(row.n_over_cap or 0),
-        "max_cell": int(row.max_cell or 0),
-        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
-        "cell_cap": SEM_CELL_CAP,
+        "n_cells": g["n_groups"],
+        "n_over_cap": g["n_over_cap"],
+        "max_cell": g["max_group"],
+        "pairs_dropped_to_star": g["pairs_dropped_to_star"],
+        "cell_cap": g["cap"],
     }
 
 

@@ -624,61 +624,40 @@ def _sign_bucket_candidates(emb: DataFrame) -> DataFrame:
     with vec_a < vec_b, every unordered within-bucket pair exactly
     once for buckets <= SIGN_BUCKET_CAP members; over-cap buckets
     contribute only their two lowest-id members on the a-side (the
-    star fallback). ONE window over bucket (rank + size share the
-    sort, spillable — linear disk) then a single bucket-keyed join
-    whose a-side is pre-filtered."""
-    ordered = W.partitionBy("bucket").orderBy("vec_id")
-    full = ordered.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    tagged = emb.select(
-        "vec_id", "embedding", "bucket",
-        F.row_number().over(ordered).alias("rk"),
-        F.count("*").over(full).alias("cn"),
+    shared star fallback, operators/starcap.py)."""
+    from adcirctime2cogs_spark.operators.starcap import bounded_star_pairs
+
+    pairs = bounded_star_pairs(
+        emb, "bucket", ["vec_id"], SIGN_BUCKET_CAP,
+        id_col="vec_id", payload_cols=("embedding",),
     )
-    a = tagged.filter(
-        (F.col("cn") <= SIGN_BUCKET_CAP) | (F.col("rk") <= 2)
-    ).select(
-        "bucket", F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"), F.col("rk").alias("rk_a"),
-    )
-    b = tagged.select(
-        "bucket", F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"), F.col("rk").alias("rk_b"),
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("rk_a") < F.col("rk_b"))
-        .select("bucket", "vec_a", "ea", "vec_b", "eb")
+    return pairs.select(
+        "bucket",
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("embedding_a").alias("ea"),
+        F.col("vec_id_b").alias("vec_b"),
+        F.col("embedding_b").alias("eb"),
     )
 
 
 def sign_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
     """Operational stats for the sign-LSH bucket distribution feeding
     sim_threshold_pairs / dedup_embedding_cosine — the embedding twin
-    of lsh_bucket_stats / sem_cell_stats."""
+    of lsh_bucket_stats / sem_cell_stats (shared formula,
+    operators/starcap.py)."""
+    from adcirctime2cogs_spark.operators.starcap import star_group_stats
+
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    row = emb.groupBy("bucket").agg(F.count("*").alias("cn")).agg(
-        F.count("*").alias("n_buckets"),
-        F.sum((F.col("cn") > SIGN_BUCKET_CAP).cast("long"))
-        .alias("n_over_cap"),
-        F.max("cn").alias("max_bucket"),
-        F.sum(
-            F.when(
-                F.col("cn") > SIGN_BUCKET_CAP,
-                (
-                    F.col("cn") * (F.col("cn") - 1) / 2
-                    - (2 * F.col("cn") - 3)
-                ).cast("long"),
-            ).otherwise(F.lit(0))
-        ).alias("pairs_dropped_to_star"),
-    ).first()
+    sizes = emb.groupBy("bucket").agg(F.count("*").alias("cn"))
+    g = star_group_stats(sizes, SIGN_BUCKET_CAP)
     return {
-        "n_buckets": int(row.n_buckets),
-        "n_over_cap": int(row.n_over_cap or 0),
-        "max_bucket": int(row.max_bucket or 0),
-        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
-        "bucket_cap": SIGN_BUCKET_CAP,
+        "n_buckets": g["n_groups"],
+        "n_over_cap": g["n_over_cap"],
+        "max_bucket": g["max_group"],
+        "pairs_dropped_to_star": g["pairs_dropped_to_star"],
+        "bucket_cap": g["cap"],
     }
 
 

@@ -1,0 +1,111 @@
+"""Shared bounded within-group pair enumeration — the star cap.
+
+Four operator families enumerate candidate pairs inside a blocking
+group and need the same protection against adversarial mass
+duplication (k near-identical items landing in one group would emit
+k^2 pairs from a single task):
+
+- MinHash LSH buckets   (dedup.LSH_BUCKET_CAP, dedup._lsh_candidates)
+- SemDeDup IVF cells    (dedup.SEM_CELL_CAP, dedup._sem_cell_candidates)
+- sign-LSH buckets      (similarity.SIGN_BUCKET_CAP,
+                         similarity._sign_bucket_candidates)
+- MIH media buckets     (multimodal.MIH_BUCKET_CAP,
+                         multimodal._mih_candidate_pairs)
+
+This module holds the ONE implementation of the self-join form
+(bounded_star_pairs) and of the operational stats aggregation
+(star_group_stats), so a change to the star semantics or the
+pairs-dropped formula cannot silently diverge between copies.
+Two call sites keep deliberate local variants: _lsh_candidates uses a
+posting-list (collect_list) enumeration instead of a self-join — a
+measured ~1.7x win on its headline query, with min/max-doc-id
+representatives — and _mih_candidate_pairs caps only the BUILD side
+of its asymmetric probe-ball/exact-key join; both reuse
+star_group_stats' formula through their stats functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def bounded_star_pairs(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    cap: int,
+    id_col: str,
+    payload_cols: tuple = (),
+) -> DataFrame:
+    """Within-group candidate pairs with the a-side strictly EARLIER
+    than the b-side in the (order_cols) total order — every unordered
+    within-group pair appears exactly once for groups <= cap members;
+    over-cap groups contribute only their two earliest members on the
+    a-side (the star fallback: O(2k) rows, and two independent
+    representatives so a single false-positive rep cannot sever a
+    cluster).
+
+    Returns columns (group_col, {id_col}_a, {p}_a..., {id_col}_b,
+    {p}_b...). Shuffle shape: ONE window over the group (rank + size
+    share the sort; oversized groups stream through the spillable
+    sorter — linear disk, never quadratic memory), then a single
+    group-keyed self-join whose a-side is pre-filtered to (whole
+    small groups) UNION (two reps of over-cap groups)."""
+    ordered = W.partitionBy(group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    full = ordered.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cols = [id_col, *payload_cols]
+    tagged = df.select(
+        group_col, *cols,
+        F.row_number().over(ordered).alias("rk"),
+        F.count("*").over(full).alias("cn"),
+    )
+    a = tagged.filter(
+        (F.col("cn") <= cap) | (F.col("rk") <= 2)
+    ).select(
+        group_col,
+        *[F.col(c).alias(f"{c}_a") for c in cols],
+        F.col("rk").alias("rk_a"),
+    )
+    b = tagged.select(
+        group_col,
+        *[F.col(c).alias(f"{c}_b") for c in cols],
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(b, group_col)
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .drop("rk_a", "rk_b")
+    )
+
+
+def star_group_stats(sizes: DataFrame, cap: int) -> dict:
+    """Operational stats over a one-row-per-group sizes frame (column
+    `cn`): group count, over-cap groups, max size, and the candidate
+    pairs dropped to the two-representative star encoding — per
+    over-cap group, all-pairs cn*(cn-1)/2 minus the 2*cn-3 star rows.
+    Callers map the generic keys onto their public names."""
+    row = sizes.agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("cn") > cap).cast("long")).alias("n_over_cap"),
+        F.max("cn").alias("max_group"),
+        F.sum(
+            F.when(
+                F.col("cn") > cap,
+                (
+                    F.col("cn") * (F.col("cn") - 1) / 2
+                    - (2 * F.col("cn") - 3)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pairs_dropped_to_star"),
+    ).first()
+    return {
+        "n_groups": int(row.n_groups),
+        "n_over_cap": int(row.n_over_cap or 0),
+        "max_group": int(row.max_group or 0),
+        "pairs_dropped_to_star": int(row.pairs_dropped_to_star or 0),
+        "cap": cap,
+    }

@@ -66,44 +66,36 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        # the headline set is a cross-round contract: a missing entry
-        # silently shrinking the total would read as a speedup in the
-        # BENCH_r* comparison — fail loudly instead
-        fn = queries[name]
-        # min of 3 runs: measures the plan, not one-time codegen/JIT or
-        # transient machine load (ambient throughput on this host was
-        # observed drifting ±30% between sessions). Run 1 is the COLD
-        # run — the registry's prepared-plan cache is empty in this
-        # fresh session, so it pays plan construction; runs 2-3 are
-        # pure re-execution. Both totals are reported so neither a
-        # plan-construction regression (cold) nor an execution
-        # regression (cached min) can hide behind the other.
-        best = float("inf")
-        for i in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
-            if i == 0:
-                cold[name] = round(wall, 3)
-            best = min(best, wall)
-        timings[name] = round(best, 3)
+    def time_queries(names: list[str]) -> tuple[dict, dict]:
+        """ONE measurement protocol for both the headline and tracked
+        sets, so the timing discipline can never drift between them:
+        min of 3 runs per query — measures the plan, not one-time
+        codegen/JIT or transient machine load (ambient throughput on
+        this host was observed drifting ±30% between sessions). Run 1
+        is the COLD run — the registry's prepared-plan cache is empty
+        in this fresh session, so it pays plan construction; runs 2-3
+        are pure re-execution. Both columns are reported so neither a
+        plan-construction regression (cold) nor an execution
+        regression (cached min) can hide behind the other. A missing
+        name raises (queries[name]): a silently shrinking set would
+        read as a speedup in the BENCH_r* comparison."""
+        best_by, cold_by = {}, {}
+        for name in names:
+            fn = queries[name]
+            best = float("inf")
+            for i in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+                wall = time.perf_counter() - t0
+                if i == 0:
+                    cold_by[name] = round(wall, 3)
+                best = min(best, wall)
+            best_by[name] = round(best, 3)
+        return best_by, cold_by
 
-    tracked: dict[str, float] = {}
-    tracked_cold: dict[str, float] = {}
-    for name in TRACKED:
-        fn = queries[name]
-        best = float("inf")
-        for i in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
-            if i == 0:
-                tracked_cold[name] = round(wall, 3)
-            best = min(best, wall)
-        tracked[name] = round(best, 3)
+    timings, cold = time_queries(HEADLINE)
+    tracked, tracked_cold = time_queries(TRACKED)
 
     total = round(sum(timings.values()), 3)
     print(
