@@ -54,17 +54,25 @@ def _fallback_writer(
 def _rasterio_writer(
     fname: str, arr: np.ndarray, transform: list[float], crs: str
 ) -> None:
+    """Same atomicity contract as _fallback_writer: write to a temp
+    name, os.replace into place — a task killed mid-write by
+    speculation/executor loss must never leave a truncated .tif at
+    the final name for a mosaic indexer to pick up (review r10)."""
+    import uuid
+
     import rasterio
     from rasterio.transform import Affine
 
     t = Affine(transform[1], transform[2], transform[0],
                transform[4], transform[5], transform[3])
+    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}.tif"
     with rasterio.open(
-        fname + ".tif", "w", driver="COG", height=arr.shape[0],
+        tmp, "w", driver="COG", height=arr.shape[0],
         width=arr.shape[1], count=1, dtype="float64", crs=crs,
         transform=t, nodata=float("nan"), compress="deflate",
     ) as dst:
         dst.write(arr, 1)
+    os.replace(tmp, fname + ".tif")
 
 
 def _auto_writer(

@@ -81,6 +81,58 @@ def _content_probe(d: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.h) if row.h is not None else 0
 
 
+def _compact_into(
+    spark: SparkSession,
+    src: str,
+    out: str,
+    target_file_bytes: int,
+    partition_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...],
+    unchanged_msg: str,
+) -> tuple[int, int, int]:
+    """The ONE plan-layout + write + verify step both compaction
+    surfaces share (review r10: it existed twice, nearly verbatim):
+    size the output file count from src's observed bytes, lay out by
+    range-sort / partition-hash / round-robin, write to `out` with a
+    density-derived maxRecordsPerFile bound (so one hot partition
+    can't emit an unsplittable giant even in partitioned mode), then
+    verify that row count AND the order-independent content hash
+    survived — a rewrite that loses rows or corrupts values raises
+    (with `unchanged_msg` naming what stays untouched) BEFORE any
+    swap/publish. Returns (rows, bytes_total, n_files_before)."""
+    files = _parquet_files(src)
+    bytes_total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(src)
+    rows_before, hash_before = _content_probe(df)
+    rows_per_file = max(1, rows_before // n_out) if rows_before else 1
+
+    if sort_cols:
+        laid_out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    elif partition_cols:
+        laid_out = df.repartition(n_out, *partition_cols)
+    else:
+        laid_out = df.repartition(n_out)
+
+    writer = laid_out.write.mode("overwrite").option(
+        "maxRecordsPerFile", rows_per_file * 2
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out)
+
+    rows_after, hash_after = _content_probe(spark.read.parquet(out))
+    if rows_after != rows_before or hash_after != hash_before:
+        raise RuntimeError(
+            f"compaction mismatch: rows {rows_before} -> {rows_after}, "
+            f"content hash {hash_before} -> {hash_after}; {unchanged_msg}"
+        )
+    return rows_before, bytes_total, len(files)
+
+
 def compact_parquet(
     spark: SparkSession,
     table_dir: str,
@@ -96,41 +148,16 @@ def compact_parquet(
     that loses rows or corrupts values must fail loudly and leave the
     original table untouched.
     """
-    files = _parquet_files(table_dir)
-    bytes_total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-bytes_total // target_file_bytes))  # ceil
-
-    df = spark.read.parquet(table_dir)
-    rows_before, hash_before = _content_probe(df)
-    # bound rows per file from observed density so one hot partition
-    # can't emit an unsplittable giant even in partitioned mode
-    rows_per_file = max(1, rows_before // n_out) if rows_before else 1
-
-    if sort_cols:
-        laid_out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    elif partition_cols:
-        laid_out = df.repartition(n_out, *partition_cols)
-    else:
-        laid_out = df.repartition(n_out)
-
     tmp = f"{table_dir.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
-    writer = laid_out.write.mode("overwrite").option(
-        "maxRecordsPerFile", rows_per_file * 2
-    )
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-
-    rows_after, hash_after = _content_probe(spark.read.parquet(tmp))
-    if rows_after != rows_before or hash_after != hash_before:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            f"compaction mismatch: rows {rows_before} -> {rows_after}, "
-            f"content hash {hash_before} -> {hash_after}; "
-            f"original left untouched at {table_dir}"
+    try:
+        rows_after, bytes_total, n_files = _compact_into(
+            spark, table_dir, tmp, target_file_bytes,
+            partition_cols, sort_cols,
+            unchanged_msg=f"original left untouched at {table_dir}",
         )
+    except RuntimeError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = f"{table_dir.rstrip('/')}.pre-compact-{uuid.uuid4().hex[:8]}"
     os.replace(table_dir, old)
     try:
@@ -141,7 +168,7 @@ def compact_parquet(
         raise
     shutil.rmtree(old, ignore_errors=True)
     return CompactionStats(
-        files_before=len(files),
+        files_before=n_files,
         files_after=len(_parquet_files(table_dir)),
         bytes_total=bytes_total,
         rows=rows_after,
@@ -266,40 +293,20 @@ class VersionedTable:
         sort_cols: tuple[str, ...] = (),
     ) -> CompactionStats:
         """Compact the live version into the next one and publish it.
-        Content verification (count + order-independent xxhash64 sum)
-        gates the publish exactly like compact_parquet."""
+        The shared _compact_into step does the layout + write +
+        content-verification gate exactly like compact_parquet."""
         src = self.snapshot()
-        files = _parquet_files(src)
-        bytes_total = sum(os.path.getsize(f) for f in files)
-        n_out = max(1, -(-bytes_total // target_file_bytes))
-
-        df = spark.read.parquet(src)
-        rows_before, hash_before = _content_probe(df)
-        rows_per_file = max(1, rows_before // n_out) if rows_before else 1
-        if sort_cols:
-            laid_out = df.repartitionByRange(
-                n_out, *sort_cols
-            ).sortWithinPartitions(*sort_cols)
-        elif partition_cols:
-            laid_out = df.repartition(n_out, *partition_cols)
-        else:
-            laid_out = df.repartition(n_out)
+        stats: dict = {}
 
         def build(staging: str, _src: str) -> None:
             out = os.path.join(staging, "data")
-            writer = laid_out.write.mode("overwrite").option(
-                "maxRecordsPerFile", rows_per_file * 2
+            rows, bytes_total, n_files = _compact_into(
+                spark, src, out, target_file_bytes,
+                partition_cols, sort_cols,
+                unchanged_msg=f"{self.current} unchanged",
             )
-            if partition_cols:
-                writer = writer.partitionBy(*partition_cols)
-            writer.parquet(out)
-            rows_after, hash_after = _content_probe(spark.read.parquet(out))
-            if rows_after != rows_before or hash_after != hash_before:
-                raise RuntimeError(
-                    f"compaction mismatch: rows {rows_before} -> "
-                    f"{rows_after}, content hash {hash_before} -> "
-                    f"{hash_after}; {self.current} unchanged"
-                )
+            stats.update(rows=rows, bytes_total=bytes_total,
+                         n_files=n_files)
             # hoist the verified write up to the version root
             for name in os.listdir(out):
                 os.replace(os.path.join(out, name),
@@ -308,8 +315,8 @@ class VersionedTable:
 
         self._publish(build)
         return CompactionStats(
-            files_before=len(files),
+            files_before=stats["n_files"],
             files_after=len(_parquet_files(self.snapshot())),
-            bytes_total=bytes_total,
-            rows=rows_before,
+            bytes_total=stats["bytes_total"],
+            rows=stats["rows"],
         )

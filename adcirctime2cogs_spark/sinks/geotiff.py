@@ -68,7 +68,11 @@ def _geokey_directory(crs: str | int) -> list[int]:
     geographic/projected EPSG code. RasterType=1 (PixelIsArea) matches
     the pixel-edge geotransform convention of the COG sink."""
     code = _epsg_code(crs)
-    geographic = 4000 <= code <= 4999
+    # EPSG 4xxx is the geographic-CRS band, with a handful of
+    # PROJECTED exceptions (4087/4088, World Equidistant/Mercator
+    # sphere) that must emit ProjectedCSTypeGeoKey or readers would
+    # interpret a meter geotransform as degrees (review r10)
+    geographic = 4000 <= code <= 4999 and code not in (4087, 4088)
     keys = (
         [(1024, 0, 1, 2), (1025, 0, 1, 1), (2048, 0, 1, code)]
         if geographic

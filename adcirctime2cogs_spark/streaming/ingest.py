@@ -54,45 +54,63 @@ def start_ingest_with_dedup(spark: SparkSession, drop_dir: str,
     rejects = os.path.join(out_dir, "rejects.parquet")
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
         s = batch.sparkSession
-        hashed = batch.select(
-            "*", F.xxhash64("text").alias("h")
-        ).persist()
+        # explicit schema: a ledger directory that exists but holds no
+        # data files yet (crash between the corpus and ledger appends,
+        # or a dir created by a dead run) must read as EMPTY — schema
+        # inference would raise on every checkpoint replay and wedge
+        # the stream permanently (review r10)
+        if os.path.exists(ledger):
+            seen = s.read.schema("h long, doc_id long").parquet(ledger)
+        else:
+            seen = s.createDataFrame([], "h long, doc_id long")
+        # within-batch keep-lowest via row_number, NOT a min-doc_id
+        # join: two physical copies of the SAME (h, doc_id) — a drop
+        # file re-uploaded under a new name into one batch — both
+        # matched the old doc_id == min(doc_id) test and both appended
+        # (review r10); rank keeps exactly one row per content hash.
+        wh = W.partitionBy("h").orderBy("doc_id")
+        joined = (
+            batch.select("*", F.xxhash64("text").alias("h"))
+            .withColumn("rn", F.row_number().over(wh))
+            .withColumn("batch_first", F.first("doc_id").over(wh))
+            .join(
+                seen.select("h", F.col("doc_id").alias("dup_of")),
+                "h", "left",
+            )
+            # ONE ledger join per batch — the dominant per-trigger
+            # cost at corpus scale; corpus, ledger, and reject writes
+            # all reuse this materialization (review r10: it was
+            # recomputed once per sink)
+            .persist()
+        )
         try:
-            if os.path.exists(ledger):
-                seen = s.read.parquet(ledger)
-            else:
-                seen = s.createDataFrame([], "h long, doc_id long")
-            # within-batch keep-lowest, then the cross-batch ledger
-            w_first = hashed.groupBy("h").agg(
-                F.min("doc_id").alias("batch_first")
-            )
-            joined = (
-                hashed.join(w_first, "h")
-                .join(
-                    seen.select("h", F.col("doc_id").alias("dup_of")),
-                    "h", "left",
-                )
-            )
             accepted = joined.filter(
-                F.col("dup_of").isNull()
-                & (F.col("doc_id") == F.col("batch_first"))
+                F.col("dup_of").isNull() & (F.col("rn") == 1)
             )
             rejected = joined.filter(
-                F.col("dup_of").isNotNull()
-                | (F.col("doc_id") != F.col("batch_first"))
+                F.col("dup_of").isNotNull() | (F.col("rn") != 1)
             ).select(
                 "doc_id",
                 F.coalesce("dup_of", "batch_first").alias("dup_of"),
             )
             cols = [c for c in batch.columns]
+            # the LEDGER append must come LAST: `joined` is a cached
+            # plan over the ledger path, and Spark's post-write
+            # refreshByPath re-caches such plans against the NEW file
+            # listing — a write ordered after the ledger append would
+            # re-evaluate against a ledger containing this batch's own
+            # hashes and self-reject every accepted doc (review r10,
+            # caught by test_ingest_with_cross_batch_dedup)
             accepted.select(*cols).write.mode("append").parquet(corpus)
+            rejected.write.mode("append").parquet(rejects)
             accepted.select("h", "doc_id").write.mode("append").parquet(
                 ledger
             )
-            rejected.write.mode("append").parquet(rejects)
         finally:
-            hashed.unpersist()
+            joined.unpersist()
 
     stream = (
         spark.readStream.schema(DOCS_SCHEMA).parquet(drop_dir)

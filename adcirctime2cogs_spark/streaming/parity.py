@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from adcirctime2cogs_spark.streaming.windows import session_flush_on_timeout
+from adcirctime2cogs_spark.streaming.windows import (
+    drain_and_stop,
+    session_flush_on_timeout,
+)
 from adcirctime2cogs_spark.tables import load_table
 
 QUERIES = {}
@@ -101,8 +104,7 @@ def stream_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(sink)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        drain_and_stop(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     from adcirctime2cogs_spark.streaming.windows import (

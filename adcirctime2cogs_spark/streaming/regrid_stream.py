@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.plans.regrid import aggregate_cells, explode_weights
+from adcirctime2cogs_spark.streaming.windows import drain_and_stop
 
 TS_STREAM_SCHEMA = "ts timestamp, node_id long, value double"
 
@@ -106,6 +107,5 @@ def run_regrid_to_cogs(
         .foreachBatch(write_batch)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    drain_and_stop(q)
     return n_batches

@@ -274,6 +274,20 @@ def clicks_after_views(views: DataFrame, clicks: DataFrame) -> DataFrame:
     )
 
 
+def drain_and_stop(q) -> None:
+    """processAllAvailable + stop with the stop GUARANTEED: a task
+    failure inside the stream raises from processAllAvailable, and
+    without a finally the StreamingQuery keeps running in the
+    background — its memory sink pinned in driver memory, its source
+    directory possibly about to be rmtree'd by the caller's cleanup
+    (review r10). The ONE drain policy for every run_* helper and
+    parity stream."""
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_parquet_batches(
     df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "update"
 ) -> int:
@@ -297,8 +311,7 @@ def run_to_parquet_batches(
         .foreachBatch(write_batch)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    drain_and_stop(q)
     return n_batches
 
 
@@ -321,8 +334,7 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> DataFram
         is_agg = _re.search(r"^[:+\- ]*~?'?Aggregate ", plan, _re.M) is not None
         mode = "complete" if is_agg else "append"
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    drain_and_stop(q)
     return materialize_and_drop_sink(df.sparkSession, name)
 
 
@@ -383,28 +395,36 @@ def run_continuous_rollup(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
-        if batch_df.isEmpty():
-            return
-        n_batches += 1
+        # isEmpty() and the partition overwrite both evaluate the
+        # aggregated micro-batch — persist so the trigger computes it
+        # once, the same guard regrid_stream's sink carries
+        # (review r10)
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            n_batches += 1
 
-        def overwrite(table_dir: str) -> None:
-            (
-                batch_df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("win_key", "event_type")
-                .parquet(table_dir)
-            )
+            def overwrite(table_dir: str) -> None:
+                (
+                    batch_df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("win_key", "event_type")
+                    .parquet(table_dir)
+                )
 
-        if vt is None:
-            overwrite(out_dir)
-            return
-        vt.mutate(overwrite)
-        if n_batches % compact_every == 0:
-            vt.compact(
-                batch_df.sparkSession,
-                target_file_bytes=compact_target_bytes,
-                partition_cols=("win_key", "event_type"),
-            )
+            if vt is None:
+                overwrite(out_dir)
+                return
+            vt.mutate(overwrite)
+            if n_batches % compact_every == 0:
+                vt.compact(
+                    batch_df.sparkSession,
+                    target_file_bytes=compact_target_bytes,
+                    partition_cols=("win_key", "event_type"),
+                )
+        finally:
+            batch_df.unpersist()
 
     q = (
         agg.writeStream.outputMode("update")
@@ -412,6 +432,5 @@ def run_continuous_rollup(
         .foreachBatch(write_batch)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    drain_and_stop(q)
     return n_batches

@@ -837,28 +837,33 @@ def test_ingest_with_cross_batch_dedup(spark, tmp_path):
     q.awaitTermination(120)
     batch2 = spark.createDataFrame(
         [(10, "beta body", "en", "s", 9),     # cross-drop dup of 2
-         (11, "gamma body", "en", "s", 10)],
+         (11, "gamma body", "en", "s", 10),
+         # a drop file re-uploaded under a new name: TWO physical
+         # copies of the SAME (doc_id, text) in one batch — exactly
+         # one row may reach the corpus and ledger (review r10: both
+         # copies used to pass the min-doc_id gate)
+         (12, "delta body", "en", "s", 10),
+         (12, "delta body", "en", "s", 10)],
         schema,
     )
     batch2.write.parquet(os.path.join(drop, "d2"))
     q2 = start_ingest_with_dedup(spark, drop + "/*", out, ck)
     q2.awaitTermination(120)
 
-    corpus = {
-        r.doc_id for r in
-        spark.read.parquet(os.path.join(out, "corpus.parquet")).collect()
-    }
-    assert corpus == {1, 2, 11}
-    rejects = {
-        r.doc_id: r.dup_of for r in
+    corpus_rows = spark.read.parquet(
+        os.path.join(out, "corpus.parquet")
+    ).collect()
+    assert sorted(r.doc_id for r in corpus_rows) == [1, 2, 11, 12]
+    rejects = [
+        (r.doc_id, r.dup_of) for r in
         spark.read.parquet(os.path.join(out, "rejects.parquet")).collect()
-    }
-    assert rejects == {3: 1, 10: 2}
+    ]
+    assert sorted(rejects) == [(3, 1), (10, 2), (12, 12)]
     ledger = spark.read.parquet(os.path.join(out, "hashes.parquet"))
-    assert ledger.count() == 3  # one row per accepted doc
+    assert ledger.count() == 4  # one row per accepted doc
     # effectively-once: a third run with no new drops changes nothing
     q3 = start_ingest_with_dedup(spark, drop + "/*", out, ck)
     q3.awaitTermination(120)
     assert spark.read.parquet(
         os.path.join(out, "corpus.parquet")
-    ).count() == 3
+    ).count() == 4
