@@ -66,12 +66,26 @@ weights AS (
 """
 
 
+# applicationId -> the one persisted weights DataFrame: the four
+# micromesh queries share ONE cached build EXPLICITLY instead of each
+# issuing a fresh persist() and relying on Spark's CacheManager to
+# deduplicate byte-identical plans — repeat constructions used to
+# stack never-unpersisted cache entries (review r10)
+_WEIGHTS_MEMO: dict = {}
+
+
 def _weights_df(spark: SparkSession) -> DataFrame:
     # persisted: the static compute-once table (SURVEY P6); repeat
     # invocations of the micromesh queries reuse one weights build
-    return build_weights(
+    key = spark.sparkContext.applicationId
+    hit = _WEIGHTS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    w = build_weights(
         mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
     ).persist()
+    _WEIGHTS_MEMO[key] = w
+    return w
 
 
 def micromesh_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1717,10 +1717,9 @@ def _decode_times_nc4(nc: NC4File) -> np.ndarray:
         raise HDF5Error("no time variable in NetCDF-4 file")
     vals = nc.read_var(tv.name).astype("float64").ravel()
     units = tv.atts.get("units")
-    scale, base = (
-        parse_time_units(str(units)) if units
-        else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
-    )
+    from adcirctime2cogs_spark.sources.netcdf3 import units_scale_base
+
+    scale, base = units_scale_base(units)
     return base + np.round(vals * scale * 1e6).astype("timedelta64[us]")
 
 

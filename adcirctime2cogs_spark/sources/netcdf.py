@@ -55,7 +55,12 @@ def _default_decoder(path: str, content: bytes, variable: str):
     except netcdf3.NotClassicNetCDF as not_classic:
         try:
             return hdf5.decode_adcirc_nc4(path, content, variable)
-        except hdf5.HDF5Error as h5err:
+        # NotHDF5 subclasses ValueError, NOT HDF5Error — without it a
+        # classic file the builtin codec rejects escaped as a bare
+        # 'not an HDF5 file' instead of reaching the fallback chain
+        # with the combined story (review r10; _default_splitter
+        # already caught both)
+        except (hdf5.HDF5Error, hdf5.NotHDF5) as h5err:
             # out-of-subset layout: try the library fallback. Keep the
             # exception — `except ... as` unbinds the variable at block
             # exit, so referencing h5err below would UnboundLocalError.
@@ -231,11 +236,13 @@ def scan_netcdf_split(
             splitter, f.path, int(f.length), variable
         )
     ]
-    # key includes offset: sub-splits of one record must land in
-    # DIFFERENT partitions or the intra-record parallelism they exist
-    # for never materializes
+    # COLUMN-LESS repartition = round-robin: exactly one split per
+    # partition, guaranteed. The previous hash partitioning on
+    # (path, t_idx, offset) left an expected ~1/e of partitions empty
+    # by birthday collisions, losing a third of the intra-record
+    # parallelism the sub-splits exist for (review r10)
     splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
-        max(len(specs), 1), "path", "t_idx", "offset"
+        max(len(specs), 1)
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

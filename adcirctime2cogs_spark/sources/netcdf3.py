@@ -15,10 +15,10 @@ output is classic NetCDF-3 — a simple, fully public binary format
 
 All integers are 4-byte big-endian in CDF-1; CDF-2 widens only `begin`
 to 8 bytes; CDF-5 (the PnetCDF 64-bit-data variant large parallel
-ADCIRC runs write) widens every NON_NEG count — list sizes, name
-lengths, dim lengths, attribute nelems, ndims, vsize, numrecs — to
-64-bit (dimid references stay 32-bit) and adds the unsigned/int64
-type set. Names and attribute payloads pad to 4-byte boundaries. Fixed
+ADCIRC runs write) widens every NON_NEG quantity — list sizes, name
+lengths, dim lengths, attribute nelems, ndims, dimid references
+(`dimid = NON_NEG` per the CDF-5 BNF), vsize, numrecs — to 64-bit
+and adds the unsigned/int64 type set. Names and attribute payloads pad to 4-byte boundaries. Fixed
 variables live as one contiguous block at `begin`; record variables
 interleave per record with stride `recsize` (sum of the record vars'
 padded per-record sizes — unpadded when there is exactly ONE record
@@ -156,9 +156,12 @@ def _fs_path(path: str) -> str:
 # ---------------------------------------------------------------- parse
 class _Cursor:
     """Version-aware reader: CDF-5 (PnetCDF 64-bit data) widens every
-    NON_NEG count — list sizes, name lengths, dim lengths, attribute
-    nelems, ndims, vsize, numrecs — to 64-bit; dimid references stay
-    32-bit; `begin` is 64-bit in both CDF-2 and CDF-5."""
+    NON_NEG quantity — list sizes, name lengths, dim lengths,
+    attribute nelems, ndims, DIMIDS (the CDF-5 BNF defines
+    `dimid = NON_NEG`, so PnetCDF writes 8-byte dimids; review r10 —
+    they were misread as 32-bit, shifting the cursor 4 bytes per
+    dimid), vsize, numrecs — to 64-bit; `begin` is 64-bit in both
+    CDF-2 and CDF-5."""
 
     def __init__(self, buf: bytes, version: int = 1):
         self.buf, self.pos, self.version = buf, 0, version
@@ -253,7 +256,7 @@ def _parse_header_body(buf: bytes, version: int) -> NC3Header:
         for _ in range(nelems):
             name = cur.name()
             ndims = cur.cnt()
-            dimids = tuple(cur.u32() for _ in range(ndims))
+            dimids = tuple(cur.cnt() for _ in range(ndims))
             atts = cur.att_list()
             nc_type = cur.u32()
             if version != 5 and nc_type not in _CLASSIC_ONLY_TYPES:
@@ -372,11 +375,45 @@ def parse_time_units(units: str) -> tuple[float, np.datetime64]:
     m = re.match(r"^\s*(\w+)\s+since\s+(.+?)\s*$", units)
     if not m or m.group(1).lower() not in _UNIT_SECONDS:
         raise ValueError(f"unsupported time units: {units!r}")
-    base = re.sub(r"\s*(UTC|Z|\+00(:?00)?)\s*$", "", m.group(2), flags=re.I)
-    base = base.strip().replace(" ", "T")
+    base = re.sub(r"\s*(UTC|Z)\s*$", "", m.group(2), flags=re.I).strip()
+    # CF/udunits-legal numeric timezone suffix (-05:00, +0530, -5):
+    # strip it and SHIFT the base to UTC — the old code only stripped
+    # +00 forms and then corrupted the rest with the space->T
+    # replacement, crashing np.datetime64 on every timestep of a
+    # non-UTC file (review r10)
+    offset_us = 0
+    tz = re.search(r"\s+([+-])(\d{1,2})(?::?(\d{2}))?\s*$", base)
+    if tz is None:
+        # offset glued to the time (2000-01-01 00:00:00-05:00)
+        tz = re.search(r"(?<=\d)([+-])(\d{1,2})(?::?(\d{2}))$", base)
+    if tz:
+        sign = -1 if tz.group(1) == "-" else 1
+        offset_us = sign * (
+            int(tz.group(2)) * 3600 + int(tz.group(3) or 0) * 60
+        ) * 1_000_000
+        base = base[: tz.start()].strip()
+    base = base.replace(" ", "T")
     if "T" not in base:
         base += "T00:00:00"
-    return _UNIT_SECONDS[m.group(1).lower()], np.datetime64(base, "us")
+    # base is local to its offset: UTC instant = local - offset
+    return (
+        _UNIT_SECONDS[m.group(1).lower()],
+        np.datetime64(base, "us") - np.timedelta64(offset_us, "us"),
+    )
+
+
+def units_scale_base(units) -> tuple:
+    """(seconds-per-unit, UTC base datetime64[us]) from a CF units
+    attribute; a missing/empty attribute falls back to raw epoch
+    seconds. The ONE fallback shared by decode_times, _record_ts, and
+    hdf5._decode_times_nc4 (review r10: the block existed three times,
+    so any units fix — e.g. the timezone-offset handling above — would
+    have had to land thrice or the whole-file and per-split paths
+    would silently diverge on the same file)."""
+    return (
+        parse_time_units(str(units)) if units
+        else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
+    )
 
 
 def _time_var(h: NC3Header) -> NC3Var | None:
@@ -395,21 +432,21 @@ def decode_times(src, h: NC3Header) -> np.ndarray:
     if tv is None:
         raise ValueError("no time variable in classic NetCDF file")
     vals = read_var(src, h, tv.name).astype("float64").ravel()
-    units = tv.atts.get("units")
-    scale, base = (
-        parse_time_units(str(units)) if units
-        else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
-    )
+    scale, base = units_scale_base(tv.atts.get("units"))
     return base + np.round(vals * scale * 1e6).astype("timedelta64[us]")
 
 
 def masked_to_nan(arr: np.ndarray, v: NC3Var) -> np.ndarray:
-    """_FillValue / missing_value -> NaN (reference O6 normalization)."""
+    """_FillValue / missing_value -> NaN (reference O6 normalization).
+    A multi-element attribute (att_value returns a tuple for
+    nelems > 1, seen in the wild) masks on its FIRST element — the
+    same np.asarray guard as hdf5._masked_to_nan (review r10: the
+    two twins had diverged; float(tuple) raised TypeError here)."""
     out = arr.astype("float64", copy=True)
     for key in ("_FillValue", "missing_value"):
         fill = v.atts.get(key)
         if fill is not None:
-            out[out == float(fill)] = np.nan
+            out[out == float(np.asarray(fill).ravel()[0])] = np.nan
     return out
 
 
@@ -462,9 +499,24 @@ def classic_splitter(path: str, length: int, variable: str | None = None,
     rvs = h.record_vars
     if not rvs:
         return []
-    v = h.vars.get(variable) if variable else None
-    if v is None or not h.is_record(v) or \
-            h.slab_size(v) <= max_split_bytes:
+    v = None
+    if variable:
+        # validate at PLAN time, driver-side: a missing or non-record
+        # variable used to fall silently into the legacy whole-record
+        # branch and then kill every executor task with a raw
+        # KeyError/ValueError inside the range decoder (review r10)
+        v = h.vars.get(variable)
+        if v is None:
+            raise ValueError(
+                f"variable {variable!r} not in {path!r} "
+                f"(has: {sorted(h.vars)})"
+            )
+        if not h.is_record(v):
+            raise ValueError(
+                f"{variable!r} in {path!r} is not a record variable — "
+                "only record (unlimited-dim) variables scan per-timestep"
+            )
+    if v is None or h.slab_size(v) <= max_split_bytes:
         base = min(rv.begin for rv in rvs)
         return [
             (r, base + r * h.recsize, h.recsize) for r in range(h.numrecs)
@@ -521,11 +573,7 @@ def _record_ts(src, h: NC3Header, t_idx: int):
             "per-timestep range decode needs one record time axis"
         )
     traw = read_record_slab(src, h, tv.name, t_idx).astype("float64").ravel()
-    units = tv.atts.get("units")
-    scale, base = (
-        parse_time_units(str(units)) if units
-        else (1.0, np.datetime64("1970-01-01T00:00:00", "us"))
-    )
+    scale, base = units_scale_base(tv.atts.get("units"))
     return base + np.round(traw[0] * scale * 1e6).astype("timedelta64[us]")
 
 
@@ -627,7 +675,7 @@ def write_classic(
                 out += _name_bytes(m["name"], w)
                 out += len(m["dimids"]).to_bytes(w, "big")
                 for d in m["dimids"]:
-                    out += d.to_bytes(4, "big")  # dimids stay 32-bit
+                    out += d.to_bytes(w, "big")  # dimid = NON_NEG
                 out += _att_list_bytes(m["atts"], w)
                 out += m["nc_type"].to_bytes(4, "big")
                 vsize = _pad4(m["slab"]) if (n_rec != 1 or not m["is_rec"]) \

@@ -461,3 +461,124 @@ def test_classic_subsplit_large_records(spark, tmp_path):
     for (_, va), (_, vb) in zip(a, b):
         assert (va is None and vb is None) or va == vb or \
             (va != va and vb != vb)
+
+
+def test_cdf5_dimids_are_64bit_per_spec(tmp_path):
+    """The CDF-5 BNF defines `dimid = NON_NEG`, i.e. 8 bytes in a
+    CDF-5 file (review r10: dimids were read AND written as 32-bit,
+    self-consistently wrong — a real PnetCDF file would have misparsed
+    with the cursor shifted 4 bytes per dimid). Two pins: (1) a
+    hand-encoded, writer-independent v5 header with two 64-bit dimids
+    parses to the right dimids and data; (2) the writer emits 8-byte
+    dimids, asserted on raw bytes."""
+    def u32(v):
+        return v.to_bytes(4, "big")
+
+    def u64(v):
+        return v.to_bytes(8, "big")
+
+    def name(s):
+        raw = s.encode()
+        pad = (-len(raw)) % 4
+        return u64(len(raw)) + raw + b"\x00" * pad
+
+    hdr = b"CDF\x05" + u64(1)                       # magic + numrecs
+    hdr += u32(nc3.NC_DIMENSION) + u64(2)           # dim_list
+    hdr += name("time") + u64(0)                    # record dim
+    hdr += name("node") + u64(3)
+    hdr += u32(0) + u64(0)                          # gatts ABSENT
+    hdr += u32(nc3.NC_VARIABLE) + u64(1)            # var_list
+    var = name("zeta") + u64(2)                     # ndims
+    var += u64(0) + u64(1)                          # 64-BIT dimids
+    var += u32(0) + u64(0)                          # vatts ABSENT
+    var += u32(nc3.NC_DOUBLE) + u64(24)             # nc_type, vsize
+    body_prefix = hdr + var
+    begin = len(body_prefix) + 8                    # + begin field
+    buf = body_prefix + u64(begin)
+    buf += np.arange(3.0).astype(">f8").tobytes()   # one record
+    h = nc3.parse_header(buf)
+    assert h.version == 5
+    assert h.vars["zeta"].dimids == (0, 1)
+    assert h.var_shape(h.vars["zeta"]) == (1, 3)
+    assert nc3.read_var(buf, h, "zeta").ravel().tolist() == [0.0, 1.0, 2.0]
+
+    # writer side: ndims=2 is followed by two 8-byte dimids (0, 1)
+    p = str(tmp_path / "w5.nc")
+    _write_micromesh_nc(p, version=5)
+    raw = open(p, "rb").read()
+    at = raw.index(b"zeta")
+    after_name = at + 4  # 'zeta' is 4 bytes, no padding
+    assert raw[after_name:after_name + 24] == (
+        u64(2) + u64(0) + u64(1)
+    )
+    # and the round trip still decodes
+    h5 = nc3.read_header_file(p)
+    assert h5.vars["zeta"].dimids == (0, 1)
+
+
+def test_parse_time_units_timezone_offsets():
+    """CF/udunits-legal numeric timezone suffixes shift the base to
+    UTC instead of crashing np.datetime64 (review r10)."""
+    scale, base = nc3.parse_time_units(
+        "seconds since 2000-01-01 00:00:00 -05:00"
+    )
+    assert scale == 1.0
+    assert str(base) == "2000-01-01T05:00:00.000000"
+    _, b2 = nc3.parse_time_units("hours since 1990-01-01 08:30:00 +05:30")
+    assert str(b2) == "1990-01-01T03:00:00.000000"
+    _, b3 = nc3.parse_time_units("seconds since 2000-01-01 00:00:00-05:00")
+    assert str(b3) == "2000-01-01T05:00:00.000000"
+    _, b4 = nc3.parse_time_units("seconds since 2000-01-01 -5")
+    assert str(b4) == "2000-01-01T05:00:00.000000"
+    for utc in ("seconds since 2000-01-01 00:00:00 UTC",
+                "seconds since 2000-01-01 00:00:00Z",
+                "seconds since 2000-01-01 00:00:00 +00:00"):
+        _, b = nc3.parse_time_units(utc)
+        assert str(b) == "2000-01-01T00:00:00.000000", utc
+    # negative astronomical years don't false-match the offset regex
+    _, b6 = nc3.parse_time_units("days since -4713-01-01")
+    assert str(b6) == "-4713-01-01T00:00:00.000000"
+
+
+def test_masked_to_nan_multielement_fill():
+    """A multi-element missing_value attribute (att_value returns a
+    tuple for nelems > 1) masks on its first element instead of
+    raising TypeError — same guard as hdf5._masked_to_nan
+    (review r10: the twins had diverged)."""
+    v = nc3.NC3Var("x", (0,), {"missing_value": (9.0, 9.0)},
+                   nc3.NC_DOUBLE, 8, 0)
+    out = nc3.masked_to_nan(np.array([1.0, 9.0, 2.0]), v)
+    assert np.isnan(out[1]) and out[0] == 1.0 and out[2] == 2.0
+
+
+def test_splitter_validates_variable_at_plan_time(tmp_path):
+    """A missing or non-record variable fails the SPLITTER, driver-side
+    at plan time, with a typed error naming the problem — not a raw
+    KeyError/ValueError storm from every executor task (review r10)."""
+    import os
+
+    p = str(tmp_path / "m.nc")
+    _write_micromesh_nc(p)
+    n = os.path.getsize(p)
+    with pytest.raises(ValueError, match="'nope' not in"):
+        nc3.classic_splitter(p, n, "nope")
+    with pytest.raises(ValueError, match="not a record variable"):
+        nc3.classic_splitter(p, n, "depth")
+    # the legacy no-variable contract still plans whole-record splits
+    assert len(nc3.classic_splitter(p, n)) == 3
+
+
+def test_default_decoder_reports_both_rejections_for_garbage():
+    """Bytes that are neither classic NetCDF nor HDF5 surface BOTH
+    rejections through the typed fallback gate — NotHDF5 subclasses
+    ValueError, not HDF5Error, and used to escape raw (review r10)."""
+    try:
+        import xarray  # noqa: F401
+        pytest.skip("xarray present: fallback would engage instead")
+    except ImportError:
+        pass
+    from adcirctime2cogs_spark.sources.netcdf import _default_decoder
+
+    with pytest.raises(NotImplementedError,
+                       match="not a classic NetCDF.*no HDF5 signature"):
+        _default_decoder("junk.nc", b"JUNKJUNKJUNK" * 10, "zeta")
