@@ -8,10 +8,12 @@ extensions — as a writer/reader pair in the house codec style
 (encode for fixtures, decode for the scan path; a PIL cluster swaps
 decode_gif for Image.open and nothing else changes).
 
-Scope: full-frame replace animations (disposal handling beyond
-frame-replace, transparency compositing, and PLTE-less GIFs are out
-of scope with typed errors — the fixtures never emit them and the
-decode path names them clearly).
+Scope: full-frame replace animations with GCE TRANSPARENCY decoded
+(transparent pixels leave the canvas unchanged — the compositing
+rule under disposal unspecified/keep); restore-to-background and
+restore-to-previous disposal and PLTE-less GIFs are out of scope
+with typed errors — the fixtures never emit them and the decode path
+names them clearly.
 """
 
 from __future__ import annotations
@@ -189,18 +191,25 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4,
                 frames[fi]
             )
         else:
+            # vectorized global-palette lookup: pack RGB to 24-bit
+            # ints and searchsorted against the sorted packed palette
+            # (the old per-pixel dict loop allocated a tuple per pixel
+            # — review r10)
             pal = gpal
-            flat = frames[fi].reshape(-1, 3)
-            lut = {tuple(c): i for i, c in enumerate(gpal)}
-            try:
-                idx = np.asarray(
-                    [lut[tuple(px)] for px in flat], dtype="u1"
-                ).reshape(h, w)
-            except KeyError:
+            flat = frames[fi].reshape(-1, 3).astype("int64")
+            packed = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+            gp = gpal.astype("int64")
+            gp_packed = (gp[:, 0] << 16) | (gp[:, 1] << 8) | gp[:, 2]
+            order = np.argsort(gp_packed)
+            at = np.searchsorted(gp_packed[order], packed)
+            at = np.clip(at, 0, len(order) - 1)
+            hit = gp_packed[order][at] == packed
+            if not hit.all():
                 raise GIFError(
                     "frame color outside the global table; pass "
                     "local_tables=True"
-                ) from None
+                )
+            idx = order[at].astype("u1").reshape(h, w)
         flags = 0x40 if interlace else 0
         if local_tables and fi > 0:
             ltab, lexp = table_bytes(pal)
@@ -252,19 +261,39 @@ def _decode_gif(data: bytes) -> np.ndarray:
         pos += gsize * 3
     frames: list[np.ndarray] = []
     canvas = np.zeros((h, w, 3), dtype="u1")
+    transparent = None  # pending GCE transparency index for ONE image
     while True:
         if pos >= len(data):
             raise GIFError("GIF ended without trailer")
         block = data[pos]
         pos += 1
-        if block == 0x3B:
-            break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:
+                # Graphic Control Extension: transparency DECODES
+                # (transparent pixels leave the canvas unchanged —
+                # the compositing rule under disposal none/keep);
+                # restore-to-background/previous disposal stays out
+                # of scope with the TYPED error the module contract
+                # promises — it used to be silently skipped, feeding
+                # corrupt frames to the pHash pipeline (review r10)
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                if disposal in (2, 3):
+                    raise GIFError(
+                        f"GIF disposal method {disposal} (restore to "
+                        "background/previous) is out of the decoded "
+                        "subset (have: unspecified/keep)"
+                    )
+                if gflags & 0x01:
+                    transparent = data[pos + 4]
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
             continue
+        if block == 0x3B:
+            break
         if block != 0x2C:
             raise GIFError(f"unknown GIF block 0x{block:02x}")
         ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos)
@@ -298,7 +327,13 @@ def _decode_gif(data: bytes) -> np.ndarray:
             de[order] = idx
             idx = de
         canvas = canvas.copy()
-        canvas[iy:iy + ih, ix:ix + iw] = pal[idx]
+        if transparent is not None:
+            region = canvas[iy:iy + ih, ix:ix + iw]
+            m = idx != transparent
+            region[m] = pal[idx][m]
+        else:
+            canvas[iy:iy + ih, ix:ix + iw] = pal[idx]
+        transparent = None  # a GCE governs exactly one image
         frames.append(canvas)
     if not frames:
         raise GIFError("GIF contains no image data")

@@ -43,7 +43,16 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
-    m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", data)
+    # Netpbm headers allow '#' comment lines between any tokens and
+    # common writers emit them (GIMP: 'P6\n# CREATOR...\n') — tokens
+    # are parsed with comments stripped, not by a comment-blind regex
+    # that rejected such files (review r10)
+    tok = rb"(?:\s+|\s*(?:#[^\n]*\n\s*)+)"
+    m = re.match(
+        rb"(P[56])" + tok + rb"(\d+)" + tok + rb"(\d+)" + tok
+        + rb"(\d+)(?:#[^\n]*\n|\s)",
+        data,
+    )
     if not m:
         raise ValueError("not a binary PPM/PGM")
     magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))

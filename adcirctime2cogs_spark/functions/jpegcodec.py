@@ -443,7 +443,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except JPEGError:
         raise
-    except (struct.error, IndexError, KeyError) as exc:
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
+        # ZeroDivisionError: a crafted SOF with sampling factor 0
+        # reaches the MCU geometry division (review r10)
         raise JPEGError(f"malformed JPEG stream: {exc!r}") from exc
 
 
@@ -477,11 +479,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq = body[q] >> 4, body[q] & 0x0F
                 if pq:
                     raise JPEGError("16-bit quant tables unsupported")
+                if len(body) - q < 65:
+                    # must precede the _UNZIGZAG indexing, which would
+                    # raise IndexError first (review r10: the old
+                    # post-index size check was dead code)
+                    raise JPEGError("truncated DQT")
                 tbl = np.frombuffer(
                     body[q + 1:q + 65], dtype=np.uint8
                 ).astype(np.int64)[_UNZIGZAG].reshape(8, 8)
-                if tbl.size != 64:
-                    raise JPEGError("truncated DQT")
                 qt[tq] = tbl
                 q += 65
         elif marker == 0xC4:  # DHT

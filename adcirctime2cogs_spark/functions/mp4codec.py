@@ -436,7 +436,17 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     Walks moov/trak/mdia to the video stbl, rebuilds each sample's
     byte range from stsc runs + stco offsets + stsz sizes, and JPEG-
     decodes every sample. Grayscale JPEGs are expanded to RGB to keep
-    the (n, h, w, 3) contract."""
+    the (n, h, w, 3) contract. Truncated or corrupt structures raise
+    ValueError, never raw struct.error/IndexError — the typed-error
+    wrapper every codec in this package carries (review r10: this was
+    the one decoder without it)."""
+    try:
+        return _decode_mp4(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4 structure: {exc!r}") from exc
+
+
+def _decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
     from adcirctime2cogs_spark.functions.jpegcodec import decode_jpeg
 
     # ftyp presence is the ISO-BMFF signature; the brand VALUES are
@@ -474,7 +484,16 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, int]:
         if mdhd is not None:
             ver = data[mdhd[0]]
             off = mdhd[0] + 4 + (16 if ver == 1 else 8)
-            (timescale,) = struct.unpack_from(">I", data, off)
+            # bounds-check like tkhd above: a truncated mdhd used to
+            # read the SIBLING box's bytes as the timescale, or raise
+            # raw struct.error at EOF (review r10)
+            if off + 4 <= mdhd[1]:
+                (timescale,) = struct.unpack_from(">I", data, off)
+            else:
+                raise ValueError(
+                    f"truncated mdhd box ({mdhd[1] - mdhd[0]} bytes "
+                    f"for version {ver})"
+                )
         minf = _find(data, *mdia, b"minf")
         if minf is None:
             continue

@@ -124,10 +124,11 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     w = h = None
     scale, rate = 1, 10
     compression = 0
+    cur_stream = b""  # stream type of the strl being walked
     frames: list[bytes] = []
 
     def walk(pos: int, end: int):
-        nonlocal w, h, scale, rate, compression
+        nonlocal w, h, scale, rate, compression, cur_stream
         end = min(end, len(data))
         while pos + 8 <= end:
             cid = data[pos:pos + 4]
@@ -149,11 +150,17 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 vals = struct.unpack_from("<10I", data, body)
                 w, h = vals[8], vals[9]
             elif cid == b"strh":
-                if data[body:body + 4] == b"vids" and size >= 40:
+                # remember the stream TYPE: the following strf must be
+                # parsed per-type — an audio strl's WAVEFORMATEX strf
+                # parsed as BITMAPINFOHEADER clobbered the video
+                # dimensions on any AVI that also carries audio
+                # (review r10)
+                cur_stream = data[body:body + 4]
+                if cur_stream == b"vids" and size >= 40:
                     _, _, _, _, scale, rate = struct.unpack_from(
                         "<IHHIII", data, body + 8
                     )
-            elif cid == b"strf" and size >= 24:
+            elif cid == b"strf" and size >= 24 and cur_stream == b"vids":
                 _bs, bw, bh, _pl, _bc, comp = struct.unpack_from(
                     "<IiiHHI", data, body
                 )

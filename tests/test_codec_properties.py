@@ -363,3 +363,177 @@ def test_gif_truncated_color_table_raises_typed_error():
     truncated = full[:13 + 10]  # header + 10 of 192 palette bytes
     with pytest.raises(GIFError):
         decode_gif(truncated)
+
+
+# ------------------------------------------- review-r10 codec pins
+def test_jpeg_zero_sampling_factor_raises_typed_error():
+    """A SOF with sampling factor 0 must raise JPEGError, not a raw
+    ZeroDivisionError that escapes ValueError-catching callers."""
+    import pytest
+
+    from adcirctime2cogs_spark.functions.jpegcodec import (
+        JPEGError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    good = bytearray(encode_jpeg(rng.integers(0, 255, (16, 16, 3),
+                                              dtype="u1")))
+    at = bytes(good).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then per-comp
+    # [id, hv, tq] — zero the first component's hv byte
+    good[at + 11] = 0
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_truncated_dqt_raises_named_error():
+    """A DQT shorter than 65 bytes raises the NAMED 'truncated DQT'
+    error (the old size check sat after the indexing that raised
+    IndexError first — dead code)."""
+    import pytest
+
+    from adcirctime2cogs_spark.functions.jpegcodec import (
+        JPEGError,
+        decode_jpeg,
+    )
+
+    # SOI + DQT declaring 10 body bytes, then EOI
+    raw = b"\xff\xd8" + b"\xff\xdb\x00\x0c" + b"\x00" * 10 + b"\xff\xd9"
+    with pytest.raises(JPEGError, match="truncated DQT"):
+        decode_jpeg(raw)
+
+
+def test_avi_audio_stream_does_not_clobber_video_header():
+    """An AVI carrying an audio strl AFTER the video strl (the common
+    capture layout) must decode the video — the audio WAVEFORMATEX
+    strf used to be parsed as BITMAPINFOHEADER, clobbering w/h."""
+    import struct
+
+    from adcirctime2cogs_spark.functions.videocodec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (2, 8, 10, 3), dtype="u1")
+    raw = bytearray(encode_avi(frames, fps=5, codec="DIB"))
+    # append an audio strl LIST into the hdrl LIST: strh('auds') +
+    # strf(WAVEFORMATEX for 44100 Hz stereo 16-bit)
+    strh = b"strh" + struct.pack("<I", 48) + b"auds" + b"\x00" * 44
+    wf = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16) + b"\x00" * 8
+    strf = b"strf" + struct.pack("<I", len(wf)) + wf
+    strl_body = b"strl" + strh + strf
+    alist = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    # hdrl LIST starts at offset 12; grow its size and RIFF's
+    (hdrl_size,) = struct.unpack_from("<I", raw, 16)
+    insert_at = 20 + hdrl_size
+    raw[16:20] = struct.pack("<I", hdrl_size + len(alist))
+    raw[insert_at:insert_at] = alist
+    raw[4:8] = struct.pack("<I", len(raw) - 8)
+    out, fps = decode_avi(bytes(raw))
+    assert out.shape == (2, 8, 10, 3) and fps == 5
+    assert np.array_equal(out, frames)
+
+
+def test_gif_transparency_composites_and_disposal_raises():
+    """GCE transparency decodes (transparent pixels keep the canvas);
+    restore-to-background disposal raises the typed error instead of
+    silently corrupting frames (review r10)."""
+    import pytest
+
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+
+    base = np.zeros((4, 4, 3), dtype="u1")
+    base[:, :] = (10, 20, 30)
+    raw = bytearray(encode_gif(np.stack([base, base])))
+    # the encoder writes one GCE (21 F9 04 ...) per frame of an
+    # animation; set frame 2's transparency flag + index = palette
+    # slot of (10,20,30) so every pixel is transparent
+    at = bytes(raw).index(b"\x21\xf9\x04", bytes(raw).index(b"\x21\xf9\x04") + 1)
+    raw[at + 3] |= 0x01      # transparency flag
+    raw[at + 6] = 0          # transparent color index (sole color)
+    out = decode_gif(bytes(raw))
+    assert np.array_equal(out[1], out[0])  # canvas carried through
+    # disposal=2 (restore to background) is out of scope, typed
+    raw[at + 3] = (raw[at + 3] & ~0x1C) | (2 << 2)
+    raw[at + 3] &= ~0x01
+    with pytest.raises(GIFError, match="disposal method 2"):
+        decode_gif(bytes(raw))
+
+
+def test_gif_global_palette_mapping_vectorized_matches():
+    """The vectorized packed-int global-palette mapping round-trips a
+    multi-frame shared-palette animation exactly and still raises the
+    typed error for an out-of-table color."""
+    import pytest
+
+    from adcirctime2cogs_spark.functions.gifcodec import (
+        GIFError,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 255, (16, 3), dtype="u1")
+    # frame 0 must USE every pool color: the global table is frame 0's
+    # observed palette
+    f0 = pal[np.arange(42).reshape(6, 7) % 16]
+    f1 = pal[rng.integers(0, 16, (6, 7))]
+    rt = decode_gif(encode_gif(np.stack([f0, f1])))
+    assert np.array_equal(rt[0], f0) and np.array_equal(rt[1], f1)
+    bad = f1.copy()
+    bad[0, 0] = (255 - pal[:, 0].max(), 7, 7)
+    with pytest.raises(GIFError, match="outside the global table"):
+        encode_gif(np.stack([f0, bad]))
+
+
+def test_mp4_truncated_mdhd_raises_typed_error():
+    """A truncated mdhd raises ValueError naming the box instead of
+    silently reading the sibling box's bytes as the timescale."""
+    import struct
+
+    import pytest
+
+    from adcirctime2cogs_spark.functions.mp4codec import (
+        decode_mp4,
+        encode_mp4,
+    )
+
+    rng = np.random.default_rng(9)
+    raw = bytearray(encode_mp4(rng.integers(0, 255, (1, 8, 8, 3),
+                                            dtype="u1"), fps=5))
+    at = bytes(raw).index(b"mdhd")
+    # shrink the mdhd box to 8 bytes of body (needs 12 for v0),
+    # padding the removed span as a free box so offsets stay valid
+    (old_size,) = struct.unpack_from(">I", raw, at - 4)
+    new_size = 8 + 8
+    raw[at - 4:at] = struct.pack(">I", new_size)
+    freed = old_size - new_size
+    raw[at - 4 + new_size:at - 4 + new_size] = b""  # no byte moves
+    raw[at + new_size - 4:at + new_size - 4] = b""
+    # overwrite the tail of the old mdhd with a 'free' box header
+    free_at = at - 4 + new_size
+    raw[free_at:free_at + 8] = struct.pack(">I", freed) + b"free"
+    with pytest.raises(ValueError, match="truncated mdhd"):
+        decode_mp4(bytes(raw))
+
+
+def test_ppm_header_comments_parse():
+    """Netpbm '#' comments between header tokens parse (GIMP emits
+    them); the raster bytes land at the right offset."""
+    from adcirctime2cogs_spark.functions.imagecodec import decode_ppm
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 255, (3, 5, 3), dtype="u1")
+    raw = (b"P6\n# CREATOR: GIMP PNM Filter Version 1.1\n5 3\n"
+           b"# another note\n255\n" + img.tobytes())
+    assert np.array_equal(decode_ppm(raw), img)
+    gray = rng.integers(0, 255, (3, 5), dtype="u1")
+    raw2 = b"P5 # inline\n5 3 255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm(raw2), gray)
