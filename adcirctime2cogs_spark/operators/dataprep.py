@@ -717,8 +717,8 @@ def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a sampling rate), and docs fill it in a deterministic pseudo-random
 # order until the budget is crossed. Complements prep_mixture_sample
 # (hash-rate thinning) and prep_source_cap (doc-count cap).
-# Registration deferred with the r10/r11 queue (registry comment);
-# _TOKEN_BUDGET_SQL is the ready oracle, parity pinned in
+# Registered as prep_token_budget_mix in round 11 (registry queue);
+# _TOKEN_BUDGET_SQL is the oracle, parity pinned in
 # tests/test_dataprep.py.
 
 TOKEN_BUDGET = 1500   # tokens per source (fixture-calibrated: keeps
@@ -794,3 +794,13 @@ def token_budget_keepers(docs: DataFrame,
         .filter(F.col("cum_before") < budget)
         .select("doc_id", "source", "n_tokens", "cum_before")
     )
+
+
+@_register("prep_token_budget_mix", _TOKEN_BUDGET_SQL)
+def prep_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query shape of token_budget_keepers over the
+    documents table (per-source token-budget mixture fill).
+    Registered in round 11 per the rotation queue noted in
+    registry.py — built and DuckDB-parity-pinned since round 10
+    (tests/test_dataprep.py)."""
+    return token_budget_keepers(load_table(spark, sf_dir, "documents"))

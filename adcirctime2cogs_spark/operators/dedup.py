@@ -497,6 +497,8 @@ def _lsh_candidates(bands):
     """
     from pyspark.sql import Window
 
+    from adcirctime2cogs_spark.operators.starcap import observe_over_cap
+
     w = Window.partitionBy("band", "bkey")
     tagged = bands.select(
         "doc_id",
@@ -505,6 +507,10 @@ def _lsh_candidates(bands):
         F.count("*").over(w).alias("bn"),
         F.min("doc_id").over(w).alias("rep_lo"),
         F.max("doc_id").over(w).alias("rep_hi"),
+    )
+    tagged = observe_over_cap(
+        tagged, "bn", F.col("doc_id") == F.col("rep_lo"),
+        LSH_BUCKET_CAP, "lsh_bucket",
     )
     small = (
         tagged.filter(F.col("bn").between(2, LSH_BUCKET_CAP))
@@ -1302,6 +1308,7 @@ def _sem_cell_candidates(scored: DataFrame) -> DataFrame:
     pairs = bounded_star_pairs(
         scored, "cell", ["cs", "vec_id"], SEM_CELL_CAP,
         id_col="vec_id", payload_cols=("embedding", "cs"),
+        family="sem_cell",
     )
     return pairs.select(
         "cell",
@@ -1514,9 +1521,9 @@ def dedup_semantic_keepers_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid carry the least marginal information; the diverse edge
 # survives). Rides the same materialized IVF cell assignment and
 # centroid-similarity scoring as dedup_semantic_* above.
-# Registration deferred to round 10 with the text-filter queue (the
-# r09 window is at capacity); _d4_prune_sql() is the ready oracle and
-# tests/test_dedup.py pins DuckDB parity today.
+# Registered as dedup_d4_prune in round 11 (the r09/r10 windows were
+# at capacity — see the staggering note in registry.py);
+# tests/test_dedup.py pins DuckDB parity.
 
 D4_PRUNE_Q = 0.2  # fraction of each cell to drop, most-central first
 
@@ -1536,6 +1543,7 @@ def _d4_prune_sql(q: float = D4_PRUNE_Q) -> str:
     """
 
 
+@_register("dedup_d4_prune", _d4_prune_sql())
 def d4_prototype_prune(spark: SparkSession, sf_dir: str,
                        q: float = D4_PRUNE_Q) -> DataFrame:
     """Survivors of D4 prototypicality pruning: within each IVF cell,

@@ -1012,6 +1012,8 @@ def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
     ).select("doc_a", *part, "ha", "bk.band", "bk.bkey")
     bw = W.partitionBy(*part, "band", "bkey").orderBy("doc_b")
     bfull = bw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    from adcirctime2cogs_spark.operators.starcap import observe_over_cap
+
     b = (
         hashes.select(
             F.col("doc_id").alias("doc_b"), *part,
@@ -1021,6 +1023,11 @@ def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
         .select("doc_b", *part, "hb", "bk.band", "bk.bkey")
         .withColumn("rk", F.row_number().over(bw))
         .withColumn("cn", F.count("*").over(bfull))
+    )
+    b = (
+        observe_over_cap(
+            b, "cn", F.col("rk") == 1, MIH_BUCKET_CAP, "mih_bucket"
+        )
         .filter((F.col("cn") <= MIH_BUCKET_CAP) | (F.col("rk") <= 2))
         .drop("rk", "cn")
     )

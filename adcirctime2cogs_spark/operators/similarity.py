@@ -630,6 +630,7 @@ def _sign_bucket_candidates(emb: DataFrame) -> DataFrame:
     pairs = bounded_star_pairs(
         emb, "bucket", ["vec_id"], SIGN_BUCKET_CAP,
         id_col="vec_id", payload_cols=("embedding",),
+        family="sign_bucket",
     )
     return pairs.select(
         "bucket",

@@ -13,9 +13,14 @@ k^2 pairs from a single task):
                          multimodal._mih_candidate_pairs)
 
 This module holds the ONE implementation of the self-join form
-(bounded_star_pairs) and of the operational stats aggregation
-(star_group_stats), so a change to the star semantics or the
-pairs-dropped formula cannot silently diverge between copies.
+(bounded_star_pairs), of the operational stats aggregation
+(star_group_stats), and of the in-band over-cap signal
+(observe_over_cap — a named CollectMetrics observation every capped
+candidate plan carries, so a real corpus crossing a cap is visible on
+EVERY execution in the Spark UI / QueryExecutionListener stream
+without anyone invoking the *_stats helpers; ADVICE r10), so a change
+to the star semantics or the pairs-dropped formula cannot silently
+diverge between copies.
 Two call sites keep deliberate local variants: _lsh_candidates uses a
 posting-list (collect_list) enumeration instead of a self-join — a
 measured ~1.7x win on its headline query, with min/max-doc-id
@@ -26,9 +31,38 @@ star_group_stats' formula through their stats functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+
+def observe_over_cap(
+    df: DataFrame,
+    size_col: str,
+    one_per_group: Column,
+    cap: int,
+    family: str,
+) -> DataFrame:
+    """Attach a named observation (`starcap:<family>`) to a
+    group-size-tagged frame so EVERY execution of a capped candidate
+    plan reports the star fallback's activation in-band — in the
+    Spark UI SQL tab, to any registered QueryExecutionListener, and
+    to `Observation`-style consumers — without anyone remembering to
+    run the separate *_stats helpers (ADVICE r10). Metrics:
+    `groups_over_cap` (groups whose pair enumeration degraded to the
+    two-representative star — `one_per_group` must select exactly one
+    row per group, e.g. rank == 1), `max_group_size`, and the `cap`
+    itself. A CollectMetrics node is result-neutral: rows pass
+    through unchanged, column pruning still reaches the scan, and the
+    aggregation piggybacks on the action (no extra job)."""
+    return df.observe(
+        f"starcap:{family}",
+        F.sum(
+            ((F.col(size_col) > cap) & one_per_group).cast("long")
+        ).alias("groups_over_cap"),
+        F.max(F.col(size_col)).alias("max_group_size"),
+        F.lit(cap).alias("cap"),
+    )
 
 
 def bounded_star_pairs(
@@ -38,6 +72,7 @@ def bounded_star_pairs(
     cap: int,
     id_col: str,
     payload_cols: tuple = (),
+    family: str = "group",
 ) -> DataFrame:
     """Within-group candidate pairs with the a-side strictly EARLIER
     than the b-side in the (order_cols) total order — every unordered
@@ -63,6 +98,9 @@ def bounded_star_pairs(
         F.row_number().over(ordered).alias("rk"),
         F.count("*").over(full).alias("cn"),
     )
+    tagged = observe_over_cap(
+        tagged, "cn", F.col("rk") == 1, cap, family
+    )
     a = tagged.filter(
         (F.col("cn") <= cap) | (F.col("rk") <= 2)
     ).select(
@@ -80,6 +118,30 @@ def bounded_star_pairs(
         .filter(F.col("rk_a") < F.col("rk_b"))
         .drop("rk_a", "rk_b")
     )
+
+
+def observed_star_metrics(df: DataFrame) -> dict[str, dict]:
+    """Read the `starcap:*` observation rows recorded by the last
+    action on this exact DataFrame (classic-mode JVM accessor).
+    Returns {family: {"groups_over_cap", "max_group_size", "cap"}};
+    values are None before any action has run on THIS DataFrame —
+    note df.count() executes a derived plan internally, so use
+    collect()/write()/foreach() on the same handle (or read the
+    metrics from the listener stream, which sees every execution). This is the programmatic twin of
+    the in-band channel — the same metrics stream to the Spark UI SQL
+    tab and to any registered QueryExecutionListener on every
+    execution, with no separate *_stats job."""
+    import json
+
+    out: dict[str, dict] = {}
+    jmap = df._jdf.queryExecution().observedMetrics()
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        name = kv._1()
+        if name.startswith("starcap:"):
+            out[name.split(":", 1)[1]] = json.loads(kv._2().json())
+    return out
 
 
 def star_group_stats(sizes: DataFrame, cap: int) -> dict:

@@ -1299,9 +1299,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 # Bigram-LM fluency scoring (the CCNet-style perplexity filter shape,
 # Wenzek et al. 2020 — trained here on the corpus itself, the same
-# self-fit stance as text_unigram_logprob). Registration deferred to
-# round 10 with the repetition family above; _BIGRAM_SQL is the ready
-# oracle and tests/test_dataprep.py pins DuckDB parity today.
+# self-fit stance as text_unigram_logprob). Registered as
+# text_bigram_logprob in round 11 (the r10 window was at capacity);
+# _BIGRAM_SQL is the oracle, tests/test_dataprep.py pins DuckDB parity.
 
 _BIGRAM_K = 0.5  # add-k smoothing
 
@@ -1384,3 +1384,13 @@ def bigram_logprob(docs: DataFrame, k: float = _BIGRAM_K) -> DataFrame:
         r4("alp").alias("avg_logprob"),
         r4(F.exp(-F.col("alp"))).alias("ppl_proxy"),
     )
+
+
+@_register("text_bigram_logprob", _BIGRAM_SQL)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query shape of bigram_logprob over the documents
+    table (CCNet-style bigram-LM fluency scoring, Wenzek et al.
+    2020). Registered in round 11 per the rotation queue noted in
+    registry.py — built and DuckDB-parity-pinned since round 10
+    (tests/test_dataprep.py)."""
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -40,92 +40,92 @@ _OPERATOR_MODULES = [
 # the driver has NEVER hash-verified; (3) the remaining slots refresh
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
-# Registration queue: textstats.bigram_logprob (as
-# text_bigram_logprob, oracle _BIGRAM_SQL), dedup.d4_prototype_prune
-# (as dedup_d4_prune, oracle _d4_prune_sql()), and
-# dataprep.token_budget_keepers (as prep_token_budget_mix, oracle
-# _TOKEN_BUDGET_SQL) — all fully built and DuckDB-parity-pinned in
-# tests/test_dataprep.py / test_dedup.py. STAGGERING (recomputed from
-# CORRECTNESS_r01-r09): the r06-green cohort (49 queries) forces 49 of
-# r10's 50 slots, so r10 registered ONLY text_repetition_stats; r11's
-# forced cohort is the 44 r07-greens, leaving room to register the
-# three above. Registering them all in r10 would have broken
-# test_no_oracled_query_ages_past_policy.
 _PRIORITY = [
-    # Round-10 rotation, defined by the policy test the moment
-    # CORRECTNESS_r09.json landed: the COMPLETE r06-green cohort (49
-    # queries) hits the 4-round staleness line and fills rules 2-3.
+    # Round-11 rotation, defined by the policy test the moment
+    # CORRECTNESS_r10.json landed: the COMPLETE r07-green cohort (44
+    # queries) hits the 4-round staleness line, leaving 6 slots.
     #
-    # (2) never-externally-verified: text_repetition_stats, newly
-    # registered this round from the r09 queue (operators/textstats.py
-    # _REPETITION_SQL; its oracle's n_chars zero-guard was aligned to
-    # the kernel per ADVICE r09 before first registration).
-    "text_repetition_stats",
-    # (3) stalest greens — the COMPLETE r06 cohort (49 queries,
-    # alphabetical; recomputed from CORRECTNESS_r01-r09 and
+    # (1)+(2) added this round AND never externally verified — the
+    # three operators queued since r09/r10 (all DuckDB-parity-pinned
+    # in pytest since they were built):
+    "text_bigram_logprob",
+    "dedup_d4_prune",
+    "prep_token_budget_mix",
+    # (1)+(2) plan-modified this round AND never externally verified
+    # (rows-only — the DCT/fingerprint kernels are not
+    # SQL-expressible; planted-twin recall and exactness pinned in
+    # pytest): the MIH media triad's candidate path gained the
+    # in-band starcap observation (ADVICE r10). mm_audio_fp_pairs and
+    # mm_video_phash_pairs share the identical _mih_candidate_pairs
+    # code path verified by mm_image_phash_pairs here plus their own
+    # planted-recall tests; they queue for the r12 window with the
+    # remaining never-windowed rows-only set (text_bpe_train/encode,
+    # vec_pca_project, dedup_semantic_keepers_scale,
+    # events_sketch_rollup — VERDICT r10 #3).
+    "mm_image_phash_pairs",
+    "mm_audio_fp_pairs",
+    "mm_video_phash_pairs",
+    # Rule-1 note for this round's in-band starcap observation
+    # (ADVICE r10): the same CollectMetrics node also landed in the
+    # SemDeDup cell candidates, so dedup_semantic_pairs/keepers/
+    # keepers_scale plans changed without window slots left (the
+    # stale cohort fills the rest). A CollectMetrics node is
+    # result-neutral by construction (rows pass through unchanged —
+    # pinned by the planted over-cap tests asserting byte-identical
+    # pair sets), they are 2-rounds-fresh (hash-green r09), and the
+    # in-repo two-scale DuckDB sweep re-verifies their oracles every
+    # pytest run. Same treatment as r10's SemDeDup cell-cap note.
+    #
+    # (3) stalest greens — the COMPLETE r07 cohort (44 queries,
+    # alphabetical; recomputed from CORRECTNESS_r01-r10 and
     # machine-checked by test_no_oracled_query_ages_past_policy).
-    # agg_distinct additionally carries this round's determinism fix
-    # (VERDICT r09 #4), so its re-verification lands in-window.
-    #
-    # Rule-1 note for this round's SemDeDup cell-cap change (VERDICT
-    # r09 #3): dedup_semantic_pairs/keepers gained a per-cell
-    # candidate bound. They cannot ALSO occupy window slots (the stale
-    # cohort fills all 49 remaining), but they are 1-round-fresh
-    # (hash-green in r09), the cap is inert below its threshold —
-    # pinned by a result-equivalence test on the registered fixture
-    # path plus an adversarial planted-cell test in tests/test_dedup.py
-    # — and the in-repo two-scale DuckDB sweep re-verifies their
-    # oracles every pytest run. Same treatment as r09's
-    # decision-identical _doc_ids probe note.
-    "agg_corr_covar",
-    "agg_cube",
-    "agg_distinct",
-    "agg_exact_percentiles",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_stats",
-    "agg_unpivot",
-    "array_explode_agg",
-    "array_ops",
-    "crs_reproject",
-    "date_trunc_agg",
-    "events_histogram_quantile_rollup",
-    "filter_predicates",
-    "join_anti",
-    "join_asof_forward",
-    "join_asof_union_window",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi",
-    "join_sort_merge",
-    "join_star_revenue",
-    "join_theta_nl",
-    "map_struct_ops",
-    "mm_audio_decode",
-    "mm_audio_frames",
-    "mm_image_decode",
-    "mm_resize",
-    "q1_pricing_summary",
-    "scalar_conditional",
-    "scalar_math",
-    "scalar_path_parse",
-    "scalar_string_date",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "sort_limit",
-    "stream_session_flush",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_rollup",
-    "string_funcs2",
-    "subquery_in",
-    "topk_per_group",
-    "vec_kmeans_lloyd",
-    "win_distribution",
-    "win_lag_lead",
-    "win_rank",
-    "win_running",
+    # dedup_minhash_lsh_pairs, dedup_embedding_cosine and
+    # sim_threshold_pairs additionally carry this round's starcap
+    # observation, so their re-verification lands in-window (rule 1).
+    "agg_rollup",
+    "array_funcs2",
+    "crs_reproject_conic",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
+    "dedup_simhash",
+    "dedup_survivors",
+    "events_m4_downsample",
+    "events_session_window",
+    "events_time_weighted_avg",
+    "events_tumbling_window",
+    "join_asof",
+    "join_lateral_topk",
+    "join_range",
+    "join_skew_salted",
+    "json_extract",
+    "micromesh_bbox",
+    "prep_decontaminate",
+    "prep_mixture_sample",
+    "prep_oversample",
+    "prep_quality_filter",
+    "prep_source_cap",
+    "raster_grid_gen",
+    "regrid_multivar",
+    "regrid_synthetic",
+    "sample_reservoir",
+    "sim_maxsim_multivector",
+    "sim_threshold_pairs",
+    "sim_topk_bruteforce",
+    "sim_topk_bucketed",
+    "subquery_correlated",
+    "text_fingerprint",
+    "text_langid",
+    "text_tfidf_top",
+    "text_tokens",
+    "udf_pandas_scalar",
+    "vec_centroid_per_label",
+    "vec_quantize_int8",
+    "win_range_frame",
 ]
 
 

@@ -155,13 +155,25 @@ def test_lsh_bucket_cap_star_path(spark):
         (200, 1, "small"), (201, 1, "small"), (202, 1, "small"),
     ]
     bands = spark.createDataFrame(rows, "doc_id long, band int, bkey string")
-    got = {(r.doc_a, r.doc_b) for r in _lsh_candidates(bands).collect()}
+    cand = _lsh_candidates(bands)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
     star = {(0, i) for i in range(1, 100)} | {
         (i, 99) for i in range(99)
     }
     small_pairs = {(200, 201), (200, 202), (201, 202)}
     assert got == star | small_pairs
     assert len(star) == 2 * 100 - 3
+    # the star fallback must announce itself IN-BAND on the very
+    # action that took it (ADVICE r10): the candidate plan carries a
+    # starcap observation, no separate lsh_bucket_stats call needed
+    from adcirctime2cogs_spark.operators.starcap import (
+        observed_star_metrics,
+    )
+
+    m = observed_star_metrics(cand)["lsh_bucket"]
+    assert m["groups_over_cap"] == 1
+    assert m["max_group_size"] == 100
+    assert m["cap"] == LSH_BUCKET_CAP
 
 
 def test_lsh_bucket_stats_no_over_cap_at_test_sf(spark, sf_dir):
@@ -216,10 +228,19 @@ def test_sem_cell_cap_star_path_bounds_mass_duplication(spark):
         rows, "vec_id long, embedding array<float>, cell long, cs double"
     )
     cand = _sem_cell_candidates(scored)
-    per_cell = {r.cell: r.cnt for r in cand.groupBy("cell").agg(
-        F.count("*").alias("cnt")).collect()}
+    per_cell_df = cand.groupBy("cell").agg(F.count("*").alias("cnt"))
+    per_cell = {r.cell: r.cnt for r in per_cell_df.collect()}
     assert per_cell[7] == 2 * big_n - 3  # star, never the quadratic
     assert per_cell[9] == 3              # small cell: exact all-pairs
+    # in-band over-cap signal rides the same action (ADVICE r10)
+    from adcirctime2cogs_spark.operators.starcap import (
+        observed_star_metrics,
+    )
+
+    m = observed_star_metrics(per_cell_df)["sem_cell"]
+    assert m["groups_over_cap"] == 1
+    assert m["max_group_size"] == big_n
+    assert m["cap"] == SEM_CELL_CAP
     keepers = {r.vec_id for r in _semdedup_keepers_from(scored).collect()}
     # big cell: only the earliest member survives; small cell: the
     # two identical vectors dedupe to the earlier one, the

@@ -458,14 +458,25 @@ def test_mih_bucket_cap_bounds_mass_duplication(spark):
     rows = [(i, 0x0123456789ABCDEF) for i in range(big_n)]
     df = spark.createDataFrame(rows, "doc_id long, h long")
     cand = _mih_candidate_pairs(df, "h", 8)
-    n = cand.count()
+    pairs = [(r.doc_a, r.doc_b) for r in cand.collect()]
     # two-rep star after pair normalization: (0, m) for all m plus
     # (1, m) for m >= 2 -> 2k - 3 distinct pairs
-    assert n == 2 * big_n - 3
-    reps_cover = cand.filter(
-        (F.col("doc_a") > 1) & (F.col("doc_b") > 1)
-    ).count()
-    assert reps_cover == 0  # every pair touches a representative
+    assert len(pairs) == 2 * big_n - 3
+    # every pair touches a representative
+    assert all(a <= 1 or b <= 1 for a, b in pairs)
+    # in-band over-cap signal rides the same action (ADVICE r10);
+    # every member hits m = 5 band buckets, all of the same over-cap
+    # group, so groups_over_cap counts one per band. Read from the
+    # collect()ed handle — df.count() runs a derived plan, and an
+    # AQE-empty result eliminates the observed subtree entirely.
+    from adcirctime2cogs_spark.operators.starcap import (
+        observed_star_metrics,
+    )
+
+    m = observed_star_metrics(cand)["mih_bucket"]
+    assert m["groups_over_cap"] == 5
+    assert m["max_group_size"] == big_n
+    assert m["cap"] == MIH_BUCKET_CAP
 
 
 def test_hash_kernels_degenerate_inputs():

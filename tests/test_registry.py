@@ -8,6 +8,18 @@ import shutil
 from adcirctime2cogs_spark import registry
 
 
+# Window entries DELIBERATELY without a SQL oracle (the driver records
+# the weaker rows-only check for these): VERDICT r10 #3 asks that the
+# never-externally-verified rows-only queries rotate through a window
+# at least once. Any OTHER non-oracled name in the window is a bug (an
+# oracle silently lost), so the set is pinned exactly.
+ROWS_ONLY_WINDOW = {
+    "mm_image_phash_pairs",
+    "mm_audio_fp_pairs",
+    "mm_video_phash_pairs",
+}
+
+
 def test_window_is_exactly_50_with_oracles():
     qs = registry.all_queries()
     oracles = registry.all_oracles()
@@ -15,7 +27,10 @@ def test_window_is_exactly_50_with_oracles():
     assert len(registry._PRIORITY) == 50
     assert window == registry._PRIORITY
     missing = [n for n in window if n not in oracles]
-    assert not missing, f"window entries without oracle: {missing}"
+    assert set(missing) == ROWS_ONLY_WINDOW, (
+        f"window entries without oracle beyond the declared rows-only "
+        f"rotation set: {sorted(set(missing) ^ ROWS_ONLY_WINDOW)}"
+    )
 
 
 def test_plan_cache_hits_and_data_eviction(spark, sf_dir, tmp_path):

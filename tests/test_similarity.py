@@ -379,13 +379,22 @@ def test_sign_bucket_cap_star_path_and_inertness(spark, sf_dir,
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, bucket long"
     )
-    per_bucket = {
-        r.bucket: r.cnt
-        for r in _sign_bucket_candidates(emb)
-        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
-    }
+    per_bucket_df = (
+        _sign_bucket_candidates(emb)
+        .groupBy("bucket").agg(F.count("*").alias("cnt"))
+    )
+    per_bucket = {r.bucket: r.cnt for r in per_bucket_df.collect()}
     assert per_bucket[3] == 2 * big_n - 3
     assert per_bucket[8] == 3
+    # in-band over-cap signal rides the same action (ADVICE r10)
+    from adcirctime2cogs_spark.operators.starcap import (
+        observed_star_metrics,
+    )
+
+    m = observed_star_metrics(per_bucket_df)["sign_bucket"]
+    assert m["groups_over_cap"] == 1
+    assert m["max_group_size"] == big_n
+    assert m["cap"] == SIGN_BUCKET_CAP
     for d in (sf_dir, sf_medium_dir):
         stats = sign_bucket_stats(spark, d)
         assert stats["n_over_cap"] == 0
