@@ -1670,6 +1670,9 @@ def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
     path = layout_once(
         spark, base_dir, "mh_incremental", build, code_ver=MH_INC_VER
     )
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    evict_foreign_app_entries(_INC_LAYOUT_MEMO, key[0])
     _INC_LAYOUT_MEMO[key] = (mtime, path)
     return path
 

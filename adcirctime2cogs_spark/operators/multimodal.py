@@ -977,7 +977,19 @@ def _mih_candidate_pairs(hashes: DataFrame, hash_col: str,
     one band-key bucket join. Band keys stay wide (21-22 bits at
     ceiling 5, 12-13 bits at ceiling 8), so expected bucket sizes
     stay n / 2^w; the asymmetric probe (ball on one side only) keeps
-    build buckets exact-key-sized instead of ball-sized. The build
+    build buckets exact-key-sized instead of ball-sized. The JOIN
+    OUTPUT, however, carries the full-recall guarantee's birthday
+    cost on hashes that look uniform: expected candidates
+    ~ sum_bands n^2 (w+1) / 2^(w+1) — measured ~500 candidates/hash
+    at n=100k, ceiling 8 (tools/scale_check.py mih_amplification
+    leg), doubling per doubling of n. The verify is a codegen'd
+    bit_count so the volume is cheap to DRAIN, but budget it: at
+    corpus scales beyond ~10M hashes per join group, shard the
+    corpus first (by media source/size/coarse feature — the standard
+    IVF-style pre-partition) or move to a longer hash; a 64-bit code
+    cannot give sub-birthday candidate volume at ceiling 8 by any
+    banding (radius-0 with m=9 bands is 9/128 selectivity — 50x
+    worse than this radius-1 m=5 layout's ~14/2^13). The build
     side of each (band, key) bucket is additionally bounded at
     MIH_BUCKET_CAP members (two-lowest-id star fallback above it —
     the media twin of LSH_BUCKET_CAP/SEM_CELL_CAP/SIGN_BUCKET_CAP):

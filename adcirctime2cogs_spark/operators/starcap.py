@@ -120,7 +120,9 @@ def bounded_star_pairs(
     )
 
 
-def observed_star_metrics(df: DataFrame) -> dict[str, dict]:
+def observed_star_metrics(
+    df: DataFrame, prefix: str = "starcap:"
+) -> dict[str, dict]:
     """Read the `starcap:*` observation rows recorded by the last
     action on this exact DataFrame (classic-mode JVM accessor).
     Returns {family: {"groups_over_cap", "max_group_size", "cap"}};
@@ -139,8 +141,8 @@ def observed_star_metrics(df: DataFrame) -> dict[str, dict]:
     while it.hasNext():
         kv = it.next()
         name = kv._1()
-        if name.startswith("starcap:"):
-            out[name.split(":", 1)[1]] = json.loads(kv._2().json())
+        if name.startswith(prefix):
+            out[name[len(prefix):]] = json.loads(kv._2().json())
     return out
 
 

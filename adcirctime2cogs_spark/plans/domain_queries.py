@@ -84,6 +84,9 @@ def _weights_df(spark: SparkSession) -> DataFrame:
     w = build_weights(
         mm.cells_df(spark), mm.nodes_df(spark), mm.elements_df(spark), mm.BIN_SIZE
     ).persist()
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    evict_foreign_app_entries(_WEIGHTS_MEMO, key)
     _WEIGHTS_MEMO[key] = w
     return w
 

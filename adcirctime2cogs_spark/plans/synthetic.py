@@ -87,6 +87,9 @@ def _synth_weights(spark: SparkSession, n: int, grid_n: int,
     w = build_weights(
         cells, synth_nodes(spark, n), synth_elements(spark, n), bin_size
     ).persist()
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    evict_foreign_app_entries(_W_MEMO, key[0])
     _W_MEMO[key] = w
     return w
 

@@ -41,12 +41,15 @@ def _fallback_writer(
     """No-GDAL writer: a real tiled-deflate COG via the pure-Python
     codec (sinks/geotiff.py). Writes are ATOMIC (temp file +
     os.replace) so a speculative/retried task can never leave a
-    half-written raster behind — the retry simply replaces it."""
+    half-written raster behind — the retry simply replaces it. The
+    temp suffix deliberately does NOT end in .tif: a mosaic indexer
+    globbing *.tif must never pick up an in-progress or orphaned temp
+    (ADVICE r10)."""
     import uuid
 
     from adcirctime2cogs_spark.sinks.geotiff import write_geotiff
 
-    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}.tif"
+    tmp = f"{fname}.tif.tmp-{uuid.uuid4().hex[:8]}"
     write_geotiff(tmp, arr, transform, crs, nodata=float("nan"))
     os.replace(tmp, fname + ".tif")
 
@@ -55,9 +58,10 @@ def _rasterio_writer(
     fname: str, arr: np.ndarray, transform: list[float], crs: str
 ) -> None:
     """Same atomicity contract as _fallback_writer: write to a temp
-    name, os.replace into place — a task killed mid-write by
-    speculation/executor loss must never leave a truncated .tif at
-    the final name for a mosaic indexer to pick up (review r10)."""
+    name that no *.tif glob matches, os.replace into place — a task
+    killed mid-write by speculation/executor loss must never leave a
+    truncated OR temp-named .tif for a mosaic indexer to pick up
+    (review r10 + ADVICE r10)."""
     import uuid
 
     import rasterio
@@ -65,7 +69,7 @@ def _rasterio_writer(
 
     t = Affine(transform[1], transform[2], transform[0],
                transform[4], transform[5], transform[3])
-    tmp = f"{fname}.tmp-{uuid.uuid4().hex[:8]}.tif"
+    tmp = f"{fname}.tif.tmp-{uuid.uuid4().hex[:8]}"
     with rasterio.open(
         tmp, "w", driver="COG", height=arr.shape[0],
         width=arr.shape[1], count=1, dtype="float64", crs=crs,

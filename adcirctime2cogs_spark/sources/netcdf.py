@@ -236,14 +236,22 @@ def scan_netcdf_split(
             splitter, f.path, int(f.length), variable
         )
     ]
-    # COLUMN-LESS repartition = round-robin: exactly one split per
-    # partition, guaranteed. The previous hash partitioning on
-    # (path, t_idx, offset) left an expected ~1/e of partitions empty
-    # by birthday collisions, losing a third of the intra-record
-    # parallelism the sub-splits exist for (review r10)
-    splits = spark.createDataFrame(specs, SPLIT_SCHEMA).repartition(
-        max(len(specs), 1)
-    )
+    # COLUMN-LESS repartition = round-robin — but each SOURCE
+    # partition starts its round-robin at an independent random
+    # offset, so with multiple input partitions targets collide and
+    # some tasks decode two ranges while others idle (ADVICE r10; the
+    # prior hash partitioning was worse still, ~1/e empty). Parallelize
+    # the (driver-built, tiny) spec list into ONE source partition so
+    # the repartition is a single round-robin pass: exactly one split
+    # per task, guaranteed, at any split count. NOTE a .coalesce(1)
+    # between createDataFrame and repartition does NOT achieve this —
+    # CollapseRepartition deletes it (verified on the optimized plan);
+    # the single partition must exist at the source.
+    splits = spark.createDataFrame(
+        spark.sparkContext.parallelize(specs, 1) if specs
+        else spark.sparkContext.emptyRDD(),
+        SPLIT_SCHEMA,
+    ).repartition(max(len(specs), 1))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

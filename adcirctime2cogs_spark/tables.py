@@ -189,6 +189,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def evict_foreign_app_entries(memo: dict, app_id: str) -> None:
+    """Drop memo entries recorded by OTHER Spark applications. The
+    applicationId-keyed persist/layout memos (_WEIGHTS_MEMO, _W_MEMO,
+    _INC_LAYOUT_MEMO) never hit for a stopped application again, so a
+    long-lived driver process that cycles sessions would accumulate
+    dead DataFrame references and paths indefinitely (ADVICE r10).
+    Callers invoke this on every insert under the single-active-
+    application assumption; keys are an applicationId string or a
+    tuple whose first element is one."""
+    for k in list(memo):
+        kid = k if isinstance(k, str) else k[0]
+        if kid != app_id:
+            del memo[k]
+
+
 def _src_hash(sf_dir: str) -> str:
     import hashlib
 

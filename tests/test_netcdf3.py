@@ -462,6 +462,20 @@ def test_classic_subsplit_large_records(spark, tmp_path):
         assert (va is None and vb is None) or va == vb or \
             (va != va and vb != vb)
 
+    # layout guarantee (ADVICE r10): exactly one split per task — the
+    # splits frame is coalesced to ONE partition before the
+    # round-robin repartition, so targets can't collide across source
+    # partitions and no task idles while another decodes two ranges.
+    # mapInPandas is narrow, so the output's partition ids are the
+    # split tasks' ids: every split occupies its own partition.
+    from pyspark.sql import functions as F
+
+    per_part = (
+        split.groupBy(F.spark_partition_id().alias("pid"))
+        .count().collect()
+    )
+    assert len(per_part) == len(splits)
+
 
 def test_cdf5_dimids_are_64bit_per_spec(tmp_path):
     """The CDF-5 BNF defines `dimid = NON_NEG`, i.e. 8 bytes in a

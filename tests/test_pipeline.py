@@ -221,3 +221,49 @@ def test_pipeline_netcdf_input_end_to_end(spark, tmp_path):
         a, _ = read_geotiff(str(cog_dir / f))
         b, _ = read_geotiff(str(tmp_path / "o2" / "zeta" / f))
         assert np.allclose(a, b, equal_nan=True)
+
+
+def test_cog_writer_temp_name_never_matches_tif_glob(tmp_path, monkeypatch):
+    """ADVICE r10: a mosaic indexer globbing *.tif must never see an
+    in-progress or orphaned temp — so the atomic-writer temp suffix
+    must not end in .tif. Pin both the crash residue (no *.tif left
+    when the codec dies mid-write) and the success layout (exactly
+    the final .tif, zero temp residue)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from adcirctime2cogs_spark.sinks import cog
+    from adcirctime2cogs_spark.sinks import geotiff
+
+    arr = np.arange(6.0).reshape(2, 3)
+    tf = [0.0, 0.01, 0.0, 0.02, 0.0, -0.01]
+
+    # crash mid-write: the temp exists at the moment of death and must
+    # not be glob-visible as a .tif
+    real_write = geotiff.write_geotiff
+
+    def dying(path, *a, **kw):
+        real_write(path, *a, **kw)  # temp fully on disk...
+        raise RuntimeError("executor killed")  # ...then the task dies
+
+    monkeypatch.setattr(
+        "adcirctime2cogs_spark.sinks.geotiff.write_geotiff", dying
+    )
+    fname = str(tmp_path / "raster_000")
+    try:
+        cog._fallback_writer(fname, arr, tf, "EPSG:4326")
+    except RuntimeError:
+        pass
+    assert glob.glob(str(tmp_path / "*.tif")) == []
+    residue = os.listdir(tmp_path)
+    assert len(residue) == 1 and ".tif.tmp-" in residue[0]
+
+    # success path: exactly the final name, temp replaced away
+    monkeypatch.setattr(
+        "adcirctime2cogs_spark.sinks.geotiff.write_geotiff", real_write
+    )
+    os.remove(tmp_path / residue[0])
+    cog._fallback_writer(fname, arr, tf, "EPSG:4326")
+    assert os.listdir(tmp_path) == ["raster_000.tif"]

@@ -168,6 +168,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_topk_ivfpq": 1,          # same single probe-side broadcast
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
+        "text_bigram_logprob": 1,     # single-row vocab-size broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast
         "text_bm25_topk": 3,          # N + avgdl one-row broadcasts
         "text_nb_classify": 3,        # N + V one-row + classes-row broadcasts

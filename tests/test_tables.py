@@ -120,3 +120,23 @@ def test_scan_split_estimate_parity_across_confs(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_memo_eviction_drops_foreign_applications():
+    """ADVICE r10: the applicationId-keyed persist/layout memos must
+    not accumulate entries for stopped applications in a long-lived
+    driver that cycles sessions. evict_foreign_app_entries handles
+    both key shapes (bare appId string, appId-first tuple)."""
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    memo = {
+        "app-dead-1": "w1",
+        ("app-dead-2", "/base"): ("m", "p"),
+        ("app-live", 100, 10, 0.5): "w2",
+        "app-live": "w3",
+    }
+    evict_foreign_app_entries(memo, "app-live")
+    assert memo == {
+        ("app-live", 100, 10, 0.5): "w2",
+        "app-live": "w3",
+    }

@@ -1467,6 +1467,96 @@ def run_media_leg(spark, n_docs: int = 50_000) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_mih_amplification_leg(spark, n_hashes: int,
+                              twin_every: int = 100) -> dict:
+    """MIH candidate-volume leg (VERDICT r10 #5): measure the
+    multi-index-hashing probe amplification and candidate counts of
+    mm_image_phash_pairs' candidate kernel at corpus scale, without
+    the codec CPU in the way — the join is fed synthetic random
+    64-bit hashes directly (xxhash64 of the id: uniform, so bucket
+    collisions follow the n^2/2^w birthday arithmetic the docstring
+    promises) plus one planted twin per twin_every docs at exactly
+    PHASH_HAM_MAX bit flips (the verify ceiling — the hardest pair
+    the candidate stage must still surface).
+
+    Pins / reports:
+    - probe_amplification: the structural map-side constant 64 + m
+      rows per hash (m = ceil((max_ham+1)/2) bands) — asserted
+      against _mih_band_specs, the documented ~69x at ceiling 8;
+    - recall: every planted ceiling-distance twin must appear in the
+      VERIFIED pairs (violations counts misses — the full-ceiling
+      pigeonhole guarantee at scale);
+    - candidate_pairs / candidates_per_hash: the join-output birthday
+      term sum_bands n^2 (w+1) / 2^w — ~n^2/117 at ceiling 8, the
+      REAL large-n cost (the verify is a codegen'd bit_count, so
+      candidate volume, not verify CPU, is what a 100 TB deployment
+      budgets; run at two n's to see the quadratic term directly).
+      Counted via an observation riding the verify pass — the
+      candidate frame is never collected;
+    - groups_over_cap / max_group_size read from the in-band starcap
+      observation riding the SAME action (no separate stats job).
+    """
+    from adcirctime2cogs_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        _mih_band_specs,
+        _mih_candidate_pairs,
+    )
+    from adcirctime2cogs_spark.operators.starcap import (
+        observed_star_metrics,
+    )
+
+    m_bands = len(_mih_band_specs(PHASH_HAM_MAX))
+    amp = 64 + m_bands
+    n_twins = n_hashes // twin_every
+    base = spark.range(n_hashes).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("h")
+    )
+    # twin of base doc b*twin_every: flip PHASH_HAM_MAX spread-out
+    # bits (positions 7k+3 mod 64 are distinct for k < 9)
+    flip = 0
+    for k in range(PHASH_HAM_MAX):
+        flip |= 1 << ((7 * k + 3) % 64)
+    twins = spark.range(n_twins).select(
+        (F.lit(n_hashes) + F.col("id")).alias("doc_id"),
+        F.xxhash64(F.col("id") * twin_every)
+        .bitwiseXOR(F.lit(flip)).alias("h"),
+    )
+    hashes = base.unionAll(twins)
+
+    t0 = time.time()
+    cand = _mih_candidate_pairs(hashes, "h", PHASH_HAM_MAX).observe(
+        "mihleg:cand", F.count(F.lit(1)).alias("rows")
+    )
+    ver = cand.filter(F.expr(f"bit_count(ha ^ hb) <= {PHASH_HAM_MAX}"))
+    ver_rows = ver.collect()  # verified set IS near-linear -> small
+    wall = time.time() - t0
+    star = observed_star_metrics(ver).get("mih_bucket", {})
+    n_cand = observed_star_metrics(ver, "mihleg:")["cand"]["rows"]
+    verified = {(r.doc_a, r.doc_b) for r in ver_rows}
+    planted = {
+        (b * twin_every, n_hashes + b) for b in range(n_twins)
+    }
+    missed = planted - verified
+    total = n_hashes + n_twins
+    return {
+        "leg": f"mih_amplification_{n_hashes}",
+        "n_hashes": total,
+        "m_bands": m_bands,
+        "probe_amplification": amp,
+        "probe_rows": total * amp,
+        "candidate_pairs": n_cand,
+        "candidates_per_hash": round(n_cand / total, 2),
+        "verified_pairs": len(verified),
+        "planted_twins": n_twins,
+        "recall": round(1.0 - len(missed) / max(n_twins, 1), 6),
+        "strays": len(verified) - (n_twins - len(missed)),
+        "groups_over_cap": star.get("groups_over_cap"),
+        "max_group_size": star.get("max_group_size"),
+        "wall_sec": round(wall, 2),
+        "violations": len(missed),
+    }
+
+
 def run_substring_leg(spark, n_docs: int = 250_000,
                       carrier_every: int = 50) -> dict:
     """Substring-level dedup at corpus scale: a fixed 20-token
@@ -2390,6 +2480,10 @@ def main() -> int:
             run_substring_leg(spark, args.corpus_docs),
             run_nb_classifier_leg(spark),
             run_media_leg(spark),
+            # two scales: the per-hash candidate ratio's growth
+            # between them is the measured birthday term (~2x at 2x n)
+            run_mih_amplification_leg(spark, 100_000),
+            run_mih_amplification_leg(spark, 200_000),
             run_corpus_ann_leg(spark, args.corpus_vecs),
             run_corpus_pq_leg(spark, args.corpus_vecs),
             run_semdedup_leg(spark, min(args.corpus_vecs, 100_000)),
