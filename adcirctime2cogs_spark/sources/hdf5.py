@@ -85,9 +85,12 @@ parent super block.
 Out-of-scope (typed UnsupportedHDF5Feature errors, not silent
 wrong answers): extended tiny heap IDs (ID length > 17),
 non-deflate heap filters, v2-B-TREE chunk indexes (two or more
-unlimited dims — NetCDF-4 files have at most one), szip/CCSDS-121
-and user-registered chunk filters (the decoded filter subset is
-deflate=1, shuffle=2, fletcher32=3), datatypes beyond
+unlimited dims — NetCDF-4 files have at most one), user-registered
+chunk filters (the decoded filter subset is deflate=1, shuffle=2,
+fletcher32=3, szip=4 — szip via the pure-Python CCSDS-121 codec in
+sources/szip.py, whose own out-of-subset parameters [bits_per_pixel
+not in 8/16/32, second-extension on a reference block] surface as
+the same typed error), datatypes beyond
 fixed/float/string/reference/vlen.
 """
 
@@ -1562,13 +1565,36 @@ class H5File:
                         f"(stored {stored:#010x})"
                     )
                 raw = body
+            elif fid == FILTER_SZIP:
+                # H5Zszip framing: 4-byte LE uncompressed size, then
+                # the CCSDS-121 bitstream; client data =
+                # (options_mask, bits_per_pixel, pixels_per_block,
+                # pixels_per_scanline)
+                from adcirctime2cogs_spark.sources.szip import (
+                    SzipError,
+                    decode_szip,
+                )
+
+                if len(raw) < 4 or len(cvals) < 4:
+                    raise HDF5Error("szip chunk/client data too short")
+                stored = _u32(raw, 0)
+                try:
+                    raw = decode_szip(
+                        raw[4:], stored, cvals[0], cvals[1],
+                        cvals[2], cvals[3],
+                    )
+                except SzipError as exc:
+                    raise UnsupportedHDF5Feature(
+                        f"szip/CCSDS-121 chunk outside the decoded "
+                        f"subset: {exc} — convert offline with "
+                        f"h5repack -f GZIP=1 / nccopy"
+                    ) from exc
             else:
-                what = " (szip/CCSDS-121)" if fid == FILTER_SZIP else ""
                 raise UnsupportedHDF5Feature(
-                    f"chunk filter id {fid}{what} is outside the "
+                    f"chunk filter id {fid} is outside the "
                     "built-in decoded subset (deflate=1, shuffle=2, "
-                    "fletcher32=3) — convert offline with h5repack "
-                    "-f GZIP=1 / nccopy, or inject a decoder"
+                    "fletcher32=3, szip=4) — convert offline with "
+                    "h5repack -f GZIP=1 / nccopy, or inject a decoder"
                 )
         return np.frombuffer(raw, dtype=d.dtype).reshape(d.layout.chunk)
 
@@ -2448,10 +2474,12 @@ def write_netcdf4(
     fletcher32+shuffle+deflate pipeline in netcdf-c's filter order
     (checksum first on write, so it is verified last on read);
     everything else is contiguous. extra_filter appends one
-    (filter_id, cd_values) entry to the pipeline WITHOUT transforming
+    (filter_id, cd_values) entry to the pipeline; for FILTER_SZIP the
+    chunk bytes are REALLY szip-compressed (sources/szip.py, with the
+    H5Zszip 4-byte LE size prefix) so szip fixtures carry a genuine
+    CCSDS-121 bitstream; any other id is appended WITHOUT transforming
     the chunk bytes — the fixture knob for exercising the
-    unsupported-filter gate (e.g. a szip-tagged file whose read must
-    raise UnsupportedHDF5Feature before touching chunk data).
+    unsupported-filter gate.
 
     layout="latest" writes the h5py libver='latest' METADATA layout:
     superblock v3 (checksummed) and version-4 data layout messages
@@ -2617,6 +2645,13 @@ def write_netcdf4(
                 )
             if compress is not None:
                 raw = zlib.compress(raw, int(compress))
+            if extra_filter is not None and extra_filter[0] == FILTER_SZIP:
+                from adcirctime2cogs_spark.sources.szip import encode_szip
+
+                opts, bpp, ppb, pps = extra_filter[1][:4]
+                raw = struct.pack("<I", len(raw)) + encode_szip(
+                    raw, opts, bpp, ppb, pps
+                )
             yield offs, raw
 
     blobs: list[tuple[str, int, object]] = []  # (key, size, render_fn)

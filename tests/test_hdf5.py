@@ -265,15 +265,19 @@ def test_fletcher32_checksum_block_fold_and_odd_tail():
     assert hdf5._fletcher32(b"\x01\x02") != hdf5._fletcher32(b"\x01\x02\x00")
 
 
-def test_szip_filter_raises_typed_unsupported_error(tmp_path):
-    """VERDICT r09 #5: a szip-filtered (filter id 4) NetCDF-4 file
-    must raise the TYPED UnsupportedHDF5Feature naming the supported
-    filter subset — both from the HDF5 layer and end-to-end through
-    the default decoder's fallback gate — never a bare 'no xarray'
-    NotImplementedError or a silent wrong answer."""
+def test_unsupported_filter_raises_typed_error_end_to_end(tmp_path):
+    """VERDICT r09 #5 contract, post-szip-decoder (r11): an
+    out-of-subset chunk filter must raise the TYPED
+    UnsupportedHDF5Feature naming the supported filter subset — both
+    from the HDF5 layer and end-to-end through the default decoder's
+    fallback gate — never a bare 'no xarray' NotImplementedError or a
+    silent wrong answer. szip itself (filter 4) now decodes natively
+    (sources/szip.py; tests/test_szip.py pins it against real
+    CCSDS-121 bytes plus the out-of-subset szip-parameter gate), so
+    the gate is exercised with a user-registered filter id."""
     rng = np.random.default_rng(3)
     zeta = rng.normal(size=(3, 7)).astype("f8")
-    p = str(tmp_path / "szip.nc")
+    p = str(tmp_path / "userfilter.nc")
     hdf5.write_netcdf4(
         p, dims={"time": None, "node": 7},
         variables={
@@ -281,12 +285,8 @@ def test_szip_filter_raises_typed_unsupported_error(tmp_path):
             "zeta": (("time", "node"), zeta, {}),
         },
         compress=None,
-        # realistic H5Zszip client data: options mask, pixels/block,
-        # bits/pixel, pixels/scanline
-        extra_filter=(hdf5.FILTER_SZIP, (141, 32, 64, 7)),
+        extra_filter=(307, (1, 2, 3)),
     )
-    with pytest.raises(hdf5.UnsupportedHDF5Feature, match="szip"):
-        hdf5.NC4File(p).read_var("zeta")
     with pytest.raises(hdf5.UnsupportedHDF5Feature,
                        match="deflate=1, shuffle=2, fletcher32=3"):
         hdf5.NC4File(p).read_var("zeta")
@@ -298,7 +298,7 @@ def test_szip_filter_raises_typed_unsupported_error(tmp_path):
     if not has_xarray:
         from adcirctime2cogs_spark.sources.netcdf import _default_decoder
 
-        with pytest.raises(hdf5.UnsupportedHDF5Feature, match="szip"):
+        with pytest.raises(hdf5.UnsupportedHDF5Feature, match="307"):
             _default_decoder(p, open(p, "rb").read(), "zeta")
 
 
