@@ -1572,6 +1572,7 @@ class H5File:
                 # pixels_per_scanline)
                 from adcirctime2cogs_spark.sources.szip import (
                     SzipError,
+                    SzipOutOfSubset,
                     decode_szip,
                 )
 
@@ -1583,11 +1584,18 @@ class H5File:
                         raw[4:], stored, cvals[0], cvals[1],
                         cvals[2], cvals[3],
                     )
-                except SzipError as exc:
+                except SzipOutOfSubset as exc:
+                    # valid szip, parameters/constructs beyond the
+                    # codec's subset — the offline-convert guidance
+                    # applies (review r11: distinct from corruption)
                     raise UnsupportedHDF5Feature(
                         f"szip/CCSDS-121 chunk outside the decoded "
                         f"subset: {exc} — convert offline with "
                         f"h5repack -f GZIP=1 / nccopy"
+                    ) from exc
+                except SzipError as exc:
+                    raise HDF5Error(
+                        f"corrupt szip chunk: {exc}"
                     ) from exc
             else:
                 raise UnsupportedHDF5Feature(
@@ -2648,6 +2656,18 @@ def write_netcdf4(
             if extra_filter is not None and extra_filter[0] == FILTER_SZIP:
                 from adcirctime2cogs_spark.sources.szip import encode_szip
 
+                if compress is not None:
+                    # deflate output is rarely sample-aligned, so the
+                    # szip stage would fail on ~3/4 of chunks with an
+                    # opaque length error; fail up front instead
+                    # (review r11). fletcher32/shuffle are fine: +4
+                    # bytes and a permutation both keep alignment for
+                    # 8/16/32-bit samples.
+                    raise ValueError(
+                        "write_netcdf4: szip extra_filter cannot "
+                        "follow deflate (compress=None required) — "
+                        "deflate output is not sample-aligned"
+                    )
                 opts, bpp, ppb, pps = extra_filter[1][:4]
                 raw = struct.pack("<I", len(raw)) + encode_szip(
                     raw, opts, bpp, ppb, pps

@@ -41,14 +41,16 @@ Format conventions (stated explicitly so a divergence is diagnosable):
   real sample, which costs 0 bits after NN preprocessing).
 - Second extension ON a reference block pairs an odd sample count and
   is convention-ambiguous without the reference implementation; this
-  decoder raises the typed SzipError for it and this encoder never
-  emits it (a CCSDS encoder may choose options freely).
+  decoder raises the typed SzipOutOfSubset for it and this encoder
+  never emits it (a CCSDS encoder may choose options freely).
 
 Supported: bits_per_pixel in {8, 16, 32} (sample storage 1/2/4 bytes,
 LSB or MSB byte order per the options mask), even pixels_per_block
 4..32, any pixels_per_scanline >= pixels_per_block. Out-of-subset
-parameters raise SzipError, which sources/hdf5.py converts to its
-typed UnsupportedHDF5Feature.
+parameters raise SzipOutOfSubset (-> the caller's typed
+unsupported-feature error); corrupt streams raise plain SzipError
+(-> the caller's corrupt-data error) — sources/hdf5.py maps them to
+UnsupportedHDF5Feature and HDF5Error respectively.
 """
 
 from __future__ import annotations
@@ -68,7 +70,18 @@ _SEGMENT_BLOCKS = 64
 
 
 class SzipError(ValueError):
-    """Malformed szip stream or parameters outside the decoded subset."""
+    """Malformed/corrupt szip stream (truncation, impossible sample
+    values, non-sample-aligned sizes). Callers map this to their
+    corrupt-data error class."""
+
+
+class SzipOutOfSubset(SzipError):
+    """Valid szip, but using parameters or constructs outside this
+    codec's documented subset (bits_per_pixel not in 8/16/32,
+    second-extension on a reference block, ...). Callers map this to
+    their unsupported-feature error class — the file is fine, convert
+    it offline (review r11: a truncated chunk must not masquerade as
+    an out-of-scope feature)."""
 
 
 def _idlen(n: int) -> int:
@@ -77,14 +90,16 @@ def _idlen(n: int) -> int:
 
 def _check_params(n: int, j: int, scanline: int) -> None:
     if n not in (8, 16, 32):
-        raise SzipError(
+        raise SzipOutOfSubset(
             f"szip bits_per_pixel {n} outside the decoded subset "
             "(8, 16, 32)"
         )
     if j < 4 or j > 32 or j % 2:
-        raise SzipError(f"szip pixels_per_block {j} invalid (even 4..32)")
+        raise SzipOutOfSubset(
+            f"szip pixels_per_block {j} invalid (even 4..32)"
+        )
     if scanline < j:
-        raise SzipError(
+        raise SzipOutOfSubset(
             f"szip pixels_per_scanline {scanline} < pixels_per_block {j}"
         )
 
@@ -241,14 +256,16 @@ def _encode_block(w: _BitWriter, vals: list[int], n: int, idlen: int,
 
 
 def _emit_zero_run(w: _BitWriter, run: int, blocks_to_seg_end: int,
-                   idlen: int, refs: list[int | None], n: int) -> None:
-    """Emit `run` consecutive all-zero blocks as zero-block codes.
-    refs[i] is the reference sample to embed when block i of the run
-    is a scanline-leading block (zero-block prefixes still carry the
-    reference). Runs never cross segment boundaries (caller splits)."""
+                   idlen: int, ref: int | None, n: int) -> None:
+    """Emit `run` consecutive all-zero blocks as one zero-block code.
+    `ref` is the reference sample to embed when the run's FIRST block
+    is the scanline-leading block (zero-block prefixes still carry the
+    reference; only block 0 of a scanline can have one, so a mid-run
+    reference is impossible). Runs never cross segment boundaries
+    (caller splits)."""
     w.put(0, idlen + 1)  # zero-block identifier
-    if refs[0] is not None:
-        w.put(refs[0], n)
+    if ref is not None:
+        w.put(ref, n)
     if run == blocks_to_seg_end and run >= 5:
         w.fs(4)  # ROS
     elif run <= 4:
@@ -298,10 +315,7 @@ def encode_szip(data: bytes, options: int, n: int, j: int,
                        and not any(blocks[b + run][0])
                        and blocks[b + run][1] is None):
                     run += 1
-                _emit_zero_run(
-                    w, run, seg_end - b, idlen,
-                    [blocks[b + i][1] for i in range(run)], n,
-                )
+                _emit_zero_run(w, run, seg_end - b, idlen, ref, n)
                 b += run
             else:
                 _encode_block(w, vals, n, idlen, ref)
@@ -341,7 +355,7 @@ def decode_szip(payload: bytes, out_nbytes: int, options: int, n: int,
             if idv == 0:
                 if r.take(1):  # second extension
                     if is_ref:
-                        raise SzipError(
+                        raise SzipOutOfSubset(
                             "szip second-extension on a reference "
                             "block is outside the decoded subset"
                         )

@@ -216,6 +216,75 @@ def test_netcdf4_szip_out_of_subset_params_raise_typed(tmp_path):
         hdf5.NC4File(p).read_var("zeta")
 
 
+def test_corrupt_szip_chunk_is_hdf5error_not_unsupported(tmp_path):
+    """Review r11: a TRUNCATED szip chunk is data corruption, not an
+    out-of-scope feature — it must surface as HDF5Error ('corrupt
+    szip chunk'), never as UnsupportedHDF5Feature with offline-convert
+    guidance that cannot help a damaged file."""
+    rng = np.random.default_rng(5)
+    zeta = rng.normal(size=(1, 7)).astype("f8")
+    p = str(tmp_path / "szip_trunc.nc")
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 7},
+        variables={
+            "time": (("time",), np.arange(1.0), {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        compress=None,
+        extra_filter=(hdf5.FILTER_SZIP,
+                      (SZ_NN | SZ_LSB | SZ_RAW, 32, 8, 14)),
+    )
+    raw = bytearray(open(p, "rb").read())
+    # zero the tail of the szip bitstream so the reader runs dry
+    # mid-chunk: find the chunk via the stored-size prefix (56 LE)
+    # followed by a nonzero stream byte
+    needle = struct.pack("<I", 56)
+    i = raw.rindex(needle)
+    raw[i + 6:i + 40] = bytes(34)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(hdf5.HDF5Error, match="corrupt szip") as ei:
+        hdf5.NC4File(p).read_var("zeta")
+    assert not isinstance(ei.value, hdf5.UnsupportedHDF5Feature)
+
+
+def test_szip_cannot_follow_deflate_in_writer(tmp_path):
+    """Review r11: deflate output is rarely sample-aligned, so the
+    fixture writer refuses the combination up front instead of dying
+    mid-write with an opaque alignment error."""
+    with pytest.raises(ValueError, match="szip.*deflate"):
+        hdf5.write_netcdf4(
+            str(tmp_path / "x.nc"), dims={"time": None, "node": 7},
+            variables={
+                "time": (("time",), np.arange(1.0), {}),
+                "zeta": (("time", "node"),
+                         np.zeros((1, 7)), {}),
+            },
+            compress=6,
+            extra_filter=(hdf5.FILTER_SZIP,
+                          (SZ_NN | SZ_LSB | SZ_RAW, 32, 8, 14)),
+        )
+
+
+def test_szip_with_fletcher32_and_shuffle_roundtrips(tmp_path):
+    """fletcher32 (+4 bytes) and shuffle (a permutation) both keep
+    sample alignment for 8/16/32-bit samples, so the full
+    fletcher+shuffle+szip pipeline round-trips."""
+    rng = np.random.default_rng(6)
+    zeta = rng.normal(size=(3, 7)).astype("f8")
+    p = str(tmp_path / "szip_pipe.nc")
+    hdf5.write_netcdf4(
+        p, dims={"time": None, "node": 7},
+        variables={
+            "time": (("time",), np.arange(3.0), {}),
+            "zeta": (("time", "node"), zeta, {}),
+        },
+        compress=None, fletcher32=True, shuffle=True,
+        extra_filter=(hdf5.FILTER_SZIP,
+                      (SZ_NN | SZ_LSB | SZ_RAW, 32, 8, 15)),
+    )
+    assert np.array_equal(hdf5.NC4File(p).read_var("zeta"), zeta)
+
+
 def test_unknown_filter_still_raises_typed(tmp_path):
     """The generic unsupported-filter gate (user-registered ids) is
     unchanged by the szip decoder."""

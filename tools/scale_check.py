@@ -1487,10 +1487,11 @@ def run_mih_amplification_leg(spark, n_hashes: int,
       VERIFIED pairs (violations counts misses — the full-ceiling
       pigeonhole guarantee at scale);
     - candidate_pairs / candidates_per_hash: the join-output birthday
-      term sum_bands n^2 (w+1) / 2^w — ~n^2/117 at ceiling 8, the
-      REAL large-n cost (the verify is a codegen'd bit_count, so
-      candidate volume, not verify CPU, is what a 100 TB deployment
-      budgets; run at two n's to see the quadratic term directly).
+      term sum_bands n^2 (w+1) / 2^(w+1) — ~n^2/200 at ceiling 8
+      (measured 50.9M distinct pairs at n=101k = n^2/200.6), the REAL
+      large-n cost (the verify is a codegen'd bit_count, so candidate
+      volume, not verify CPU, is what a 100 TB deployment budgets;
+      run at two n's to see the quadratic term directly).
       Counted via an observation riding the verify pass — the
       candidate frame is never collected;
     - groups_over_cap / max_group_size read from the in-band starcap
