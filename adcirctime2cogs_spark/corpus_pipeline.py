@@ -101,10 +101,16 @@ def _read_stage(spark: SparkSession, stage_dir: str) -> DataFrame:
 
 
 def _exact_dedup(docs: DataFrame) -> DataFrame:
-    """Keep the lowest doc_id per exact text content (xxhash64 group —
-    the same keep-first semantics as the registered dedup_exact)."""
+    """Keep the lowest doc_id per exact NORMALIZED text content — the
+    same md5(normalized_text) grouping the registered dedup_exact is
+    oracle-pinned on, so case/whitespace-variant duplicates collapse
+    here exactly as there (review r11: a raw-text xxhash64 group let
+    'Hello  World' and 'hello world' both survive). The 32-byte digest
+    shuffles; the text never does."""
+    from adcirctime2cogs_spark.functions.text import normalized_text
+
     keepers = (
-        docs.groupBy(F.xxhash64("text").alias("h"))
+        docs.groupBy(F.md5(normalized_text(F.col("text"))).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -163,17 +169,22 @@ def _evict_lang_filter_artifacts(spark: SparkSession, stage_dir: str) -> None:
 
 def _fuzzy_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
     """Near-dup clusters -> canonical keepers, via the registered
-    dedup_corpus_emit chain (shingles -> capped posting-list
-    exact-Jaccard pairs -> connected components -> survivor pick) run
-    against the materialized stage directory. Keepers include every
-    singleton (one row per SURVIVING doc, not per dup cluster), so
-    they are approximately corpus-sized: the semi-join must shuffle —
-    a forced broadcast would blow the 8 GB limit long before 100 TB.
-    AQE still converts it to a broadcast join when the corpus really
-    is small."""
-    from adcirctime2cogs_spark.operators.dedup import dedup_corpus_emit
+    survivor chain (shingles -> capped posting-list exact-Jaccard
+    pairs -> connected components -> survivor pick) run against the
+    materialized stage directory. Keepers include every singleton
+    (one row per SURVIVING doc, not per dup cluster), so they are
+    approximately corpus-sized: the semi-join must shuffle — a forced
+    broadcast would blow the 8 GB limit long before 100 TB. AQE still
+    converts it to a broadcast join when the corpus really is small.
+    Review r11: composes dedup_survivors' keeper ids directly rather
+    than dedup_corpus_emit, which semi-joins the documents table
+    itself — going through it scanned documents.parquet twice per
+    stage."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_survivors
 
-    keepers = dedup_corpus_emit(spark, stage_in_dir).select("doc_id")
+    keepers = dedup_survivors(spark, stage_in_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
     return _read_stage(spark, stage_in_dir).join(keepers, "doc_id", "semi")
 
 
@@ -207,25 +218,28 @@ def _embedding_dedup(spark: SparkSession, docs: DataFrame,
     from adcirctime2cogs_spark.operators.dedup import _EMB_TAU
     from adcirctime2cogs_spark.operators.similarity import (
         _sign_bucket,
+        _sign_bucket_candidates,
         cosine,
     )
 
     emb = _aligned_embeddings(spark, input_dir, docs).withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    x = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("ea"), "bucket")
-    y = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("eb"), "bucket")
+    # the SAME capped candidate relation the registered kernel uses
+    # (review r11: an uncapped within-bucket self-join re-implemented
+    # the blocking without SIGN_BUCKET_CAP's star fallback — a
+    # mass-duplicated bucket would emit k^2 candidate rows from one
+    # task, the exact failure mode the cap audit closed)
     dup_ids = (
-        x.join(y, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _sign_bucket_candidates(emb)
         .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
-        .select(F.col("id_b").alias("dup_id"))
+        .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
+    # dup set size scales with the corpus's duplication rate — let
+    # AQE pick the join strategy rather than forcing a broadcast
     return docs.join(
-        F.broadcast(dup_ids), docs.doc_id == dup_ids.dup_id, "left_anti"
+        dup_ids, docs.doc_id == dup_ids.dup_id, "left_anti"
     ).select(*docs.columns)
 
 
@@ -317,9 +331,11 @@ def _substring_scrub(spark: SparkSession, stage_in_dir: str) -> DataFrame:
 
 def _decontaminate(docs: DataFrame) -> DataFrame:
     """Drop every doc sharing a word-3-gram shingle with the held-out
-    eval bucket (same md5-bucket split and shingle join as the
-    registered prep_decontaminate; eval-side shingles reduce to a
-    distinct set first). The eval side here is ~10% of the corpus's
+    eval bucket (same md5-bucket arithmetic and shingle join as the
+    registered prep_decontaminate, deliberately WIDENED from its
+    train-only flagging to train+valid — see the inline note;
+    eval-side shingles reduce to a distinct set first). The eval side
+    here is ~10% of the corpus's
     own shingles — it GROWS with the corpus, so the join is a plain
     shuffle join on `sh` (AQE broadcasts it only when it measures
     small; forcing a broadcast would cap the pipeline at whatever
@@ -330,6 +346,13 @@ def _decontaminate(docs: DataFrame) -> DataFrame:
 
     sh = shingles(docs)
     split = docs.select("doc_id", _bucket("", 100).alias("bucket"))
+    # DELIBERATELY wider than the registered kernel: prep_decontaminate
+    # flags only train (< 80) docs; the pipeline also drops
+    # contaminated VALID (80-89) docs, because test shingles leaking
+    # into the model-selection split bias selection toward test
+    # performance. Same join/split arithmetic otherwise; the widening
+    # is pinned by test_decontaminate_matches_registered_semantics
+    # (review r11: the docstring used to claim exact kernel parity).
     train_sh = sh.join(split.filter(F.col("bucket") < 90), "doc_id")
     test_sh = (
         sh.join(split.filter(F.col("bucket") >= 90), "doc_id")

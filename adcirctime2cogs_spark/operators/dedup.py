@@ -924,14 +924,19 @@ def dedup_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of the whole fuzzy-dedup chain (shingles → capped
     posting lists → pair graph → connected components → survivor
-    pick) finished by ONE broadcast semi-join of the keeper set
-    against the corpus scan: keepers are one row per cluster, so even
-    at 100 TB the final emit never shuffles the documents table."""
+    pick) finished by ONE id semi-join of the keeper set against the
+    corpus scan. The keeper set is one row per CLUSTER — but
+    singletons keep themselves, so it is approximately corpus-sized
+    (review r11: the earlier forced broadcast would blow the 8 GB
+    broadcast ceiling long before 100 TB; its "one row per cluster"
+    framing hid the singleton mass). The semi-join shuffles 8-byte
+    ids, never text; AQE still broadcasts when the corpus genuinely
+    is small."""
     keepers = dedup_survivors(spark, sf_dir).select(
         F.col("keeper").alias("doc_id")
     )
     docs = load_table(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(keepers), "doc_id", "semi").select(
+    return docs.join(keepers, "doc_id", "semi").select(
         "doc_id", "lang", "n_chars"
     )
 

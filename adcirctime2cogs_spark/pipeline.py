@@ -86,6 +86,25 @@ def run_pipeline(
     weights.count()
     timings["weights"] = round(time.time() - t0, 2)
     t0 = time.time()
+    try:
+        return _run_after_weights(
+            weights, tsv, spec, output_dir, final_dir, variable,
+            s3_bucket, s3_client, timings, t0,
+        )
+    finally:
+        # unpersist even when a sink phase throws — a long-lived
+        # session running many pipelines would otherwise pin one full
+        # weights table per failed run (review r11)
+        weights.unpersist()
+
+
+def _run_after_weights(
+    weights, tsv, spec, output_dir, final_dir, variable,
+    s3_bucket, s3_client, timings, t0,
+) -> "PipelineResult":
+    """Sink phases of run_pipeline, split out so the caller can wrap
+    them in try/finally around the weights cache (review r11)."""
+    import time
 
     # parquet-metadata count: broadcast the node values (skipping the
     # node_id shuffle of the exploded weights) when the whole slice
@@ -119,7 +138,6 @@ def run_pipeline(
             archive,
             client=s3_client,
         )
-    weights.unpersist()
 
     return PipelineResult(
         n_timesteps=len(manifest),
@@ -225,7 +243,26 @@ def main(argv: list[str] | None = None) -> int:
     base_dir = args.input_dir
     spark = None
     if not os.path.exists(probe):
-        if args.input_file.endswith(".nc") and os.path.exists(nc_input):
+        staging = os.path.join(args.output_dir, "_tables")
+        staged_probe = os.path.join(staging, f"{probe_name}.parquet")
+
+        def _staging_fresh() -> bool:
+            # reuse only when the staged tables postdate the .nc input
+            # (an updated forecast file must re-convert)
+            try:
+                return os.path.getmtime(staged_probe) >= os.path.getmtime(
+                    nc_input
+                )
+            except OSError:
+                return os.path.exists(staged_probe)
+
+        if os.path.exists(staged_probe) and _staging_fresh():
+            # a previous run of the same .nc job already converted into
+            # the staging dir — reuse it instead of re-decoding the
+            # whole NetCDF (review r11: the probe only checked
+            # input_dir, so every re-run paid the full ingest again)
+            base_dir = staging
+        elif args.input_file.endswith(".nc") and os.path.exists(nc_input):
             # the reference's actual entry point: ONE fort.*.nc carrying
             # mesh + variable (run/adcircTime2cogs.py:148-156). Convert
             # into a staging table set under output-dir with the
@@ -237,7 +274,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             spark = get_spark(app_name="adcirctime2cogs_pipeline")
-            base_dir = os.path.join(args.output_dir, "_tables")
+            base_dir = staging
             adcirc_nc_to_tables(
                 spark, nc_input, base_dir, args.input_variable
             )

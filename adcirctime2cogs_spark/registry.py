@@ -75,6 +75,11 @@ _PRIORITY = [
     # pair sets), they are 2-rounds-fresh (hash-green r09), and the
     # in-repo two-scale DuckDB sweep re-verifies their oracles every
     # pytest run. Same treatment as r10's SemDeDup cell-cap note.
+    # Also under the same note: dedup_corpus_emit (r08-green, not in
+    # this window) lost its forced keeper broadcast in the r11
+    # self-review — a join-strategy hint removal, result-neutral by
+    # definition, re-verified by the in-repo sweep; it queues for the
+    # r12 staleness cohort regardless.
     #
     # (3) stalest greens — the COMPLETE r07 cohort (44 queries,
     # alphabetical; recomputed from CORRECTNESS_r01-r10 and

@@ -248,9 +248,22 @@ def layout_once(spark: SparkSession, sf_dir: str, name: str,
         f"{_data_version(sf_dir)}:{code_ver}".encode()
     ).hexdigest()[:8]
     tag = f"{src}-{ver}"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
+    raw_wh = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = raw_wh.removeprefix("file:")
+    # this helper manages the layout lifecycle with LOCAL filesystem
+    # primitives (atomic rename publish, mtime-graced reaping) — a
+    # remote warehouse (hdfs://, s3a://) would pass the write and then
+    # fail every os.* call with a misleading FileNotFoundError
+    # (review r11). Fail up front with the actual constraint instead.
+    scheme = warehouse.split("://", 1)[0] if "://" in warehouse else ""
+    if scheme:
+        raise ValueError(
+            f"layout_once requires a local spark.sql.warehouse.dir "
+            f"for its atomic-rename publish; got {raw_wh!r} "
+            f"(scheme {scheme!r}) — point the warehouse at local/"
+            f"shared-posix storage or materialize derived layouts "
+            f"with your own object-store writer"
+        )
     path = f"{warehouse}/{name}_{tag}"
     if os.path.exists(f"{path}/_SUCCESS"):
         return path
