@@ -39,7 +39,7 @@ def _fmt(col):
 @_register(
     "events_tumbling_window",
     """
-    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300),
+    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n,
@@ -70,7 +70,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws
       FROM events
     )
-    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, count(*) AS n, round(avg(value), 4) AS avg_value
     FROM wins
     GROUP BY 1, 2
@@ -129,7 +129,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
         )
         .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
         .select(
@@ -191,7 +192,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     sess = (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            "user_id",
+        )
         .agg(F.count("*").alias("_n"))
         .select(
             "user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e")
@@ -352,7 +356,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT user_id,
-             to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS bucket,
+             make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS bucket,
              round(sum(value), 4) AS v
       FROM events GROUP BY 1, 2
     ),
@@ -415,11 +419,11 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_sessionize_gap",
-    """
+    f"""
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_S}
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      IS NULL
                   THEN 1 ELSE 0 END AS is_start
@@ -474,7 +478,7 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _M4_SQL = """
-SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900),
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 * 1000000),
                 '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*) AS n,

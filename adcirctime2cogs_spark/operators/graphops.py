@@ -154,6 +154,14 @@ def pagerank_iterations(
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # driver-side scalar: the node count parameterizes the teleport term
     n = nodes.count()
+    if n == 0:
+        # empty edge set: return an empty frame with the output schema
+        # instead of dividing by zero at plan-build time (review r11;
+        # the DuckDB oracle degrades to 0 rows the same way)
+        return nodes.select(
+            F.col("u").alias("user_id"),
+            F.lit(0.0).alias("pr_scaled"),
+        )
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for i in range(iterations):
         contrib = (
@@ -262,7 +270,15 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.join(F.broadcast(totals))
-        .filter(F.col("n") * F.col("k") * 20 > 23 * F.col("tot"))
+        # integer-EXACT threshold in decimal(38,0): at 100 TB scale
+        # n * k * 20 can exceed int64 (n ~ k ~ 1e9 -> 2e19) and the
+        # non-ANSI long multiply would wrap negative, silently
+        # dropping exactly the heavy hitters this query exists to
+        # find (review r11); decimal(38,0) is exact to 1e38
+        .filter(
+            F.col("n").cast("decimal(38,0)") * F.col("k") * 20
+            > F.lit(23).cast("decimal(38,0)") * F.col("tot")
+        )
         .select("user_id", F.col("n").alias("n_events"))
     )
 

@@ -37,8 +37,14 @@ def _register(name: str, oracle: str | None = None):
 
 @F.pandas_udf(T.DoubleType())
 def _score_udf(price: pd.Series, disc: pd.Series) -> pd.Series:
-    """Scalar pandas UDF (Arrow-batched): sqrt/mul/add only."""
-    return price.pow(0.5) * 3.0 + disc * 100.0
+    """Scalar pandas UDF (Arrow-batched): sqrt/mul/add only. np.sqrt,
+    NOT .pow(0.5): IEEE 754 requires sqrt to be correctly rounded but
+    makes no such promise for libm pow(x, 0.5), which can be 1 ULP off
+    on some platforms and flip r4()'s last digit vs the oracle's
+    sqrt() (review r11)."""
+    import numpy as np
+
+    return pd.Series(np.sqrt(price.to_numpy())) * 3.0 + disc * 100.0
 
 
 @_register(
@@ -50,8 +56,9 @@ def _score_udf(price: pd.Series, disc: pd.Series) -> pd.Series:
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized scalar UDF over the fact table. pandas .pow(0.5) and
-    SQL sqrt() are both correctly-rounded IEEE — bit-identical."""
+    """Vectorized scalar UDF over the fact table. np.sqrt and SQL
+    sqrt() are both correctly-rounded IEEE — bit-identical on every
+    platform (unlike pow(x, 0.5); see _score_udf)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return li.select(
         "l_orderkey",
@@ -216,20 +223,12 @@ def reproject_points(
 
     epsg_forward(int(epsg), 0.0, 0.0)  # validate the code plan-side
 
-    @F.pandas_udf(T.StructType([
-        T.StructField("e", T.DoubleType()),
-        T.StructField("n", T.DoubleType()),
-    ]))
-    def proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    def kernel(lon, lat):
         from adcirctime2cogs_spark.functions.crs import epsg_forward
 
-        e, n = epsg_forward(int(epsg), lon.to_numpy(), lat.to_numpy())
-        return pd.DataFrame({"e": e, "n": n})
+        return epsg_forward(int(epsg), lon, lat)
 
-    out = df.withColumn("_p", proj(F.col(lon_col), F.col(lat_col)))
-    return out.withColumn(out_cols[0], F.col("_p.e")).withColumn(
-        out_cols[1], F.col("_p.n")
-    ).drop("_p")
+    return _project_with(df, lon_col, lat_col, out_cols, kernel)
 
 
 def reproject_points_proj(
@@ -252,20 +251,35 @@ def reproject_points_proj(
 
     proj_forward(kind, 0.0, 45.0, **params)  # plan-time validation
 
+    def kernel(lon, lat):
+        from adcirctime2cogs_spark.functions.crs import proj_forward
+
+        return proj_forward(kind, lon, lat, **params)
+
+    return _project_with(df, lon_col, lat_col, out_cols, kernel)
+
+
+def _project_with(df: DataFrame, lon_col: str, lat_col: str,
+                  out_cols: tuple[str, str], kernel) -> DataFrame:
+    """Shared Arrow-UDF plumbing for the two reproject wrappers
+    (review r11: the struct UDF + temp-column fan-out was pasted
+    twice): kernel(lon_np, lat_np) -> (easting_np, northing_np)."""
+
     @F.pandas_udf(T.StructType([
         T.StructField("e", T.DoubleType()),
         T.StructField("n", T.DoubleType()),
     ]))
     def proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        from adcirctime2cogs_spark.functions.crs import proj_forward
-
-        e, n = proj_forward(kind, lon.to_numpy(), lat.to_numpy(), **params)
+        e, n = kernel(lon.to_numpy(), lat.to_numpy())
         return pd.DataFrame({"e": e, "n": n})
 
-    out = df.withColumn("_p", proj(F.col(lon_col), F.col(lat_col)))
-    return out.withColumn(out_cols[0], F.col("_p.e")).withColumn(
-        out_cols[1], F.col("_p.n")
-    ).drop("_p")
+    tmp = "_p"
+    while tmp in df.columns:  # never clobber a user column
+        tmp += "_"
+    out = df.withColumn(tmp, proj(F.col(lon_col), F.col(lat_col)))
+    return out.withColumn(out_cols[0], F.col(f"{tmp}.e")).withColumn(
+        out_cols[1], F.col(f"{tmp}.n")
+    ).drop(tmp)
 
 
 _UPS_ORACLE_SQL = """

@@ -174,7 +174,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stream_tumbling_rollup"] = stream_tumbling_rollup
 # same SQL as the batch twin events_tumbling_window
 ORACLES["stream_tumbling_rollup"] = """
-    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300),
+    SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000),
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            count(*) AS n,

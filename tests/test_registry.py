@@ -117,3 +117,22 @@ def test_no_oracled_query_ages_past_policy():
         f"never-externally-verified oracled queries NOT in the window: "
         f"{never}"
     )
+
+
+def test_no_oracle_uses_session_timezone_dependent_rendering():
+    """Review r11: DuckDB's to_timestamp() returns TIMESTAMPTZ and
+    strftime renders it in the SESSION timezone (the system tz by
+    default — the driver harness never pins it), while the Spark side
+    is pinned UTC, so an epoch-int -> timestamp oracle built on
+    to_timestamp silently breaks parity on any non-UTC machine. The
+    tz-free form is make_timestamp(us) (naive TIMESTAMP). Raw `ts`
+    columns from parquet are naive already, so strftime/date_trunc on
+    them are fine — only the epoch-reconstruction path is banned."""
+    offenders = [
+        name for name, sql in registry.all_oracles().items()
+        if "to_timestamp" in sql
+    ]
+    assert not offenders, (
+        f"oracles using session-tz-dependent to_timestamp(): "
+        f"{offenders} — use make_timestamp(epoch_us) instead"
+    )
