@@ -25,9 +25,20 @@ def r4(col: Column | str) -> Column:
     return F.floor(c * 10000.0 + 0.5) / 10000.0
 
 
+def rn(col: Column | str, digits: int) -> Column:
+    """round-half-up to `digits` decimals in the same engine-exact
+    floor form as r4 — use this instead of F.round for ANY rounded
+    double an oracle compares (review r11: the PQ family's 3dp
+    F.round bypassed the convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10 ** digits)
+    return F.floor(c * scale + 0.5) / scale
+
+
 def expand_round_sql(sql: str) -> str:
-    """Rewrite every round(X, 4) call in a SQL string to
-    floor((X) * 10000.0 + 0.5) / 10000.0 (balanced-paren aware)."""
+    """Rewrite every round(X, d) call (integer literal d) in a SQL
+    string to floor((X) * 10^d + 0.5) / 10^d (balanced-paren
+    aware)."""
     out = []
     i = 0
     lower = sql.lower()
@@ -65,14 +76,17 @@ def expand_round_sql(sql: str) -> str:
                 depth -= 1
             elif ch == "," and depth == 0:
                 split = idx
-        if split >= 0 and inner[split + 1 :].strip() == "4":
+        digits = inner[split + 1:].strip() if split >= 0 else ""
+        if digits.isdigit():
             expr = expand_round_sql(inner[:split])
+            scale = f"{10 ** int(digits)}.0"
             out.append(sql[i:j])
-            out.append(f"floor(({expr}) * 10000.0 + 0.5) / 10000.0")
+            out.append(f"floor(({expr}) * {scale} + 0.5) / {scale}")
             i = k + 1
         else:
-            # a non-4dp round: emit only its opening and KEEP SCANNING
-            # inside it — a round(X, 4) nested in round(..., 2) must
-            # still be rewritten (skipping to k+1 left it native)
+            # a non-literal-digits round: emit only its opening and
+            # KEEP SCANNING inside it — a round(X, 4) nested in
+            # round(..., col) must still be rewritten (skipping to
+            # k+1 left it native)
             out.append(sql[i:start])
             i = start

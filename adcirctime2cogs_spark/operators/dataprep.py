@@ -252,11 +252,15 @@ def quality_verdict(docs: DataFrame) -> DataFrame:
     """DataFrame-level quality kernel shared by the registered query
     and corpus_pipeline: the input columns passed through, plus
     (n_tokens, rep_ratio, quality, reason, keep) from row-local
-    column math only."""
-    from adcirctime2cogs_spark.operators.textstats import LANG_MARKERS
+    column math only. The score columns come from textstats'
+    quality_feature_cols — the ONE definition of the heuristic, so a
+    tuning edit cannot desync this verdict from the registered
+    text_quality score (review r11)."""
+    from adcirctime2cogs_spark.operators.textstats import (
+        quality_feature_cols,
+    )
 
-    toks = tokens_col(F.col("text"))
-    n = F.size(toks)
+    toks, n, _n_punct, _n_stop, q = quality_feature_cols()
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
@@ -264,15 +268,6 @@ def quality_verdict(docs: DataFrame) -> DataFrame:
     rep = F.when(
         n >= 3, 1.0 - F.size(F.array_distinct(grams)) * 1.0 / F.size(grams)
     ).otherwise(F.lit(0.0))
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
-    )
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
-    q = (
-        F.least(n / 100.0, F.lit(1.0)) * 0.5
-        + (1.0 - n_punct * 1.0 / F.col("n_chars")) * 0.3
-        + F.least(n_stop * 5.0 / n, F.lit(1.0)) * 0.2
-    )
     reason = (
         F.when(n < 20, "too_short")
         .when(n > 5000, "too_long")

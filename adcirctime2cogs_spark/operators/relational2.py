@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.functions.numeric import expand_round_sql, r4
 from adcirctime2cogs_spark.tables import load_table
 
 QUERIES = {}
@@ -153,7 +153,7 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     ).createOrReplaceTempView("_sq_orders_cents")
-    return spark.sql(
+    return spark.sql(expand_round_sql(
         """
         SELECT o_orderkey, cents AS total_cents
         FROM _sq_orders_cents o
@@ -162,7 +162,7 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
               > 2 * (SELECT sum(cents) FROM _sq_orders_cents o2
                      WHERE o2.o_custkey = o.o_custkey)
         """
-    )
+    ))
 
 
 @_register(
@@ -562,7 +562,7 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adcirctime2cogs_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
+    return spark.sql(expand_round_sql(
         """
         SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS o_totalprice
         FROM customer c,
@@ -575,7 +575,7 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_custkey < 200
         """
-    )
+    ))
 
 
 @_register(
@@ -673,7 +673,7 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     nation.createOrReplaceTempView("_sq_nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
-    return spark.sql(
+    return spark.sql(expand_round_sql(
         """
         SELECT n_name,
                (SELECT count(*) FROM _sq_customer c
@@ -683,7 +683,7 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE c.c_nationkey = n.n_nationkey) AS total_bal
         FROM _sq_nation n
         """
-    )
+    ))
 
 
 @_register(

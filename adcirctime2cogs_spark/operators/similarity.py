@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from adcirctime2cogs_spark.functions.numeric import r4
+from adcirctime2cogs_spark.functions.numeric import r4, rn
 
 from adcirctime2cogs_spark.tables import load_table
 
@@ -290,6 +290,12 @@ _SIGN_SQL_TMPL = _sign_sql("{e}")
 L_TABLES = 4  # independent sign-LSH tables over disjoint dim blocks
 # oracle-side table list; MUST track L_TABLES (generated, not typed)
 _TBL_LIST = ", ".join(str(t) for t in range(L_TABLES))
+# radius-1 probe flip list, DERIVED from SIGN_BITS like _TBL_LIST
+# (review r11: hand-typed xor literals silently desync when the
+# index is widened)
+_FLIP_LIST = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(SIGN_BITS)]
+)
 
 
 def _multitable_buckets(emb: DataFrame, id_alias: str) -> DataFrame:
@@ -369,7 +375,7 @@ _LSH_CAND_SQL = f"""cb AS (
     ),
     qp AS (
       SELECT vec_id AS q_id, tbl,
-             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+             unnest([{_FLIP_LIST}]) AS bucket
       FROM cb WHERE vec_id < {N_QUERY_VECS}
     ),
     cand AS (
@@ -690,6 +696,12 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", _sign_bucket(F.col("embedding"))
     )
     cos = r4(cosine(F.col("ea"), F.col("eb")))
+    # the fold appears in both the filter and the projection, but only
+    # SURVIVORS re-evaluate it in the project (the filter rejects the
+    # rest after one fold), and a withColumn restructure optimizes to
+    # the identical plan (verified: Catalyst pushes the predicate back
+    # through the project) — single evaluation would need a
+    # pipeline-breaking barrier costing more than the S extra folds
     return (
         _sign_bucket_candidates(emb)
         .filter(cos >= SIM_TAU)
@@ -863,7 +875,7 @@ KNN_K = 3  # neighbors per vector in the k-NN self-join
     ),
     ap AS (
       SELECT vec_id, tbl,
-             unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+             unnest([{_FLIP_LIST}]) AS bucket
       FROM cb
     ),
     cand AS (
@@ -1242,8 +1254,10 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8       # clusters
 KM_ITERS = 3   # fixed Lloyd iterations (deterministic, no convergence RNG)
-KM_DIM = 64    # fixture embedding dimensionality
-_KMEANS_MEMO: dict = {}  # (session id, sf_dir) -> trained centroids
+KM_DIM = EMB_DIM  # oracle dimensionality rides the single source
+# (review r11: a hand-duplicated 64 would silently NULL-pad the
+# oracle's per-dim distance terms if the fixture changed dimension)
+_KMEANS_MEMO: dict = {}  # (applicationId, sf_dir, mtime) -> centroids
 
 
 def _kmeans_oracle_sql() -> str:
@@ -1273,7 +1287,7 @@ def _kmeans_oracle_sql() -> str:
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
          emb AS cent
-  FROM e WHERE vec_id < %d
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT %d)
 )""" % KM_K
     ]
     for j in range(KM_ITERS + 1):
@@ -1352,11 +1366,16 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mt = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
     except OSError:
         _mt = -1.0
-    _key = (id(spark), sf_dir, _mt)
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    _app = spark.sparkContext.applicationId
+    _key = (_app, sf_dir, _mt)
+    # bound the memo: a regenerated fixture (new mtime) supersedes the
+    # old centroids, and entries recorded by OTHER applications are
+    # dropped too — a session-cycling driver would otherwise pin dead
+    # SparkSession refs forever (review r11)
+    evict_foreign_app_entries(_KMEANS_MEMO, _app)
     for old_key in [k for k in _KMEANS_MEMO if k[:2] == _key[:2] and k != _key]:
-        # bound the memo: a regenerated fixture (new mtime) supersedes
-        # the old centroids; without eviction every regeneration (and
-        # the stale SparkSession refs inside) accumulates forever
         _KMEANS_MEMO.pop(old_key)
     memo = _KMEANS_MEMO.get(_key)
     if memo is not None and memo[0] is spark:
@@ -1372,9 +1391,15 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
             r4(F.array_min(dists)).alias("dist"),
         )
-    init = sorted(
-        emb.filter(F.col("vec_id") < KM_K).collect(), key=lambda r: r.vec_id
-    )
+    # the KM_K LOWEST ids, not `vec_id < KM_K`: identical on the
+    # dense-id fixture, but also correct on sparse-id tables (the
+    # same convention as _pq_anchors; review r11 — the filter form
+    # produced a short/empty seed dict and KeyError'd downstream)
+    init = emb.orderBy("vec_id").limit(KM_K).collect()
+    if len(init) < KM_K:
+        raise ValueError(
+            f"k-means needs >= {KM_K} embeddings, got {len(init)}"
+        )
     cents: dict[int, list[float]] = {
         i: [float(x) for x in row.embedding] for i, row in enumerate(init)
     }
@@ -1416,7 +1441,7 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4          # subspaces
 PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (16)
 PQ_K = 16         # centroids per subspace -> 4-bit codes, 64x smaller
-_PQ_ANCHOR_MEMO: dict = {}  # (session id, sf_dir, mtime) -> codebook
+_PQ_ANCHOR_MEMO: dict = {}  # (applicationId, sf_dir, mtime) -> codebook
 
 
 def _pq_sub_terms(emb: str, cent: str, m: int) -> str:
@@ -1480,7 +1505,11 @@ def _pq_anchors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         _mt = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
     except OSError:
         _mt = -1.0
-    key = (id(spark), sf_dir, _mt)
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _mt)
+    evict_foreign_app_entries(_PQ_ANCHOR_MEMO, app)  # review r11
     for old in [k for k in _PQ_ANCHOR_MEMO if k[:2] == key[:2] and k != key]:
         _PQ_ANCHOR_MEMO.pop(old)
     memo = _PQ_ANCHOR_MEMO.get(key)
@@ -1585,7 +1614,7 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     qerr = F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3")
     return codes.select(
         "vec_id", "c0", "c1", "c2", "c3",
-        F.round(qerr, 3).alias("qerr"),
+        rn(qerr, 3).alias("qerr"),  # engine-exact 3dp (review r11)
     )
 
 
@@ -1725,7 +1754,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("q_id", "c_id", F.round(F.col("adc"), 3).alias("adc"))
+        .select("q_id", "c_id", rn(F.col("adc"), 3).alias("adc"))
     )
 
 

@@ -67,6 +67,30 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_feature_cols() -> tuple:
+    """THE quality heuristic, defined once (review r11: dataprep's
+    quality_verdict carried a verbatim copy of the weights/features, a
+    one-sided tuning edit away from desyncing prep_quality_filter's
+    verdicts from the registered text_quality score). Returns the
+    (toks, n_toks, n_punct, n_stop, quality) column quintet over a
+    frame with `text` and `n_chars` columns; weights 0.5 length /
+    0.3 punctuation / 0.2 stopword."""
+    toks = tokens_col(F.col("text"))
+    n_toks = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    quality = (
+        F.least(n_toks / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - n_punct * 1.0 / F.col("n_chars")) * 0.3
+        + F.least(n_stop * 5.0 / n_toks, F.lit(1.0)) * 0.2
+    )
+    return toks, n_toks, n_punct, n_stop, quality
+
+
 @_register(
     "text_quality",
     """
@@ -95,19 +119,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded into a [0,1] score (the standard pretraining-data heuristic
     family)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n_toks = F.size(toks)
-    n_punct = F.length("text") - F.length(
-        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
-    )
-    n_stop = F.size(
-        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
-    )
-    quality = (
-        F.least(n_toks / 100.0, F.lit(1.0)) * 0.5
-        + (1.0 - n_punct * 1.0 / F.col("n_chars")) * 0.3
-        + F.least(n_stop * 5.0 / n_toks, F.lit(1.0)) * 0.2
-    )
+    toks, n_toks, n_punct, n_stop, quality = quality_feature_cols()
     return docs.select(
         "doc_id",
         n_toks.alias("n_tokens"),
@@ -814,12 +826,12 @@ def java_ws_tokens(text: str) -> list[str]:
     return [w for w in _JAVA_WS.split(t) if w]
 
 
-_BPE_MERGE_MEMO: dict = {}  # (session id, sf_dir, mtime) -> rank table
+_BPE_MERGE_MEMO: dict = {}  # (applicationId, sf_dir, mtime) -> rank table
 
 
 def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> dict:
     """{(left, right): rank} from text_bpe_train, memoized per
-    (session, sf_dir, fixture mtime) — training is BPE_MERGES
+    (application, sf_dir, fixture mtime) — training is BPE_MERGES
     iterative Spark rounds, far too heavy to re-run on every plan
     construction (same memo pattern as similarity._KMEANS_MEMO)."""
     import os
@@ -828,7 +840,11 @@ def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> dict:
         _mt = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
     except OSError:
         _mt = -1.0
-    key = (id(spark), sf_dir, _mt)
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _mt)
+    evict_foreign_app_entries(_BPE_MERGE_MEMO, app)  # review r11
     for old in [k for k in _BPE_MERGE_MEMO if k[:2] == key[:2] and k != key]:
         _BPE_MERGE_MEMO.pop(old)
     memo = _BPE_MERGE_MEMO.get(key)
@@ -971,7 +987,7 @@ FROM ranked WHERE rn = 1
 """
 
 
-_NB_MODEL_MEMO: dict = {}  # (session id, sf_dir, mtime) -> (counts, ndoc)
+_NB_MODEL_MEMO: dict = {}  # (applicationId, sf_dir, mtime) -> (counts, ndoc)
 
 
 def _nb_model_artifacts(spark: SparkSession, sf_dir: str):
@@ -992,13 +1008,19 @@ def _nb_model_artifacts(spark: SparkSession, sf_dir: str):
         mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
     except OSError:
         mtime = -1.0
-    key = (id(spark), sf_dir, mtime)
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, mtime)
     memo = _NB_MODEL_MEMO.get(key)
-    # the id() key can collide across session lifetimes — verify the
-    # memoized entry really belongs to THIS live session (the same
-    # guard _shingle_artifacts carries)
+    # belt: verify the memoized entry really belongs to THIS live
+    # session object, not just this applicationId
     if memo is not None and memo[0] is spark:
         return memo[1], memo[2]
+    # foreign-application entries hold persisted DataFrames of dead
+    # sessions — dropping the references is enough (their JVM state
+    # died with the session; review r11)
+    evict_foreign_app_entries(_NB_MODEL_MEMO, app)
     for old_key in [k for k in _NB_MODEL_MEMO if k[:2] == key[:2]]:
         for df in _NB_MODEL_MEMO.pop(old_key)[1:]:
             df.unpersist()
@@ -1032,8 +1054,9 @@ def evict_nb_artifacts(spark: SparkSession, sf_dir: str) -> None:
     pipeline stages that classify a transient stage directory call
     this so per-run model tables don't pin cluster memory for the
     session."""
+    app = spark.sparkContext.applicationId
     for key in [k for k in _NB_MODEL_MEMO
-                if k[0] == id(spark) and k[1] == sf_dir]:
+                if k[0] == app and k[1] == sf_dir]:
         for df in _NB_MODEL_MEMO.pop(key)[1:]:
             df.unpersist()
 

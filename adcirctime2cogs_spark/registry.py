@@ -79,7 +79,23 @@ _PRIORITY = [
     # this window) lost its forced keeper broadcast in the r11
     # self-review — a join-strategy hint removal, result-neutral by
     # definition, re-verified by the in-repo sweep; it queues for the
-    # r12 staleness cohort regardless.
+    # r12 staleness cohort regardless. The r11 self-review further
+    # touched these out-of-window queries with fixture-value-identical
+    # changes, all re-verified by the in-repo two-scale sweep (and
+    # queued for their natural staleness windows): vec_kmeans_lloyd
+    # (sparse-id-safe seeding, same seeds on dense ids),
+    # vec_pq_encode/sim_topk_pq_adc/sim_topk_pq_rerank (3dp rounding
+    # moved to the engine-exact floor form on BOTH sides),
+    # subquery_scalar_select (Spark-side SQL now floor-expanded like
+    # its oracle), sim_knn_join (oracle flip list derived from
+    # SIGN_BITS, identical string at the current constant),
+    # agg_heavy_hitters (threshold multiply in decimal(38,0) —
+    # overflow-safe, equal below int64), text_quality/
+    # prep_quality_filter (shared feature builder, identical
+    # expressions), events_sliding_window/events_gap_fill_locf/
+    # stream_tumbling_rollup (oracle tz-free make_timestamp rewrite,
+    # value-identical on the UTC driver), graph_pagerank (empty-graph
+    # guard, unreachable on fixtures).
     #
     # (3) stalest greens — the COMPLETE r07 cohort (44 queries,
     # alphabetical; recomputed from CORRECTNESS_r01-r10 and

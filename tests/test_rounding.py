@@ -1,6 +1,6 @@
-"""The r4 / expand_round_sql rounding convention is load-bearing for
-every oracle comparison: Spark, DuckDB, and Python must produce
-bit-identical doubles for floor(x * 1e4 + 0.5) / 1e4. Checked on
+"""The r4/rn / expand_round_sql rounding convention is load-bearing
+for every oracle comparison: Spark, DuckDB, and Python must produce
+bit-identical doubles for floor(x * 10^d + 0.5) / 10^d. Checked on
 seeded-random values plus the adversarial half-boundary family that
 originally motivated the convention (functions/numeric.py docstring).
 """
@@ -52,10 +52,15 @@ def test_r4_bit_identical_across_engines(spark):
     assert got_duck == pytest.approx(py, abs=0)
 
 
-def test_expand_round_sql_rewrites_only_4dp():
+def test_expand_round_sql_rewrites_every_literal_precision():
+    """Since review r11 the rewrite generalizes to ANY integer-literal
+    digit count (the PQ family rounds at 3dp, subquery_scalar at 2dp),
+    so every rounded double an oracle compares is engine-exact."""
     out = expand_round_sql("SELECT round(a + round(b, 4), 4), round(c, 2) FROM t")
-    assert out.count("floor(") == 2  # both 4dp calls, nested included
-    assert "round(c, 2)" in out  # other precisions untouched
+    assert out.count("floor(") == 3  # nested 4dp AND the 2dp call
+    assert "floor((c) * 100.0 + 0.5) / 100.0" in out
+    out3 = expand_round_sql("SELECT round(adc, 3) FROM t")
+    assert out3 == "SELECT floor((adc) * 1000.0 + 0.5) / 1000.0 FROM t"
 
 
 def test_expand_round_sql_property(spark):
@@ -80,23 +85,8 @@ def test_expand_round_sql_property(spark):
     @given(exprs)
     def check(e):
         out = expand_round_sql(e)
-        assert "round(" not in out.replace("round(", "ROUND(", 0) or True
-        # (a)+(b): every remaining round() call is non-4dp
-        rest = out
-        while "round(" in rest:
-            i = rest.find("round(")
-            depth = 0
-            j = i + len("round(")
-            while True:
-                if rest[j] == "(":
-                    depth += 1
-                elif rest[j] == ")":
-                    if depth == 0:
-                        break
-                    depth -= 1
-                j += 1
-            assert not rest[i:j].rstrip().endswith(", 4"), out
-            rest = rest[j:]
+        # (a)+(b): NO literal-digit round() survives the rewrite
+        assert "round(" not in out, out
         # (c): value-preserving
         con = duckdb.connect()
         con.execute("CREATE TABLE t AS SELECT 1.2345678::DOUBLE x, -0.5::DOUBLE y")
@@ -108,13 +98,17 @@ def test_expand_round_sql_property(spark):
     check()
 
 
-def test_expand_round_sql_nested_in_non4dp_and_word_boundary():
-    """Regressions: a round(X, 4) nested inside a round(..., 2) must
-    still be rewritten (the else branch used to skip the whole outer
-    call), and identifiers merely ENDING in 'round' (bround,
-    workaround) must not be corrupted."""
+def test_expand_round_sql_nested_and_word_boundary():
+    """Regressions: nested rounds expand inside-out; identifiers merely
+    ENDING in 'round' (bround, workaround) must not be corrupted; a
+    non-literal digit argument keeps native round but its INNER
+    literal rounds still expand."""
     assert expand_round_sql("SELECT round(round(x, 4), 2) FROM t") == (
-        "SELECT round(floor((x) * 10000.0 + 0.5) / 10000.0, 2) FROM t"
+        "SELECT floor((floor((x) * 10000.0 + 0.5) / 10000.0)"
+        " * 100.0 + 0.5) / 100.0 FROM t"
+    )
+    assert expand_round_sql("SELECT round(round(x, 4), d) FROM t") == (
+        "SELECT round(floor((x) * 10000.0 + 0.5) / 10000.0, d) FROM t"
     )
     assert (
         expand_round_sql("SELECT bround(x, 4) FROM t")
