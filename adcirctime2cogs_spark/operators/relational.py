@@ -54,17 +54,27 @@ from adcirctime2cogs_spark.functions.numeric import r4 as _r4  # noqa: E402
 @_register(
     "q1_pricing_summary",
     """
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity      AS DECIMAL(12,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_discount      AS DECIMAL(4,2))  AS disc,
+             CAST(l_tax           AS DECIMAL(4,2))  AS tax
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           round(CAST(sum(qty)   AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(price) AS DOUBLE), 4) AS sum_base_price,
+           round(CAST(sum(price * (1 - disc)) AS DOUBLE), 4)
+             AS sum_disc_price,
+           round(CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE), 4)
+             AS sum_charge,
+           round(CAST(sum(qty)   AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(disc)  AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM d
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -77,19 +87,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (flag, status) per task, not the fact table.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # EXACT decimal aggregation (review r11): the money columns are
+    # 2dp by construction, so the sums are order-independent decimals
+    # — valid at ANY scale, unlike double sums, whose engine-parallel
+    # fold order starts leaking into the 4dp grid once a group's sum
+    # passes ~2^53/1e4 (~sf10). Inputs stay in the long-backed
+    # fast-decimal range (<= 18 digits); the products are exact at
+    # (17,4)/(22,6); only the final sums widen. Averages derive from
+    # the exact sums in double (one deterministic rounding per side).
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r4(F.sum("l_quantity")).alias("sum_qty"),
-            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r4(F.sum(disc_price)).alias("sum_disc_price"),
-            _r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            _r4(F.avg("l_quantity")).alias("avg_qty"),
-            _r4(F.avg("l_extendedprice")).alias("avg_price"),
-            _r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            _r4(F.sum(qty).cast("double")).alias("sum_qty"),
+            _r4(F.sum(price).cast("double")).alias("sum_base_price"),
+            _r4(F.sum(price * (1 - disc)).cast("double"))
+            .alias("sum_disc_price"),
+            _r4(F.sum(price * (1 - disc) * (1 + tax)).cast("double"))
+            .alias("sum_charge"),
+            _r4(F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            _r4(F.sum(price).cast("double") / cnt).alias("avg_price"),
+            _r4(F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -298,6 +322,39 @@ def join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "c_custkey")
 
 
+
+# (date, orderkey) -> BIGINT packing shared by the as-of picks: day
+# count (< 2^15) shifted by 2^40 leaves room for order keys up to
+# ~10^12 — far past any plausible scale factor. ONE definition so the
+# shift and its unpack can never diverge between the backward/forward
+# variants (review r11).
+_ASOF_SHIFT = 1 << 40
+
+
+def _asof_pack() -> F.Column:
+    return (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long")
+        * F.lit(_ASOF_SHIFT)
+        + F.col("o_orderkey")
+    )
+
+
+def _asof_unpack(date_alias: str) -> list:
+    """Columns recovering (o_orderkey, formatted date) from `bp`."""
+    return [
+        (F.col("bp") % F.lit(_ASOF_SHIFT)).alias("o_orderkey"),
+        # integer div: packed values pass 2^53, fp division would
+        # round the day count
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.expr(f"bp div {_ASOF_SHIFT}").cast("int"),
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias(date_alias),
+    ]
+
+
 @_register(
     "join_asof",
     """
@@ -338,31 +395,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BIGINT: max(struct) only plans as a SortAggregate (struct isn't a
     # mutable hash-agg buffer type), which buys two per-task sorts of
     # the expanded join output; max(bigint) hash-aggregates in
-    # whole-stage codegen. o_orderdate is day-granular, so
-    # days-since-epoch (< 2^15) shifted by 2^40 leaves room for order
-    # keys up to ~10^12 — far past any plausible scale factor.
-    shift = F.lit(1 << 40)
-    packed = (
-        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * shift
-        + F.col("o_orderkey")
-    )
+    # whole-stage codegen (packing shared via _asof_pack/_asof_unpack).
     return (
         joined.groupBy("event_id", "user_id")
-        .agg(F.max(packed).alias("bp"))
-        .select(
-            "event_id",
-            "user_id",
-            (F.col("bp") % shift).alias("o_orderkey"),
-            # integer div: packed values pass 2^53, fp division would
-            # round the day count
-            F.date_format(
-                F.date_add(
-                    F.lit("1970-01-01").cast("date"),
-                    F.expr(f"bp div {1 << 40}").cast("int"),
-                ),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("asof_orderdate"),
-        )
+        .agg(F.max(_asof_pack()).alias("bp"))
+        .select("event_id", "user_id", *_asof_unpack("asof_orderdate"))
     )
 
 
@@ -501,7 +538,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact interpolated median."""
+    """Statistical aggregates incl. exact interpolated median.
+
+    Validity bound (review r11): var/stddev fold double co-moments
+    whose parallel-order error grows with group size, so the 4dp
+    oracle hash is guaranteed only while groups stay under ~1e9 rows
+    (~1 decade above the sf0.1 fixture; q1's money sums moved to
+    exact decimals, but co-moments have no decimal form). At data
+    scales beyond that, compare with a tolerance, not a hash."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         _r4(F.stddev_samp("l_extendedprice")).alias("std_price"),
@@ -1041,26 +1085,10 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate >= aligned),
     )
-    shift = F.lit(1 << 40)
-    packed = (
-        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * shift
-        + F.col("o_orderkey")
-    )
     return (
         joined.groupBy("event_id", "user_id")
-        .agg(F.min(packed).alias("bp"))
-        .select(
-            "event_id",
-            "user_id",
-            (F.col("bp") % shift).alias("o_orderkey"),
-            F.date_format(
-                F.date_add(
-                    F.lit("1970-01-01").cast("date"),
-                    F.expr(f"bp div {1 << 40}").cast("int"),
-                ),
-                "yyyy-MM-dd HH:mm:ss",
-            ).alias("next_orderdate"),
-        )
+        .agg(F.min(_asof_pack()).alias("bp"))
+        .select("event_id", "user_id", *_asof_unpack("next_orderdate"))
     )
 
 

@@ -147,19 +147,25 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — even with both sides rounded — left 1-ulp avg fold-order
     differences between engines able to flip boundary rows (round-1
     and round-2 driver hash fails)."""
+    from adcirctime2cogs_spark.tables import _src_hash
+
     orders = load_table(spark, sf_dir, "orders")
+    # view name carries the source digest: a fixed name would race
+    # across interleaved sf_dirs in one session (the invariant
+    # agg_grouping_sets documents; review r11)
+    view = f"_sq_orders_cents_{_src_hash(sf_dir)}"
     orders.select(
         "o_orderkey",
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    ).createOrReplaceTempView("_sq_orders_cents")
+    ).createOrReplaceTempView(view)
     return spark.sql(expand_round_sql(
-        """
+        f"""
         SELECT o_orderkey, cents AS total_cents
-        FROM _sq_orders_cents o
-        WHERE cents * (SELECT count(*) FROM _sq_orders_cents o2
+        FROM {view} o
+        WHERE cents * (SELECT count(*) FROM {view} o2
                        WHERE o2.o_custkey = o.o_custkey)
-              > 2 * (SELECT sum(cents) FROM _sq_orders_cents o2
+              > 2 * (SELECT sum(cents) FROM {view} o2
                      WHERE o2.o_custkey = o.o_custkey)
         """
     ))
@@ -670,18 +676,22 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-probed per row (SURVEY P8). The inner balance is rounded to 2dp
     before summing so the sum is exact-decimal in both engines
     regardless of fold order."""
-    nation = load_table(spark, sf_dir, "nation")
-    nation.createOrReplaceTempView("_sq_nation")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    from adcirctime2cogs_spark.tables import _src_hash
+
+    # source-digest view names — see subquery_correlated (review r11)
+    tag = _src_hash(sf_dir)
+    v_n, v_c = f"_sq_nation_{tag}", f"_sq_customer_{tag}"
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(v_n)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(v_c)
     return spark.sql(expand_round_sql(
-        """
+        f"""
         SELECT n_name,
-               (SELECT count(*) FROM _sq_customer c
+               (SELECT count(*) FROM {v_c} c
                 WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
                (SELECT round(coalesce(sum(round(c.c_acctbal, 2)), 0.0), 4)
-                FROM _sq_customer c
+                FROM {v_c} c
                 WHERE c.c_nationkey = n.n_nationkey) AS total_bal
-        FROM _sq_nation n
+        FROM {v_n} n
         """
     ))
 
@@ -819,15 +829,23 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     the divisor cardinality (a one-row broadcast).
 
     Shape at scale: one distinct + one hash agg, both keyed on the
-    customer — no join against the divisor at all until the final
-    scalar compare."""
+    customer — the divisor cardinality is a ONE-ROW broadcast joined
+    into the final filter, evaluated at EXECUTION time with the rest
+    of the plan (review r11: an eager .count() here ran a full orders
+    job at plan-construction time and baked a literal in, so a
+    regenerated fixture executed the dividend against a stale
+    divisor, and merely BUILDING the plan cost a scan)."""
     orders = load_table(spark, sf_dir, "orders")
-    pr_count = orders.select("o_orderpriority").distinct().count()
+    pr_count = orders.select("o_orderpriority").distinct().agg(
+        F.count("*").alias("pr_n")
+    )
     cp = orders.select("o_custkey", "o_orderpriority").distinct()
     return (
         cp.groupBy("o_custkey")
         .agg(F.count("*").alias("n_priorities"))
-        .filter(F.col("n_priorities") == pr_count)
+        .join(F.broadcast(pr_count))
+        .filter(F.col("n_priorities") == F.col("pr_n"))
+        .select("o_custkey", "n_priorities")
     )
 
 
@@ -916,16 +934,21 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for a fact table joined on the same key every day. The only
     shuffle in the whole plan is the final 5-group priority rollup.
 
-    The bucketed table NAMES are derived from a digest of ``sf_dir``:
-    with a fixed name, calling this for sf_a then sf_b would drop and
-    rewrite the tables under an already-returned (lazy) sf_a
-    DataFrame, silently rebinding it to sf_b's rows. Per-sf_dir names
-    make each returned plan read only its own tables; they are still
-    (re)written on every call so an in-place fixture regeneration
-    can't serve stale buckets (write cost is one narrow 2-column
-    projection per side). The `merge` hint keeps the planner on the
-    SMJ path buckets exist for — at fixture scale it would otherwise
-    broadcast and skip bucket pruning entirely.
+    The bucketed table NAMES are derived from digests of ``sf_dir``,
+    the fixture's DATA VERSION, and this session's applicationId:
+    per-sf_dir so a returned (lazy) sf_a plan can never be rebound to
+    sf_b's rows by a later call; per-version so an in-place fixture
+    regeneration writes NEW tables instead of rewriting under a
+    previously returned plan; per-application so two sessions sharing
+    a warehouse can never clobber each other's bucket files mid-scan
+    (review r11 — the old form dropped + rewrote the same paths on
+    EVERY call, failing any concurrent reader and billing two table
+    writes to each bench iteration). Within a session, repeat calls
+    at the same version reuse the existing tables write-free;
+    superseded versions of this app's tables are dropped on the next
+    write. The `merge` hint keeps the planner on the SMJ path buckets
+    exist for — at fixture scale it would otherwise broadcast and
+    skip bucket pruning entirely.
 
     Reference parity: the reference engine has no bucketing concept
     (single-node xarray, run/adcircTime2cogs.py); this is the §2B
@@ -934,24 +957,50 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import shutil
 
+    from adcirctime2cogs_spark.registry import _data_version
+    from adcirctime2cogs_spark.tables import _src_hash
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # canonical source-dir tag (review r11: an inlined md5 here would
+    # diverge from warehouse naming if _src_hash ever normalized paths)
+    src = _src_hash(sf_dir)
+    ver = hashlib.md5(str(_data_version(sf_dir)).encode()).hexdigest()[:8]
+    app = hashlib.md5(
+        spark.sparkContext.applicationId.encode()
+    ).hexdigest()[:6]
+    tag = f"{src}_{ver}_{app}"
     t_li, t_o = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
-    # per-session metastore: DROP TABLE alone won't clear a previous
-    # process's managed location, so clear the warehouse dirs too
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in (t_li, t_o):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_li)
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(t_o)
+    if not (spark.catalog.tableExists(t_li)
+            and spark.catalog.tableExists(t_o)):
+        # drop THIS app's superseded versions of the same source (a
+        # per-session metastore: DROP TABLE alone won't clear a
+        # previous version's managed location, so clear the dirs too)
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).removeprefix("file:")
+        for base in ("bkt_lineitem", "bkt_orders"):
+            for old in spark.catalog.listTables():
+                if (old.name.startswith(f"{base}_{src}_")
+                        and old.name.endswith(f"_{app}")
+                        and old.name not in (t_li, t_o)):
+                    spark.sql(f"DROP TABLE IF EXISTS {old.name}")
+                    shutil.rmtree(
+                        f"{warehouse}/{old.name}", ignore_errors=True
+                    )
+        # clear any orphan dir at OUR names (a dead same-app run
+        # cannot exist; an old process's leftovers never match the
+        # fresh applicationId digest)
+        for t in (t_li, t_o):
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(t_li)
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(t_o)
     j = spark.table(t_li).hint("merge").join(
         spark.table(t_o),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -964,9 +1013,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# every invocation REWRITES the bucketed tables, which invalidates any
-# previously returned plan's file listing — the registry plan cache
-# must never serve a stale DataFrame for this query
+# construction mutates catalog/warehouse state (writes the versioned
+# bucketed tables when absent and drops superseded versions), so the
+# registry plan cache hands out a fresh plan each call — construction
+# itself is write-free once the current version's tables exist
 join_bucketed._no_plan_cache = True
 
 
@@ -1008,6 +1058,9 @@ def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_quantity", "l_extendedprice",
                 "l_returnflag")
         .write.orc(p),
+        # names the generating rule per layout_once's contract —
+        # editing the projection must invalidate warm layouts
+        code_ver="orc:l_orderkey,l_quantity,l_extendedprice,l_returnflag",
     )
     return (
         spark.read.orc(path)
@@ -1057,6 +1110,8 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda p: load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .write.partitionBy("o_orderpriority").parquet(p),
+        code_ver="parquet:partitionBy(o_orderpriority):"
+                 "o_orderkey,o_totalprice",
     )
     dim = spark.createDataFrame(
         [("1-URGENT", 1), ("2-HIGH", 1)], "p string, boost int"

@@ -184,7 +184,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql queries."""
+    """Register every fixture table as a temp view for spark.sql
+    queries. The names are the canonical table names, so calling this
+    for a second sf_dir REBINDS them — safe for sequential use
+    (Dataset analysis is eager, so already-constructed plans keep
+    their resolved relations), but do not construct plans for two
+    sf_dirs concurrently on one session through these views."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 

@@ -170,6 +170,7 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
         "text_bigram_logprob": 1,     # single-row vocab-size broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast
+        "join_relational_division": 1,  # single-row divisor broadcast
         "text_bm25_topk": 3,          # N + avgdl one-row broadcasts
         "text_nb_classify": 3,        # N + V one-row + classes-row broadcasts
         "prep_dsir_weights": 1,       # single-row LM-totals broadcast
