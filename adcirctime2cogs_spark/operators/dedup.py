@@ -125,12 +125,28 @@ _DERIVED_CACHES: dict = {}
 
 def _register_derived_cache(spark, sf_dir: str, df):
     """Persist a DataFrame derived from the shingle artifacts and tie
-    its cache lifetime to the memo entry (see eviction above)."""
+    its cache lifetime to the memo entry (see eviction above). Repeat
+    registrations of a semantically identical plan return the FIRST
+    persisted handle instead of appending another (review r11: direct
+    operator calls that bypass the registry's plan cache — the test
+    suite, notebooks — accumulated one persisted duplicate per call).
+    With no live artifact entry to tie the lifetime to, the frame is
+    returned UNPERSISTED (an untracked persist would leak executor
+    storage for the session's lifetime)."""
+    app = spark.sparkContext.applicationId
     for k in _ARTIFACT_MEMO:
-        if k[0] == id(spark) and k[1] == sf_dir:
-            _DERIVED_CACHES.setdefault(k, []).append(df.persist())
+        if k[0] == app and k[1] == sf_dir:
+            lst = _DERIVED_CACHES.setdefault(k, [])
+            try:
+                h = df.semanticHash()
+                for prev in lst:
+                    if prev.semanticHash() == h:
+                        return prev
+            except Exception:
+                pass  # hash unavailable: fall through, still tracked
+            lst.append(df.persist())
             return df
-    return df.persist()
+    return df
 
 
 def _shingle_artifacts(spark: SparkSession, sf_dir: str):
@@ -160,10 +176,21 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
         mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
     except OSError:
         mtime = -1.0
-    key = (id(spark), sf_dir, mtime)
+    from adcirctime2cogs_spark.tables import evict_foreign_app_entries
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, mtime)
     memo = _ARTIFACT_MEMO.get(key)
     if memo is not None and memo[0] is spark:
         return memo[1], memo[2], memo[3]
+    # drop entries (and their derived caches) recorded by other
+    # applications — dead-session JVM state died with the app, only
+    # the Python references leak without this (review r11)
+    for k in list(_ARTIFACT_MEMO):
+        kid = k[0] if isinstance(k, tuple) else k
+        if kid != app:
+            _ARTIFACT_MEMO.pop(k, None)
+            _DERIVED_CACHES.pop(k, None)
     for old_key in [k for k in _ARTIFACT_MEMO if k[:2] == key[:2]]:
         old = _ARTIFACT_MEMO.pop(old_key)
         for df in old[1:]:
@@ -370,6 +397,18 @@ def _mh_sql_exprs() -> str:
     )
 
 
+def _mh_aggs() -> list:
+    """Spark twin of _mh_sql_exprs — THE MinHash permutation fold,
+    defined once (review r11: the expression list was pasted at five
+    sites; a coefficient-scheme change missing one would silently
+    desync base-layout bands from increment bands)."""
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME)
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(MH_COEFS)
+    ]
+
+
 @_register(
     "dedup_minhash_signature",
     "WITH " + SHINGLES_SQL + f"""
@@ -385,10 +424,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible at 100 TB.
     """
     sh = shingles(load_table(spark, sf_dir, "documents"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MH_COEFS)
-    ]
+    aggs = _mh_aggs()
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -542,10 +578,7 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> dict:
     from adcirctime2cogs_spark.operators.starcap import star_group_stats
 
     sh, stop, _ = _shingle_artifacts(spark, sf_dir)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MH_COEFS)
-    ]
+    aggs = _mh_aggs()
     sig = sh.groupBy("doc_id").agg(*aggs)
     sizes_b = _lsh_bands(sig).groupBy("band", "bkey").agg(
         F.count("*").alias("cn")
@@ -590,10 +623,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     treating a mismatch as a regression.
     """
     sh, stop, _inter = _shingle_artifacts(spark, sf_dir)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MH_COEFS)
-    ]
+    aggs = _mh_aggs()
     # one groupBy produces signatures AND set sizes (the Jaccard
     # denominators) — at 100TB that's one pass over the shingle table
     # instead of two. Signatures min-fold over the FULL shingle set
@@ -696,13 +726,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB shape: candidate pairs come from the
     SIGN_BUCKET_CAP-bounded sign-bucket relation (sub-quadratic like
-    sim_topk_bucketed, with the mass-duplication star fallback — and
-    keep-lowest-id survives it unchanged: the bucket's lowest id is
-    always a representative), the verify is exact cosine on
-    candidates only, and the survivors fall out of a left-anti join
-    against the (tiny, high-duplication) dropped-id set — the documents
-    table itself never self-joins. The reference has no dedup at all
-    (north-star scope, BASELINE.json)."""
+    sim_topk_bucketed, with the mass-duplication star fallback), the
+    verify is exact cosine on candidates only, and the survivors fall
+    out of a left-anti join against the dropped-id set — the
+    documents table itself never self-joins. The reference has no
+    dedup at all (north-star scope, BASELINE.json).
+
+    ORACLE CONTRACT (review r11, the dedup_minhash_lsh_pairs
+    discipline): the registered oracle enumerates ALL within-bucket
+    pairs, but over-cap buckets (> SIGN_BUCKET_CAP members) emit only
+    the two-representative star pairs, so a member whose ONLY
+    lower-id near-dup is a non-representative mid-bucket vector
+    survives here but not in the oracle. Parity therefore holds
+    exactly when sign_bucket_stats(spark, sf_dir)["n_over_cap"] == 0 —
+    true at every fixture SF (preconditioned in
+    tests/test_oracle_parity.py); on mass-duplicated real data
+    consult the in-band starcap:sign_bucket observation before
+    treating a mismatch as a regression."""
     from adcirctime2cogs_spark.operators.similarity import (
         _sign_bucket,
         _sign_bucket_candidates,
@@ -719,8 +759,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = load_table(spark, sf_dir, "documents")
+    # dup-id set sizes with the corpus's duplication rate (SemDeDup
+    # reports 20-50%% on real crawls) — let AQE pick the strategy
+    # instead of forcing a broadcast (review r11)
     return docs.join(
-        F.broadcast(dup_ids), docs.doc_id == dup_ids.dup_id, "left_anti"
+        dup_ids, docs.doc_id == dup_ids.dup_id, "left_anti"
     ).select("doc_id", "lang", "n_chars")
 
 
@@ -858,7 +901,7 @@ alldocs AS (
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 )
 SELECT component,
-       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS keeper,
+       arg_max(doc_id, least(n_chars, 4194303) * 1099511627776 - doc_id) AS keeper,
        count(*) AS cluster_size,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM alldocs GROUP BY component
@@ -874,21 +917,28 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken toward the smaller doc_id.
 
     The keeper pick is a single max_by on the packed ordering key
-    `n_chars * 2^32 - doc_id` (no per-cluster window sort, no second
-    shuffle: the pick rides the same hash agg as the cluster stats).
-    The left join against the CC labels is key-pruned — the label
-    table only holds docs that appear in the near-dup pair graph, a
-    small fraction of the corpus, so at 100 TB it broadcasts while the
-    document scan stays map-side."""
+    `least(n_chars, 2^22-1) * 2^40 - doc_id` (no per-cluster window
+    sort, no second shuffle: the pick rides the same hash agg as the
+    cluster stats). The clamp + 2^40 shift keep the key exact for
+    doc_ids up to 10^12 and any document length — the old 2^32 shift
+    bled the tie-break into the length block once ids passed 2^32
+    (review r11); docs longer than 4M chars tie at the clamp and
+    break toward the smaller id. The left join against the CC labels
+    is UNHINTED: on a lightly-duplicated corpus the label table is
+    tiny and AQE broadcasts it, but the pair graph of a 30-50%%-dup
+    crawl is corpus-scale and must shuffle (review r11 — the forced
+    broadcast here was the same 8 GB-ceiling bug fixed in
+    dedup_corpus_emit)."""
     labels = dedup_components(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    full = docs.join(F.broadcast(labels), "doc_id", "left").select(
+    full = docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("component"),
         "n_chars",
     )
     return full.groupBy("component").agg(
-        F.expr("max_by(doc_id, n_chars * 4294967296 - doc_id)").alias("keeper"),
+        F.expr("max_by(doc_id, least(n_chars, 4194303)"
+               " * 1099511627776 - doc_id)").alias("keeper"),
         F.count("*").alias("cluster_size"),
         F.sum("n_chars").alias("total_chars"),
     )
@@ -906,7 +956,7 @@ alldocs AS (
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 ),
 keepers AS (
-  SELECT arg_max(doc_id, n_chars * 4294967296 - doc_id) AS doc_id
+  SELECT arg_max(doc_id, least(n_chars, 4194303) * 1099511627776 - doc_id) AS doc_id
   FROM alldocs GROUP BY component
 )
 SELECT d.doc_id, d.lang, d.n_chars
@@ -1380,9 +1430,10 @@ def _semdedup_keepers_from(scored: DataFrame) -> DataFrame:
     scoring: drop an item iff ANY earlier member of its cell (keeper
     order: cs ASC, vec_id ASC) is a near-duplicate at cosine >=
     SEM_TAU. _sem_cell_candidates emits exactly the earlier->later
-    pairs, bounded per cell; a dropped-id DISTINCT + broadcast
-    anti-join finishes. Shared by the oracled query and its BLAS
-    scale twin."""
+    pairs, bounded per cell; a dropped-id DISTINCT + anti-join
+    finishes (unhinted: SemDeDup prunes 20-50%% of real corpora, so
+    the dropped set is NOT broadcast-sized at scale — review r11).
+    Shared by the oracled query and its BLAS scale twin."""
     from adcirctime2cogs_spark.operators.similarity import cosine
 
     dropped = (
@@ -1393,7 +1444,7 @@ def _semdedup_keepers_from(scored: DataFrame) -> DataFrame:
     )
     return (
         scored.join(
-            F.broadcast(dropped),
+            dropped,
             scored.vec_id == dropped.dup_id,
             "left_anti",
         )
@@ -1484,7 +1535,11 @@ def _semdedup_scored_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cs = (v[lo:hi] @ mat_t) / (
                     vnorm[lo:hi, None] * nrm[None, :]
                 )
-                cs = np.sign(cs) * np.floor(np.abs(cs) * 1e4 + 0.5) / 1e4
+                # floor(x*1e4+0.5), the EXACT r4 rule incl. negatives
+                # (review r11: sign*floor(abs*...) rounded half-AWAY-
+                # FROM-ZERO, flipping -0.00005 to -0.0001 where the
+                # slow path's r4 gives 0.0)
+                cs = np.floor(cs * 1e4 + 0.5) / 1e4
                 # top-1 by (cs desc, cent_id asc): argmax returns the
                 # FIRST maximum and ids are ascending — the tie-break
                 b = cs.argmax(axis=1)
@@ -1604,7 +1659,12 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str,
 # registry contract is single-dir); equivalence pinned in
 # tests/test_dedup.py.
 
-MH_INC_VER = "inc-v2"  # v2: + hashes/ subtable (incremental exact dedup)
+MH_INC_VER = "inc-v3"  # v3: hashes/ is md5(normalized_text) — the
+# SAME exact-duplicate definition dedup_exact is oracle-pinned on
+# (review r11: v2 used raw-text xxhash64, which both missed
+# case/whitespace-variant dups the batch path groups AND, being
+# 64-bit, silently merges unrelated docs near ~5e9 documents by
+# birthday collision)
 
 # (application id, base_dir) -> (documents mtime, layout path): lets
 # a session keep serving increments after the base text moved to cold
@@ -1659,16 +1719,13 @@ def _minhash_base_layout(spark: SparkSession, base_dir: str) -> str:
         kept.groupBy("doc_id").agg(F.count("*").alias("n")).write.parquet(
             f"{tmp}/sizes"
         )
-        aggs = [
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME)
-            .alias(f"mh{j}")
-            for j, (a, b) in enumerate(MH_COEFS)
-        ]
+        aggs = _mh_aggs()
         _lsh_bands(sh.groupBy("doc_id").agg(*aggs)).write.parquet(
             f"{tmp}/bands"
         )
         docs.select(
-            "doc_id", F.xxhash64("text").alias("h")
+            "doc_id",
+            F.md5(normalized_text(F.col("text"))).alias("h"),
         ).write.parquet(f"{tmp}/hashes")
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
@@ -1688,14 +1745,17 @@ def dedup_incremental_exact(spark: SparkSession, base_dir: str,
     """Exact-duplicate gate for a crawl increment — the first filter a
     batch hits before fuzzy dedup: (doc_id, dup_of) for every NEW
     document whose text content hash already exists in the base (or
-    earlier in the batch, dup_of = the lowest matching doc_id;
-    xxhash64, the same keep-lowest convention as dedup_exact). The
-    base side is the persisted hashes/ subtable of the incremental
-    layout — one id+hash column pair per base doc, no text re-read."""
+    earlier in the batch, dup_of = the lowest matching doc_id). The
+    hash is md5 over NORMALIZED text — the identical duplicate
+    definition and keep-lowest convention as the oracle-pinned
+    dedup_exact, and 128 bits so multi-billion-doc ledgers stay
+    birthday-safe (review r11). The base side is the persisted
+    hashes/ subtable of the incremental layout — one id+hash column
+    pair per base doc, no text re-read."""
     base = base_layout or _minhash_base_layout(spark, base_dir)
     b_h = spark.read.parquet(f"{base}/hashes")
     n_h = load_table(spark, new_dir, "documents").select(
-        "doc_id", F.xxhash64("text").alias("h")
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("h")
     )
     all_h = b_h.unionByName(n_h)
     first = all_h.groupBy("h").agg(F.min("doc_id").alias("dup_of"))
@@ -1707,13 +1767,18 @@ def dedup_incremental_exact(spark: SparkSession, base_dir: str,
 
 
 def incremental_stop_drift(spark: SparkSession, base_dir: str,
-                           new_dir: str) -> int:
+                           new_dir: str,
+                           base_layout: str | None = None) -> int:
     """Validity probe for the frozen-stop-set contract: the number of
     shingles whose doc frequency is <= DF_CAP in the base corpus but
     > DF_CAP over base + increment. Zero means the incremental output
     is exactly the from-scratch rerun's; nonzero is the signal to
-    compact (re-materialize the base layout over the merged corpus)."""
-    base = _minhash_base_layout(spark, base_dir)
+    compact (re-materialize the base layout over the merged corpus).
+    base_layout passes a recorded layout path directly — without it
+    the probe could not run against a cold-storage base in a fresh
+    session, making the contract's own precondition uncheckable in
+    exactly the scenario the module exists for (review r11)."""
+    base = base_layout or _minhash_base_layout(spark, base_dir)
     b_sh = spark.read.parquet(f"{base}/shingles")
     n_sh = shingles(load_table(spark, new_dir, "documents"))
     union_df = (
@@ -1751,11 +1816,7 @@ def dedup_incremental_pairs(spark: SparkSession, base_dir: str,
     ndocs = load_table(spark, new_dir, "documents")
     nsh_all = shingles(ndocs)
     nsh = nsh_all.join(F.broadcast(stop), "sh", "left_anti")
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_PRIME)
-        .alias(f"mh{j}")
-        for j, (a, b) in enumerate(MH_COEFS)
-    ]
+    aggs = _mh_aggs()
     n_bands = _lsh_bands(nsh_all.groupBy("doc_id").agg(*aggs))
 
     all_bands = b_bands.unionByName(n_bands)

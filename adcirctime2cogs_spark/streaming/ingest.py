@@ -10,8 +10,12 @@ Why foreachBatch and not dropDuplicates: streaming dropDuplicates
 bounds its state by the watermark — content duplicates in a corpus
 arrive arbitrarily late (a re-crawl weeks later), so the dedup state
 must be DURABLE and unbounded-in-time but tiny-per-doc: one
-(xxhash64, doc_id) row per accepted document, the same ledger shape
-dedup.dedup_incremental_exact reads. foreachBatch gives the batch-
+(md5-of-normalized-text, doc_id) row per accepted document — the
+identical exact-duplicate definition the oracle-pinned dedup_exact
+and dedup_incremental_exact use (review r11: a raw-text xxhash64 both
+missed whitespace/case-variant duplicates the batch path groups AND,
+at 64 bits, silently merges unrelated docs near ~5e9 documents by
+birthday collision). foreachBatch gives the batch-
 exact semantics (each micro-batch joins the ledger as a static table,
 then appends to it), and Spark's checkpoint gives effectively-once
 processing of each drop. The standard multi-sink foreachBatch caveat
@@ -23,7 +27,7 @@ ledger-join semantics themselves need no change.
 
 Scale shape (100 TB corpus front door): the per-batch work is one
 hash projection over the batch plus one join against the hash ledger
-keyed on the 8-byte hash — at 10B docs the ledger is ~160 GB of
+keyed on the 32-char md5 — at 10B docs the ledger is ~400 GB of
 (hash, id) pairs, a routine shuffle-join side; nothing ever re-reads
 accepted document TEXT. Within-batch duplicates resolve by min
 doc_id, matching dedup_exact's keep-lowest convention.
@@ -35,6 +39,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.text import normalized_text
 
 DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
                "n_chars long")
@@ -63,9 +69,9 @@ def start_ingest_with_dedup(spark: SparkSession, drop_dir: str,
         # inference would raise on every checkpoint replay and wedge
         # the stream permanently (review r10)
         if os.path.exists(ledger):
-            seen = s.read.schema("h long, doc_id long").parquet(ledger)
+            seen = s.read.schema("h string, doc_id long").parquet(ledger)
         else:
-            seen = s.createDataFrame([], "h long, doc_id long")
+            seen = s.createDataFrame([], "h string, doc_id long")
         # within-batch keep-lowest via row_number, NOT a min-doc_id
         # join: two physical copies of the SAME (h, doc_id) — a drop
         # file re-uploaded under a new name into one batch — both
@@ -73,7 +79,9 @@ def start_ingest_with_dedup(spark: SparkSession, drop_dir: str,
         # (review r10); rank keeps exactly one row per content hash.
         wh = W.partitionBy("h").orderBy("doc_id")
         joined = (
-            batch.select("*", F.xxhash64("text").alias("h"))
+            batch.select(
+                "*", F.md5(normalized_text(F.col("text"))).alias("h")
+            )
             .withColumn("rn", F.row_number().over(wh))
             .withColumn("batch_first", F.first("doc_id").over(wh))
             .join(

@@ -780,6 +780,12 @@ def test_incremental_exact_gate(spark, tmp_path):
             (9_000_002, "twice told tale " * 5, "en", "src0", 80),
             (9_000_003, "twice told tale " * 5, "en", "src0", 80),
             (9_000_004, "a genuinely new document body", "en", "src0", 29),
+            # NORMALIZED duplicate of the base victim (case +
+            # whitespace variants): dedup_exact groups these, so the
+            # incremental gate must too (review r11 — the raw-text
+            # xxhash64 gate missed it)
+            (9_000_005, "  " + victim.text.upper().replace(" ", "  "),
+             "en", "src0", victim.n_chars),
         ],
         "doc_id long, text string, lang string, source string, "
         "n_chars long",
@@ -791,4 +797,8 @@ def test_incremental_exact_gate(spark, tmp_path):
         for r in dedup_incremental_exact(spark, base_dir, new_dir)
         .collect()
     }
-    assert got == {9_000_001: victim.doc_id, 9_000_003: 9_000_002}
+    assert got == {
+        9_000_001: victim.doc_id,
+        9_000_003: 9_000_002,
+        9_000_005: victim.doc_id,
+    }

@@ -301,3 +301,35 @@ def test_unknown_filter_still_raises_typed(tmp_path):
     )
     with pytest.raises(hdf5.UnsupportedHDF5Feature, match="307"):
         hdf5.NC4File(p).read_var("zeta")
+
+
+def test_decoder_total_on_hostile_input():
+    """The decoder must raise SzipError (or produce bytes) on ANY
+    input — never a foreign exception class — because chunk payloads
+    arrive from untrusted files. Deterministic corrupt-stream fuzz:
+    truncations, bit flips, and random bytes across geometries
+    (hypothesis-free so the corpus is stable in CI)."""
+    import random
+
+    rng = random.Random(11)
+    opts = SZ_NN | SZ_LSB | SZ_RAW
+    base = bytes(range(256)) * 4
+    enc = encode_szip(base, opts, 8, 16, 64)
+    cases = []
+    # truncations
+    cases += [enc[:k] for k in range(0, len(enc), 7)]
+    # single bit flips
+    for _ in range(120):
+        i = rng.randrange(len(enc))
+        b = bytearray(enc)
+        b[i] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    # pure noise
+    cases += [bytes(rng.randrange(256) for _ in range(n))
+              for n in (1, 5, 33, 257)]
+    for payload in cases:
+        try:
+            out = decode_szip(payload, len(base), opts, 8, 16, 64)
+            assert len(out) == len(base)
+        except SzipError:
+            pass  # the typed error is the contract
