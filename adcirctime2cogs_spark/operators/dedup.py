@@ -1858,3 +1858,119 @@ def dedup_incremental_pairs(spark: SparkSession, base_dir: str,
         .filter(jac >= jaccard_min)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level first-keeper dedup (r12 queue: built + oracle ready,
+# NOT registered — the r11 window is fully forced by the rotation
+# policy; register into an r12 rule-2 slot).
+
+PARA_K = 8  # tokens per paragraph tile
+
+# Keeper-key encoding: doc_id * 2^20 + tile position. Exact while
+# p < 2^20 (docs up to 2^23 tokens at PARA_K=8) and doc_id < 2^43
+# (no int64 overflow) — the same documented-range discipline as the
+# survivor keeper key. Both engines compute the identical expression.
+_PARA_ENC = 1 << 20
+
+_PARAGRAPH_FIRST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+tiles AS (
+  SELECT doc_id, i AS p,
+         array_to_string(t[i*{PARA_K}+1 : i*{PARA_K}+{PARA_K}], ' ') AS tile
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, (len(t) + {PARA_K - 1}) // {PARA_K})) AS i
+    FROM tok
+  )
+),
+keeper AS (
+  SELECT tile, min(doc_id * {_PARA_ENC} + p) AS kkey FROM tiles GROUP BY tile
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tile
+  FROM tiles t JOIN keeper k
+    ON t.tile = k.tile AND t.doc_id * {_PARA_ENC} + t.p = k.kkey
+)
+SELECT d.doc_id, d.n_tiles,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_text, '') AS kept_text
+FROM (SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY doc_id) d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tile, ' ' ORDER BY p) AS kept_text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+def dedup_paragraph_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level FIRST-KEEPER dedup (the Dolma/RefinedWeb
+    paragraph-dedup shape): split every document into non-overlapping
+    PARA_K-token tiles (the corpus has no newline structure, so the
+    tile is the deterministic stand-in for a paragraph), keep each
+    distinct tile's globally FIRST occurrence — min (doc_id, position)
+    — and reassemble what remains of each document. Distinct from
+    dedup_substring_spans/text_substring_scrub, which REMOVE a
+    repeated window from every document including the first: here
+    exactly one copy of every tile survives somewhere in the corpus,
+    the semantics Dolma documents for its paragraph dedup.
+
+    Output: (doc_id, n_tiles, n_kept, kept_text) — kept_text '' when a
+    document contributed nothing first.
+
+    100 TB shape: one row-local explode builds the tile inventory; ONE
+    hash-groupBy on tile content picks keepers (at scale the group key
+    would be a 128-bit content hash — same plan, narrower exchange;
+    the raw string keeps the DuckDB oracle byte-exact here); keepers
+    flow back via an equi-join on the same key so Catalyst reuses the
+    exchange; reassembly is a per-doc hash-agg over only the KEPT
+    tiles. No self-join, no window over the corpus, no driver collect.
+
+    Reference parity: none (the reference has no text surface) —
+    north-star dedup family, BASELINE.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    n_tiles_col = F.ceil(F.size("t") / F.lit(PARA_K)).cast("long")
+    tiles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_tiles_col - 1),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(F.col("t"), (i * PARA_K + 1).cast("int"),
+                                PARA_K),
+                    ).alias("tile"),
+                ),
+            )
+        ).alias("pt"),
+    ).select(
+        "doc_id",
+        F.col("pt.p").alias("p"),
+        F.col("pt.tile").alias("tile"),
+    )
+    kkey = F.col("doc_id") * _PARA_ENC + F.col("p")
+    keeper = tiles.groupBy("tile").agg(F.min(kkey).alias("kkey"))
+    kept = tiles.join(keeper, "tile").filter(kkey == F.col("kkey"))
+    per_doc = tiles.groupBy("doc_id").agg(F.count("*").alias("n_tiles"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tile"))),
+                lambda s: s["tile"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return per_doc.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tiles",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

@@ -1017,3 +1017,67 @@ def events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (r12 queue: built + oracle
+# ready, NOT registered — the r11 window is fully forced by the
+# rotation policy; register into an r12 rule-2 slot).
+
+EWMA_DECAY = 0.5  # weight ratio between consecutive events
+EWMA_LAGS = 8  # trailing events per smoothed point (current + 7 back)
+
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(value, {j}) OVER w, 0) * {EWMA_DECAY ** j!r}"
+    for j in range(EWMA_LAGS)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL"
+    f" THEN {EWMA_DECAY ** j!r} ELSE 0 END)"
+    for j in range(EWMA_LAGS)
+)
+
+_EWMA_SQL = f"""
+SELECT event_id, user_id, ts, value,
+       floor(({_EWMA_NUM}) / ({_EWMA_DEN}) * 10000 + 0.5) / 10000 AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user: each event's
+    value smoothed over its trailing EWMA_LAGS events with geometric
+    decay EWMA_DECAY, the standard telemetry/metric smoother. The
+    truncated-window form (normalize by the weights actually present)
+    equals the classic recursive EWMA restarted at each user's first
+    event, truncated at 8 terms — at decay 0.5 the dropped tail is
+    < 2^-8 of the weight mass.
+
+    Determinism: both engines evaluate the identical left-to-right
+    sum of lag(value, j) * decay^j in IEEE double (decay powers are
+    exact binary fractions), so the quotient is bit-identical and the
+    4dp rounding can't straddle engines. Ordering within a user is
+    total: (ts, event_id).
+
+    100 TB shape: ONE window pass partitioned by user_id — all eight
+    lags share the single window sort, Spark evaluates them in one
+    WindowExec over the user partition; no self-join, no shuffle beyond
+    the partitionBy. Skewed users are bounded by the per-user event
+    count, not corpus size.
+
+    Reference parity: none (no event surface) — events family,
+    BASELINE.json."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(EWMA_LAGS)]
+    num = F.coalesce(lags[0], F.lit(0.0)) * (EWMA_DECAY ** 0)
+    den = F.when(lags[0].isNotNull(), F.lit(EWMA_DECAY ** 0)).otherwise(0.0)
+    for j in range(1, EWMA_LAGS):
+        num = num + F.coalesce(lags[j], F.lit(0.0)) * (EWMA_DECAY ** j)
+        den = den + F.when(
+            lags[j].isNotNull(), F.lit(EWMA_DECAY ** j)
+        ).otherwise(0.0)
+    return events.select(
+        "event_id", "user_id", "ts", "value", r4(num / den).alias("ewma")
+    )

@@ -1417,3 +1417,97 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.py — built and DuckDB-parity-pinned since round 10
     (tests/test_dataprep.py)."""
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (r12 queue: built + oracle ready,
+# NOT registered — the r11 window is fully forced by the rotation
+# policy; register into an r12 rule-2 slot).
+
+_PPL_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS t FROM vocab),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         floor(exp(-avg(ln(c / (SELECT t FROM tot)))) * 10000 + 0.5) / 10000
+           AS ppl
+  FROM tok JOIN vocab USING (tok)
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, p.doc_id, p.n_tokens, p.ppl,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS b
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
+FROM ranked
+GROUP BY lang, b
+"""
+
+
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: score every
+    document with the corpus-fit unigram perplexity proxy (the exact
+    text_unigram_logprob quantity), rank WITHIN EACH LANGUAGE, and cut
+    into terciles — CCNet's per-language head/middle/tail split that
+    LLaMA's data pipeline filters on. Output: per (lang, bucket) doc
+    count, token mass, and mean perplexity.
+
+    Determinism: the tercile rank orders by the 4dp-rounded perplexity
+    (the same engine-exact floor form both engines round with) with
+    doc_id as the tiebreak, so ntile assignment is reproducible across
+    engines.
+
+    100 TB shape: the LM is two hash-aggs and one token equi-join
+    (text_unigram_logprob's plan); the tercile is ONE window per
+    language partition. Exact ntile is the oracle-checked semantics;
+    at corpus scale a language (English ~half the corpus) makes that
+    partition's sort the bottleneck, and the production path swaps in
+    approx_percentile cutoffs per language (broadcast the 2 cut points,
+    assign by comparison — no global sort), changing only knife-edge
+    boundary assignment.
+
+    Reference parity: none (no text surface) — north-star text-analysis
+    family, BASELINE.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = vocab.join(F.broadcast(total)).select(
+        "tok", F.log(F.col("c") / F.col("t")).alias("lp")
+    )
+    per_doc = toks.join(logp, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        r4(F.exp(-F.avg("lp"))).alias("ppl"),
+    )
+    ranked = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        "ppl",
+        F.ntile(3)
+        .over(W.partitionBy("lang").orderBy("ppl", "doc_id"))
+        .alias("b"),
+    )
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", "b").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        r4(F.avg("ppl")).alias("avg_ppl"),
+    ).select(
+        "lang", bucket.alias("bucket"), "n_docs", "total_tokens", "avg_ppl"
+    )

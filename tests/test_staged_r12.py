@@ -1,0 +1,137 @@
+"""r12-queue staged operators (built + oracle ready, NOT registered —
+the r11 window is fully forced by the rotation policy): paragraph
+first-keeper dedup, CCNet perplexity buckets, per-user EWMA smoothing.
+Each gets the same treatment a registration would: DuckDB parity via
+the driver-contract comparator, a semantics pin on a constructed
+fixture, and a plan-shape gate."""
+
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.operators.dedup import (
+    PARA_K,
+    _PARAGRAPH_FIRST_SQL,
+    dedup_paragraph_first,
+)
+from adcirctime2cogs_spark.operators.eventwindows import (
+    _EWMA_SQL,
+    events_ewma_smooth,
+)
+from adcirctime2cogs_spark.operators.textstats import (
+    _PPL_BUCKETS_SQL,
+    text_ppl_buckets,
+)
+from tests.oracle_util import compare
+
+
+def _no_cartesian(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_paragraph_first_parity_and_plan(spark, sf_dir):
+    n = compare(spark, sf_dir, dedup_paragraph_first, _PARAGRAPH_FIRST_SQL)
+    assert n == 500
+    _no_cartesian(dedup_paragraph_first(spark, sf_dir))
+
+
+def test_paragraph_first_nonvacuous(spark, sf_dir):
+    agg = dedup_paragraph_first(spark, sf_dir).agg(
+        F.sum("n_tiles").alias("t"), F.sum("n_kept").alias("k")
+    ).first()
+    # the fixture plants exact/near duplicates, so tiles must be lost
+    assert agg["k"] < agg["t"]
+
+
+def test_paragraph_first_keeper_semantics(spark, tmp_path):
+    """First-keeper, not remove-everywhere: a tile repeated across
+    docs survives exactly once, at its global (doc_id, p) minimum —
+    including the within-doc repeat case."""
+    tile_a = " ".join(f"a{i}" for i in range(PARA_K))
+    tile_b = " ".join(f"b{i}" for i in range(PARA_K))
+    tile_c = " ".join(f"c{i}" for i in range(PARA_K))
+    rows = [
+        # doc 0: A B  -> keeps both (first occurrence of each)
+        (0, f"{tile_a} {tile_b}"),
+        # doc 1: B A  -> loses both to doc 0
+        (1, f"{tile_b} {tile_a}"),
+        # doc 2: C C  -> keeps the FIRST copy only (within-doc repeat)
+        (2, f"{tile_c} {tile_c}"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in dedup_paragraph_first(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["n_kept"] == 2 and got[0]["kept_text"] == rows[0][1]
+    assert got[1]["n_kept"] == 0 and got[1]["kept_text"] == ""
+    assert got[2]["n_kept"] == 1 and got[2]["kept_text"] == tile_c
+    # corpus-wide: every distinct tile survives exactly once
+    assert sum(r["n_kept"] for r in got.values()) == 3
+
+
+def test_ppl_buckets_parity_and_plan(spark, sf_dir):
+    n = compare(spark, sf_dir, text_ppl_buckets, _PPL_BUCKETS_SQL)
+    assert n == 15  # 5 langs x head/middle/tail
+    _no_cartesian(text_ppl_buckets(spark, sf_dir))
+
+
+def test_ppl_buckets_ordering_invariant(spark, sf_dir):
+    """Within a language the head bucket's mean perplexity can't
+    exceed the tail's (ntile assigns by ascending ppl)."""
+    rows = text_ppl_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert b["head"]["avg_ppl"] <= b["middle"]["avg_ppl"] <= (
+            b["tail"]["avg_ppl"]
+        ), lang
+        # ntile balance: bucket sizes differ by at most 1
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, lang
+
+
+def test_ewma_parity_and_plan(spark, sf_dir):
+    n = compare(spark, sf_dir, events_ewma_smooth, _EWMA_SQL)
+    assert n == 1000
+    _no_cartesian(events_ewma_smooth(spark, sf_dir))
+
+
+def test_ewma_first_event_and_bounds(spark, sf_dir):
+    """Each user's first event smooths to its own value; every EWMA
+    lies within the [min, max] of that user's trailing window (a
+    convex combination can't escape its inputs)."""
+    from pyspark.sql import Window as W
+
+    df = events_ewma_smooth(spark, sf_dir)
+    w_cols = df.select(
+        "user_id", "ts", "event_id", "value", "ewma"
+    )
+    first = (
+        w_cols.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter("rn = 1")
+        .filter(F.abs(F.col("ewma") - F.col("value")) > 1e-4)
+        .count()
+    )
+    assert first == 0
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    violations = (
+        w_cols.withColumn("lo", F.min("value").over(w))
+        .withColumn("hi", F.max("value").over(w))
+        .filter(
+            (F.col("ewma") < F.col("lo") - 1e-4)
+            | (F.col("ewma") > F.col("hi") + 1e-4)
+        )
+        .count()
+    )
+    assert violations == 0
