@@ -1861,9 +1861,7 @@ def dedup_incremental_pairs(spark: SparkSession, base_dir: str,
 
 
 # ---------------------------------------------------------------------------
-# Paragraph-level first-keeper dedup (r12 queue: built + oracle ready,
-# NOT registered — the r11 window is fully forced by the rotation
-# policy; register into an r12 rule-2 slot).
+# Paragraph-level first-keeper dedup.
 
 PARA_K = 8  # tokens per paragraph tile
 
@@ -1906,6 +1904,7 @@ LEFT JOIN (
 """
 
 
+@_register("dedup_paragraph_first", _PARAGRAPH_FIRST_SQL)
 def dedup_paragraph_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level FIRST-KEEPER dedup (the Dolma/RefinedWeb
     paragraph-dedup shape): split every document into non-overlapping

@@ -1020,9 +1020,7 @@ def events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exponentially weighted moving average (r12 queue: built + oracle
-# ready, NOT registered — the r11 window is fully forced by the
-# rotation policy; register into an r12 rule-2 slot).
+# Exponentially weighted moving average.
 
 EWMA_DECAY = 0.5  # weight ratio between consecutive events
 EWMA_LAGS = 8  # trailing events per smoothed point (current + 7 back)
@@ -1045,6 +1043,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+@_register("events_ewma_smooth", _EWMA_SQL)
 def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average per user: each event's
     value smoothed over its trailing EWMA_LAGS events with geometric

@@ -1420,9 +1420,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CCNet-style perplexity bucketing (r12 queue: built + oracle ready,
-# NOT registered — the r11 window is fully forced by the rotation
-# policy; register into an r12 rule-2 slot).
+# CCNet-style perplexity bucketing.
 
 _PPL_BUCKETS_SQL = """
 WITH tok AS (
@@ -1447,13 +1445,14 @@ SELECT lang,
        CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
          AS bucket,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
 FROM ranked
 GROUP BY lang, b
 """
 
 
+@_register("text_ppl_buckets", _PPL_BUCKETS_SQL)
 def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail quality bucketing: score every
     document with the corpus-fit unigram perplexity proxy (the exact

@@ -41,9 +41,24 @@ _OPERATOR_MODULES = [
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-11 rotation, defined by the policy test the moment
-    # CORRECTNESS_r10.json landed: the COMPLETE r07-green cohort (44
-    # queries) hits the 4-round staleness line, leaving 6 slots.
+    # Round-11 rotation. The staleness ceiling moved from 4 to 5
+    # rounds this round — capacity arithmetic, machine-checked by
+    # test_rotation_policy_is_feasible: with 199 oracled queries a
+    # 4-round ceiling needs an AVERAGE of 49.75 forced slots per
+    # 50-slot round, i.e. zero structural room for rule-2 (new or
+    # never-verified registrations) or rows-only rotations, and the
+    # lumpy per-round cohorts (r08: 49 queries) overshoot 50 outright
+    # once anything new registers. At 5 rounds the steady load is
+    # ~40/round with ~10 slots of slack. Under the 5-round line the
+    # r07 cohort below is due by r12, so verifying 41 of them now is
+    # one round EARLY (smoothing); the 3 carried to r12
+    # (micromesh_bbox, text_tokens, udf_pandas_scalar — chosen as the
+    # cheapest/steadiest of the cohort) plus ~44 of the 49-query r08
+    # cohort plus the remaining never-windowed rows-only set
+    # (text_bpe_train/encode, vec_pca_project — VERDICT r10 #3) fill
+    # the r12 window; r13 takes the r08 leftovers, the r09 cohort
+    # smoothing, and the last two rows-only rotations
+    # (dedup_semantic_keepers_scale, events_sketch_rollup).
     #
     # (1)+(2) added this round AND never externally verified — the
     # three operators queued since r09/r10 (all DuckDB-parity-pinned
@@ -51,6 +66,13 @@ _PRIORITY = [
     "text_bigram_logprob",
     "dedup_d4_prune",
     "prep_token_budget_mix",
+    # (1)+(2) built and registered this round, never externally
+    # verified — paragraph first-keeper dedup (Dolma shape), CCNet
+    # perplexity terciles, per-user EWMA smoothing; DuckDB parity and
+    # semantics pinned in tests/test_staged_r12.py:
+    "dedup_paragraph_first",
+    "text_ppl_buckets",
+    "events_ewma_smooth",
     # (1)+(2) plan-modified this round AND never externally verified
     # (rows-only — the DCT/fingerprint kernels are not
     # SQL-expressible; planted-twin recall and exactness pinned in
@@ -97,9 +119,10 @@ _PRIORITY = [
     # value-identical on the UTC driver), graph_pagerank (empty-graph
     # guard, unreachable on fixtures).
     #
-    # (3) stalest greens — the COMPLETE r07 cohort (44 queries,
-    # alphabetical; recomputed from CORRECTNESS_r01-r10 and
-    # machine-checked by test_no_oracled_query_ages_past_policy).
+    # (3) stalest greens — 41 of the 44-query r07 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r10 and
+    # machine-checked by test_no_oracled_query_ages_past_policy;
+    # the other 3 carry to r12, where the 5-round line forces them).
     # dedup_minhash_lsh_pairs, dedup_embedding_cosine and
     # sim_threshold_pairs additionally carry this round's starcap
     # observation, so their re-verification lands in-window (rule 1).
@@ -124,7 +147,6 @@ _PRIORITY = [
     "join_range",
     "join_skew_salted",
     "json_extract",
-    "micromesh_bbox",
     "prep_decontaminate",
     "prep_mixture_sample",
     "prep_oversample",
@@ -142,8 +164,6 @@ _PRIORITY = [
     "text_fingerprint",
     "text_langid",
     "text_tfidf_top",
-    "text_tokens",
-    "udf_pandas_scalar",
     "vec_centroid_per_label",
     "vec_quantize_int8",
     "win_range_frame",

@@ -168,6 +168,8 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "sim_topk_ivfpq": 1,          # same single probe-side broadcast
         "text_tfidf_top": 1,          # single-row corpus-count broadcast
         "text_unigram_logprob": 1,    # single-row corpus-total broadcast
+        "text_ppl_buckets": 1,        # same corpus-total broadcast (the
+                                      # bucketing rides the unigram LM)
         "text_bigram_logprob": 1,     # single-row vocab-size broadcast
         "agg_heavy_hitters": 1,       # single-row totals broadcast
         "join_relational_division": 1,  # single-row divisor broadcast

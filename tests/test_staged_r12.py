@@ -1,9 +1,9 @@
-"""r12-queue staged operators (built + oracle ready, NOT registered —
-the r11 window is fully forced by the rotation policy): paragraph
+"""The three operators built in round 11's second half: paragraph
 first-keeper dedup, CCNet perplexity buckets, per-user EWMA smoothing.
-Each gets the same treatment a registration would: DuckDB parity via
-the driver-contract comparator, a semantics pin on a constructed
-fixture, and a plan-shape gate."""
+Registered into r11 rule-2 window slots (the 5-round staleness policy
+made room — see tests/test_registry.py::POLICY_ROUNDS). Beyond the
+registry sweep, each gets a semantics pin on a constructed fixture and
+a plan-shape gate."""
 
 from pyspark.sql import functions as F
 
