@@ -252,3 +252,60 @@ ORACLES["stream_session_flush"] = """
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
     FROM s GROUP BY 1, 2
 """
+
+
+def stream_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_ewma_smooth via windows.ewma_by_user
+    (r13 queue: the r12 window is committed to the r08 staleness
+    cohort and the remaining rows-only rotations; register into an r13
+    rule-2 slot with _EWMA_SQL as its ready oracle). Replays the
+    events table through the file source in time-ordered micro-batches
+    — the same chunk-mtime protocol as stream_session_flush, minus the
+    watermark sentinels (NoTimeout emits every event's smoothed value
+    in the batch that carries it, so nothing waits on state expiry)."""
+    from adcirctime2cogs_spark.functions.numeric import r4
+    from adcirctime2cogs_spark.streaming.windows import (
+        ewma_by_user,
+        materialize_and_drop_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ewma_")
+    try:
+        src = os.path.join(tmp, "src")
+        (
+            events.repartitionByRange(_N_CHUNKS, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        base = 1_000_000_000
+        for i, f in enumerate(files):
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = f"stream_ewma_{uuid.uuid4().hex[:12]}"
+        q = (
+            ewma_by_user(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        drain_and_stop(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = materialize_and_drop_sink(spark, sink)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "value",
+        r4(F.col("ewma")).alias("ewma"),
+    )

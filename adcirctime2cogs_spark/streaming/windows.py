@@ -434,3 +434,74 @@ def run_continuous_rollup(
     )
     drain_and_stop(q)
     return n_batches
+
+
+def ewma_by_user(events: DataFrame, decay: float | None = None,
+                 lags: int | None = None) -> DataFrame:
+    """Per-EVENT stateful emission (applyInPandasWithState, NoTimeout):
+    the streaming twin of operators/eventwindows.py::events_ewma_smooth.
+    State per user is a bounded ring of the last lags-1 values —
+    constant bytes per key regardless of stream length, the property
+    that keeps an unbounded-key stateful stream alive at 100 TB.
+
+    Exactness contract (pinned by tests/test_streaming.py): under
+    per-user time-ordered arrival (the replay protocol) the emitted
+    EWMA is BIT-IDENTICAL to the batch window twin — both evaluate
+    coalesce(lag_j)*decay^j left-to-right newest-first in IEEE double
+    (decay powers are exact binary fractions; adding a leading 0.0 and
+    scaling by 2^-j are exact), so the 4dp rounding downstream can't
+    straddle engines. Arrival-order ties inside a micro-batch are
+    resolved by the same (ts, event_id) total order the batch twin
+    sorts on."""
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        EWMA_DECAY,
+        EWMA_LAGS,
+    )
+
+    d = EWMA_DECAY if decay is None else decay
+    k = EWMA_LAGS if lags is None else lags
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if hist:
+                state.update((hist,))
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        ewmas = []
+        for v in pdf["value"].tolist():
+            hist.append(float(v))
+            if len(hist) > k:
+                del hist[0]
+            num = 0.0
+            den = 0.0
+            for j in range(len(hist)):
+                w = d ** j
+                num = num + hist[-1 - j] * w
+                den = den + w
+            ewmas.append(num / den)
+        state.update((hist[-(k - 1):],))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": key[0],
+                "ts_us": pdf["ts"]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "ewma": ewmas,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, ts_us long, "
+            "value double, ewma double"
+        ),
+        stateStructType="hist array<double>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

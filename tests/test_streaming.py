@@ -867,3 +867,26 @@ def test_ingest_with_cross_batch_dedup(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(out, "corpus.parquet")
     ).count() == 4
+
+
+def test_ewma_stream_matches_batch_bitexact(spark, sf_dir):
+    """The per-event stateful EWMA (ring-buffer state, NoTimeout)
+    must equal the batch window twin EXACTLY at 4dp — both sides
+    evaluate the identical newest-first IEEE sum, so any mismatch is
+    an ordering or state bug, not float noise."""
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_ewma_smooth,
+    )
+    from adcirctime2cogs_spark.streaming.parity import stream_ewma_smooth
+
+    batch = {
+        r["event_id"]: r["ewma"]
+        for r in events_ewma_smooth(spark, sf_dir).collect()
+    }
+    stream = {
+        r["event_id"]: r["ewma"]
+        for r in stream_ewma_smooth(spark, sf_dir).collect()
+    }
+    assert len(stream) == len(batch)
+    diffs = {k for k in batch if stream[k] != batch[k]}
+    assert not diffs, sorted(diffs)[:5]

@@ -1926,6 +1926,124 @@ def run_corpus_events_leg(spark, n_events: int, n_users: int = 100_000) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_paragraph_dedup_leg(spark, n_docs: int = 250_000) -> dict:
+    """First-keeper paragraph dedup at corpus scale: on the synthetic
+    corpus every BASE doc's tiles are globally unique (xxhash64 token
+    mixing makes an 8-token tile collision measure-zero), and every
+    TWIN doc duplicates its base's tiles except the single tile
+    holding the mutated token. Exact expectations, checked per doc:
+    base docs keep ALL their tiles, twin docs keep EXACTLY ONE (the
+    mutated tile — their other tiles lose the first-occurrence race to
+    the lower-doc_id base). Any deviation is a violation. Wall time
+    shows the one-groupBy-per-tile shape holding at 250k docs."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.dedup import dedup_paragraph_first
+
+    out = tempfile.mkdtemp(prefix="scale_para_")
+    try:
+        n_twins = synth_documents(spark, out, n_docs)
+        t0 = time.time()
+        res = dedup_paragraph_first(spark, out)
+        bad_base = res.filter(
+            (F.col("doc_id") < n_docs) & (F.col("n_kept") != F.col("n_tiles"))
+        ).count()
+        bad_twin = res.filter(
+            (F.col("doc_id") >= n_docs) & (F.col("n_kept") != 1)
+        ).count()
+        wall = time.time() - t0
+        return {
+            "leg": f"paragraph_dedup_{n_docs}",
+            "n_docs": n_docs,
+            "n_twins": n_twins,
+            "base_docs_losing_tiles": bad_base,
+            "twins_not_reduced_to_one_tile": bad_twin,
+            "wall_sec": round(wall, 2),
+            "violations": (1 if bad_base else 0) + (1 if bad_twin else 0),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_ppl_ewma_leg(spark, n_docs: int = 250_000,
+                     n_events: int = 10_000_000,
+                     n_users: int = 100_000) -> dict:
+    """The other two r11 registrations at corpus scale. (a) CCNet
+    perplexity terciles on a SINGLE-language 250k-doc corpus — the
+    documented worst case, where one language owns the whole ntile
+    window partition; checks tercile balance (sizes within 1) and
+    monotone head<=middle<=tail mean perplexity. (b) per-user EWMA
+    over 10M events / 100k users in one window pass; checks row
+    preservation and the convex-combination bound (every smoothed
+    value inside its trailing window's [min, max])."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_ewma_smooth,
+    )
+    from adcirctime2cogs_spark.operators.textstats import text_ppl_buckets
+
+    out = tempfile.mkdtemp(prefix="scale_pplewma_")
+    violations = 0
+    try:
+        synth_documents(spark, out, n_docs)
+        t0 = time.time()
+        rows = text_ppl_buckets(spark, out).collect()
+        wall_ppl = time.time() - t0
+        sizes = {r["bucket"]: r["n_docs"] for r in rows}
+        ppls = {r["bucket"]: r["avg_ppl"] for r in rows}
+        balanced = (
+            len(rows) == 3 and max(sizes.values()) - min(sizes.values()) <= 1
+        )
+        monotone = ppls.get("head", 0) <= ppls.get("middle", 0) <= ppls.get(
+            "tail", 0
+        )
+        if not (balanced and monotone):
+            violations += 1
+
+        synth_events(spark, out, n_events, n_users)
+        ew = events_ewma_smooth(spark, out)
+        n_rows = ew.count()  # row preservation (window op pruned here)
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-7, 0)
+        )
+        # the bounds pass FILTERS on ewma, so it forces the full
+        # window computation — time THIS as the operator wall
+        t1 = time.time()
+        bounds_bad = (
+            ew.withColumn("lo", F.min("value").over(w))
+            .withColumn("hi", F.max("value").over(w))
+            .filter(
+                (F.col("ewma") < F.col("lo") - 1e-4)
+                | (F.col("ewma") > F.col("hi") + 1e-4)
+            )
+            .count()
+        )
+        wall_ewma = time.time() - t1
+        if n_rows != n_events or bounds_bad:
+            violations += 1
+        return {
+            "leg": f"ppl_ewma_{n_docs}_{n_events}",
+            "n_docs": n_docs,
+            "tercile_sizes": sizes,
+            "tercile_avg_ppl": ppls,
+            "wall_ppl_sec": round(wall_ppl, 2),
+            "n_events": n_events,
+            "ewma_rows": n_rows,
+            "ewma_bound_violations": bounds_bad,
+            "wall_ewma_sec": round(wall_ewma, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_tpch_scale_leg(spark, factor: int = 10,
                        base: str = "/root/testdata/sf0.1") -> dict:
     """Relational path at factor× the bench SF: replicate the sf0.1
@@ -2491,6 +2609,9 @@ def main() -> int:
             run_semdedup_scale_leg(spark, args.corpus_vecs),
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
+            run_paragraph_dedup_leg(spark, args.corpus_docs),
+            run_ppl_ewma_leg(spark, args.corpus_docs,
+                             args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
             run_bloom_filter_leg(spark),
