@@ -275,9 +275,14 @@ def stream_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_ewma_")
     try:
         src = os.path.join(tmp, "src")
+        # chunk on the FULL (ts, event_id) batch-twin ordering, not ts
+        # alone: two same-user events with EQUAL timestamps straddling
+        # a chunk boundary would otherwise arrive in undefined relative
+        # order (the sessionizer's gap semantics tolerate that; an
+        # order-sensitive per-event fold does not)
         (
-            events.repartitionByRange(_N_CHUNKS, "ts")
-            .sortWithinPartitions("ts")
+            events.repartitionByRange(_N_CHUNKS, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
             .write.mode("overwrite")
             .parquet(src)
         )
