@@ -7,9 +7,10 @@ command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
     exact_dedup -> quality -> [repetition_filter] -> [lang_filter] ->
-    fuzzy_dedup -> [embedding_dedup] -> [substring_scrub] ->
-    decontaminate -> pii_scrub -> source_cap -> [mixture] ->
-    [pq_index emit] -> split -> shards + card
+    [ppl_tail_filter] -> fuzzy_dedup -> [paragraph_dedup] ->
+    [embedding_dedup] -> [semdedup] -> [substring_scrub] -> decontaminate ->
+    pii_scrub -> source_cap -> [mixture] -> [pq_index emit] ->
+    split -> shards + card
 
 Every stage composes the SAME DataFrame kernels the registered,
 DuckDB-oracled queries run (quality_verdict, dedup_corpus_emit,
@@ -48,7 +49,9 @@ STAGES = (
     "quality",
     "repetition_filter",
     "lang_filter",
+    "ppl_tail_filter",
     "fuzzy_dedup",
+    "paragraph_dedup",
     "embedding_dedup",
     "semdedup",
     "substring_scrub",
@@ -80,9 +83,16 @@ STAGES = (
 # target natural prose, and a corpus owner tunes them per corpus —
 # on the synthetic word-soup fixture the defaults would drop nearly
 # everything, which is correct behavior but not a default.
+# ppl_tail_filter (CCNet: drop the per-language worst-perplexity
+# tercile under the corpus-fit unigram LM) is opt-in because it is
+# lossy by design, like mixture. paragraph_dedup (Dolma: keep each
+# PARA_K-token tile's globally first occurrence and reassemble) is
+# opt-in because it REWRITES text and can drop fully-duplicated docs,
+# like substring_scrub.
 _DEFAULT_ON = {
     s: s not in ("mixture", "embedding_dedup", "semdedup", "pq_index",
-                 "substring_scrub", "lang_filter", "repetition_filter")
+                 "substring_scrub", "lang_filter", "repetition_filter",
+                 "ppl_tail_filter", "paragraph_dedup")
     for s in STAGES
 }
 
@@ -309,6 +319,44 @@ def _emit_pq_index(spark: SparkSession, docs: DataFrame, input_dir: str,
     return n
 
 
+def _ppl_tail_filter(docs: DataFrame) -> DataFrame:
+    """CCNet head/middle keep (drop the per-language tail tercile of
+    corpus-fit unigram perplexity) — the same ppl_doc_terciles kernel
+    the registered text_ppl_buckets aggregates, consumed as a filter:
+    one semi-join on doc_id, drop-only."""
+    from adcirctime2cogs_spark.operators.textstats import ppl_doc_terciles
+
+    keep = (
+        ppl_doc_terciles(docs.select("doc_id", "text", "lang"))
+        .filter(F.col("b") != 3)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi")
+
+
+def _paragraph_dedup(spark: SparkSession, stage_in_dir: str) -> DataFrame:
+    """Dolma-style paragraph dedup over the materialized stage (the
+    registered dedup_paragraph_first kernel): each PARA_K-token tile
+    survives once corpus-wide at its first (doc_id, position)
+    occurrence; docs get their kept tiles reassembled as the new text
+    (n_chars recomputed) and docs contributing nothing first are
+    dropped. Rewrites text like substring_scrub, but with FIRST-KEEPER
+    semantics — exactly one copy of repeated boilerplate survives
+    somewhere, instead of being cut everywhere."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_paragraph_first
+
+    docs = _read_stage(spark, stage_in_dir)
+    kept = dedup_paragraph_first(spark, stage_in_dir).filter(
+        F.col("n_kept") > 0
+    )
+    others = [c for c in docs.columns if c not in ("text", "n_chars")]
+    return docs.join(kept.select("doc_id", "kept_text"), "doc_id").select(
+        *others,
+        F.col("kept_text").alias("text"),
+        F.length("kept_text").cast("bigint").alias("n_chars"),
+    )
+
+
 def _substring_scrub(spark: SparkSession, stage_in_dir: str) -> DataFrame:
     """Cut cross-document duplicated token spans from surviving text
     (the registered text_substring_scrub kernel over the materialized
@@ -473,6 +521,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
             out = _fuzzy_dedup(spark, cur_dir)
         elif stage == "lang_filter":
             out = _lang_filter(spark, cur_dir)
+        elif stage == "paragraph_dedup":
+            out = _paragraph_dedup(spark, cur_dir)
         elif stage == "substring_scrub":
             out = _substring_scrub(spark, cur_dir)
         elif stage == "embedding_dedup":
@@ -486,6 +536,7 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
                 "exact_dedup": _exact_dedup,
                 "quality": _quality,
                 "repetition_filter": _repetition_filter,
+                "ppl_tail_filter": _ppl_tail_filter,
                 "decontaminate": _decontaminate,
                 "pii_scrub": _pii_scrub,
                 "mixture": _mixture,

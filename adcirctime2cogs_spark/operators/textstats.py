@@ -1478,6 +1478,33 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none (no text surface) — north-star text-analysis
     family, BASELINE.json."""
     docs = load_table(spark, sf_dir, "documents")
+    ranked = ppl_doc_terciles(docs)
+    return ranked.groupBy("lang", "b").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        r4(F.avg("ppl")).alias("avg_ppl"),
+    ).select(
+        "lang", _bucket_name().alias("bucket"), "n_docs", "total_tokens",
+        "avg_ppl",
+    )
+
+
+def _bucket_name():
+    # built lazily: a module-level Column would need a live
+    # SparkContext at import time
+    return (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+
+
+def ppl_doc_terciles(docs: DataFrame) -> DataFrame:
+    """Per-DOC tercile assignment under the corpus-fit unigram LM —
+    the shared kernel of the registered text_ppl_buckets aggregate and
+    the corpus pipeline's ppl_tail_filter stage (which semi-joins away
+    bucket 3). Returns (doc_id, lang, n_tokens, ppl, b) with b in
+    {1, 2, 3} ascending by perplexity within each language."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
@@ -1490,23 +1517,12 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         r4(F.exp(-F.avg("lp"))).alias("ppl"),
     )
-    ranked = per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+    return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
         "lang",
         "n_tokens",
         "ppl",
         F.ntile(3)
         .over(W.partitionBy("lang").orderBy("ppl", "doc_id"))
         .alias("b"),
-    )
-    bucket = (
-        F.when(F.col("b") == 1, "head")
-        .when(F.col("b") == 2, "middle")
-        .otherwise("tail")
-    )
-    return ranked.groupBy("lang", "b").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        r4(F.avg("ppl")).alias("avg_ppl"),
-    ).select(
-        "lang", bucket.alias("bucket"), "n_docs", "total_tokens", "avg_ppl"
     )

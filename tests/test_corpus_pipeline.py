@@ -530,3 +530,91 @@ def test_repetition_filter_stage_matches_operator(spark, tmp_path):
     assert survived == expected
     assert 10_000_001 not in survived
     assert stage["rows_out"] == len(expected)
+
+
+def test_paragraph_dedup_stage_first_keeper_semantics(spark, tmp_path):
+    """The opt-in paragraph_dedup stage: a tile duplicated across two
+    planted docs survives only in the lower-id carrier; the higher-id
+    carrier keeps its unique tiles and loses the copied one; a doc
+    that is ENTIRELY tiles of another doc drops. Must be a pure
+    consumer of the registered dedup_paragraph_first kernel."""
+    from adcirctime2cogs_spark.operators.dedup import PARA_K
+
+    inp = str(tmp_path / "input")
+    shared = " ".join(f"parz{j}" for j in range(PARA_K))
+    uniq = " ".join(f"only{j}" for j in range(PARA_K))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    carriers = spark.createDataFrame(
+        [
+            (920001, shared + " " + uniq),  # keeps both tiles (first)
+            # both of 920002's tiles first occur in lower-id 920001,
+            # so it keeps nothing and the stage drops it entirely
+            (920002, uniq + " " + shared),
+            (920003, shared),               # fully duplicated -> drops
+        ],
+        "doc_id bigint, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    docs.unionByName(carriers.select(*docs.columns)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(inp, "documents.parquet"))
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(tmp_path / "work"),
+        "out_dir": str(tmp_path / "out"),
+        "stages": {s: s in ("paragraph_dedup",)
+                   for s in run_corpus_pipeline.__globals__["STAGES"]},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    st = next(s for s in manifest["stages"] if s["stage"] == "paragraph_dedup")
+    assert st["dropped"] >= 2  # 920002 and 920003 must go
+    out = spark.read.parquet(
+        os.path.join(_stage_dir(tmp_path, "paragraph_dedup"),
+                     "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in out.filter(
+        F.col("doc_id") >= 920001).collect()}
+    assert set(rows) == {920001}
+    assert rows[920001].text == shared + " " + uniq
+    # n_chars recomputed everywhere
+    assert out.filter(F.length("text") != F.col("n_chars")).count() == 0
+
+
+def test_ppl_tail_filter_stage_drops_worst_tercile(spark, tmp_path):
+    """The opt-in ppl_tail_filter stage keeps exactly the docs the
+    shared ppl_doc_terciles kernel puts in buckets 1-2 on the SAME
+    corpus the stage saw — a pure semi-join, no second scoring
+    implementation."""
+    from adcirctime2cogs_spark.operators.textstats import ppl_doc_terciles
+
+    inp = str(tmp_path / "input")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.write.mode("overwrite").parquet(
+        os.path.join(inp, "documents.parquet"))
+    cfg = {
+        "input_dir": inp,
+        "work_dir": str(tmp_path / "work"),
+        "out_dir": str(tmp_path / "out"),
+        "stages": {s: s in ("ppl_tail_filter",)
+                   for s in run_corpus_pipeline.__globals__["STAGES"]},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    st = next(s for s in manifest["stages"] if s["stage"] == "ppl_tail_filter")
+    expected = {
+        r["doc_id"]
+        for r in ppl_doc_terciles(
+            docs.select("doc_id", "text", "lang")
+        ).filter(F.col("b") != 3).collect()
+    }
+    out = spark.read.parquet(
+        os.path.join(_stage_dir(tmp_path, "ppl_tail_filter"),
+                     "documents.parquet")
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == expected
+    assert st["rows_out"] == len(expected)
+    # terciles: roughly a third of every language dropped
+    assert st["dropped"] >= docs.count() // 4
