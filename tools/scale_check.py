@@ -408,6 +408,12 @@ def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
                 "work_dir": f"{root}/work",
                 "out_dir": f"{root}/out",
                 "source_cap_n": n_docs,
+                # deliberately default stages only: enabling
+                # ppl_tail_filter here would drop every planted twin
+                # BEFORE fuzzy_dedup (the mutated token is an extreme
+                # perplexity outlier), making this leg's fuzzy
+                # verification vacuous — the r11 stages get their own
+                # leg (run_pipeline_r11_stages_leg)
             },
         )
         wall = time.time() - t0
@@ -442,6 +448,95 @@ def run_corpus_pipeline_leg(spark, n_docs: int = 250_000) -> dict:
             "rows_out": manifest["rows_out"],
             "planted_pairs": n_twins,
             "pairs_left_undeduped": both,
+            "stage_counts": {
+                s["stage"]: s["rows_out"] for s in manifest["stages"]
+            },
+            "wall_sec": round(wall, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_pipeline_r11_stages_leg(spark, n_docs: int = 250_000) -> dict:
+    """The two r11 opt-in pipeline stages end-to-end at corpus scale,
+    on the same planted twin corpus as the main pipeline leg but with
+    ppl_tail_filter + paragraph_dedup enabled. Invariants are EXACT:
+    (a) the tail filter cuts floor(n/3) on a single-language corpus
+    (ntile arithmetic: bucket 3 gets exactly n//3 when r = n%3 < 3);
+    (b) it drops EVERY planted twin — the mutated token "m<id>"
+    appears once in the corpus, so the twin's unigram perplexity is an
+    extreme outlier (the CCNet gate doing exactly its job on synthetic
+    anomalies); (c) paragraph_dedup is then a no-op row-wise AND
+    char-wise — with the twins gone, every surviving 8-token tile is
+    xxhash-unique, so first-keeper dedup must rewrite nothing (a
+    false-positive detector at 168k docs)."""
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.corpus_pipeline import run_corpus_pipeline
+
+    root = tempfile.mkdtemp(prefix="scale_r11stages_")
+    try:
+        synth_documents(spark, f"{root}/input", n_docs)
+        t0 = time.time()
+        manifest = run_corpus_pipeline(
+            spark,
+            {
+                "input_dir": f"{root}/input",
+                "work_dir": f"{root}/work",
+                "out_dir": f"{root}/out",
+                "source_cap_n": n_docs,
+                "stages": {"ppl_tail_filter": True,
+                           "paragraph_dedup": True},
+            },
+        )
+        wall = time.time() - t0
+        violations = 0
+        seq = [manifest["rows_in"]] + [
+            s["rows_out"] for s in manifest["stages"]
+        ]
+        names = [s["stage"] for s in manifest["stages"]]
+        i_ppl = names.index("ppl_tail_filter")
+        ppl_exact = seq[i_ppl + 1] == seq[i_ppl] - seq[i_ppl] // 3
+        if not ppl_exact:
+            violations += 1
+        i_para = names.index("paragraph_dedup")
+        para_noop_rows = seq[i_para + 1] == seq[i_para]
+        if not para_noop_rows:
+            violations += 1
+        # twins all die at the ppl gate; chars unchanged through the
+        # paragraph stage (no tile lost anywhere)
+        ppl_dir = next(
+            os.path.join(f"{root}/work", d)
+            for d in os.listdir(f"{root}/work")
+            if d.endswith("_ppl_tail_filter")
+        )
+        para_dir = next(
+            os.path.join(f"{root}/work", d)
+            for d in os.listdir(f"{root}/work")
+            if d.endswith("_paragraph_dedup")
+        )
+        surv = spark.read.parquet(os.path.join(ppl_dir, "documents.parquet"))
+        twins_surviving = surv.filter(F.col("doc_id") >= n_docs).count()
+        if twins_surviving:
+            violations += 1
+        chars_in = surv.agg(F.sum("n_chars").alias("c")).first()["c"]
+        chars_out = (
+            spark.read.parquet(os.path.join(para_dir, "documents.parquet"))
+            .agg(F.sum("n_chars").alias("c"))
+            .first()["c"]
+        )
+        if chars_in != chars_out:
+            violations += 1
+        return {
+            "leg": f"pipeline_r11_stages_{n_docs}",
+            "rows_in": manifest["rows_in"],
+            "rows_out": manifest["rows_out"],
+            "ppl_cut_exact_third": ppl_exact,
+            "twins_surviving_ppl": twins_surviving,
+            "paragraph_noop_rows": para_noop_rows,
+            "paragraph_chars_preserved": chars_in == chars_out,
             "stage_counts": {
                 s["stage"]: s["rows_out"] for s in manifest["stages"]
             },
@@ -2610,6 +2705,7 @@ def main() -> int:
             run_corpus_maxsim_leg(spark, args.corpus_vecs),
             run_corpus_events_leg(spark, args.corpus_events),
             run_paragraph_dedup_leg(spark, args.corpus_docs),
+            run_pipeline_r11_stages_leg(spark, args.corpus_docs),
             run_ppl_ewma_leg(spark, args.corpus_docs,
                              args.corpus_events),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
