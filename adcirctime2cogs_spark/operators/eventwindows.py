@@ -1080,3 +1080,135 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", "ts", "value", r4(num / den).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (r13 queue: built + oracle ready, NOT
+# registered — the r12 window is committed to the r08 staleness cohort
+# and rows-only rotations; register into an r13 rule-2 slot with
+# stream_ewma_smooth).
+
+# Operating point (Page's textbook choice): slack k = 0.5 sigma,
+# threshold h = 4 sigma. In the integer-unit arithmetic below these
+# appear as `sd4` (0.5 * sd at scale 2e4) and `8 * sd4` (4 * sd).
+CUSUM_K_SIGMA = 0.5
+CUSUM_H_SIGMA = 4.0
+
+# All CUSUM arithmetic runs in EXACT bigint units of 1/_CUSUM_SCALE
+# (the agg_distinct integer-cents discipline): a float prefix sum is
+# association-sensitive — DuckDB's segment-tree window sum and Spark's
+# running fold disagree in the last ULP, which both flips knife-edge
+# threshold rows and breaks the 4dp output rounding. Integer sums are
+# exact in any association. k = sd4 (= 0.5*sd at scale 2e4) and
+# h = 8*sd4 (= 4*sd) stay integers because the scale is 2 * 10^4.
+_CUSUM_SCALE = 20000
+
+_CUSUM_SQL = f"""
+WITH mu AS (
+  SELECT event_type,
+         CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS mu4,
+         CAST(floor(stddev_samp(value) * 10000 + 0.5) AS BIGINT) AS sd4
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT e.event_id, e.event_type, e.ts, m.sd4,
+         sum(CAST(floor(e.value * {_CUSUM_SCALE} + 0.5) AS BIGINT)
+             - (2 * m.mu4 + m.sd4)) OVER w AS run_sum
+  FROM events e JOIN mu m USING (event_type)
+  WINDOW w AS (PARTITION BY e.event_type
+               ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m2 AS (
+  SELECT event_id, event_type, ts, sd4, run_sum,
+         min(run_sum) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_min
+  FROM s
+)
+SELECT event_id, event_type, ts,
+       floor((run_sum - least(run_min, 0)) * 10000.0 / {_CUSUM_SCALE} + 0.5)
+         / 10000 AS cusum
+FROM m2
+WHERE run_sum - least(run_min, 0) > 8 * sd4
+"""
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detector per event_type (Page
+    1954), self-calibrating: flag events where the cumulative positive
+    drift of value above (mean + 0.5*sigma) exceeds 4*sigma — the
+    textbook k = sigma/2, h = 4 sigma operating point. The recursion
+    c_i = max(0, c_{i-1} + x_i - mu - k) is NOT window-expressible
+    directly, but has the exact prefix form
+    c_i = S_i - min(0, S_1..S_i) with S the running sum of
+    (x - mu - k) — two frames over ONE window sort, no recursion, no
+    UDF. (min is clamped at 0 because the recursion floors at the
+    implicit empty prefix.)
+
+    Determinism: everything runs in exact bigint units of 1/20000
+    (see _CUSUM_SCALE) — mu and sigma quantize to 4dp ints before
+    use, each value quantizes to the scale, and the prefix sums are
+    integer-exact in ANY association (a float prefix sum is not:
+    DuckDB's segment-tree window aggregation associates differently
+    from Spark's running fold, flipping knife-edge threshold rows
+    and 4dp output roundings — both observed before this form).
+
+    100 TB shape: the per-type (mean, sigma) is one hash-agg broadcast
+    back by AQE; the detector is a single window partitioned by
+    event_type — the same one-sort two-frame shape as win_running.
+    With few, huge types the production path pre-splits time into
+    epochs and chains the carry, unchanged semantics per epoch.
+
+    Reference parity: none (no event surface) — events family,
+    BASELINE.json."""
+    events = load_table(spark, sf_dir, "events")
+
+    def q4(col):  # 4dp quantize to bigint, engine-exact floor form
+        return F.floor(col * 10000.0 + 0.5).cast("bigint")
+
+    mu = events.groupBy("event_type").agg(
+        q4(F.avg("value")).alias("mu4"),
+        q4(F.stddev_samp("value")).alias("sd4"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v_s = F.floor(F.col("value") * _CUSUM_SCALE + 0.5).cast("bigint")
+    run_sum = F.sum(
+        v_s - (2 * F.col("mu4") + F.col("sd4"))
+    ).over(w)
+    joined = events.join(mu, "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "sd4",
+        run_sum.alias("run_sum"),
+    )
+    run_min = F.min("run_sum").over(
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum_i = F.col("run_sum") - F.least(run_min, F.lit(0).cast("bigint"))
+    return (
+        joined.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "sd4",
+            cusum_i.alias("ci"),
+        )
+        .filter(F.col("ci") > 8 * F.col("sd4"))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            (
+                F.floor(F.col("ci") * 10000.0 / _CUSUM_SCALE + 0.5) / 10000
+            ).alias("cusum"),
+        )
+    )

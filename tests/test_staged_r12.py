@@ -135,3 +135,58 @@ def test_ewma_first_event_and_bounds(spark, sf_dir):
         .count()
     )
     assert violations == 0
+
+
+# --- r13 queue: CUSUM change-point detector --------------------------------
+
+
+def test_cusum_parity_and_plan(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        _CUSUM_SQL,
+        events_cusum_changepoint,
+    )
+
+    n = compare(spark, sf_dir, events_cusum_changepoint, _CUSUM_SQL)
+    assert n > 0  # non-vacuous at sf0.001 (21 rows at the 4-sigma point)
+    _no_cartesian(events_cusum_changepoint(spark, sf_dir))
+
+
+def test_cusum_fires_after_planted_shift_only(spark, tmp_path):
+    """Semantics on a planted step change: a level shift of +3 sigma
+    halfway through a quiet series must trip the detector AFTER the
+    shift and never before it. Values are noiseless around each level,
+    so expectations are exact: pre-shift cusum stays at 0 (x - mu - k
+    < 0 throughout), post-shift it climbs by a fixed step per event
+    and crosses 4*sd at a computable index."""
+    import datetime
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    n, shift_at = 400, 200
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=i),
+            1,
+            "probe",
+            10.0 if i < shift_at else 20.0,
+            "{}",
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        r["event_id"]
+        for r in events_cusum_changepoint(spark, str(tmp_path)).collect()
+    )
+    assert got, "planted +2 sigma step never tripped the detector"
+    assert got[0] >= shift_at  # nothing flagged before the shift
+    # once tripped, the climb is monotone: every later event flags too
+    assert got == list(range(got[0], n))
