@@ -1159,7 +1159,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     back by AQE; the detector is a single window partitioned by
     event_type — the same one-sort two-frame shape as win_running.
     With few, huge types the production path pre-splits time into
-    epochs and chains the carry, unchanged semantics per epoch.
+    epochs and chains the carry, unchanged semantics per epoch — which
+    also bounds the int64 prefix sum: run_sum drifts by about
+    -sd4 (~5e5 units here) per event, so a single unbroken series
+    stays inside int64 to ~10^13 events per type; epoch splitting
+    renews that headroom.
 
     Reference parity: none (no event surface) — events family,
     BASELINE.json."""
@@ -1211,4 +1215,113 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("ci") * 10000.0 / _CUSUM_SCALE + 0.5) / 10000
             ).alias("cusum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (r13 queue, with the CUSUM
+# detector above: built + oracle ready, NOT registered).
+
+_KS_SQL = """
+WITH pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM events) a
+  JOIN (SELECT DISTINCT event_type FROM events) b
+    ON a.event_type < b.event_type
+),
+per_value AS (
+  SELECT p.type_a, p.type_b, e.value,
+         count(*) FILTER (e.event_type = p.type_a) AS ca,
+         count(*) FILTER (e.event_type = p.type_b) AS cb
+  FROM pairs p
+  JOIN events e ON e.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, e.value
+),
+cum AS (
+  SELECT type_a, type_b,
+         sum(ca) OVER w AS cum_a,
+         sum(cb) OVER w AS cum_b,
+         sum(ca) OVER tot AS n_a,
+         sum(cb) OVER tot AS n_b
+  FROM per_value
+  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         tot AS (PARTITION BY type_a, type_b)
+)
+SELECT type_a, type_b,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       floor(max(abs(cum_a * n_b - cum_b * n_a))
+             / (1.0 * max(n_a) * max(n_b)) * 10000 + 0.5) / 10000 AS d_stat
+FROM cum
+GROUP BY type_a, type_b
+"""
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic for every pair of
+    event types: D = sup_x |ECDF_a(x) - ECDF_b(x)| over value — the
+    standard distribution-drift test a telemetry pipeline runs beside
+    a mean-shift detector (events_cusum_changepoint). Ties are handled
+    by evaluating the ECDFs only at distinct-value boundaries (all
+    rows equal to a value are consumed before the gap is measured),
+    the right-continuous convention.
+
+    Exactness: D is the max of |cum_a*n_b - cum_b*n_a| over INTEGER
+    counts, divided once at the end — no float accumulates across
+    rows, so engines can't diverge (the CUSUM lesson applied from the
+    start). 4dp engine-exact rounding on the single final quotient.
+
+    100 TB shape: the type-pair dimension is tiny (it's a self-join of
+    DISTINCT types — broadcast); the heavy side groups each event once
+    per pair containing it (k-1 replicas for k types), then ONE window
+    per pair over DISTINCT values, not rows. For many types the
+    production form fixes one reference type per comparison instead of
+    all pairs, dropping the replication to 1.
+
+    Reference parity: none (no event surface) — events family,
+    BASELINE.json."""
+    events = load_table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    joined = events.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    per_value = joined.groupBy("type_a", "type_b", "value").agg(
+        F.count_if(F.col("event_type") == F.col("type_a")).alias("ca"),
+        F.count_if(F.col("event_type") == F.col("type_b")).alias("cb"),
+    )
+    w = (
+        W.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("type_a", "type_b")
+    cum = per_value.select(
+        "type_a",
+        "type_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.groupBy("type_a", "type_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (
+            F.floor(
+                F.max(gap) / (F.max("n_a") * F.max("n_b") * 1.0) * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("d_stat"),
     )

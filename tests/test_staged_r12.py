@@ -190,3 +190,55 @@ def test_cusum_fires_after_planted_shift_only(spark, tmp_path):
     assert got[0] >= shift_at  # nothing flagged before the shift
     # once tripped, the climb is monotone: every later event flags too
     assert got == list(range(got[0], n))
+
+
+# --- r13 queue: two-sample KS drift test ------------------------------------
+
+
+def test_ks_parity_and_plan(spark, sf_dir):
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        _KS_SQL,
+        events_ks_drift,
+    )
+
+    n = compare(spark, sf_dir, events_ks_drift, _KS_SQL)
+    assert n == 10  # C(5 types, 2) pairs
+    _no_cartesian(events_ks_drift(spark, sf_dir))
+
+
+def test_ks_extremes_on_planted_distributions(spark, tmp_path):
+    """D is exactly 1 for disjoint supports, exactly 0 for identical
+    multisets, and in between for a half-shifted pair — all integer
+    arithmetic, so the expectations are equalities, not tolerances."""
+    import datetime
+
+    from adcirctime2cogs_spark.operators.eventwindows import events_ks_drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'low' in [0,100), 'high' in [1000,1100): disjoint -> D = 1
+    # 'same' == 'low' values exactly: identical -> D = 0
+    # 'half': first 50 match low, next 50 live at 1000+ -> D = 0.5
+    for i in range(100):
+        for t, v in (
+            ("low", float(i)),
+            ("high", 1000.0 + i),
+            ("same", float(i)),
+            ("half", float(i) if i < 50 else 1000.0 + i),
+        ):
+            rows.append((eid, base, 1, t, v, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    d = {
+        (r["type_a"], r["type_b"]): r["d_stat"]
+        for r in events_ks_drift(spark, str(tmp_path)).collect()
+    }
+    assert d[("high", "low")] == 1.0
+    assert d[("low", "same")] == 0.0
+    assert d[("half", "low")] == 0.5
+    assert d[("half", "high")] == 0.5
