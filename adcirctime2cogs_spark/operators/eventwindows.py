@@ -1277,7 +1277,10 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair containing it (k-1 replicas for k types), then ONE window
     per pair over DISTINCT values, not rows. For many types the
     production form fixes one reference type per comparison instead of
-    all pairs, dropping the replication to 1.
+    all pairs, dropping the replication to 1. (r13 registration note:
+    the pair-dim broadcast is an OR-condition join, so the plan carries
+    one deliberate BroadcastNestedLoopJoin — add a bnlj_allowance entry
+    in tests/test_plans.py alongside the other tiny-side generators.)
 
     Reference parity: none (no event surface) — events family,
     BASELINE.json."""

@@ -57,8 +57,12 @@ _PRIORITY = [
     # cohort plus the remaining never-windowed rows-only set
     # (text_bpe_train/encode, vec_pca_project — VERDICT r10 #3) fill
     # the r12 window; r13 takes the r08 leftovers, the r09 cohort
-    # smoothing, and the last two rows-only rotations
-    # (dedup_semantic_keepers_scale, events_sketch_rollup).
+    # smoothing, the last two rows-only rotations
+    # (dedup_semantic_keepers_scale, events_sketch_rollup), and the
+    # three oracle-ready r13-queued registrations built this round:
+    # stream_ewma_smooth (streaming/parity.py), events_cusum_changepoint
+    # and events_ks_drift (operators/eventwindows.py) — each already
+    # DuckDB-parity-pinned in pytest.
     #
     # (1)+(2) added this round AND never externally verified — the
     # three operators queued since r09/r10 (all DuckDB-parity-pinned
