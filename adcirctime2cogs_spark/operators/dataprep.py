@@ -799,3 +799,107 @@ def prep_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.py — built and DuckDB-parity-pinned since round 10
     (tests/test_dataprep.py)."""
     return token_budget_keepers(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (r13 queue, with the CUSUM/KS detectors: built +
+# oracle ready, NOT registered).
+
+def _leakage_sql() -> str:
+    from adcirctime2cogs_spark.operators.dedup import (
+        _INTER_SQL,
+        _SIZES_SQL,
+    )
+
+    return (
+        "WITH "
+        + SHINGLES_SQL
+        + _INTER_SQL
+        + _SIZES_SQL
+        + """,
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 AS b
+    FROM documents
+  )
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       count(*) AS n_pairs,
+       CAST(least(a.split, b.split) != greatest(a.split, b.split)
+            AS BIGINT) AS leaky
+FROM pairs
+JOIN sp a ON a.doc_id = doc_a
+JOIN sp b ON b.doc_id = doc_b
+GROUP BY 1, 2
+"""
+    )
+
+
+def prep_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit of the content-hash split: count exact-
+    Jaccard near-dup pairs (the dedup_ngram_jaccard miner, j >= 0.8)
+    by the split classes of their two members. A pair straddling
+    train and valid/test IS leakage — the eval member has a near-copy
+    in training, the contamination mode per-doc decontamination can't
+    see because no eval shingle list exists for the corpus's OWN
+    held-out split. Output: (split_a, split_b, n_pairs, leaky) with
+    the pair class canonicalized least/greatest; leaky = 1 on
+    off-diagonal classes. The remedy this audit motivates is grouping
+    near-dup components onto one side of the split before training
+    (the consumer pattern documented in corpus_pipeline).
+
+    Composition, not reimplementation: the pair set is the registered
+    dedup_ngram_jaccard's (shared shingle artifacts, DF_CAP stop
+    discipline) and the split rule is the registered
+    text_train_test_split's md5-bucket hash — the audit cannot drift
+    from what it audits.
+
+    100 TB shape: the pair graph is the capped posting-list join
+    (sub-quadratic); split assignment is row-local hash math joined
+    onto the pair ends by doc_id; the final agg is 6 groups.
+
+    Reference parity: none — north-star dataset-prep family,
+    BASELINE.json."""
+    from adcirctime2cogs_spark.operators.dedup import dedup_ngram_jaccard
+    from adcirctime2cogs_spark.operators.textstats import (
+        text_train_test_split,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    splits = text_train_test_split(spark, sf_dir).select("doc_id", "split")
+    a = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    b = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    cls_a = F.least("sa", "sb")
+    cls_b = F.greatest("sa", "sb")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(cls_a.alias("split_a"), cls_b.alias("split_b"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b"))
+            .cast("bigint")
+            .alias("leaky"),
+        )
+    )

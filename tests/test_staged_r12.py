@@ -244,3 +244,30 @@ def test_ks_extremes_on_planted_distributions(spark, tmp_path):
     assert d[("low", "same")] == 0.0
     assert d[("half", "low")] == 0.5
     assert d[("half", "high")] == 0.5
+
+
+# --- r13 queue: split-leakage audit ------------------------------------------
+
+
+def test_leakage_audit_parity_and_consistency(spark, sf_dir):
+    """Parity plus composition consistency: the audit's pair total
+    must equal the registered miner's pair count (it IS that pair
+    set), and off-diagonal classes must exist at sf0.001 (the planted
+    near-dups land in different hash buckets — leakage the content
+    split provably has, which is this operator's reason to exist)."""
+    from adcirctime2cogs_spark.operators.dataprep import (
+        _leakage_sql,
+        prep_split_leakage_audit,
+    )
+    from adcirctime2cogs_spark.operators.dedup import dedup_ngram_jaccard
+
+    n = compare(spark, sf_dir, prep_split_leakage_audit, _leakage_sql())
+    assert n > 0
+    rows = prep_split_leakage_audit(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == dedup_ngram_jaccard(
+        spark, sf_dir
+    ).count()
+    assert sum(r["n_pairs"] for r in rows if r["leaky"] == 1) > 0
+    for r in rows:
+        assert r["leaky"] == (1 if r["split_a"] != r["split_b"] else 0)
+    _no_cartesian(prep_split_leakage_audit(spark, sf_dir))
