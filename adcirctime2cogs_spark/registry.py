@@ -59,9 +59,10 @@ _PRIORITY = [
     # the r12 window; r13 takes the r08 leftovers, the r09 cohort
     # smoothing, the last two rows-only rotations
     # (dedup_semantic_keepers_scale, events_sketch_rollup), and the
-    # three oracle-ready r13-queued registrations built this round:
+    # four oracle-ready r13-queued registrations built this round:
     # stream_ewma_smooth (streaming/parity.py), events_cusum_changepoint
-    # and events_ks_drift (operators/eventwindows.py) — each already
+    # and events_ks_drift (operators/eventwindows.py), and
+    # prep_split_leakage_audit (operators/dataprep.py) — each already
     # DuckDB-parity-pinned in pytest.
     #
     # (1)+(2) added this round AND never externally verified — the

@@ -2,10 +2,10 @@
 rule-2 window slots (the 5-round staleness policy made room — see
 tests/test_registry.py::POLICY_ROUNDS): paragraph first-keeper dedup,
 CCNet perplexity buckets, per-user EWMA smoothing. Queued for r13
-rule-2 slots with ready oracles: the CUSUM change-point detector and
-the two-sample KS drift test (sections below). Beyond the registry
-sweep, each gets a semantics pin on a constructed fixture and a
-plan-shape gate."""
+rule-2 slots with ready oracles: the CUSUM change-point detector, the
+two-sample KS drift test, and the split-leakage audit (sections
+below). Beyond the registry sweep, each gets a semantics pin on a
+constructed fixture and a plan-shape gate."""
 
 from pyspark.sql import functions as F
 
