@@ -21,24 +21,41 @@ from pyspark.sql import functions as F
 
 def r4(col: Column | str) -> Column:
     """round-half-up to 4 decimals, bit-stable across engines."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 10000.0 + 0.5) / 10000.0
+    return rn(col, 4)
 
 
 def rn(col: Column | str, digits: int) -> Column:
     """round-half-up to `digits` decimals in the same engine-exact
     floor form as r4 — use this instead of F.round for ANY rounded
     double an oracle compares (review r11: the PQ family's 3dp
-    F.round bypassed the convention)."""
+    F.round bypassed the convention).
+
+    The input is cast to DOUBLE first so the whole computation — and
+    the RESULT TYPE — is double regardless of the input type. Without
+    the cast a DECIMAL input keeps the arithmetic in Spark's exact
+    decimal (decimal * decimal-literal stays decimal) while DuckDB's
+    identical text promotes to DOUBLE, producing numerically equal but
+    type-divergent results that a type-sensitive hasher rejects
+    (r11 post-mortem: join_lateral_topk / subquery_scalar_select)."""
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10 ** digits)
-    return F.floor(c * scale + 0.5) / scale
+    return F.floor(c.cast("double") * scale + 0.5) / scale
 
 
 def expand_round_sql(sql: str) -> str:
     """Rewrite every round(X, d) call (integer literal d) in a SQL
-    string to floor((X) * 10^d + 0.5) / 10^d (balanced-paren
-    aware)."""
+    string to floor(CAST((X) AS DOUBLE) * 1e<d> + 0.5) / 1e<d>
+    (balanced-paren aware).
+
+    The CAST and the exponent literal are both load-bearing: `10000.0`
+    parses as DECIMAL in Spark SQL (and DECIMAL(6,1) in DuckDB), so on
+    a DECIMAL input the un-cast form keeps Spark in exact-decimal
+    arithmetic and returns decimal(26,7) while DuckDB's identical text
+    returns DOUBLE — numerically equal, hash-divergent (burned
+    join_lateral_topk in the r11 external window). `1e4` is DOUBLE in
+    both engines and the CAST pins the whole computation to double on
+    any input type, so the same expanded text produces bit-identical
+    DOUBLE results on both sides."""
     out = []
     i = 0
     lower = sql.lower()
@@ -79,9 +96,11 @@ def expand_round_sql(sql: str) -> str:
         digits = inner[split + 1:].strip() if split >= 0 else ""
         if digits.isdigit():
             expr = expand_round_sql(inner[:split])
-            scale = f"{10 ** int(digits)}.0"
+            scale = f"1e{int(digits)}"
             out.append(sql[i:j])
-            out.append(f"floor(({expr}) * {scale} + 0.5) / {scale}")
+            out.append(
+                f"floor(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) / {scale}"
+            )
             i = k + 1
         else:
             # a non-literal-digits round: emit only its opening and

@@ -664,7 +664,8 @@ def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
              AS n_customers,
-           (SELECT round(coalesce(sum(round(c.c_acctbal, 2)), 0.0), 4)
+           (SELECT coalesce(sum(CAST(floor(CAST(c.c_acctbal AS DOUBLE)
+                                           * 1e2 + 0.5) AS BIGINT)), 0) / 1e2
             FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS total_bal
     FROM nation n
     """,
@@ -673,9 +674,12 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subqueries in the SELECT list (per-row correlated
     aggregates) — Catalyst decorrelates both into ONE left outer
     aggregate join on the correlation key, so the nation scan is not
-    re-probed per row (SURVEY P8). The inner balance is rounded to 2dp
-    before summing so the sum is exact-decimal in both engines
-    regardless of fold order."""
+    re-probed per row (SURVEY P8). The balance sum runs in exact
+    integer CENTS (the agg_distinct discipline): each 2dp balance
+    rounds to a BIGINT cent count, the sum is exact in any fold order
+    at any scale, and one final /1e2 lands on DOUBLE in both engines —
+    the r11 round()-based form kept Spark in decimal(38,6) while
+    DuckDB emitted DOUBLE, a type-divergent hash (VERDICT r11 #2)."""
     from adcirctime2cogs_spark.tables import _src_hash
 
     # source-digest view names — see subquery_correlated (review r11)
@@ -683,17 +687,18 @@ def subquery_scalar_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_n, v_c = f"_sq_nation_{tag}", f"_sq_customer_{tag}"
     load_table(spark, sf_dir, "nation").createOrReplaceTempView(v_n)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(v_c)
-    return spark.sql(expand_round_sql(
+    return spark.sql(
         f"""
         SELECT n_name,
                (SELECT count(*) FROM {v_c} c
                 WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
-               (SELECT round(coalesce(sum(round(c.c_acctbal, 2)), 0.0), 4)
+               (SELECT coalesce(sum(CAST(floor(CAST(c.c_acctbal AS DOUBLE)
+                                               * 1e2 + 0.5) AS BIGINT)), 0) / 1e2
                 FROM {v_c} c
                 WHERE c.c_nationkey = n.n_nationkey) AS total_bal
         FROM {v_n} n
         """
-    ))
+    )
 
 
 @_register(

@@ -115,6 +115,25 @@ def test_oracle_no_exotic_types(sf_dir, name):
     )
 
 
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_spark_no_exotic_types(spark, sf_dir, name):
+    """Mirror of test_oracle_no_exotic_types on the SPARK side — the
+    blind spot that burned the r11 window. The local comparator
+    collapses Decimal→float, so a Spark plan emitting decimal(28,7)
+    where DuckDB emits DOUBLE is locally green but red under the
+    external type-sensitive hasher (join_lateral_topk, r11: Spark SQL
+    parses `10000.0` as DECIMAL, keeping a decimal input's arithmetic
+    exact-decimal). Gate: no registered query's Spark result schema
+    may contain DECIMAL or CALENDAR-INTERVAL anywhere (nested types
+    included — simpleString() is recursive). Schema-only: one Catalyst
+    analysis pass per query, no execution."""
+    ss = ALL_QUERIES[name](spark, sf_dir).schema.simpleString()
+    assert "decimal" not in ss and "interval" not in ss, (
+        f"{name}: Spark result schema contains a hash-divergence-prone "
+        f"type: {ss}; cast to double/bigint before returning"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -58,9 +58,9 @@ def test_expand_round_sql_rewrites_every_literal_precision():
     so every rounded double an oracle compares is engine-exact."""
     out = expand_round_sql("SELECT round(a + round(b, 4), 4), round(c, 2) FROM t")
     assert out.count("floor(") == 3  # nested 4dp AND the 2dp call
-    assert "floor((c) * 100.0 + 0.5) / 100.0" in out
+    assert "floor(CAST((c) AS DOUBLE) * 1e2 + 0.5) / 1e2" in out
     out3 = expand_round_sql("SELECT round(adc, 3) FROM t")
-    assert out3 == "SELECT floor((adc) * 1000.0 + 0.5) / 1000.0 FROM t"
+    assert out3 == "SELECT floor(CAST((adc) AS DOUBLE) * 1e3 + 0.5) / 1e3 FROM t"
 
 
 def test_expand_round_sql_property(spark):
@@ -104,11 +104,11 @@ def test_expand_round_sql_nested_and_word_boundary():
     non-literal digit argument keeps native round but its INNER
     literal rounds still expand."""
     assert expand_round_sql("SELECT round(round(x, 4), 2) FROM t") == (
-        "SELECT floor((floor((x) * 10000.0 + 0.5) / 10000.0)"
-        " * 100.0 + 0.5) / 100.0 FROM t"
+        "SELECT floor(CAST((floor(CAST((x) AS DOUBLE) * 1e4 + 0.5) / 1e4)"
+        " AS DOUBLE) * 1e2 + 0.5) / 1e2 FROM t"
     )
     assert expand_round_sql("SELECT round(round(x, 4), d) FROM t") == (
-        "SELECT round(floor((x) * 10000.0 + 0.5) / 10000.0, d) FROM t"
+        "SELECT round(floor(CAST((x) AS DOUBLE) * 1e4 + 0.5) / 1e4, d) FROM t"
     )
     assert (
         expand_round_sql("SELECT bround(x, 4) FROM t")
