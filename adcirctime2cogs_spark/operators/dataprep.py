@@ -849,6 +849,7 @@ GROUP BY 1, 2
     )
 
 
+@_register("prep_split_leakage_audit", _leakage_sql())
 def prep_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage audit of the content-hash split: count exact-
     Jaccard near-dup pairs (the dedup_ngram_jaccard miner, j >= 0.8)

@@ -1135,6 +1135,7 @@ WHERE run_sum - least(run_min, 0) > 8 * sd4
 """
 
 
+@_register("events_cusum_changepoint", _CUSUM_SQL)
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point detector per event_type (Page
     1954), self-calibrating: flag events where the cumulative positive
@@ -1258,6 +1259,7 @@ GROUP BY type_a, type_b
 """
 
 
+@_register("events_ks_drift", _KS_SQL)
 def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic for every pair of
     event types: D = sup_x |ECDF_a(x) - ECDF_b(x)| over value — the

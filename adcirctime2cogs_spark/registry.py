@@ -41,137 +41,101 @@ _OPERATOR_MODULES = [
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
 _PRIORITY = [
-    # Round-11 rotation. The staleness ceiling moved from 4 to 5
-    # rounds this round — capacity arithmetic, machine-checked by
-    # test_rotation_policy_is_feasible: with 199 oracled queries a
-    # 4-round ceiling needs an AVERAGE of 49.75 forced slots per
-    # 50-slot round, i.e. zero structural room for rule-2 (new or
-    # never-verified registrations) or rows-only rotations, and the
-    # lumpy per-round cohorts (r08: 49 queries) overshoot 50 outright
-    # once anything new registers. At 5 rounds the steady load is
-    # ~40/round with ~10 slots of slack. Under the 5-round line the
-    # r07 cohort below is due by r12, so verifying 41 of them now is
-    # one round EARLY (smoothing); the 3 carried to r12
-    # (micromesh_bbox, text_tokens, udf_pandas_scalar — chosen as the
-    # cheapest/steadiest of the cohort) plus ~44 of the 49-query r08
-    # cohort plus the remaining never-windowed rows-only set
-    # (text_bpe_train/encode, vec_pca_project — VERDICT r10 #3) fill
-    # the r12 window; r13 takes the r08 leftovers, the r09 cohort
-    # smoothing, the last two rows-only rotations
-    # (dedup_semantic_keepers_scale, events_sketch_rollup), and the
-    # four oracle-ready r13-queued registrations built this round:
-    # stream_ewma_smooth (streaming/parity.py), events_cusum_changepoint
-    # and events_ks_drift (operators/eventwindows.py), and
-    # prep_split_leakage_audit (operators/dataprep.py) — each already
-    # DuckDB-parity-pinned in pytest.
+    # Round-12 rotation (coming=12; POLICY_ROUNDS=5, reconfirmed
+    # independently of any deferral this round: steady-state load is
+    # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
+    # the arithmetic is machine-checked by
+    # test_rotation_policy_is_feasible, and this round uses exactly
+    # that slack: 12 rule-1/2 slots + 38 staleness slots).
     #
-    # (1)+(2) added this round AND never externally verified — the
-    # three operators queued since r09/r10 (all DuckDB-parity-pinned
-    # in pytest since they were built):
-    "text_bigram_logprob",
-    "dedup_d4_prune",
-    "prep_token_budget_mix",
-    # (1)+(2) built and registered this round, never externally
-    # verified — paragraph first-keeper dedup (Dolma shape), CCNet
-    # perplexity terciles, per-user EWMA smoothing; DuckDB parity and
-    # semantics pinned in tests/test_staged_r12.py:
-    "dedup_paragraph_first",
-    "text_ppl_buckets",
-    "events_ewma_smooth",
-    # (1)+(2) plan-modified this round AND never externally verified
-    # (rows-only — the DCT/fingerprint kernels are not
-    # SQL-expressible; planted-twin recall and exactness pinned in
-    # pytest): the MIH media triad's candidate path gained the
-    # in-band starcap observation (ADVICE r10). mm_audio_fp_pairs and
-    # mm_video_phash_pairs share the identical _mih_candidate_pairs
-    # code path verified by mm_image_phash_pairs here plus their own
-    # planted-recall tests; they queue for the r12 window with the
-    # remaining never-windowed rows-only set (text_bpe_train/encode,
-    # vec_pca_project, dedup_semantic_keepers_scale,
-    # events_sketch_rollup — VERDICT r10 #3).
-    "mm_image_phash_pairs",
-    "mm_audio_fp_pairs",
-    "mm_video_phash_pairs",
-    # Rule-1 note for this round's in-band starcap observation
-    # (ADVICE r10): the same CollectMetrics node also landed in the
-    # SemDeDup cell candidates, so dedup_semantic_pairs/keepers/
-    # keepers_scale plans changed without window slots left (the
-    # stale cohort fills the rest). A CollectMetrics node is
-    # result-neutral by construction (rows pass through unchanged —
-    # pinned by the planted over-cap tests asserting byte-identical
-    # pair sets), they are 2-rounds-fresh (hash-green r09), and the
-    # in-repo two-scale DuckDB sweep re-verifies their oracles every
-    # pytest run. Same treatment as r10's SemDeDup cell-cap note.
-    # Also under the same note: dedup_corpus_emit (r08-green, not in
-    # this window) lost its forced keeper broadcast in the r11
-    # self-review — a join-strategy hint removal, result-neutral by
-    # definition, re-verified by the in-repo sweep; it queues for the
-    # r12 staleness cohort regardless. The r11 self-review further
-    # touched these out-of-window queries with fixture-value-identical
-    # changes, all re-verified by the in-repo two-scale sweep (and
-    # queued for their natural staleness windows): vec_kmeans_lloyd
-    # (sparse-id-safe seeding, same seeds on dense ids),
-    # vec_pq_encode/sim_topk_pq_adc/sim_topk_pq_rerank (3dp rounding
-    # moved to the engine-exact floor form on BOTH sides),
-    # subquery_scalar_select (Spark-side SQL now floor-expanded like
-    # its oracle), sim_knn_join (oracle flip list derived from
-    # SIGN_BITS, identical string at the current constant),
-    # agg_heavy_hitters (threshold multiply in decimal(38,0) —
-    # overflow-safe, equal below int64), text_quality/
-    # prep_quality_filter (shared feature builder, identical
-    # expressions), events_sliding_window/events_gap_fill_locf/
-    # stream_tumbling_rollup (oracle tz-free make_timestamp rewrite,
-    # value-identical on the UTC driver), graph_pagerank (empty-graph
-    # guard, unreachable on fixtures).
-    #
-    # (3) stalest greens — 41 of the 44-query r07 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r10 and
-    # machine-checked by test_no_oracled_query_ages_past_policy;
-    # the other 3 carry to r12, where the 5-round line forces them).
-    # dedup_minhash_lsh_pairs, dedup_embedding_cosine and
-    # sim_threshold_pairs additionally carry this round's starcap
-    # observation, so their re-verification lands in-window (rule 1).
-    "agg_rollup",
-    "array_funcs2",
-    "crs_reproject_conic",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_jaccard",
-    "dedup_simhash",
-    "dedup_survivors",
-    "events_m4_downsample",
-    "events_session_window",
-    "events_time_weighted_avg",
-    "events_tumbling_window",
-    "join_asof",
+    # (1) modified this round — the r11 decimal-vs-double type fix
+    # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
+    # subquery_scalar_select (same latent defect, VERDICT r11 #1/#2)
+    # now emit DOUBLE on both engines; both must re-green externally.
+    # Note on blast radius: expand_round_sql rewrites EVERY oracle's
+    # round() calls, but the rewrite is bit-neutral wherever the
+    # rounded expression was already DOUBLE — which the two exotic-type
+    # gates (test_oracle_no_exotic_types + the new
+    # test_spark_no_exotic_types) prove is everywhere else; the
+    # two-scale in-repo sweep re-verified all 203 oracles on the new
+    # text. Same result-neutral-note treatment as r11's CollectMetrics.
     "join_lateral_topk",
-    "join_range",
-    "join_skew_salted",
-    "json_extract",
-    "prep_decontaminate",
-    "prep_mixture_sample",
-    "prep_oversample",
-    "prep_quality_filter",
-    "prep_source_cap",
-    "raster_grid_gen",
-    "regrid_multivar",
-    "regrid_synthetic",
-    "sample_reservoir",
-    "sim_maxsim_multivector",
-    "sim_threshold_pairs",
-    "sim_topk_bruteforce",
-    "sim_topk_bucketed",
-    "subquery_correlated",
-    "text_fingerprint",
-    "text_langid",
-    "text_tfidf_top",
-    "vec_centroid_per_label",
-    "vec_quantize_int8",
-    "win_range_frame",
+    "subquery_scalar_select",
+    # (3, policy-forced) the three r07 greens carried out of the r11
+    # window, due this round by the 5-round line (the r11 registry
+    # comment and test_no_oracled_query_ages_past_policy both named
+    # them for r12):
+    "micromesh_bbox",
+    "text_tokens",
+    "udf_pandas_scalar",
+    # (2) registered this round, never externally verified — the r13
+    # queue emptied one round early (VERDICT r11 #4): CUSUM
+    # change-point, two-sample KS drift, split-leakage audit, and the
+    # streaming EWMA twin; all DuckDB-parity-pinned in
+    # tests/test_staged_r12.py since they were built:
+    "events_cusum_changepoint",
+    "events_ks_drift",
+    "prep_split_leakage_audit",
+    "stream_ewma_smooth",
+    # (2) never-windowed rows-only set (VERDICT r10 #3 / r11 #2): BPE
+    # train/encode and PCA projection get their first external
+    # rows-only record; value-correctness stays pinned by pytest
+    # (deterministic merges/eigvecs on seeded fixtures):
+    "text_bpe_train",
+    "text_bpe_encode",
+    "vec_pca_project",
+    # (3) stalest greens — 38 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 10
+    # carried to r13, where the 5-round line forces them (chosen
+    # cheap/steady: CRS worked-example pairs, media plumbing,
+    # UDF/UDTF wrappers, seeded shuffle, ORC scan, bucketed join):
+    # crs_reproject_bng, crs_reproject_ups, join_bucketed,
+    # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
+    # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
+    # udtf_expand_rows. r13 additionally takes the last two
+    # never-windowed rows-only rotations (dedup_semantic_keepers_scale,
+    # events_sketch_rollup) and r09-cohort smoothing. The r11-touched
+    # members of this cohort (vec_pq_encode, sim_topk_pq_adc,
+    # sim_topk_pq_rerank, sim_knn_join, agg_heavy_hitters,
+    # text_quality — see the r11 note) all land in-window here.
+    "agg_approx_quantiles",
+    "agg_heavy_hitters",
+    "agg_rfm_segmentation",
+    "cdc_merge_apply",
+    "dedup_substring_spans",
+    "events_funnel",
+    "events_gap_fill_locf",
+    "events_pit_enrich",
+    "events_retention_cohorts",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_dpp_partitioned",
+    "join_relational_division",
+    "mining_basket_pairs",
+    "mm_mjpeg_frame_stats",
+    "prep_chunk_windows",
+    "prep_dsir_weights",
+    "scd2_intervals",
+    "sim_knn_join",
+    "sim_maxsim_rerank",
+    "sim_topk_ivf",
+    "sim_topk_ivfpq",
+    "sim_topk_pq_adc",
+    "sim_topk_pq_rerank",
+    "text_bm25_topk",
+    "text_nb_classify",
+    "text_pii_redact",
+    "text_quality",
+    "text_substring_scrub",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "vec_covariance_matrix",
+    "vec_matryoshka_truncate",
+    "vec_pq_encode",
 ]
 
 

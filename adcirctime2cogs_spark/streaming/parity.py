@@ -255,10 +255,9 @@ ORACLES["stream_session_flush"] = """
 
 
 def stream_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_ewma_smooth via windows.ewma_by_user
-    (r13 queue: the r12 window is committed to the r08 staleness
-    cohort and the remaining rows-only rotations; register into an r13
-    rule-2 slot with _EWMA_SQL as its ready oracle). Replays the
+    """Streaming twin of events_ewma_smooth via windows.ewma_by_user,
+    registered r12 with _EWMA_SQL as its oracle (the batch twin's —
+    one SQL, two execution strategies). Replays the
     events table through the file source in time-ordered micro-batches
     — the same chunk-mtime protocol as stream_session_flush, minus the
     watermark sentinels (NoTimeout emits every event's smoothed value
@@ -314,3 +313,12 @@ def stream_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         r4(F.col("ewma")).alias("ewma"),
     )
+
+
+# oracle: the batch twin's SQL (operators/eventwindows._EWMA_SQL) — the
+# streaming replay must land on the exact rows the one-pass window
+# query produces, including the 4dp floor rounding
+from adcirctime2cogs_spark.operators.eventwindows import _EWMA_SQL  # noqa: E402
+
+QUERIES["stream_ewma_smooth"] = stream_ewma_smooth
+ORACLES["stream_ewma_smooth"] = _EWMA_SQL

@@ -14,9 +14,15 @@ from adcirctime2cogs_spark import registry
 # at least once. Any OTHER non-oracled name in the window is a bug (an
 # oracle silently lost), so the set is pinned exactly.
 ROWS_ONLY_WINDOW = {
-    "mm_image_phash_pairs",
-    "mm_audio_fp_pairs",
-    "mm_video_phash_pairs",
+    # r12 rotation: BPE train/encode (merge tables / token streams are
+    # engine-specific artifacts, not SQL-expressible) and the PCA
+    # projection (eigvec sign/order conventions); value-correctness
+    # pinned by their pytest fixtures. The r11 media triad
+    # (mm_*_pairs) rotated through the r11 window and must NOT burn
+    # further slots (VERDICT r11 #7).
+    "text_bpe_train",
+    "text_bpe_encode",
+    "vec_pca_project",
 }
 
 
