@@ -1869,7 +1869,12 @@ PARA_K = 8  # tokens per paragraph tile
 # p < 2^20 (docs up to 2^23 tokens at PARA_K=8) and doc_id < 2^43
 # (no int64 overflow) — the same documented-range discipline as the
 # survivor keeper key. Both engines compute the identical expression.
+# The range is ENFORCED, not just documented (ADVICE r11): an in-plan
+# conditional raise_error on the tile rows makes a violating corpus
+# fail the job instead of silently colliding a document's tiles into
+# its neighbor's key space (wrong first-keeper choices, no error).
 _PARA_ENC = 1 << 20
+_PARA_DOC_MAX = 1 << 43
 
 _PARAGRAPH_FIRST_SQL = f"""
 WITH tok AS (
@@ -1950,7 +1955,24 @@ def dedup_paragraph_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pt"),
     ).select(
         "doc_id",
-        F.col("pt.p").alias("p"),
+        # range guard — zero-cost branch when in range, loud failure
+        # when the keeper-key encoding would collide (see _PARA_ENC)
+        F.when(
+            (F.col("pt.p") >= F.lit(_PARA_ENC))
+            | (F.col("doc_id") >= F.lit(_PARA_DOC_MAX)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "paragraph keeper key out of encodable range "
+                        f"(need p < {_PARA_ENC}, doc_id < "
+                        f"{_PARA_DOC_MAX}): doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" p="),
+                    F.col("pt.p").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("pt.p")).alias("p"),
         F.col("pt.tile").alias("tile"),
     )
     kkey = F.col("doc_id") * _PARA_ENC + F.col("p")

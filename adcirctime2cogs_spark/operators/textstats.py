@@ -1422,7 +1422,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity bucketing.
 
-_PPL_BUCKETS_SQL = """
+# Per-token log-probs are summed as exact BIGINTs in 1/_LP_SCALE
+# units (the _CUSUM_SCALE discipline, see eventwindows.py): a float
+# avg(lp) is association-sensitive — Spark's parallel hash-agg and
+# DuckDB's fold can disagree in the last ULP, and the ntile(3) rank
+# below turns a pre-rounding ULP flip into a doc changing tercile
+# (ADVICE r11). Quantized at 1e-9 the sum is exact in any fold order;
+# the quantization bias is identical on both engines and ~1e-9 per
+# token, invisible at the 4dp output grid. Headroom: |lp| < 40
+# (ln of a 1-in-1e17 token), so a 2e8-token doc stays inside int64.
+_LP_SCALE = 10**9
+
+_PPL_BUCKETS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
   FROM documents
@@ -1431,8 +1442,11 @@ vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
 tot AS (SELECT sum(c) AS t FROM vocab),
 per_doc AS (
   SELECT doc_id, count(*) AS n_tokens,
-         floor(exp(-avg(ln(c / (SELECT t FROM tot)))) * 10000 + 0.5) / 10000
-           AS ppl
+         floor(exp(-(CAST(sum(CAST(floor(ln(c / (SELECT t FROM tot))
+                                         * {_LP_SCALE} + 0.5) AS BIGINT))
+                          AS DOUBLE)
+                     / (count(*) * {_LP_SCALE})))
+               * 1e4 + 0.5) / 1e4 AS ppl
   FROM tok JOIN vocab USING (tok)
   GROUP BY doc_id
 ),
@@ -1446,7 +1460,11 @@ SELECT lang,
          AS bucket,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       floor(avg(ppl) * 10000 + 0.5) / 10000 AS avg_ppl
+       -- ppl is exactly m/1e4 by construction, so summing the integer
+       -- m's keeps the bucket mean fold-order-exact too; the single
+       -- final division is one deterministic double op per engine
+       floor(CAST(sum(CAST(floor(ppl * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) + 0.5) / 1e4 AS avg_ppl
 FROM ranked
 GROUP BY lang, b
 """
@@ -1482,7 +1500,13 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang", "b").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        r4(F.avg("ppl")).alias("avg_ppl"),
+        # exact-integer mean of the 4dp ppls — see _PPL_BUCKETS_SQL
+        (
+            F.floor(
+                F.sum(F.floor(F.col("ppl") * 1e4 + 0.5).cast("bigint"))
+                .cast("double") / F.count("*") + 0.5
+            ) / 1e4
+        ).alias("avg_ppl"),
     ).select(
         "lang", _bucket_name().alias("bucket"), "n_docs", "total_tokens",
         "avg_ppl",
@@ -1511,11 +1535,25 @@ def ppl_doc_terciles(docs: DataFrame) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
     logp = vocab.join(F.broadcast(total)).select(
-        "tok", F.log(F.col("c") / F.col("t")).alias("lp")
+        "tok",
+        # quantize per-token log-probs to exact BIGINT 1/_LP_SCALE
+        # units so the per-doc sum is fold-order-independent — the
+        # float avg(lp) this replaces could flip a doc across a ntile
+        # boundary between engines (ADVICE r11; see _PPL_BUCKETS_SQL)
+        F.floor(F.log(F.col("c") / F.col("t")) * _LP_SCALE + 0.5)
+        .cast("bigint")
+        .alias("lpq"),
     )
     per_doc = toks.join(logp, "tok").groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        r4(F.exp(-F.avg("lp"))).alias("ppl"),
+        F.sum("lpq").alias("slpq"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        r4(
+            F.exp(-(F.col("slpq").cast("double")
+                    / (F.col("n_tokens") * float(_LP_SCALE))))
+        ).alias("ppl"),
     )
     return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",

@@ -46,7 +46,7 @@ _PRIORITY = [
     # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
     # the arithmetic is machine-checked by
     # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 12 rule-1/2 slots + 38 staleness slots).
+    # that slack: 13 rule-1/2 slots + 37 staleness slots).
     #
     # (1) modified this round — the r11 decimal-vs-double type fix
     # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
@@ -61,6 +61,23 @@ _PRIORITY = [
     # text. Same result-neutral-note treatment as r11's CollectMetrics.
     "join_lateral_topk",
     "subquery_scalar_select",
+    # (1) also modified this round: the ppl kernel now sums per-token
+    # log-probs as exact BIGINTs (ADVICE r11 — a float avg(lp) is
+    # fold-order-sensitive and the ntile(3) rank amplifies a ULP flip
+    # into a tercile change); the bucket-mean avg_ppl got the same
+    # exact-integer treatment. r11-green but the plan changed, so it
+    # stays in-window (rule 1); vec_matryoshka_truncate moves to the
+    # r13 carry set to make room.
+    "text_ppl_buckets",
+    # Rule-1 note (result-neutral, r11 CollectMetrics treatment):
+    # dedup_paragraph_first (r11-green, not in this window) gained an
+    # in-plan raise_error range guard on its keeper-key encoding
+    # (ADVICE r11). The guard is the identity on every in-range row by
+    # construction — it can only turn silently-wrong output on an
+    # out-of-range corpus into a loud failure; in-range behavior is
+    # re-verified by the in-repo two-scale sweep and the planted
+    # boundary test (test_paragraph_first_key_range_enforced). It
+    # queues for its natural staleness window (r16).
     # (3, policy-forced) the three r07 greens carried out of the r11
     # window, due this round by the 5-round line (the r11 registry
     # comment and test_no_oracled_query_ages_past_policy both named
@@ -84,15 +101,16 @@ _PRIORITY = [
     "text_bpe_train",
     "text_bpe_encode",
     "vec_pca_project",
-    # (3) stalest greens — 38 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 10
+    # (3) stalest greens — 37 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 11
     # carried to r13, where the 5-round line forces them (chosen
     # cheap/steady: CRS worked-example pairs, media plumbing,
-    # UDF/UDTF wrappers, seeded shuffle, ORC scan, bucketed join):
-    # crs_reproject_bng, crs_reproject_ups, join_bucketed,
-    # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
-    # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
-    # udtf_expand_rows. r13 additionally takes the last two
+    # UDF/UDTF wrappers, seeded shuffle, ORC scan, bucketed join,
+    # matryoshka truncation): crs_reproject_bng, crs_reproject_ups,
+    # join_bucketed, mm_binary_meta, mm_frame_sample,
+    # mm_png_roundtrip, prep_seeded_shuffle, scan_orc_pushdown,
+    # udaf_grouped_pandas, udtf_expand_rows,
+    # vec_matryoshka_truncate. r13 additionally takes the last two
     # never-windowed rows-only rotations (dedup_semantic_keepers_scale,
     # events_sketch_rollup) and r09-cohort smoothing. The r11-touched
     # members of this cohort (vec_pq_encode, sim_topk_pq_adc,
@@ -134,7 +152,6 @@ _PRIORITY = [
     "tpch_q5_local_supplier",
     "tpch_q7_volume_shipping",
     "vec_covariance_matrix",
-    "vec_matryoshka_truncate",
     "vec_pq_encode",
 ]
 

@@ -74,6 +74,25 @@ def test_paragraph_first_keeper_semantics(spark, tmp_path):
     assert sum(r["n_kept"] for r in got.values()) == 3
 
 
+def test_paragraph_first_key_range_enforced(spark, tmp_path):
+    """The doc_id * 2^20 + p keeper key is exact only while doc_id <
+    2^43 (ADVICE r11: the range was documented but not policed — an
+    out-of-range corpus silently collided into the neighbor's key
+    space). A planted doc_id at the boundary must fail the job loudly
+    instead of producing wrong first-keeper choices."""
+    import pytest as _pt
+
+    from adcirctime2cogs_spark.operators.dedup import _PARA_DOC_MAX
+
+    tile = " ".join(f"w{i}" for i in range(PARA_K))
+    spark.createDataFrame(
+        [(_PARA_DOC_MAX, tile, "en", "test", len(tile))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    with _pt.raises(Exception, match="out of encodable range"):
+        dedup_paragraph_first(spark, str(tmp_path)).collect()
+
+
 def test_ppl_buckets_parity_and_plan(spark, sf_dir):
     n = compare(spark, sf_dir, text_ppl_buckets, _PPL_BUCKETS_SQL)
     assert n == 15  # 5 langs x head/middle/tail
