@@ -1279,10 +1279,11 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair containing it (k-1 replicas for k types), then ONE window
     per pair over DISTINCT values, not rows. For many types the
     production form fixes one reference type per comparison instead of
-    all pairs, dropping the replication to 1. (r13 registration note:
-    the pair-dim broadcast is an OR-condition join, so the plan carries
-    one deliberate BroadcastNestedLoopJoin — add a bnlj_allowance entry
-    in tests/test_plans.py alongside the other tiny-side generators.)
+    all pairs, dropping the replication to 1. The pair generator
+    (theta self-join of distinct types) and the OR-condition pair-dim
+    broadcast are two deliberate BroadcastNestedLoopJoins, both
+    bounded by the type universe — allowance pinned in
+    tests/test_plans.py.
 
     Reference parity: none (no event surface) — events family,
     BASELINE.json."""
@@ -1329,4 +1330,102 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 10000
         ).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test between event types — the parametric
+# mean-drift companion to the nonparametric KS distance above. All
+# cross-row accumulation is EXACT integer arithmetic: values quantize
+# to BIGINT cents (1e2), and the per-type (n, sum, sum-of-squares)
+# triple aggregates exactly in any fold order; the t statistic is one
+# fixed chain of double operations per pair, identical in both
+# engines. Headroom: sum-of-squares of cent-scaled values |v| <= 1e3
+# is 1e10/row, ~9e8 rows per type inside int64 (Spark side; DuckDB
+# widens to HUGEINT regardless). 100 TB shape: events aggregate ONCE
+# per type (one hash-agg over the data), then the k-row stat table
+# theta-joins with itself — O(data) + O(k^2) on a broadcast-tiny side,
+# strictly cheaper than the KS pair replication.
+
+_TT_SCALE = 100
+
+_TTEST_SQL = f"""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * {_TT_SCALE} + 0.5) AS BIGINT))
+              AS BIGINT) AS sv,
+         CAST(sum(CAST(floor(value * {_TT_SCALE} + 0.5) AS BIGINT)
+                  * CAST(floor(value * {_TT_SCALE} + 0.5) AS BIGINT))
+              AS BIGINT) AS svv
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       floor((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+             / {_TT_SCALE} * 1e4 + 0.5) / 1e4 AS mean_diff,
+       floor((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+             / sqrt(
+                 (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE)
+                    * CAST(a.sv AS DOUBLE) / a.n) / (a.n - 1) / a.n
+                 + (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE)
+                    * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1) / b.n)
+             * 1e4 + 0.5) / 1e4 AS t_stat
+FROM s a JOIN s b ON a.event_type < b.event_type
+"""
+
+
+@_register("events_welch_ttest", _TTEST_SQL)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for every pair of event
+    types: t = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b) — the
+    parametric drift test run beside the KS distance (events_ks_drift)
+    and the CUSUM detector (events_cusum_changepoint) in a telemetry
+    quality suite. Means/variances derive from exact integer
+    (n, sum, sum-of-squares) in cent units; see the module comment on
+    the fold-order and headroom discipline. Registered r12, queued for
+    an r13 rule-2 window slot (registry.py note).
+
+    Reference parity: none (no event surface) — events family,
+    BASELINE.json."""
+    events = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * _TT_SCALE + 0.5).cast("bigint")
+    s = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vq).alias("sv"),
+        F.sum(vq * vq).alias("svv"),
+    )
+    a = s.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("svv").alias("svv_a"),
+    )
+    b = s.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("svv").alias("svv_b"),
+    )
+    ma = F.col("sv_a").cast("double") / F.col("n_a")
+    mb = F.col("sv_b").cast("double") / F.col("n_b")
+    va = (
+        F.col("svv_a").cast("double")
+        - F.col("sv_a").cast("double") * F.col("sv_a").cast("double")
+        / F.col("n_a")
+    ) / (F.col("n_a") - 1) / F.col("n_a")
+    vb = (
+        F.col("svv_b").cast("double")
+        - F.col("sv_b").cast("double") * F.col("sv_b").cast("double")
+        / F.col("n_b")
+    ) / (F.col("n_b") - 1) / F.col("n_b")
+    return a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (F.floor((ma - mb) / _TT_SCALE * 1e4 + 0.5) / 1e4)
+        .alias("mean_diff"),
+        (F.floor((ma - mb) / F.sqrt(va + vb) * 1e4 + 0.5) / 1e4)
+        .alias("t_stat"),
     )

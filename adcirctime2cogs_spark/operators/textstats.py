@@ -1564,3 +1564,205 @@ def ppl_doc_terciles(docs: DataFrame) -> DataFrame:
         .over(W.partitionBy("lang").orderBy("ppl", "doc_id"))
         .alias("b"),
     )
+
+# ---------------------------------------------------------------------------
+# Gopher document-level rule filter (Rae et al. 2021, Appendix A —
+# the threshold-rule half; the repetition half is text_repetition_stats
+# / repetition_filter above). Canonical published constants; every
+# feature is row-local integer arithmetic, so there is nothing for
+# engine fold order to diverge on — only the two ratio columns round.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # non-alphanumeric symbols per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           AS n_sym
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_wlen,
+         n_sym,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS n_alpha_words,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of')))
+           AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(sum_wlen * 1.0 / n_words, 4) AS mean_word_len,
+       round(n_sym * 1.0 / n_words, 4) AS symbol_ratio,
+       round(n_alpha_words * 1.0 / n_words, 4) AS alpha_word_frac,
+       n_stop,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS ok_words,
+       CAST(sum_wlen * 10 >= {int(GOPHER_MIN_MEAN_WORD_LEN * 10)} * n_words
+            AND sum_wlen * 10 <= {int(GOPHER_MAX_MEAN_WORD_LEN * 10)} * n_words
+            AS INT) AS ok_wlen,
+       CAST(n_sym * 10 <= n_words AS INT) AS ok_sym,
+       CAST(n_alpha_words * 100 >= {int(GOPHER_MIN_ALPHA_WORD_FRAC * 100)}
+            * n_words AS INT) AS ok_alpha,
+       CAST(n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS ok_stop,
+       CAST(n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND sum_wlen * 10 >= {int(GOPHER_MIN_MEAN_WORD_LEN * 10)} * n_words
+            AND sum_wlen * 10 <= {int(GOPHER_MAX_MEAN_WORD_LEN * 10)} * n_words
+            AND n_sym * 10 <= n_words
+            AND n_alpha_words * 100 >= {int(GOPHER_MIN_ALPHA_WORD_FRAC * 100)}
+                * n_words
+            AND n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+FROM f
+"""
+
+
+def gopher_rule_cols():
+    """The Gopher threshold-rule feature set over a frame with a
+    `text` column: (n_words, sum_wlen, n_sym, n_alpha_words, n_stop)
+    plus the five per-rule flags and the conjunction. Every threshold
+    comparison is EXACT integer arithmetic (mean word length 3.0 -> 10
+    * sum_wlen >= 30 * n_words, symbol ratio 0.1 -> 10 * n_sym <=
+    n_words, alpha fraction 0.8 -> 100 * n_alpha >= 80 * n_words), so
+    a knife-edge document cannot flip between engines on a float
+    comparison — only the DISPLAYED ratios round."""
+    toks = tokens_col(F.col("text"))
+    n_words = F.size(toks)
+    sum_wlen = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"])))
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wlen = (
+        (sum_wlen * 10 >= int(GOPHER_MIN_MEAN_WORD_LEN * 10) * n_words)
+        & (sum_wlen * 10 <= int(GOPHER_MAX_MEAN_WORD_LEN * 10) * n_words)
+    )
+    ok_sym = n_sym * 10 <= n_words
+    ok_alpha = n_alpha * 100 >= int(GOPHER_MIN_ALPHA_WORD_FRAC * 100) * n_words
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    keep = ok_words & ok_wlen & ok_sym & ok_alpha & ok_stop
+    return (n_words, sum_wlen, n_sym, n_alpha, n_stop,
+            ok_words, ok_wlen, ok_sym, ok_alpha, ok_stop, keep)
+
+
+@_register("text_gopher_rules", _GOPHER_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-filter rules (Rae et al. 2021 Appendix A, the
+    published threshold half): word-count bounds, mean-word-length
+    band, symbol-to-word ratio, alphabetic-word fraction, and the
+    minimum-stopword rule, each as an auditable 0/1 flag plus the
+    conjunctive keep verdict. Complements text_quality (a weighted
+    score) and repetition_filter (the Gopher repetition half): real
+    pipelines keep the per-rule flags so filter ablations don't
+    recompute the corpus.
+
+    100 TB shape: embarrassingly parallel row-local projection — one
+    narrow scan (doc_id, text), no shuffle, no state; whole-stage
+    codegen end to end. Registered r12, queued for an r13 rule-2
+    window slot (registry.py note).
+
+    Reference parity: none (no text surface) — north-star text-analysis
+    family, BASELINE.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    (n_words, sum_wlen, n_sym, n_alpha, n_stop,
+     ok_words, ok_wlen, ok_sym, ok_alpha, ok_stop, keep) = gopher_rule_cols()
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r4(sum_wlen * 1.0 / n_words).alias("mean_word_len"),
+        r4(n_sym * 1.0 / n_words).alias("symbol_ratio"),
+        r4(n_alpha * 1.0 / n_words).alias("alpha_word_frac"),
+        n_stop.alias("n_stop"),
+        ok_words.cast("int").alias("ok_words"),
+        ok_wlen.cast("int").alias("ok_wlen"),
+        ok_sym.cast("int").alias("ok_sym"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-entropy (Shannon) — the low-entropy
+# boilerplate/garbage detector that complements the repetition and
+# perplexity filters. H = ln(n) - (sum_c c*ln(c)) / n over per-doc
+# character counts; the c*ln(c) terms are quantized to BIGINT 1e-9
+# units (the _LP_SCALE discipline) so the per-doc sum is exact under
+# any fold order. Characters come from regexp_extract_all(text, '.')
+# in BOTH engines (RE2/Java '.' excludes line terminators identically).
+
+_ENTROPY_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_chars_counted,
+       count(*) AS n_distinct_chars,
+       floor((ln(CAST(sum(k) AS DOUBLE))
+              - CAST(sum(CAST(floor(k * ln(k) * {_LP_SCALE} + 0.5)
+                              AS BIGINT)) AS DOUBLE)
+                / {_LP_SCALE} / CAST(sum(k) AS DOUBLE))
+             * 1e4 + 0.5) / 1e4 AS entropy
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@_register("text_char_entropy", _ENTROPY_SQL)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats): near-zero for boilerplate/padding runs, ~ln(alphabet) for
+    natural prose — a standard cheap garbage detector alongside the
+    Gopher rules. Identity H = ln(n) - (1/n) * sum c*ln(c) avoids
+    per-class probabilities, so the only cross-row accumulation is an
+    exact integer sum of 1e-9-quantized c*ln(c) terms (fold-order
+    independent; headroom: a 1e11-char single-character document stays
+    inside int64).
+
+    100 TB shape: explode -> (doc_id, char) hash-agg (bounded by
+    alphabet size per doc, heavy map-side combine) -> per-doc hash-agg;
+    both aggs share the doc_id-prefixed key so AQE coalesces onto one
+    exchange. No window, no join. Registered r12, queued for an r13
+    rule-2 window slot (registry.py note).
+
+    Reference parity: none (no text surface) — north-star text-analysis
+    family, BASELINE.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    termq = F.floor(
+        F.col("k") * F.log("k") * float(_LP_SCALE) + 0.5
+    ).cast("bigint")
+    return counts.groupBy("doc_id").agg(
+        F.sum("k").alias("n_chars_counted"),
+        F.count("*").alias("n_distinct_chars"),
+        (
+            F.floor(
+                (
+                    F.log(F.sum("k").cast("double"))
+                    - F.sum(termq).cast("double") / float(_LP_SCALE)
+                    / F.sum("k").cast("double")
+                ) * 1e4 + 0.5
+            ) / 1e4
+        ).alias("entropy"),
+    )

@@ -46,7 +46,7 @@ _PRIORITY = [
     # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
     # the arithmetic is machine-checked by
     # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 13 rule-1/2 slots + 37 staleness slots).
+    # that slack: 16 rule-1/2 slots + 34 staleness slots).
     #
     # (1) modified this round — the r11 decimal-vs-double type fix
     # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
@@ -101,25 +101,34 @@ _PRIORITY = [
     "text_bpe_train",
     "text_bpe_encode",
     "vec_pca_project",
-    # (3) stalest greens — 37 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 11
+    # (2) also registered this round, never externally verified — the
+    # round's new coverage beyond the judge's task list: the Gopher
+    # threshold-rule filter, per-document character entropy, and
+    # Welch's t-test drift (DuckDB-parity and planted-fixture
+    # semantics pinned in tests/test_staged_r13.py):
+    "text_gopher_rules",
+    "text_char_entropy",
+    "events_welch_ttest",
+    # (3) stalest greens — 34 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 14
     # carried to r13, where the 5-round line forces them (chosen
     # cheap/steady: CRS worked-example pairs, media plumbing,
-    # UDF/UDTF wrappers, seeded shuffle, ORC scan, bucketed join,
-    # matryoshka truncation): crs_reproject_bng, crs_reproject_ups,
-    # join_bucketed, mm_binary_meta, mm_frame_sample,
-    # mm_png_roundtrip, prep_seeded_shuffle, scan_orc_pushdown,
-    # udaf_grouped_pandas, udtf_expand_rows,
-    # vec_matryoshka_truncate. r13 additionally takes the last two
-    # never-windowed rows-only rotations (dedup_semantic_keepers_scale,
-    # events_sketch_rollup) and r09-cohort smoothing. The r11-touched
+    # UDF/UDTF wrappers, approx sketches, seeded shuffle, ORC scan,
+    # bucketed join, matryoshka truncation, RFM/CDC rollups):
+    # agg_approx_quantiles, agg_rfm_segmentation, cdc_merge_apply,
+    # crs_reproject_bng, crs_reproject_ups, join_bucketed,
+    # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
+    # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
+    # udtf_expand_rows, vec_matryoshka_truncate. r13 additionally
+    # takes the last two never-windowed rows-only rotations
+    # (dedup_semantic_keepers_scale, events_sketch_rollup) and
+    # r09-cohort smoothing: 14 + 2 + 34 = 50 exactly, leaving 16 r09
+    # names for r14 beside the r10 cohort's natural r15 due date. The
+    # r11-touched
     # members of this cohort (vec_pq_encode, sim_topk_pq_adc,
     # sim_topk_pq_rerank, sim_knn_join, agg_heavy_hitters,
     # text_quality — see the r11 note) all land in-window here.
-    "agg_approx_quantiles",
     "agg_heavy_hitters",
-    "agg_rfm_segmentation",
-    "cdc_merge_apply",
     "dedup_substring_spans",
     "events_funnel",
     "events_gap_fill_locf",

@@ -178,6 +178,16 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         "prep_dsir_weights": 1,       # single-row LM-totals broadcast
         "agg_rfm_segmentation": 1,    # single-row corpus-max-date broadcast
         "events_feature_rollup": 1,   # single-row global-max-ts broadcast
+        "events_welch_ttest": 2,      # theta self-join of the k-row
+                                      # per-type stat table (both sides
+                                      # broadcast-tiny aggregates; the
+                                      # events table is scanned once,
+                                      # never replicated)
+        "events_ks_drift": 2,         # k-distinct-types pair generator
+                                      # (theta self-join) + the OR-cond
+                                      # pair-dim broadcast onto events;
+                                      # both sides bounded by the type
+                                      # universe, not data scale
         "tpch_q22_sales_opportunity": 1,  # single-row global-avg broadcast
         "tpch_q11_important_stock": 1,  # single-row threshold broadcast
     }
