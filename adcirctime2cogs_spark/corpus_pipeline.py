@@ -6,7 +6,8 @@ reference's geospatial dataflow, run/adcircTime2cogs.py:121-240): one
 command takes a raw documents table through the standard corpus-prep
 sequence and emits a training-ready artifact:
 
-    exact_dedup -> quality -> [repetition_filter] -> [lang_filter] ->
+    exact_dedup -> quality -> [repetition_filter] -> [gopher_rules] ->
+    [entropy_filter] -> [lang_filter] ->
     [ppl_tail_filter] -> fuzzy_dedup -> [paragraph_dedup] ->
     [embedding_dedup] -> [semdedup] -> [substring_scrub] -> decontaminate ->
     pii_scrub -> source_cap -> [mixture] -> [pq_index emit] ->
@@ -48,6 +49,8 @@ STAGES = (
     "exact_dedup",
     "quality",
     "repetition_filter",
+    "gopher_rules",
+    "entropy_filter",
     "lang_filter",
     "ppl_tail_filter",
     "fuzzy_dedup",
@@ -89,9 +92,19 @@ STAGES = (
 # PARA_K-token tile's globally first occurrence and reassemble) is
 # opt-in because it REWRITES text and can drop fully-duplicated docs,
 # like substring_scrub.
+# gopher_rules (the Gopher THRESHOLD rules — word-count band, mean
+# word length, symbol ratio, alpha-word fraction, minimum stopwords;
+# textstats.gopher_rule_cols) is opt-in for the same reason as
+# repetition_filter: the published constants target natural prose,
+# and the synthetic word-soup fixture has no stopwords at all, so the
+# default would drop everything. entropy_filter (drop documents whose
+# character-level Shannon entropy falls below a floor — padding runs
+# and single-token boilerplate) is opt-in because the floor is
+# corpus-tuned; both are drop-only semi-joins like _quality.
 _DEFAULT_ON = {
     s: s not in ("mixture", "embedding_dedup", "semdedup", "pq_index",
                  "substring_scrub", "lang_filter", "repetition_filter",
+                 "gopher_rules", "entropy_filter",
                  "ppl_tail_filter", "paragraph_dedup")
     for s in STAGES
 }
@@ -145,6 +158,40 @@ def _repetition_filter(docs: DataFrame) -> DataFrame:
     keep = (
         repetition_filter(docs.select("doc_id", "text"))
         .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi")
+
+
+def _gopher_filter(docs: DataFrame) -> DataFrame:
+    """Gopher threshold-rule gate (Rae et al. 2021 Appendix A —
+    textstats.gopher_rule_cols, the same exact-integer comparisons the
+    registered text_gopher_rules oracle pins). Drop-only semi-join."""
+    from adcirctime2cogs_spark.operators.textstats import gopher_rule_cols
+
+    keep_col = gopher_rule_cols()[-1]
+    keep = (
+        docs.select("doc_id", "text")
+        .select("doc_id", keep_col.alias("keep"))
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "semi")
+
+
+ENTROPY_FLOOR_NATS = 1.0  # ~3 effective symbols; prose sits near 3
+
+
+def _entropy_filter(docs: DataFrame) -> DataFrame:
+    """Character-entropy floor (textstats.char_entropy, the registered
+    text_char_entropy kernel): drops padding/boilerplate documents
+    whose character distribution collapses below ENTROPY_FLOOR_NATS.
+    Drop-only semi-join."""
+    from adcirctime2cogs_spark.operators.textstats import char_entropy
+
+    keep = (
+        char_entropy(docs.select("doc_id", "text"))
+        .filter(F.col("entropy") >= ENTROPY_FLOOR_NATS)
         .select("doc_id")
     )
     return docs.join(keep, "doc_id", "semi")
@@ -536,6 +583,8 @@ def run_corpus_pipeline(spark: SparkSession, cfg: dict) -> dict:
                 "exact_dedup": _exact_dedup,
                 "quality": _quality,
                 "repetition_filter": _repetition_filter,
+                "gopher_rules": _gopher_filter,
+                "entropy_filter": _entropy_filter,
                 "ppl_tail_filter": _ppl_tail_filter,
                 "decontaminate": _decontaminate,
                 "pii_scrub": _pii_scrub,

@@ -1744,7 +1744,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (no text surface) — north-star text-analysis
     family, BASELINE.json."""
-    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Frame-level kernel of text_char_entropy over (doc_id, text) —
+    shared with the corpus pipeline's entropy_filter stage."""
     ch = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),

@@ -618,3 +618,97 @@ def test_ppl_tail_filter_stage_drops_worst_tercile(spark, tmp_path):
     assert st["rows_out"] == len(expected)
     # terciles: roughly a third of every language dropped
     assert st["dropped"] >= docs.count() // 4
+
+
+def test_gopher_rules_stage_matches_operator(spark, tmp_path):
+    """The opt-in gopher_rules stage: with every other filter off,
+    survivors must be exactly the keep==1 set of the registered
+    text_gopher_rules operator on the raw corpus (a semi-join against
+    the pinned kernel, no second implementation)."""
+    import os
+
+    from adcirctime2cogs_spark.corpus_pipeline import (
+        STAGES,
+        run_corpus_pipeline,
+    )
+    from adcirctime2cogs_spark.operators.textstats import text_gopher_rules
+
+    root = tmp_path
+    cfg = {
+        "input_dir": "/root/testdata/sf0.001",
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {**{s: False for s in STAGES}, "gopher_rules": True},
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    (stage,) = manifest["stages"]
+    assert stage["stage"] == "gopher_rules"
+    expected = {
+        r.doc_id
+        for r in text_gopher_rules(spark, "/root/testdata/sf0.001")
+        .filter("keep = 1").collect()
+    }
+    survived = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(
+            _stage_dir(root, "gopher_rules"), "documents.parquet"
+        )).select("doc_id").collect()
+    }
+    assert survived == expected
+    assert 0 < len(survived) < 500  # both verdicts exercised
+    assert stage["rows_out"] == len(expected)
+
+
+def test_entropy_filter_stage_drops_planted_boilerplate(spark, tmp_path):
+    """The opt-in entropy_filter stage drops a planted single-character
+    padding document (entropy 0) and keeps everything the registered
+    text_char_entropy kernel scores above the floor."""
+    import os
+
+    from pyspark.sql import Row
+
+    from adcirctime2cogs_spark.corpus_pipeline import (
+        ENTROPY_FLOOR_NATS,
+        STAGES,
+        run_corpus_pipeline,
+    )
+    from adcirctime2cogs_spark.operators.textstats import char_entropy
+
+    root = tmp_path
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = spark.createDataFrame([Row(
+        doc_id=10_000_002, text="a" * 400,
+        lang="en", source="src0", n_chars=400,
+    )]).select(*base.columns)
+    os.makedirs(str(root / "input"), exist_ok=True)
+    base.unionByName(planted).write.mode("overwrite").parquet(
+        os.path.join(str(root / "input"), "documents.parquet")
+    )
+    cfg = {
+        "input_dir": str(root / "input"),
+        "work_dir": str(root / "work"),
+        "out_dir": str(root / "out"),
+        "stages": {**{s: False for s in STAGES}, "entropy_filter": True},
+        "shards": {"n_shards": 2},
+    }
+    manifest = run_corpus_pipeline(spark, cfg)
+    (stage,) = manifest["stages"]
+    assert stage["stage"] == "entropy_filter"
+    docs_in = spark.read.parquet(
+        os.path.join(str(root / "input"), "documents.parquet")
+    )
+    expected = {
+        r.doc_id
+        for r in char_entropy(docs_in.select("doc_id", "text"))
+        .filter(f"entropy >= {ENTROPY_FLOOR_NATS}").collect()
+    }
+    survived = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(
+            _stage_dir(root, "entropy_filter"), "documents.parquet"
+        )).select("doc_id").collect()
+    }
+    assert survived == expected
+    assert 10_000_002 not in survived
+    assert len(survived) == 500  # natural fixture docs all clear 1 nat

@@ -2139,6 +2139,172 @@ def run_ppl_ewma_leg(spark, n_docs: int = 250_000,
         shutil.rmtree(out, ignore_errors=True)
 
 
+
+def run_drift_suite_leg(spark, n_events: int = 10_000_000,
+                        n_users: int = 100_000,
+                        n_docs: int = 250_000) -> dict:
+    """The r12 registrations at corpus scale. (a) Drift detectors on a
+    10M-event stream with a PLANTED +4 mean shift on one type's second
+    half: CUSUM must flag the shifted type only after the shift
+    boundary; the KS distance must separate shifted-vs-unshifted pairs
+    from unshifted-vs-unshifted pairs by an order of magnitude; Welch's
+    |t| must be enormous for shifted pairs and modest otherwise. (b)
+    The Gopher rule filter and character entropy on a 250k-doc corpus:
+    keep fraction strictly inside (0, 1), entropy within [0, ln(96)]
+    (the synthetic charset bound), both in one pass each."""
+    import math
+    import shutil
+    import tempfile
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_cusum_changepoint,
+        events_ks_drift,
+        events_welch_ttest,
+    )
+    from adcirctime2cogs_spark.operators.textstats import (
+        text_char_entropy,
+        text_gopher_rules,
+    )
+
+    out = tempfile.mkdtemp(prefix="scale_drift_")
+    violations = 0
+    try:
+        base_us = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+        shift_s = 15 * 86400  # day 15 of the 30-day span
+        day_s = F.pmod(F.xxhash64("id"), F.lit(30 * 86400))
+        ev = spark.range(n_events).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(base_us) + day_s * 1_000_000
+                + F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_000))
+            ).alias("ts"),
+            F.pmod(F.col("id"), F.lit(n_users)).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            # uniform [0,10) noise (sd ~2.89) + a +4 (~1.4 sigma) level
+            # shift on 'click' from day 15 on
+            (
+                F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1000)) / 100.0
+                + F.when(
+                    (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3)) == 1)
+                    & (day_s >= F.lit(shift_s)),
+                    F.lit(4.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+        t0 = time.time()
+        flags = (
+            events_cusum_changepoint(spark, out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("ts").alias("first_flag"),
+            )
+            .collect()
+        )
+        wall_cusum = time.time() - t0
+        by_type = {r["event_type"]: r for r in flags}
+        shift_ts = (base_us / 1e6) + shift_s
+        click = by_type.get("click")
+        # the planted shift must be detected, and never before day 15
+        if click is None or click["n"] == 0:
+            violations += 1
+        elif click["first_flag"].timestamp() < shift_ts:
+            violations += 1
+
+        t1 = time.time()
+        ks = {
+            tuple(sorted((r["type_a"], r["type_b"]))): r["d_stat"]
+            for r in events_ks_drift(spark, out).collect()
+        }
+        wall_ks = time.time() - t1
+        d_shifted = ks[("click", "purchase")]
+        d_null = ks[("purchase", "view")]
+        # half the click mass moved +4 on a width-10 uniform -> the
+        # ECDF gap is ~0.5 * 0.4 = 0.2; null pairs are identical draws
+        if not (d_shifted > 0.1 and d_null < 0.02):
+            violations += 1
+
+        t2 = time.time()
+        tt = {
+            tuple(sorted((r["type_a"], r["type_b"]))): abs(r["t_stat"])
+            for r in events_welch_ttest(spark, out).collect()
+        }
+        wall_tt = time.time() - t2
+        t_shifted = tt[("click", "purchase")]
+        t_null = tt[("purchase", "view")]
+        # +2 mean shift over sem ~ sqrt(2) * 2.9 / sqrt(3.3M) -> t ~ 900
+        if not (t_shifted > 100 and t_null < 10):
+            violations += 1
+
+        # the synthetic vocabulary ("w####") contains no English
+        # stopwords, so the raw corpus fails the Gopher stopword rule
+        # uniformly; prepend the stop set to every EVEN doc so the
+        # keep verdict discriminates and its fraction is predictable
+        n_twins = synth_documents(spark, out, n_docs)
+        n_total = n_docs + n_twins
+        gdir = f"{out}/gopher"
+        (
+            spark.read.parquet(f"{out}/documents.parquet")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.lit("the and of a "), F.col("text")),
+                ).otherwise(F.col("text")).alias("text"),
+                "lang",
+                "source",
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{gdir}/documents.parquet")
+        )
+        t3 = time.time()
+        g = text_gopher_rules(spark, gdir).agg(
+            F.sum("keep").alias("k"), F.count("*").alias("n")
+        ).first()
+        wall_gopher = time.time() - t3
+        # every even doc (and only those) carries the stop set
+        if not (g["n"] == n_total and g["k"] == (n_total + 1) // 2):
+            violations += 1
+
+        t4 = time.time()
+        e = text_char_entropy(spark, gdir).agg(
+            F.min("entropy").alias("lo"),
+            F.max("entropy").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()
+        wall_entropy = time.time() - t4
+        if not (e["n"] == n_total
+                and 0.0 <= e["lo"] <= e["hi"] <= math.log(96)):
+            violations += 1
+
+        return {
+            "leg": f"drift_suite_{n_events}_{n_docs}",
+            "n_events": n_events,
+            "cusum_flags_click": 0 if click is None else click["n"],
+            "wall_cusum_sec": round(wall_cusum, 2),
+            "ks_d_shifted": d_shifted,
+            "ks_d_null": d_null,
+            "wall_ks_sec": round(wall_ks, 2),
+            "welch_t_shifted": t_shifted,
+            "welch_t_null": t_null,
+            "wall_welch_sec": round(wall_tt, 2),
+            "gopher_keep_frac": round(g["k"] / g["n"], 4),
+            "wall_gopher_sec": round(wall_gopher, 2),
+            "entropy_range": [e["lo"], e["hi"]],
+            "wall_entropy_sec": round(wall_entropy, 2),
+            "violations": violations,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def run_tpch_scale_leg(spark, factor: int = 10,
                        base: str = "/root/testdata/sf0.1") -> dict:
     """Relational path at factor× the bench SF: replicate the sf0.1
@@ -2708,6 +2874,8 @@ def main() -> int:
             run_pipeline_r11_stages_leg(spark, args.corpus_docs),
             run_ppl_ewma_leg(spark, args.corpus_docs,
                              args.corpus_events),
+            run_drift_suite_leg(spark, args.corpus_events,
+                                n_docs=args.corpus_docs),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
             run_bloom_filter_leg(spark),
