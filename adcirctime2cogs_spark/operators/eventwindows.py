@@ -1220,8 +1220,8 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Two-sample Kolmogorov-Smirnov drift test (r13 queue, with the CUSUM
-# detector above: built + oracle ready, NOT registered).
+# Two-sample Kolmogorov-Smirnov drift test (registered r12 with the
+# CUSUM detector above; both in the r12 external window).
 
 _KS_SQL = """
 WITH pairs AS (

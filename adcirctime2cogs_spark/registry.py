@@ -46,7 +46,7 @@ _PRIORITY = [
     # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
     # the arithmetic is machine-checked by
     # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 16 rule-1/2 slots + 34 staleness slots).
+    # that slack: 17 rule-1/2 slots + 33 staleness slots).
     #
     # (1) modified this round — the r11 decimal-vs-double type fix
     # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
@@ -109,21 +109,33 @@ _PRIORITY = [
     "text_gopher_rules",
     "text_char_entropy",
     "events_welch_ttest",
-    # (3) stalest greens — 34 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 14
+    # (2) and the round's stateful-streaming showcase: the CUSUM
+    # detector re-executed as an applyInPandasWithState fold with
+    # constant two-BIGINT state per type, bit-identical to the batch
+    # window twin under the replay protocol (one SQL oracle, two
+    # execution strategies — the stream_ewma_smooth pattern):
+    "stream_cusum_changepoint",
+    # (3) stalest greens — 33 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 15
     # carried to r13, where the 5-round line forces them (chosen
     # cheap/steady: CRS worked-example pairs, media plumbing,
     # UDF/UDTF wrappers, approx sketches, seeded shuffle, ORC scan,
-    # bucketed join, matryoshka truncation, RFM/CDC rollups):
-    # agg_approx_quantiles, agg_rfm_segmentation, cdc_merge_apply,
-    # crs_reproject_bng, crs_reproject_ups, join_bucketed,
+    # bucketed join, matryoshka truncation, RFM/CDC rollups, triangle
+    # count): agg_approx_quantiles, agg_rfm_segmentation,
+    # cdc_merge_apply, crs_reproject_bng, crs_reproject_ups,
+    # graph_triangle_count, join_bucketed,
     # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
     # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
     # udtf_expand_rows, vec_matryoshka_truncate. r13 additionally
-    # takes the last two never-windowed rows-only rotations
+    # takes the last two rows-only rotations the VERDICT ledger named
     # (dedup_semantic_keepers_scale, events_sketch_rollup) and
-    # r09-cohort smoothing: 14 + 2 + 34 = 50 exactly, leaving 16 r09
-    # names for r14 beside the r10 cohort's natural r15 due date. The
+    # r09-cohort smoothing: 15 + 2 + 33 = 50 exactly, leaving 17 r09
+    # names for r14 beside the r10 cohort's natural r15 due date.
+    # r14 additionally owes the three never-windowed rows-only
+    # stragglers the COVERAGE ledger shows with no external record in
+    # any round: dedup_minhash_ml, mm_feature_extract, sim_ml_brp_lsh
+    # (ml-suffixed twins and the stub-decode feature extractor —
+    # rows-only by design, pytest-pinned). The
     # r11-touched
     # members of this cohort (vec_pq_encode, sim_topk_pq_adc,
     # sim_topk_pq_rerank, sim_knn_join, agg_heavy_hitters,
@@ -135,7 +147,6 @@ _PRIORITY = [
     "events_pit_enrich",
     "events_retention_cohorts",
     "graph_pagerank",
-    "graph_triangle_count",
     "join_asof_nearest",
     "join_dpp_partitioned",
     "join_relational_division",

@@ -322,3 +322,139 @@ from adcirctime2cogs_spark.operators.eventwindows import _EWMA_SQL  # noqa: E402
 
 QUERIES["stream_ewma_smooth"] = stream_ewma_smooth
 ORACLES["stream_ewma_smooth"] = _EWMA_SQL
+
+
+def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_cusum_changepoint: the same one-sided
+    CUSUM (Page 1954) as a STATEFUL per-type fold instead of a batch
+    window — state per event_type is two BIGINTs (run_sum, run_min),
+    constant bytes per key forever, the property that keeps the
+    detector alive on an unbounded stream. Calibration (mu, sigma) is
+    a batch pre-pass over the static table, quantized to the exact
+    4dp integers the batch twin uses (in production: a frozen
+    calibration epoch); the fold then runs in exact bigint units of
+    1/_CUSUM_SCALE, so under the time-ordered replay protocol the
+    flagged set and 4dp cusum values are BIT-IDENTICAL to the batch
+    window query — one SQL oracle, two execution strategies.
+    Registered r12 with _CUSUM_SQL (eventwindows.py) as its oracle."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        _CUSUM_SCALE,
+        CUSUM_H_SIGMA,
+    )
+    from adcirctime2cogs_spark.streaming.windows import (
+        materialize_and_drop_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+
+    def q4(col):
+        return F.floor(col * 10000.0 + 0.5).cast("bigint")
+
+    calib = {
+        r["event_type"]: (r["mu4"], r["sd4"])
+        for r in events.groupBy("event_type").agg(
+            q4(F.avg("value")).alias("mu4"),
+            q4(F.stddev_samp("value")).alias("sd4"),
+        ).collect()
+    }
+    h_mult = int(2 * CUSUM_H_SIGMA)  # 8 * sd4 at the 2e4 scale
+
+    def update(key, pdfs, state: GroupState):
+        mu4, sd4 = calib[key[0]]
+        run_sum, run_min = state.get if state.exists else (0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if state.exists:
+                state.update((run_sum, run_min))
+            return
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        out_id, out_ts, out_cusum = [], [], []
+        drift = 2 * mu4 + sd4
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        for eid, t_us, v in zip(
+            pdf["event_id"].tolist(), ts_us, pdf["value"].tolist()
+        ):
+            vq = math.floor(v * _CUSUM_SCALE + 0.5)
+            run_sum += vq - drift
+            ci = run_sum - min(run_min, 0)
+            if ci > h_mult * sd4:
+                out_id.append(eid)
+                out_ts.append(t_us)
+                out_cusum.append(
+                    math.floor(ci * 10000.0 / _CUSUM_SCALE + 0.5) / 10000
+                )
+            run_min = min(run_min, run_sum)
+        state.update((run_sum, run_min))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_id, dtype="int64"),
+                "event_type": pd.Series(
+                    [key[0]] * len(out_id), dtype="object"
+                ),
+                "ts_us": pd.Series(out_ts, dtype="int64"),
+                "cusum": pd.Series(out_cusum, dtype="float64"),
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cusum_")
+    try:
+        src = os.path.join(tmp, "src")
+        # full (ts, event_id) chunk ordering — the fold is
+        # order-sensitive, same protocol as stream_ewma_smooth
+        (
+            events.repartitionByRange(_N_CHUNKS, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        base = 1_000_000_000
+        for i, f in enumerate(files):
+            os.utime(os.path.join(src, f), (base + i, base + i))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sink = f"stream_cusum_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "event_id long, event_type string, ts_us long, "
+                    "cusum double"
+                ),
+                stateStructType="run_sum long, run_min long",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        drain_and_stop(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = materialize_and_drop_sink(spark, sink)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "cusum",
+    )
+
+
+QUERIES["stream_cusum_changepoint"] = stream_cusum_changepoint
+# oracle: the batch twin's SQL (operators/eventwindows._CUSUM_SQL)
+from adcirctime2cogs_spark.operators.eventwindows import _CUSUM_SQL  # noqa: E402
+
+ORACLES["stream_cusum_changepoint"] = _CUSUM_SQL
