@@ -1429,3 +1429,134 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((ma - mb) / F.sqrt(va + vb) * 1e4 + 0.5) / 1e4)
         .alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the third drift lens beside the KS
+# distance (nonparametric sup-gap) and Welch's t (parametric mean):
+# PSI over 10 equal-width value bins, the metric ML monitoring
+# dashboards alarm on (PSI > 0.2 = significant shift). Engine
+# determinism end to end: bin edges derive from the GLOBAL integer
+# cent min/max (exact), bin assignment is pure integer arithmetic,
+# per-bin proportions are Laplace-smoothed (+0.5 per bin) so empty
+# bins need no epsilon hack, and the 10 per-bin terms quantize to
+# BIGINT 1e-9 units before summing (the _LP_SCALE discipline — a
+# 10-term double sum still has engine-divergent association).
+# 100 TB shape: ONE (event_type, bin) hash-agg over the data, then a
+# k*10-row self-join — same O(data) + O(k^2) as the t-test.
+
+_PSI_BINS = 10
+_PSI_Q = 10**9
+
+_PSI_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS lo,
+         CAST(floor(max(value) * 100 + 0.5) AS BIGINT) - 
+           CAST(floor(min(value) * 100 + 0.5) AS BIGINT) + 1 AS span
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         least({_PSI_BINS - 1},
+               ((CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 - (SELECT lo FROM b)) * {_PSI_BINS})
+               // (SELECT span FROM b)) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+grid AS (
+  SELECT t.event_type, t.nt, g.bin, coalesce(c.n, 0) AS n
+  FROM tot t
+  CROSS JOIN (SELECT unnest(range(0, {_PSI_BINS})) AS bin) g
+  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = g.bin
+),
+terms AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+         a.nt AS n_a, b2.nt AS n_b,
+         CAST(floor(
+           ((a.n + 0.5) / (a.nt + {_PSI_BINS * 0.5})
+            - (b2.n + 0.5) / (b2.nt + {_PSI_BINS * 0.5}))
+           * ln(((a.n + 0.5) / (a.nt + {_PSI_BINS * 0.5}))
+                / ((b2.n + 0.5) / (b2.nt + {_PSI_BINS * 0.5})))
+           * {_PSI_Q} + 0.5) AS BIGINT) AS tq
+  FROM grid a JOIN grid b2
+    ON a.bin = b2.bin AND a.event_type < b2.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+       floor(CAST(sum(tq) AS DOUBLE) / {_PSI_Q} * 1e4 + 0.5) / 1e4 AS psi
+FROM terms
+GROUP BY type_a, type_b, n_a, n_b
+"""
+
+
+@_register("events_psi_drift", _PSI_SQL)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between every pair of event types
+    over 10 equal-width global-cent bins (see the module comment for
+    the determinism discipline). Registered r12; in the r12 external
+    window under the never-verified rule.
+
+    Reference parity: none (no event surface) — events family,
+    BASELINE.json."""
+    events = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    # calibration is TWO exact integer scalars — collect them on the
+    # driver and inline as literals (the 4-scalar bbox precedent):
+    # a one-row broadcast here would otherwise replicate a BNLJ into
+    # every branch that reuses the binned relation
+    lo, span = events.agg(
+        F.min(vc).alias("lo"),
+        (F.max(vc) - F.min(vc) + 1).alias("span"),
+    ).first()
+    binned = events.select(
+        "event_type",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.expr(
+                f"((CAST(floor(value * 100 + 0.5) AS BIGINT) - {lo}L)"
+                f" * {_PSI_BINS}) div {span}L"
+            ),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("event_type", "bin").agg(F.count("*").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    # densify to the full 10-bin grid via explode — no join
+    grid = (
+        tot.select(
+            "event_type", "nt",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"),
+                           F.lit(_PSI_BINS - 1).cast("bigint"))
+            ).alias("bin"),
+        )
+        .join(c, ["event_type", "bin"], "left")
+        .select(
+            "event_type", "nt", "bin",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    half = _PSI_BINS * 0.5
+    ga = grid.select(
+        F.col("event_type").alias("type_a"), F.col("nt").alias("n_a"),
+        "bin", F.col("n").alias("na"),
+    )
+    gb = grid.select(
+        F.col("event_type").alias("type_b"), F.col("nt").alias("n_b"),
+        F.col("bin").alias("bin_b"), F.col("n").alias("nb"),
+    )
+    pa = (F.col("na") + 0.5) / (F.col("n_a") + half)
+    pb = (F.col("nb") + 0.5) / (F.col("n_b") + half)
+    tq = F.floor((pa - pb) * F.log(pa / pb) * _PSI_Q + 0.5).cast("bigint")
+    return (
+        ga.join(gb, F.col("bin") == F.col("bin_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "n_a", "n_b", tq.alias("tq"))
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            (
+                F.floor(F.sum("tq").cast("double") / _PSI_Q * 1e4 + 0.5)
+                / 1e4
+            ).alias("psi")
+        )
+    )

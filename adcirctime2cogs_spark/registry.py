@@ -46,7 +46,7 @@ _PRIORITY = [
     # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
     # the arithmetic is machine-checked by
     # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 17 rule-1/2 slots + 33 staleness slots).
+    # that slack: 18 rule-1/2 slots + 32 staleness slots).
     #
     # (1) modified this round — the r11 decimal-vs-double type fix
     # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
@@ -115,21 +115,25 @@ _PRIORITY = [
     # window twin under the replay protocol (one SQL oracle, two
     # execution strategies — the stream_ewma_smooth pattern):
     "stream_cusum_changepoint",
-    # (3) stalest greens — 33 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 15
+    # (2) and the Population Stability Index — the third drift lens
+    # beside KS and Welch's t (the ML-monitoring binned divergence),
+    # same one-hash-agg + tiny-self-join shape:
+    "events_psi_drift",
+    # (3) stalest greens — 32 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 16
     # carried to r13, where the 5-round line forces them (chosen
     # cheap/steady: CRS worked-example pairs, media plumbing,
     # UDF/UDTF wrappers, approx sketches, seeded shuffle, ORC scan,
     # bucketed join, matryoshka truncation, RFM/CDC rollups, triangle
     # count): agg_approx_quantiles, agg_rfm_segmentation,
     # cdc_merge_apply, crs_reproject_bng, crs_reproject_ups,
-    # graph_triangle_count, join_bucketed,
+    # events_funnel, graph_triangle_count, join_bucketed,
     # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
     # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
     # udtf_expand_rows, vec_matryoshka_truncate. r13 additionally
     # takes the last two rows-only rotations the VERDICT ledger named
     # (dedup_semantic_keepers_scale, events_sketch_rollup) and
-    # r09-cohort smoothing: 15 + 2 + 33 = 50 exactly, leaving 17 r09
+    # r09-cohort smoothing: 16 + 2 + 32 = 50 exactly, leaving 18 r09
     # names for r14 beside the r10 cohort's natural r15 due date.
     # r14 additionally owes the three never-windowed rows-only
     # stragglers the COVERAGE ledger shows with no external record in
@@ -142,7 +146,6 @@ _PRIORITY = [
     # text_quality — see the r11 note) all land in-window here.
     "agg_heavy_hitters",
     "dedup_substring_spans",
-    "events_funnel",
     "events_gap_fill_locf",
     "events_pit_enrich",
     "events_retention_cohorts",

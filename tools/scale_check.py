@@ -2159,6 +2159,7 @@ def run_drift_suite_leg(spark, n_events: int = 10_000_000,
     from adcirctime2cogs_spark.operators.eventwindows import (
         events_cusum_changepoint,
         events_ks_drift,
+        events_psi_drift,
         events_welch_ttest,
     )
     from adcirctime2cogs_spark.operators.textstats import (
@@ -2242,6 +2243,19 @@ def run_drift_suite_leg(spark, n_events: int = 10_000_000,
         if not (t_shifted > 100 and t_null < 10):
             violations += 1
 
+        t2b = time.time()
+        psi = {
+            tuple(sorted((r["type_a"], r["type_b"]))): r["psi"]
+            for r in events_psi_drift(spark, out).collect()
+        }
+        wall_psi = time.time() - t2b
+        psi_shifted = psi[("click", "purchase")]
+        psi_null = psi[("purchase", "view")]
+        # the ML-monitoring alarm line is 0.2; the planted shift moves
+        # ~40% of click mass into new bins, null pairs are iid draws
+        if not (psi_shifted > 0.2 and psi_null < 0.01):
+            violations += 1
+
         # the synthetic vocabulary ("w####") contains no English
         # stopwords, so the raw corpus fails the Gopher stopword rule
         # uniformly; prepend the stop set to every EVEN doc so the
@@ -2295,6 +2309,9 @@ def run_drift_suite_leg(spark, n_events: int = 10_000_000,
             "welch_t_shifted": t_shifted,
             "welch_t_null": t_null,
             "wall_welch_sec": round(wall_tt, 2),
+            "psi_shifted": psi_shifted,
+            "psi_null": psi_null,
+            "wall_psi_sec": round(wall_psi, 2),
             "gopher_keep_frac": round(g["k"] / g["n"], 4),
             "wall_gopher_sec": round(wall_gopher, 2),
             "entropy_range": [e["lo"], e["hi"]],
