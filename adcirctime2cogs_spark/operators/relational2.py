@@ -880,11 +880,17 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary deterministic; monetary is cent-scaled BIGINT so no fp
     enters the ordering).
 
-    The global ntile is a single-partition window over one row per
-    CUSTOMER (not per order) — exact quantile bucketing's inherent
-    cost. At 100 TB the swap-in is approx_percentile cutpoints
-    (demonstrated in agg_approx_quantiles) joined broadcast-side; the
-    exact form is kept here because the oracle must be value-exact."""
+    The quintiles are EXACT ntile(5) but no longer a single-partition
+    window (review r12): each score derives from a distributed global
+    rank — functions/distwindow.global_rank's two-phase parallel scan
+    (deterministic equal-width buckets on the metric, per-bucket
+    row_number, broadcast prefix-combined bucket counts) — and
+    ntile_from_rank's closed-form ANSI bucket arithmetic on the rank
+    and the driver-collected total. Bit-identical to the
+    single-partition ntile at any bucket shape, but every row stays on
+    its executor; a pathologically skewed metric only unbalances
+    buckets (slower, still exact). The approx_percentile-cutpoint
+    variant (agg_approx_quantiles) remains the lossy cheaper option."""
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("gmax"))
     base = (
@@ -904,18 +910,31 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    return base.select(
+    from adcirctime2cogs_spark.functions.distwindow import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    n_total = F.lit(base.count()).cast("bigint")
+    ranked = global_rank(
+        base, F.col("recency"), ["recency", "o_custkey"], "_rr"
+    )
+    ranked = global_rank(
+        ranked, -F.col("frequency"),
+        [F.col("frequency").desc(), "o_custkey"], "_fr",
+    )
+    ranked = global_rank(
+        ranked, -F.col("monetary_cents"),
+        [F.col("monetary_cents").desc(), "o_custkey"], "_mr",
+    )
+    return ranked.select(
         "o_custkey",
         "recency",
         "frequency",
         "monetary_cents",
-        F.ntile(5).over(W.orderBy("recency", "o_custkey")).alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-        .alias("m_score"),
+        ntile_from_rank(F.col("_rr"), n_total, 5).alias("r_score"),
+        ntile_from_rank(F.col("_fr"), n_total, 5).alias("f_score"),
+        ntile_from_rank(F.col("_mr"), n_total, 5).alias("m_score"),
     )
 
 

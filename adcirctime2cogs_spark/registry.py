@@ -46,7 +46,7 @@ _PRIORITY = [
     # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
     # the arithmetic is machine-checked by
     # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 18 rule-1/2 slots + 32 staleness slots).
+    # that slack: 19 rule-1/2 slots + 31 staleness slots).
     #
     # (1) modified this round — the r11 decimal-vs-double type fix
     # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
@@ -69,6 +69,15 @@ _PRIORITY = [
     # stays in-window (rule 1); vec_matryoshka_truncate moves to the
     # r13 carry set to make room.
     "text_ppl_buckets",
+    # (1) also modified this round: text_pack_sequences' global
+    # running sum and agg_rfm_segmentation's three global ntiles (the
+    # engine's only two DATA-SCALE single-partition windows) now run
+    # as functions/distwindow's two-phase distributed parallel scan —
+    # bit-identical results, no row through one reducer.
+    # agg_rfm_segmentation is already in-window below (r08 staleness);
+    # text_pack_sequences takes this rule-1 slot, displacing
+    # prep_chunk_windows to the r13 carry set.
+    "text_pack_sequences",
     # Rule-1 note (result-neutral, r11 CollectMetrics treatment):
     # dedup_paragraph_first (r11-green, not in this window) gained an
     # in-plan raise_error range guard on its keeper-key encoding
@@ -119,8 +128,8 @@ _PRIORITY = [
     # beside KS and Welch's t (the ML-monitoring binned divergence),
     # same one-hash-agg + tiny-self-join shape:
     "events_psi_drift",
-    # (3) stalest greens — 32 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 16
+    # (3) stalest greens — 31 of the 48-query r08 cohort
+    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 17
     # carried to r13, where the 5-round line forces them (chosen
     # cheap/steady: CRS worked-example pairs, media plumbing,
     # UDF/UDTF wrappers, approx sketches, seeded shuffle, ORC scan,
@@ -129,11 +138,12 @@ _PRIORITY = [
     # cdc_merge_apply, crs_reproject_bng, crs_reproject_ups,
     # events_funnel, graph_triangle_count, join_bucketed,
     # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
+    # prep_chunk_windows,
     # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
     # udtf_expand_rows, vec_matryoshka_truncate. r13 additionally
     # takes the last two rows-only rotations the VERDICT ledger named
     # (dedup_semantic_keepers_scale, events_sketch_rollup) and
-    # r09-cohort smoothing: 16 + 2 + 32 = 50 exactly, leaving 18 r09
+    # r09-cohort smoothing: 17 + 2 + 31 = 50 exactly, leaving 19 r09
     # names for r14 beside the r10 cohort's natural r15 due date.
     # r14 additionally owes the three never-windowed rows-only
     # stragglers the COVERAGE ledger shows with no external record in
@@ -155,7 +165,6 @@ _PRIORITY = [
     "join_relational_division",
     "mining_basket_pairs",
     "mm_mjpeg_frame_stats",
-    "prep_chunk_windows",
     "prep_dsir_weights",
     "scd2_intervals",
     "sim_knn_join",

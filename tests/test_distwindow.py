@@ -1,0 +1,92 @@
+"""functions/distwindow: the distributed two-phase parallel scan must
+be BIT-IDENTICAL to the single-partition global window it replaces —
+checked directly against the naive form on seeded data, including
+skewed bucket keys (correctness may not depend on bucket shape), plus
+the closed-form ntile arithmetic across every n-mod-k residue."""
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from adcirctime2cogs_spark.functions.distwindow import (
+    global_rank,
+    ntile_from_rank,
+    prefix_sum,
+)
+
+
+def _seeded(spark, n, skewed=False):
+    key = (
+        # 90% of rows pile into 10% of the key range
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 9,
+               F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)))
+        if skewed
+        else F.pmod(F.xxhash64("id"), F.lit(1000))
+    )
+    return spark.range(n).select(
+        F.col("id"),
+        key.cast("bigint").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_prefix_sum_equals_global_window(spark, skewed):
+    df = _seeded(spark, 5000, skewed)
+    got = prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum")
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_global_rank_equals_row_number(spark, skewed):
+    df = _seeded(spark, 5000, skewed)
+    got = global_rank(
+        df, -F.col("k"), [F.col("k").desc(), "id"], "rn"
+    )
+    w = W.orderBy(F.col("k").desc(), "id")
+    want = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+
+
+@pytest.mark.parametrize("n", [1, 4, 5, 6, 23, 100, 101, 104])
+def test_ntile_from_rank_matches_spark_ntile(spark, n):
+    """Every n mod 5 residue: the closed form must reproduce
+    F.ntile(5) exactly (ANSI wide-buckets-first allocation)."""
+    df = spark.range(n).select(F.col("id"))
+    w = W.orderBy("id")
+    want = df.withColumn("b", F.ntile(5).over(w))
+    got = df.withColumn(
+        "b",
+        ntile_from_rank(
+            F.row_number().over(w).cast("bigint"),
+            F.lit(n).cast("bigint"),
+            5,
+        ),
+    )
+    assert got.exceptAll(want).count() == 0
+
+
+def test_plan_has_no_data_scale_global_window(spark):
+    """The data-scale window must be partitioned by the bucket id; the
+    only unpartitioned window allowed is the constant-size offsets
+    combine (its input is one row per bucket)."""
+    df = _seeded(spark, 2000)
+    got = prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    data_windows = [
+        line for line in plan.splitlines()
+        if "Window [" in line and "sum(_v" in line
+    ]
+    assert data_windows, "expected the per-bucket data window"
+    for line in data_windows:
+        assert "_pid" in line.split("windowspecdefinition")[1][:60], line
