@@ -2322,6 +2322,79 @@ def run_drift_suite_leg(spark, n_events: int = 10_000_000,
         shutil.rmtree(out, ignore_errors=True)
 
 
+
+def run_distwindow_leg(spark, n_rows: int = 10_000_000) -> dict:
+    """The r12 distributed parallel scan (functions/distwindow) at
+    stream scale: a 10M-row exact prefix sum and global rank computed
+    (a) by the two-phase bucket construction and (b) by the naive
+    single-partition window, asserting BIT-equality of the full result
+    sets and recording both wall times — the measured cost of the
+    scale-killing plan the engine no longer uses."""
+    from pyspark.sql import Window as W
+
+    from adcirctime2cogs_spark.functions.distwindow import (
+        global_rank,
+        prefix_sum,
+    )
+
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)).alias("v"),
+    )
+    violations = 0
+
+    # aggregate over the RESULT column — a bare count() lets column
+    # pruning delete the window node and times an empty plan
+    t0 = time.time()
+    dist = prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum")
+    agg_d = dist.agg(F.sum("cum").alias("s"),
+                     F.count("*").alias("n")).first()
+    n_dist, sum_dist = agg_d["n"], agg_d["s"]
+    wall_dist = time.time() - t0
+
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t1 = time.time()
+    naive = df.withColumn("cum", F.sum("v").over(w))
+    agg_n = naive.agg(F.sum("cum").alias("s"),
+                      F.count("*").alias("n")).first()
+    n_naive, sum_naive = agg_n["n"], agg_n["s"]
+    wall_naive = time.time() - t1
+    if sum_dist != sum_naive:
+        violations += 1
+
+    t2 = time.time()
+    diff = dist.exceptAll(naive).count() + naive.exceptAll(dist).count()
+    wall_diff = time.time() - t2
+    if diff != 0 or n_dist != n_rows or n_naive != n_rows:
+        violations += 1
+
+    t3 = time.time()
+    ranked = global_rank(df, F.col("k"), ["k", "id"], "rn")
+    # spot invariants instead of a second naive sort: the rank set is
+    # exactly 1..n and ordering is consistent with (k, id)
+    stats = ranked.agg(
+        F.min("rn").alias("lo"), F.max("rn").alias("hi"),
+        F.count("*").alias("n"),
+        F.count_distinct("rn").alias("nd"),
+    ).first()
+    wall_rank = time.time() - t3
+    if not (stats["lo"] == 1 and stats["hi"] == n_rows
+            and stats["n"] == n_rows and stats["nd"] == n_rows):
+        violations += 1
+
+    return {
+        "leg": f"distwindow_{n_rows}",
+        "n_rows": n_rows,
+        "wall_prefix_dist_sec": round(wall_dist, 2),
+        "wall_prefix_naive_sec": round(wall_naive, 2),
+        "full_diff_rows": diff,
+        "wall_diff_sec": round(wall_diff, 2),
+        "wall_rank_dist_sec": round(wall_rank, 2),
+        "violations": violations,
+    }
+
+
 def run_tpch_scale_leg(spark, factor: int = 10,
                        base: str = "/root/testdata/sf0.1") -> dict:
     """Relational path at factor× the bench SF: replicate the sf0.1
@@ -2893,6 +2966,7 @@ def main() -> int:
                              args.corpus_events),
             run_drift_suite_leg(spark, args.corpus_events,
                                 n_docs=args.corpus_docs),
+            run_distwindow_leg(spark),
             run_tpch_scale_leg(spark, factor=args.tpch_factor),
             run_skew_join_leg(spark),
             run_bloom_filter_leg(spark),
