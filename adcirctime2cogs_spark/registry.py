@@ -40,6 +40,15 @@ _OPERATOR_MODULES = [
 # the driver has NEVER hash-verified; (3) the remaining slots refresh
 # the STALEST external greens (oldest round first). Rotated-out queries
 # stay covered by tests/test_oracle_parity.py's all-oracle sweep.
+# The round this _PRIORITY window was authored FOR. Bumped with every
+# rotation; tests/test_registry.py checks the window satisfies the
+# staleness policy for THIS round (not for max(CORRECTNESS)+1, which
+# turned main red at every round boundary the moment the driver's
+# close commit landed CORRECTNESS_r{N} — ADVICE r11). The companion
+# freshness guard (WINDOW_ROUND >= newest CORRECTNESS round) turns
+# red only when a rotation actually skipped a round.
+WINDOW_ROUND = 12
+
 _PRIORITY = [
     # Round-12 rotation (coming=12; POLICY_ROUNDS=5, reconfirmed
     # independently of any deferral this round: steady-state load is

@@ -87,10 +87,19 @@ def test_no_oracled_query_ages_past_policy():
     """Machine-check of the rotation arithmetic (VERDICT r08 item 8):
     given the CORRECTNESS_r{N}.json history on disk and the CURRENT
     _PRIORITY, (a) every oracled query whose last external hash-green
-    is >= POLICY_ROUNDS rounds old by the COMING round must be in the
-    window now, and (b) every oracled query the driver has never
+    is >= POLICY_ROUNDS rounds old by registry.WINDOW_ROUND must be in
+    the window now, and (b) every oracled query the driver has never
     verified must be in the window now (rule 2). Keeps the staleness
-    bookkeeping out of session memory."""
+    bookkeeping out of session memory.
+
+    Staleness is judged against WINDOW_ROUND — the round the window
+    was authored FOR — not against max(CORRECTNESS)+1: the latter
+    turned main red at every round boundary the instant the driver's
+    close commit landed the new CORRECTNESS file, before any builder
+    session could author the next window (ADVICE r11). The freshness
+    guard below replaces that noise with signal: the suite goes red
+    only when a rotation actually lags the correctness history by a
+    full round."""
     import glob
     import json
     import re
@@ -115,7 +124,17 @@ def test_no_oracled_query_ages_past_policy():
             if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     assert rounds, "no CORRECTNESS files found"
-    coming = max(rounds) + 1
+    coming = registry.WINDOW_ROUND
+    # freshness guard: the window may trail the newest CORRECTNESS
+    # round only across the close boundary itself (window == newest,
+    # the state the driver's close commit creates); trailing by a full
+    # round means a rotation was skipped. It may lead by at most one
+    # (the normal in-round state: files through N-1, window for N).
+    assert max(rounds) <= coming <= max(rounds) + 1, (
+        f"WINDOW_ROUND={coming} vs CORRECTNESS history through "
+        f"r{max(rounds)}: the window was never rotated for the new "
+        "round — author the next _PRIORITY and bump WINDOW_ROUND"
+    )
     window = set(registry._PRIORITY)
     oracles = registry.all_oracles()
     overdue = sorted(
