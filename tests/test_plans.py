@@ -514,3 +514,60 @@ def test_min_selection_rewrites_scan_fact_once(spark, sf_dir):
             re.findall(r"Scan parquet[^\n]*?/(\w+)\.parquet", final)
         )
         assert scans[table] <= limit, (fn.__name__, dict(scans))
+
+
+def test_no_data_scale_global_window(spark, sf_dir):
+    """Suite-wide hygiene (review r12): a Window with NO partition
+    spec funnels every input row through one reducer — the scale
+    failure the distwindow parallel scan exists to avoid. Global
+    windows are allowed only where their input is constant-size by
+    construction: the post-TakeOrdered rank stamp (<= 50 rows) and the
+    distwindow offsets combine (one row per bucket). Detection: in the
+    physical Window node's printed form the group after the function
+    list is the PARTITION columns — if it contains sort directions the
+    partition list is absent and the window is global."""
+    from adcirctime2cogs_spark import registry
+
+    def bracket_groups(s):
+        out, depth, cur = [], 0, None
+        for ch in s:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    out.append("".join(cur))
+                    cur = None
+                    continue
+            if cur is not None:
+                cur.append(ch)
+        return out
+
+    allowance = {
+        "text_bm25_topk": 1,        # rank stamp over the 25-row limit
+        "text_bpe_pair_counts": 1,  # rank stamp over the 50-row limit
+        "text_pack_sequences": 1,   # distwindow offsets: <= 32 rows
+        "agg_rfm_segmentation": 3,  # three distwindow offset combines
+    }
+    bad = []
+    for name, fn in sorted(registry.all_queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        n_global = 0
+        for line in plan.splitlines():
+            if "Window " not in line:
+                continue
+            tail = line[line.find("Window ") + len("Window "):]
+            groups = bracket_groups(tail)
+            if len(groups) >= 2 and (
+                "ASC" in groups[1] or "DESC" in groups[1]
+            ):
+                n_global += 1
+        if n_global > allowance.get(name, 0):
+            bad.append(f"{name}: {n_global} global window(s)")
+    assert not bad, (
+        "data-scale single-partition windows (use "
+        f"functions/distwindow or partition the window): {bad}"
+    )
