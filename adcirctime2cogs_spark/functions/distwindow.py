@@ -40,25 +40,45 @@ _PARTS = 32  # match spark.sql.shuffle.partitions in the test harness
 
 
 def _with_bucket(
-    df: DataFrame, bucket_key: Column, n_parts: int
+    df: DataFrame,
+    bucket_key: Column,
+    n_parts: int,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Append `_pid`: equal-width integer bucket of the (ascending,
-    integer) leading sort key. Collected calibration is two exact
-    integer scalars; the plan-cache's data-version key re-collects on
-    new data."""
-    lo, hi = df.agg(
-        F.min(bucket_key).cast("bigint"),
-        F.max(bucket_key).cast("bigint"),
-    ).first()
+    integer) leading sort key. Calibration is the key's [min, max] —
+    collected here (two exact integer scalars; the plan-cache's
+    data-version key re-collects on new data) or passed via `bounds`
+    by callers that already collected them in a combined agg.
+
+    Overflow discipline (review r12): the bucket id divides FIRST —
+    (key div width) minus the driver-computed (lo div width) — so no
+    expression ever subtracts or multiplies two raw keys: the naive
+    ((key - lo) * n_parts) div span overflows int64 once span exceeds
+    ~2^63/n_parts (any full-range 64-bit hash key) and silently wraps
+    _pid non-monotone. SQL `div` truncates toward zero, which is still
+    monotone non-decreasing for positive width (one extra step
+    boundary at zero), so bucket ids ascend with the key and the count
+    stays <= n_parts + 2."""
+    if bounds is None:
+        lo, hi = df.agg(
+            F.min(bucket_key).cast("bigint"),
+            F.max(bucket_key).cast("bigint"),
+        ).first()
+    else:
+        lo, hi = bounds
     if lo is None:  # empty input: any constant bucket works
         return df.withColumn("_pid", F.lit(0))
-    span = int(hi) - int(lo) + 1
+    lo, hi = int(lo), int(hi)
+    # span can exceed int64 (hi=2^63-1, lo=-2^63): unbounded Python
+    span = hi - lo + 1
+    width = max(1, -(-span // n_parts))  # ceil div
+    lo_div = lo // width if lo >= 0 else -((-lo) // width)  # trunc, like SQL
     return (
         df.withColumn("_bk", bucket_key.cast("bigint"))
         .withColumn(
             "_pid",
-            F.expr(f"((_bk - {int(lo)}L) * {n_parts}) div {span}L")
-            .cast("int"),
+            (F.expr(f"_bk div {width}L") - F.lit(lo_div)).cast("int"),
         )
         .drop("_bk")
     )
@@ -82,13 +102,15 @@ def prefix_sum(
     value: Column,
     out: str,
     n_parts: int = _PARTS,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact running sum of `value` (an integer column) in the total
     order of `order_cols`, inclusive of the current row — equal to
     `F.sum(value).over(Window.orderBy(*order_cols))` but distributed.
     `bucket_key` must be an integer expression monotone-ascending in
-    the leading sort key; `order_cols` must be a total order."""
-    d = _with_bucket(df, bucket_key, n_parts).withColumn("_v", value)
+    the leading sort key; `order_cols` must be a total order; pass
+    `bounds` = (min, max) of the bucket key if already collected."""
+    d = _with_bucket(df, bucket_key, n_parts, bounds).withColumn("_v", value)
     per_part = d.groupBy("_pid").agg(F.sum("_v").alias("_pt"))
     w_loc = (
         W.partitionBy("_pid")
@@ -108,13 +130,15 @@ def global_rank(
     order_cols: list,
     out: str,
     n_parts: int = _PARTS,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """1-based global row_number in the total order of `order_cols`
     (names or sort-order expressions like F.col("x").desc()),
     distributed as above. For a DESCENDING leading key pass its
-    negation as `bucket_key` (bucket ids must ascend with the sort).
-    The order must be total (include a unique tiebreak)."""
-    d = _with_bucket(df, bucket_key, n_parts)
+    negation as `bucket_key` (bucket ids must ascend with the sort)
+    and negated `bounds` likewise. The order must be total (include a
+    unique tiebreak)."""
+    d = _with_bucket(df, bucket_key, n_parts, bounds)
     per_part = d.groupBy("_pid").agg(
         F.count("*").cast("bigint").alias("_pn")
     )

@@ -1093,6 +1093,11 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # appear as `sd4` (0.5 * sd at scale 2e4) and `8 * sd4` (4 * sd).
 CUSUM_K_SIGMA = 0.5
 CUSUM_H_SIGMA = 4.0
+# the threshold multiplier in 1/2-sigma units (sd4 = sigma/2 at the
+# 2e4 scale): single-sourced here so the SQL oracle, the batch window
+# query, and the streaming fold cannot desynchronize (review r12 —
+# the '8' was previously hardcoded in three places)
+_CUSUM_H_MULT = int(2 * CUSUM_H_SIGMA)
 
 # All CUSUM arithmetic runs in EXACT bigint units of 1/_CUSUM_SCALE
 # (the agg_distinct integer-cents discipline): a float prefix sum is
@@ -1131,7 +1136,7 @@ SELECT event_id, event_type, ts,
        floor((run_sum - least(run_min, 0)) * 10000.0 / {_CUSUM_SCALE} + 0.5)
          / 10000 AS cusum
 FROM m2
-WHERE run_sum - least(run_min, 0) > 8 * sd4
+WHERE run_sum - least(run_min, 0) > {_CUSUM_H_MULT} * sd4
 """
 
 
@@ -1207,7 +1212,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sd4",
             cusum_i.alias("ci"),
         )
-        .filter(F.col("ci") > 8 * F.col("sd4"))
+        .filter(F.col("ci") > _CUSUM_H_MULT * F.col("sd4"))
         .select(
             "event_id",
             "event_type",
@@ -1364,14 +1369,20 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
        a.n AS n_a, b.n AS n_b,
        floor((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
              / {_TT_SCALE} * 1e4 + 0.5) / 1e4 AS mean_diff,
+       -- degenerate-variance guard (review r12): greatest clamps the
+       -- double cancellation noise of a constant-valued type to 0 and
+       -- nullif turns the 0 denominator into NULL on BOTH engines
+       -- (Spark x/0 is NULL, DuckDB is Inf — engine-divergent)
        floor((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
-             / sqrt(
+             / sqrt(nullif(greatest(
                  (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE)
                     * CAST(a.sv AS DOUBLE) / a.n) / (a.n - 1) / a.n
                  + (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE)
-                    * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1) / b.n)
+                    * CAST(b.sv AS DOUBLE) / b.n) / (b.n - 1) / b.n,
+                 CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)))
              * 1e4 + 0.5) / 1e4 AS t_stat
 FROM s a JOIN s b ON a.event_type < b.event_type
+WHERE a.n > 1 AND b.n > 1
 """
 
 
@@ -1419,15 +1430,27 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sv_b").cast("double") * F.col("sv_b").cast("double")
         / F.col("n_b")
     ) / (F.col("n_b") - 1) / F.col("n_b")
-    return a.join(b, F.col("type_a") < F.col("type_b")).select(
-        "type_a",
-        "type_b",
-        "n_a",
-        "n_b",
-        (F.floor((ma - mb) / _TT_SCALE * 1e4 + 0.5) / 1e4)
-        .alias("mean_diff"),
-        (F.floor((ma - mb) / F.sqrt(va + vb) * 1e4 + 0.5) / 1e4)
-        .alias("t_stat"),
+    # degenerate guards (review r12): drop n=1 types (the (n-1)
+    # divisor) and NULL the t for zero pooled variance — Spark's
+    # non-ANSI x/0 is NULL while DuckDB's IEEE division is Inf, an
+    # engine-divergent value; greatest clamps the double cancellation
+    # noise of a constant-valued type before the nullif
+    sem2 = F.nullif(
+        F.greatest(va + vb, F.lit(0.0)), F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .filter((F.col("n_a") > 1) & (F.col("n_b") > 1))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.floor((ma - mb) / _TT_SCALE * 1e4 + 0.5) / 1e4)
+            .alias("mean_diff"),
+            (F.floor((ma - mb) / F.sqrt(sem2) * 1e4 + 0.5) / 1e4)
+            .alias("t_stat"),
+        )
     )
 
 
@@ -1509,6 +1532,11 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(vc).alias("lo"),
         (F.max(vc) - F.min(vc) + 1).alias("span"),
     ).first()
+    if lo is None:
+        # empty table: no pairs exist; constants keep the bin
+        # expression well-formed instead of interpolating 'NoneL'
+        # into the SQL literal (review r12)
+        lo, span = 0, 1
     binned = events.select(
         "event_type",
         F.least(

@@ -915,17 +915,33 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank,
     )
 
-    n_total = F.lit(base.count()).cast("bigint")
+    # ONE calibration pass over the per-customer base collects the
+    # total plus all three bucket-key ranges (review r12: letting each
+    # global_rank self-calibrate re-executed the base aggregation —
+    # and every previously chained rank — once per metric)
+    cal = base.agg(
+        F.count("*").alias("n"),
+        F.min("recency").cast("bigint").alias("r_lo"),
+        F.max("recency").cast("bigint").alias("r_hi"),
+        F.min(-F.col("frequency")).cast("bigint").alias("f_lo"),
+        F.max(-F.col("frequency")).cast("bigint").alias("f_hi"),
+        F.min(-F.col("monetary_cents")).cast("bigint").alias("m_lo"),
+        F.max(-F.col("monetary_cents")).cast("bigint").alias("m_hi"),
+    ).first()
+    n_total = F.lit(cal["n"]).cast("bigint")
     ranked = global_rank(
-        base, F.col("recency"), ["recency", "o_custkey"], "_rr"
+        base, F.col("recency"), ["recency", "o_custkey"], "_rr",
+        bounds=(cal["r_lo"], cal["r_hi"]),
     )
     ranked = global_rank(
         ranked, -F.col("frequency"),
         [F.col("frequency").desc(), "o_custkey"], "_fr",
+        bounds=(cal["f_lo"], cal["f_hi"]),
     )
     ranked = global_rank(
         ranked, -F.col("monetary_cents"),
         [F.col("monetary_cents").desc(), "o_custkey"], "_mr",
+        bounds=(cal["m_lo"], cal["m_hi"]),
     )
     return ranked.select(
         "o_custkey",

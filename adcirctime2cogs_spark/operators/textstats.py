@@ -1714,12 +1714,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # perplexity filters. H = ln(n) - (sum_c c*ln(c)) / n over per-doc
 # character counts; the c*ln(c) terms are quantized to BIGINT 1e-9
 # units (the _LP_SCALE discipline) so the per-doc sum is exact under
-# any fold order. Characters come from regexp_extract_all(text, '.')
-# in BOTH engines (RE2/Java '.' excludes line terminators identically).
+# any fold order. Characters come from regexp_extract_all(text,
+# '[\s\S]') in BOTH engines — the explicit class matches EVERY
+# character including line terminators; a bare '.' would diverge
+# (Java '.' excludes \r and three unicode separators, RE2 only \n
+# — review r12).
 
 _ENTROPY_SQL = f"""
 WITH ch AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+  FROM documents
 ),
 counts AS (
   SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
@@ -1745,8 +1749,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher rules. Identity H = ln(n) - (1/n) * sum c*ln(c) avoids
     per-class probabilities, so the only cross-row accumulation is an
     exact integer sum of 1e-9-quantized c*ln(c) terms (fold-order
-    independent; headroom: a 1e11-char single-character document stays
-    inside int64).
+    independent; headroom: a single character class overflows int64 at
+    k*ln(k)*1e9 > 2^63, i.e. ~4.6e8 repeats of ONE character in one
+    document — split such degenerate docs upstream or coarsen the
+    quantization scale; review r12 corrected the earlier 1e11 claim).
 
     100 TB shape: explode -> (doc_id, char) hash-agg (bounded by
     alphabet size per doc, heavy map-side combine) -> per-doc hash-agg;
@@ -1764,7 +1770,9 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     shared with the corpus pipeline's entropy_filter stage."""
     ch = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("c"),
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"[\s\S]"), 0)
+        ).alias("c"),
     )
     counts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
     termq = F.floor(

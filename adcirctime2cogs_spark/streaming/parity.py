@@ -357,16 +357,24 @@ def stream_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q4(col):
         return F.floor(col * 10000.0 + 0.5).cast("bigint")
 
+    # a type with a single event has NULL stddev_samp: the batch twin
+    # silently emits no flags for it (NULL comparisons), so the fold
+    # must skip it rather than compute 2*mu4 + None (review r12)
     calib = {
         r["event_type"]: (r["mu4"], r["sd4"])
         for r in events.groupBy("event_type").agg(
             q4(F.avg("value")).alias("mu4"),
             q4(F.stddev_samp("value")).alias("sd4"),
         ).collect()
+        if r["sd4"] is not None
     }
     h_mult = int(2 * CUSUM_H_SIGMA)  # 8 * sd4 at the 2e4 scale
 
     def update(key, pdfs, state: GroupState):
+        if key[0] not in calib:  # un-calibratable type: never flags
+            for _ in pdfs:
+                pass
+            return
         mu4, sd4 = calib[key[0]]
         run_sum, run_min = state.get if state.exists else (0, 0)
         frames = [pdf for pdf in pdfs if len(pdf)]

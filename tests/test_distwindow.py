@@ -90,3 +90,27 @@ def test_plan_has_no_data_scale_global_window(spark):
     assert data_windows, "expected the per-bucket data window"
     for line in data_windows:
         assert "_pid" in line.split("windowspecdefinition")[1][:60], line
+
+
+def test_full_range_hash_keys_do_not_overflow(spark):
+    """Review r12: a full-range 64-bit key (raw xxhash64, span ~2^64)
+    must still produce a monotone bucketing — the naive
+    ((key - lo) * n_parts) div span form wraps int64 and silently
+    mis-buckets. Pinned by exact equality with the naive global window
+    on raw-hash keys."""
+    df = spark.range(4000).select(
+        F.col("id"), F.xxhash64("id").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)).alias("v"),
+    )
+    got = prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum")
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+    rk = global_rank(df, F.col("k"), ["k", "id"], "rn")
+    stats = rk.agg(
+        F.min("rn"), F.max("rn"), F.count_distinct("rn")
+    ).first()
+    assert tuple(stats) == (1, 4000, 4000)

@@ -91,12 +91,18 @@ def test_entropy_extremes_exact(spark, tmp_path):
         (0, "aaaaaaaaaa"),          # one symbol: H = 0
         (1, "abcd" * 25),           # 4 equiprobable: H = ln 4
         (2, "ab" * 50),             # 2 equiprobable: H = ln 2
+        # CRLF regression (review r12): the char class must count \r
+        # in BOTH engines — Java's '.' drops it, RE2's keeps it, so a
+        # bare-dot kernel hash-diverges on any CRLF corpus
+        (3, "x\r\ny"),
     ]
     _write_docs(spark, tmp_path, rows)
     got = {r["doc_id"]: r for r in
            text_char_entropy(spark, str(tmp_path)).collect()}
     assert got[0]["entropy"] == 0.0
     assert got[0]["n_distinct_chars"] == 1
+    assert got[3]["n_chars_counted"] == 4  # \r and \n both counted
+    assert got[3]["n_distinct_chars"] == 4
     assert got[1]["entropy"] == pytest.approx(
         math.floor(math.log(4) * 1e4 + 0.5) / 1e4, abs=0)
     assert got[2]["entropy"] == pytest.approx(
@@ -243,3 +249,86 @@ def test_psi_extremes_on_planted_distributions(spark, tmp_path):
     assert got[("low", "same")] < 0.01       # identical multisets
     assert got[("high", "low")] > 2.0        # disjoint supports
     assert got[("high", "same")] == got[("high", "low")]  # same dist
+
+
+def test_welch_degenerate_types_match_oracle(spark, tmp_path):
+    """Review r12: a single-event type (the (n-1) divisor) and a
+    constant-valued pair (zero pooled variance) must not diverge
+    between engines — Spark's non-ANSI x/0 is NULL while DuckDB's is
+    Inf. The guards drop n=1 types and NULL the zero-variance t on
+    BOTH sides; pinned by a direct cross-engine comparison."""
+    import datetime
+    import os
+
+    import duckdb
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, base, 1, "solo", 5.0, "{}")]  # n = 1
+    eid = 1
+    for i in range(50):
+        rows.append((eid, base, 1, "flat_a", 7.0, "{}")); eid += 1
+        rows.append((eid, base, 1, "flat_b", 7.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = sorted(
+        (r["type_a"], r["type_b"], r["n_a"], r["n_b"],
+         r["mean_diff"], r["t_stat"])
+        for r in events_welch_ttest(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(tmp_path, 'events.parquet')}/*.parquet'"
+    )
+    want = sorted(con.execute(
+        all_oracles()["events_welch_ttest"]
+    ).fetchall())
+    con.close()
+    assert got == want
+    # the solo type is filtered, the flat pair survives with NULL t
+    assert len(got) == 1
+    assert got[0][:2] == ("flat_a", "flat_b")
+    assert got[0][4] == 0.0 and got[0][5] is None
+
+
+def test_stream_cusum_single_event_type_matches_batch(spark, tmp_path):
+    """Review r12: a type with ONE event has NULL stddev calibration;
+    the batch twin silently emits no flags for it — the streaming fold
+    previously raised TypeError on 2*mu4 + None. Both must now agree
+    on the planted-shift corpus plus a solo type."""
+    import datetime
+
+    from adcirctime2cogs_spark.operators.eventwindows import (
+        events_cusum_changepoint,
+    )
+    from adcirctime2cogs_spark.streaming.parity import (
+        stream_cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 1, "probe",
+         10.0 if i < 200 else 20.0, "{}")
+        for i in range(400)
+    ]
+    rows.append((400, base, 1, "solo", 5.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    batch = {
+        (r["event_id"], r["cusum"])
+        for r in events_cusum_changepoint(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        (r["event_id"], r["cusum"])
+        for r in stream_cusum_changepoint(spark, str(tmp_path)).collect()
+    }
+    assert batch and stream == batch
+    assert all(eid != 400 for eid, _ in batch)  # solo never flags
