@@ -17,8 +17,8 @@ per-partition pieces, the textbook parallel-scan construction:
 2. ONE hash shuffle on the bucket id, a window partitioned by it
    (each bucket sorts locally — nothing funnels through one reducer);
 3. aggregate one row per bucket (count/sum), prefix-combine THOSE
-   (a window over n_buckets rows — constant work), broadcast the
-   offsets back, and add.
+   (constant work over n_buckets values), and add each bucket's offset
+   to its rows' local window result.
 
 Bit-identical to the single-partition window for associative integer
 combines (BIGINT sums, row counts): offsets recombine exactly under
@@ -28,6 +28,22 @@ rows into few buckets (slower, still exact); production freezes
 approx-quantile cut points instead of equal widths, same construction.
 Floating combines would re-associate — quantize first (the
 _CUSUM_SCALE / _LP_SCALE discipline).
+
+Two ways to attach the offsets (optimization r12):
+
+- LAZY (default when `offsets` is None): aggregate per-bucket totals
+  from the input frame and broadcast-join them back on `_pid`. Fully
+  lazy, but the join's build side DERIVES FROM the probe side, and
+  Spark re-executes a subtree referenced twice — chaining k ranks
+  multiplied the upstream plan 2^k times (agg_rfm_segmentation's
+  three chained ntiles planned its base aggregation 8x, 44 Exchanges).
+- COLLECTED (`offsets=` a list from `bucket_offsets()`): the
+  per-bucket totals are one tiny driver job at plan-construction time
+  (n_buckets+2 rows — the same eager-calibration discipline as the
+  [min, max] bounds collect), baked in as a literal array lookup.
+  No join-back, no subtree duplication: k chained ranks plan the
+  input subtree exactly once. Callers under the registry plan cache
+  re-collect per data version automatically.
 """
 
 from __future__ import annotations
@@ -84,6 +100,41 @@ def _with_bucket(
     )
 
 
+def bucket_offsets(
+    df: DataFrame,
+    bucket_key: Column,
+    n_parts: int = _PARTS,
+    bounds: tuple[int, int] | None = None,
+    value: Column | None = None,
+) -> list[int]:
+    """Driver-collected dense per-bucket prefix offsets: out[p] = total
+    of `value` (row count when None) over all buckets with id < p,
+    under the SAME bucketing as `_with_bucket(df, bucket_key, n_parts,
+    bounds)`. One small job (n_buckets+2 output rows); pass the result
+    as `offsets=` to prefix_sum/global_rank together with the SAME
+    `bounds` so the bucket ids line up. Empty buckets inherit the
+    running total, so the lookup is a dense array over [0, max_pid]."""
+    d = _with_bucket(df, bucket_key, n_parts, bounds)
+    agg = (F.count("*") if value is None else F.sum(value)).cast("bigint")
+    rows = d.groupBy("_pid").agg(agg.alias("_t")).collect()
+    per = {r["_pid"]: (r["_t"] or 0) for r in rows}
+    if not per:
+        return [0]
+    out, run = [], 0
+    for p in range(max(per) + 1):
+        out.append(run)
+        run += per.get(p, 0)
+    return out
+
+
+def _offset_lookup(offsets: list[int]) -> Column:
+    """`_off` as a literal dense-array lookup on `_pid` (codegen, no
+    join). Rows only ever carry pids that had rows at collect time, so
+    the array covers every pid the lookup can see."""
+    arr = F.array(*[F.lit(int(o)).cast("bigint") for o in offsets])
+    return F.element_at(arr, F.col("_pid") + 1)
+
+
 def _offsets(per_part: DataFrame, agg_col: str) -> DataFrame:
     # prefix-combine the per-bucket totals: n_parts rows, constant
     # work — the one place a no-partition window is legitimate
@@ -103,20 +154,32 @@ def prefix_sum(
     out: str,
     n_parts: int = _PARTS,
     bounds: tuple[int, int] | None = None,
+    offsets: list[int] | None = None,
 ) -> DataFrame:
     """Exact running sum of `value` (an integer column) in the total
     order of `order_cols`, inclusive of the current row — equal to
     `F.sum(value).over(Window.orderBy(*order_cols))` but distributed.
     `bucket_key` must be an integer expression monotone-ascending in
     the leading sort key; `order_cols` must be a total order; pass
-    `bounds` = (min, max) of the bucket key if already collected."""
+    `bounds` = (min, max) of the bucket key if already collected, and
+    `offsets` from bucket_offsets(value=...) under the same bounds to
+    skip the lazy join-back (see module doc)."""
+    if offsets is not None and bounds is None:
+        raise ValueError("offsets requires the bounds they were built with")
     d = _with_bucket(df, bucket_key, n_parts, bounds).withColumn("_v", value)
-    per_part = d.groupBy("_pid").agg(F.sum("_v").alias("_pt"))
     w_loc = (
         W.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    if offsets is not None:
+        return (
+            d.withColumn(
+                out, _offset_lookup(offsets) + F.sum("_v").over(w_loc)
+            )
+            .drop("_pid", "_v")
+        )
+    per_part = d.groupBy("_pid").agg(F.sum("_v").alias("_pt"))
     return (
         d.join(F.broadcast(_offsets(per_part, "_pt")), "_pid")
         .withColumn(out, F.col("_off") + F.sum("_v").over(w_loc))
@@ -131,18 +194,30 @@ def global_rank(
     out: str,
     n_parts: int = _PARTS,
     bounds: tuple[int, int] | None = None,
+    offsets: list[int] | None = None,
 ) -> DataFrame:
     """1-based global row_number in the total order of `order_cols`
     (names or sort-order expressions like F.col("x").desc()),
     distributed as above. For a DESCENDING leading key pass its
     negation as `bucket_key` (bucket ids must ascend with the sort)
     and negated `bounds` likewise. The order must be total (include a
-    unique tiebreak)."""
+    unique tiebreak). `offsets` (from bucket_offsets under the same
+    bounds) replaces the lazy join-back with a literal lookup — the
+    form that chains without duplicating the input subtree."""
+    if offsets is not None and bounds is None:
+        raise ValueError("offsets requires the bounds they were built with")
     d = _with_bucket(df, bucket_key, n_parts, bounds)
+    w_loc = W.partitionBy("_pid").orderBy(*order_cols)
+    if offsets is not None:
+        return (
+            d.withColumn(
+                out, _offset_lookup(offsets) + F.row_number().over(w_loc)
+            )
+            .drop("_pid")
+        )
     per_part = d.groupBy("_pid").agg(
         F.count("*").cast("bigint").alias("_pn")
     )
-    w_loc = W.partitionBy("_pid").orderBy(*order_cols)
     return (
         d.join(F.broadcast(_offsets(per_part, "_pn")), "_pid")
         .withColumn(out, F.col("_off") + F.row_number().over(w_loc))

@@ -884,13 +884,24 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (review r12): each score derives from a distributed global
     rank — functions/distwindow.global_rank's two-phase parallel scan
     (deterministic equal-width buckets on the metric, per-bucket
-    row_number, broadcast prefix-combined bucket counts) — and
-    ntile_from_rank's closed-form ANSI bucket arithmetic on the rank
-    and the driver-collected total. Bit-identical to the
-    single-partition ntile at any bucket shape, but every row stays on
-    its executor; a pathologically skewed metric only unbalances
-    buckets (slower, still exact). The approx_percentile-cutpoint
-    variant (agg_approx_quantiles) remains the lossy cheaper option."""
+    row_number, prefix-combined bucket counts) — and ntile_from_rank's
+    closed-form ANSI bucket arithmetic on the rank and the
+    driver-collected total. Bit-identical to the single-partition
+    ntile at any bucket shape, but every row stays on its executor; a
+    pathologically skewed metric only unbalances buckets (slower,
+    still exact). The approx_percentile-cutpoint variant
+    (agg_approx_quantiles) remains the lossy cheaper option.
+
+    The three ranks use COLLECTED bucket offsets (optimization r12):
+    the lazy join-back form re-executed the base subtree per
+    reference, so chaining three ranks planned it 8x (8 duplicated
+    BNLJ one-row broadcasts, 44 Exchanges, and the cartesian-product
+    plan gate tripped). Offsets are three n_buckets-row driver
+    collects at plan-construction time — the same eager-calibration
+    discipline as `cal` below, re-collected per data version by the
+    registry plan cache — and the executed plan is base -> three
+    chained bucket-partitioned windows: ONE base aggregation, one
+    allowlisted BNLJ (the corpus-max-date broadcast), 3 Exchanges."""
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("gmax"))
     base = (
@@ -911,6 +922,7 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     from adcirctime2cogs_spark.functions.distwindow import (
+        bucket_offsets,
         global_rank,
         ntile_from_rank,
     )
@@ -929,19 +941,28 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(-F.col("monetary_cents")).cast("bigint").alias("m_hi"),
     ).first()
     n_total = F.lit(cal["n"]).cast("bigint")
+    r_b = (cal["r_lo"], cal["r_hi"])
+    f_b = (cal["f_lo"], cal["f_hi"])
+    m_b = (cal["m_lo"], cal["m_hi"])
+    # collected offsets (see docstring): per-bucket COUNTS are rank
+    # inputs only, so all three are computed over `base` — never over
+    # the chained frame — and baked in as literal lookups
+    r_off = bucket_offsets(base, F.col("recency"), bounds=r_b)
+    f_off = bucket_offsets(base, -F.col("frequency"), bounds=f_b)
+    m_off = bucket_offsets(base, -F.col("monetary_cents"), bounds=m_b)
     ranked = global_rank(
         base, F.col("recency"), ["recency", "o_custkey"], "_rr",
-        bounds=(cal["r_lo"], cal["r_hi"]),
+        bounds=r_b, offsets=r_off,
     )
     ranked = global_rank(
         ranked, -F.col("frequency"),
         [F.col("frequency").desc(), "o_custkey"], "_fr",
-        bounds=(cal["f_lo"], cal["f_hi"]),
+        bounds=f_b, offsets=f_off,
     )
     ranked = global_rank(
         ranked, -F.col("monetary_cents"),
         [F.col("monetary_cents").desc(), "o_custkey"], "_mr",
-        bounds=(cal["m_lo"], cal["m_hi"]),
+        bounds=m_b, offsets=m_off,
     )
     return ranked.select(
         "o_custkey",

@@ -422,23 +422,40 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The running sum is the DISTRIBUTED two-phase parallel scan
     (functions/distwindow.prefix_sum), not a no-partition window: a
-    range exchange on doc_id, a per-partition window, and a broadcast
-    of the 32 prefix-combined partition totals — bit-identical to the
+    range exchange on doc_id, a per-partition window, and the 32
+    prefix-combined partition totals — bit-identical to the
     single-partition form (exact integer sums recombine under any
     range boundaries) but no row ever funnels through one reducer, so
     the plan survives 100 TB instead of documenting that it wouldn't
     (review r12; previously this was a global-order window with a
-    per-shard production caveat)."""
+    per-shard production caveat). The partition totals are COLLECTED
+    offsets (optimization r12, two tiny plan-construction jobs under
+    the registry's data-versioned plan cache): the lazy join-back form
+    re-executed the tokenize subtree twice — the whitespace split over
+    every document ran once to count per-bucket totals and again under
+    the window."""
     docs = load_table(spark, sf_dir, "documents")
-    from adcirctime2cogs_spark.functions.distwindow import prefix_sum
+    from adcirctime2cogs_spark.functions.distwindow import (
+        bucket_offsets,
+        prefix_sum,
+    )
     from adcirctime2cogs_spark.functions.text import tokens_col
 
     t = docs.select(
         "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
     )
+    lo, hi = t.agg(
+        F.min("doc_id").cast("bigint"), F.max("doc_id").cast("bigint")
+    ).first()
+    bounds = (lo, hi) if lo is not None else (0, 0)
+    offs = bucket_offsets(
+        t, F.col("doc_id"), bounds=bounds,
+        value=F.col("n_tokens").cast("bigint"),
+    )
     c = prefix_sum(
         t, F.col("doc_id"), ["doc_id"],
         F.col("n_tokens").cast("bigint"), "cum",
+        bounds=bounds, offsets=offs,
     )
     return c.select(
         "doc_id",

@@ -9,6 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from adcirctime2cogs_spark.functions.distwindow import (
+    bucket_offsets,
     global_rank,
     ntile_from_rank,
     prefix_sum,
@@ -90,6 +91,55 @@ def test_plan_has_no_data_scale_global_window(spark):
     assert data_windows, "expected the per-bucket data window"
     for line in data_windows:
         assert "_pid" in line.split("windowspecdefinition")[1][:60], line
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_collected_offsets_bit_identical_and_join_free(spark, skewed):
+    """Optimization r12: the collected-offsets form must (a) equal the
+    lazy join-back form AND the naive global window bit-for-bit, and
+    (b) plan NO join — the lazy form's build side derives from its
+    probe side, so every reference re-executes the input subtree
+    (chained ranks multiplied agg_rfm_segmentation's base plan 8x)."""
+    df = _seeded(spark, 5000, skewed)
+    lo, hi = df.agg(
+        F.min("k").cast("bigint"), F.max("k").cast("bigint")
+    ).first()
+    offs = bucket_offsets(df, F.col("k"), bounds=(lo, hi),
+                          value=F.col("v"))
+    got = prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum",
+                     bounds=(lo, hi), offsets=offs)
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        got.exceptAll(want).count() == 0
+        and want.exceptAll(got).count() == 0
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    r_offs = bucket_offsets(df, F.col("k"), bounds=(lo, hi))
+    rk = global_rank(df, F.col("k"), ["k", "id"], "rn",
+                     bounds=(lo, hi), offsets=r_offs)
+    w2 = W.orderBy("k", "id")
+    want2 = df.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+    assert (
+        rk.exceptAll(want2).count() == 0
+        and want2.exceptAll(rk).count() == 0
+    )
+    p2 = rk._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p2.split("== Initial Plan ==")[0]
+
+
+def test_offsets_without_bounds_rejected(spark):
+    """Collected offsets are only meaningful under the bounds they
+    were computed with — a missing-bounds call must fail loudly, not
+    recalibrate onto misaligned bucket ids."""
+    df = _seeded(spark, 100)
+    with pytest.raises(ValueError):
+        prefix_sum(df, F.col("k"), ["k", "id"], F.col("v"), "cum",
+                   offsets=[0])
+    with pytest.raises(ValueError):
+        global_rank(df, F.col("k"), ["k", "id"], "rn", offsets=[0])
 
 
 def test_full_range_hash_keys_do_not_overflow(spark):
