@@ -276,7 +276,7 @@ def _embedding_dedup(spark: SparkSession, docs: DataFrame,
     from adcirctime2cogs_spark.operators.similarity import (
         _sign_bucket,
         _sign_bucket_candidates,
-        cosine,
+        cosine_pre,
     )
 
     emb = _aligned_embeddings(spark, input_dir, docs).withColumn(
@@ -289,7 +289,10 @@ def _embedding_dedup(spark: SparkSession, docs: DataFrame,
     # task, the exact failure mode the cap audit closed)
     dup_ids = (
         _sign_bucket_candidates(emb)
-        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
+        .filter(
+            r4(cosine_pre(F.col("ea"), F.col("eb"),
+                          F.col("na"), F.col("nb"))) >= _EMB_TAU
+        )
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )

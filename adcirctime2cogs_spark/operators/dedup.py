@@ -201,7 +201,17 @@ def _shingle_artifacts(spark: SparkSession, sf_dir: str):
         # they must be evicted together with their parents
         for df in _DERIVED_CACHES.pop(old_key, []):
             df.unpersist()
-    sh = shingles(load_table(spark, sf_dir, "documents")).persist()
+    # spread the under-split scan BEFORE the explode (optimization
+    # r12): the fixture documents table is one row group, so the
+    # shingle split + per-shingle md5 — the fuzzy-dedup family's
+    # single heaviest narrow stage — otherwise runs as ONE task, and
+    # the persisted `sh` pins that single partition for every
+    # downstream consumer. Round-robin on docs is result-neutral
+    # here: every artifact aggregate is integer-exact (min/count) and
+    # posting-list pair output is order-canonicalized (doc_a < doc_b).
+    from adcirctime2cogs_spark.tables import load_table_spread
+
+    sh = shingles(load_table_spread(spark, sf_dir, "documents")).persist()
     posts = (
         sh.groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -423,7 +433,11 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size — the property that makes fuzzy dedup
     feasible at 100 TB.
     """
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    from adcirctime2cogs_spark.tables import load_table_spread
+
+    # integer min-folds are partitioning-independent: spread the
+    # single-row-group scan so the shingle+md5 stage parallelizes
+    sh = shingles(load_table_spread(spark, sf_dir, "documents"))
     aggs = _mh_aggs()
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -674,7 +688,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, folded back into one integer. Near-dups then reduce to
     small-Hamming-distance fingerprint pairs (constant per-doc state,
     like minhash)."""
-    sh = shingles(load_table(spark, sf_dir, "documents"))
+    from adcirctime2cogs_spark.tables import load_table_spread
+
+    # integer vote sums are partitioning-independent: spread the
+    # single-row-group scan (see spread_scan)
+    sh = shingles(load_table_spread(spark, sf_dir, "documents"))
     bit_votes = [
         F.sum(
             F.when((F.col("h").bitwiseAND(1 << b)) != 0, 1).otherwise(-1)
@@ -746,7 +764,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adcirctime2cogs_spark.operators.similarity import (
         _sign_bucket,
         _sign_bucket_candidates,
-        cosine,
+        cosine_pre,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -754,7 +772,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup_ids = (
         _sign_bucket_candidates(emb)
-        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= _EMB_TAU)
+        .filter(
+            r4(cosine_pre(F.col("ea"), F.col("eb"),
+                          F.col("na"), F.col("nb"))) >= _EMB_TAU
+        )
         .select(F.col("vec_b").alias("dup_id"))
         .distinct()
     )
@@ -1313,21 +1334,29 @@ def _semdedup_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adcirctime2cogs_spark.operators.similarity import (
         CENT_MOD,
         _ivf_cells_table,
-        cosine,
+        cosine_pre,
+        norm_of,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("cent_emb"),
+        norm_of(F.col("embedding")).alias("cent_n"),
     )
     return (
         _ivf_cells_table(spark, sf_dir)
         .join(emb, "vec_id")
+        .withColumn("_n", norm_of(F.col("embedding")))
         .join(F.broadcast(cent), "cell")
         .select(
             "vec_id", "embedding", "cell",
-            r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+            r4(
+                cosine_pre(
+                    F.col("embedding"), F.col("cent_emb"),
+                    F.col("_n"), F.col("cent_n"),
+                )
+            ).alias("cs"),
         )
     )
 
@@ -1352,26 +1381,33 @@ SEM_CELL_CAP = 512
 
 def _sem_cell_candidates(scored: DataFrame) -> DataFrame:
     """Bounded within-cell candidate relation from a (vec_id,
-    embedding, cell, cs) scoring: rows (cell, id_a, ea, cs_a, id_b,
-    eb, cs_b) where id_a is strictly EARLIER than id_b in the keeper
-    order (cs ASC, vec_id ASC) — every unordered within-cell pair
-    appears exactly once for cells <= SEM_CELL_CAP members; over-cap
-    cells contribute only their two earliest members on the a-side
-    (the shared star fallback, operators/starcap.py)."""
+    embedding, cell, cs) scoring: rows (cell, id_a, ea, na, cs_a,
+    id_b, eb, nb, cs_b) where id_a is strictly EARLIER than id_b in
+    the keeper order (cs ASC, vec_id ASC) — every unordered
+    within-cell pair appears exactly once for cells <= SEM_CELL_CAP
+    members; over-cap cells contribute only their two earliest members
+    on the a-side (the shared star fallback, operators/starcap.py).
+    na/nb are per-row norm_of() values computed HERE (so any
+    (vec_id, embedding, cell, cs) frame works, including the BLAS
+    scale twin's) letting verifiers fold once per pair (cosine_pre)."""
+    from adcirctime2cogs_spark.operators.similarity import norm_of
     from adcirctime2cogs_spark.operators.starcap import bounded_star_pairs
 
     pairs = bounded_star_pairs(
-        scored, "cell", ["cs", "vec_id"], SEM_CELL_CAP,
-        id_col="vec_id", payload_cols=("embedding", "cs"),
+        scored.withColumn("_n", norm_of(F.col("embedding"))),
+        "cell", ["cs", "vec_id"], SEM_CELL_CAP,
+        id_col="vec_id", payload_cols=("embedding", "_n", "cs"),
         family="sem_cell",
     )
     return pairs.select(
         "cell",
         F.col("vec_id_a").alias("id_a"),
         F.col("embedding_a").alias("ea"),
+        F.col("_n_a").alias("na"),
         F.col("cs_a"),
         F.col("vec_id_b").alias("id_b"),
         F.col("embedding_b").alias("eb"),
+        F.col("_n_b").alias("nb"),
         F.col("cs_b"),
     )
 
@@ -1411,10 +1447,10 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x centroid re-scan at query time). Complements
     dedup_embedding_cosine: data-adaptive distance cells vs fixed
     axis-aligned sign-LSH half-spaces."""
-    from adcirctime2cogs_spark.operators.similarity import cosine
+    from adcirctime2cogs_spark.operators.similarity import cosine_pre
 
     cand = _sem_cell_candidates(_semdedup_scored(spark, sf_dir))
-    cos = r4(cosine(F.col("ea"), F.col("eb")))
+    cos = r4(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
     return (
         cand.filter(cos >= SEM_TAU)
         .select(
@@ -1434,11 +1470,14 @@ def _semdedup_keepers_from(scored: DataFrame) -> DataFrame:
     finishes (unhinted: SemDeDup prunes 20-50%% of real corpora, so
     the dropped set is NOT broadcast-sized at scale — review r11).
     Shared by the oracled query and its BLAS scale twin."""
-    from adcirctime2cogs_spark.operators.similarity import cosine
+    from adcirctime2cogs_spark.operators.similarity import cosine_pre
 
     dropped = (
         _sem_cell_candidates(scored)
-        .filter(r4(cosine(F.col("ea"), F.col("eb"))) >= SEM_TAU)
+        .filter(
+            r4(cosine_pre(F.col("ea"), F.col("eb"),
+                          F.col("na"), F.col("nb"))) >= SEM_TAU
+        )
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )

@@ -55,6 +55,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm_of(e: Column) -> Column:
+    """sqrt(dot(e, e)) — the exact self-dot fold cosine() runs, lifted
+    out so it can be computed ONCE PER ROW before a join instead of
+    once per pair inside it (optimization r12, guide §2.3/§4: the
+    higher-order-function fold is interpreted per element, and the two
+    self-dots were 2/3 of every per-pair cosine's work)."""
+    return F.sqrt(dot(e, e))
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with both norms precomputed via norm_of(): the quotient
+    dot(a,b) / (na * nb) multiplies and divides the SAME doubles in the
+    SAME order as cosine(), so results are bit-identical — only where
+    the self-dot folds execute moves (per row, not per pair)."""
+    return dot(a, b) / (na * nb)
+
+
 # DuckDB twin of cosine(): identical structure over double-cast lists.
 _COS_SQL = (
     "list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
@@ -68,12 +85,22 @@ _COS_SQL = (
 
 def _probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query vec) x (candidate vec) pairs via a broadcast of the tiny
-    probe side — the scalable shape: candidates stream, probes ship."""
+    probe side — the scalable shape: candidates stream, probes ship.
+    Both sides carry their norm_of() so the per-pair score is one fold,
+    not three (bit-identical, see cosine_pre); the candidate side is
+    spread off the single-row-group fixture scan (row-local scores,
+    partitioning-independent — tables.spread_scan)."""
+    from adcirctime2cogs_spark.tables import load_table_spread
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        norm_of(F.col("embedding")).alias("q_n"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    c = load_table_spread(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        norm_of(F.col("embedding")).alias("c_n"),
+    )
     return F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
 
 
@@ -100,7 +127,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _probe_pairs(spark, sf_dir).select(
         "q_id",
         "c_id",
-        r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+        r4(
+            cosine_pre(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+            )
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
@@ -230,13 +261,17 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aggregate -> array_max -> transform -> zip_with), all JVM
     codegen — no shuffle until the per-probe top-k. Per-sub-pair
     cosines round to 4dp on BOTH engines before the max so rank ties
-    break identically (the module's r4 convention)."""
+    break identically (the module's r4 convention). The candidate
+    side is spread off the single-row-group fixture scan (row-local
+    scores, partitioning-independent — tables.spread_scan)."""
+    from adcirctime2cogs_spark.tables import load_table_spread
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         _subvecs(F.col("embedding")).alias("q_subs"),
     )
-    c = emb.select(
+    c = load_table_spread(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("c_id"),
         _subvecs(F.col("embedding")).alias("c_subs"),
     )
@@ -424,16 +459,25 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cand = _multiprobe_candidates(emb)
     qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        norm_of(F.col("embedding")).alias("q_n"),
     )
-    ce = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    ce = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        norm_of(F.col("embedding")).alias("c_n"),
+    )
     pairs = (
         cand.join(F.broadcast(qe), "q_id")
         .join(ce, "c_id")
         .select(
             "q_id",
             "c_id",
-            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+            r4(
+                cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"),
+                    F.col("q_n"), F.col("c_n"),
+                )
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
@@ -626,24 +670,28 @@ SIGN_BUCKET_CAP = 512
 
 def _sign_bucket_candidates(emb: DataFrame) -> DataFrame:
     """Bounded within-bucket candidate relation from a (vec_id,
-    embedding, bucket) frame: rows (bucket, vec_a, ea, vec_b, eb)
-    with vec_a < vec_b, every unordered within-bucket pair exactly
+    embedding, bucket) frame: rows (bucket, vec_a, ea, na, vec_b, eb,
+    nb) with vec_a < vec_b, every unordered within-bucket pair exactly
     once for buckets <= SIGN_BUCKET_CAP members; over-cap buckets
     contribute only their two lowest-id members on the a-side (the
-    shared star fallback, operators/starcap.py)."""
+    shared star fallback, operators/starcap.py). na/nb are the
+    per-row norm_of() values so verifiers score with cosine_pre."""
     from adcirctime2cogs_spark.operators.starcap import bounded_star_pairs
 
     pairs = bounded_star_pairs(
-        emb, "bucket", ["vec_id"], SIGN_BUCKET_CAP,
-        id_col="vec_id", payload_cols=("embedding",),
+        emb.withColumn("_n", norm_of(F.col("embedding"))),
+        "bucket", ["vec_id"], SIGN_BUCKET_CAP,
+        id_col="vec_id", payload_cols=("embedding", "_n"),
         family="sign_bucket",
     )
     return pairs.select(
         "bucket",
         F.col("vec_id_a").alias("vec_a"),
         F.col("embedding_a").alias("ea"),
+        F.col("_n_a").alias("na"),
         F.col("vec_id_b").alias("vec_b"),
         F.col("embedding_b").alias("eb"),
+        F.col("_n_b").alias("nb"),
     )
 
 
@@ -695,7 +743,7 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    cos = r4(cosine(F.col("ea"), F.col("eb")))
+    cos = r4(cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
     # the fold appears in both the filter and the projection, but only
     # SURVIVORS re-evaluate it in the project (the filter rejects the
     # rest after one fold), and a withColumn restructure optimizes to
@@ -779,10 +827,20 @@ def _ivf_scored(emb: DataFrame) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
+        norm_of(F.col("embedding")).alias("cent_n"),
     )
-    return emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cent_id",
-        r4(cosine(F.col("embedding"), F.col("cent_emb"))).alias("cs"),
+    return (
+        emb.withColumn("_n", norm_of(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "cent_id",
+            r4(
+                cosine_pre(
+                    F.col("embedding"), F.col("cent_emb"),
+                    F.col("_n"), F.col("cent_n"),
+                )
+            ).alias("cs"),
+        )
     )
 
 
@@ -835,6 +893,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("c_id"),
                 F.col("embedding").alias("c_emb"),
+                norm_of(F.col("embedding")).alias("c_n"),
                 F.col("cell"))
     )
     probe = (
@@ -843,6 +902,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+            norm_of(F.col("embedding")).alias("q_n"),
             F.col("cent_id").alias("cell"),
         )
     )
@@ -852,7 +912,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+            r4(
+                cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"),
+                    F.col("q_n"), F.col("c_n"),
+                )
+            ).alias("cos_sim"),
         )
     )
     w_rank = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "c_id")
@@ -929,13 +994,18 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
+                    norm_of(F.col("embedding")).alias("na"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
+                    norm_of(F.col("embedding")).alias("nb"))
     pairs = (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
         .select(
-            "a_id", "b_id", r4(cosine(F.col("ea"), F.col("eb"))).alias("cos_sim")
+            "a_id", "b_id",
+            r4(
+                cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), "b_id")
@@ -1694,17 +1764,24 @@ def _pq_exact_rerank(emb: DataFrame, scored: DataFrame) -> DataFrame:
         .select("q_id", "c_id")
     )
     qe = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        norm_of(F.col("embedding")).alias("q_n"),
     )
     ce = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        norm_of(F.col("embedding")).alias("c_n"),
     )
     pairs = (
         short.join(F.broadcast(qe), "q_id")
         .join(ce, "c_id")
         .select(
             "q_id", "c_id",
-            r4(cosine(F.col("q_emb"), F.col("c_emb"))).alias("cos_sim"),
+            r4(
+                cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"),
+                    F.col("q_n"), F.col("c_n"),
+                )
+            ).alias("cos_sim"),
         )
     )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))

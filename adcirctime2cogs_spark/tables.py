@@ -183,6 +183,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
+def spread_scan(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Scale-adaptive under-split guard (optimization r12, guide §2.5
+    input skew): when the parquet scan backing ``df`` yields fewer
+    splits than the session's default parallelism — the fixture tables
+    are single-row-group files, so every scan-rooted narrow pipeline
+    otherwise runs as ONE task — round-robin repartition to the
+    default parallelism so CPU-heavy row-local work (shingle hashing,
+    per-pair vector folds, regex kernels) uses every core. On a
+    well-split production table the probe says >= target and this is
+    the identity — no shuffle is added at scale. The moved bytes are
+    the table itself (small exactly when the guard fires).
+
+    ONLY for plans whose results are partitioning-independent:
+    row-local projections, integer/decimal-exact aggregates, min/max.
+    A 4dp-rounded DOUBLE sum over large groups stays on the scan's
+    natural order — its oracle hash depends on matching the
+    sequential fold (see OPTIMIZATION_r12.md)."""
+    from adcirctime2cogs_spark.operators.multimodal import (
+        _scan_split_estimate,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    if _scan_split_estimate(spark, path) < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """load_table + spread_scan for the CPU-bound row-local consumers
+    (see spread_scan's safety contract)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spread_scan(spark, load_table(spark, sf_dir, name), path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql
     queries. The names are the canonical table names, so calling this
