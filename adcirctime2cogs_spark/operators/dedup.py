@@ -263,17 +263,30 @@ def evict_shingle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             df.unpersist()
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.8 pairs:
-    (doc_a, doc_b, jaccard double, unrounded)."""
-    sh, stop, inter = _shingle_artifacts(spark, sf_dir)
-    # denominators over the stop-filtered sets, matching inter (see
-    # _SIZES_SQL); the stop set is tiny so the anti-join broadcasts
+def _doc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stop-filtered shingle-set sizes — the Jaccard
+    denominators (_SIZES_SQL). A shared derived artifact (optimization
+    r12): the ngram/prefix verify paths recompute it per execution,
+    and with the shingle build now spread across cores the recompute
+    became task-dispatch-bound; one row per doc persists through
+    _register_derived_cache under the artifact memo's lifetime, same
+    as LSH's sig_sizes (which already carries its own n)."""
+    sh, stop, _ = _shingle_artifacts(spark, sf_dir)
     sizes = (
         sh.join(F.broadcast(stop), "sh", "left_anti")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
+    return _register_derived_cache(spark, sf_dir, sizes)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.8 pairs:
+    (doc_a, doc_b, jaccard double, unrounded)."""
+    _sh, _stop, inter = _shingle_artifacts(spark, sf_dir)
+    # denominators over the stop-filtered sets, matching inter (see
+    # _SIZES_SQL); cached per data version (_doc_sizes)
+    sizes = _doc_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
@@ -1039,12 +1052,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair mining — the posting-list intersection table and stop-filtered
     sizes are shared, so registering this query adds zero extra corpus
     scans to a pipeline that already mines near-dups."""
-    sh, stop, inter = _shingle_artifacts(spark, sf_dir)
-    sizes = (
-        sh.join(F.broadcast(stop), "sh", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    _sh, _stop, inter = _shingle_artifacts(spark, sf_dir)
+    sizes = _doc_sizes(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("c") * 1.0 / F.least("na", "nb")

@@ -1655,13 +1655,17 @@ def _pq_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     64x-smaller code table."""
     from adcirctime2cogs_spark.tables import layout_once
 
+    from adcirctime2cogs_spark.tables import spread_scan
+
     path = layout_once(
         spark, sf_dir, "pq_codes",
         lambda p: _pq_codes(spark, sf_dir)
         .drop("embedding").write.parquet(p),
         code_ver=f"pq-lowid-anchors-v1:{PQ_M}:{PQ_K}:{PQ_SUB}",
     )
-    return spark.read.parquet(path)
+    # the ADC scan's per-(code, probe) lookup sum is row-local, so the
+    # under-split artifact scan spreads safely (tables.spread_scan)
+    return spread_scan(spark, spark.read.parquet(path), path)
 
 
 @_register("vec_pq_encode", _pq_encode_sql())

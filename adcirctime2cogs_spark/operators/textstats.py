@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from adcirctime2cogs_spark.functions.numeric import r4
 
 from adcirctime2cogs_spark.functions.text import normalized_text, tokens_col
-from adcirctime2cogs_spark.tables import load_table
+from adcirctime2cogs_spark.tables import load_table, load_table_spread
 
 QUERIES = {}
 ORACLES = {}
@@ -53,7 +53,7 @@ def _register(name: str, oracle: str | None = None):
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex segmentation
     (alpha runs / digit runs / single symbols)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
@@ -118,7 +118,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / punctuation / stopword-ratio features
     folded into a [0,1] score (the standard pretraining-data heuristic
     family)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     toks, n_toks, n_punct, n_stop, quality = quality_feature_cols()
     return docs.select(
         "doc_id",
@@ -163,7 +163,7 @@ def _lang_score_sql(lang: str) -> str:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: lexicon-marker hit counts per language,
     argmax with a fixed tie-break order, 'und' when no marker hits."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     toks = tokens_col(F.lower(F.col("text")))
     def marker_count(words):
         # single-arg lambda: a second (defaulted) param would make Spark
@@ -201,7 +201,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (normalized text digest) and
     order-insensitive (sorted distinct token set digest) — the
     canonical keys for exact and reordered-dup detection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     bag = F.array_join(
         F.array_sort(F.array_distinct(tokens_col(F.lower(F.col("text"))))), " "
     )
@@ -385,7 +385,7 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hashes): reproducible across engines and runs, no RNG
     state, stable under re-partitioning — the split assignment every
     dataset card should be able to recompute."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     from adcirctime2cogs_spark.functions.text import hash32
 
     bucket = hash32(F.col("doc_id").cast("string")) % 100
@@ -708,7 +708,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-zeros one. Patterns stay in the Java-regex ∩ RE2 common
     subset (no backrefs/lookaround) so both engines match identically;
     at 100 TB this is a narrow map-only projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     dirty = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1706,7 +1706,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: none (no text surface) — north-star text-analysis
     family, BASELINE.json."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     (n_words, sum_wlen, n_sym, n_alpha, n_stop,
      ok_words, ok_wlen, ok_sym, ok_alpha, ok_stop, keep) = gopher_rule_cols()
     return docs.select(

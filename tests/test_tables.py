@@ -140,3 +140,38 @@ def test_memo_eviction_drops_foreign_applications():
         ("app-live", 100, 10, 0.5): "w2",
         "app-live": "w3",
     }
+
+
+def test_spread_scan_under_split_guard(spark, sf_dir, tmp_path):
+    """Optimization r12 (guide §2.5 input skew): spread_scan must
+    round-robin an under-split scan to the default parallelism —
+    the single-row-group fixture files otherwise run every
+    scan-rooted narrow pipeline as ONE task — and be the IDENTITY on
+    a well-split input (no shuffle added on production layouts).
+    Row content must be preserved exactly."""
+    import os
+
+    from adcirctime2cogs_spark.tables import load_table, spread_scan
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    spread = spread_scan(spark, docs, path)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert (
+        spread.exceptAll(docs).count() == 0
+        and docs.exceptAll(spread).count() == 0
+    )
+    # well-split twin: force tiny split sizing so the estimate says
+    # the scan already reaches the target -> identity (same object)
+    out = str(tmp_path / "wellsplit.parquet")
+    spark.range(0, 200_000).repartition(8).write.parquet(out)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 10))
+        df = spark.read.parquet(out)
+        assert spread_scan(spark, df, out) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
