@@ -42,83 +42,14 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-def _size_conf(spark: SparkSession, key: str, default: int) -> int:
-    """Byte-size session conf as an int; accepts plain numbers and the
-    'k/m/g' suffix forms Spark allows, falls back on anything else."""
-    try:
-        raw = str(spark.conf.get(key, str(default))).strip().lower()
-    except Exception:
-        return default
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    for suf in ("kb", "mb", "gb", "k", "m", "g", "b"):
-        if raw.endswith(suf):
-            return int(float(raw[: -len(suf)])) * mult.get(suf[0], 1)
-    try:
-        return int(raw)
-    except ValueError:
-        return default
-
-
-def _scan_split_estimate(spark: SparkSession, path: str) -> int:
-    """Driver-side estimate of how many input splits the parquet scan
-    of ``path`` gets — FilePartition's arithmetic replicated exactly:
-    zero-length files dropped, maxSplitBytes = min(maxPartitionBytes,
-    max(openCostInBytes, totalPadded / minPartitionNum)), every file
-    cut into <= maxSplitBytes chunks, ALL chunks sorted length-
-    descending globally, then packed sequentially where a partition
-    closes when currentSize + chunk > maxSplitBytes and the
-    openCostInBytes pad is added AFTER the close test (the pad
-    inflates occupancy, it does not participate in the fit check).
-    This replaces a ``df.rdd.getNumPartitions()`` probe, which forced
-    a DataFrame->RDD conversion (a full plan translation) on every
-    plan build. The listing is the same driver-side metadata the scan
-    itself reads, so this costs a handful of stats, no Spark job.
-    Parity with the scan's real partition count is pinned across
-    file-count and conf shapes in tests/test_tables.py."""
-    sizes: list[int] = []
-    try:
-        if os.path.isdir(path):
-            with os.scandir(path) as it:
-                sizes = [
-                    e.stat().st_size
-                    for e in it
-                    if e.is_file() and not e.name.startswith((".", "_"))
-                ]
-        elif os.path.isfile(path):
-            sizes = [os.path.getsize(path)]
-    except OSError:
-        return 1
-    sizes = [s for s in sizes if s > 0]
-    if not sizes:
-        return 1
-    max_pb = _size_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-    try:
-        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
-    except Exception:
-        try:
-            min_pn = int(
-                spark.conf.get("spark.sql.leafNodeDefaultParallelism")
-            )
-        except Exception:
-            min_pn = spark.sparkContext.defaultParallelism
-    min_pn = max(1, min_pn)
-    total_padded = sum(sizes) + len(sizes) * open_cost
-    max_split = min(max_pb, max(open_cost, total_padded // min_pn))
-    chunks: list[int] = []
-    for s in sizes:
-        while s > max_split:
-            chunks.append(max_split)
-            s -= max_split
-        if s:
-            chunks.append(s)
-    parts, cur = 0, 0
-    for c in sorted(chunks, reverse=True):
-        if cur + c > max_split and cur > 0:
-            parts += 1
-            cur = 0
-        cur += c + open_cost
-    return parts + (1 if cur else 0)
+# _size_conf/_scan_split_estimate moved to tables.py (optimization
+# r13, ADVICE r12: the split estimator is shared infrastructure and
+# the function-local import in tables.spread_scan was a layering
+# inversion). Re-imported here for the media kernels' own use.
+from adcirctime2cogs_spark.tables import (  # noqa: E402
+    _scan_split_estimate,
+    _size_conf,
+)
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

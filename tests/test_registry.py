@@ -14,15 +14,16 @@ from adcirctime2cogs_spark import registry
 # at least once. Any OTHER non-oracled name in the window is a bug (an
 # oracle silently lost), so the set is pinned exactly.
 ROWS_ONLY_WINDOW = {
-    # r12 rotation: BPE train/encode (merge tables / token streams are
-    # engine-specific artifacts, not SQL-expressible) and the PCA
-    # projection (eigvec sign/order conventions); value-correctness
-    # pinned by their pytest fixtures. The r11 media triad
-    # (mm_*_pairs) rotated through the r11 window and must NOT burn
-    # further slots (VERDICT r11 #7).
-    "text_bpe_train",
-    "text_bpe_encode",
-    "vec_pca_project",
+    # r13 rotation: the two rows-only queries the r12 registry ledger
+    # named for this round — DataSketches HLL union rollup and the
+    # SemDeDup keeper scale path (engine-specific values, rows-only by
+    # design, value-correctness pytest-pinned). The r12 trio
+    # (text_bpe_*/vec_pca_project) recorded its row counts in r12 and
+    # must NOT burn further slots (VERDICT r12 #8); the three
+    # remaining never-windowed rows-only stragglers (dedup_minhash_ml,
+    # mm_feature_extract, sim_ml_brp_lsh) are owed r14.
+    "dedup_semantic_keepers_scale",
+    "events_sketch_rollup",
 }
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 
-from adcirctime2cogs_spark.operators.multimodal import (
+from adcirctime2cogs_spark.tables import (
     _scan_split_estimate,
     _size_conf,
 )
