@@ -118,6 +118,15 @@ def bucket_offsets(
     agg = (F.count("*") if value is None else F.sum(value)).cast("bigint")
     rows = d.groupBy("_pid").agg(agg.alias("_t")).collect()
     per = {r["_pid"]: (r["_t"] or 0) for r in rows}
+    if None in per:
+        # A NULL bucket key has no position in the total order: the
+        # collected path would crash below (max over None) and the
+        # lazy join-back path would silently DROP the rows via its
+        # inner join on _pid — fail loudly instead (ADVICE r12).
+        raise ValueError(
+            "bucket_offsets: NULL bucket key — distwindow requires a "
+            "non-null leading sort key (filter or coalesce it first)"
+        )
     if not per:
         return [0]
     out, run = [], 0
@@ -130,9 +139,27 @@ def bucket_offsets(
 def _offset_lookup(offsets: list[int]) -> Column:
     """`_off` as a literal dense-array lookup on `_pid` (codegen, no
     join). Rows only ever carry pids that had rows at collect time, so
-    the array covers every pid the lookup can see."""
+    the array covers every pid the lookup can see — PROVIDED the
+    caller passed offsets collected over the same frame and bounds.
+    The range guard makes a mismatch fail loudly (ADVICE r12):
+    non-ANSI element_at would return NULL for an over-range _pid and
+    index from the END of the array for a negative one — silently
+    wrong ranks instead of an error."""
     arr = F.array(*[F.lit(int(o)).cast("bigint") for o in offsets])
-    return F.element_at(arr, F.col("_pid") + 1)
+    in_range = (F.col("_pid") >= 0) & (F.col("_pid") < len(offsets))
+    return F.when(
+        in_range, F.element_at(arr, F.col("_pid") + 1)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "distwindow: _pid %s outside the collected offsets "
+                f"[0, {len(offsets)}) — offsets were built over a "
+                "different frame/bounds or the data changed between "
+                "collect and execution",
+                F.col("_pid"),
+            )
+        )
+    )
 
 
 def _offsets(per_part: DataFrame, agg_col: str) -> DataFrame:

@@ -29,49 +29,69 @@ class GIFError(ValueError):
 
 # ------------------------------------------------------------- LZW
 def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
-    """GIF-LZW encode a flat uint8 index array at min code size mcs."""
+    """GIF-LZW encode a flat uint8 index array at min code size mcs.
+
+    Optimization r13 (same output bytes, pinned by the round-trip
+    suite): the dictionary keys on the integer pair
+    (prev_code << 8 | byte) instead of growing bytes objects — one
+    int hash per symbol instead of an O(len) bytes concat+hash — and
+    the emitted (code, width) stream is bit-packed in one vectorized
+    numpy pass at the end instead of a per-code Python closure. The
+    code sequence, width schedule, and table-reset points are
+    byte-identical to the previous form: singletons map to their own
+    code (so the dict never needs re-seeding after a clear), and the
+    width bump/reset tests run in the same order per emission."""
     clear = 1 << mcs
     eoi = clear + 1
-    out = bytearray()
-    acc = 0
-    nbits = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
-    next_code = eoi + 1
+    codes: list[int] = []
+    widths: list[int] = []
+    emit = codes.append
+    emitw = widths.append
     width = mcs + 1
-    emit(clear, width)
-    prev = b""
-    for b in indices.tobytes():
-        cur = prev + bytes([b])
-        if cur in table:
-            prev = cur
-            continue
-        emit(table[prev], width)
-        table[cur] = next_code
-        next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
-        if next_code >= 4096:
-            emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
-            width = mcs + 1
-        prev = bytes([b])
-    if prev:
-        emit(table[prev], width)
-    emit(eoi, width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+    emit(clear)
+    emitw(width)
+    data = indices.tobytes()
+    if data:
+        table: dict[int, int] = {}
+        next_code = eoi + 1
+        prev = data[0]
+        for b in data[1:]:
+            key = (prev << 8) | b
+            cur = table.get(key)
+            if cur is not None:
+                prev = cur
+                continue
+            emit(prev)
+            emitw(width)
+            table[key] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear)
+                emitw(width)
+                table.clear()
+                next_code = eoi + 1
+                width = mcs + 1
+            prev = b
+        emit(prev)
+        emitw(width)
+    emit(eoi)
+    emitw(width)
+    # vectorized bit-pack: each code's fragments land in <= 3 bytes;
+    # bit positions never overlap, so scatter-add == scatter-or
+    c = np.asarray(codes, dtype=np.int64)
+    w = np.asarray(widths, dtype=np.int64)
+    ends = np.cumsum(w)
+    starts = ends - w
+    nbytes = int((ends[-1] + 7) // 8)
+    v = c << (starts & 7)
+    out = np.zeros(nbytes + 2, dtype=np.uint32)
+    idx = (starts >> 3).astype(np.int64)
+    np.add.at(out, idx, v & 0xFF)
+    np.add.at(out, idx + 1, (v >> 8) & 0xFF)
+    np.add.at(out, idx + 2, (v >> 16) & 0xFF)
+    return out[:nbytes].astype(np.uint8).tobytes()
 
 
 def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:

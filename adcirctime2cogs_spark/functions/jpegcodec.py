@@ -244,6 +244,34 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def peek8(self) -> int:
+        """Top 8 buffered bits WITHOUT consuming, or -1 when the
+        stream cannot supply 8 bits without raising (end of data or a
+        marker byte next) — the huffman LUT fast path (optimization
+        r13). Only complete, valid stuffed bytes are ingested, so on
+        -1 the reader state is exactly what the serial _fill path
+        would produce and the caller's bit-by-bit fallback raises at
+        the same point with the same error as before."""
+        while self.n < 8:
+            p = self.pos
+            if p >= len(self.data):
+                return -1
+            b = self.data[p]
+            if b == 0xFF:
+                if p + 1 >= len(self.data) or self.data[p + 1] != 0x00:
+                    return -1  # marker/truncation: serial path decides
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return (self.acc >> (self.n - 8)) & 0xFF
+
+    def drop(self, k: int) -> None:
+        """Consume k already-peeked bits (k <= self.n)."""
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
     def sync_restart(self):
         """Drop to a byte boundary and consume one RSTn marker."""
         self.acc = 0
@@ -284,10 +312,38 @@ class _HuffDecoder:
                 k += bits[ln - 1]
                 self.maxcode[ln] = code - 1
             code <<= 1
+        # 8-bit prefix LUT (optimization r13): every code of length
+        # <= 8 owns the 2^(8-len) table slots sharing its prefix, so
+        # one peek + one index replaces len bit-by-bit reads. Typical
+        # baseline tables put the overwhelming majority of symbols at
+        # <= 8 bits; longer codes fall through to the serial DECODE
+        # procedure below, continuing from the 8 peeked bits.
+        self.lut: list[tuple[int, int] | None] = [None] * 256
+        code = 0
+        k = 0
+        for ln in range(1, 9):
+            for _ in range(bits[ln - 1]):
+                lo = code << (8 - ln)
+                for p in range(lo, lo + (1 << (8 - ln))):
+                    self.lut[p] = (vals[k], ln)
+                code += 1
+                k += 1
+            code <<= 1
 
     def decode(self, r: _BitReader) -> int:
-        code = r.bits(1)
-        ln = 1
+        p = r.peek8()
+        if p >= 0:
+            hit = self.lut[p]
+            if hit is not None:
+                r.drop(hit[1])
+                return hit[0]
+            # valid-but-longer code: the 8 peeked bits are its prefix
+            r.drop(8)
+            code = p
+            ln = 8
+        else:
+            code = r.bits(1)
+            ln = 1
         while code > self.maxcode[ln]:
             if ln >= 16:
                 raise JPEGError("invalid huffman code")

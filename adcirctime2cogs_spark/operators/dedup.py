@@ -519,14 +519,20 @@ WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
 LSH_BUCKET_CAP = 64
 
 
-def _lsh_bands(sig_sizes):
-    """Explode 8 minhashes into 4 bands of 2 rows -> (doc_id, band, bkey)."""
+def _lsh_bands(sig_sizes, carry=()):
+    """Explode 8 minhashes into 4 bands of 2 rows -> (doc_id, band,
+    bkey). `carry` names extra per-doc columns to keep on every band
+    row (optimization r13: the pair query rides the Jaccard
+    denominator `n` through the candidate pipeline instead of joining
+    sizes back — see _lsh_candidates)."""
     return sig_sizes.selectExpr(
         "doc_id",
+        *carry,
         "stack(4, 0, mh0, mh1, 1, mh2, mh3, 2, mh4, mh5, 3, mh6, mh7)"
         " AS (band, h1, h2)",
     ).select(
         "doc_id",
+        *carry,
         "band",
         # injective long pack: h1, h2 < MH_PRIME = 2^31-1, so
         # h1*2^31 + h2 < 2^62 — an 8-byte sort/shuffle/hash key
@@ -536,7 +542,7 @@ def _lsh_bands(sig_sizes):
     )
 
 
-def _lsh_candidates(bands):
+def _lsh_candidates(bands, carry_n=False):
     """Bucket-size-bounded candidate pairs from the band table.
 
     Posting-list candidates instead of a bands self-join: one shuffle
@@ -557,41 +563,93 @@ def _lsh_candidates(bands):
     sizes aggregation's map-side combine collapses nothing and its
     shuffle is band-table-sized — a second full shuffle instead of the
     window's one sort.
-    """
+
+    With carry_n=True (optimization r13), every band row additionally
+    carries the doc's Jaccard denominator `n` and the emitted pairs
+    are (doc_a, na, doc_b, nb): the verify stage then needs NO
+    join-back against the sizes table — the previous plan attached
+    na/nb through TWO sort-merge joins (each an exchange + two sorts)
+    after the intersection count; riding the single long through the
+    candidate pipeline costs 8 bytes/row in exchanges that already
+    exist. The star branch picks each representative's n with
+    min_by/max_by over the SAME window (no extra pass)."""
     from pyspark.sql import Window
 
     from adcirctime2cogs_spark.operators.starcap import observe_over_cap
 
     w = Window.partitionBy("band", "bkey")
-    tagged = bands.select(
+    cols = [
         "doc_id",
         "band",
         "bkey",
         F.count("*").over(w).alias("bn"),
         F.min("doc_id").over(w).alias("rep_lo"),
         F.max("doc_id").over(w).alias("rep_hi"),
-    )
+    ]
+    if carry_n:
+        cols += [
+            "n",
+            F.min_by("n", "doc_id").over(w).alias("n_lo"),
+            F.max_by("n", "doc_id").over(w).alias("n_hi"),
+        ]
+    tagged = bands.select(*cols)
     tagged = observe_over_cap(
         tagged, "bn", F.col("doc_id") == F.col("rep_lo"),
         LSH_BUCKET_CAP, "lsh_bucket",
     )
-    small = (
-        tagged.filter(F.col("bn").between(2, LSH_BUCKET_CAP))
-        .groupBy("band", "bkey")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-    )
+    in_small = tagged.filter(F.col("bn").between(2, LSH_BUCKET_CAP))
     over = tagged.filter(F.col("bn") > LSH_BUCKET_CAP)
+    if not carry_n:
+        small = (
+            in_small.groupBy("band", "bkey")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .select(F.explode("ds").alias("doc_a"), "ds")
+            .select("doc_a", F.explode("ds").alias("doc_b"))
+        )
+        star = over.select(
+            F.explode(F.array("rep_lo", "rep_hi")).alias("rep"), "doc_id"
+        ).select(
+            F.least("rep", "doc_id").alias("doc_a"),
+            F.greatest("rep", "doc_id").alias("doc_b"),
+        )
+        return (
+            small.unionByName(star)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
+    # carried-n forms: pair elements are (d, n) structs; least/greatest
+    # order by the first field (doc_id, unique), so the pair ordering
+    # is identical to the id-only form
+    small = (
+        in_small.groupBy("band", "bkey")
+        .agg(
+            F.collect_list(F.struct(F.col("doc_id").alias("d"), "n"))
+            .alias("ds")
+        )
+        .select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+    )
     star = over.select(
-        F.explode(F.array("rep_lo", "rep_hi")).alias("rep"), "doc_id"
+        F.explode(
+            F.array(
+                F.struct(F.col("rep_lo").alias("d"), F.col("n_lo").alias("n")),
+                F.struct(F.col("rep_hi").alias("d"), F.col("n_hi").alias("n")),
+            )
+        ).alias("rep"),
+        F.struct(F.col("doc_id").alias("d"), "n").alias("self"),
     ).select(
-        F.least("rep", "doc_id").alias("doc_a"),
-        F.greatest("rep", "doc_id").alias("doc_b"),
+        F.least("rep", "self").alias("a"),
+        F.greatest("rep", "self").alias("b"),
     )
     return (
         small.unionByName(star)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("a.d") < F.col("b.d"))
+        .select(
+            F.col("a.d").alias("doc_a"),
+            F.col("a.n").alias("na"),
+            F.col("b.d").alias("doc_b"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
 
@@ -664,24 +722,25 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs, F.count(F.when(F.col("is_stop").isNull(), 1)).alias("n"))
     )
     sig_sizes = _register_derived_cache(spark, sf_dir, sig_sizes)
-    bands = _lsh_bands(sig_sizes)
-    cand = _lsh_candidates(bands)
+    # The Jaccard denominators (na, nb) RIDE the candidate pipeline
+    # (optimization r13): the previous plan attached them through two
+    # post-count sort-merge joins against sig_sizes — two exchanges +
+    # four sorts on the verify output — where carrying one extra long
+    # per band row through the exchanges that already exist is ~free.
+    bands = _lsh_bands(sig_sizes, carry=("n",))
+    cand = _lsh_candidates(bands, carry_n=True)
     sh_kept = sh.join(F.broadcast(stop), "sh", "left_anti")
     sh_a = sh_kept.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh_kept.select(F.col("doc_id").alias("doc_b"), "sh")
     verified = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )
-    sa = sig_sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sig_sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        verified.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        verified.filter(jac >= 0.5)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
 

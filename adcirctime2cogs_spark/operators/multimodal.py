@@ -115,6 +115,22 @@ def _fingerprints_once(spark: SparkSession, sf_dir: str, kind: str,
     return df
 
 
+def evict_fingerprints(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist and drop the memoized fingerprint tables for one
+    (application, sf_dir) — the explicit-eviction API mirroring
+    dedup.evict_shingle_artifacts (ADVICE r12): the automatic
+    supersession in _fingerprints_once only fires when the SAME dir is
+    requested again with a newer mtime, so sessions that fingerprint
+    ephemeral/one-off corpora (scale legs, tempdir fixtures) must
+    evict once done or the persisted tables pin executor storage for
+    the application's lifetime."""
+    app = spark.sparkContext.applicationId
+    for key in [
+        k for k in _FP_MEMO if k[0] == app and k[1] == sf_dir
+    ]:
+        _FP_MEMO.pop(key)[1].unpersist()
+
+
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the payload as a real BinaryType column."""
     docs = load_table(spark, sf_dir, "documents")

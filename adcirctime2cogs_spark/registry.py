@@ -51,10 +51,10 @@ WINDOW_ROUND = 13
 
 _PRIORITY = [
     # Round-13 rotation (coming=13; POLICY_ROUNDS=5). Slot arithmetic:
-    # 10 rule-1 (modified this round) + 17 rule-3 policy-forced r08
+    # 11 rule-1 (modified this round) + 17 rule-3 policy-forced r08
     # carries + 2 rule-2 rows-only rotations the r12 ledger named +
-    # 21 rule-3 staleness fills (alphabetical prefix of the r09
-    # cohort) = 50 exactly. The remaining 25 r09 names are due r14
+    # 20 rule-3 staleness fills (alphabetical prefix of the r09
+    # cohort) = 50 exactly. The remaining 26 r09 names are due r14
     # (5-round line) beside the three never-windowed rows-only
     # stragglers (dedup_minhash_ml, mm_feature_extract,
     # sim_ml_brp_lsh); the r10 cohort's natural due date is r15.
@@ -64,7 +64,11 @@ _PRIORITY = [
     # scale-growing-groups oracle query now sums money/value as exact
     # decimals (q1's r11 discipline; fold-order-independent at any
     # scale — tests/test_fold_order_free.py), and join_star_revenue's
-    # under-split scan is spread. All ten re-verify externally:
+    # under-split scan is spread. Also dedup_minhash_lsh_pairs: the
+    # Jaccard denominators now RIDE the candidate pipeline instead of
+    # two post-count sort-merge join-backs (4 SMJ -> 0, byte-identical
+    # pairs). All eleven re-verify externally:
+    "dedup_minhash_lsh_pairs",
     "join_star_revenue",
     "join_left_outer",
     "events_tumbling_window",
@@ -102,7 +106,8 @@ _PRIORITY = [
     "dedup_semantic_keepers_scale",
     "events_sketch_rollup",
     # (3) staleness fills — alphabetical prefix of the r09 cohort
-    # (deterministic pick; the 25 remaining r09 names land r14):
+    # (deterministic pick minus micromesh_weights, displaced by the
+    # rule-1 LSH slot; it joins the 26 remaining r09 names due r14):
     "agg_boolean_flags",
     "cdc_rollup_refresh",
     "crs_reproject_laea",
@@ -123,7 +128,6 @@ _PRIORITY = [
     "json_variant_agg",
     "micromesh_domain_mask",
     "micromesh_regrid",
-    "micromesh_weights",
 ]
 
 

@@ -164,3 +164,37 @@ def test_full_range_hash_keys_do_not_overflow(spark):
         F.min("rn"), F.max("rn"), F.count_distinct("rn")
     ).first()
     assert tuple(stats) == (1, 4000, 4000)
+
+
+def test_offsets_frame_mismatch_fails_loudly(spark):
+    """ADVICE r12: offsets collected over a DIFFERENT frame/bounds
+    must raise at execution, not silently return NULL/wrapped ranks
+    (non-ANSI element_at indexes negatives from the array END)."""
+    import pyspark.errors
+
+    df = _seeded(spark, 500)
+    bounds = (0, 999)
+    # offsets deliberately built over a tiny sub-frame: most pids in
+    # the full frame fall outside the 1-entry dense array
+    offsets = bucket_offsets(df.filter("k = 0"), F.col("k"), bounds=bounds)
+    assert len(offsets) == 1
+    bad = global_rank(
+        df, F.col("k"), ["k", "id"], "r", bounds=bounds, offsets=offsets
+    )
+    with pytest.raises(pyspark.errors.PySparkException) as ei:
+        bad.collect()
+    assert "distwindow" in str(ei.value)
+
+
+def test_bucket_offsets_rejects_null_keys(spark):
+    """ADVICE r12: the collected and lazy forms disagreed on NULL
+    bucket keys (TypeError vs silent row drop) — reject loudly."""
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("k"),
+        F.col("id"),
+    )
+    with pytest.raises(ValueError, match="NULL bucket key"):
+        bucket_offsets(df, F.col("k"), bounds=(0, 99))

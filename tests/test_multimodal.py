@@ -500,3 +500,26 @@ def test_hash_kernels_degenerate_inputs():
     assert isinstance(audio_fingerprint64(np.zeros(0, dtype="int16")),
                       int)
     assert np.allclose(resize_area(np.ones((1, 1)), 4, 4), 1.0)
+
+
+def test_evict_fingerprints_releases_memo(spark, sf_dir):
+    """ADVICE r12: fingerprint tables for ephemeral corpora need an
+    explicit eviction API (mirror of dedup.evict_shingle_artifacts) —
+    the automatic supersession only fires on a same-dir re-request."""
+    from pyspark.sql import functions as F
+
+    app = spark.sparkContext.applicationId
+    df = mm._fingerprints_once(
+        spark, sf_dir, "evict_test",
+        lambda: spark.range(5).select(F.col("id").alias("doc_id")),
+    )
+    key = next(
+        k for k in mm._FP_MEMO
+        if k[0] == app and k[1] == sf_dir and k[2] == "evict_test"
+    )
+    assert mm._FP_MEMO[key][1] is df and df.storageLevel.useMemory
+    mm.evict_fingerprints(spark, sf_dir)
+    assert not any(
+        k for k in mm._FP_MEMO if k[0] == app and k[1] == sf_dir
+    )
+    assert not df.storageLevel.useMemory
