@@ -51,10 +51,10 @@ WINDOW_ROUND = 13
 
 _PRIORITY = [
     # Round-13 rotation (coming=13; POLICY_ROUNDS=5). Slot arithmetic:
-    # 11 rule-1 (modified this round) + 17 rule-3 policy-forced r08
+    # 12 rule-1 (modified this round) + 17 rule-3 policy-forced r08
     # carries + 2 rule-2 rows-only rotations the r12 ledger named +
-    # 20 rule-3 staleness fills (alphabetical prefix of the r09
-    # cohort) = 50 exactly. The remaining 26 r09 names are due r14
+    # 19 rule-3 staleness fills (alphabetical prefix of the r09
+    # cohort) = 50 exactly. The remaining 27 r09 names are due r14
     # (5-round line) beside the three never-windowed rows-only
     # stragglers (dedup_minhash_ml, mm_feature_extract,
     # sim_ml_brp_lsh); the r10 cohort's natural due date is r15.
@@ -67,7 +67,11 @@ _PRIORITY = [
     # under-split scan is spread. Also dedup_minhash_lsh_pairs: the
     # Jaccard denominators now RIDE the candidate pipeline instead of
     # two post-count sort-merge join-backs (4 SMJ -> 0, byte-identical
-    # pairs). All eleven re-verify externally:
+    # pairs). And prep_dsir_weights: its documents scan is now spread
+    # (the tokenize+hash projection dominates; per-doc groups are
+    # bounded, so partitioning is value-neutral — rows identical).
+    # All twelve re-verify externally:
+    "prep_dsir_weights",
     "dedup_minhash_lsh_pairs",
     "join_star_revenue",
     "join_left_outer",
@@ -106,8 +110,9 @@ _PRIORITY = [
     "dedup_semantic_keepers_scale",
     "events_sketch_rollup",
     # (3) staleness fills — alphabetical prefix of the r09 cohort
-    # (deterministic pick minus micromesh_weights, displaced by the
-    # rule-1 LSH slot; it joins the 26 remaining r09 names due r14):
+    # (deterministic pick minus micromesh_weights and micromesh_regrid,
+    # displaced by the rule-1 LSH and DSIR slots; they join the 27
+    # remaining r09 names due r14):
     "agg_boolean_flags",
     "cdc_rollup_refresh",
     "crs_reproject_laea",
@@ -127,7 +132,6 @@ _PRIORITY = [
     "join_interval_overlap",
     "json_variant_agg",
     "micromesh_domain_mask",
-    "micromesh_regrid",
 ]
 
 
