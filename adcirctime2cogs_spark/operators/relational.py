@@ -594,7 +594,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     """
     SELECT r_name, n_name,
-           round(sum(c_acctbal), 4) AS total_bal,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS total_bal,
            count(*)                 AS n_cust
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -603,7 +604,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    """ROLLUP hierarchy totals (region -> nation -> grand total).
+
+    total_bal sums c_acctbal as an exact DECIMAL(12,2) (2dp by
+    construction; optimization r13, q1's discipline): the rollup's
+    grand-total group spans the whole table, so a double sum's fold
+    order would reach the 4dp grid at scale."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -611,7 +617,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
-        _r4(F.sum("c_acctbal")).alias("total_bal"),
+        _r4(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"))
+        .alias("total_bal"),
         F.count("*").alias("n_cust"),
     )
 
@@ -620,17 +627,27 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (all 4 grouping sets)."""
+    """CUBE over two dimensions (all 4 grouping sets).
+
+    avg_price derives from the exact DECIMAL(12,2) sum over the
+    count (optimization r13): the cube's coarse cells span the table
+    at scale, so a double avg's fold order would reach the 4dp grid;
+    one deterministic double division replaces it on both engines."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        _r4(F.avg("o_totalprice")).alias("avg_price"),
+        _r4(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price"),
     )
 
 
@@ -638,7 +655,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     """
     SELECT c_mktsegment, n_name, count(*) AS n,
-           round(sum(c_acctbal), 4) AS bal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
     """,
@@ -653,7 +671,13 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     return j.groupingSets(
         [["c_mktsegment"], ["n_name"]], "c_mktsegment", "n_name"
-    ).agg(F.count("*").alias("n"), _r4(F.sum("c_acctbal")).alias("bal"))
+    ).agg(
+        F.count("*").alias("n"),
+        # exact decimal: per-segment groups span the table at scale
+        # (optimization r13, q1's discipline)
+        _r4(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"))
+        .alias("bal"),
+    )
 
 
 @_register(

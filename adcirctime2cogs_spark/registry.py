@@ -51,10 +51,10 @@ WINDOW_ROUND = 13
 
 _PRIORITY = [
     # Round-13 rotation (coming=13; POLICY_ROUNDS=5). Slot arithmetic:
-    # 12 rule-1 (modified this round) + 17 rule-3 policy-forced r08
+    # 15 rule-1 (modified this round) + 17 rule-3 policy-forced r08
     # carries + 2 rule-2 rows-only rotations the r12 ledger named +
-    # 19 rule-3 staleness fills (alphabetical prefix of the r09
-    # cohort) = 50 exactly. The remaining 27 r09 names are due r14
+    # 16 rule-3 staleness fills (alphabetical prefix of the r09
+    # cohort) = 50 exactly. The remaining 30 r09 names are due r14
     # (5-round line) beside the three never-windowed rows-only
     # stragglers (dedup_minhash_ml, mm_feature_extract,
     # sim_ml_brp_lsh); the r10 cohort's natural due date is r15.
@@ -83,6 +83,11 @@ _PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q19_disjunctive_pred",
+    # (1) also migrated: the acctbal/avg rollup family — the rollup/
+    # cube coarse cells span the table at scale, same fragility class:
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_cube",
     # (3, policy-forced) the 17 r08 greens the r12 registry comment
     # carried to this round (5-round line; machine-checked by
     # test_no_oracled_query_ages_past_policy):
@@ -110,9 +115,9 @@ _PRIORITY = [
     "dedup_semantic_keepers_scale",
     "events_sketch_rollup",
     # (3) staleness fills — alphabetical prefix of the r09 cohort
-    # (deterministic pick minus micromesh_weights and micromesh_regrid,
-    # displaced by the rule-1 LSH and DSIR slots; they join the 27
-    # remaining r09 names due r14):
+    # (deterministic pick minus the five last alphabetical names,
+    # displaced by the rule-1 LSH/DSIR/rollup-family slots; they join
+    # the 30 remaining r09 names due r14):
     "agg_boolean_flags",
     "cdc_rollup_refresh",
     "crs_reproject_laea",
@@ -129,9 +134,6 @@ _PRIORITY = [
     "events_running_distinct",
     "events_sessionize_gap",
     "events_sliding_window",
-    "join_interval_overlap",
-    "json_variant_agg",
-    "micromesh_domain_mask",
 ]
 
 

@@ -35,6 +35,9 @@ MIGRATED = [
     ("tpch_q10_returned_items", "lineitem"),
     ("tpch_q14_promo_effect", "lineitem"),
     ("tpch_q19_disjunctive_pred", "lineitem"),
+    ("agg_rollup", "customer"),
+    ("agg_grouping_sets", "customer"),
+    ("agg_cube", "orders"),
 ]
 
 
