@@ -264,7 +264,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')  AS day_s,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4)
+             AS total_value
     FROM events
     GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
     """,
@@ -290,7 +291,10 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             grain.alias("grain"),
             F.count("*").alias("n"),
-            r4(F.sum("value")).alias("total_value"),
+            # exact decimal: the rollup's total cell spans the table
+            # at scale (optimization r13, q1's discipline)
+            r4(F.sum(F.col("value").cast("decimal(10,2)")).cast("double"))
+            .alias("total_value"),
         )
         .select(
             "grain",
@@ -380,7 +384,8 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT user_id,
              make_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 * 1000000) AS bucket,
-             round(sum(value), 4) AS v
+             round(CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE), 4)
+               AS v
       FROM events GROUP BY 1, 2
     ),
     rng AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM b GROUP BY 1),
@@ -413,7 +418,11 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     b = (
         events.groupBy("user_id", F.window("ts", "5 minutes").alias("w"))
-        .agg(r4(F.sum("value")).alias("v"))
+        .agg(
+            # exact decimal (optimization r13, q1's discipline)
+            r4(F.sum(F.col("value").cast("decimal(10,2)")).cast("double"))
+            .alias("v")
+        )
         .select("user_id", F.col("w.start").alias("bucket"), "v")
     )
     rng = b.groupBy("user_id").agg(
@@ -914,8 +923,9 @@ _DAY_US = 86_400_000_000
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
            CAST(sum(CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
-           round(sum(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US}
-                          THEN value ELSE 0 END), 4) AS val_7d,
+           round(CAST(sum(CAST(CASE WHEN epoch_us(ts) > gmax - 7 * {_DAY_US}
+                               THEN value ELSE 0 END AS DECIMAL(10,2)))
+                      AS DOUBLE), 4) AS val_7d,
            count(DISTINCT CASE WHEN epoch_us(ts) > gmax - 30 * {_DAY_US}
                                THEN event_type END) AS types_30d,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
@@ -947,7 +957,13 @@ def events_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(in_h(1), 1).otherwise(0)).alias("n_1d"),
             F.sum(F.when(in_h(7), 1).otherwise(0)).alias("n_7d"),
             F.sum(F.when(in_h(30), 1).otherwise(0)).alias("n_30d"),
-            r4(F.sum(F.when(in_h(7), F.col("value")).otherwise(0.0))).alias(
+            r4(
+                F.sum(
+                    F.when(in_h(7), F.col("value"))
+                    .otherwise(0.0)
+                    .cast("decimal(10,2)")
+                ).cast("double")
+            ).alias(
                 "val_7d"
             ),
             F.countDistinct(

@@ -207,7 +207,9 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_trunc_agg",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-           count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS revenue
     FROM orders
     GROUP BY 1
     """,
@@ -221,7 +223,13 @@ def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month"
             )
         )
-        .agg(F.count("*").alias("n"), r4(F.sum("o_totalprice")).alias("revenue"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal: months span the table at scale
+            # (optimization r13, q1's discipline)
+            r4(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+               .cast("double")).alias("revenue"),
+        )
     )
 
 
@@ -433,7 +441,8 @@ _N_SALT = 8
     "join_skew_salted",
     """
     SELECT c_nationkey AS nationkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS revenue
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
     """,
@@ -468,7 +477,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_orders"),
-            r4(F.sum("o_totalprice")).alias("revenue"),
+            # exact decimal: per-nation groups span the table at scale
+            r4(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+               .cast("double")).alias("revenue"),
         )
     )
 
@@ -1088,7 +1099,7 @@ from adcirctime2cogs_spark.tables import layout_once as _layout_once
     "scan_orc_pushdown",
     """
     SELECT l_returnflag, count(*) AS n_items,
-           round(sum(l_extendedprice), 4) AS sum_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_price,
            min(l_orderkey) AS min_orderkey
     FROM lineitem
     WHERE l_quantity >= 40
@@ -1129,7 +1140,9 @@ def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            r4(F.sum("l_extendedprice")).alias("sum_price"),
+            # exact decimal: per-flag groups span the table at scale
+            r4(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+               .cast("double")).alias("sum_price"),
             F.min("l_orderkey").alias("min_orderkey"),
         )
     )
@@ -1140,7 +1153,7 @@ def scan_orc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dim(p, boost) AS (VALUES ('1-URGENT', 1), ('2-HIGH', 1))
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_price,
            min(o_orderkey) AS min_orderkey
     FROM orders JOIN dim ON o_orderpriority = dim.p AND dim.boost > 0
     GROUP BY o_orderpriority
@@ -1183,7 +1196,9 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            r4(F.sum("o_totalprice")).alias("sum_price"),
+            # exact decimal: per-priority groups span the table at scale
+            r4(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+               .cast("double")).alias("sum_price"),
             F.min("o_orderkey").alias("min_orderkey"),
         )
     )

@@ -51,10 +51,12 @@ WINDOW_ROUND = 13
 
 _PRIORITY = [
     # Round-13 rotation (coming=13; POLICY_ROUNDS=5). Slot arithmetic:
-    # 15 rule-1 (modified this round) + 17 rule-3 policy-forced r08
-    # carries + 2 rule-2 rows-only rotations the r12 ledger named +
-    # 16 rule-3 staleness fills (alphabetical prefix of the r09
-    # cohort) = 50 exactly. The remaining 30 r09 names are due r14
+    # 21 rule-1 (modified this round; scan_orc_pushdown is a 22nd,
+    # counted in the forced block it already occupies) + 17 rule-3
+    # policy-forced r08 carries + 2 rule-2 rows-only rotations the
+    # r12 ledger named + 10 rule-3 staleness fills (alphabetical
+    # prefix of the r09 cohort) = 50 exactly. The remaining r09 names
+    # are due r14
     # (5-round line) beside the three never-windowed rows-only
     # stragglers (dedup_minhash_ml, mm_feature_extract,
     # sim_ml_brp_lsh); the r10 cohort's natural due date is r15.
@@ -88,6 +90,14 @@ _PRIORITY = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_cube",
+    # (1) third wave of the same migration — every remaining
+    # 2dp-exact double sum over scale-growing groups
+    # (scan_orc_pushdown is modified too; it already sits in the
+    # policy-forced block below):
+    "date_trunc_agg",
+    "join_skew_salted",
+    "join_dpp_partitioned",
+    "events_gap_fill_locf",
     # (3, policy-forced) the 17 r08 greens the r12 registry comment
     # carried to this round (5-round line; machine-checked by
     # test_no_oracled_query_ages_past_policy):
@@ -129,11 +139,7 @@ _PRIORITY = [
     "events_dedup_first",
     "events_feature_rollup",
     "events_gaps_islands",
-    "events_markov_transitions",
     "events_multires_rollup",
-    "events_running_distinct",
-    "events_sessionize_gap",
-    "events_sliding_window",
 ]
 
 

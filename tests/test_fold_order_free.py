@@ -38,6 +38,11 @@ MIGRATED = [
     ("agg_rollup", "customer"),
     ("agg_grouping_sets", "customer"),
     ("agg_cube", "orders"),
+    ("date_trunc_agg", "orders"),
+    ("join_skew_salted", "orders"),
+    ("events_multires_rollup", "events"),
+    ("events_gap_fill_locf", "events"),
+    ("events_feature_rollup", "events"),
 ]
 
 
